@@ -1,0 +1,58 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cube_builder_spark.queries import all_queries
+from cube_builder_spark.session import get_spark
+
+# Headline set: one per operator family — relational joins/aggs, blend
+# family, mosaic, dedup/similarity/text at scale. Grows with coverage.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "r6_groupby_collect_timeline",
+    "r11_multiway_join",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # warm the JVM + parquet footers once so timings measure the queries
+    queries[names[0]](spark, sf_dir).collect()
+    timings = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

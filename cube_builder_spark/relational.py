@@ -1,0 +1,360 @@
+"""Catalog-plane relational operators (SURVEY.md §2.4, R1–R11).
+
+The reference's catalog queries are SQLAlchemy/PostGIS calls in
+``cube_builder/controller.py`` and ``cube_builder/models/activity.py``;
+here each becomes a declarative DataFrame plan over the driver's
+TPC-H-ish tables so Catalyst handles pushdown/pruning/join selection.
+
+Determinism notes for the DuckDB oracle:
+- money/qty aggregates go through per-row integer "cents"
+  (``round(x*100) -> bigint``) so sums are exact integers and immune to
+  float-summation order differences between engines;
+- every LIMIT query orders by a unique key chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+# (name, spark_fn, oracle_sql) tuples collected by queries.py
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+def _cents(col):
+    """Exact integer cents of a 2-decimal-ish double (oracle-stable sums)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline aggregations (drive bench.py; exercise group-by,
+# multiway joins, filter pushdown — the metadata-plane workload shape of
+# controller.py list/summary endpoints at warehouse scale).
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_price_c,
+         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c,
+         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty_c) / 100.0 AS sum_qty,
+       sum(price_c) / 100.0 AS sum_base_price,
+       sum(disc_price_c) / 100.0 AS sum_disc_price,
+       sum(charge_c) / 100.0 AS sum_charge,
+       sum(qty_c) / count(*) / 100.0 AS avg_qty,
+       sum(price_c) / count(*) / 100.0 AS avg_price,
+       sum(disc_bp) / count(*) / 10000.0 AS avg_disc,
+       count(*) AS count_order
+FROM l GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Reference analogue: R3/R4 summary aggregations
+    (controller.py:338-352,398). Single scan, map-side partial agg."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    l = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_returnflag", "l_linestatus",
+        _cents(F.col("l_quantity")).alias("qty_c"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price_c"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge_c"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("disc_bp"),
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qty_c") / 100.0).alias("sum_qty"),
+            (F.sum("price_c") / 100.0).alias("sum_base_price"),
+            (F.sum("disc_price_c") / 100.0).alias("sum_disc_price"),
+            (F.sum("charge_c") / 100.0).alias("sum_charge"),
+            (F.sum("qty_c") / F.count(F.lit(1)) / 100.0).alias("avg_qty"),
+            (F.sum("price_c") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
+            (F.sum("disc_bp") / F.count(F.lit(1)) / 10000.0).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("q3_shipping_priority", """
+SELECT l.l_orderkey AS l_orderkey,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+       o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15' AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + top-k. customer side is small →
+    Catalyst broadcasts it (verified via explain)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return (
+        t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+        .join(t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register("q5_local_supplier_volume", """
+SELECT n.n_name AS n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'REGION_1' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the reference's multiway id joins (R11,
+    tasks.py:471-476) at scale. Dim tables broadcast; only the
+    lineitem⋈orders join shuffles."""
+    t = load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+    nr = (t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "REGION_1")),
+                           F.col("n_regionkey") == F.col("r_regionkey")))
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
+    )
+
+
+@register("q6_forecast_revenue", """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg; all predicates push to parquet."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg((F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1–R11 — the reference's controller-plane query surface.
+# ---------------------------------------------------------------------------
+
+@register("r1_list_filter_like_order", """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part WHERE p_name LIKE '%widget%' AND p_size >= 10
+ORDER BY p_partkey
+""")
+def r1_list_filter_like_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: list cubes filtered by name-contains + ordered
+    (controller.py:355-383 list_cubes)."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    return (part.filter(F.col("p_name").contains("widget") & (F.col("p_size") >= 10))
+            .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+            .orderBy("p_partkey"))
+
+
+@register("r2_point_lookup", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey = 100
+""")
+def r2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: point lookup by id (controller.py:47-50 _get_cube_or_404)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return orders.filter(F.col("o_orderkey") == 100).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+
+@register("r3_minmax_range", """
+SELECT min(o_orderdate) AS start_date, max(o_orderdate) AS end_date,
+       count(*) AS n_items
+FROM orders
+""")
+def r3_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: temporal extent of published items (controller.py:338-352)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return orders.agg(F.min("o_orderdate").alias("start_date"),
+                      F.max("o_orderdate").alias("end_date"),
+                      F.count(F.lit(1)).alias("n_items"))
+
+
+@register("r4_count_by_status", """
+SELECT o_orderstatus, count(*) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def r4_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: activity counts by status (controller.py:390-398)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("r5_distinct_join", """
+SELECT DISTINCT c.c_nationkey AS c_nationkey, n.n_name AS n_name, r.r_name AS r_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def r5_distinct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: distinct tile ids of a cube joined to tile geometries
+    (controller.py:419-428 list_tiles)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (t["customer"].select("c_nationkey").distinct()
+            .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_nationkey", "n_name", "r_name"))
+
+
+@register("r6_groupby_collect_timeline", """
+SELECT c_nationkey,
+       list(DISTINCT y ORDER BY y) AS order_years,
+       count(*) AS n_orders
+FROM (
+  SELECT c.c_nationkey AS c_nationkey, CAST(year(o.o_orderdate) AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+) GROUP BY c_nationkey
+""")
+def r6_groupby_collect_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: per-tile timeline summary via group-by + array_agg
+    (controller.py:677-710 jsonb_agg of item dates)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (t["orders"].join(F.broadcast(t["customer"]),
+                             F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_nationkey", F.year("o_orderdate").cast("long").alias("y"))
+            .groupBy("c_nationkey")
+            .agg(F.array_sort(F.collect_set("y")).alias("order_years"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("r7_json_explode", """
+SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n
+FROM events GROUP BY event_type, k
+""")
+def r7_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: JSON attribute extraction / lateral explode of activity args
+    (models/activity.py:61-88 json_array_elements)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (ev.select("event_type",
+                      F.get_json_object("props", "$.k").cast("long").alias("k"))
+            .groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("r8_pagination", """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10
+""")
+def r8_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: paginated desc-sorted item listing (controller.py:584-639)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (orders.filter(F.col("o_orderstatus") == "O")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .offset(10).limit(15))
+
+
+@register("r9_bbox_intersect", """
+SELECT p_partkey, p_size FROM part
+WHERE p_size * 10 < 180 AND (p_size + 4) * 10 > 60 AND p_retailprice < 1500
+ORDER BY p_partkey
+""")
+def r9_bbox_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: bbox-intersect predicate as plain column arithmetic — the
+    Spark replacement for ST_Intersects on axis-aligned tiles
+    (controller.py:518-538; tiles are rectangles, grids.py:54-65)."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    xmin = F.col("p_size") * 10
+    xmax = (F.col("p_size") + 4) * 10
+    return (part.filter((xmin < 180) & (xmax > 60) & (F.col("p_retailprice") < 1500))
+            .select("p_partkey", "p_size").orderBy("p_partkey"))
+
+
+@register("r10_upsert", """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 = 0
+), source AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 11 / 1000.0 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+""")
+def r10_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: get_or_create/upsert (processing.py:76-98) as a MERGE-shaped
+    full-outer coalesce — the Delta-less idiom for upsert-by-key."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    target = (orders.filter(F.col("o_orderkey") % 7 == 0)
+              .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    # +10% via exact integer cents — double round(x, 2) is not
+    # oracle-stable (Spark rounds the shortest-decimal rendering,
+    # DuckDB the binary value).
+    source = (orders.filter(F.col("o_orderkey") % 5 == 0)
+              .select(F.col("o_orderkey"),
+                      (_cents(F.col("o_totalprice")) * 11 / 1000.0).alias("o_totalprice"),
+                      F.lit("U").alias("o_orderstatus")))
+    return (target.alias("t").join(source.alias("s"), "o_orderkey", "full_outer")
+            .select(F.col("o_orderkey"),
+                    F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+                    F.coalesce("s.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus")))
+
+
+@register("r11_multiway_join", """
+SELECT s.s_name AS s_name, n.n_name AS n_name,
+       count(*) AS n_lineitems,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_name, n.n_name
+""")
+def r11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: id-joins for names (maestro.py:216-220, tasks.py:471-476)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return (t["lineitem"]
+            .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("total_price")))

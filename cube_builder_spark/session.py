@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors the driver contract (``local[$SPARK_GRAFT_CPUS]``);
+on a real cluster the same conf keys apply, with AQE doing runtime
+shuffle-partition coalescing and skew-join splitting so the plans scale
+from the sf0.01 correctness runs to the 100 TB target without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Settings rationale:
+    - AQE on: runtime coalescing of small shuffle partitions + skew-join
+      splitting — the scale path for the blend/mosaic group-bys.
+    - Arrow on: every pandas-UDF operator (block blend, minhash batch,
+      raster reader) moves data in Arrow batches, not pickles.
+    - session timezone UTC: parity with the DuckDB oracle (naive UTC).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); read as long and convert
+        # in tables.load_table (Spark has no native nanos timestamp).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
