@@ -1,0 +1,146 @@
+"""Catalog-plane oracle queries: timeline (C17), grids (C18), cube
+metadata creation (§3.2), item publish (K4)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import catalog
+from .grids import create_tiles, tiles_df
+from .pixelplane import PIXELS_SQL, pixel_plane
+from .sinks.publish import publish_items
+from .timeline import timeline_rows
+
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+# C17 -------------------------------------------------------------------------
+
+@register("c17_timeline_cyclic16", """
+SELECT strftime(s, '%Y-%m-%d') || '_' || strftime(e, '%Y-%m-%d') AS period,
+       s AS start_date, e AS end_date
+FROM (
+  SELECT DATE '2020-01-01' + CAST(16 * x AS INTEGER) AS s,
+         least(DATE '2020-01-01' + CAST(16 * x + 15 AS INTEGER), DATE '2020-12-31') AS e
+  FROM generate_series(0, 22) AS g(x)
+)
+""")
+def c17_timeline_cyclic16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 (timeline.py:76-205): cyclic year / 16-day — 23 periods in
+    2020 with the short last period ending 12-31 (reference
+    test_cycle_year_16days)."""
+    rows = timeline_rows("cyclic", date(2020, 1, 1), date(2020, 12, 31),
+                         "day", 16, cycle=dict(unit="year", step=1))
+    return spark.createDataFrame(
+        rows, schema="period string, start_date date, end_date date")
+
+
+@register("c17_timeline_seasonal", """
+SELECT * FROM (VALUES
+  ('2019-12-21_2020-03-20', DATE '2019-12-21', DATE '2020-03-20'),
+  ('2020-03-21_2020-06-20', DATE '2020-03-21', DATE '2020-06-20'),
+  ('2020-06-21_2020-09-21', DATE '2020-06-21', DATE '2020-09-21'),
+  ('2020-09-22_2020-12-20', DATE '2020-09-22', DATE '2020-12-20'),
+  ('2020-12-21_2021-03-20', DATE '2020-12-21', DATE '2021-03-20')
+) AS t(period, start_date, end_date)
+""")
+def c17_timeline_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 seasonal intervals — golden case from the reference
+    test_continuous_with_interval_season (prior/next-year spanning)."""
+    rows = timeline_rows(
+        "continuous", date(2020, 1, 1), date(2020, 12, 31), "month", 3,
+        intervals=["12-21_03-20", "03-21_06-20", "06-21_09-21", "09-22_12-20"])
+    return spark.createDataFrame(
+        rows, schema="period string, start_date date, end_date date")
+
+
+# C18 -------------------------------------------------------------------------
+
+@register("c18_grid_tiles", """
+SELECT 'BDC_MD' AS grid, printf('%03d%03d', ix, iy) AS tile_id,
+       ix * 105600e0 AS xmin, (ix + 1) * 105600e0 AS xmax,
+       316800e0 - iy * 105600e0 AS ymax, 316800e0 - (iy + 1) * 105600e0 AS ymin
+FROM generate_series(0, 3) AS t1(ix) CROSS JOIN generate_series(0, 2) AS t2(iy)
+""")
+def c18_grid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 (grids.py:32-77): tile layout over a meters bbox, names
+    '{ix:03d}{iy:03d}'."""
+    tiles = create_tiles((0.0, 0.0, 4 * 105600.0, 3 * 105600.0), 105600.0,
+                         grid_name="BDC_MD")
+    return tiles_df(spark, tiles)
+
+
+# §3.2 cube creation ----------------------------------------------------------
+
+@register("meta_cube_band_summary", """
+SELECT * FROM (VALUES
+  ('LC8-16D_IDT-1', CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+  ('LC8-16D-1',     CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+  ('S2-16D_IDT-1',  CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+  ('S2-16D-1',      CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(collection, n_bands, n_expression_bands, n_auto_bands)
+""")
+def meta_cube_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 create-cube (controller.py:100-286): identity + composed
+    collections with NDVI/EVI expression bands and the LCF auto bands
+    (CLEAROB/TOTALOB/PROVENANCE)."""
+    bands = catalog.bands_df(spark, [catalog.LC8_16D, catalog.S2_16D])
+    auto = ["CLEAROB", "TOTALOB", "PROVENANCE", "DATASOURCE"]
+    return (bands.groupBy("collection").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum(F.col("expression").isNotNull().cast("long")).alias("n_expression_bands"),
+        F.sum(F.col("name").isin(auto).cast("long")).alias("n_auto_bands")))
+
+
+@register("meta_auto_band_attributes", """
+SELECT * FROM (VALUES
+  ('LC8-16D-1', 'CLEAROB',    'uint8', 0e0,  0e0, 255e0),
+  ('LC8-16D-1', 'TOTALOB',    'uint8', 0e0,  0e0, 255e0),
+  ('LC8-16D-1', 'PROVENANCE', 'int16', -1e0, 1e0, 366e0),
+  ('S2-16D-1',  'CLEAROB',    'uint8', 0e0,  0e0, 255e0),
+  ('S2-16D-1',  'TOTALOB',    'uint8', 0e0,  0e0, 255e0),
+  ('S2-16D-1',  'PROVENANCE', 'int16', -1e0, 1e0, 366e0)
+) AS t(collection, name, data_type, nodata, min_value, max_value)
+""")
+def meta_auto_band_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-band attribute golden check (constants.py:25-74)."""
+    bands = catalog.bands_df(spark, [catalog.LC8_16D, catalog.S2_16D])
+    return (bands.filter(F.col("name").isin("CLEAROB", "TOTALOB", "PROVENANCE", "DATASOURCE")
+                         & ~F.col("collection").contains("IDT"))
+            .select("collection", "name", "data_type", "nodata", "min_value", "max_value"))
+
+
+# K4 --------------------------------------------------------------------------
+
+@register("k4_publish_items", f"""
+WITH {PIXELS_SQL},
+qa AS (
+  SELECT tile_id,
+         sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END) AS nc
+  FROM pixels GROUP BY tile_id
+)
+SELECT 'S2-16D-1_V001_' || printf('%03d', CAST(tile_id AS INTEGER)) || '_20200101' AS item_id,
+       tile_id, '2020-01-01_2020-01-16' AS period,
+       DATE '2020-01-01' AS start_date, DATE '2020-01-16' AS end_date,
+       1e2 * nc / NULLIF(c + nc, 0) AS cloud_cover
+FROM qa
+""")
+def k4_publish_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 publish_datacube (processing.py:1038-1155): one Item per
+    (cube, tile, period) with id naming and cloud cover."""
+    px = pixel_plane(spark, sf_dir)
+    stats = px.groupBy("tile_id").agg(
+        F.sum(F.col("quality").isin(4, 5, 6).cast("long")).alias("clear_pixels"),
+        F.sum(F.col("quality").isin(2, 3, 7, 8, 9, 10, 11).cast("long")).alias("not_clear_pixels"))
+    return publish_items(stats, "S2-16D-1", 1, "2020-01-01", "2020-01-16")

@@ -1,0 +1,444 @@
+"""Raster-plane oracle queries: pixel plane → blend/mask/mosaic/etc.
+
+Each entry wires the deterministic pixel plane (``pixelplane.py``) into
+one operator from SURVEY.md §2.3 and carries a DuckDB oracle whose CTE
+re-derives the identical plane — so the semantic heart of the engine
+(LCF/MED compositing, masks, stats, mosaic, rescale, expressions) is
+hash-checked end-to-end, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import blend, indexes, masking, mosaic, rescale
+from .pixelplane import BAND_NODATA, PIXELS_SQL, pixel_plane
+from .tables import load_tables
+
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+# Shared oracle fragments -----------------------------------------------------
+
+_EFF_SQL = """
+eff AS (
+  SELECT tile_id, date,
+         100.0 * sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) / count(*) AS efficacy
+  FROM pixels GROUP BY tile_id, date
+)
+"""
+
+_LCF_RANKED_SQL = """
+ranked AS (
+  SELECT p.tile_id, p.pixel_id, p.value, p.doy, p.source_idx,
+         p.quality IN (4,5,6) AS is_clear,
+         p.value <> -9999 AS is_valid,
+         row_number() OVER (PARTITION BY p.tile_id, p.pixel_id, p.quality IN (4,5,6)
+                            ORDER BY e.efficacy DESC, p.date DESC) AS rn_clear,
+         row_number() OVER (PARTITION BY p.tile_id, p.pixel_id, p.value <> -9999
+                            ORDER BY e.efficacy DESC, p.date DESC) AS rn_valid
+  FROM pixels p JOIN eff e ON p.tile_id = e.tile_id AND p.date = e.date
+)
+"""
+
+
+# C11 -------------------------------------------------------------------------
+
+@register("c11_scene_efficacy", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id, date, count(*) AS total_pixels,
+       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clear_pixels,
+       sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END) AS not_clear_pixels,
+       100.0 * sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) / count(*) AS efficacy,
+       100.0 * sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END)
+         / NULLIF(sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END), 0) AS cloud_ratio
+FROM pixels GROUP BY tile_id, date
+""")
+def c11_scene_efficacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 _qa_statistics (processing.py:1386-1448)."""
+    return blend.scene_efficacy(pixel_plane(spark, sf_dir))
+
+
+# C2 + C6 ---------------------------------------------------------------------
+
+@register("c2_blend_lcf", f"""
+WITH {PIXELS_SQL}, {_EFF_SQL}, {_LCF_RANKED_SQL}
+SELECT tile_id, pixel_id,
+       coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN value END),
+                max(CASE WHEN is_valid AND rn_valid = 1 THEN value END), -9999) AS lcf_value,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN doy END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN doy END), -1) AS BIGINT) AS provenance,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN source_idx END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN source_idx END), 255) AS BIGINT) AS datasource
+FROM ranked GROUP BY tile_id, pixel_id
+""")
+def c2_blend_lcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 LCF best-pixel + C6 DATASOURCE (processing.py:541-967):
+    first clear wins, else first valid, else nodata; PROVENANCE=DOY."""
+    return blend.blend_lcf(pixel_plane(spark, sf_dir))
+
+
+# C3 --------------------------------------------------------------------------
+
+@register("c3_blend_med", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id, pixel_id,
+       coalesce(median(CASE WHEN quality IN (4,5,6) THEN CAST(value AS DOUBLE) END),
+                -9999.0) AS med_value
+FROM pixels GROUP BY tile_id, pixel_id
+""")
+def c3_blend_med(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 MED: exact masked median (processing.py:890-894)."""
+    return blend.blend_med(pixel_plane(spark, sf_dir))
+
+
+# C4 + C5 ---------------------------------------------------------------------
+
+@register("c4c5_observation_counts", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id, pixel_id,
+       sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS totalob,
+       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob
+FROM pixels GROUP BY tile_id, pixel_id
+""")
+def c4c5_observation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 TOTALOB + C5 CLEAROB (processing.py:826-833,896-899)."""
+    return blend.observation_counts(pixel_plane(spark, sf_dir))
+
+
+# C16 -------------------------------------------------------------------------
+
+@register("c16_temporal_priority_lcf", f"""
+WITH {PIXELS_SQL},
+ranked AS (
+  SELECT tile_id, pixel_id, value, doy,
+         quality IN (4,5,6) AS is_clear,
+         value <> -9999 AS is_valid,
+         row_number() OVER (PARTITION BY tile_id, pixel_id, quality IN (4,5,6)
+                            ORDER BY abs(doy - 8) ASC, date ASC) AS rn_clear,
+         row_number() OVER (PARTITION BY tile_id, pixel_id, value <> -9999
+                            ORDER BY abs(doy - 8) ASC, date ASC) AS rn_valid
+  FROM pixels
+)
+SELECT tile_id, pixel_id,
+       coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN value END),
+                max(CASE WHEN is_valid AND rn_valid = 1 THEN value END), -9999) AS tp_value,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN doy END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN doy END), -1) AS BIGINT) AS tp_provenance
+FROM ranked GROUP BY tile_id, pixel_id
+""")
+def c16_temporal_priority_lcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 (timeline.py:208-249): LCF with nearest-to-reference-day
+    scene ordering (reference day 8) instead of efficacy."""
+    out = blend.blend_lcf(pixel_plane(spark, sf_dir),
+                          order_cols=blend.temporal_priority_order(8))
+    return out.select("tile_id", "pixel_id",
+                      F.col("lcf_value").alias("tp_value"),
+                      F.col("provenance").alias("tp_provenance"))
+
+
+# C7 --------------------------------------------------------------------------
+
+@register("c7_mask_classify", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id,
+       CASE WHEN quality IN (4,5,6) THEN 'clear'
+            WHEN quality IN (2,3,7,8,9,10,11) THEN 'not_clear'
+            WHEN quality IN (1) THEN 'saturated'
+            WHEN quality = 0 THEN 'nodata'
+            ELSE 'other' END AS mask_class,
+       count(*) AS n
+FROM pixels GROUP BY tile_id, mask_class
+""")
+def c7_mask_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 parse_mask classification (processing.py:1327-1383) with the
+    Sen2Cor SCL config."""
+    px = pixel_plane(spark, sf_dir)
+    cls = masking.classify_mask(F.col("quality"), [4, 5, 6],
+                                [2, 3, 7, 8, 9, 10, 11], [1], 0)
+    return (px.withColumn("mask_class", cls)
+            .groupBy("tile_id", "mask_class").agg(F.count(F.lit(1)).alias("n")))
+
+
+# C8 --------------------------------------------------------------------------
+
+_QA_SQL = "(l_partkey * 31 + l_orderkey) % 65536"
+
+@register("c8_qa_pixel_clear", f"""
+WITH qa_plane AS (
+  SELECT l_orderkey % 8 AS tile_id, {_QA_SQL} AS qa FROM lineitem
+)
+SELECT tile_id, count(*) AS n_total,
+       sum(CASE WHEN qa <> 1
+                 AND NOT ( ((qa >> 1) & 1) > 0 OR ((qa >> 2) & 1) > 0
+                        OR ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0
+                        OR ((qa >> 8) & 3) >= 2 OR ((qa >> 10) & 3) >= 2 )
+                 AND ( ((qa >> 6) & 1) > 0 OR ((qa >> 7) & 1) > 0 )
+            THEN 1 ELSE 0 END) AS n_clear,
+       sum(CASE WHEN qa = 1 THEN 1 ELSE 0 END) AS n_nodata
+FROM qa_plane GROUP BY tile_id
+""")
+def c8_qa_pixel_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 Landsat C2 QA_PIXEL bitwise clear test with MEDIUM cloud and
+    cloud-shadow confidence rules (image.py:434-608)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select((F.col("l_orderkey") % 8).alias("tile_id"),
+                   ((F.col("l_partkey") * 31 + F.col("l_orderkey")) % 65536).alias("qa"))
+    clear = masking.qa_pixel_clear(F.col("qa"), clear_bits=[6, 7],
+                                   not_clear_bits=[1, 2, 3, 4], nodata=1,
+                                   cloud_conf_min=masking.MEDIUM,
+                                   shadow_conf_min=masking.MEDIUM)
+    return (df.groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(clear.cast("long")).alias("n_clear"),
+                 F.sum((F.col("qa") == 1).cast("long")).alias("n_nodata")))
+
+
+# C9 --------------------------------------------------------------------------
+
+@register("c9_radsat_saturation", """
+WITH radsat_plane AS (
+  SELECT l_orderkey % 8 AS tile_id,
+         (l_suppkey * 17 + l_partkey) % 4096 AS radsat
+  FROM lineitem
+)
+SELECT tile_id, count(*) AS n_total,
+       sum(CASE WHEN ((radsat >> 1) & 127) > 0 THEN 1 ELSE 0 END) AS n_saturated
+FROM radsat_plane GROUP BY tile_id
+""")
+def c9_radsat_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 radsat_extract_bits(b, 1, 7) (image.py:249-290)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select((F.col("l_orderkey") % 8).alias("tile_id"),
+                   ((F.col("l_suppkey") * 17 + F.col("l_partkey")) % 4096).alias("radsat"))
+    return (df.groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(masking.radsat_saturated(F.col("radsat")).cast("long")).alias("n_saturated")))
+
+
+# C10 -------------------------------------------------------------------------
+
+_BANDS_SQL = """
+bands AS (
+  SELECT l_orderkey % 8 AS tile_id,
+         (l_suppkey + l_linenumber) % 12 AS quality,
+         CASE WHEN l_quantity < 3 THEN -9999
+              ELSE CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000 END AS b_red,
+         CASE WHEN l_tax > 0.07 THEN -9999
+              ELSE (l_partkey * 11 + l_orderkey) % 20001 - 10000 END AS b_nir
+  FROM lineitem
+)
+"""
+
+@register("c10_post_process_quality", f"""
+WITH {_BANDS_SQL}
+SELECT tile_id, count(*) AS n_total,
+       sum(CASE WHEN (b_red = -9999 OR b_nir = -9999) THEN 1 ELSE 0 END) AS n_forced,
+       sum(CASE WHEN (CASE WHEN b_red = -9999 OR b_nir = -9999 THEN 1 ELSE quality END) = 1
+            THEN 1 ELSE 0 END) AS n_saturated_after
+FROM bands GROUP BY tile_id
+""")
+def c10_post_process_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 post_processing_quality (processing.py:446-518): any band
+    nodata forces quality to saturated (Sentinel value 1)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select(
+        (F.col("l_orderkey") % 8).alias("tile_id"),
+        ((F.col("l_suppkey") + F.col("l_linenumber")) % 12).alias("quality"),
+        F.when(F.col("l_quantity") < 3, F.lit(BAND_NODATA))
+         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .alias("b_red"),
+        F.when(F.col("l_tax") > 0.07, F.lit(BAND_NODATA))
+         .otherwise((F.col("l_partkey") * 11 + F.col("l_orderkey")) % 20001 - 10000)
+         .alias("b_nir"),
+    )
+    forced = (F.col("b_red") == BAND_NODATA) | (F.col("b_nir") == BAND_NODATA)
+    out = masking.post_process_quality(df, ["b_red", "b_nir"],
+                                       band_nodata=BAND_NODATA, saturated_value=1)
+    return (out.withColumn("forced", forced)
+            .groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.col("forced").cast("long")).alias("n_forced"),
+                 F.sum((F.col("quality") == 1).cast("long")).alias("n_saturated_after")))
+
+
+# C12 / C13 -------------------------------------------------------------------
+
+@register("c12_rescale_landsat_c2", """
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) % 65535 + 1 AS v
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       -- e-notation forces DOUBLE literals: DuckDB parses 0.0000275 as
+       -- DECIMAL and exact-decimal math diverges from Spark's doubles
+       CAST(trunc(least(greatest(v * 2.75e-5 + -2e-1, -32768e0), 32767e0) / 1e-4) AS BIGINT)
+         AS rescaled
+FROM raw
+""")
+def c12_rescale_landsat_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 rescale (image.py:611-662): Landsat C2 uint16 →
+    0.0000275/-0.2 reflectance → 1/10000 scale, int16 dtype clamp."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    v = (F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 65535 + 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rescale.rescale(v, multiplier=0.0000275, new_scale=0.0001,
+                        origin_additive=-0.2, dtype="int16").alias("rescaled"))
+
+
+@register("c13_linear_scale", """
+SELECT l_orderkey, l_linenumber,
+       (least(greatest(CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000, 0e0), 1e4) - 0e0)
+         / 1e4 * 255e0 + 0e0 AS scaled
+FROM lineitem
+""")
+def c13_linear_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 linear_raster_scale (image.py:711-737): quicklook 0-255 map."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    v = (F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+    return li.select("l_orderkey", "l_linenumber",
+                     rescale.linear_scale(v, (0.0, 10000.0), (0.0, 255.0)).alias("scaled"))
+
+
+# C14 -------------------------------------------------------------------------
+
+_IDX_BANDS_SQL = """
+idx_bands AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity < 3 THEN -9999
+              ELSE CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000 END AS B04,
+         CASE WHEN l_tax > 0.07 THEN -9999
+              ELSE (l_partkey * 11 + l_orderkey) % 20001 - 10000 END AS B8A,
+         (l_suppkey * 23 + l_partkey) % 20001 - 10000 AS B02
+  FROM lineitem
+)
+"""
+
+@register("c14_band_indexes", f"""
+WITH {_IDX_BANDS_SQL}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN B8A = -9999 OR B04 = -9999 THEN -9999
+            ELSE coalesce(CAST(trunc(least(greatest(
+                   10000.0*(B8A-B04)/NULLIF(B8A+B04, 0), -32768.0), 32767.0)) AS BIGINT), -9999)
+       END AS NDVI,
+       CASE WHEN B8A = -9999 OR B04 = -9999 OR B02 = -9999 THEN -9999
+            ELSE coalesce(CAST(trunc(least(greatest(
+                   10000.0*2.5*(B8A-B04)/NULLIF(B8A+6.0*B04-7.5*B02+10000.0, 0), -32768.0), 32767.0)) AS BIGINT), -9999)
+       END AS EVI
+FROM idx_bands
+""")
+def c14_band_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 expression bands (index_generator.py:34-127): the fixtures'
+    NDVI/EVI formulas compiled to Catalyst expressions via F.expr."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") < 3, F.lit(BAND_NODATA))
+         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .alias("B04"),
+        F.when(F.col("l_tax") > 0.07, F.lit(BAND_NODATA))
+         .otherwise((F.col("l_partkey") * 11 + F.col("l_orderkey")) % 20001 - 10000)
+         .alias("B8A"),
+        ((F.col("l_suppkey") * 23 + F.col("l_partkey")) % 20001 - 10000).alias("B02"),
+    )
+    df = indexes.generate_band_indexes(
+        df,
+        {"NDVI": "10000.*(B8A-B04)/(B8A+B04)"},
+        band_cols=["B8A", "B04"], nodata=BAND_NODATA, dtype="int16")
+    df = indexes.generate_band_indexes(
+        df,
+        {"EVI": "10000.*2.5*(B8A-B04)/(B8A+6.*B04-7.5*B02+10000.)"},
+        band_cols=["B8A", "B04", "B02"], nodata=BAND_NODATA, dtype="int16")
+    return df.select("l_orderkey", "l_linenumber", "NDVI", "EVI")
+
+
+# C1 --------------------------------------------------------------------------
+
+_SCENES_SQL = """
+scenes AS (
+  SELECT l_orderkey % 4 AS tile_id,
+         (l_partkey * 7 + l_suppkey) % 256 AS pixel_id,
+         DATE '2020-01-01' + CAST(l_orderkey % 5 AS INTEGER) AS date,
+         CASE WHEN l_quantity < 5 THEN -9999
+              ELSE CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000 END AS value,
+         l_suppkey % 3 AS source_idx
+  FROM lineitem
+)
+"""
+
+@register("c1_mosaic_first_valid", f"""
+WITH {_SCENES_SQL},
+ranked AS (
+  SELECT *, value <> -9999 AS is_valid,
+         -- content ordering (priority, then value desc): lineitem has
+         -- no unique key, so row-identity ordering is nondeterministic
+         row_number() OVER (PARTITION BY tile_id, pixel_id, date, value <> -9999
+                            ORDER BY source_idx ASC, value DESC) AS rn
+  FROM scenes
+)
+SELECT tile_id, pixel_id, date,
+       coalesce(max(CASE WHEN is_valid AND rn = 1 THEN value END), -9999) AS merge_value,
+       CAST(coalesce(max(CASE WHEN is_valid AND rn = 1 THEN source_idx END), 255) AS BIGINT) AS datasource,
+       count(*) AS n_scenes
+FROM ranked GROUP BY tile_id, pixel_id, date
+""")
+def c1_mosaic_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 mosaic reduction (processing.py:329-367): first-valid-pixel
+    wins in scene-priority order, with DATASOURCE provenance."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    scenes = li.select(
+        (F.col("l_orderkey") % 4).alias("tile_id"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 256).alias("pixel_id"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   (F.col("l_orderkey") % 5).cast("int")).alias("date"),
+        F.when(F.col("l_quantity") < 5, F.lit(BAND_NODATA))
+         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .alias("value"),
+        (F.col("l_suppkey") % 3).alias("source_idx"),
+    )
+    return mosaic.mosaic_first_valid(
+        scenes, order_cols=[F.asc("source_idx"), F.desc("value")])
+
+
+# S11 -------------------------------------------------------------------------
+
+@register("s11_empty_fill", f"""
+WITH {PIXELS_SQL},
+expected AS (
+  SELECT t.x AS tile_id, DATE '2020-01-01' + CAST(d.x AS INTEGER) AS date
+  FROM generate_series(0, 7) AS t(x) CROSS JOIN generate_series(0, 14) AS d(x)
+),
+observed AS (
+  SELECT tile_id, date, count(*) AS n_obs FROM pixels GROUP BY tile_id, date
+)
+SELECT e.tile_id AS tile_id, e.date AS date,
+       coalesce(o.n_obs IS NOT NULL, FALSE) AS observed,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs
+FROM expected e LEFT JOIN observed o
+  ON e.tile_id = o.tile_id AND e.date = o.date
+""")
+def s11_empty_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 dense-timeline fill (maestro.py:550-564): expected
+    tile×period grid left-joined against observed scenes; empty
+    periods synthesized rather than read."""
+    px = pixel_plane(spark, sf_dir)
+    tiles = spark.range(8).select(F.col("id").alias("tile_id"))
+    dates = spark.range(15).select(
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias("date"))
+    expected = tiles.crossJoin(dates)
+    observed = px.groupBy("tile_id", "date").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (expected.join(observed, ["tile_id", "date"], "left")
+            .select("tile_id", "date",
+                    F.col("n_obs").isNotNull().alias("observed"),
+                    F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")))

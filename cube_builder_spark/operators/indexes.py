@@ -1,0 +1,62 @@
+"""C14 — Band-expression engine (NDVI/EVI/user formulas).
+
+Reference (``index_generator.py:34-127`` + ``interpreter.py:28-60``)
+compiles user expression strings with Python ``ast``/``exec`` over numpy
+band arrays. Here the expression string goes straight to Catalyst via
+``F.expr`` — parsed, constant-folded, and codegen'd JVM-side, with no
+Python in the loop (which also removes the reference's exec-based RCE
+surface: only SQL expressions over band columns are accepted).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rescale import DTYPE_RANGES, clamp
+
+# SQL-expression whitelist: band identifiers, numbers, arithmetic,
+# parentheses. Anything else (function calls, quotes, semicolons) is
+# rejected before reaching the parser.
+_EXPR_RE = re.compile(r"^[A-Za-z0-9_+\-*/(). ]+$")
+
+
+class BandExpressionError(ValueError):
+    pass
+
+
+def compile_band_expression(expression: str, band_cols: list[str],
+                            nodata: float = -9999.0,
+                            dtype: str = "int16") -> Column:
+    """Compile a band formula (e.g. ``10000.*(B8A-B04)/(B8A+B04)``) to a
+    Catalyst Column: NULL-safe division, inputs-nodata propagation,
+    dtype clamp then truncate-cast (index_generator.py:103-119).
+    """
+    if not _EXPR_RE.match(expression):
+        raise BandExpressionError(f"unsupported band expression: {expression!r}")
+    # numpy float-literal spellings like `10000.*x` parse as SQL floats
+    # fine except trailing-dot-then-operator; normalize `123.` -> `123.0`
+    norm = re.sub(r"(\d+)\.(?!\d)", r"\1.0", expression)
+    col = F.expr(norm)
+    lo, hi = DTYPE_RANGES[dtype]
+    any_nodata = F.lit(False)
+    for b in band_cols:
+        any_nodata = any_nodata | (F.col(b) == nodata)
+    # division by zero (e.g. nir+red == 0) yields NULL under ANSI-safe
+    # try_divide / DuckDB NULLIF idiom; propagate to nodata.
+    return (F.when(any_nodata, F.lit(int(nodata)))
+            .otherwise(F.coalesce(clamp(col, float(lo), float(hi)).cast("long"),
+                                  F.lit(int(nodata)))))
+
+
+def generate_band_indexes(df: DataFrame, indexes: dict[str, str],
+                          band_cols: list[str], nodata: float = -9999.0,
+                          dtype: str = "int16") -> DataFrame:
+    """Attach one column per derived index band
+    (generate_band_indexes, index_generator.py:34-127)."""
+    for name, expression in indexes.items():
+        df = df.withColumn(
+            name, compile_band_expression(expression, band_cols, nodata, dtype))
+    return df

@@ -1,0 +1,90 @@
+"""Cloud/quality masking — C7 value-list, C8 bitwise QA, C9 radsat,
+C10 cross-band post-processing.
+
+All pure Catalyst column expressions (bit shifts, isin maps,
+conditional aggregation) — the reference's numpy kernels
+(``processing.py:446-518,812-817``, ``image.py:249-290,418-608``)
+become whole-stage-codegen'd JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Landsat C2 QA confidence levels (image.py:428-431)
+NO_CONFIDENCE, LOW, MEDIUM, HIGH = 0, 1, 2, 3
+
+
+def classify_mask(quality: Column, clear_data: list[int], not_clear_data: list[int],
+                  saturated_data: list[int], nodata: int) -> Column:
+    """C7 (parse_mask + application, processing.py:1327-1383,810-817):
+    map a quality value to 'clear' / 'not_clear' / 'saturated' /
+    'nodata' / 'other'. Order mirrors the reference's mask writes —
+    the clear list is applied last and wins."""
+    col = F.when(quality.isin(*clear_data), F.lit("clear"))
+    if not_clear_data:
+        col = col.when(quality.isin(*not_clear_data), F.lit("not_clear"))
+    if saturated_data:
+        col = col.when(quality.isin(*saturated_data), F.lit("saturated"))
+    return col.when(quality == nodata, F.lit("nodata")).otherwise(F.lit("other"))
+
+
+def extract_bits(col: Column, bit_start: int, bit_end: int | None = None) -> Column:
+    """C9 (radsat_extract_bits, image.py:249-290): (v >> start) & mask."""
+    if bit_end is None:
+        bit_end = bit_start
+    mask = (1 << (bit_end - bit_start + 1)) - 1
+    return F.shiftright(col.cast("int"), bit_start).bitwiseAND(F.lit(mask))
+
+
+def qa_bit(col: Column, bit: int) -> Column:
+    """C8 (extract_qa_bits, image.py:418-425): value of a single QA bit
+    as boolean."""
+    return col.cast("int").bitwiseAND(F.lit(1 << bit)) > 0
+
+
+def qa_pixel_clear(qa: Column, clear_bits: list[int], not_clear_bits: list[int],
+                   nodata: int, cloud_conf_min: int | None = None,
+                   shadow_conf_min: int | None = None) -> Column:
+    """C8 (get_qa_mask, image.py:514-608): Landsat C2 QA_PIXEL clear
+    test. A pixel is clear iff no not-clear bit is set, no confidence
+    rule triggers, it is not nodata, and at least one clear bit is set.
+
+    Confidence fields per the L2SP guide: cloud conf = bits 8-9,
+    shadow conf = bits 10-11 (QAConfidence.apply, image.py:493-498).
+    """
+    is_nodata = qa == nodata
+    any_not_clear = F.lit(False)
+    for b in not_clear_bits:
+        any_not_clear = any_not_clear | qa_bit(qa, b)
+    if cloud_conf_min is not None:
+        any_not_clear = any_not_clear | (extract_bits(qa, 8, 9) >= cloud_conf_min)
+    if shadow_conf_min is not None:
+        any_not_clear = any_not_clear | (extract_bits(qa, 10, 11) >= shadow_conf_min)
+    any_clear = F.lit(False)
+    for b in clear_bits:
+        any_clear = any_clear | qa_bit(qa, b)
+    return ~is_nodata & ~any_not_clear & any_clear
+
+
+def radsat_saturated(radsat: Column, bit_start: int = 1, bit_end: int = 7) -> Column:
+    """C9 (processing.py:787-791): any of bands 1-7 saturated."""
+    return extract_bits(radsat, bit_start, bit_end) > 0
+
+
+def post_process_quality(bands: DataFrame, band_cols: list[str],
+                         quality_col: str = "quality",
+                         band_nodata: int = -9999,
+                         saturated_value: int = 1) -> DataFrame:
+    """C10 (post_processing_quality, processing.py:446-518): any pixel
+    nodata in ANY spectral band forces the quality value to 'saturated'.
+    The reference unions nodata positions block-by-block; here it's one
+    greatest-of-flags column expression — no shuffle at all when the
+    bands are columns of the same row."""
+    any_nodata = F.lit(False)
+    for c in band_cols:
+        any_nodata = any_nodata | (F.col(c) == band_nodata)
+    return bands.withColumn(
+        quality_col,
+        F.when(any_nodata, F.lit(saturated_value)).otherwise(F.col(quality_col)))

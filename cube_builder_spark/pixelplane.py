@@ -1,0 +1,125 @@
+"""Synthetic pixel plane — the raster-operator test substrate.
+
+The reference's raster unit is a block window of a (tile, date, band)
+GeoTIFF (``processing.py:493,764``). For the DuckDB-oracle correctness
+gate we derive a deterministic pixel plane from the driver's
+``lineitem`` table, defined twice with identical semantics: as a Spark
+DataFrame plan here, and as a SQL CTE (``PIXELS_SQL``) substituted into
+each oracle. Every raster operator (blend/mask/stats/mosaic/...) is
+then oracle-checkable end-to-end.
+
+Determinism: lineitem has no unique key (duplicate (orderkey,
+linenumber) pairs exist), so NOTHING here may depend on row identity or
+window ordering. Every attribute is a pure function of row content, and
+multiple observations landing on the same (tile, pixel, date) slot are
+reduced with an exact integer max over a bijective observation key
+``((quality*20002) + (value+10001))*3 + source_idx`` — the winning
+(quality, value, source) triple decodes identically in both engines.
+
+Layout mirrors the SCL (Sen2Cor) configuration of the reference's
+fixtures (``tests/data/json/s2-16d-lcf.json``):
+  quality: 0 = nodata, 1 = saturated, {4,5,6} = clear, rest not-clear
+  band value: int16-ish in [-10000, 10000], nodata sentinel -9999
+
+Columns: tile_id, pixel_id, date, doy, quality, value, source_idx.
+One row = one observation of one pixel on one date; each
+(tile_id, pixel_id) has a time stack over up to 16 dates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+BAND_NODATA = -9999
+QUALITY_NODATA = 0
+CLEAR_VALUES = [4, 5, 6]
+NOT_CLEAR_VALUES = [2, 3, 7, 8, 9, 10, 11]
+SATURATED_VALUES = [1]
+
+N_TILES = 8
+N_PIXELS = 512
+N_DATES = 16
+
+# DuckDB CTE with semantics identical to pixel_plane() below.
+PIXELS_SQL = f"""
+pixels AS (
+  SELECT tile_id, pixel_id,
+         DATE '2020-01-01' + CAST(date_idx AS INTEGER) AS date,
+         date_idx + 1 AS doy,
+         (k // 3) // 20002 AS quality,
+         (k // 3) % 20002 - 10001 AS value,
+         k % 3 AS source_idx
+  FROM (
+    SELECT tile_id, pixel_id, date_idx,
+           max((quality * 20002 + (value + 10001)) * 3 + source_idx) AS k
+    FROM (
+      SELECT l_orderkey % {N_TILES} AS tile_id,
+             (l_partkey * 7 + l_suppkey * 13) % {N_PIXELS} AS pixel_id,
+             (l_partkey * 5 + l_suppkey * 11 + l_linenumber) % {N_DATES} AS date_idx,
+             (l_suppkey + l_linenumber) % 12 AS quality,
+             CASE WHEN (l_suppkey + l_linenumber) % 12 = 0 THEN {BAND_NODATA}
+                  WHEN l_quantity < 3 AND (l_suppkey + l_linenumber) % 12 NOT IN (4, 5, 6)
+                    THEN {BAND_NODATA}
+                  ELSE CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000 END AS value,
+             l_suppkey % 3 AS source_idx
+      FROM lineitem
+    )
+    GROUP BY tile_id, pixel_id, date_idx
+  )
+)
+"""
+
+
+def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the derivation (lockstep with ``PIXELS_SQL``).
+
+    One narrow lineitem scan + one partial-aggregated groupBy on
+    (tile, pixel, date) — at 100 TB this is the same
+    partition-by-work-unit layout the reference fans out over Celery
+    (``maestro.py:488-617``), with each pixel's time stack co-located.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    quality = (F.col("l_suppkey") + F.col("l_linenumber")) % 12
+    raw_value = F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000
+    value = (F.when(quality == 0, F.lit(BAND_NODATA))
+             .when((F.col("l_quantity") < 3) & ~quality.isin(*CLEAR_VALUES),
+                   F.lit(BAND_NODATA))
+             .otherwise(raw_value))
+    base = li.select(
+        (F.col("l_orderkey") % N_TILES).alias("tile_id"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % N_PIXELS).alias("pixel_id"),
+        ((F.col("l_partkey") * 5 + F.col("l_suppkey") * 11 + F.col("l_linenumber"))
+         % N_DATES).alias("date_idx"),
+        ((quality * 20002 + (value + 10001)) * 3 + (F.col("l_suppkey") % 3)).alias("obs_key"),
+    )
+    k = F.col("k")
+    kq = F.expr("k div 3")
+    return (
+        base.groupBy("tile_id", "pixel_id", "date_idx")
+        .agg(F.max("obs_key").alias("k"))
+        .select(
+            "tile_id", "pixel_id",
+            F.date_add(F.lit("2020-01-01").cast("date"),
+                       F.col("date_idx").cast("int")).alias("date"),
+            (F.col("date_idx") + 1).alias("doy"),
+            F.expr("(k div 3) div 20002").alias("quality"),
+            (F.expr("(k div 3) % 20002") - 10001).alias("value"),
+            (k % 3).alias("source_idx"),
+        )
+    )
+
+
+def clear_col(quality=None):
+    """Clear-sky classification (C7 value-list mask, processing.py:812-817)."""
+    if quality is None:
+        quality = F.col("quality")
+    return quality.isin(*CLEAR_VALUES)
+
+
+def valid_col(value=None):
+    if value is None:
+        value = F.col("value")
+    return value != BAND_NODATA

@@ -15,6 +15,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [
     "cube_builder_spark.relational",
+    "cube_builder_spark.cube_queries",
+    "cube_builder_spark.catalog_queries",
 ]
 
 

@@ -44,6 +44,9 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         # events.parquet stores TIMESTAMP(NANOS); read as long and convert
         # in tables.load_table (Spark has no native nanos timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # numpy-kernel parity: x/0 -> NULL (not error), like the
+        # reference's masked-array arithmetic; oracles use NULLIF.
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
