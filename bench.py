@@ -27,6 +27,14 @@ HEADLINE = [
     "q6_forecast_revenue",
     "r6_groupby_collect_timeline",
     "r11_multiway_join",
+    "c2_blend_lcf",
+    "c3_blend_med",
+    "c1_mosaic_first_valid",
+    "c11_scene_efficacy",
+    "d_minhash_lsh_pairs",
+    "d_simhash",
+    "a_ann_bruteforce_topk",
+    "t_quality_score",
 ]
 
 

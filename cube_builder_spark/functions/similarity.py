@@ -1,0 +1,84 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what an ANN service does over 100 TB of vectors:
+- brute-force cosine top-k: exact baseline — one scan, map-side dot
+  products, a single top-k reduction (no shuffle of the vectors);
+- LSH (random-hyperplane) bucketing: each vector hashes to a bucket by
+  the sign pattern of H integer hyperplane projections; the query only
+  probes its own bucket — the scale path (bucket column becomes the
+  partition key of the vector store).
+
+Determinism: embeddings are quantized to integer milli-units
+(floor(x*1000+0.5)) so dot products and norms are exact integers and
+the derived cosine doubles are bit-identical across engines (float
+summation order never matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(col, scale: int = 1000):
+    """float array -> exact integer milli-units (floor(x*scale + 0.5):
+    pure double ops, no decimal-rendering round hazards)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"))
+
+
+def dot_q(a, b):
+    """Exact integer dot product via zip_with + left-fold aggregate."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                     k: int = 10) -> DataFrame:
+    """Exact cosine top-k against one stored vector. The 1-row query
+    side is broadcast; candidates never shuffle."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(quantize(F.col("embedding")).alias("qv")))
+    cand = (embeddings.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", quantize(F.col("embedding")).alias("ev")))
+    scored = (cand.crossJoin(F.broadcast(q))
+              .select("vec_id",
+                      (dot_q(F.col("ev"), F.col("qv"))
+                       / (F.sqrt(dot_q(F.col("ev"), F.col("ev")))
+                          * F.sqrt(dot_q(F.col("qv"), F.col("qv"))))).alias("cosine")))
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
+
+def hyperplane_weight(j, i):
+    """Deterministic integer hyperplane weights w(j, dim) in [-3, 3]."""
+    return (F.lit(j) * 31 + i * 17) % 7 - 3
+
+
+def lsh_buckets(embeddings: DataFrame, num_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = sign of the
+    integer projection onto plane j. Explode + one groupBy — exact
+    integer sums, engine-portable, and the natural scale shape (the
+    per-dimension rows partition by vec_id)."""
+    dims = embeddings.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("i", "q"))
+    aggs = [F.sum(F.col("q") * hyperplane_weight(j, F.col("i"))).alias(f"p{j}")
+            for j in range(num_planes)]
+    proj = dims.groupBy("vec_id").agg(*aggs)
+    bucket = None
+    for j in range(num_planes):
+        bit = F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return proj.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
+                       num_planes: int = 8, k: int = 5) -> DataFrame:
+    """ANN query: probe only the query's bucket, exact cosine inside."""
+    buckets = lsh_buckets(embeddings, num_planes)
+    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qbucket"))
+    cands = (buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+             .select("vec_id"))
+    # the query's own bucket contains it, so the semi-join keeps the
+    # query row brute_force_topk needs
+    return brute_force_topk(embeddings.join(cands, "vec_id", "left_semi"),
+                            query_vec_id, k)

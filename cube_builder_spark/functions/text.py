@@ -1,0 +1,86 @@
+"""Text analysis operators for large-scale corpus pipelines.
+
+All pure Catalyst column expressions over a ``text`` column — token
+counting, language-ID heuristic, quality scoring, fingerprinting. At
+100 TB these run inside whole-stage codegen on the scan, no shuffle
+until the final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword vote.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "un"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + lexical-diversity stats."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias("uniq_ratio"),
+        (F.length(F.translate(F.col(text_col), " ", "")) * 1.0 / F.size(toks))
+        .alias("mean_token_len"),
+    )
+
+
+def stopword_hits(text_col: Column, words: list[str]) -> Column:
+    """Count of tokens in the stopword list (duplicates counted)."""
+    wlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col(text_col),
+                           lambda t: F.array_contains(wlist, t))).cast("long")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword vote per language, deterministic
+    argmax with ties resolved in LANG_ORDER."""
+    scores = {lg: stopword_hits(F.col(text_col), ws) for lg, ws in STOPWORDS.items()}
+    df = df.select("doc_id", "lang",
+                   *[scores[lg].alias(f"s_{lg}") for lg in LANG_ORDER])
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_ORDER}
+    pred = (F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+            .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+            .when(s["es"] >= s["fr"], "es").otherwise("fr"))
+    return df.withColumn("predicted", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality scoring: lexical diversity damped for short
+    docs, plus stopword density (the filters a pretraining pipeline
+    gates on)."""
+    stats = token_stats(df, text_col).join(
+        df.select("doc_id",
+                  stopword_hits(F.col(text_col), STOPWORDS["en"]).alias("s_en")),
+        "doc_id")
+    length_factor = (F.when(F.col("n_tokens") >= 50, F.lit(1.0))
+                     .otherwise(F.col("n_tokens") / 50.0))
+    return stats.select(
+        "doc_id", "n_tokens", "uniq_ratio",
+        (F.col("s_en") * 1.0 / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("uniq_ratio") * length_factor).alias("quality"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: exact hash + order-insensitive content
+    hash (sorted distinct tokens), the keys for exact/near dedup."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("content_fp"),
+    )

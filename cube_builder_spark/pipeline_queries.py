@@ -1,0 +1,261 @@
+"""Training-data-pipeline oracle queries over documents/embeddings:
+dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + LSH), text analysis (tokens, lang-ID, quality,
+fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup, similarity, text
+from .tables import load_tables
+
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _embs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+# Text analysis ---------------------------------------------------------------
+
+@register("t_token_stats", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+       len(list_distinct(t)) * 1e0 / len(t) AS uniq_ratio,
+       length(replace(text, ' ', '')) * 1e0 / len(t) AS mean_token_len
+FROM toks
+""")
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical diversity per document."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+_SW = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in text.STOPWORDS.items()}
+
+@register("t_lang_id", f"""
+WITH scored AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW['en']}))) AS BIGINT) AS s_en,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW['de']}))) AS BIGINT) AS s_de,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW['es']}))) AS BIGINT) AS s_es,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW['fr']}))) AS BIGINT) AS s_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY lang, predicted
+""")
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion
+    counts)."""
+    return (text.lang_id(_docs(spark, sf_dir))
+            .groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("t_quality_score", f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+stats AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         len(list_distinct(t)) * 1e0 / len(t) AS uniq_ratio,
+         CAST(len(list_filter(t, x -> x IN ({_SW['en']}))) AS BIGINT) AS s_en
+  FROM toks
+)
+SELECT doc_id, n_tokens, uniq_ratio,
+       s_en * 1e0 / n_tokens AS stopword_ratio,
+       uniq_ratio * (CASE WHEN n_tokens >= 50 THEN 1e0 ELSE n_tokens / 5e1 END) AS quality
+FROM stats
+""")
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: diversity damped for short docs + stopword density."""
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+@register("t_fingerprints", """
+SELECT doc_id, md5(text) AS fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
+FROM documents
+""")
+def t_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + order-insensitive content fingerprints."""
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# Dedup -----------------------------------------------------------------------
+
+@register("d_exact_dedup", """
+SELECT doc_id, md5(text) AS content_hash,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents
+""")
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash dedup with canonical representative per group."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLES_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+       FROM toks),
+mh AS (SELECT doc_id,
+              min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+              min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id)
+"""
+
+@register("d_minhash_lsh_pairs", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+         / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.doc_a
+JOIN sh sb ON sb.doc_id = p.doc_b
+""")
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(4) + 2-band LSH candidate pairs with exact Jaccard
+    verification — the near-dup detector."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]])
+    return dedup.jaccard_verify(pairs, sh)
+
+
+@register("d_ngram_jaccard_dups", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (SELECT doc_id, h0 AS bucket FROM mh),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 5e-1
+""")
+def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-hash bucketing + n-gram Jaccard threshold (>= 0.5):
+    confirmed near-duplicate pairs."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]])
+    return dedup.jaccard_verify(pairs, sh, threshold=0.5)
+
+
+@register("d_simhash", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+votes AS (
+  SELECT doc_id, count(*) AS n,
+         """ + ",\n         ".join(
+    f"sum(ascii(substr(md5(t), {j + 1}, 1)) % 2) AS v{j}" for j in range(16)) + """
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(""" + " + ".join(
+    f"(CASE WHEN v{j} * 2 > n THEN {1 << j} ELSE 0 END)" for j in range(16)) + """
+       AS BIGINT) AS simhash
+FROM votes
+""")
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style 16-bit fingerprint via per-token hash-bit votes."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# Similarity search -----------------------------------------------------------
+
+# list_dot_product accumulates doubles sequentially; every partial sum
+# of our integer milli-unit products stays < 2^53, so the result equals
+# Spark's exact long fold bit-for-bit.
+_QUANT_SQL = """
+q AS (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS ev
+  FROM embeddings WHERE vec_id <> 0
+),
+dots AS (
+  SELECT c.vec_id,
+         list_dot_product(c.ev, q.qv) AS dab,
+         list_dot_product(c.ev, c.ev) AS daa,
+         list_dot_product(q.qv, q.qv) AS dbb
+  FROM cand c CROSS JOIN q
+)
+"""
+
+@register("a_ann_bruteforce_topk", f"""
+WITH {_QUANT_SQL}
+SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
+FROM dots
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def a_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vector 0 (exact baseline;
+    integer-quantized for cross-engine bit parity)."""
+    return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("a_ann_lsh_buckets", """
+WITH dims AS (
+  -- fixture embeddings are 64-dim; generate_series needs constant args
+  SELECT vec_id, g.i - 1 AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qval
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+),
+proj AS (
+  SELECT vec_id,
+         """ + ",\n         ".join(
+    f"sum(qval * (({j} * 31 + dim * 17) % 7 - 3)) AS p{j}" for j in range(8)) + """
+  FROM dims GROUP BY vec_id
+)
+SELECT CAST(""" + " + ".join(
+    f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)) + """
+         AS BIGINT) AS bucket,
+       count(*) AS n_vectors
+FROM proj GROUP BY bucket
+""")
+def a_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN scale path:
+    bucket = partition key of the vector store)."""
+    return (similarity.lsh_buckets(_embs(spark, sf_dir), num_planes=8)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")))

@@ -17,6 +17,7 @@ _MODULES = [
     "cube_builder_spark.relational",
     "cube_builder_spark.cube_queries",
     "cube_builder_spark.catalog_queries",
+    "cube_builder_spark.pipeline_queries",
 ]
 
 
