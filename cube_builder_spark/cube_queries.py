@@ -411,6 +411,70 @@ def c1_mosaic_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         scenes, order_cols=[F.asc("source_idx"), F.desc("value")])
 
 
+# C15 -------------------------------------------------------------------------
+
+@register("c15_histogram_match", f"""
+WITH {PIXELS_SQL},
+src0 AS (SELECT tile_id, pixel_id, value FROM pixels WHERE doy = 2 AND value <> -9999),
+ref0 AS (SELECT tile_id, pixel_id, value FROM pixels WHERE doy = 1 AND value <> -9999),
+joint AS (
+  SELECT s.tile_id AS tile_id, s.pixel_id AS pixel_id, s.value AS sv, r.value AS rv
+  FROM src0 s JOIN ref0 r ON s.tile_id = r.tile_id AND s.pixel_id = r.pixel_id
+),
+scdf AS (
+  SELECT tile_id, v,
+         sum(cnt) OVER (PARTITION BY tile_id ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e0
+           / sum(cnt) OVER (PARTITION BY tile_id) AS q
+  FROM (SELECT tile_id, sv AS v, count(*) AS cnt FROM joint GROUP BY tile_id, sv)
+),
+rcdf AS (
+  SELECT tile_id, v,
+         sum(cnt) OVER (PARTITION BY tile_id ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e0
+           / sum(cnt) OVER (PARTITION BY tile_id) AS q
+  FROM (SELECT tile_id, rv AS v, count(*) AS cnt FROM joint GROUP BY tile_id, rv)
+),
+events AS (
+  SELECT tile_id, q, 1 AS is_src, v AS src_value, CAST(NULL AS DOUBLE) AS ref_value FROM scdf
+  UNION ALL
+  SELECT tile_id, q, 0, NULL, CAST(v AS DOUBLE) FROM rcdf
+),
+br AS (
+  SELECT *,
+         last_value(ref_value IGNORE NULLS) OVER w_prev AS prev_r,
+         last_value(CASE WHEN ref_value IS NOT NULL THEN q END IGNORE NULLS) OVER w_prev AS prev_q,
+         first_value(ref_value IGNORE NULLS) OVER w_next AS next_r,
+         first_value(CASE WHEN ref_value IS NOT NULL THEN q END IGNORE NULLS) OVER w_next AS next_q
+  FROM events
+  WINDOW w_prev AS (PARTITION BY tile_id ORDER BY q, is_src
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY tile_id ORDER BY q, is_src
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT tile_id, src_value,
+       CASE WHEN prev_r IS NULL THEN next_r
+            WHEN next_r IS NULL THEN prev_r
+            WHEN q = prev_q THEN prev_r
+            ELSE prev_r + (q - prev_q) * (next_r - prev_r) / (next_q - prev_q) END AS matched
+FROM br WHERE is_src = 1
+""")
+def c15_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 histogram matching (image.py:195-246): date doy=2 matched to
+    the doy=1 reference on jointly-valid pixels, CDF interpolation."""
+    from .operators.histogram import histogram_match
+    px = pixel_plane(spark, sf_dir)
+    src = px.filter((F.col("doy") == 2) & (F.col("value") != BAND_NODATA))
+    ref = px.filter((F.col("doy") == 1) & (F.col("value") != BAND_NODATA))
+    joint = (src.select("tile_id", "pixel_id", F.col("value").alias("sv"))
+             .join(ref.select("tile_id", "pixel_id", F.col("value").alias("rv")),
+                   ["tile_id", "pixel_id"]))
+    return histogram_match(
+        joint.select("tile_id", "pixel_id", F.col("sv").alias("value")),
+        joint.select("tile_id", "pixel_id", F.col("rv").alias("value")),
+        keys=["tile_id"])
+
+
 # S11 -------------------------------------------------------------------------
 
 @register("s11_empty_fill", f"""

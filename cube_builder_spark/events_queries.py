@@ -1,0 +1,127 @@
+"""Event-stream analytics (batch plane): sessionization, tumbling
+windows, ranking, running aggregates over the ``events`` table.
+
+The reference is purely batch (SURVEY §2.4 note), but a warehouse-scale
+engine needs the event-time operator family; these are the batch
+equivalents of the Structured Streaming path in
+``cube_builder_spark/streaming/`` (same logical shapes, oracled here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+SESSION_GAP_SEC = 1800
+
+
+@register("e_sessionize", f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 1e2 AS total_value
+FROM numbered GROUP BY user_id, session_no
+""")
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle gap) via lag + cumulative
+    flag sum — the batch twin of session_window in streaming."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0))
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(w_cum))
+    return (numbered.groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value")))
+
+
+@register("e_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 1e2 AS total_value
+FROM events GROUP BY window_start, event_type
+""")
+def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (streaming twin: window(ts,
+    '1 hour') + watermark)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value")))
+
+
+@register("e_topk_per_type", """
+SELECT event_type, event_id, user_id, value FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""")
+def e_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type (ranking window)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", "event_id", "user_id", "value"))
+
+
+@register("e_user_daily_running", """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v_c
+  FROM events GROUP BY user_id, day
+)
+SELECT user_id, day,
+       sum(v_c) OVER (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2
+         AS running_value
+FROM daily
+""")
+def e_user_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily running total (cumulative window over pre-agg)."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return daily.select("user_id", "day",
+                        (F.sum("v_c").over(w) / 100.0).alias("running_value"))

@@ -1,0 +1,67 @@
+"""Streaming event-time operators: the Structured Streaming twins of
+``events_queries`` (windowed aggregation with watermark, session
+windows), plus a streaming cube-update shape.
+
+These run micro-batch over any streaming source; tests drive them with
+a file source + memory sink via ``processAllAvailable`` so a bounded
+batch flows through the streaming engine end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema: T.StructType = EVENT_SCHEMA) -> DataFrame:
+    """File-based streaming source (swap for kafka/... in production;
+    the downstream plans are source-agnostic)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with late-data watermark (streaming twin
+    of e_tumbling_window)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (streaming twin of e_sessionize)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events", "total_value"))
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a bounded streaming query to completion into a memory sink
+    (test/dev harness)."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -31,8 +31,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+            # integer div: nanos exceed 2^53, double division loses µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
