@@ -32,12 +32,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Word k-gram shingles per document."""
+    """Word k-gram shingles per document.
+
+    Repartitions on doc_id first: document tables arrive as few parquet
+    splits (bytes-based splitting), but the per-row cost downstream
+    (explode × K hashes) is huge — without this the whole shingle plane
+    runs on as many cores as there are input files. At 100 TB the same
+    spread keeps explode skew bounded by doc length, not file layout.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokens_col(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
-    return df.select("doc_id", grams.alias("shingles"))
+    return df.repartition(par, "doc_id").select("doc_id", grams.alias("shingles"))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 4) -> DataFrame:

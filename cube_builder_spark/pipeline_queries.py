@@ -146,7 +146,9 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(4) + 2-band LSH candidate pairs with exact Jaccard
     verification — the near-dup detector."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs)
+    # persist: the shingle plane feeds the signature AND both sides of
+    # the verify join — without it the tokenize+explode runs 3x.
+    sh = dedup.shingles(docs).persist()
     sig = dedup.minhash_signatures(sh, num_hashes=4)
     pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]])
     return dedup.jaccard_verify(pairs, sh)
@@ -173,7 +175,7 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-hash bucketing + n-gram Jaccard threshold (>= 0.5):
     confirmed near-duplicate pairs."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs)
+    sh = dedup.shingles(docs).persist()
     sig = dedup.minhash_signatures(sh, num_hashes=4)
     pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]])
     return dedup.jaccard_verify(pairs, sh, threshold=0.5)
