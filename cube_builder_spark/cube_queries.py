@@ -506,3 +506,186 @@ def s11_empty_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tile_id", "date",
                     F.col("n_obs").isNotNull().alias("observed"),
                     F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")))
+
+
+# C19 -------------------------------------------------------------------------
+
+@register("c19_valid_extent", f"""
+WITH {PIXELS_SQL},
+valid AS (
+  SELECT tile_id, date, pixel_id % 32 AS x, pixel_id // 32 AS y
+  FROM pixels WHERE value <> -9999
+)
+SELECT tile_id, date,
+       min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+       count(*) AS n_valid,
+       'POLYGON((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y)
+         || ', ' || max(x) || ' ' || max(y) || ', ' || min(x) || ' ' || max(y)
+         || ', ' || min(x) || ' ' || min(y) || '))' AS extent_wkt
+FROM valid GROUP BY tile_id, date
+""")
+def c19_valid_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 footprint/extent (image.py:665-708): valid-data envelope per
+    scene as bbox columns + WKT polygon."""
+    from .operators.footprint import valid_extent
+    return valid_extent(pixel_plane(spark, sf_dir), ncols=32)
+
+
+# C20 -------------------------------------------------------------------------
+
+@register("c20_validation_report", f"""
+WITH {PIXELS_SQL},
+per_asset AS (
+  SELECT tile_id, date, doy, source_idx, count(*) AS n_obs,
+         sum(CASE WHEN value <> -9999 THEN 1 ELSE 0 END) AS n_valid,
+         sum(CASE WHEN quality NOT IN (0, 1) THEN 1 ELSE 0 END) AS n_usable
+  FROM pixels GROUP BY tile_id, date, doy, source_idx
+),
+probed AS (
+  SELECT date,
+         'file:///assets/t' || tile_id || '/d' || doy || '/s' || source_idx
+           || '.tif' AS link,
+         CASE WHEN n_valid = 0 THEN 'empty'
+              WHEN n_usable = 0 THEN 'saturated' END AS error
+  FROM per_asset
+)
+SELECT date, count(*) AS n_assets,
+       sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS n_errors,
+       coalesce(list_sort(list(link || ': ' || error) FILTER (error IS NOT NULL)),
+                CAST([] AS VARCHAR[])) AS errors
+FROM probed GROUP BY date
+""")
+def c20_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 merge validation scan (image.py:49-144): distributed asset
+    probe, per-date error report with sorted failing links."""
+    from .operators.validate import validation_report
+    return validation_report(pixel_plane(spark, sf_dir))
+
+
+# S8 --------------------------------------------------------------------------
+
+@register("s8_baseline_offset", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id, pixel_id, date, source_idx, value,
+       CASE WHEN value = -9999 THEN -9999
+            WHEN source_idx + 3 >= 4 THEN
+              CASE WHEN value - 1000 < 0 THEN -9999 ELSE value - 1000 END
+            ELSE value END AS harmonized
+FROM pixels
+""")
+def s8_baseline_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 Sentinel-2 baseline>=4 radiometric offset
+    (sentinel2.py:136-174); synthetic baseline_major = source_idx + 3."""
+    from .operators.rescale import baseline_offset
+    px = pixel_plane(spark, sf_dir)
+    return px.select(
+        "tile_id", "pixel_id", "date", "source_idx", "value",
+        baseline_offset(F.col("value"), F.col("source_idx") + 3,
+                        BAND_NODATA).alias("harmonized"))
+
+
+# S10 -------------------------------------------------------------------------
+
+# DuckDB-side copies of sources/sceneid regexes (same RE2-compatible
+# syntax in both engines; no quotes or backslash-escapes needed in SQL
+# standard strings).
+_LS_RE = r"^(L[COTEM]0[0-9])_(\w{4})_(\d{3})(\d{3})_(\d{8})_\d{8}_(\d{2})_(\w+)$"
+_S2_RE = r"^(S2[AB])_MSIL(1C|2A)_(\d{8})T\d{6}_N(\d{2})(\d{2})_R\d{3}_T(\w{5})$"
+
+_SCENEID_SQL = """
+scenes AS (SELECT DISTINCT tile_id, doy, source_idx FROM pixels),
+ids AS (
+  SELECT tile_id, doy, source_idx,
+         '2020' || lpad(CAST((doy - 1) % 12 + 1 AS VARCHAR), 2, '0')
+                || lpad(CAST((doy * 7) % 28 + 1 AS VARCHAR), 2, '0') AS ymd
+  FROM scenes
+),
+sids AS (
+  SELECT tile_id, doy, source_idx,
+         CASE WHEN source_idx = 0 THEN
+                'LC08_L2SP_' || lpad(CAST(tile_id + 220 AS VARCHAR), 3, '0')
+                  || lpad(CAST(tile_id % 4 + 64 AS VARCHAR), 3, '0')
+                  || '_' || ymd || '_20210101_02_T1'
+              WHEN source_idx = 1 THEN
+                'S2A_MSIL2A_' || ymd || 'T103021_N'
+                  || (CASE WHEN doy % 2 = 0 THEN '0400' ELSE '0301' END)
+                  || '_R122_T23LL' || substr('ABCDEFGH', CAST(tile_id % 8 + 1 AS INTEGER), 1)
+              ELSE 'CBERS_4_AWFI_' || ymd || '_154_117_L4' END AS sceneid
+  FROM ids
+)
+"""
+
+@register("s10_sceneid_parse", f"""
+WITH {PIXELS_SQL}, {_SCENEID_SQL}
+SELECT sceneid,
+       CASE WHEN regexp_extract(sceneid, '{{LS}}', 1) <> ''
+              THEN substr(regexp_extract(sceneid, '{{LS}}', 1), 1, 2)
+                   || regexp_replace(substr(regexp_extract(sceneid, '{{LS}}', 1), 3, 2), '^0', '')
+            WHEN regexp_extract(sceneid, '{{S2}}', 1) <> ''
+              THEN regexp_extract(sceneid, '{{S2}}', 1)
+            ELSE string_split(sceneid, '_')[1] || '_' || string_split(sceneid, '_')[2]
+       END AS platform,
+       CASE WHEN regexp_extract(sceneid, '{{LS}}', 1) <> ''
+              THEN nullif(regexp_extract(sceneid, '{{LS}}', 2), '')
+            WHEN regexp_extract(sceneid, '{{S2}}', 1) <> ''
+              THEN nullif(regexp_extract(sceneid, '{{S2}}', 2), '') END AS level,
+       CASE WHEN regexp_extract(sceneid, '{{LS}}', 1) <> ''
+              THEN nullif(regexp_extract(sceneid, '{{LS}}', 5), '')
+            WHEN regexp_extract(sceneid, '{{S2}}', 1) <> ''
+              THEN nullif(regexp_extract(sceneid, '{{S2}}', 3), '')
+            ELSE regexp_extract(sceneid, '_(\\d{{8}})_', 1) END AS sensing_date,
+       CASE WHEN regexp_extract(sceneid, '{{S2}}', 1) <> ''
+              THEN CAST(nullif(regexp_extract(sceneid, '{{S2}}', 4), '') AS INTEGER)
+            END AS baseline_major,
+       CASE WHEN regexp_extract(sceneid, '{{LS}}', 1) <> ''
+              THEN CAST(nullif(regexp_extract(sceneid, '{{LS}}', 3), '') AS INTEGER)
+            END AS wrs_path,
+       CASE WHEN regexp_extract(sceneid, '{{LS}}', 1) <> ''
+              THEN CAST(nullif(regexp_extract(sceneid, '{{LS}}', 4), '') AS INTEGER)
+            END AS wrs_row,
+       CASE WHEN regexp_extract(sceneid, '{{S2}}', 1) <> ''
+              THEN nullif(regexp_extract(sceneid, '{{S2}}', 6), '') END AS mgrs_tile
+FROM sids
+""".replace("{LS}", _LS_RE).replace("{S2}", _S2_RE))
+def s10_sceneid_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 scene-id parsers (maestro.py:756-777, sentinel2.py:223-295)
+    as regexp_extract columns over synthesized per-scene ids."""
+    from .sources.sceneid import parse_scene_id, synth_scene_id
+    px = pixel_plane(spark, sf_dir)
+    scenes = px.select("tile_id", "doy", "source_idx").distinct()
+    sid = scenes.select(synth_scene_id(
+        F.col("source_idx"), F.col("tile_id"), F.col("doy")).alias("sceneid"))
+    parsed = parse_scene_id(F.col("sceneid"))
+    return sid.select("sceneid", *[c.alias(n) for n, c in parsed.items()])
+
+
+# K5 --------------------------------------------------------------------------
+
+@register("k5_publish_identity_items", f"""
+WITH {PIXELS_SQL},
+qa AS (
+  SELECT tile_id, date,
+         sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END) AS nc
+  FROM pixels GROUP BY tile_id, date
+)
+SELECT 'S2_V001_' || printf('%03d', CAST(tile_id AS INTEGER)) || '_'
+         || strftime(date, '%Y%m%d') AS item_id,
+       tile_id, date,
+       1e2 * nc / NULLIF(c + nc, 0) AS cloud_cover
+FROM qa
+""")
+def k5_publish_identity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 publish_merge (processing.py:1158-1271): one Item per
+    (identity cube, tile, date) with per-scene cloud cover."""
+    px = pixel_plane(spark, sf_dir)
+    qa = px.groupBy("tile_id", "date").agg(
+        F.sum(F.col("quality").isin(4, 5, 6).cast("long")).alias("c"),
+        F.sum(F.col("quality").isin(2, 3, 7, 8, 9, 10, 11).cast("long")).alias("nc"))
+    return qa.select(
+        F.concat(F.lit("S2_V001_"),
+                 F.format_string("%03d", F.col("tile_id").cast("int")),
+                 F.lit("_"), F.date_format("date", "yyyyMMdd")).alias("item_id"),
+        "tile_id", "date",
+        (F.col("nc") * 100.0 / F.nullif(F.col("c") + F.col("nc"), F.lit(0))
+         ).alias("cloud_cover"))

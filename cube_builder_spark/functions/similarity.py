@@ -82,3 +82,73 @@ def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
     # query row brute_force_topk needs
     return brute_force_topk(embeddings.join(cands, "vec_id", "left_semi"),
                             query_vec_id, k)
+
+
+def cosine_dup_pairs(embeddings: DataFrame, num_planes: int = 4,
+                     threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-gated.
+
+    Candidate pairs come only from vectors sharing a hyperplane-LSH
+    bucket (the quadratic all-pairs space never materializes — at 100 TB
+    the bucket is the shuffle key and the join is per-bucket-local);
+    the exact integer-quantized cosine then confirms each candidate.
+    """
+    buckets = lsh_buckets(embeddings, num_planes)
+    ev = embeddings.select("vec_id", quantize(F.col("embedding")).alias("ev"))
+    side = buckets.join(ev, "vec_id")
+    a = side.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
+                    F.col("ev").alias("ea"))
+    b = side.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
+                    F.col("ev").alias("eb"))
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b",
+                     (dot_q(F.col("ea"), F.col("eb"))
+                      / (F.sqrt(dot_q(F.col("ea"), F.col("ea")))
+                         * F.sqrt(dot_q(F.col("eb"), F.col("eb"))))).alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold).dropDuplicates(["vec_a", "vec_b"])
+
+
+def ivf_centroids(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
+    """IVF coarse quantizer, one k-means-free deterministic pass:
+    list g = vec_id % n_lists, centroid = element-wise SUM of member
+    vectors (exact longs; cosine is norm-invariant so the un-divided
+    sum is the same direction as the mean). Columns: (g, dim, c)."""
+    dims = embeddings.select(
+        (F.col("vec_id") % n_lists).alias("g"),
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "q"))
+    return dims.groupBy("g", "dim").agg(F.sum("q").alias("c"))
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties -> lowest
+    g). The centroid table is tiny (n_lists × dim) and broadcast; the
+    per-dimension rows partition by vec_id, so assignment is one
+    map-side join + one groupBy — no vector ever shuffles twice."""
+    from pyspark.sql import Window
+    cent = ivf_centroids(embeddings, n_lists)
+    cnorm = cent.groupBy("g").agg(F.sum(F.col("c") * F.col("c")).alias("cc"))
+    dims = embeddings.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("dim", "q"))
+    scored = (dims.join(F.broadcast(cent), "dim")
+              .groupBy("vec_id", "g")
+              .agg(F.sum(F.col("q") * F.col("c")).alias("dot"),
+                   F.sum(F.col("q") * F.col("q")).alias("vv"))
+              .join(F.broadcast(cnorm), "g")
+              .withColumn("cos", F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("g"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", F.col("g").alias("list_id")))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
+             n_lists: int = 8, k: int = 5) -> DataFrame:
+    """IVF search with nprobe=1: find the query's list, exact cosine
+    only over that list's members — the classic recall/cost trade."""
+    assign = ivf_assign(embeddings, n_lists)
+    ql = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("list_id").alias("qlist"))
+    cands = (assign.join(F.broadcast(ql), F.col("list_id") == F.col("qlist"))
+             .select("vec_id"))
+    return brute_force_topk(embeddings.join(cands, "vec_id", "left_semi"),
+                            query_vec_id, k)

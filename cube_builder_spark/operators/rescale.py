@@ -32,6 +32,18 @@ def rescale(col: Column, multiplier: float, new_scale: float,
     return (scaled / F.lit(new_scale)).cast("long")
 
 
+def baseline_offset(value: Column, baseline_major: Column, nodata: int,
+                    offset: int = -1000) -> Column:
+    """S8 — Sentinel-2 processing-baseline radiometric harmonization
+    (sentinel2.py:136-174): for baseline >= 4 apply the BOA offset and
+    clamp now-negative reflectances to nodata; nodata passes through."""
+    shifted = value + F.lit(offset)
+    harmonized = F.when(shifted < 0, F.lit(nodata)).otherwise(shifted)
+    return (F.when(value == nodata, F.lit(nodata))
+            .when(baseline_major >= 4, harmonized)
+            .otherwise(value))
+
+
 def linear_scale(col: Column, input_range: tuple[float, float],
                  output_range: tuple[float, float] = (0.0, 255.0)) -> Column:
     """C13 (image.py:711-737): clip to input range, map linearly to

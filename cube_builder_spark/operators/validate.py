@@ -1,0 +1,61 @@
+"""C20 — merge validation scan: probe every source asset, report
+errors grouped per date.
+
+Reference: ``image.py:49-144`` (``validate``/``validate_merges``): a
+thread pool re-opens every merge source link, records per-link errors,
+and aggregates them into a per-date report. The Spark-native shape is
+the same probe as a distributed map over the asset rows (at ingest
+time a ``mapInPandas`` rasterio open — S12's integrity probe — fills
+the ``error`` column), followed by one groupBy-date with a sorted
+``collect_list`` of the failures.
+
+On the synthetic plane an asset is one (tile_id, date, source_idx)
+scene slice and the probe rules are content checks: a scene with zero
+valid pixels is ``empty`` (the condition the reference's empty-merge
+cleanup keys on, ``celery/utils.py:63-81``), one whose every valid
+observation is saturated is ``saturated`` (the Landsat dtype sanity
+check analogue, ``image.py:95-105``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pixelplane import SATURATED_VALUES, valid_col
+
+
+def asset_uri():
+    """Deterministic synthetic asset link for one scene slice."""
+    return F.concat(F.lit("file:///assets/t"), F.col("tile_id"),
+                    F.lit("/d"), F.col("doy"),
+                    F.lit("/s"), F.col("source_idx"), F.lit(".tif"))
+
+
+def probe_assets(px: DataFrame) -> DataFrame:
+    """Per-asset probe: classify each (tile, date, source) scene
+    slice. Error lattice: 'empty' if no valid pixel, else 'saturated'
+    if every observation is saturated-or-nodata, else ok (null)."""
+    per_asset = (px.groupBy("tile_id", "date", "doy", "source_idx").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(valid_col().cast("long")).alias("n_valid"),
+        F.sum((~F.col("quality").isin(*SATURATED_VALUES)
+               & (F.col("quality") != 0)).cast("long")).alias("n_usable")))
+    err = (F.when(F.col("n_valid") == 0, F.lit("empty"))
+           .when(F.col("n_usable") == 0, F.lit("saturated")))
+    return per_asset.select("tile_id", "date", "doy", "source_idx",
+                            "n_obs", "n_valid",
+                            asset_uri().alias("link"), err.alias("error"))
+
+
+def validation_report(px: DataFrame) -> DataFrame:
+    """Per-date report (image.py:118-141): asset count, error count,
+    and the sorted list of failing links."""
+    probed = probe_assets(px)
+    return (probed.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("error").isNotNull(),
+                   F.concat(F.col("link"), F.lit(": "), F.col("error"))))
+        ).alias("errors")))

@@ -237,27 +237,126 @@ def a_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
 
-@register("a_ann_lsh_buckets", """
-WITH dims AS (
-  -- fixture embeddings are 64-dim; generate_series needs constant args
+def _dims_sql() -> str:
+    """Per-dimension quantized view (fixture embeddings are 64-dim;
+    generate_series needs constant args)."""
+    return """
+dims AS (
   SELECT vec_id, g.i - 1 AS dim,
          CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qval
   FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
-),
+)"""
+
+
+def _bucket_sql(num_planes: int) -> str:
+    """LSH bucket per vec_id from hyperplane sign bits (needs dims)."""
+    projs = ",\n         ".join(
+        f"sum(qval * (({j} * 31 + dim * 17) % 7 - 3)) AS p{j}"
+        for j in range(num_planes))
+    bits = " + ".join(
+        f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(num_planes))
+    return f"""
 proj AS (
-  SELECT vec_id,
-         """ + ",\n         ".join(
-    f"sum(qval * (({j} * 31 + dim * 17) % 7 - 3)) AS p{j}" for j in range(8)) + """
+  SELECT vec_id, {projs}
   FROM dims GROUP BY vec_id
-)
-SELECT CAST(""" + " + ".join(
-    f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)) + """
-         AS BIGINT) AS bucket,
-       count(*) AS n_vectors
-FROM proj GROUP BY bucket
+),
+bkt AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM proj)"""
+
+
+_EV_SQL = """
+ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+)"""
+
+_COS_AB = ("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
+           " * sqrt(list_dot_product(eb.v, eb.v)))")
+
+
+@register("a_ann_lsh_buckets", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}
+SELECT bucket, count(*) AS n_vectors
+FROM bkt GROUP BY bucket
 """)
 def a_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN scale path:
     bucket = partition key of the vector store)."""
     return (similarity.lsh_buckets(_embs(spark, sf_dir), num_planes=8)
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register("a_ann_lsh_topk", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
+JOIN ev ea ON ea.vec_id = qa.vec_id
+JOIN ev eb ON eb.vec_id = ba.vec_id
+WHERE qa.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query path: probe only the query vector's LSH bucket, exact
+    cosine inside the bucket (bucket = partition key at scale)."""
+    return similarity.lsh_topk_in_bucket(_embs(spark, sf_dir),
+                                         query_vec_id=0, num_planes=8, k=5)
+
+
+@register("d_embedding_cosine_dups", f"""
+WITH {_dims_sql()}, {_bucket_sql(4)}, {_EV_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN ev ea ON ea.vec_id = a.vec_id
+JOIN ev eb ON eb.vec_id = b.vec_id
+WHERE {_COS_AB} >= 0.35
+""")
+def d_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidate generation
+    (never the quadratic pair space), exact cosine confirm."""
+    return similarity.cosine_dup_pairs(_embs(spark, sf_dir),
+                                       num_planes=4, threshold=0.35)
+
+
+_IVF_SQL = f"""
+{_dims_sql()},
+cent AS (SELECT vec_id % 8 AS g, dim, sum(qval) AS c FROM dims GROUP BY vec_id % 8, dim),
+cnorm AS (SELECT g, sum(c * c) AS cc FROM cent GROUP BY g),
+scored AS (
+  SELECT d.vec_id, c.g, sum(d.qval * c.c) AS dot, sum(d.qval * d.qval) AS vv
+  FROM dims d JOIN cent c USING (dim) GROUP BY d.vec_id, c.g
+),
+assign AS (
+  SELECT vec_id, g AS list_id FROM (
+    SELECT s.vec_id, s.g,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC, s.g) AS rn
+    FROM scored s JOIN cnorm n USING (g))
+  WHERE rn = 1
+)"""
+
+
+@register("a_ann_ivf_assign", f"""
+WITH {_IVF_SQL}
+SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id
+""")
+def a_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment histogram (list_id = the
+    inverted-list partition key of the vector store)."""
+    return (similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
+            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register("a_ann_ivf_topk", f"""
+WITH {_IVF_SQL}, {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
+JOIN ev ea ON ea.vec_id = qa.vec_id
+JOIN ev eb ON eb.vec_id = ba.vec_id
+WHERE qa.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search, nprobe=1: exact cosine over the query's inverted
+    list only."""
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               n_lists=8, k=5)

@@ -1,0 +1,60 @@
+"""C19 extent + C20 validation-report operator tests on a hand-built
+pixel plane (exact expected values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cube_builder_spark.operators.footprint import valid_extent
+from cube_builder_spark.operators.validate import probe_assets, validation_report
+
+SCHEMA = ("tile_id long, pixel_id long, date date, doy long, "
+          "quality long, value long, source_idx long")
+
+
+def _plane(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+import datetime
+
+D1 = datetime.date(2020, 1, 1)
+
+
+def test_valid_extent_envelope(spark):
+    # valid pixels at (x,y): id 0 -> (0,0), id 33 -> (1,1), id 95 -> (31,2)
+    rows = [
+        (1, 0, D1, 1, 4, 100, 0),
+        (1, 33, D1, 1, 4, 200, 0),
+        (1, 95, D1, 1, 4, 300, 0),
+        (1, 200, D1, 1, 0, -9999, 0),  # nodata: excluded
+    ]
+    out = valid_extent(_plane(spark, rows), ncols=32).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.xmin, r.xmax, r.ymin, r.ymax, r.n_valid) == (0, 31, 0, 2, 3)
+    assert r.extent_wkt == "POLYGON((0 0, 31 0, 31 2, 0 2, 0 0))"
+
+
+def test_probe_and_report_error_lattice(spark):
+    rows = [
+        # asset (1, d1, s0): healthy
+        (1, 0, D1, 1, 4, 100, 0),
+        # asset (1, d1, s1): all nodata -> 'empty'
+        (1, 1, D1, 1, 0, -9999, 1),
+        (1, 2, D1, 1, 0, -9999, 1),
+        # asset (2, d1, s2): valid values but all saturated -> 'saturated'
+        (2, 3, D1, 1, 1, 50, 2),
+    ]
+    probed = {(r.tile_id, r.source_idx): r.error
+              for r in probe_assets(_plane(spark, rows)).collect()}
+    assert probed[(1, 0)] is None
+    assert probed[(1, 1)] == "empty"
+    assert probed[(2, 2)] == "saturated"
+
+    rep = validation_report(_plane(spark, rows)).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r.n_assets, r.n_errors) == (3, 2)
+    assert r.errors == ["file:///assets/t1/d1/s1.tif: empty",
+                        "file:///assets/t2/d1/s2.tif: saturated"]

@@ -1,0 +1,51 @@
+"""Similarity-search operator tests: IVF invariants, LSH-gated
+cosine dedup, brute-force ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cube_builder_spark.functions import similarity
+from cube_builder_spark.tables import load_tables
+
+
+def _embs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+def test_ivf_assign_total_and_single_list(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    assign = similarity.ivf_assign(embs, n_lists=8)
+    # every vector lands in exactly one inverted list
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    lists = [r.list_id for r in assign.select("list_id").distinct().collect()]
+    assert all(0 <= g < 8 for g in lists)
+
+
+def test_ivf_topk_subset_of_bruteforce_order(spark, sf_dir):
+    """IVF@nprobe=1 results are exact cosines, ranked consistently
+    with the brute-force ordering restricted to the probed list."""
+    embs = _embs(spark, sf_dir)
+    ivf = similarity.ivf_topk(embs, query_vec_id=0, n_lists=8, k=5).collect()
+    brute = {r.vec_id: r.cosine
+             for r in similarity.brute_force_topk(embs, 0, k=10**6).collect()}
+    assert len(ivf) == 5
+    # cosines must agree exactly with the brute-force scores
+    for r in ivf:
+        assert abs(brute[r.vec_id] - r.cosine) == 0.0
+    # and be sorted descending
+    cos = [r.cosine for r in ivf]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_cosine_dup_pairs_are_bucket_gated_and_thresholded(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    pairs = similarity.cosine_dup_pairs(embs, num_planes=4, threshold=0.35)
+    rows = pairs.collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(r.cosine >= 0.35 for r in rows)
+    buckets = {r.vec_id: r.bucket
+               for r in similarity.lsh_buckets(embs, 4).collect()}
+    assert all(buckets[r.vec_a] == buckets[r.vec_b] for r in rows)
