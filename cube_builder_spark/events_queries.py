@@ -125,3 +125,25 @@ def e_user_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, 0))
     return daily.select("user_id", "day",
                         (F.sum("v_c").over(w) / 100.0).alias("running_value"))
+
+
+@register("x_stateful_sessionize", None)
+def x_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionizer (applyInPandasWithState,
+    closed sessions only) driven over the bounded events table — no
+    SQL oracle (rows-only check): arbitrary-stateful streaming is not
+    SQL-expressible. Semantics cross-checked in tests against the
+    batch e_sessionize plane."""
+    import tempfile
+
+    from .streaming.events import EVENT_SCHEMA
+    from .streaming.stateful import sessionize_stream
+
+    d = tempfile.mkdtemp(prefix="stateful_sess_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    q = (sessionize_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("x_stateful_sessions").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("x_stateful_sessions")

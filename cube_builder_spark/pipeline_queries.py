@@ -360,3 +360,55 @@ def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list only."""
     return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
                                n_lists=8, k=5)
+
+
+# Multimodal ------------------------------------------------------------------
+
+_MEDIA_SQL = """
+media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         'IMG' || lpad(CAST(100 + n_chars % 640 AS VARCHAR), 3, '0')
+               || lpad(CAST(100 + (n_chars * 7) % 480 AS VARCHAR), 3, '0')
+               || lpad(CAST(1 + n_chars % 4 AS VARCHAR), 3, '0')
+               || text AS s,
+         100 + n_chars % 640 AS width,
+         100 + (n_chars * 7) % 480 AS height,
+         1 + n_chars % 4 AS n_frames
+  FROM documents
+)
+"""
+
+@register("m_media_metadata", f"""
+WITH {_MEDIA_SQL}
+SELECT doc_id, media_type,
+       CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+       md5(s) AS sha,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(n_frames AS INTEGER) AS n_frames
+FROM media
+""")
+def m_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: binary payload column ->
+    typed metadata via Arrow-batched mapInPandas (the decode step is a
+    deterministic header parse over the real bytes; a real imaging lib
+    drops into the same UDF shape)."""
+    from .functions import multimodal
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    return multimodal.media_metadata(media)
+
+
+@register("m_frame_sample", f"""
+WITH {_MEDIA_SQL}
+SELECT doc_id, media_type, CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS INTEGER) AS frame_idx
+FROM media
+""")
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over typed metadata (every 2nd frame): the
+    explode never touches payload bytes."""
+    from .functions import multimodal
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=2)

@@ -1,0 +1,85 @@
+"""Multimodal binary-column plumbing + stateful-streaming sessionizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cube_builder_spark.functions import multimodal
+from cube_builder_spark.tables import load_tables
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def test_media_metadata_parses_real_bytes(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = multimodal.media_metadata(media)
+    joined = (meta.join(docs.select("doc_id", "n_chars"), "doc_id")
+              .withColumn("expect_w", (100 + F.col("n_chars") % 640).cast("int"))
+              .withColumn("expect_h", (100 + (F.col("n_chars") * 7) % 480).cast("int")))
+    bad = joined.filter((F.col("width") != F.col("expect_w"))
+                        | (F.col("height") != F.col("expect_h"))
+                        | (F.col("n_bytes") < F.col("n_chars") + 12)).count()
+    assert bad == 0
+    # digest column is a real md5 over the payload bytes
+    row = meta.select("sha").first()
+    assert len(row.sha) == 32
+
+
+def test_frame_sample_stays_metadata_only(spark, sf_dir):
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    frames = multimodal.frame_sample(media, every_n=1)
+    agg = (frames.groupBy("doc_id", "n_frames")
+           .agg(F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx")))
+    bad = agg.filter((F.col("n") != F.col("n_frames"))
+                     | (F.col("mx") != F.col("n_frames") - 1)).count()
+    assert bad == 0
+
+
+def test_decode_stubs_raise(spark, sf_dir):
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
+    with pytest.raises(NotImplementedError):
+        multimodal.resample_audio(media)
+
+
+def test_stateful_sessionizer_closed_sessions(spark, tmp_path):
+    """Drive a 2-batch file stream through applyInPandasWithState:
+    sessions separated by >30 min close and emit exactly once."""
+    import datetime
+
+    from cube_builder_spark.streaming.events import EVENT_SCHEMA
+    from cube_builder_spark.streaming.stateful import sessionize_stream
+
+    t0 = datetime.datetime(2020, 1, 1, 8, 0, 0)
+
+    def ev(minutes, user, value, eid):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, "click",
+                value, "{}")
+
+    rows = [
+        # user 1: session A (two events), 90-min gap, session B
+        ev(0, 1, 1.0, 1), ev(10, 1, 2.5, 2), ev(100, 1, 4.0, 3),
+        # user 2: one long session, never closes within the data
+        ev(0, 2, 1.0, 4), ev(20, 2, 1.0, 5), ev(40, 2, 1.0, 6),
+    ]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(src)
+    out = sessionize_stream(spark.readStream.schema(EVENT_SCHEMA).parquet(src))
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("sessions").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id): r for r in spark.sql("SELECT * FROM sessions").collect()}
+    # user 1's first session closed (the 100-min event breached the gap)
+    assert 1 in got
+    s = got[1]
+    assert (s.n_events, s.total_value_cents) == (2, 350)
+    assert s.session_start == t0 and s.session_end == t0 + datetime.timedelta(minutes=10)
+    # user 2's session never closed -> not emitted in append mode
+    assert 2 not in got
