@@ -689,3 +689,68 @@ def k5_publish_identity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tile_id", "date",
         (F.col("nc") * 100.0 / F.nullif(F.col("c") + F.col("nc"), F.lit(0))
          ).alias("cloud_cover"))
+
+
+# E2E pipeline ----------------------------------------------------------------
+
+@register("p_cube_build_e2e", f"""
+WITH {PIXELS_SQL},
+periods(period, ps, pe) AS (
+  VALUES ('2020-01-01_2020-01-08', DATE '2020-01-01', DATE '2020-01-08'),
+         ('2020-01-09_2020-01-16', DATE '2020-01-09', DATE '2020-01-16')
+),
+tagged AS (
+  SELECT p.*, per.period FROM pixels p
+  JOIN periods per ON p.date BETWEEN per.ps AND per.pe
+),
+eff AS (
+  SELECT tile_id, date,
+         100.0 * sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) / count(*) AS efficacy
+  FROM tagged GROUP BY tile_id, date
+),
+ranked AS (
+  -- source survives the merge only for valid pixels: the mosaic's
+  -- DATASOURCE is 255 wherever the canvas stayed nodata
+  SELECT t.tile_id, t.period, t.pixel_id, t.value, t.doy, t.quality,
+         CASE WHEN t.value = -9999 THEN 255 ELSE t.source_idx END AS source_idx,
+         t.quality IN (4,5,6) AS is_clear,
+         t.value <> -9999 AS is_valid,
+         row_number() OVER (PARTITION BY t.tile_id, t.period, t.pixel_id, t.quality IN (4,5,6)
+                            ORDER BY e.efficacy DESC, t.date DESC) AS rn_clear,
+         row_number() OVER (PARTITION BY t.tile_id, t.period, t.pixel_id, t.value <> -9999
+                            ORDER BY e.efficacy DESC, t.date DESC) AS rn_valid
+  FROM tagged t JOIN eff e ON t.tile_id = e.tile_id AND t.date = e.date
+)
+SELECT tile_id, period, 'B04' AS band, pixel_id,
+       coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN value END),
+                max(CASE WHEN is_valid AND rn_valid = 1 THEN value END), -9999) AS lcf_value,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN doy END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN doy END), -1) AS BIGINT) AS provenance,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN source_idx END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN source_idx END), 255) AS BIGINT) AS datasource,
+       coalesce(median(CASE WHEN quality IN (4,5,6) THEN CAST(value AS DOUBLE) END), -9999.0) AS med_value,
+       sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS totalob,
+       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob
+FROM ranked GROUP BY tile_id, period, pixel_id
+""")
+def p_cube_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E §3.1 pipeline (plans/build_cube.py) as one oracle query:
+    period assignment → merge → keyed blend (LCF + MED + counts) over
+    a 2×8-day timeline, band B04 with SCL quality."""
+    from datetime import date as _date
+
+    from .plans.build_cube import (CubeJobConfig, assign_periods,
+                                   blend_stage, merge_stage, periods_df)
+    px = pixel_plane(spark, sf_dir)
+    common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
+    b04 = px.select(*common, F.lit("B04").alias("band"),
+                    F.col("value").cast("long").alias("value"))
+    scl = px.select(*common, F.lit("SCL").alias("band"),
+                    F.col("quality").cast("long").alias("value"))
+    obs = b04.unionByName(scl).withColumn("scene_order", F.col("source_idx"))
+    cfg = CubeJobConfig(start=_date(2020, 1, 1), end=_date(2020, 1, 16), step=8)
+    tagged = assign_periods(obs, periods_df(spark, cfg))
+    blended = blend_stage(merge_stage(tagged, cfg), cfg)
+    return blended.select("tile_id", "period", "band", "pixel_id",
+                          "lcf_value", "provenance", "datasource",
+                          "med_value", "totalob", "clearob")

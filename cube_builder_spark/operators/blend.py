@@ -53,14 +53,17 @@ def scene_efficacy(pixels: DataFrame, clear_values=None, not_clear_values=None) 
 
 
 def _ranked(pixels: DataFrame, order_cols: list, clear_values=None,
-            nodata: int = BAND_NODATA) -> DataFrame:
+            nodata: int = BAND_NODATA,
+            keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """Attach first-clear / first-valid pick flags via conditional
-    row_number windows (partitioned by pixel × predicate)."""
+    row_number windows (partitioned by pixel × predicate). ``keys`` is
+    the composite work-unit key — (tile, pixel) for one period, plus
+    period/band columns when one job blends a whole cube."""
     pix = (pixels
            .withColumn("is_clear", F.col("quality").isin(*(clear_values or CLEAR_VALUES)))
            .withColumn("is_valid", F.col("value") != nodata))
-    w_clear = Window.partitionBy("tile_id", "pixel_id", "is_clear").orderBy(*order_cols)
-    w_valid = Window.partitionBy("tile_id", "pixel_id", "is_valid").orderBy(*order_cols)
+    w_clear = Window.partitionBy(*keys, "is_clear").orderBy(*order_cols)
+    w_valid = Window.partitionBy(*keys, "is_valid").orderBy(*order_cols)
     return (pix
             .withColumn("rn_clear", F.row_number().over(w_clear))
             .withColumn("rn_valid", F.row_number().over(w_valid)))
@@ -72,7 +75,8 @@ def _first(cond, col):
 
 def blend_lcf(pixels: DataFrame, efficacy: DataFrame | None = None,
               order_cols: list | None = None, clear_values=None,
-              not_clear_values=None, nodata: int = BAND_NODATA) -> DataFrame:
+              not_clear_values=None, nodata: int = BAND_NODATA,
+              keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """C2 + C6: LCF best-pixel composite with PROVENANCE and DATASOURCE.
 
     ``order_cols`` overrides the scene ordering (C16 temporal priority,
@@ -87,11 +91,11 @@ def blend_lcf(pixels: DataFrame, efficacy: DataFrame | None = None,
             F.broadcast(efficacy.select("tile_id", "date", "efficacy")),
             ["tile_id", "date"])
         order_cols = [F.desc("efficacy"), F.desc("date")]
-    ranked = _ranked(pixels, order_cols, clear_values, nodata)
+    ranked = _ranked(pixels, order_cols, clear_values, nodata, keys)
     first_clear = F.col("is_clear") & (F.col("rn_clear") == 1)
     first_valid = F.col("is_valid") & (F.col("rn_valid") == 1)
     return (
-        ranked.groupBy("tile_id", "pixel_id")
+        ranked.groupBy(*keys)
         .agg(
             _first(first_clear, "value").alias("clear_value"),
             _first(first_clear, "doy").alias("clear_doy"),
@@ -101,7 +105,7 @@ def blend_lcf(pixels: DataFrame, efficacy: DataFrame | None = None,
             _first(first_valid, "source_idx").alias("valid_source"),
         )
         .select(
-            "tile_id", "pixel_id",
+            *keys,
             F.coalesce("clear_value", "valid_value", F.lit(nodata)).alias("lcf_value"),
             F.coalesce("clear_doy", "valid_doy", F.lit(-1)).cast("long").alias("provenance"),
             F.coalesce("clear_source", "valid_source", F.lit(255)).cast("long").alias("datasource"),
@@ -110,25 +114,27 @@ def blend_lcf(pixels: DataFrame, efficacy: DataFrame | None = None,
 
 
 def blend_med(pixels: DataFrame, clear_values=None,
-              nodata: int = BAND_NODATA) -> DataFrame:
+              nodata: int = BAND_NODATA,
+              keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """C3: exact median of clear observations; nodata when none clear
     (processing.py:890-894 numpy.ma.median semantics). F.median is the
     exact interpolating median (matches numpy/DuckDB), NOT
     percentile_approx."""
     return (
-        pixels.groupBy("tile_id", "pixel_id")
+        pixels.groupBy(*keys)
         .agg(F.median(F.when(F.col("quality").isin(*(clear_values or CLEAR_VALUES)),
                              F.col("value")).cast("double")).alias("med_raw"))
-        .select("tile_id", "pixel_id",
+        .select(*keys,
                 F.coalesce(F.col("med_raw"), F.lit(float(nodata))).alias("med_value"))
     )
 
 
 def observation_counts(pixels: DataFrame, quality_nodata: int = 0,
-                       clear_values=None) -> DataFrame:
+                       clear_values=None,
+                       keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """C4 TOTALOB + C5 CLEAROB in one grouped pass."""
     return (
-        pixels.groupBy("tile_id", "pixel_id")
+        pixels.groupBy(*keys)
         .agg(
             F.sum((F.col("quality") != quality_nodata).cast("long")).alias("totalob"),
             F.sum(F.col("quality").isin(*(clear_values or CLEAR_VALUES))

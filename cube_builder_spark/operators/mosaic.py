@@ -24,26 +24,28 @@ from pyspark.sql import functions as F
 from ..pixelplane import BAND_NODATA, valid_col
 
 
-def mosaic_first_valid(scenes: DataFrame, order_cols: list | None = None) -> DataFrame:
-    """Reduce overlapping scene observations to one pixel per
-    (tile_id, pixel_id, date): first valid wins, with DATASOURCE.
+def mosaic_first_valid(scenes: DataFrame, order_cols: list | None = None,
+                       keys: tuple[str, ...] = ("tile_id", "pixel_id", "date")) -> DataFrame:
+    """Reduce overlapping scene observations to one pixel per ``keys``
+    slot (default (tile_id, pixel_id, date); add band for multi-band
+    jobs): first valid wins, with DATASOURCE.
 
-    ``scenes`` columns: tile_id, pixel_id, date, value, source_idx,
-    scene_order (priority; lower = preferred).
+    ``scenes`` columns: ``keys`` + value, source_idx, scene_order
+    (priority; lower = preferred).
     """
     if order_cols is None:
         order_cols = [F.col("scene_order").asc()]
-    w = Window.partitionBy("tile_id", "pixel_id", "date", "is_valid").orderBy(*order_cols)
+    w = Window.partitionBy(*keys, "is_valid").orderBy(*order_cols)
     ranked = (scenes.withColumn("is_valid", valid_col())
               .withColumn("rn", F.row_number().over(w)))
     win = F.col("is_valid") & (F.col("rn") == 1)
     return (
-        ranked.groupBy("tile_id", "pixel_id", "date")
+        ranked.groupBy(*keys)
         .agg(F.max(F.when(win, F.col("value"))).alias("win_value"),
              F.max(F.when(win, F.col("source_idx"))).alias("win_source"),
              F.count(F.lit(1)).alias("n_scenes"))
         .select(
-            "tile_id", "pixel_id", "date",
+            *keys,
             F.coalesce("win_value", F.lit(BAND_NODATA)).alias("merge_value"),
             F.coalesce("win_source", F.lit(255)).cast("long").alias("datasource"),
             "n_scenes",

@@ -1,0 +1,211 @@
+"""End-to-end cube build — SURVEY §3.1 as ONE Spark job.
+
+Reference lifecycle (``maestro.py:439-628`` + ``tasks.py``): plan
+tile×period mosaics, fan out per-(band, date) warp_merge tasks, barrier
+into per-period prepare_blend, blend per band with quality last,
+publish items. Four Celery queues and a broker-backed state machine.
+
+Spark-native: the whole thing is one declarative DAG —
+    observations → [assign periods] → [merge/mosaic] → [blend]
+    → [index bands] → [publish items + partitioned cube write]
+with shuffles exactly at the reference's process boundaries (the merge
+key and the blend key). The broker/state machine disappears into the
+DAG; incremental re-run (``tasks.py:128-182``'s file-existence reuse)
+becomes an anti-join against the already-published items table.
+
+Scale notes:
+- periods/efficacy tables are tiny → broadcast; observations shuffle
+  once on (tile, period, band, pixel) and every blend statistic
+  (LCF/MED/TOTALOB/CLEAROB/PROVENANCE/DATASOURCE) comes out of that
+  one partitioning.
+- the cube parquet is partitioned by (tile_id, period) so downstream
+  tile/period predicates are partition pruning, mirroring the
+  reference's directory layout (``build_cube_path``).
+- quality ordering constraint (quality blend last, tasks.py:406-417)
+  disappears: aggregations are side-effect-free.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import blend, indexes, mosaic
+from ..pixelplane import BAND_NODATA, CLEAR_VALUES
+from ..timeline import timeline_rows
+
+
+@dataclass
+class CubeJobConfig:
+    cube: str = "SYN-CUBE"
+    version: int = 1
+    composite: str = "LCF"              # LCF | MED
+    quality_band: str = "SCL"
+    start: date = date(2020, 1, 1)
+    end: date = date(2020, 1, 16)
+    schema: str = "continuous"
+    unit: str = "day"
+    step: int = 8
+    index_bands: dict[str, str] = field(
+        default_factory=lambda: {"NDVI": "10000 * (B8A - B04) / (B8A + B04)"})
+    nodata: int = BAND_NODATA
+    force: bool = False
+
+
+def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
+    """C17 timeline → periods table (driver-side algebra, tiny)."""
+    rows = timeline_rows(cfg.schema, cfg.start, cfg.end, cfg.unit, cfg.step)
+    return spark.createDataFrame(
+        [(r["period"], r["start_date"], r["end_date"]) for r in rows],
+        "period string, period_start date, period_end date")
+
+
+def assign_periods(obs: DataFrame, periods: DataFrame) -> DataFrame:
+    """Tag every observation with its composite period (broadcast
+    range join against the tiny periods table; observations with no
+    period — outside the timeline — drop, as the reference never
+    schedules them)."""
+    return obs.join(
+        F.broadcast(periods),
+        (F.col("date") >= F.col("period_start"))
+        & (F.col("date") <= F.col("period_end")))
+
+
+def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+    """C1 mosaic: first-valid-wins across overlapping scenes of one
+    (tile, band, date) slot. Input columns: tile_id, pixel_id, band,
+    date, period, value, source_idx, scene_order."""
+    merged = mosaic.mosaic_first_valid(
+        obs, keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
+    return merged.select(
+        "tile_id", "pixel_id", "band", "date", "period", "doy",
+        F.col("merge_value").alias("value"),
+        F.col("datasource").alias("source_idx"))
+
+
+def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+    """C2–C6 per (tile, period, band, pixel): join the quality band
+    back onto every spectral band (the reference reads the quality
+    raster alongside each band blend, processing.py:744-758), then one
+    keyed blend pass."""
+    qual = (merged.filter(F.col("band") == cfg.quality_band)
+            .select("tile_id", "pixel_id", "date", "period",
+                    F.col("value").alias("quality")))
+    spectral = merged.filter(F.col("band") != cfg.quality_band)
+    joined = spectral.join(qual, ["tile_id", "pixel_id", "date", "period"])
+
+    keys = ("tile_id", "period", "band", "pixel_id")
+    eff = blend.scene_efficacy(qual)
+    with_eff = joined.join(F.broadcast(eff.select("tile_id", "date", "efficacy")),
+                           ["tile_id", "date"])
+    order = [F.desc("efficacy"), F.desc("date")]
+    lcf = blend.blend_lcf(with_eff, order_cols=order, nodata=cfg.nodata, keys=keys)
+    med = blend.blend_med(joined, nodata=cfg.nodata, keys=keys)
+    counts = blend.observation_counts(joined, keys=keys)
+    out = (lcf.join(med, list(keys)).join(counts, list(keys)))
+    value = F.col("lcf_value") if cfg.composite == "LCF" else \
+        F.col("med_value").cast("long")
+    return out.select(
+        *keys, value.alias("value"),
+        "lcf_value", "med_value", "provenance", "datasource",
+        "totalob", "clearob")
+
+
+def index_stage(blended: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+    """C14 expression bands: pivot the per-band composite to columns,
+    evaluate each index expression via Catalyst (F.expr — no Python
+    exec), clamp to int16, and re-attach as band rows."""
+    if not cfg.index_bands:
+        return blended
+    spectral_bands = [r.band for r in blended.select("band").distinct().collect()]
+    if not spectral_bands:      # empty plan (everything reused/pruned)
+        return blended
+    wide = (blended.groupBy("tile_id", "period", "pixel_id")
+            .pivot("band", spectral_bands)
+            .agg(F.first("value")))
+    idx = indexes.generate_band_indexes(
+        wide, cfg.index_bands, band_cols=spectral_bands, nodata=cfg.nodata)
+    rows = None
+    for name in cfg.index_bands:
+        one = idx.select(
+            "tile_id", "period", F.lit(name).alias("band"), "pixel_id",
+            F.col(name).cast("long").alias("value"),
+            F.lit(None).cast("long").alias("lcf_value"),
+            F.lit(None).cast("double").alias("med_value"),
+            F.lit(None).cast("long").alias("provenance"),
+            F.lit(None).cast("long").alias("datasource"),
+            F.lit(None).cast("long").alias("totalob"),
+            F.lit(None).cast("long").alias("clearob"))
+        rows = one if rows is None else rows.unionByName(one)
+    return blended.unionByName(rows)
+
+
+def publish_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+    """K4 items: one row per (tile, period) with cloud cover from the
+    quality band over the whole period."""
+    qual = merged.filter(F.col("band") == cfg.quality_band)
+    qa = qual.groupBy("tile_id", "period").agg(
+        F.sum(F.col("value").isin(*CLEAR_VALUES).cast("long")).alias("clear"),
+        F.sum((~F.col("value").isin(*CLEAR_VALUES) & (F.col("value") != 0)
+               & (F.col("value") != cfg.nodata)).cast("long")).alias("not_clear"))
+    return qa.select(
+        F.concat(F.lit(f"{cfg.cube}_V{cfg.version:03d}_"),
+                 F.format_string("%03d", F.col("tile_id").cast("int")),
+                 F.lit("_"), F.regexp_replace(F.split("period", "_")[0], "-", "")
+                 ).alias("item_id"),
+        "tile_id", "period",
+        (F.col("not_clear") * 100.0
+         / F.nullif(F.col("clear") + F.col("not_clear"), F.lit(0))
+         ).alias("cloud_cover"))
+
+
+def existing_items(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    p = os.path.join(out_dir, "items")
+    if not os.path.exists(p):
+        return None
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
+               cfg: CubeJobConfig | None = None) -> dict:
+    """Run the full pipeline; returns a small summary dict.
+
+    ``obs`` columns: tile_id, pixel_id, band, date, doy, value,
+    source_idx, scene_order. Incremental: (tile, period) units already
+    in ``out_dir/items`` are pruned from the plan unless cfg.force —
+    the Spark translation of the reference's merge-file reuse
+    (tasks.py:128-182) at the publish granularity.
+    """
+    cfg = cfg or CubeJobConfig()
+    periods = periods_df(spark, cfg)
+    tagged = assign_periods(obs, periods)
+
+    done = None if cfg.force else existing_items(spark, out_dir)
+    if done is not None:
+        tagged = tagged.join(
+            F.broadcast(done.select("tile_id", "period").distinct()),
+            ["tile_id", "period"], "left_anti")
+
+    merged = merge_stage(tagged, cfg)
+    blended = blend_stage(merged, cfg)
+    cube = index_stage(blended, cfg)
+    items = publish_stage(merged, cfg)
+
+    cube_path = os.path.join(out_dir, "cube")
+    items_path = os.path.join(out_dir, "items")
+    n_items = items.count()
+    if n_items:
+        (cube.repartition("tile_id", "period")
+         .write.mode("append").partitionBy("tile_id", "period")
+         .parquet(cube_path))
+        items.write.mode("append").parquet(items_path)
+    return {"cube_path": cube_path, "items_path": items_path,
+            "new_items": n_items,
+            "reused_items": 0 if done is None else done.count()}

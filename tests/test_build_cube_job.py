@@ -1,0 +1,100 @@
+"""E2E cube-build job: the §3.1 pipeline as one Spark DAG, with the
+reference's structural invariants (test_cube_creation.py:163-188) and
+incremental-reuse semantics (tasks.py:128-182)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cube_builder_spark.pixelplane import BAND_NODATA, pixel_plane
+from cube_builder_spark.plans.build_cube import CubeJobConfig, build_cube
+
+
+def synth_observations(spark, sf_dir):
+    """Multi-band observation stream from the deterministic pixel
+    plane: B04 = plane value, B8A = derived variant, SCL = quality."""
+    px = pixel_plane(spark, sf_dir)
+    b8a_valid = ((F.col("value") * 3 + F.col("pixel_id")) % 20001 - 10000)
+    common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
+    b04 = px.select(*common, F.lit("B04").alias("band"),
+                    F.col("value").cast("long").alias("value"))
+    b8a = px.select(*common, F.lit("B8A").alias("band"),
+                    F.when(F.col("value") == BAND_NODATA, F.lit(BAND_NODATA))
+                    .otherwise(b8a_valid).cast("long").alias("value"))
+    scl = px.select(*common, F.lit("SCL").alias("band"),
+                    F.col("quality").cast("long").alias("value"))
+    return (b04.unionByName(b8a).unionByName(scl)
+            .withColumn("scene_order", F.col("source_idx")))
+
+
+def test_build_cube_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cube_out")
+    obs = synth_observations(spark, sf_dir)
+    res = build_cube(spark, obs, out, CubeJobConfig())
+    assert res["new_items"] > 0 and res["reused_items"] == 0
+
+    cube = spark.read.parquet(res["cube_path"])
+    items = spark.read.parquet(res["items_path"])
+
+    bands = {r.band for r in cube.select("band").distinct().collect()}
+    assert bands == {"B04", "B8A", "NDVI"}
+
+    # invariant: all bands of a (tile, period) cover the same pixel set
+    per_band = (cube.groupBy("tile_id", "period", "band")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("pixel_id").alias("nd")))
+    spread = (per_band.groupBy("tile_id", "period")
+              .agg(F.countDistinct("n").alias("n_shapes"),
+                   F.max((F.col("n") != F.col("nd")).cast("int")).alias("dupes")))
+    bad = spread.filter((F.col("n_shapes") != 1) | (F.col("dupes") == 1)).count()
+    assert bad == 0
+
+    # one item per (tile, period) present in the cube
+    cube_units = cube.select("tile_id", "period").distinct()
+    assert items.count() == cube_units.count()
+
+    # NDVI semantics: 10000*(B8A-B04)/(B8A+B04) clamped to int16,
+    # nodata when either input is nodata
+    wide = (cube.filter(F.col("band").isin("B04", "B8A", "NDVI"))
+            .groupBy("tile_id", "period", "pixel_id")
+            .pivot("band", ["B04", "B8A", "NDVI"]).agg(F.first("value")))
+    expect = (F.when((F.col("B04") == BAND_NODATA) | (F.col("B8A") == BAND_NODATA),
+                     F.lit(BAND_NODATA))
+              .otherwise(F.coalesce(
+                  F.least(F.greatest(
+                      (10000 * (F.col("B8A") - F.col("B04"))
+                       / F.nullif(F.col("B8A") + F.col("B04"), F.lit(0))),
+                      F.lit(-32768.0)), F.lit(32767.0)).cast("long"),
+                  F.lit(BAND_NODATA))))
+    assert wide.filter(F.col("NDVI") != expect).count() == 0
+
+    # values stay in int16 domain
+    assert cube.filter((F.col("value") < -32768) | (F.col("value") > 32767)).count() == 0
+
+
+def test_build_cube_incremental_reuse(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cube_incr")
+    obs = synth_observations(spark, sf_dir)
+    first = build_cube(spark, obs, out, CubeJobConfig())
+    assert first["new_items"] > 0
+
+    # second run: everything already published -> nothing recomputed
+    second = build_cube(spark, obs, out, CubeJobConfig())
+    assert second["new_items"] == 0
+    assert second["reused_items"] == first["new_items"]
+
+    # force: full recompute appends a fresh copy of every item
+    forced = build_cube(spark, obs, out, CubeJobConfig(force=True))
+    assert forced["new_items"] == first["new_items"]
+
+
+def test_build_cube_med_composite(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cube_med")
+    obs = synth_observations(spark, sf_dir)
+    res = build_cube(spark, obs, out, CubeJobConfig(composite="MED",
+                                                    index_bands={}))
+    cube = spark.read.parquet(res["cube_path"])
+    assert {r.band for r in cube.select("band").distinct().collect()} == {"B04", "B8A"}
+    # MED value column equals the med_value statistic (long-cast)
+    bad = cube.filter(F.col("value") != F.col("med_value").cast("long")).count()
+    assert bad == 0
