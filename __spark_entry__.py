@@ -16,9 +16,11 @@ from cube_builder_spark.queries import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from cube_builder_spark.relational import q1_pricing_summary
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end cube pipeline (period assignment →
+    mosaic → LCF/MED blend) on /root/testdata/sf0.001; driver checks
+    rows>0."""
+    from cube_builder_spark.cube_queries import p_cube_build_e2e
+    return p_cube_build_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

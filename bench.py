@@ -34,7 +34,10 @@ HEADLINE = [
     "d_minhash_lsh_pairs",
     "d_simhash",
     "a_ann_bruteforce_topk",
+    "a_ann_ivf_topk",
     "t_quality_score",
+    "m_media_metadata",
+    "p_cube_build_e2e",
 ]
 
 

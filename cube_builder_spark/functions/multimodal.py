@@ -45,7 +45,10 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     media_type = F.when(F.col("doc_id") % 3 == 0, "image/png") \
                   .when(F.col("doc_id") % 3 == 1, "audio/wav") \
                   .otherwise("video/mp4")
-    return docs.select(
+    # spread by row, not by file layout: the downstream decode UDF is
+    # the expensive stage, and document tables arrive as few splits
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
         "doc_id", media_type.alias("media_type"),
         F.encode(F.concat(header, F.col("text")), "utf-8").alias("payload"))
 

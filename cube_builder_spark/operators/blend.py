@@ -143,6 +143,51 @@ def observation_counts(pixels: DataFrame, quality_nodata: int = 0,
     )
 
 
+def blend_all(pixels: DataFrame, efficacy: DataFrame | None = None,
+              order_cols: list | None = None, clear_values=None,
+              not_clear_values=None, nodata: int = BAND_NODATA,
+              keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
+    """C2–C6 in ONE grouped pass: LCF picks (value/provenance/
+    datasource), exact MED, TOTALOB and CLEAROB all come out of the
+    same (keys)-partitioned aggregation — one shuffle for the whole
+    blend family instead of three aggregations stitched with joins.
+    This is the production shape: at scale the joins would re-shuffle
+    cube-sized intermediates for no reason."""
+    if order_cols is None:
+        if efficacy is None:
+            efficacy = scene_efficacy(pixels, clear_values, not_clear_values)
+        pixels = pixels.join(
+            F.broadcast(efficacy.select("tile_id", "date", "efficacy")),
+            ["tile_id", "date"])
+        order_cols = [F.desc("efficacy"), F.desc("date")]
+    ranked = _ranked(pixels, order_cols, clear_values, nodata, keys)
+    first_clear = F.col("is_clear") & (F.col("rn_clear") == 1)
+    first_valid = F.col("is_valid") & (F.col("rn_valid") == 1)
+    clear = F.col("quality").isin(*(clear_values or CLEAR_VALUES))
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            _first(first_clear, "value").alias("clear_value"),
+            _first(first_clear, "doy").alias("clear_doy"),
+            _first(first_clear, "source_idx").alias("clear_source"),
+            _first(first_valid, "value").alias("valid_value"),
+            _first(first_valid, "doy").alias("valid_doy"),
+            _first(first_valid, "source_idx").alias("valid_source"),
+            F.median(F.when(clear, F.col("value")).cast("double")).alias("med_raw"),
+            F.sum((F.col("quality") != 0).cast("long")).alias("totalob"),
+            F.sum(clear.cast("long")).alias("clearob"),
+        )
+        .select(
+            *keys,
+            F.coalesce("clear_value", "valid_value", F.lit(nodata)).alias("lcf_value"),
+            F.coalesce("clear_doy", "valid_doy", F.lit(-1)).cast("long").alias("provenance"),
+            F.coalesce("clear_source", "valid_source", F.lit(255)).cast("long").alias("datasource"),
+            F.coalesce(F.col("med_raw"), F.lit(float(nodata))).alias("med_value"),
+            "totalob", "clearob",
+        )
+    )
+
+
 def temporal_priority_order(ref_doy: int) -> list:
     """C16: nearest-to-reference-day-first ordering
     (timeline.py:208-249); ties resolved to the earlier date, matching

@@ -73,6 +73,9 @@ pixels AS (
 """
 
 
+_PLANE_CACHE: dict = {}
+
+
 def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the derivation (lockstep with ``PIXELS_SQL``).
 
@@ -80,7 +83,17 @@ def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tile, pixel, date) — at 100 TB this is the same
     partition-by-work-unit layout the reference fans out over Celery
     (``maestro.py:488-617``), with each pixel's time stack co-located.
+
+    The derived plane is persisted per (session, sf_dir): every raster
+    operator branches off it (often several times inside one plan via
+    self-joins), and without persistence each branch re-runs the
+    lineitem scan+aggregate. This mirrors production, where the merged
+    plane IS a materialized table (the reference's merge COGs).
     """
+    key = (id(spark), sf_dir)
+    cached = _PLANE_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     quality = (F.col("l_suppkey") + F.col("l_linenumber")) % 12
     raw_value = F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000
@@ -96,8 +109,7 @@ def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((quality * 20002 + (value + 10001)) * 3 + (F.col("l_suppkey") % 3)).alias("obs_key"),
     )
     k = F.col("k")
-    kq = F.expr("k div 3")
-    return (
+    plane = (
         base.groupBy("tile_id", "pixel_id", "date_idx")
         .agg(F.max("obs_key").alias("k"))
         .select(
@@ -109,7 +121,9 @@ def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(k div 3) % 20002") - 10001).alias("value"),
             (k % 3).alias("source_idx"),
         )
-    )
+    ).persist()
+    _PLANE_CACHE[key] = plane
+    return plane
 
 
 def clear_col(quality=None):

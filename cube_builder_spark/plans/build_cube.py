@@ -92,6 +92,11 @@ def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     back onto every spectral band (the reference reads the quality
     raster alongside each band blend, processing.py:744-758), then one
     keyed blend pass."""
+    # persist at the merge boundary: this is exactly where the
+    # reference materializes its merge COGs (tasks.py:76-248) — the
+    # quality/spectral split branches off it, and each branch would
+    # otherwise re-run the whole merge.
+    merged = merged.persist()
     qual = (merged.filter(F.col("band") == cfg.quality_band)
             .select("tile_id", "pixel_id", "date", "period",
                     F.col("value").alias("quality")))
@@ -103,10 +108,7 @@ def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     with_eff = joined.join(F.broadcast(eff.select("tile_id", "date", "efficacy")),
                            ["tile_id", "date"])
     order = [F.desc("efficacy"), F.desc("date")]
-    lcf = blend.blend_lcf(with_eff, order_cols=order, nodata=cfg.nodata, keys=keys)
-    med = blend.blend_med(joined, nodata=cfg.nodata, keys=keys)
-    counts = blend.observation_counts(joined, keys=keys)
-    out = (lcf.join(med, list(keys)).join(counts, list(keys)))
+    out = blend.blend_all(with_eff, order_cols=order, nodata=cfg.nodata, keys=keys)
     value = F.col("lcf_value") if cfg.composite == "LCF" else \
         F.col("med_value").cast("long")
     return out.select(
