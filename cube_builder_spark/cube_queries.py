@@ -754,3 +754,99 @@ def p_cube_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blended.select("tile_id", "period", "band", "pixel_id",
                           "lcf_value", "provenance", "datasource",
                           "med_value", "totalob", "clearob")
+
+
+# C8 provenance-conditional ----------------------------------------------------
+
+@register("c8_qa_cirrus_oli", f"""
+WITH qa_plane AS (
+  SELECT l_orderkey % 8 AS tile_id,
+         (l_partkey * 31 + l_orderkey) % 65536 AS qa,
+         l_suppkey % 3 AS datasource
+  FROM lineitem
+)
+SELECT tile_id, count(*) AS n_total,
+       sum(CASE WHEN qa <> 1
+                 AND NOT ( ((qa >> 1) & 1) > 0 OR ((qa >> 2) & 1) > 0
+                        OR ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0
+                        OR ((qa >> 8) & 3) >= 2 OR ((qa >> 10) & 3) >= 2 )
+                 AND ( ((qa >> 6) & 1) > 0 OR ((qa >> 7) & 1) > 0 )
+                 AND NOT ( ((qa >> 14) & 3) >= 2 AND datasource IN (0, 1) )
+            THEN 1 ELSE 0 END) AS n_clear
+FROM qa_plane GROUP BY tile_id
+""")
+def c8_qa_cirrus_oli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 cirrus-only-for-OLI (image.py:493-509): the cirrus confidence
+    rule applies per-pixel conditional on DATASOURCE provenance
+    (sources 0,1 = OLI here)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select(
+        (F.col("l_orderkey") % 8).alias("tile_id"),
+        ((F.col("l_partkey") * 31 + F.col("l_orderkey")) % 65536).alias("qa"),
+        (F.col("l_suppkey") % 3).alias("datasource"))
+    clear = masking.qa_pixel_clear_with_provenance(
+        F.col("qa"), F.col("datasource"), oli_sources=[0, 1],
+        clear_bits=[6, 7], not_clear_bits=[1, 2, 3, 4], nodata=1,
+        cloud_conf_min=masking.MEDIUM, shadow_conf_min=masking.MEDIUM,
+        cirrus_conf_min=masking.MEDIUM)
+    return (df.groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(clear.cast("long")).alias("n_clear")))
+
+
+# K2/K3 quicklook --------------------------------------------------------------
+
+def _rgb_wide(spark, sf_dir):
+    """3-channel wide plane for the quicklook family: R/G/B derived
+    deterministically from the pixel plane for one period."""
+    px = pixel_plane(spark, sf_dir)
+    v = F.col("value")
+    return (px.filter(F.col("doy") <= 8)
+            .groupBy("tile_id", "pixel_id")
+            .agg(F.max(F.when(v != BAND_NODATA, (v + 10000) % 10001)).alias("B04"),
+                 F.max(F.when(v != BAND_NODATA, (v * 3 + 10000 * 3) % 10001)).alias("B03"),
+                 F.max(F.when(v != BAND_NODATA, (v * 7 + 10000 * 7) % 10001)).alias("B02"))
+            .select("tile_id", F.lit("2020-01-01_2020-01-08").alias("period"),
+                    "pixel_id",
+                    F.coalesce("B04", F.lit(BAND_NODATA)).alias("B04"),
+                    F.coalesce("B03", F.lit(BAND_NODATA)).alias("B03"),
+                    F.coalesce("B02", F.lit(BAND_NODATA)).alias("B02")))
+
+
+_RGB_SQL = """
+rgb AS (
+  SELECT tile_id, '2020-01-01_2020-01-08' AS period, pixel_id,
+         coalesce(max(CASE WHEN value <> -9999 THEN (value + 10000) % 10001 END), -9999) AS B04,
+         coalesce(max(CASE WHEN value <> -9999 THEN (value * 3 + 30000) % 10001 END), -9999) AS B03,
+         coalesce(max(CASE WHEN value <> -9999 THEN (value * 7 + 70000) % 10001 END), -9999) AS B02
+  FROM pixels WHERE doy <= 8 GROUP BY tile_id, pixel_id
+)
+"""
+
+
+@register("k3_rgb_scaled", f"""
+WITH {PIXELS_SQL}, {_RGB_SQL}
+SELECT tile_id, period, pixel_id,
+       CASE WHEN B04 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B04 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS r8,
+       CASE WHEN B03 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B03 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS g8,
+       CASE WHEN B02 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B02 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS b8
+FROM rgb
+""")
+def k3_rgb_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/C13 full-res RGB composite channels (processing.py:970-989):
+    linear 0-10000 -> 0-255 with nodata -> 0."""
+    from .sinks.quicklook import rgb_scaled
+    return rgb_scaled(_rgb_wide(spark, sf_dir), "B04", "B03", "B02")
+
+
+@register("k2_quicklook_png", None)
+def k2_quicklook_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 quicklook (processing.py:1291-1324): one REAL PNG per
+    (tile, period) — stdlib zlib encoder inside applyInPandas. No SQL
+    oracle (binary sink; rows-only check): roundtrip-verified in
+    tests via the paired decoder."""
+    from .sinks.quicklook import quicklook_png, rgb_scaled
+    scaled = rgb_scaled(_rgb_wide(spark, sf_dir), "B04", "B03", "B02")
+    out = quicklook_png(scaled, ncols=32)
+    return out.select("tile_id", "period", "width", "height",
+                      F.md5("png").alias("png_md5"))

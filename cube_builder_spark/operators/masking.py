@@ -68,6 +68,28 @@ def qa_pixel_clear(qa: Column, clear_bits: list[int], not_clear_bits: list[int],
     return ~is_nodata & ~any_not_clear & any_clear
 
 
+def qa_pixel_clear_with_provenance(qa: Column, datasource: Column,
+                                   oli_sources: list[int],
+                                   clear_bits: list[int], not_clear_bits: list[int],
+                                   nodata: int,
+                                   cloud_conf_min: int | None = None,
+                                   shadow_conf_min: int | None = None,
+                                   cirrus_conf_min: int | None = None) -> Column:
+    """C8 hard case (QAConfidence.apply, image.py:493-509): the cirrus
+    confidence field (bits 14-15) only exists on OLI sensors, so in
+    combined collections the cirrus rule applies per-pixel conditional
+    on the DATASOURCE provenance — a mask that depends on which dataset
+    supplied the pixel. Pure column logic: the provenance test is just
+    another predicate ANDed into the confidence rule."""
+    base = qa_pixel_clear(qa, clear_bits, not_clear_bits, nodata,
+                          cloud_conf_min, shadow_conf_min)
+    if cirrus_conf_min is None:
+        return base
+    cirrus_hit = ((extract_bits(qa, 14, 15) >= cirrus_conf_min)
+                  & datasource.isin(*oli_sources))
+    return base & ~cirrus_hit
+
+
 def radsat_saturated(radsat: Column, bit_start: int = 1, bit_end: int = 7) -> Column:
     """C9 (processing.py:787-791): any of bands 1-7 saturated."""
     return extract_bits(radsat, bit_start, bit_end) > 0
