@@ -144,3 +144,105 @@ def k4_publish_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("quality").isin(4, 5, 6).cast("long")).alias("clear_pixels"),
         F.sum(F.col("quality").isin(2, 3, 7, 8, 9, 10, 11).cast("long")).alias("not_clear_pixels"))
     return publish_items(stats, "S2-16D-1", 1, "2020-01-01", "2020-01-16")
+
+
+# K6 --------------------------------------------------------------------------
+
+@register("k6_asset_export", f"""
+WITH {PIXELS_SQL},
+periods(period, ps, pe) AS (
+  VALUES ('2020-01-01_2020-01-08', DATE '2020-01-01', DATE '2020-01-08'),
+         ('2020-01-09_2020-01-16', DATE '2020-01-09', DATE '2020-01-16')
+),
+scenes AS (
+  SELECT DISTINCT p.tile_id, per.period, p.doy, p.source_idx
+  FROM pixels p JOIN periods per ON p.date BETWEEN per.ps AND per.pe
+)
+SELECT tile_id, period, count(*) AS n_assets,
+       list_sort(list('file:///assets/t' || tile_id || '/d' || doy
+                      || '/s' || source_idx || '.tif')) AS links
+FROM scenes GROUP BY tile_id, period
+""")
+def k6_asset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 merge-asset export (maestro.py:619-626): the per
+    (tile, period) asset-list dump — in Spark-native form a DataFrame
+    ready for df.write.json instead of driver-side file writes."""
+    px = pixel_plane(spark, sf_dir)
+    periods = spark.createDataFrame(
+        [("2020-01-01_2020-01-08", "2020-01-01", "2020-01-08"),
+         ("2020-01-09_2020-01-16", "2020-01-09", "2020-01-16")],
+        "period string, ps string, pe string").select(
+            "period", F.col("ps").cast("date"), F.col("pe").cast("date"))
+    scenes = (px.join(F.broadcast(periods),
+                      (F.col("date") >= F.col("ps")) & (F.col("date") <= F.col("pe")))
+              .select("tile_id", "period", "doy", "source_idx").distinct())
+    link = F.concat(F.lit("file:///assets/t"), F.col("tile_id"),
+                    F.lit("/d"), F.col("doy"),
+                    F.lit("/s"), F.col("source_idx"), F.lit(".tif"))
+    return (scenes.groupBy("tile_id", "period")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sort_array(F.collect_list(link)).alias("links")))
+
+
+# K7 --------------------------------------------------------------------------
+
+@register("k7_empty_merge_cleanup", f"""
+WITH {PIXELS_SQL},
+per_scene AS (
+  SELECT tile_id, date, doy,
+         sum(CASE WHEN value <> -9999 THEN 1 ELSE 0 END) AS n_valid
+  FROM pixels GROUP BY tile_id, date, doy
+)
+SELECT tile_id, date, doy, n_valid,
+       n_valid = 0 AS removable
+FROM per_scene
+""")
+def k7_empty_merge_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 clear_merge (celery/utils.py:63-81, tasks.py:531-535):
+    identity scenes with zero valid pixels are flagged removable (the
+    composite stays); in Spark-native form this is a filter before the
+    identity write, not a file deletion."""
+    px = pixel_plane(spark, sf_dir)
+    return (px.groupBy("tile_id", "date", "doy")
+            .agg(F.sum((F.col("value") != -9999).cast("long")).alias("n_valid"))
+            .select("tile_id", "date", "doy", "n_valid",
+                    (F.col("n_valid") == 0).alias("removable")))
+
+
+# §3.3 complete timeline -------------------------------------------------------
+
+@register("p_missing_periods", f"""
+WITH {PIXELS_SQL},
+periods(period, ps, pe) AS (
+  VALUES ('2020-01-01_2020-01-08', DATE '2020-01-01', DATE '2020-01-08'),
+         ('2020-01-09_2020-01-16', DATE '2020-01-09', DATE '2020-01-16'),
+         ('2020-01-17_2020-01-24', DATE '2020-01-17', DATE '2020-01-24')
+),
+tiles AS (SELECT t.x AS tile_id FROM generate_series(0, 7) AS t(x)),
+published AS (
+  SELECT DISTINCT p.tile_id, per.period
+  FROM pixels p JOIN periods per ON p.date BETWEEN per.ps AND per.pe
+)
+SELECT t.tile_id, per.period
+FROM tiles t CROSS JOIN periods per
+LEFT JOIN published pub ON pub.tile_id = t.tile_id AND pub.period = per.period
+WHERE pub.tile_id IS NULL
+""")
+def p_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 complete_cube_timeline (controller.py:712-724,
+    tasks.py:577-620): expected tiles × periods anti-joined against
+    published items -> the re-run work list. The third period is past
+    the data's end, so every tile reports it missing."""
+    px = pixel_plane(spark, sf_dir)
+    periods = spark.createDataFrame(
+        [("2020-01-01_2020-01-08", "2020-01-01", "2020-01-08"),
+         ("2020-01-09_2020-01-16", "2020-01-09", "2020-01-16"),
+         ("2020-01-17_2020-01-24", "2020-01-17", "2020-01-24")],
+        "period string, ps string, pe string").select(
+            "period", F.col("ps").cast("date"), F.col("pe").cast("date"))
+    tiles = spark.range(8).select(F.col("id").alias("tile_id"))
+    published = (px.join(F.broadcast(periods),
+                         (F.col("date") >= F.col("ps")) & (F.col("date") <= F.col("pe")))
+                 .select("tile_id", "period").distinct())
+    expected = tiles.crossJoin(periods.select("period"))
+    return expected.join(published, ["tile_id", "period"], "left_anti")
