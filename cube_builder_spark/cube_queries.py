@@ -328,13 +328,18 @@ idx_bands AS (
 @register("c14_band_indexes", f"""
 WITH {_IDX_BANDS_SQL}
 SELECT l_orderkey, l_linenumber,
+       -- undefined pixels (zero denominator) -> nodata BEFORE the
+       -- clamp: greatest/least skip NULLs in both engines, so a
+       -- clamped NULL would resurrect as the dtype lower bound
        CASE WHEN B8A = -9999 OR B04 = -9999 THEN -9999
-            ELSE coalesce(CAST(trunc(least(greatest(
-                   10000.0*(B8A-B04)/NULLIF(B8A+B04, 0), -32768.0), 32767.0)) AS BIGINT), -9999)
+            WHEN B8A + B04 = 0 THEN -9999
+            ELSE CAST(trunc(least(greatest(
+                   10000.0*(B8A-B04)/(B8A+B04), -32768.0), 32767.0)) AS BIGINT)
        END AS NDVI,
        CASE WHEN B8A = -9999 OR B04 = -9999 OR B02 = -9999 THEN -9999
-            ELSE coalesce(CAST(trunc(least(greatest(
-                   10000.0*2.5*(B8A-B04)/NULLIF(B8A+6.0*B04-7.5*B02+10000.0, 0), -32768.0), 32767.0)) AS BIGINT), -9999)
+            WHEN B8A + 6.0*B04 - 7.5*B02 + 10000.0 = 0 THEN -9999
+            ELSE CAST(trunc(least(greatest(
+                   10000.0*2.5*(B8A-B04)/(B8A+6.0*B04-7.5*B02+10000.0), -32768.0), 32767.0)) AS BIGINT)
        END AS EVI
 FROM idx_bands
 """)

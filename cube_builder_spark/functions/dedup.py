@@ -58,16 +58,28 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 4) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]]) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature, bucket-join, emit distinct candidate pairs
     (doc_a < doc_b). Each band is a list of signature columns whose
-    concatenation is the bucket key."""
+    concatenation is the bucket key.
+
+    ``max_bucket`` is the scale guard: a degenerate bucket (boilerplate
+    or stop-shingle collisions) of size n contributes n²/2 pairs and
+    dominates the self-join as pure skew. Buckets larger than the cap
+    are dropped before the join — the standard LSH practice (their
+    members still pair through their other, more selective bands).
+    """
     buckets = None
     for i, cols in enumerate(bands):
         b = signatures.select(
             "doc_id",
             F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols]).alias("bucket"))
         buckets = b if buckets is None else buckets.unionAll(b)
+    if max_bucket is not None:
+        sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+        buckets = (buckets.join(sizes.filter(F.col("_n") <= max_bucket), "bucket")
+                   .drop("_n"))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

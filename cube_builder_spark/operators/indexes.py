@@ -33,22 +33,32 @@ def compile_band_expression(expression: str, band_cols: list[str],
     """Compile a band formula (e.g. ``10000.*(B8A-B04)/(B8A+B04)``) to a
     Catalyst Column: NULL-safe division, inputs-nodata propagation,
     dtype clamp then truncate-cast (index_generator.py:103-119).
+
+    Deliberate deviation: where the formula is undefined (zero
+    denominator) the reference's numpy path produces ``nan`` and then
+    ``astype(int16)`` — platform-defined garbage (−32768 on x86). We
+    define that case as nodata instead.
     """
     if not _EXPR_RE.match(expression):
         raise BandExpressionError(f"unsupported band expression: {expression!r}")
     # numpy float-literal spellings like `10000.*x` parse as SQL floats
     # fine except trailing-dot-then-operator; normalize `123.` -> `123.0`
     norm = re.sub(r"(\d+)\.(?!\d)", r"\1.0", expression)
-    col = F.expr(norm)
+    col = F.expr(norm).cast("double")
     lo, hi = DTYPE_RANGES[dtype]
     any_nodata = F.lit(False)
     for b in band_cols:
         any_nodata = any_nodata | (F.col(b) == nodata)
-    # division by zero (e.g. nir+red == 0) yields NULL under ANSI-safe
-    # try_divide / DuckDB NULLIF idiom; propagate to nodata.
+    # Two non-ANSI hazards around undefined pixels (e.g. nir+red == 0):
+    # division may yield NULL or NaN/Infinity, and greatest/least
+    # IGNORE nulls — an unguarded clamp would resurrect NULL as the
+    # dtype lower bound. Squash non-finite to NULL, clamp only defined
+    # values, coalesce to nodata — the reference's masked-array
+    # arithmetic masks these pixels the same way.
+    finite = F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+    clamped = F.when(finite.isNotNull(), clamp(finite, float(lo), float(hi)))
     return (F.when(any_nodata, F.lit(int(nodata)))
-            .otherwise(F.coalesce(clamp(col, float(lo), float(hi)).cast("long"),
-                                  F.lit(int(nodata)))))
+            .otherwise(F.coalesce(clamped.cast("long"), F.lit(int(nodata)))))
 
 
 def generate_band_indexes(df: DataFrame, indexes: dict[str, str],
