@@ -49,6 +49,11 @@ def main():
     names = [n for n in HEADLINE if n in queries]
     # warm the JVM + parquet footers once so timings measure the queries
     queries[names[0]](spark, sf_dir).collect()
+    # ...and spawn the Python UDF workers + Arrow channels (otherwise the
+    # first pandas-UDF query is charged ~3s of worker startup)
+    def _identity(it):
+        yield from it
+    spark.range(256).repartition(32).mapInPandas(_identity, "id long").count()
     timings = {}
     for name in names:
         t0 = time.perf_counter()

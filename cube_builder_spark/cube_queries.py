@@ -140,7 +140,7 @@ def c16_temporal_priority_lcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16 (timeline.py:208-249): LCF with nearest-to-reference-day
     scene ordering (reference day 8) instead of efficacy."""
     out = blend.blend_lcf(pixel_plane(spark, sf_dir),
-                          order_cols=blend.temporal_priority_order(8))
+                          order_key=blend.temporal_priority_key(8))
     return out.select("tile_id", "pixel_id",
                       F.col("lcf_value").alias("tp_value"),
                       F.col("provenance").alias("tp_provenance"))
@@ -413,7 +413,9 @@ def c1_mosaic_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 3).alias("source_idx"),
     )
     return mosaic.mosaic_first_valid(
-        scenes, order_cols=[F.asc("source_idx"), F.desc("value")])
+        scenes,
+        order_key=F.struct((-F.col("source_idx")).alias("k1"),
+                           F.col("value").alias("k2")))
 
 
 # C15 -------------------------------------------------------------------------

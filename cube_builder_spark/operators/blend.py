@@ -11,16 +11,18 @@ TOTALOB counts non-nodata quality observations (``processing.py:826-833``),
 CLEAROB counts clear observations (``processing.py:896-899``).
 
 Spark-first shape: one broadcast join of per-scene efficacy (tiny:
-tiles × dates) + one shuffle partitioned by (tile_id, pixel_id) where
-two conditional ``row_number`` windows pick the winning observation,
-then a single partial-aggregated groupBy. No per-pixel Python; entire
-plan is Catalyst/whole-stage-codegen. At 100 TB the shuffle key is the
-pixel-block key, matching the reference's per-block fan-out.
+tiles × dates) + ONE partial-aggregated groupBy partitioned by the
+work-unit key, where "first by ordering" is expressed as
+max(struct(order_key, payload)) — an associative aggregate, so the
+pick happens map-side before the single shuffle. No windows, no
+per-pixel Python; the whole plan is Catalyst/whole-stage-codegen. At
+100 TB the shuffle key is the pixel-block key, matching the
+reference's per-block fan-out.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pixelplane import (BAND_NODATA, CLEAR_VALUES, NOT_CLEAR_VALUES,
@@ -52,63 +54,66 @@ def scene_efficacy(pixels: DataFrame, clear_values=None, not_clear_values=None) 
     )
 
 
-def _ranked(pixels: DataFrame, order_cols: list, clear_values=None,
-            nodata: int = BAND_NODATA,
-            keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
-    """Attach first-clear / first-valid pick flags via conditional
-    row_number windows (partitioned by pixel × predicate). ``keys`` is
-    the composite work-unit key — (tile, pixel) for one period, plus
-    period/band columns when one job blends a whole cube."""
-    pix = (pixels
-           .withColumn("is_clear", F.col("quality").isin(*(clear_values or CLEAR_VALUES)))
-           .withColumn("is_valid", F.col("value") != nodata))
-    w_clear = Window.partitionBy(*keys, "is_clear").orderBy(*order_cols)
-    w_valid = Window.partitionBy(*keys, "is_valid").orderBy(*order_cols)
-    return (pix
-            .withColumn("rn_clear", F.row_number().over(w_clear))
-            .withColumn("rn_valid", F.row_number().over(w_valid)))
+def default_order_key() -> "F.Column":
+    """LCF ordering as a MAX key: (efficacy, date) — the reference's
+    ``sorted(mask_tuples, reverse=True)`` on (efficacy, date-key)
+    tuples (processing.py:654). Struct comparison is lexicographic, so
+    max(struct) IS first-by-(efficacy desc, date desc)."""
+    return F.struct(F.col("efficacy").alias("k1"), F.col("date").alias("k2"))
 
 
-def _first(cond, col):
-    return F.max(F.when(cond, F.col(col)))
+def temporal_priority_key(ref_doy: int) -> "F.Column":
+    """C16 ordering as a MAX key (timeline.py:208-249): nearest to the
+    reference day first, ties to the EARLIER date — negate both so the
+    max picks the minimum distance then the minimum doy."""
+    return F.struct((-F.abs(F.col("doy") - F.lit(ref_doy))).alias("k1"),
+                    (-F.col("doy")).alias("k2"))
+
+
+def _pick(cond, order_key) -> "F.Column":
+    """First-by-ordering as ONE aggregation: max over rows matching
+    ``cond`` of (order_key, payload). No window, no extra shuffle —
+    the groupBy's single exchange does everything, and partial (map-
+    side) aggregation keeps the shuffle at one row per group. This is
+    the 100 TB-shaped replacement for two row_number windows whose
+    partition keys differed from the final groupBy key (3 exchanges)."""
+    payload = F.struct(F.col("value").alias("value"), F.col("doy").alias("doy"),
+                       F.col("source_idx").alias("source_idx"))
+    return F.max(F.when(cond, F.struct(order_key.alias("k"),
+                                       payload.alias("p"))))
 
 
 def blend_lcf(pixels: DataFrame, efficacy: DataFrame | None = None,
-              order_cols: list | None = None, clear_values=None,
+              order_key=None, clear_values=None,
               not_clear_values=None, nodata: int = BAND_NODATA,
               keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """C2 + C6: LCF best-pixel composite with PROVENANCE and DATASOURCE.
 
-    ``order_cols`` overrides the scene ordering (C16 temporal priority,
-    timeline.py:208-249, plugs in here). Default: efficacy desc then
-    date desc — the reference's ``sorted(mask_tuples, reverse=True)``
-    on (efficacy, date-key) tuples (processing.py:654).
+    ``order_key`` overrides the scene ordering (C16 temporal priority
+    plugs in via ``temporal_priority_key``). Default: efficacy desc
+    then date desc. ``keys`` is the composite work-unit key —
+    (tile, pixel) for one period, plus period/band columns when one
+    job blends a whole cube.
     """
-    if order_cols is None:
+    if order_key is None:
         if efficacy is None:
             efficacy = scene_efficacy(pixels, clear_values, not_clear_values)
         pixels = pixels.join(
             F.broadcast(efficacy.select("tile_id", "date", "efficacy")),
             ["tile_id", "date"])
-        order_cols = [F.desc("efficacy"), F.desc("date")]
-    ranked = _ranked(pixels, order_cols, clear_values, nodata, keys)
-    first_clear = F.col("is_clear") & (F.col("rn_clear") == 1)
-    first_valid = F.col("is_valid") & (F.col("rn_valid") == 1)
+        order_key = default_order_key()
+    is_clear = F.col("quality").isin(*(clear_values or CLEAR_VALUES))
+    is_valid = F.col("value") != nodata
     return (
-        ranked.groupBy(*keys)
-        .agg(
-            _first(first_clear, "value").alias("clear_value"),
-            _first(first_clear, "doy").alias("clear_doy"),
-            _first(first_clear, "source_idx").alias("clear_source"),
-            _first(first_valid, "value").alias("valid_value"),
-            _first(first_valid, "doy").alias("valid_doy"),
-            _first(first_valid, "source_idx").alias("valid_source"),
-        )
+        pixels.groupBy(*keys)
+        .agg(_pick(is_clear, order_key).alias("c"),
+             _pick(is_valid, order_key).alias("v"))
         .select(
             *keys,
-            F.coalesce("clear_value", "valid_value", F.lit(nodata)).alias("lcf_value"),
-            F.coalesce("clear_doy", "valid_doy", F.lit(-1)).cast("long").alias("provenance"),
-            F.coalesce("clear_source", "valid_source", F.lit(255)).cast("long").alias("datasource"),
+            F.coalesce("c.p.value", "v.p.value", F.lit(nodata)).alias("lcf_value"),
+            F.coalesce("c.p.doy", "v.p.doy", F.lit(-1)).cast("long").alias("provenance"),
+            F.coalesce("c.p.source_idx", "v.p.source_idx", F.lit(255))
+            .cast("long").alias("datasource"),
         )
     )
 
@@ -144,52 +149,41 @@ def observation_counts(pixels: DataFrame, quality_nodata: int = 0,
 
 
 def blend_all(pixels: DataFrame, efficacy: DataFrame | None = None,
-              order_cols: list | None = None, clear_values=None,
+              order_key=None, clear_values=None,
               not_clear_values=None, nodata: int = BAND_NODATA,
               keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
     """C2–C6 in ONE grouped pass: LCF picks (value/provenance/
     datasource), exact MED, TOTALOB and CLEAROB all come out of the
     same (keys)-partitioned aggregation — one shuffle for the whole
-    blend family instead of three aggregations stitched with joins.
-    This is the production shape: at scale the joins would re-shuffle
-    cube-sized intermediates for no reason."""
-    if order_cols is None:
+    blend family."""
+    if order_key is None:
         if efficacy is None:
             efficacy = scene_efficacy(pixels, clear_values, not_clear_values)
         pixels = pixels.join(
             F.broadcast(efficacy.select("tile_id", "date", "efficacy")),
             ["tile_id", "date"])
-        order_cols = [F.desc("efficacy"), F.desc("date")]
-    ranked = _ranked(pixels, order_cols, clear_values, nodata, keys)
-    first_clear = F.col("is_clear") & (F.col("rn_clear") == 1)
-    first_valid = F.col("is_valid") & (F.col("rn_valid") == 1)
-    clear = F.col("quality").isin(*(clear_values or CLEAR_VALUES))
+        order_key = default_order_key()
+    is_clear = F.col("quality").isin(*(clear_values or CLEAR_VALUES))
+    is_valid = F.col("value") != nodata
     return (
-        ranked.groupBy(*keys)
+        pixels.groupBy(*keys)
         .agg(
-            _first(first_clear, "value").alias("clear_value"),
-            _first(first_clear, "doy").alias("clear_doy"),
-            _first(first_clear, "source_idx").alias("clear_source"),
-            _first(first_valid, "value").alias("valid_value"),
-            _first(first_valid, "doy").alias("valid_doy"),
-            _first(first_valid, "source_idx").alias("valid_source"),
-            F.median(F.when(clear, F.col("value")).cast("double")).alias("med_raw"),
+            _pick(is_clear, order_key).alias("c"),
+            _pick(is_valid, order_key).alias("v"),
+            F.median(F.when(is_clear, F.col("value")).cast("double")).alias("med_raw"),
             F.sum((F.col("quality") != 0).cast("long")).alias("totalob"),
-            F.sum(clear.cast("long")).alias("clearob"),
+            F.sum(is_clear.cast("long")).alias("clearob"),
         )
         .select(
             *keys,
-            F.coalesce("clear_value", "valid_value", F.lit(nodata)).alias("lcf_value"),
-            F.coalesce("clear_doy", "valid_doy", F.lit(-1)).cast("long").alias("provenance"),
-            F.coalesce("clear_source", "valid_source", F.lit(255)).cast("long").alias("datasource"),
+            F.coalesce("c.p.value", "v.p.value", F.lit(nodata)).alias("lcf_value"),
+            F.coalesce("c.p.doy", "v.p.doy", F.lit(-1)).cast("long").alias("provenance"),
+            F.coalesce("c.p.source_idx", "v.p.source_idx", F.lit(255))
+            .cast("long").alias("datasource"),
             F.coalesce(F.col("med_raw"), F.lit(float(nodata))).alias("med_value"),
             "totalob", "clearob",
         )
     )
 
 
-def temporal_priority_order(ref_doy: int) -> list:
-    """C16: nearest-to-reference-day-first ordering
-    (timeline.py:208-249); ties resolved to the earlier date, matching
-    Python min() taking the first of equals on the sorted timeline."""
-    return [F.abs(F.col("doy") - F.lit(ref_doy)).asc(), F.col("date").asc()]
+

@@ -18,36 +18,38 @@ module is the mosaic reduction, which is where the data volume is.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pixelplane import BAND_NODATA, valid_col
 
 
-def mosaic_first_valid(scenes: DataFrame, order_cols: list | None = None,
+def mosaic_first_valid(scenes: DataFrame, order_key=None,
                        keys: tuple[str, ...] = ("tile_id", "pixel_id", "date")) -> DataFrame:
     """Reduce overlapping scene observations to one pixel per ``keys``
     slot (default (tile_id, pixel_id, date); add band for multi-band
     jobs): first valid wins, with DATASOURCE.
 
     ``scenes`` columns: ``keys`` + value, source_idx, scene_order
-    (priority; lower = preferred).
+    (priority; lower = preferred). ``order_key`` is a MAX key (struct
+    compared lexicographically); default prefers the lowest
+    scene_order. One groupBy — no window, a single shuffle with
+    map-side partial aggregation, like the reference's streaming
+    canvas fill but associative.
     """
-    if order_cols is None:
-        order_cols = [F.col("scene_order").asc()]
-    w = Window.partitionBy(*keys, "is_valid").orderBy(*order_cols)
-    ranked = (scenes.withColumn("is_valid", valid_col())
-              .withColumn("rn", F.row_number().over(w)))
-    win = F.col("is_valid") & (F.col("rn") == 1)
+    if order_key is None:
+        order_key = F.struct((-F.col("scene_order")).alias("k1"))
+    win = F.when(valid_col(), F.struct(
+        order_key.alias("k"),
+        F.struct(F.col("value").alias("value"),
+                 F.col("source_idx").alias("source_idx")).alias("p")))
     return (
-        ranked.groupBy(*keys)
-        .agg(F.max(F.when(win, F.col("value"))).alias("win_value"),
-             F.max(F.when(win, F.col("source_idx"))).alias("win_source"),
-             F.count(F.lit(1)).alias("n_scenes"))
+        scenes.groupBy(*keys)
+        .agg(F.max(win).alias("w"), F.count(F.lit(1)).alias("n_scenes"))
         .select(
             *keys,
-            F.coalesce("win_value", F.lit(BAND_NODATA)).alias("merge_value"),
-            F.coalesce("win_source", F.lit(255)).cast("long").alias("datasource"),
+            F.coalesce("w.p.value", F.lit(BAND_NODATA)).alias("merge_value"),
+            F.coalesce("w.p.source_idx", F.lit(255)).cast("long").alias("datasource"),
             "n_scenes",
         )
     )

@@ -107,8 +107,8 @@ def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     eff = blend.scene_efficacy(qual)
     with_eff = joined.join(F.broadcast(eff.select("tile_id", "date", "efficacy")),
                            ["tile_id", "date"])
-    order = [F.desc("efficacy"), F.desc("date")]
-    out = blend.blend_all(with_eff, order_cols=order, nodata=cfg.nodata, keys=keys)
+    out = blend.blend_all(with_eff, order_key=blend.default_order_key(),
+                          nodata=cfg.nodata, keys=keys)
     value = F.col("lcf_value") if cfg.composite == "LCF" else \
         F.col("med_value").cast("long")
     return out.select(
