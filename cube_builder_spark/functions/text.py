@@ -84,3 +84,48 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("fp"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("content_fp"),
     )
+
+
+# BPE-ish regex tokenization (GPT-2-style pretokenizer shape):
+# contractions, letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """Pretokenizer split as a column expression (regexp_extract_all
+    is JVM-side; no UDF)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting under the BPE-ish pretokenizer: total tokens,
+    distinct tokens, letter/digit/punct split — the unit a training
+    pipeline budgets by."""
+    toks = bpe_tokens_col(F.col(text_col))
+    is_word = lambda t: t.rlike("^[a-zA-Z]")
+    is_num = lambda t: t.rlike("^[0-9]")
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_uniq"),
+        F.size(F.filter(toks, is_word)).cast("long").alias("n_word"),
+        F.size(F.filter(toks, is_num)).cast("long").alias("n_number"),
+    )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash over the token stream (Rabin-Karp
+    shape): h = fold(h*B + code) mod M, with per-token codes derived
+    from md5 so the fold is engine-portable. One F.aggregate — an
+    associative-scan-free left fold that runs inside codegen; the
+    shuffle-free path to a corpus-wide fingerprint column."""
+    toks = tokens_col(F.col(text_col))
+    codes = F.transform(toks, lambda t: F.ascii(F.substring(F.md5(t), 1, 1)))
+    rolled = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD)
+    return df.select("doc_id", rolled.alias("rolling_fp"))

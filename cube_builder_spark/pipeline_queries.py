@@ -412,3 +412,37 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import multimodal
     media = multimodal.attach_fake_media(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n=2)
+
+
+@register("t_bpe_token_stats", r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_bpe_uniq,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-zA-Z]'))) AS BIGINT) AS n_word,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_number
+FROM toks
+""")
+def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token counting (regexp_extract_all,
+    JVM-side)."""
+    return text.bpe_token_stats(_docs(spark, sf_dir))
+
+
+@register("t_rolling_fingerprint", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(t, x -> CAST(ascii(substr(md5(x), 1, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+FROM toks
+""")
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling polynomial hash over the token stream
+    (document fingerprinting for shift-tolerant matching)."""
+    return text.rolling_fingerprint(_docs(spark, sf_dir))
