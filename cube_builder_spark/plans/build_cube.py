@@ -208,6 +208,36 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
          .write.mode("append").partitionBy("tile_id", "period")
          .parquet(cube_path))
         items.write.mode("append").parquet(items_path)
-    return {"cube_path": cube_path, "items_path": items_path,
-            "new_items": n_items,
-            "reused_items": 0 if done is None else done.count()}
+    summary = {"cube_path": cube_path, "items_path": items_path,
+               "new_items": n_items,
+               "reused_items": 0 if done is None else done.count()}
+    _append_job_log(spark, out_dir, cfg, summary)
+    return summary
+
+
+def _append_job_log(spark: SparkSession, out_dir: str, cfg: CubeJobConfig,
+                    summary: dict) -> None:
+    """O5 (tasks.py:549-574, controller.py:385-417): the async-status
+    surface. The broker/DB state machine becomes an append-only job-log
+    table next to the cube; ``job_status`` reads it back."""
+    import time
+    row = [(f"{cfg.cube}-{cfg.version}", cfg.composite,
+            float(time.time()), summary["new_items"], summary["reused_items"],
+            "done" if summary["new_items"] or summary["reused_items"] else "empty")]
+    df = spark.createDataFrame(
+        row, "cube string, composite string, ts double, "
+             "new_items long, reused_items long, status string")
+    df.write.mode("append").parquet(os.path.join(out_dir, "job_log"))
+
+
+def job_status(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest run per cube (R3-style min/max over the log — the
+    reference's /cube-status endpoint against the activity table)."""
+    log = spark.read.parquet(os.path.join(out_dir, "job_log"))
+    latest = log.groupBy("cube").agg(
+        F.max("ts").alias("ts"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("new_items").alias("total_items"))
+    return latest.join(log, ["cube", "ts"]).select(
+        "cube", "composite", "status", "n_runs", "total_items",
+        "new_items", "reused_items")

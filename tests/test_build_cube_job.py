@@ -98,3 +98,16 @@ def test_build_cube_med_composite(spark, sf_dir, tmp_path):
     # MED value column equals the med_value statistic (long-cast)
     bad = cube.filter(F.col("value") != F.col("med_value").cast("long")).count()
     assert bad == 0
+
+
+def test_job_log_and_status(spark, sf_dir, tmp_path):
+    from cube_builder_spark.plans.build_cube import job_status
+    out = str(tmp_path / "cube_log")
+    obs = synth_observations(spark, sf_dir)
+    build_cube(spark, obs, out, CubeJobConfig())
+    build_cube(spark, obs, out, CubeJobConfig())   # no-op incremental run
+    st = job_status(spark, out).collect()
+    assert len(st) == 1
+    r = st[0]
+    assert r.cube == "SYN-CUBE-1" and r.n_runs == 2
+    assert r.new_items == 0 and r.reused_items > 0   # latest run reused all
