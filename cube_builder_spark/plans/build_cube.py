@@ -54,6 +54,9 @@ class CubeJobConfig:
         default_factory=lambda: {"NDVI": "10000 * (B8A - B04) / (B8A + B04)"})
     nodata: int = BAND_NODATA
     force: bool = False
+    # C16: when set, scenes blend nearest-to-this-day-of-year first
+    # instead of by efficacy (tasks.py:387-395)
+    reference_day: int | None = None
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -104,11 +107,17 @@ def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     joined = spectral.join(qual, ["tile_id", "pixel_id", "date", "period"])
 
     keys = ("tile_id", "period", "band", "pixel_id")
-    eff = blend.scene_efficacy(qual)
-    with_eff = joined.join(F.broadcast(eff.select("tile_id", "date", "efficacy")),
-                           ["tile_id", "date"])
-    out = blend.blend_all(with_eff, order_key=blend.default_order_key(),
-                          nodata=cfg.nodata, keys=keys)
+    if cfg.reference_day is not None:
+        out = blend.blend_all(
+            joined, order_key=blend.temporal_priority_key(cfg.reference_day),
+            nodata=cfg.nodata, keys=keys)
+    else:
+        eff = blend.scene_efficacy(qual)
+        with_eff = joined.join(
+            F.broadcast(eff.select("tile_id", "date", "efficacy")),
+            ["tile_id", "date"])
+        out = blend.blend_all(with_eff, order_key=blend.default_order_key(),
+                              nodata=cfg.nodata, keys=keys)
     value = F.col("lcf_value") if cfg.composite == "LCF" else \
         F.col("med_value").cast("long")
     return out.select(

@@ -111,3 +111,21 @@ def test_job_log_and_status(spark, sf_dir, tmp_path):
     r = st[0]
     assert r.cube == "SYN-CUBE-1" and r.n_runs == 2
     assert r.new_items == 0 and r.reused_items > 0   # latest run reused all
+
+
+def test_build_cube_reference_day_ordering(spark, sf_dir, tmp_path):
+    """C16 in the job: provenance skews toward the reference day."""
+    obs = synth_observations(spark, sf_dir)
+    res_eff = build_cube(spark, obs, str(tmp_path / "eff"),
+                         CubeJobConfig(index_bands={}))
+    res_ref = build_cube(spark, obs, str(tmp_path / "ref"),
+                         CubeJobConfig(index_bands={}, reference_day=4))
+    eff = spark.read.parquet(res_eff["cube_path"]).filter("band = 'B04'")
+    ref = spark.read.parquet(res_ref["cube_path"]).filter("band = 'B04'")
+    mean_dist = lambda df, day: (df.filter(F.col("provenance") > 0)
+                                 .agg(F.avg(F.abs(F.col("provenance") - day)))
+                                 .first()[0])
+    # nearest-to-day-4-first ordering pulls provenance toward day 4
+    assert mean_dist(ref, 4) < mean_dist(eff, 4)
+    # same pixels produced either way
+    assert eff.count() == ref.count()
