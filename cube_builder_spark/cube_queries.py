@@ -857,3 +857,38 @@ def k2_quicklook_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quicklook_png(scaled, ncols=32)
     return out.select("tile_id", "period", "width", "height",
                       F.md5("png").alias("png_md5"))
+
+
+# C2-C6 over the block-array representation ------------------------------------
+
+@register("c2_blend_blocks", f"""
+WITH {PIXELS_SQL}, {_EFF_SQL}, {_LCF_RANKED_SQL}
+SELECT r.tile_id, r.pixel_id,
+       coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN r.value END),
+                max(CASE WHEN is_valid AND rn_valid = 1 THEN r.value END), -9999) AS lcf_value,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN r.doy END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN r.doy END), -1) AS BIGINT) AS provenance,
+       CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN r.source_idx END),
+                     max(CASE WHEN is_valid AND rn_valid = 1 THEN r.source_idx END), 255) AS BIGINT) AS datasource,
+       coalesce(median(CASE WHEN p.quality IN (4,5,6) THEN CAST(p.value AS DOUBLE) END), -9999.0) AS med_value,
+       sum(CASE WHEN p.quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob,
+       sum(CASE WHEN p.quality <> 0 THEN 1 ELSE 0 END) AS totalob
+FROM ranked r JOIN pixels p
+  ON p.tile_id = r.tile_id AND p.pixel_id = r.pixel_id AND p.doy = r.doy
+GROUP BY r.tile_id, r.pixel_id
+""")
+def c2_blend_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C6 over the BLOCK-ARRAY representation (operators/blocks.py):
+    512-pixel array rows reduced by the vectorized numpy kernel inside
+    applyInPandas — the production shape at 100 TB (one row = one
+    rasterio block window), hash-checked against the same oracle as
+    the pixel-row path."""
+    from .operators.blocks import blend_blocks, blocks_to_pixels, pixels_to_blocks
+    px = pixel_plane(spark, sf_dir)
+    eff = blend.scene_efficacy(px)
+    blocks = pixels_to_blocks(px, eff, block_size=64)
+    out = blocks_to_pixels(blend_blocks(blocks), block_size=64)
+    # dense fill materializes unobserved slots; the oracle plane only
+    # has observed pixels
+    return out.join(px.select("tile_id", "pixel_id").distinct(),
+                    ["tile_id", "pixel_id"], "left_semi")
