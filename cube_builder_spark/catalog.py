@@ -10,6 +10,7 @@ endpoint (R1-R8) is a DataFrame query.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,8 +48,10 @@ class CubeDefinition:
     is_combined: bool = False
 
     def identifier(self, composed: bool = True) -> str:
-        suffix = "" if composed else "_IDT"
-        return f"{self.name}-{self.version}{suffix}"
+        """'{name}-{version}' composed, '{name}_IDT-{version}' identity
+        (matches create_cube's collection identifiers)."""
+        name = self.name if composed else f"{self.name}_IDT"
+        return f"{name}-{self.version}"
 
 
 def create_cube(defn: CubeDefinition) -> tuple[list[dict], list[dict]]:
@@ -158,3 +161,50 @@ def collections_df(spark: SparkSession, defns: list[CubeDefinition]) -> DataFram
         rows,
         schema=("name string, version int, identifier string, composite_function string, "
                 "grid string, resolution double, quality_band string, source_collection string"))
+
+
+def quicklook_rows(defn: CubeDefinition) -> list[dict]:
+    """Quicklook RGB triple per cube (controller.py:204-209): the
+    red/green/blue common-name bands drive K2/K3."""
+    by_common = {b.get("common_name"): b["name"] for b in defn.bands}
+    rows = []
+    for composed in (False, True):
+        if composed and defn.composite_function == "IDT":
+            continue
+        rows.append(dict(
+            collection=defn.identifier(composed),
+            red=by_common.get("red"), green=by_common.get("green"),
+            blue=by_common.get("blue")))
+    return rows
+
+
+_BAND_REF_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def band_src_rows(defn: CubeDefinition) -> list[dict]:
+    """BandSRC provenance for expression bands (controller.py:199-202):
+    one row per (index band, referenced source band)."""
+    band_names = {b["name"] for b in defn.bands}
+    rows = []
+    for composed in (False, True):
+        if composed and defn.composite_function == "IDT":
+            continue
+        coll = defn.identifier(composed)
+        for name, expression in defn.indexes.items():
+            for ref in sorted(set(_BAND_REF_RE.findall(expression)) & band_names):
+                rows.append(dict(collection=coll, band=name, src_band=ref))
+    return rows
+
+
+def quicklook_df(spark: SparkSession, defns: list[CubeDefinition]) -> DataFrame:
+    rows = [r for d in defns for r in quicklook_rows(d)]
+    return spark.createDataFrame(
+        [(r["collection"], r["red"], r["green"], r["blue"]) for r in rows],
+        "collection string, red string, green string, blue string")
+
+
+def band_src_df(spark: SparkSession, defns: list[CubeDefinition]) -> DataFrame:
+    rows = [r for d in defns for r in band_src_rows(d)]
+    return spark.createDataFrame(
+        [(r["collection"], r["band"], r["src_band"]) for r in rows],
+        "collection string, band string, src_band string")

@@ -246,3 +246,41 @@ def p_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("tile_id", "period").distinct())
     expected = tiles.crossJoin(periods.select("period"))
     return expected.join(published, ["tile_id", "period"], "left_anti")
+
+
+# §3.2 quicklook triple + BandSRC provenance ------------------------------------
+
+@register("meta_quicklook_rgb", """
+SELECT * FROM (VALUES
+  ('LC8-16D_IDT-1', 'sr_band4', 'sr_band3', 'sr_band2'),
+  ('LC8-16D-1',     'sr_band4', 'sr_band3', 'sr_band2'),
+  ('S2-16D_IDT-1',  'B04', 'B03', 'B02'),
+  ('S2-16D-1',      'B04', 'B03', 'B02')
+) AS t(collection, red, green, blue)
+""")
+def meta_quicklook_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quicklook RGB triple rows (controller.py:204-209) derived from
+    the red/green/blue common-name bands of the fixture cubes."""
+    return catalog.quicklook_df(spark, [catalog.LC8_16D, catalog.S2_16D])
+
+
+@register("meta_band_provenance", """
+SELECT * FROM (VALUES
+  ('LC8-16D_IDT-1', 'EVI',  'sr_band2'), ('LC8-16D_IDT-1', 'EVI',  'sr_band4'),
+  ('LC8-16D_IDT-1', 'EVI',  'sr_band5'), ('LC8-16D_IDT-1', 'NDVI', 'sr_band4'),
+  ('LC8-16D_IDT-1', 'NDVI', 'sr_band5'),
+  ('LC8-16D-1', 'EVI',  'sr_band2'), ('LC8-16D-1', 'EVI',  'sr_band4'),
+  ('LC8-16D-1', 'EVI',  'sr_band5'), ('LC8-16D-1', 'NDVI', 'sr_band4'),
+  ('LC8-16D-1', 'NDVI', 'sr_band5'),
+  ('S2-16D_IDT-1', 'EVI',  'B02'), ('S2-16D_IDT-1', 'EVI',  'B04'),
+  ('S2-16D_IDT-1', 'EVI',  'B8A'), ('S2-16D_IDT-1', 'NDVI', 'B04'),
+  ('S2-16D_IDT-1', 'NDVI', 'B8A'),
+  ('S2-16D-1', 'EVI',  'B02'), ('S2-16D-1', 'EVI',  'B04'),
+  ('S2-16D-1', 'EVI',  'B8A'), ('S2-16D-1', 'NDVI', 'B04'),
+  ('S2-16D-1', 'NDVI', 'B8A')
+) AS t(collection, band, src_band)
+""")
+def meta_band_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BandSRC rows (controller.py:199-202): which source bands feed
+    each expression band, parsed from the index formulas."""
+    return catalog.band_src_df(spark, [catalog.LC8_16D, catalog.S2_16D])
