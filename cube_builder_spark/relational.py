@@ -358,3 +358,63 @@ def r11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s_name", "n_name")
             .agg(F.count(F.lit(1)).alias("n_lineitems"),
                  (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("total_price")))
+
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01'
+  AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking: EXISTS subquery = LEFT SEMI join (the
+    decorrelated plan Catalyst picks; at scale the semi join shuffles
+    only the key column)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    semi = o.join(late, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register("q10_returned_items", """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, rev_c / 1e2 AS revenue
+FROM rev ORDER BY rev_c DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: 4-way join (two broadcastable dims) +
+    group-top-N with a deterministic tiebreak."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(t["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(_cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))).alias("rev_c")))
+    return (rev.orderBy(F.desc("rev_c"), "c_custkey").limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    (F.col("rev_c") / 100.0).alias("revenue")))
