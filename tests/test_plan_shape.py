@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale properties (pushdown,
+broadcast selection, no accidental windows/shuffles) must survive
+refactors, not just the values."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from cube_builder_spark.queries import all_queries
+    return all_queries()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark, sf_dir, queries):
+    plan = _physical(queries["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan          # dims broadcast
+    assert "SortMergeJoin" not in plan          # nothing big-big here
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_filter_reaches_scan_and_prunes_columns(spark, sf_dir, queries):
+    plan = _physical(queries["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+    # column pruning: the scan reads only what the query needs
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def _distinct_shuffles(plan: str) -> set[str]:
+    import re
+    return {m.group(1) for m in
+            re.finditer(r"(?<!Broadcast)Exchange \((\d+)\)", plan)}
+
+
+def test_blend_has_no_window_and_single_agg_exchange(spark, sf_dir, queries):
+    plan = _physical(queries["c2_blend_lcf"](spark, sf_dir))
+    assert "Window" not in plan                 # max-of-struct, not row_number
+    assert "BroadcastHashJoin" in plan          # efficacy join broadcast
+    # the only shuffles allowed: plane derivation (cached), the tiny
+    # efficacy groupBy, and the blend groupBy itself
+    assert len(_distinct_shuffles(plan)) <= 3, \
+        f"blend plan grew extra shuffles:\n{plan[:2000]}"
+
+
+def test_mosaic_has_no_window(spark, sf_dir, queries):
+    plan = _physical(queries["c1_mosaic_first_valid"](spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_ann_bruteforce_broadcasts_query_vector(spark, sf_dir, queries):
+    plan = _physical(queries["a_ann_bruteforce_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan      # top-k, not global sort
+
+
+def test_e2e_pipeline_assigns_periods_by_broadcast(spark, sf_dir, queries):
+    plan = _physical(queries["p_cube_build_e2e"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
