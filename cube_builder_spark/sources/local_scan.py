@@ -28,15 +28,18 @@ DEFAULT_FORMAT = {
 
 
 def scan_directory(spark: SparkSession, folder: str,
-                   fmt: dict = None, recursive: bool = True) -> DataFrame:
+                   fmt: dict = None, recursive: bool = True,
+                   with_content: bool = False) -> DataFrame:
     """List a raster folder into an assets DataFrame
-    (path, length, band, date) without reading file contents."""
+    (path, length, band, date). Content bytes stay out of the plan
+    unless ``with_content`` — listing-only scans never read files."""
     fmt = fmt or DEFAULT_FORMAT
+    cols = ["path", "length"] + (["content"] if with_content else [])
     df = (spark.read.format("binaryFile")
           .option("recursiveFileLookup", str(recursive).lower())
           .option("pathGlobFilter", "*.tif")
           .load(folder)
-          .select("path", "length"))
+          .select(*cols))
     band = None
     for name, regex in sorted(fmt["bands"].items()):
         hit = F.regexp_extract(F.col("path"), regex, 1) != ""

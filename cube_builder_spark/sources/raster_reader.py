@@ -126,3 +126,37 @@ def probe_assets_df(assets: DataFrame, read_bytes: bool = False) -> DataFrame:
 
     return assets.select("link").mapInPandas(
         probe, "link string, valid boolean, error string")
+
+
+def decode_geotiff_pixels(files: DataFrame, extra_cols: list[str] = ()) -> DataFrame:
+    """Executor-side raster decode WITHOUT rasterio: parse the stdlib
+    GeoTIFF format (sinks/cog.py) from binaryFile content into pixel
+    rows (row-major pixel_id, nodata preserved as sentinel values).
+
+    This is the same mapInPandas slot rasterio-based S5 plugs into —
+    one Arrow batch of (path, content, metadata) per partition in, a
+    pixel-row (or block-row) frame out. ``extra_cols`` pass through
+    (band, date, tile_id... from the S4 path classification).
+    """
+    from ..sinks.cog import read_geotiff_band
+
+    extra_cols = list(extra_cols)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "pixel_id": [], "value": []}
+            for c in extra_cols:
+                out[c] = []
+            for i in range(len(pdf)):
+                got = read_geotiff_band(bytes(pdf["content"].iloc[i]))
+                arr = got["array"].reshape(-1)
+                out["path"].extend([pdf["path"].iloc[i]] * len(arr))
+                out["pixel_id"].extend(range(len(arr)))
+                out["value"].extend(int(v) for v in arr)
+                for c in extra_cols:
+                    out[c].extend([pdf[c].iloc[i]] * len(arr))
+            yield pd.DataFrame(out)
+
+    schema = ("path string, pixel_id long, value long"
+              + "".join(f", {c} string" for c in extra_cols))
+    return files.mapInPandas(parse, schema)
