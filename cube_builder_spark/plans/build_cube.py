@@ -57,6 +57,9 @@ class CubeJobConfig:
     # C16: when set, scenes blend nearest-to-this-day-of-year first
     # instead of by efficacy (tasks.py:387-395)
     reference_day: int | None = None
+    # C15: radiometrically match every date to the period's best date
+    # before blending (tasks.py:369-385)
+    histogram_match: bool = False
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -88,6 +91,56 @@ def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
         "tile_id", "pixel_id", "band", "date", "period", "doy",
         F.col("merge_value").alias("value"),
         F.col("datasource").alias("source_idx"))
+
+
+def histogram_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+    """C15 (match_histogram_with_merges, image.py:195-246 +
+    tasks.py:369-385): per (tile, period, band), match every non-best
+    date's histogram to the highest-efficacy date's, on jointly-valid
+    pixels, then write the mapped values back over the source rows.
+
+    Scale shape: the pixel join is keyed by the work-unit key; the CDF
+    mapping table is tiny (distinct int16 values per scene) and
+    broadcast back, so the only large operations are one keyed join
+    and one broadcast-join write-back.
+    """
+    from ..operators.histogram import apply_histogram_match, histogram_match
+
+    qual = (merged.filter(F.col("band") == cfg.quality_band)
+            .select("tile_id", "pixel_id", "date",
+                    F.col("value").alias("quality")))
+    eff = blend.scene_efficacy(qual)
+    best = (merged.select("tile_id", "period", "date").distinct()
+            .join(F.broadcast(eff.select("tile_id", "date", "efficacy")),
+                  ["tile_id", "date"])
+            .groupBy("tile_id", "period")
+            .agg(F.max_by("date", F.struct("efficacy", "date")).alias("best_date")))
+
+    spectral = merged.filter(F.col("band") != cfg.quality_band)
+    with_best = spectral.join(F.broadcast(best), ["tile_id", "period"])
+    ref = (with_best.filter((F.col("date") == F.col("best_date"))
+                            & (F.col("value") != cfg.nodata))
+           .select("tile_id", "period", "band", "pixel_id",
+                   F.col("value").alias("ref_value")))
+    src = with_best.filter(F.col("date") != F.col("best_date"))
+    joint = (src.filter(F.col("value") != cfg.nodata)
+             .join(ref, ["tile_id", "period", "band", "pixel_id"]))
+
+    keys = ["tile_id", "period", "band", "date"]
+    mapping = histogram_match(
+        joint.select(*keys, "value"),
+        joint.select(*keys, F.col("ref_value").alias("value")),
+        keys=keys)
+    matched = apply_histogram_match(src, mapping, keys=keys)
+    # jointly-valid pixels take the mapped value (numpy astype
+    # truncation); everything else keeps its original value
+    replaced = matched.withColumn(
+        "value", F.coalesce(F.col("matched").cast("long"), F.col("value"))
+    ).select(*spectral.columns)
+    untouched = with_best.filter(
+        F.col("date") == F.col("best_date")).select(*spectral.columns)
+    qual_rows = merged.filter(F.col("band") == cfg.quality_band)
+    return untouched.unionByName(replaced).unionByName(qual_rows)
 
 
 def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
@@ -205,6 +258,8 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
             ["tile_id", "period"], "left_anti")
 
     merged = merge_stage(tagged, cfg)
+    if cfg.histogram_match:
+        merged = histogram_stage(merged.persist(), cfg)
     blended = blend_stage(merged, cfg)
     cube = index_stage(blended, cfg)
     items = publish_stage(merged, cfg)

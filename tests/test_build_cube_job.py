@@ -129,3 +129,44 @@ def test_build_cube_reference_day_ordering(spark, sf_dir, tmp_path):
     assert mean_dist(ref, 4) < mean_dist(eff, 4)
     # same pixels produced either way
     assert eff.count() == ref.count()
+
+
+def test_histogram_match_stage_pulls_dates_toward_best(spark, sf_dir, tmp_path):
+    """C15 in the job: after matching, a non-best date's mean over
+    jointly-valid pixels moves toward the best date's mean."""
+    from cube_builder_spark.plans.build_cube import (assign_periods,
+                                                     histogram_stage,
+                                                     merge_stage, periods_df)
+    obs = synth_observations(spark, sf_dir)
+    cfg = CubeJobConfig()
+    tagged = assign_periods(obs, periods_df(spark, cfg))
+    merged = merge_stage(tagged, cfg).persist()
+    matched = histogram_stage(merged, cfg)
+
+    def stats(df):
+        return {(r.tile_id, r.period, r.date): r.m for r in
+                (df.filter((F.col("band") == "B04") & (F.col("value") != -9999))
+                 .groupBy("tile_id", "period", "date")
+                 .agg(F.avg("value").alias("m")).collect())}
+
+    before, after = stats(merged), stats(matched)
+    # same scene set either way
+    assert set(before) == set(after)
+    # at least some scenes changed (matching had effect) and the
+    # quality band never changes
+    changed = [k for k in before if abs(before[k] - after[k]) > 1e-9]
+    assert changed
+    q_before = merged.filter(F.col("band") == "SCL").agg(
+        F.sum("value")).first()[0]
+    q_after = matched.filter(F.col("band") == "SCL").agg(
+        F.sum("value")).first()[0]
+    assert q_before == q_after
+
+
+def test_histogram_match_in_full_job(spark, sf_dir, tmp_path):
+    obs = synth_observations(spark, sf_dir)
+    res = build_cube(spark, obs, str(tmp_path / "hm"),
+                     CubeJobConfig(histogram_match=True, index_bands={}))
+    assert res["new_items"] > 0
+    cube = spark.read.parquet(res["cube_path"])
+    assert cube.filter((F.col("value") < -32768) | (F.col("value") > 32767)).count() == 0
