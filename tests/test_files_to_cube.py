@@ -110,3 +110,44 @@ def test_files_to_cube_equals_direct_obs(spark, sf_dir, scene_dir, tmp_path):
         F.col("f.value").isNull() | F.col("d.value").isNull()
         | (F.col("f.value") != F.col("d.value"))).count()
     assert bad == 0
+
+
+def test_build_local_cli_api(spark, scene_dir, tmp_path):
+    """The build-local entry (cli.py:147-188 analogue) runs the whole
+    directory->cube path via its importable half."""
+    import datetime
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from build_local import build_from_directory
+
+    from cube_builder_spark.plans.build_cube import CubeJobConfig
+    folder, _ = scene_dir
+    cfg = CubeJobConfig(cube="CLI-CUBE", index_bands={},
+                        start=datetime.date(2020, 1, 1),
+                        end=datetime.date(2020, 1, 16), step=8)
+    out = str(tmp_path / "cli_out")
+    summary = build_from_directory(spark, folder, out, cfg, fmt=FMT)
+    assert summary["new_items"] > 0
+    cube = spark.read.parquet(summary["cube_path"])
+    assert cube.count() > 0
+
+
+def test_hierarchical_grids_nest(spark):
+    from cube_builder_spark.grids import create_hierarchical_grids
+    grids = create_hierarchical_grids(
+        (0.0, 0.0, 4_000_000.0, 4_000_000.0), 100_000.0,
+        factors=[1, 2, 4], names=["SM", "MD", "LG"])
+    assert len(grids["SM"]) == 40 * 40
+    assert len(grids["MD"]) == 20 * 20
+    assert len(grids["LG"]) == 10 * 10
+    # nesting: every SM tile lies inside exactly one MD tile
+    def contains(big, small):
+        return (big["xmin"] <= small["xmin"] and big["xmax"] >= small["xmax"]
+                and big["ymin"] <= small["ymin"] and big["ymax"] >= small["ymax"])
+    import random
+    rng = random.Random(7)
+    for sm in rng.sample(grids["SM"], 25):
+        parents = [md for md in grids["MD"] if contains(md, sm)]
+        assert len(parents) == 1
