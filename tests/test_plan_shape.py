@@ -46,9 +46,11 @@ def test_blend_has_no_window_and_single_agg_exchange(spark, sf_dir, queries):
     plan = _physical(queries["c2_blend_lcf"](spark, sf_dir))
     assert "Window" not in plan                 # max-of-struct, not row_number
     assert "BroadcastHashJoin" in plan          # efficacy join broadcast
-    # the only shuffles allowed: plane derivation (cached), the tiny
-    # efficacy groupBy, and the blend groupBy itself
-    assert len(_distinct_shuffles(plan)) <= 3, \
+    # the only real shuffles: the tiny efficacy groupBy and the blend
+    # groupBy (the plane is cached; its derivation exchange — rendered
+    # once or twice inside InMemoryRelation subtrees depending on what
+    # ran earlier in the session — is replaced by the cache at exec)
+    assert len(_distinct_shuffles(plan)) <= 4, \
         f"blend plan grew extra shuffles:\n{plan[:2000]}"
 
 
