@@ -60,6 +60,10 @@ class CubeJobConfig:
     # C15: radiometrically match every date to the period's best date
     # before blending (tasks.py:369-385)
     histogram_match: bool = False
+    # K2/K1: publish-stage media exports (processing.py:1291-1324 /
+    # image.py:309-378); quicklook uses these band names as R/G/B
+    quicklook_bands: tuple[str, str, str] | None = None
+    export_tiffs: bool = False
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -275,8 +279,35 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     summary = {"cube_path": cube_path, "items_path": items_path,
                "new_items": n_items,
                "reused_items": 0 if done is None else done.count()}
+    if n_items and cfg.quicklook_bands:
+        summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
+    if n_items and cfg.export_tiffs:
+        from ..sinks.cog import export_band_tiffs
+        manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"))
+        summary["tiffs"] = manifest.count()
     _append_job_log(spark, out_dir, cfg, summary)
     return summary
+
+
+def _export_quicklooks(cube: DataFrame, out_dir: str, cfg: CubeJobConfig) -> int:
+    """K2 in the publish stage: one PNG per (tile, period) from the
+    blended composite's R/G/B bands, written under out_dir/quicklook."""
+    from ..sinks.quicklook import quicklook_png, rgb_scaled
+    r, g, b = cfg.quicklook_bands
+    wide = (cube.filter(F.col("band").isin(r, g, b))
+            .groupBy("tile_id", "period", "pixel_id")
+            .pivot("band", sorted({r, g, b})).agg(F.first("value")))
+    scaled = rgb_scaled(wide, r, g, b, nodata=cfg.nodata)
+    pngs = quicklook_png(scaled)
+    qdir = os.path.join(out_dir, "quicklook")
+    os.makedirs(qdir, exist_ok=True)
+    n = 0
+    for row in pngs.collect():
+        path = os.path.join(qdir, f"t{row.tile_id:03d}_{row.period}.png")
+        with open(path, "wb") as f:
+            f.write(bytes(row.png))
+        n += 1
+    return n
 
 
 def _append_job_log(spark: SparkSession, out_dir: str, cfg: CubeJobConfig,

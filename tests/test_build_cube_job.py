@@ -170,3 +170,25 @@ def test_histogram_match_in_full_job(spark, sf_dir, tmp_path):
     assert res["new_items"] > 0
     cube = spark.read.parquet(res["cube_path"])
     assert cube.filter((F.col("value") < -32768) | (F.col("value") > 32767)).count() == 0
+
+
+def test_job_media_exports(spark, sf_dir, tmp_path):
+    """§3.1 step 8: publish writes quicklook PNGs and band GeoTIFFs."""
+    import glob
+    import os
+
+    from cube_builder_spark.sinks.cog import read_geotiff_band
+    from cube_builder_spark.sinks.quicklook import decode_png_rgb
+    out = str(tmp_path / "media")
+    obs = synth_observations(spark, sf_dir)
+    res = build_cube(spark, obs, out,
+                     CubeJobConfig(index_bands={},
+                                   quicklook_bands=("B04", "B8A", "B04"),
+                                   export_tiffs=True))
+    assert res["quicklooks"] > 0 and res["tiffs"] > 0
+    png = sorted(glob.glob(os.path.join(out, "quicklook", "*.png")))[0]
+    img = decode_png_rgb(open(png, "rb").read())
+    assert img.shape[1] == 32 and img.shape[2] == 3
+    tif = sorted(glob.glob(os.path.join(out, "tiff", "*.tif")))[0]
+    got = read_geotiff_band(open(tif, "rb").read())
+    assert got["array"].shape[1] == 32
