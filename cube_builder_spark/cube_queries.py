@@ -700,7 +700,7 @@ def k5_publish_identity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # E2E pipeline ----------------------------------------------------------------
 
-@register("p_cube_build_e2e", f"""
+_E2E_BLEND_SQL = f"""
 WITH {PIXELS_SQL},
 periods(period, ps, pe) AS (
   VALUES ('2020-01-01_2020-01-08', DATE '2020-01-01', DATE '2020-01-08'),
@@ -739,7 +739,10 @@ SELECT tile_id, period, 'B04' AS band, pixel_id,
        sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS totalob,
        sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob
 FROM ranked GROUP BY tile_id, period, pixel_id
-""")
+"""
+
+
+@register("p_cube_build_e2e", _E2E_BLEND_SQL)
 def p_cube_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2E §3.1 pipeline (plans/build_cube.py) as one oracle query:
     period assignment → merge → keyed blend (LCF + MED + counts) over
@@ -761,6 +764,53 @@ def p_cube_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blended.select("tile_id", "period", "band", "pixel_id",
                           "lcf_value", "provenance", "datasource",
                           "med_value", "totalob", "clearob")
+
+
+@register("x_incremental_cube_update", _E2E_BLEND_SQL)
+def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental cube refresh (streaming/incremental.py):
+    the same scenes as p_cube_build_e2e arrive in TWO micro-batches
+    split by date; each batch folds into the monoid blend state and
+    rewrites only its (tile, period) partitions. Because every blend
+    aggregate merges associatively (max-struct picks, sums, exact
+    median over the bounded clear-value array), the folded result is
+    hash-identical to the one-shot SQL oracle — a full-value oracle
+    for a streaming operator, not a rows-only check."""
+    import shutil
+    import tempfile
+    from datetime import date as _date
+
+    from .plans.build_cube import CubeJobConfig
+    from .streaming.incremental import update_cube_batch
+
+    px = pixel_plane(spark, sf_dir)
+    common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
+    b04 = px.select(*common, F.lit("B04").alias("band"),
+                    F.col("value").cast("long").alias("value"))
+    scl = px.select(*common, F.lit("SCL").alias("band"),
+                    F.col("quality").cast("long").alias("value"))
+    obs = b04.unionByName(scl).withColumn("scene_order", F.col("source_idx"))
+    cfg = CubeJobConfig(start=_date(2020, 1, 1), end=_date(2020, 1, 16),
+                        step=8, index_bands={})
+    dates = sorted(r.date for r in obs.select("date").distinct().collect())
+    cut = dates[len(dates) // 2]
+    out = tempfile.mkdtemp(prefix="incr_cube_")
+    try:
+        update_cube_batch(spark, obs.filter(F.col("date") <= F.lit(cut)),
+                          out, cfg)
+        update_cube_batch(spark, obs.filter(F.col("date") > F.lit(cut)),
+                          out, cfg)
+        import os as _os
+        # partition-column type inference reads tile_id back as int —
+        # restore the plane's long so the oracle schema matches
+        cube = spark.read.parquet(_os.path.join(out, "cube")).select(
+            F.col("tile_id").cast("long").alias("tile_id"),
+            "period", "band", "pixel_id",
+            "lcf_value", "provenance", "datasource",
+            "med_value", "totalob", "clearob").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return cube
 
 
 # C8 provenance-conditional ----------------------------------------------------

@@ -25,8 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pixelplane import (BAND_NODATA, CLEAR_VALUES, NOT_CLEAR_VALUES,
-                          clear_col, valid_col)
+from ..pixelplane import BAND_NODATA, CLEAR_VALUES, NOT_CLEAR_VALUES
 
 
 def scene_efficacy(pixels: DataFrame, clear_values=None, not_clear_values=None) -> DataFrame:
