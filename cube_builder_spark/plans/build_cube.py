@@ -64,6 +64,10 @@ class CubeJobConfig:
     # image.py:309-378); quicklook uses these band names as R/G/B
     quicklook_bands: tuple[str, str, str] | None = None
     export_tiffs: bool = False
+    # K1: publish internally-tiled COGs with overview pyramids (the
+    # reference's cog_translate default) instead of striped GeoTIFFs
+    cog: bool = True
+    cog_tile: int = 256
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -283,7 +287,8 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
         summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
     if n_items and cfg.export_tiffs:
         from ..sinks.cog import export_band_tiffs
-        manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"))
+        manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"),
+                                     cog=cfg.cog, cog_tile=cfg.cog_tile)
         summary["tiffs"] = manifest.count()
     _append_job_log(spark, out_dir, cfg, summary)
     return summary

@@ -177,18 +177,18 @@ def test_job_media_exports(spark, sf_dir, tmp_path):
     import glob
     import os
 
-    from cube_builder_spark.sinks.cog import read_geotiff_band
+    from cube_builder_spark.sinks.cog import read_cog
     from cube_builder_spark.sinks.quicklook import decode_png_rgb
     out = str(tmp_path / "media")
     obs = synth_observations(spark, sf_dir)
     res = build_cube(spark, obs, out,
                      CubeJobConfig(index_bands={},
                                    quicklook_bands=("B04", "B8A", "B04"),
-                                   export_tiffs=True))
+                                   export_tiffs=True, cog_tile=16))
     assert res["quicklooks"] > 0 and res["tiffs"] > 0
     png = sorted(glob.glob(os.path.join(out, "quicklook", "*.png")))[0]
     img = decode_png_rgb(open(png, "rb").read())
     assert img.shape[1] == 32 and img.shape[2] == 3
     tif = sorted(glob.glob(os.path.join(out, "tiff", "*.tif")))[0]
-    got = read_geotiff_band(open(tif, "rb").read())
-    assert got["array"].shape[1] == 32
+    got = read_cog(open(tif, "rb").read())          # publish writes COGs now
+    assert got["array"].shape[1] == 32 and got["tile"] == 16
