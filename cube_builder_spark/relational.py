@@ -341,6 +341,57 @@ def r10_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("s.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus")))
 
 
+@register("x_merge_into_parquet", """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 = 0
+), source AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 11 / 1000.0 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+""")
+def x_merge_into_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 through the STORAGE path (sinks/merge.py): write the target
+    as a bucketed-by-key-hash partitioned parquet table, MERGE the
+    source in (partition-pruned read + dynamic partition overwrite),
+    read the table back. Full-value oracle: the on-disk result equals
+    the relational MERGE expression."""
+    import shutil
+    import tempfile
+
+    from .sinks.merge import merge_into_parquet
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    # hash-bucket partition column so the table has bounded partition
+    # count no matter the key cardinality (the 100 TB layout)
+    bucket = (F.col("o_orderkey") % 16).alias("bucket")
+    target = (orders.filter(F.col("o_orderkey") % 7 == 0)
+              .select(bucket, "o_orderkey", "o_totalprice", "o_orderstatus"))
+    source = (orders.filter(F.col("o_orderkey") % 5 == 0)
+              .select(bucket, F.col("o_orderkey"),
+                      (_cents(F.col("o_totalprice")) * 11 / 1000.0)
+                      .alias("o_totalprice"),
+                      F.lit("U").alias("o_orderstatus")))
+    out = tempfile.mkdtemp(prefix="merge_into_")
+    try:
+        path = f"{out}/orders_upsert"
+        merge_into_parquet(spark, path, target, keys=["o_orderkey"],
+                           partition_cols=["bucket"])
+        merge_into_parquet(spark, path, source, keys=["o_orderkey"],
+                           partition_cols=["bucket"])
+        got = (spark.read.parquet(path)
+               .select("o_orderkey", "o_totalprice", "o_orderstatus")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return got
+
+
 @register("r11_multiway_join", """
 SELECT s.s_name AS s_name, n.n_name AS n_name,
        count(*) AS n_lineitems,
