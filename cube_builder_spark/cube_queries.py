@@ -813,6 +813,54 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube
 
 
+@register("c1b_warp_resample", f"""
+WITH {PIXELS_SQL}
+SELECT tile_id,
+       ((pixel_id // 32) // 2) * 16 + (pixel_id % 32) // 2 AS pixel_id,
+       value
+FROM pixels
+WHERE date = DATE '2020-01-02'
+  AND (pixel_id // 32) % 2 = 0 AND (pixel_id % 32) % 2 = 0
+  AND value <> {BAND_NODATA}
+""")
+def c1b_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 geometric half (operators/warp.py; processing.py:303-316):
+    each tile's 16x32 scene is encoded to a stdlib GeoTIFF on the
+    executors, then warp_scenes reprojects it onto a 2x-coarser target
+    grid (nearest, center-of-pixel inverse mapping). With aligned
+    grids, nearest picks src(2r, 2c) exactly — index arithmetic the
+    SQL oracle replays, making the whole encode->warp->emit path
+    full-value checked."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.warp import warp_scenes
+    from .sinks.cog import write_geotiff_band
+
+    ncols, nrows, res = 32, 16, 30.0
+    px = (pixel_plane(spark, sf_dir)
+          .filter(F.col("date") == F.lit("2020-01-02").cast("date"))
+          .select("tile_id", "pixel_id", "value"))
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full(nrows * ncols, BAND_NODATA, np.int16)
+        arr[pdf["pixel_id"].to_numpy()] = pdf["value"].to_numpy(np.int16)
+        tile = int(pdf["tile_id"].iloc[0])
+        buf = write_geotiff_band(arr.reshape(nrows, ncols),
+                                 pixel_size=(res, res),
+                                 origin=(tile * ncols * res, 0.0),
+                                 nodata=BAND_NODATA)
+        return pd.DataFrame([{"path": f"t{tile}", "content": buf}])
+
+    files = px.groupBy("tile_id").applyInPandas(
+        encode, "path string, content binary")
+    tiles = [{"tile_id": t, "west": t * ncols * res, "north": 0.0,
+              "width": ncols // 2, "height": nrows // 2, "res": 2 * res}
+             for t in range(8)]
+    return warp_scenes(files, tiles, "EPSG:32722", "EPSG:32722",
+                       nodata=BAND_NODATA)
+
+
 # C8 provenance-conditional ----------------------------------------------------
 
 @register("c8_qa_cirrus_oli", f"""

@@ -1,0 +1,186 @@
+"""C1 warp: projection math anchored to Snyder's published worked
+examples (USGS PP 1395), reproject_array invariants, and the Spark
+scene→grid operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cube_builder_spark.operators.warp import (Affine, forward, inverse,
+                                               parse_crs, reproject_array,
+                                               transform_points, warp_scenes)
+
+CLRK66_TM = "+proj=tmerc +lon_0=-75 +k_0=0.9996 +ellps=clrk66"
+CLRK66_AEA = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=clrk66"
+BDC_AEA = ("+proj=aea +lat_0=-12 +lon_0=-54 +lat_1=-2 +lat_2=-22 "
+           "+x_0=5000000 +y_0=10000000 +ellps=GRS80")
+
+
+def test_snyder_tmerc_example():
+    """Snyder p.269-270: Clarke 1866, lat 40d30' lon -73d30',
+    lon_0=-75, k_0=0.9996 -> x=127106.5, y=4484124.4."""
+    x, y = forward(CLRK66_TM, -73.5, 40.5)
+    assert abs(x - 127106.5) < 1.0
+    assert abs(y - 4484124.4) < 1.0
+    lon, lat = inverse(CLRK66_TM, x, y)
+    assert abs(lon - -73.5) < 1e-9 and abs(lat - 40.5) < 1e-9
+
+
+def test_snyder_albers_example():
+    """Snyder p.291-292: Clarke 1866, parallels 29.5/45.5, origin
+    (23, -96), point (35, -75) -> x=1885472.7, y=1535925.0."""
+    x, y = forward(CLRK66_AEA, -75.0, 35.0)
+    assert abs(x - 1885472.7) < 1.0
+    assert abs(y - 1535925.0) < 1.0
+    lon, lat = inverse(CLRK66_AEA, x, y)
+    assert abs(lon - -75.0) < 1e-9 and abs(lat - 35.0) < 1e-9
+
+
+def test_utm_epsg_and_central_meridian():
+    crs = parse_crs("EPSG:32723")        # UTM 23S (BDC territory)
+    assert crs.params["lon_0"] == -45.0 and crs.params["y_0"] == 10000000.0
+    x, y = forward(crs, -45.0, 0.0)      # central meridian, equator
+    assert abs(x - 500000.0) < 1e-6
+    assert abs(y - 10000000.0) < 1e-6    # south false northing
+
+
+def test_webmercator_known_values():
+    x, y = forward("EPSG:3857", 180.0, 0.0)
+    assert abs(x - 20037508.342789244) < 1e-6 and abs(y) < 1e-9
+    lon, lat = inverse("EPSG:3857", 0.0, 0.0)
+    assert lon == 0.0 and lat == 0.0
+
+
+@pytest.mark.parametrize("crs,lons,lats", [
+    ("EPSG:32722", (-54.0, -51.2, -48.01), (-25.0, -12.5, -0.01)),
+    (BDC_AEA, (-73.9, -54.0, -35.1), (-33.7, -12.0, 5.2)),
+    ("EPSG:3857", (-180.0, 0.0, 179.9), (-85.0, 0.0, 85.0)),
+])
+def test_roundtrip(crs, lons, lats):
+    lons, lats = np.array(lons), np.array(lats)
+    x, y = forward(crs, lons, lats)
+    lon2, lat2 = inverse(crs, x, y)
+    assert np.allclose(lon2, lons, atol=1e-8)
+    assert np.allclose(lat2, lats, atol=1e-8)
+
+
+def test_reproject_identity():
+    arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+    tr = Affine.from_origin(0.0, 3.0, 1.0, 1.0)
+    got = reproject_array(arr, tr, "EPSG:3857", (3, 4), tr, "EPSG:3857",
+                          dst_nodata=-9999)
+    assert np.array_equal(got, arr)
+
+
+def test_reproject_downsample_nearest():
+    """2x coarser grid, same CRS: dst(r,c) = src(2r, 2c) with
+    center-of-pixel inverse mapping."""
+    arr = np.arange(64, dtype=np.int16).reshape(8, 8)
+    src = Affine.from_origin(0.0, 8.0, 1.0, 1.0)
+    dst = Affine.from_origin(0.0, 8.0, 2.0, 2.0)
+    got = reproject_array(arr, src, "EPSG:3857", (4, 4), dst, "EPSG:3857")
+    assert np.array_equal(got, arr[::2, ::2])
+
+
+def test_reproject_nodata_and_out_of_bounds():
+    arr = np.full((4, 4), 7, np.int16)
+    arr[1, 1] = -9999
+    src = Affine.from_origin(0.0, 4.0, 1.0, 1.0)
+    dst = Affine.from_origin(-2.0, 4.0, 1.0, 1.0)   # 2 cols outside
+    got = reproject_array(arr, src, "EPSG:3857", (4, 6), dst, "EPSG:3857",
+                          src_nodata=-9999, dst_nodata=-1)
+    assert (got[:, :2] == -1).all()                 # out of source
+    assert got[1, 3] == -1                          # src nodata mapped
+    assert got[0, 2] == 7
+
+
+def test_reproject_bilinear_smooth_cross_crs():
+    """Warp a smooth gradient lonlat -> webmerc; values must match the
+    function evaluated at each dst pixel's lon/lat within interpolation
+    error."""
+    h, w = 40, 40
+    lon0, lat0, res = -54.0, -10.0, 0.01
+    rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    lon = lon0 + (cols + 0.5) * res
+    lat = lat0 - (rows + 0.5) * res
+    f = (1000.0 * (lon + 60) + 2000.0 * (lat + 20)).astype(np.int32)
+    src_tr = Affine.from_origin(lon0, lat0, res, res)
+
+    xw, yn = forward("EPSG:3857", lon0 + 0.05, lat0 - 0.05)
+    dst_tr = Affine.from_origin(float(xw), float(yn), 1500.0, 1500.0)
+    got = reproject_array(f, src_tr, "EPSG:4326", (20, 20), dst_tr,
+                          "EPSG:3857", dst_nodata=-1, resampling="bilinear")
+    assert (got != -1).all()
+    dx, dy = dst_tr.apply(np.arange(20) + 0.5, np.arange(20)[:, None] + 0.5)
+    dlon, dlat = inverse("EPSG:3857", dx, dy)
+    want = 1000.0 * (dlon + 60) + 2000.0 * (dlat + 20)
+    assert np.abs(got - want).max() < 25      # < one src-pixel gradient
+
+
+def test_bdc_grid_utm_to_albers_roundtrip_area():
+    """A UTM scene footprint mapped into the BDC Albers grid lands at
+    finite coords and inverts back (sanity for the production path)."""
+    xs = np.array([300000.0, 500000.0, 700000.0])
+    ys = np.array([8500000.0, 9000000.0, 9500000.0])
+    ax, ay = transform_points("EPSG:32722", BDC_AEA, xs, ys)
+    x2, y2 = transform_points(BDC_AEA, "EPSG:32722", ax, ay)
+    assert np.allclose(x2, xs, atol=1e-4)
+    assert np.allclose(y2, ys, atol=1e-4)
+
+
+def test_warp_scenes_spark(spark, tmp_path):
+    """Two UTM scenes -> one Albers-ish target tile via mapInPandas;
+    same-CRS translation case checked exactly."""
+    from cube_builder_spark.sinks.cog import write_geotiff_band
+
+    arr = np.arange(256, dtype=np.int16).reshape(16, 16)
+    buf = write_geotiff_band(arr, pixel_size=(30.0, 30.0),
+                             origin=(600000.0, 8000480.0), nodata=-9999)
+    files = spark.createDataFrame(
+        [("s1", bytearray(buf), "B04")], "path string, content binary, band string")
+
+    tiles = [{"tile_id": 1, "west": 600000.0, "north": 8000480.0,
+              "width": 16, "height": 16, "res": 30.0},
+             {"tile_id": 2, "west": 900000.0, "north": 8000480.0,
+              "width": 16, "height": 16, "res": 30.0}]   # disjoint
+    out = warp_scenes(files, tiles, "EPSG:32722", "EPSG:32722",
+                      extra_cols=("band",)).collect()
+    assert {r.tile_id for r in out} == {1}               # disjoint skipped
+    got = {r.pixel_id: r.value for r in out}
+    assert len(got) == 256
+    assert all(got[i] == i for i in range(256))
+    assert out[0].band == "B04"
+
+
+def test_warp_scenes_cross_crs(spark):
+    """UTM scene onto the BDC Albers grid: every warped pixel's value
+    must equal the source pixel its center inverse-maps to."""
+    from cube_builder_spark.sinks.cog import write_geotiff_band
+
+    arr = (np.arange(1024, dtype=np.int32) % 3000).astype(np.int16).reshape(32, 32)
+    west, north = 400000.0, 8800000.0
+    buf = write_geotiff_band(arr, pixel_size=(60.0, 60.0),
+                             origin=(west, north), nodata=-9999)
+    files = spark.createDataFrame(
+        [("s1", bytearray(buf))], "path string, content binary")
+
+    # center the target tile on the scene center, in Albers coords
+    cx, cy = transform_points("EPSG:32722", BDC_AEA,
+                              np.array([west + 16 * 60.0]),
+                              np.array([north - 16 * 60.0]))
+    tiles = [{"tile_id": 9, "west": float(cx[0]) - 480.0,
+              "north": float(cy[0]) + 480.0, "width": 16, "height": 16,
+              "res": 60.0}]
+    rows = warp_scenes(files, tiles, BDC_AEA, "EPSG:32722").collect()
+    assert len(rows) > 200                     # tile mostly covered
+    src_tr = Affine.from_origin(west, north, 60.0, 60.0).invert()
+    for r in rows[:50]:
+        pr, pc = divmod(r.pixel_id, 16)
+        dx = tiles[0]["west"] + (pc + 0.5) * 60.0
+        dy = tiles[0]["north"] - (pr + 0.5) * 60.0
+        sx, sy = transform_points(BDC_AEA, "EPSG:32722",
+                                  np.array([dx]), np.array([dy]))
+        scol, srow = src_tr.apply(sx[0], sy[0])
+        want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
+        assert r.value == int(want)

@@ -21,21 +21,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_from_directory(spark, scenes_dir: str, out_dir: str, cfg,
-                         fmt: dict | None = None):
-    """S4 scan -> executor decode -> cube job (importable API half)."""
+                         fmt: dict | None = None,
+                         grid: list[dict] | None = None,
+                         src_crs: str | None = None,
+                         dst_crs: str | None = None,
+                         resampling: str = "nearest"):
+    """S4 scan -> executor decode/warp -> cube job (importable API).
+
+    Without ``grid``, scenes are assumed already on the target grid
+    (decode path). With ``grid`` (+ ``src_crs``/``dst_crs``), each
+    scene is warped onto the grid tiles first — the reference's full
+    warp-merge flow (processing.py:144-316) with operators/warp.py
+    doing the reprojection."""
     from pyspark.sql import functions as F
 
     from cube_builder_spark.sources.local_scan import scan_directory
     from cube_builder_spark.sources.raster_reader import decode_geotiff_pixels
 
     assets = scan_directory(spark, scenes_dir, fmt=fmt, with_content=True)
-    pixels = decode_geotiff_pixels(
-        assets.withColumn("tile_id", F.regexp_extract("path", r"_t(\d+)_", 1))
-        .withColumn("date_s", F.col("date").cast("string"))
-        .select("path", "content", "band", "tile_id", "date_s"),
-        extra_cols=["band", "tile_id", "date_s"])
+    if grid is not None:
+        from cube_builder_spark.operators.warp import warp_scenes
+        pixels = warp_scenes(
+            assets.withColumn("date_s", F.col("date").cast("string"))
+            .select("path", "content", "band", "date_s"),
+            grid, dst_crs or "EPSG:4326", src_crs or dst_crs or "EPSG:4326",
+            resampling=resampling, nodata=cfg.nodata,
+            extra_cols=("band", "date_s"))
+    else:
+        pixels = decode_geotiff_pixels(
+            assets.withColumn("tile_id", F.regexp_extract("path", r"_t(\d+)_", 1))
+            .withColumn("date_s", F.col("date").cast("string"))
+            .select("path", "content", "band", "tile_id", "date_s"),
+            extra_cols=["band", "tile_id", "date_s"])
+        pixels = pixels.withColumn("tile_id", F.col("tile_id").cast("long"))
     obs = (pixels
-           .withColumn("tile_id", F.col("tile_id").cast("long"))
            .withColumn("date", F.col("date_s").cast("date"))
            .withColumn("doy", F.dayofyear("date").cast("long"))
            .withColumn("source_idx", F.lit(0))
