@@ -121,6 +121,16 @@ def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(k div 3) % 20002") - 10001).alias("value"),
             (k % 3).alias("source_idx"),
         )
+        # hash(tile_id, pixel_id) is a SUBSET of every downstream wide
+        # key (mosaic/blend groupBys, the spectral x quality join), so
+        # caching the plane in this partitioning lets Catalyst elide
+        # those exchanges — one shuffle here serves every raster query
+        # in the session. At 100 TB this is the "partition once, reuse
+        # everywhere" layout. The count is pinned because AQE would
+        # coalesce the (small) plane to ~1 partition and every
+        # exchange-eliding consumer would inherit that parallelism.
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     "tile_id", "pixel_id")
     ).persist()
     _PLANE_CACHE[key] = plane
     return plane

@@ -92,9 +92,17 @@ def assign_periods(obs: DataFrame, periods: DataFrame) -> DataFrame:
 def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     """C1 mosaic: first-valid-wins across overlapping scenes of one
     (tile, band, date) slot. Input columns: tile_id, pixel_id, band,
-    date, period, value, source_idx, scene_order."""
+    date, period, value, source_idx, scene_order.
+
+    The explicit repartition keys the WHOLE downstream chain: hash
+    (tile_id, pixel_id) satisfies the mosaic groupBy, the blend
+    stage's spectral x quality join, AND the final blend groupBy
+    (each clusters on a superset), so this is the only full-data
+    shuffle between raw observations and the finished cube."""
+    n = int(obs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     merged = mosaic.mosaic_first_valid(
-        obs, keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
+        obs.repartition(n, "tile_id", "pixel_id"),
+        keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
     return merged.select(
         "tile_id", "pixel_id", "band", "date", "period", "doy",
         F.col("merge_value").alias("value"),

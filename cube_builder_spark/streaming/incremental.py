@@ -58,8 +58,13 @@ STATE_KEYS = ("tile_id", "period", "band", "pixel_id")
 def mosaic_batch(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     """C1 within the batch: first-valid-wins across overlapping scenes
     of one (tile, band, date) slot — same as build_cube.merge_stage."""
+    # one shuffle keys the batch's whole mosaic->join->state chain
+    # (hash(tile, pixel) ⊆ every downstream wide key); pinned count so
+    # AQE can't collapse the batch to one partition
+    n = int(obs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     merged = mosaic_first_valid(
-        obs, keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
+        obs.repartition(n, "tile_id", "pixel_id"),
+        keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
     return merged.select(
         "tile_id", "pixel_id", "band", "date", "period", "doy",
         F.col("merge_value").alias("value"),
