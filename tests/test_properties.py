@@ -106,3 +106,58 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
     # the second band still pairs the dropped bucket's members
     both = lsh_candidate_pairs(sig, [["h0"], ["h1"]], max_bucket=4)
     assert (10, 11) in {(r.doc_a, r.doc_b) for r in both.collect()}
+
+
+# Warp projection properties --------------------------------------------------
+
+_WARP_CRS = [
+    "EPSG:3857",
+    "EPSG:32722",
+    "EPSG:32633",
+    ("+proj=aea +lat_0=-12 +lon_0=-54 +lat_1=-2 +lat_2=-22 "
+     "+x_0=5000000 +y_0=10000000 +ellps=GRS80"),
+]
+
+
+@given(crs_i=st.integers(0, len(_WARP_CRS) - 1),
+       lon_off=st.floats(-4.0, 4.0), lat=st.floats(-55.0, 55.0))
+@settings(**SETTINGS)
+def test_projection_roundtrip_property(crs_i, lon_off, lat):
+    """forward∘inverse == identity (< 1e-8 deg ≈ 1 mm) for any point
+    within the projection's valid domain (UTM zones are ±3° of the
+    central meridian; Snyder's series hold to ~1e-9 deg at ±4°)."""
+    from cube_builder_spark.operators.warp import forward, inverse, parse_crs
+
+    crs = parse_crs(_WARP_CRS[crs_i])
+    lon0 = crs.params.get("lon_0", 0.0)
+    lon = lon0 + lon_off
+    x, y = forward(crs, lon, lat)
+    lon2, lat2 = inverse(crs, x, y)
+    assert abs(lon2 - lon) < 1e-8 and abs(lat2 - lat) < 1e-8
+
+
+@given(lon_off=st.floats(-3.0, 3.0), lat=st.floats(-40.0, 5.0),
+       d=st.floats(0.001, 0.01))
+@settings(**SETTINGS)
+def test_albers_preserves_area_property(lon_off, lat, d):
+    """The BDC grid projection is EQUAL-AREA: a small lon/lat quad's
+    projected area must equal its ellipsoidal area (authalic) to high
+    relative accuracy — a library-free oracle for the Albers math."""
+    from cube_builder_spark.operators.warp import forward, parse_crs
+
+    crs = parse_crs(_WARP_CRS[3])
+    lon = -54.0 + lon_off
+    lons = np.array([lon, lon + d, lon + d, lon])
+    lats = np.array([lat, lat, lat + d, lat + d])
+    x, y = forward(crs, lons, lats)
+    proj_area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    # ellipsoidal patch area: integral of M(phi) * N(phi) cos(phi)
+    a, e2 = crs.a, crs.e2
+    phis = np.radians(np.linspace(lat, lat + d, 65))
+    sin = np.sin(phis)
+    integrand = (a * (1 - e2) / (1 - e2 * sin ** 2) ** 1.5) * \
+        (a / np.sqrt(1 - e2 * sin ** 2)) * np.cos(phis)
+    trapz = getattr(np, "trapezoid", np.trapz)
+    ell_area = trapz(integrand, phis) * np.radians(d)
+    assert abs(proj_area - ell_area) / ell_area < 1e-6
