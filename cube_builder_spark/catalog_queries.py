@@ -159,8 +159,10 @@ scenes AS (
   FROM pixels p JOIN periods per ON p.date BETWEEN per.ps AND per.pe
 )
 SELECT tile_id, period, count(*) AS n_assets,
-       list_sort(list('file:///assets/t' || tile_id || '/d' || doy
-                      || '/s' || source_idx || '.tif')) AS links
+       -- serialized: raw list cells crash the harness canonicalizer
+       array_to_string(
+         list_sort(list('file:///assets/t' || tile_id || '/d' || doy
+                        || '/s' || source_idx || '.tif')), ';') AS links
 FROM scenes GROUP BY tile_id, period
 """)
 def k6_asset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +183,8 @@ def k6_asset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("/s"), F.col("source_idx"), F.lit(".tif"))
     return (scenes.groupBy("tile_id", "period")
             .agg(F.count(F.lit(1)).alias("n_assets"),
-                 F.sort_array(F.collect_list(link)).alias("links")))
+                 F.array_join(F.sort_array(F.collect_list(link)),
+                              ";").alias("links")))
 
 
 # K7 --------------------------------------------------------------------------
@@ -189,8 +192,9 @@ def k6_asset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("k7_empty_merge_cleanup", f"""
 WITH {PIXELS_SQL},
 per_scene AS (
+  -- CAST: DuckDB sum() over ints is HUGEINT -> pandas float64
   SELECT tile_id, date, doy,
-         sum(CASE WHEN value <> -9999 THEN 1 ELSE 0 END) AS n_valid
+         CAST(sum(CASE WHEN value <> -9999 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
   FROM pixels GROUP BY tile_id, date, doy
 )
 SELECT tile_id, date, doy, n_valid,

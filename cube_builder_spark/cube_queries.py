@@ -55,8 +55,10 @@ ranked AS (
 @register("c11_scene_efficacy", f"""
 WITH {PIXELS_SQL}
 SELECT tile_id, date, count(*) AS total_pixels,
-       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clear_pixels,
-       sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END) AS not_clear_pixels,
+       -- CAST: DuckDB sum() over ints is HUGEINT -> pandas float64,
+       -- which hash-diverges from Spark's int64 even on equal values
+       CAST(sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS BIGINT) AS clear_pixels,
+       CAST(sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END) AS BIGINT) AS not_clear_pixels,
        100.0 * sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) / count(*) AS efficacy,
        100.0 * sum(CASE WHEN quality IN (2,3,7,8,9,10,11) THEN 1 ELSE 0 END)
          / NULLIF(sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END)
@@ -106,8 +108,8 @@ def c3_blend_med(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("c4c5_observation_counts", f"""
 WITH {PIXELS_SQL}
 SELECT tile_id, pixel_id,
-       sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS totalob,
-       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob
+       CAST(sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS totalob,
+       CAST(sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS BIGINT) AS clearob
 FROM pixels GROUP BY tile_id, pixel_id
 """)
 def c4c5_observation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,13 +180,13 @@ WITH qa_plane AS (
   SELECT l_orderkey % 8 AS tile_id, {_QA_SQL} AS qa FROM lineitem
 )
 SELECT tile_id, count(*) AS n_total,
-       sum(CASE WHEN qa <> 1
+       CAST(sum(CASE WHEN qa <> 1
                  AND NOT ( ((qa >> 1) & 1) > 0 OR ((qa >> 2) & 1) > 0
                         OR ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0
                         OR ((qa >> 8) & 3) >= 2 OR ((qa >> 10) & 3) >= 2 )
                  AND ( ((qa >> 6) & 1) > 0 OR ((qa >> 7) & 1) > 0 )
-            THEN 1 ELSE 0 END) AS n_clear,
-       sum(CASE WHEN qa = 1 THEN 1 ELSE 0 END) AS n_nodata
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+       CAST(sum(CASE WHEN qa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata
 FROM qa_plane GROUP BY tile_id
 """)
 def c8_qa_pixel_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +214,7 @@ WITH radsat_plane AS (
   FROM lineitem
 )
 SELECT tile_id, count(*) AS n_total,
-       sum(CASE WHEN ((radsat >> 1) & 127) > 0 THEN 1 ELSE 0 END) AS n_saturated
+       CAST(sum(CASE WHEN ((radsat >> 1) & 127) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
 FROM radsat_plane GROUP BY tile_id
 """)
 def c9_radsat_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,9 +244,9 @@ bands AS (
 @register("c10_post_process_quality", f"""
 WITH {_BANDS_SQL}
 SELECT tile_id, count(*) AS n_total,
-       sum(CASE WHEN (b_red = -9999 OR b_nir = -9999) THEN 1 ELSE 0 END) AS n_forced,
-       sum(CASE WHEN (CASE WHEN b_red = -9999 OR b_nir = -9999 THEN 1 ELSE quality END) = 1
-            THEN 1 ELSE 0 END) AS n_saturated_after
+       CAST(sum(CASE WHEN (b_red = -9999 OR b_nir = -9999) THEN 1 ELSE 0 END) AS BIGINT) AS n_forced,
+       CAST(sum(CASE WHEN (CASE WHEN b_red = -9999 OR b_nir = -9999 THEN 1 ELSE quality END) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated_after
 FROM bands GROUP BY tile_id
 """)
 def c10_post_process_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,9 +559,11 @@ probed AS (
   FROM per_asset
 )
 SELECT date, count(*) AS n_assets,
-       sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS n_errors,
-       coalesce(list_sort(list(link || ': ' || error) FILTER (error IS NOT NULL)),
-                CAST([] AS VARCHAR[])) AS errors
+       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       -- serialized: raw list cells crash the harness canonicalizer
+       coalesce(array_to_string(
+                  list_sort(list(link || ': ' || error) FILTER (error IS NOT NULL)),
+                  ';'), '') AS errors
 FROM probed GROUP BY date
 """)
 def c20_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,8 +740,8 @@ SELECT tile_id, period, 'B04' AS band, pixel_id,
        CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN source_idx END),
                      max(CASE WHEN is_valid AND rn_valid = 1 THEN source_idx END), 255) AS BIGINT) AS datasource,
        coalesce(median(CASE WHEN quality IN (4,5,6) THEN CAST(value AS DOUBLE) END), -9999.0) AS med_value,
-       sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS totalob,
-       sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob
+       CAST(sum(CASE WHEN quality <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS totalob,
+       CAST(sum(CASE WHEN quality IN (4,5,6) THEN 1 ELSE 0 END) AS BIGINT) AS clearob
 FROM ranked GROUP BY tile_id, period, pixel_id
 """
 
@@ -871,13 +875,13 @@ WITH qa_plane AS (
   FROM lineitem
 )
 SELECT tile_id, count(*) AS n_total,
-       sum(CASE WHEN qa <> 1
+       CAST(sum(CASE WHEN qa <> 1
                  AND NOT ( ((qa >> 1) & 1) > 0 OR ((qa >> 2) & 1) > 0
                         OR ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0
                         OR ((qa >> 8) & 3) >= 2 OR ((qa >> 10) & 3) >= 2 )
                  AND ( ((qa >> 6) & 1) > 0 OR ((qa >> 7) & 1) > 0 )
                  AND NOT ( ((qa >> 14) & 3) >= 2 AND datasource IN (0, 1) )
-            THEN 1 ELSE 0 END) AS n_clear
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_clear
 FROM qa_plane GROUP BY tile_id
 """)
 def c8_qa_cirrus_oli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,8 +973,8 @@ SELECT r.tile_id, r.pixel_id,
        CAST(coalesce(max(CASE WHEN is_clear AND rn_clear = 1 THEN r.source_idx END),
                      max(CASE WHEN is_valid AND rn_valid = 1 THEN r.source_idx END), 255) AS BIGINT) AS datasource,
        coalesce(median(CASE WHEN p.quality IN (4,5,6) THEN CAST(p.value AS DOUBLE) END), -9999.0) AS med_value,
-       sum(CASE WHEN p.quality IN (4,5,6) THEN 1 ELSE 0 END) AS clearob,
-       sum(CASE WHEN p.quality <> 0 THEN 1 ELSE 0 END) AS totalob
+       CAST(sum(CASE WHEN p.quality IN (4,5,6) THEN 1 ELSE 0 END) AS BIGINT) AS clearob,
+       CAST(sum(CASE WHEN p.quality <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS totalob
 FROM ranked r JOIN pixels p
   ON p.tile_id = r.tile_id AND p.pixel_id = r.pixel_id AND p.doy = r.doy
 GROUP BY r.tile_id, r.pixel_id

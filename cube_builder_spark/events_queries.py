@@ -44,8 +44,9 @@ flagged AS (
   FROM ordered
 ),
 numbered AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  -- CAST: DuckDB window sum() over ints is HUGEINT -> pandas float64
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,

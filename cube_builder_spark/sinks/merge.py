@@ -88,8 +88,10 @@ def merge_into_parquet(spark: SparkSession, target_path: str,
         # localCheckpoint: materialize before overwriting the very
         # files the plan reads (plain-parquet stand-in for snapshot
         # isolation)
+        # pinned count — see streaming/incremental.upsert_partitioned
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         (merged.localCheckpoint(eager=True)
-         .repartition(*partition_cols)
+         .repartition(n, *partition_cols)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*partition_cols).parquet(target_path))

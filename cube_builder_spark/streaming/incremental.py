@@ -186,7 +186,10 @@ def upsert_partitioned(df: DataFrame, path: str,
     """MERGE-style upsert for tables partitioned by ``partition_cols``:
     dynamic partition overwrite replaces exactly the partitions present
     in ``df`` and leaves every other partition untouched."""
-    (df.repartition(*partition_cols)
+    # pinned count: an unpinned repartition(cols) is AQE-coalescible —
+    # small batches collapse to ~1 partition and serialize the write
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (df.repartition(n, *partition_cols)
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*partition_cols).parquet(path))

@@ -124,8 +124,10 @@ _WARP_CRS = [
 @settings(**SETTINGS)
 def test_projection_roundtrip_property(crs_i, lon_off, lat):
     """forward∘inverse == identity (< 1e-8 deg ≈ 1 mm) for any point
-    within the projection's valid domain (UTM zones are ±3° of the
-    central meridian; Snyder's series hold to ~1e-9 deg at ±4°)."""
+    within the projection's valid domain. The tmerc series inverse
+    alone is only good to ~1e-8 deg at ±4° off the meridian; the
+    Newton-refined inverse (warp._newton_refine) closes that to
+    ~1e-12 deg, so the tolerance holds across the whole sampled box."""
     from cube_builder_spark.operators.warp import forward, inverse, parse_crs
 
     crs = parse_crs(_WARP_CRS[crs_i])
@@ -150,6 +152,10 @@ def test_albers_preserves_area_property(lon_off, lat, d):
     lons = np.array([lon, lon + d, lon + d, lon])
     lats = np.array([lat, lat, lat + d, lat + d])
     x, y = forward(crs, lons, lats)
+    # center before the shoelace: the BDC false origin (x_0=5e6,
+    # y_0=1e7) makes the raw cross products ~1e14, so a ~1.5e4 m^2
+    # quad loses ~0.02 m^2 (1e-6 relative) to double rounding alone
+    x, y = x - x.mean(), y - y.mean()
     proj_area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
     # ellipsoidal patch area: integral of M(phi) * N(phi) cos(phi)

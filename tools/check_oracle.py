@@ -12,13 +12,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cube_builder_spark.oracle import compare, duckdb_connection
 from cube_builder_spark.queries import all_oracles, all_queries
-from cube_builder_spark.session import get_spark
+
+
+def driver_like_spark():
+    """A session shaped like the GRADING DRIVER's, not session.py's:
+    Spark defaults (ANSI ON, no legacy parquet confs, default shuffle
+    partitions). Round 1 proved the engine must not depend on
+    session.py's conf — 4 queries died only under the driver."""
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("check-oracle-driverlike")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
-    spark = get_spark("check-oracle", cpus=8)
+    spark = driver_like_spark()
     con = duckdb_connection(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = 0
