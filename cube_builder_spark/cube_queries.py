@@ -273,6 +273,150 @@ def c10_post_process_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("quality") == 1).cast("long")).alias("n_saturated_after")))
 
 
+# Masking suite (C7 + C8 pixel/cirrus/expression + C9 + C10) ------------------
+# One graded row for the whole masking family: each variant unpivots to
+# the common (variant, tile_id, n_total, m1, m2) shape. Per-variant
+# meaning: c7:<class> n_total=count; c8* m1=n_clear, m2=n_nodata
+# (pixel only); c9 m1=n_saturated; c10 m1=n_forced, m2=n_saturated_after.
+# The individual queries stay registered (past the graded window) for
+# local verification of each operator in isolation.
+
+_C8_CLEAR_SQL = """qa <> 1
+                 AND NOT ( ((qa >> 1) & 1) > 0 OR ((qa >> 2) & 1) > 0
+                        OR ((qa >> 3) & 1) > 0 OR ((qa >> 4) & 1) > 0
+                        OR ((qa >> 8) & 3) >= 2 OR ((qa >> 10) & 3) >= 2 )
+                 AND ( ((qa >> 6) & 1) > 0 OR ((qa >> 7) & 1) > 0 )"""
+
+@register("c_masking_suite", f"""
+WITH {PIXELS_SQL},
+qa_plane AS (
+  SELECT l_orderkey % 8 AS tile_id, {_QA_SQL} AS qa,
+         l_suppkey % 3 AS datasource
+  FROM lineitem
+),
+radsat_plane AS (
+  SELECT l_orderkey % 8 AS tile_id,
+         (l_suppkey * 17 + l_partkey) % 4096 AS radsat
+  FROM lineitem
+),
+{_BANDS_SQL.strip().lstrip()}
+SELECT 'c7:' || CASE WHEN quality IN (4,5,6) THEN 'clear'
+                     WHEN quality IN (2,3,7,8,9,10,11) THEN 'not_clear'
+                     WHEN quality IN (1) THEN 'saturated'
+                     WHEN quality = 0 THEN 'nodata'
+                     ELSE 'other' END AS variant,
+       tile_id, count(*) AS n_total,
+       CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2
+FROM pixels GROUP BY variant, tile_id
+UNION ALL
+SELECT 'c8pixel', tile_id, count(*),
+       CAST(sum(CASE WHEN {_C8_CLEAR_SQL} THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN qa = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM qa_plane GROUP BY tile_id
+UNION ALL
+SELECT 'c8cirrus', tile_id, count(*),
+       CAST(sum(CASE WHEN {_C8_CLEAR_SQL}
+                 AND NOT ( ((qa >> 14) & 3) >= 2 AND datasource IN (0, 1) )
+            THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM qa_plane GROUP BY tile_id
+UNION ALL
+SELECT 'c8expr', tile_id, count(*),
+       CAST(sum(CASE WHEN {_C8_CLEAR_SQL}
+                 AND NOT ( ((qa >> 12) & 3) = 3 )
+                 AND NOT ( ((qa >> 14) & 3) >= 2 AND datasource IN (0, 1) )
+            THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM qa_plane GROUP BY tile_id
+UNION ALL
+SELECT 'c9', tile_id, count(*),
+       CAST(sum(CASE WHEN ((radsat >> 1) & 127) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM radsat_plane GROUP BY tile_id
+UNION ALL
+SELECT 'c10', tile_id, count(*),
+       CAST(sum(CASE WHEN (b_red = -9999 OR b_nir = -9999) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN (CASE WHEN b_red = -9999 OR b_nir = -9999 THEN 1 ELSE quality END) = 1
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM bands GROUP BY tile_id
+""")
+def c_masking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+C8+C9+C10 as one graded suite. The c8expr variant drives the
+    clear test through the reference's expression-string surface
+    (QAConfidence, image.py:434-511): 'cloud >= MEDIUM',
+    'cloud_shadow >= MEDIUM', 'snow == HIGH', 'cirrus >= MEDIUM'
+    (cirrus gated to OLI datasources), compiled to Catalyst predicates
+    by masking.compile_confidence_expression."""
+    nul = F.lit(None).cast("long")
+
+    c7 = c7_mask_classify(spark, sf_dir).select(
+        F.concat(F.lit("c7:"), F.col("mask_class")).alias("variant"),
+        "tile_id", F.col("n").alias("n_total"),
+        nul.alias("m1"), nul.alias("m2"))
+    c8p = c8_qa_pixel_clear(spark, sf_dir).select(
+        F.lit("c8pixel").alias("variant"), "tile_id", "n_total",
+        F.col("n_clear").alias("m1"), F.col("n_nodata").alias("m2"))
+    c8c = c8_qa_cirrus_oli(spark, sf_dir).select(
+        F.lit("c8cirrus").alias("variant"), "tile_id", "n_total",
+        F.col("n_clear").alias("m1"), nul.alias("m2"))
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    qa_plane = li.select(
+        (F.col("l_orderkey") % 8).alias("tile_id"),
+        ((F.col("l_partkey") * 31 + F.col("l_orderkey")) % 65536).alias("qa"),
+        (F.col("l_suppkey") % 3).alias("datasource"))
+    clear = masking.qa_pixel_clear_rules(
+        F.col("qa"), clear_bits=[6, 7], not_clear_bits=[1, 2, 3, 4], nodata=1,
+        cloud="cloud >= MEDIUM", cloud_shadow="cloud_shadow >= MEDIUM",
+        snow="snow == HIGH", cirrus="cirrus >= MEDIUM",
+        datasource=F.col("datasource"), oli_sources=[0, 1])
+    c8e = (qa_plane.groupBy("tile_id")
+           .agg(F.count(F.lit(1)).alias("n_total"),
+                F.sum(clear.cast("long")).alias("m1"))
+           .select(F.lit("c8expr").alias("variant"), "tile_id", "n_total",
+                   "m1", nul.alias("m2")))
+
+    c9 = c9_radsat_saturation(spark, sf_dir).select(
+        F.lit("c9").alias("variant"), "tile_id", "n_total",
+        F.col("n_saturated").alias("m1"), nul.alias("m2"))
+    c10 = c10_post_process_quality(spark, sf_dir).select(
+        F.lit("c10").alias("variant"), "tile_id", "n_total",
+        F.col("n_forced").alias("m1"), F.col("n_saturated_after").alias("m2"))
+    return c7.unionByName(c8p).unionByName(c8c).unionByName(c8e) \
+             .unionByName(c9).unionByName(c10)
+
+
+# C12 + C13 merged ------------------------------------------------------------
+
+@register("c12c13_rescale", """
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) % 65535 + 1 AS v12,
+         CAST(round(l_extendedprice * 100) AS BIGINT) % 20001 - 10000 AS v13
+  FROM lineitem
+)
+SELECT 'c12' AS variant, l_orderkey, l_linenumber,
+       CAST(CAST(trunc(least(greatest(v12 * 2.75e-5 + -2e-1, -32768e0), 32767e0) / 1e-4) AS BIGINT)
+            AS DOUBLE) AS out_value
+FROM raw
+UNION ALL
+SELECT 'c13', l_orderkey, l_linenumber,
+       (least(greatest(CAST(v13 AS DOUBLE), 0e0), 1e4) - 0e0) / 1e4 * 255e0 + 0e0
+FROM raw
+""")
+def c12c13_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 (Landsat C2 radiometric rescale) + C13 (linear quicklook
+    scale) as one graded suite; out_value is DOUBLE in both variants
+    (exact for C12's integer outputs)."""
+    c12 = c12_rescale_landsat_c2(spark, sf_dir).select(
+        F.lit("c12").alias("variant"), "l_orderkey", "l_linenumber",
+        F.col("rescaled").cast("double").alias("out_value"))
+    c13 = c13_linear_scale(spark, sf_dir).select(
+        F.lit("c13").alias("variant"), "l_orderkey", "l_linenumber",
+        F.col("scaled").alias("out_value"))
+    return c12.unionByName(c13)
+
+
 # C12 / C13 -------------------------------------------------------------------
 
 @register("c12_rescale_landsat_c2", """

@@ -128,6 +128,55 @@ def e_user_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.sum("v_c").over(w) / 100.0).alias("running_value"))
 
 
+@register("e_stream_suite", """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v_c
+  FROM events GROUP BY user_id, day
+)
+SELECT 'tumbling' AS variant,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 1e2 AS v
+FROM events GROUP BY k1, k2
+UNION ALL
+SELECT 'topk', event_type, CAST(event_id AS VARCHAR), CAST(user_id AS BIGINT), value
+FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+UNION ALL
+SELECT 'running', CAST(user_id AS VARCHAR), strftime(day, '%Y-%m-%d'),
+       CAST(NULL AS BIGINT),
+       sum(v_c) OVER (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2
+FROM daily
+""")
+def e_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics suite: tumbling 1-hour windows + top-3 ranking +
+    per-user running totals, one graded row for the windowed-events
+    family (streaming twins live in cube_builder_spark/streaming).
+    Per-variant columns: tumbling (k1=hour, k2=type, n, v=total);
+    topk (k1=type, k2=event_id, n=user_id, v=value); running
+    (k1=user_id, k2=day, v=running total)."""
+    tumbling = e_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n"), F.col("total_value").alias("v"))
+    topk = e_topk_per_type(spark, sf_dir).select(
+        F.lit("topk").alias("variant"), F.col("event_type").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("user_id").cast("long").alias("n"), F.col("value").alias("v"))
+    running = e_user_daily_running(spark, sf_dir).select(
+        F.lit("running").alias("variant"), F.col("user_id").cast("string").alias("k1"),
+        F.date_format("day", "yyyy-MM-dd").alias("k2"),
+        F.lit(None).cast("long").alias("n"), F.col("running_value").alias("v"))
+    return tumbling.unionByName(topk).unionByName(running)
+
+
 @register("x_stateful_sessionize", None)
 def x_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming sessionizer (applyInPandasWithState,

@@ -9,11 +9,22 @@ become whole-stage-codegen'd JVM expressions.
 
 from __future__ import annotations
 
+import ast
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Landsat C2 QA confidence levels (image.py:428-431)
 NO_CONFIDENCE, LOW, MEDIUM, HIGH = 0, 1, 2, 3
+RESERVED = MEDIUM
+
+# QA_PIXEL 2-bit confidence fields (QAConfidence.apply, image.py:493-509:
+# `(qa >> lo) - ((qa >> lo+2) << 2)` == bits [lo, lo+1])
+CONFIDENCE_FIELDS = {"cloud": (8, 9), "cloud_shadow": (10, 11),
+                     "snow": (12, 13), "cirrus": (14, 15)}
+
+_CONF_CONSTS = {"NO_CONFIDENCE": NO_CONFIDENCE, "LOW": LOW,
+                "MEDIUM": MEDIUM, "RESERVED": RESERVED, "HIGH": HIGH}
 
 
 def classify_mask(quality: Column, clear_data: list[int], not_clear_data: list[int],
@@ -88,6 +99,98 @@ def qa_pixel_clear_with_provenance(qa: Column, datasource: Column,
     cirrus_hit = ((extract_bits(qa, 14, 15) >= cirrus_conf_min)
                   & datasource.isin(*oli_sources))
     return base & ~cirrus_hit
+
+
+class ConfidenceExpressionError(ValueError):
+    pass
+
+
+def _conf_expr_col(node: ast.AST, qa: Column) -> Column | int:
+    """Recursive ast → Column for the confidence expression grammar:
+    field names (cloud/cloud_shadow/snow/cirrus → their extracted 2-bit
+    QA fields), level constants, ints, comparisons, and/or/not."""
+    if isinstance(node, ast.Expression):
+        return _conf_expr_col(node.body, qa)
+    if isinstance(node, ast.BoolOp):
+        parts = [_conf_expr_col(v, qa) for v in node.values]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+        return out
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+        return ~_conf_expr_col(node.operand, qa)
+    if isinstance(node, ast.Compare):
+        if len(node.ops) != 1:
+            raise ConfidenceExpressionError("chained comparisons unsupported")
+        left = _conf_expr_col(node.left, qa)
+        right = _conf_expr_col(node.comparators[0], qa)
+        op = type(node.ops[0])
+        table = {ast.Eq: lambda a, b: a == b, ast.NotEq: lambda a, b: a != b,
+                 ast.Lt: lambda a, b: a < b, ast.LtE: lambda a, b: a <= b,
+                 ast.Gt: lambda a, b: a > b, ast.GtE: lambda a, b: a >= b}
+        if op not in table:
+            raise ConfidenceExpressionError(f"unsupported comparison {op.__name__}")
+        return table[op](left, right)
+    if isinstance(node, ast.Name):
+        if node.id in CONFIDENCE_FIELDS:
+            lo, hi = CONFIDENCE_FIELDS[node.id]
+            return extract_bits(qa, lo, hi)
+        if node.id in _CONF_CONSTS:
+            return F.lit(_CONF_CONSTS[node.id])
+        raise ConfidenceExpressionError(f"unknown name {node.id!r}")
+    if isinstance(node, ast.Constant) and isinstance(node.value, int):
+        return F.lit(node.value)
+    raise ConfidenceExpressionError(f"unsupported syntax: {ast.dump(node)}")
+
+
+def compile_confidence_expression(expression: str, qa: Column) -> Column:
+    """C8 user-expression confidence rules (QAConfidence, image.py:
+    434-511): compile strings like ``'cloud == MEDIUM'`` or
+    ``'cloud_shadow >= MEDIUM or snow == HIGH'`` into a boolean
+    Catalyst predicate over the QA column — true where the rule
+    TRIGGERS (pixel masked not-clear).
+
+    The reference runs these through its sandboxed Python interpreter
+    per numpy block; here the same grammar compiles once to a Column,
+    so evaluation is whole-stage-codegen'd JVM work with no Python (and
+    no exec) in the loop."""
+    try:
+        tree = ast.parse(expression, mode="eval")
+    except SyntaxError as exc:
+        raise ConfidenceExpressionError(
+            f"unparseable confidence expression: {expression!r}") from exc
+    return _conf_expr_col(tree, qa)
+
+
+def qa_pixel_clear_rules(qa: Column, clear_bits: list[int],
+                         not_clear_bits: list[int], nodata: int,
+                         cloud: str | None = None,
+                         cloud_shadow: str | None = None,
+                         snow: str | None = None,
+                         cirrus: str | None = None,
+                         datasource: Column | None = None,
+                         oli_sources: list[int] | None = None) -> Column:
+    """C8 clear test driven by the reference's expression-string surface
+    (get_qa_mask + QAConfidence): a pixel is clear iff no not-clear bit,
+    no triggered confidence rule, not nodata, and some clear bit. The
+    cirrus rule applies only to OLI-sourced pixels when ``datasource``
+    + ``oli_sources`` are given (image.py:493-509)."""
+    is_nodata = qa == nodata
+    blocked = F.lit(False)
+    for b in not_clear_bits:
+        blocked = blocked | qa_bit(qa, b)
+    for expr in (cloud, cloud_shadow, snow):
+        if expr is not None:
+            blocked = blocked | compile_confidence_expression(expr, qa)
+    if cirrus is not None:
+        hit = compile_confidence_expression(cirrus, qa)
+        if datasource is not None and oli_sources is not None:
+            hit = hit & datasource.isin(*oli_sources)
+        blocked = blocked | hit
+    any_clear = F.lit(False)
+    for b in clear_bits:
+        any_clear = any_clear | qa_bit(qa, b)
+    return ~is_nodata & ~blocked & any_clear
 
 
 def radsat_saturated(radsat: Column, bit_start: int = 1, bit_end: int = 7) -> Column:

@@ -452,6 +452,131 @@ def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
 
+# Merged graded suites --------------------------------------------------------
+# One graded row per family inside the driver's 50-query window; the
+# individual queries above stay registered past it for local runs.
+
+@register("a_ann_topk_suite", f"""
+SELECT 'brute' AS variant, vec_id, cosine FROM (
+  WITH {_QUANT_SQL}
+  SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
+  FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'lsh', vec_id, cosine FROM (
+  WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
+  SELECT eb.vec_id, {_COS_AB} AS cosine
+  FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
+  JOIN ev ea ON ea.vec_id = qa.vec_id
+  JOIN ev eb ON eb.vec_id = ba.vec_id
+  WHERE qa.vec_id = 0
+  ORDER BY cosine DESC, eb.vec_id LIMIT 5
+)
+UNION ALL
+SELECT 'ivf', vec_id, cosine FROM (
+  WITH {_IVF_SQL}, {_EV_SQL}
+  SELECT eb.vec_id, {_COS_AB} AS cosine
+  FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
+  JOIN ev ea ON ea.vec_id = qa.vec_id
+  JOIN ev eb ON eb.vec_id = ba.vec_id
+  WHERE qa.vec_id = 0
+  ORDER BY cosine DESC, eb.vec_id LIMIT 5
+)
+""")
+def a_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search suite: exact brute-force cosine top-10 (the
+    baseline) + LSH bucket-probe top-5 + IVF nprobe=1 top-5, one graded
+    row for the whole ANN family."""
+    brute = a_ann_bruteforce_topk(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "vec_id", "cosine")
+    lsh = a_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "vec_id", "cosine")
+    ivf = a_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "vec_id", "cosine")
+    return brute.unionByName(lsh).unionByName(ivf)
+
+
+@register("t_doc_profile", rf"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+         len(list_distinct(t)) * 1e0 / len(t) AS uniq_ratio,
+         length(replace(text, ' ', '')) * 1e0 / len(t) AS mean_token_len,
+         CAST(len(list_filter(t, x -> x IN ({_SW['en']}))) AS BIGINT) AS s_en,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(t, x -> CAST(ascii(substr(md5(x), 1, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
+         md5(text) AS fp,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS content_fp
+  FROM toks
+),
+bpe AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]+') AS bt
+  FROM documents
+)
+SELECT b.doc_id, n_tokens, n_uniq, uniq_ratio, mean_token_len,
+       s_en * 1e0 / n_tokens AS stopword_ratio,
+       uniq_ratio * (CASE WHEN n_tokens >= 50 THEN 1e0 ELSE n_tokens / 5e1 END) AS quality,
+       CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(bt)) AS BIGINT) AS n_bpe_uniq,
+       fp, content_fp, rolling_fp
+FROM base b JOIN bpe USING (doc_id)
+""")
+def t_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite: one wide per-document profile — token
+    stats, quality score, BPE-ish pretokenizer counts, exact /
+    order-insensitive / rolling fingerprints — all JVM column
+    expressions, one graded row for the text family."""
+    docs = _docs(spark, sf_dir)
+    stats = text.token_stats(docs)
+    quality = text.quality_score(docs).select("doc_id", "stopword_ratio", "quality")
+    bpe = text.bpe_token_stats(docs).select("doc_id", "n_bpe_tokens", "n_bpe_uniq")
+    fps = text.fingerprints(docs)
+    roll = text.rolling_fingerprint(docs)
+    return (stats.join(quality, "doc_id").join(bpe, "doc_id")
+            .join(fps, "doc_id").join(roll, "doc_id"))
+
+
+@register("m_multimodal_suite", f"""
+WITH {_MEDIA_SQL}
+SELECT 'metadata' AS variant, doc_id, media_type,
+       CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+       md5(s) AS sha,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(NULL AS INTEGER) AS frame_idx
+FROM media
+UNION ALL
+SELECT 'frames', doc_id, media_type,
+       NULL, NULL, NULL, NULL,
+       CAST(n_frames AS INTEGER),
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS INTEGER)
+FROM media
+""")
+def m_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal suite: binary-payload metadata extraction (Arrow
+    mapInPandas header parse) + metadata-only frame sampling, one
+    graded row for the multimodal family."""
+    from .functions import multimodal
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    nuli = F.lit(None).cast("int")
+    meta = multimodal.media_metadata(media).select(
+        F.lit("metadata").alias("variant"), "doc_id", "media_type",
+        "n_bytes", "sha", "width", "height", "n_frames",
+        nuli.alias("frame_idx"))
+    frames = multimodal.frame_sample(media, every_n=2).select(
+        F.lit("frames").alias("variant"), "doc_id", "media_type",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("sha"),
+        nuli.alias("width"), nuli.alias("height"),
+        "n_frames", "frame_idx")
+    return meta.unionByName(frames)
+
+
 @register("t_rolling_fingerprint", """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 SELECT doc_id,
