@@ -961,6 +961,58 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube
 
 
+@register("x_cube_reuse", _E2E_BLEND_SQL)
+def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cube reuse (reference maestro.py:222-259, 359-394;
+    tasks.py:111-117): cube A builds with ``write_identity`` and an
+    EXTRA band; cube B builds with ``reuse_from`` pointing at A's
+    output and never touches raw scenes — its merge plane is A's
+    persisted identity table, band-subset validated and pruned to B's
+    two bands. B's blended cube must be hash-identical to the one-shot
+    e2e oracle, proving the reuse path changes data flow, not
+    results."""
+    import shutil
+    import tempfile
+    from datetime import date as _date
+
+    from .plans.build_cube import CubeJobConfig, build_cube
+
+    px = pixel_plane(spark, sf_dir)
+    common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
+    b04 = px.select(*common, F.lit("B04").alias("band"),
+                    F.col("value").cast("long").alias("value"))
+    scl = px.select(*common, F.lit("SCL").alias("band"),
+                    F.col("quality").cast("long").alias("value"))
+    # cube A carries an extra band so B's subset validation/pruning is real
+    b08 = px.select(*common, F.lit("B08").alias("band"),
+                    ((F.col("value") * 2) % 10001).cast("long").alias("value"))
+    obs_a = b04.unionByName(scl).unionByName(b08) \
+        .withColumn("scene_order", F.col("source_idx"))
+    obs_b = b04.unionByName(scl).withColumn("scene_order", F.col("source_idx"))
+
+    dir_a = tempfile.mkdtemp(prefix="reuse_src_")
+    dir_b = tempfile.mkdtemp(prefix="reuse_dst_")
+    try:
+        cfg_a = CubeJobConfig(cube="IDT-SRC", start=_date(2020, 1, 1),
+                              end=_date(2020, 1, 16), step=8,
+                              index_bands={}, write_identity=True)
+        build_cube(spark, obs_a, dir_a, cfg_a)
+        cfg_b = CubeJobConfig(cube="REUSED", start=_date(2020, 1, 1),
+                              end=_date(2020, 1, 16), step=8,
+                              index_bands={}, reuse_from=dir_a)
+        build_cube(spark, obs_b, dir_b, cfg_b)
+        import os as _os
+        cube = spark.read.parquet(_os.path.join(dir_b, "cube")).select(
+            F.col("tile_id").cast("long").alias("tile_id"),
+            "period", "band", "pixel_id",
+            "lcf_value", "provenance", "datasource",
+            "med_value", "totalob", "clearob").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(dir_a, ignore_errors=True)
+        shutil.rmtree(dir_b, ignore_errors=True)
+    return cube
+
+
 @register("c1b_warp_resample", f"""
 WITH {PIXELS_SQL}
 SELECT tile_id,
@@ -1092,17 +1144,127 @@ def k3_rgb_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rgb_scaled(_rgb_wide(spark, sf_dir), "B04", "B03", "B02")
 
 
-@register("k2_quicklook_png", None)
+@register("k2_quicklook_png", f"""
+WITH {PIXELS_SQL}, {{RGB}},
+scaled AS (
+  SELECT tile_id, period, pixel_id,
+         CASE WHEN B04 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B04 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS r8,
+         CASE WHEN B03 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B03 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS g8,
+         CASE WHEN B02 = -9999 THEN 0 ELSE CAST(floor(least(greatest(CAST(B02 AS DOUBLE), 0.0), 10000.0) / 10000.0 * 255.0) AS INTEGER) END AS b8
+  FROM rgb
+)
+SELECT tile_id, period, 32 AS width,
+       CAST(max(pixel_id) // 32 + 1 AS INTEGER) AS height,
+       TRUE AS png_ok,
+       CAST(sum(r8) AS BIGINT) AS r_sum,
+       CAST(sum(g8) AS BIGINT) AS g_sum,
+       CAST(sum(b8) AS BIGINT) AS b_sum
+FROM scaled GROUP BY tile_id, period
+""".replace("{RGB}", _RGB_SQL.strip()))
 def k2_quicklook_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 quicklook (processing.py:1291-1324): one REAL PNG per
-    (tile, period) — stdlib zlib encoder inside applyInPandas. No SQL
-    oracle (binary sink; rows-only check): roundtrip-verified in
-    tests via the paired decoder."""
-    from .sinks.quicklook import quicklook_png, rgb_scaled
+    (tile, period) — stdlib zlib encoder inside applyInPandas — then
+    DECODED BACK with the paired decoder, emitting the image dims, a
+    signature check, and per-channel pixel sums. The SQL oracle replays
+    the sums from the scaled channel math, so the whole scale → pack →
+    deflate → unpack path is hash-checked end-to-end (the binary
+    itself can't be SQL-derived; its decoded content can)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sinks.quicklook import decode_png_rgb, quicklook_png, rgb_scaled
     scaled = rgb_scaled(_rgb_wide(spark, sf_dir), "B04", "B03", "B02")
     out = quicklook_png(scaled, ncols=32)
-    return out.select("tile_id", "period", "width", "height",
-                      F.md5("png").alias("png_md5"))
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                png = bytes(r.png)
+                img = decode_png_rgb(png).astype(np.int64)
+                rows.append({
+                    "tile_id": int(r.tile_id), "period": r.period,
+                    "width": img.shape[1], "height": img.shape[0],
+                    "png_ok": png[:8] == b"\x89PNG\r\n\x1a\n",
+                    "r_sum": int(img[:, :, 0].sum()),
+                    "g_sum": int(img[:, :, 1].sum()),
+                    "b_sum": int(img[:, :, 2].sum())})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        verify, "tile_id long, period string, width int, height int, "
+                "png_ok boolean, r_sum long, g_sum long, b_sum long")
+
+
+# K1 COG structure -------------------------------------------------------------
+
+@register("k1_cog_structure", f"""
+WITH {PIXELS_SQL},
+obs AS (
+  SELECT tile_id, pixel_id, value FROM pixels WHERE date = DATE '2020-01-02'
+),
+agg AS (
+  SELECT tile_id,
+         CAST(sum(value) + (-9999) * (512 - count(*)) AS BIGINT) AS full_sum,
+         CAST(coalesce(sum(CASE WHEN (pixel_id // 32) % 2 = 0
+                                 AND (pixel_id % 32) % 2 = 0 THEN value END), 0)
+              + (-9999) * (128 - count(CASE WHEN (pixel_id // 32) % 2 = 0
+                                             AND (pixel_id % 32) % 2 = 0 THEN 1 END))
+              AS BIGINT) AS ov_sum
+  FROM obs GROUP BY tile_id
+)
+SELECT tile_id, 32 AS width, 16 AS height, 8 AS tile, 1 AS n_overviews,
+       TRUE AS ifds_lead_data, TRUE AS overview_data_first, TRUE AS ov_subfile_ok,
+       -9999 AS nodata, full_sum, ov_sum
+FROM agg
+""")
+def k1_cog_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 COG writer (sinks/cog.write_cog_band; reference
+    image.py:309-378 cog_translate): each tile's scene is encoded as a
+    REAL tiled+overview COG on the executors, decoded back with the
+    paired IFD-walking reader, and the STRUCTURE becomes oracle-checked
+    columns — internal tile size, overview count, IFDs-lead-data and
+    overview-data-first layout (the range-request properties that make
+    a COG a COG), NewSubfileType flags, nodata tag, and value checksums
+    of the full-res plane and the nearest 2x overview (which the SQL
+    oracle replays as the even-row/even-col sum)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sinks.cog import read_cog, write_cog_band
+
+    nrows, ncols = 16, 32
+    px = (pixel_plane(spark, sf_dir)
+          .filter(F.col("date") == F.lit("2020-01-02").cast("date"))
+          .select("tile_id", "pixel_id", "value"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full(nrows * ncols, -9999, np.int16)
+        arr[pdf["pixel_id"].to_numpy()] = pdf["value"].to_numpy(np.int16)
+        tile = int(pdf["tile_id"].iloc[0])
+        buf = write_cog_band(arr.reshape(nrows, ncols), tile=8,
+                             origin=(tile * ncols * 30.0, 0.0))
+        got = read_cog(buf)
+        full = got["array"].astype(np.int64)
+        ovs = got["overviews"]
+        return pd.DataFrame([{
+            "tile_id": tile,
+            "width": full.shape[1], "height": full.shape[0],
+            "tile": got["tile"], "n_overviews": len(ovs),
+            "ifds_lead_data": bool(got["ifds_lead_data"]),
+            "overview_data_first": bool(got["overview_data_first"]),
+            "ov_subfile_ok": all(t == 1 for t in got["overview_subfile_types"]),
+            "nodata": got["nodata"],
+            "full_sum": int(full.sum()),
+            "ov_sum": int(ovs[0].astype(np.int64).sum()) if ovs else 0,
+        }])
+
+    return px.groupBy("tile_id").applyInPandas(
+        build, "tile_id long, width int, height int, tile int, "
+               "n_overviews int, ifds_lead_data boolean, "
+               "overview_data_first boolean, ov_subfile_ok boolean, "
+               "nodata long, full_sum long, ov_sum long")
 
 
 # C2-C6 over the block-array representation ------------------------------------

@@ -48,26 +48,34 @@ def brute_force_topk(embeddings: DataFrame, query_vec_id: int = 0,
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
 
 
-def hyperplane_weight(j, i):
-    """Deterministic integer hyperplane weights w(j, dim) in [-3, 3]."""
-    return (F.lit(j) * 31 + i * 17) % 7 - 3
+def hyperplane_weight(j: int, i: int) -> int:
+    """Deterministic integer hyperplane weights w(plane, dim) in [-3, 3]."""
+    return (j * 31 + i * 17) % 7 - 3
+
+
+def _embedding_dim(embeddings: DataFrame) -> int:
+    """Vector dimensionality — one bounded-metadata head() (the vector
+    schema's fixed width; never a data-sized collect)."""
+    return len(embeddings.select("embedding").head()[0])
 
 
 def lsh_buckets(embeddings: DataFrame, num_planes: int = 8) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bit j = sign of the
-    integer projection onto plane j. Explode + one groupBy — exact
-    integer sums, engine-portable, and the natural scale shape (the
-    per-dimension rows partition by vec_id)."""
-    dims = embeddings.select(
-        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("i", "q"))
-    aggs = [F.sum(F.col("q") * hyperplane_weight(j, F.col("i"))).alias(f"p{j}")
-            for j in range(num_planes)]
-    proj = dims.groupBy("vec_id").agg(*aggs)
+    integer projection onto plane j.
+
+    Array-native: each projection is one ``zip_with``+fold against a
+    literal weight array, so the bucket is computed MAP-SIDE in the
+    same task that read the vector — no per-dimension explode (64x row
+    inflation) and no groupBy shuffle at all. Exact integer math,
+    bit-identical to the per-dimension formulation."""
+    dim = _embedding_dim(embeddings)
+    ev = quantize(F.col("embedding"))
     bucket = None
     for j in range(num_planes):
-        bit = F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        w = F.array(*[F.lit(hyperplane_weight(j, i)) for i in range(dim)])
+        bit = (F.when(dot_q(ev, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         bucket = bit if bucket is None else bucket + bit
-    return proj.select("vec_id", bucket.cast("long").alias("bucket"))
+    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
 def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
@@ -121,24 +129,34 @@ def ivf_centroids(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
 
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (ties -> lowest
-    g). The centroid table is tiny (n_lists × dim) and broadcast; the
-    per-dimension rows partition by vec_id, so assignment is one
-    map-side join + one groupBy — no vector ever shuffles twice."""
-    from pyspark.sql import Window
-    cent = ivf_centroids(embeddings, n_lists)
-    cnorm = cent.groupBy("g").agg(F.sum(F.col("c") * F.col("c")).alias("cc"))
-    dims = embeddings.select(
-        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("dim", "q"))
-    scored = (dims.join(F.broadcast(cent), "dim")
-              .groupBy("vec_id", "g")
-              .agg(F.sum(F.col("q") * F.col("c")).alias("dot"),
-                   F.sum(F.col("q") * F.col("q")).alias("vv"))
-              .join(F.broadcast(cnorm), "g")
-              .withColumn("cos", F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("g"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", F.col("g").alias("list_id")))
+    """Assign every vector to its max-cosine centroid (ties -> lowest g).
+
+    The centroid table is bounded metadata (n_lists × dim) — it is
+    collected once and re-emitted as literal arrays, so assignment is a
+    PURE MAP: one zip_with dot per centroid inside the task that read
+    the vector. No per-dimension explode (the old shape inflated each
+    vector to dim × n_lists rows before aggregating), no join, no
+    window — the only shuffle left in the IVF path is the centroid
+    build itself. Ties resolve via greatest(struct(cos, -g)): higher
+    cosine wins, then lower g — same order as the SQL oracle's
+    row_number."""
+    cent_rows = ivf_centroids(embeddings, n_lists).collect()
+    by_g: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_g.setdefault(int(r.g), {})[int(r.dim)] = int(r.c)
+    dim = 1 + max(d for dims in by_g.values() for d in dims)
+
+    ev = quantize(F.col("embedding"))
+    vv = dot_q(ev, ev)
+    picks = []
+    for g in sorted(by_g):
+        carr = F.array(*[F.lit(by_g[g].get(i, 0)) for i in range(dim)])
+        cc = sum(c * c for c in by_g[g].values())
+        cos_g = dot_q(ev, carr) / (F.sqrt(vv) * F.sqrt(F.lit(cc).cast("double")))
+        picks.append(F.struct(cos_g.alias("cos"), F.lit(-g).alias("ng")))
+    best = F.greatest(*picks) if len(picks) > 1 else picks[0]
+    return embeddings.select(
+        "vec_id", (-best["ng"]).cast("long").alias("list_id"))
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,

@@ -68,6 +68,12 @@ class CubeJobConfig:
     # reference's cog_translate default) instead of striped GeoTIFFs
     cog: bool = True
     cog_tile: int = 256
+    # Cross-cube reuse (reference maestro.py:222-259, 359-394 +
+    # tasks.py:111-117): read identity merges from another cube's
+    # output dir instead of re-merging raw scenes. write_identity
+    # persists this cube's merge plane so others can reuse it.
+    reuse_from: str | None = None
+    write_identity: bool = False
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -243,6 +249,41 @@ def publish_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
          ).alias("cloud_cover"))
 
 
+def read_reused_identity(spark: SparkSession, cfg: CubeJobConfig,
+                         required_bands: list[str]) -> DataFrame:
+    """Cross-cube reuse: load another cube's persisted identity merges
+    (its ``merge_stage`` output) instead of re-merging raw scenes.
+
+    Mirrors the reference's validations (maestro.py:359-394): the
+    reused cube must exist, must carry every band this cube needs
+    (band-subset check, maestro.py:228-239), and ``force`` is
+    disallowed — a forced rebuild would have to regenerate merges the
+    reusing cube doesn't own. Reading prunes to the needed bands, so a
+    10-band identity cube feeding a 2-band derived cube scans 2 bands'
+    partitions, not 10."""
+    import os as _os
+    path = _os.path.join(cfg.reuse_from, "identity")
+    if not _os.path.exists(path):
+        raise RuntimeError(f"Reused data cube at {cfg.reuse_from!r} has no "
+                           "identity merges (build it with write_identity=True)")
+    if cfg.force:
+        raise RuntimeError("Cannot use force on a data cube derived from "
+                           f"{cfg.reuse_from!r}")
+    identity = spark.read.parquet(path)
+    have = {r.band for r in identity.select("band").distinct().collect()}
+    missing = set(required_bands) - have
+    if missing:
+        raise RuntimeError(
+            f"Reused data cube {cfg.reuse_from!r} must have all bands of "
+            f"this cube; missing {sorted(missing)}")
+    out = identity.filter(F.col("band").isin(*required_bands))
+    # partition-column round-trip types (tile_id int, period str) back
+    # to the merge contract
+    return out.select(
+        F.col("tile_id").cast("long").alias("tile_id"), "pixel_id", "band",
+        "date", "period", "doy", "value", "source_idx")
+
+
 def existing_items(spark: SparkSession, out_dir: str) -> DataFrame | None:
     p = os.path.join(out_dir, "items")
     if not os.path.exists(p):
@@ -265,15 +306,29 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     """
     cfg = cfg or CubeJobConfig()
     periods = periods_df(spark, cfg)
-    tagged = assign_periods(obs, periods)
 
-    done = None if cfg.force else existing_items(spark, out_dir)
-    if done is not None:
-        tagged = tagged.join(
-            F.broadcast(done.select("tile_id", "period").distinct()),
-            ["tile_id", "period"], "left_anti")
-
-    merged = merge_stage(tagged, cfg)
+    if cfg.reuse_from:
+        required = [r.band for r in obs.select("band").distinct().collect()]
+        merged = read_reused_identity(spark, cfg, required)
+        done = existing_items(spark, out_dir)
+        if done is not None:
+            merged = merged.join(
+                F.broadcast(done.select("tile_id", "period").distinct()),
+                ["tile_id", "period"], "left_anti")
+    else:
+        tagged = assign_periods(obs, periods)
+        done = None if cfg.force else existing_items(spark, out_dir)
+        if done is not None:
+            tagged = tagged.join(
+                F.broadcast(done.select("tile_id", "period").distinct()),
+                ["tile_id", "period"], "left_anti")
+        merged = merge_stage(tagged, cfg)
+        if cfg.write_identity:
+            from ..streaming.incremental import upsert_partitioned
+            upsert_partitioned(merged, os.path.join(out_dir, "identity"))
+            merged = spark.read.parquet(os.path.join(out_dir, "identity")).select(
+                F.col("tile_id").cast("long").alias("tile_id"), "pixel_id",
+                "band", "date", "period", "doy", "value", "source_idx")
     if cfg.histogram_match:
         merged = histogram_stage(merged.persist(), cfg)
     blended = blend_stage(merged, cfg)

@@ -76,16 +76,91 @@ def landsat_tgz_member(sceneid: str, band: str) -> str:
     return f"{sceneid}_{band}.TIF"
 
 
-def open_raster(uri: str, band: str | None = None, sceneid: str | None = None):
-    """S5 (base.py:30-135): open any raster URI via rasterio. Gated on
-    the library being present; the dispatch above is library-free."""
-    if rasterio is None:
-        raise NotImplementedError(
-            "rasterio is not available in this container; dispatch_uri() "
-            "resolved the GDAL path — wire rasterio.open(gdal_path) here "
-            "in an environment with GDAL")
+def _pick_zip_member(names: list[str], band: str | None,
+                     band_group: str | None) -> str:
+    """SAFE/zip member resolution (sentinel2.py:77-111: subdataset by
+    resolution group, band index by description): prefer a member that
+    names the band AND its resolution group (R10m/R20m/R60m directory
+    or _10m suffix), else any member naming the band, else the single
+    raster member."""
+    rasters = [n for n in names
+               if n.lower().endswith((".tif", ".tiff", ".jp2"))]
+    if band:
+        named = [n for n in rasters
+                 if f"_{band}".lower() in n.rsplit("/", 1)[-1].lower()]
+        if band_group:
+            grouped = [n for n in named if band_group.lower() in n.lower()]
+            if grouped:
+                return grouped[0]
+        if named:
+            return named[0]
+    if len(rasters) == 1:
+        return rasters[0]
+    raise FileNotFoundError(
+        f"cannot resolve band {band!r} among {len(rasters)} raster members")
+
+
+def read_member_bytes(uri: str, band: str | None = None,
+                      sceneid: str | None = None) -> bytes:
+    """S5/S7/S9 container access WITHOUT GDAL: plain file read, zip
+    member (generic or SAFE band-group resolution, stdlib ``zipfile``
+    standing in for /vsizip), or tar.gz member (Landsat
+    ``{sceneid}_{band}.TIF`` synthesis with suffix-match fallback,
+    stdlib ``tarfile`` standing in for /vsitar). Remote URIs need the
+    rasterio/vsicurl path."""
+    import tarfile
+    import zipfile
+
     info = dispatch_uri(uri, band, sceneid)
-    return rasterio.open(info["gdal_path"])          # pragma: no cover
+    path = uri.removeprefix("file://")
+    if "://" in path:
+        raise NotImplementedError(
+            "remote archive access requires rasterio/GDAL (/vsicurl)")
+    if info["kind"] in ("zip", "sentinel_safe_zip"):
+        with zipfile.ZipFile(path) as zf:
+            member = _pick_zip_member(zf.namelist(), band,
+                                      info.get("band_group"))
+            return zf.read(member)
+    if info["kind"] == "landsat_tgz":
+        with tarfile.open(path, "r:*") as tf:
+            names = tf.getnames()
+            member = landsat_tgz_member(sceneid or "", band or "")
+            if member not in names:
+                suffix = f"_{band}.TIF" if band else ".TIF"
+                cands = [n for n in names if n.upper().endswith(suffix.upper())]
+                if not cands:
+                    raise FileNotFoundError(
+                        f"no member {member!r} (or *{suffix}) in {uri}")
+                member = cands[0]
+            f = tf.extractfile(member)
+            if f is None:
+                raise FileNotFoundError(member)
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def open_raster(uri: str, band: str | None = None, sceneid: str | None = None):
+    """S5 (base.py:30-135): open any raster URI. With rasterio present,
+    GDAL handles every format via the dispatched /vsi path. Without it,
+    the stdlib path reads the archive member (zip/SAFE/tgz) and decodes
+    TIFF content with the paired stdlib codec — returning the same
+    {array, origin, pixel_size, nodata} dict the warp/mosaic operators
+    consume. JP2 payloads (SAFE's native encoding) have no stdlib
+    codec: clearly gated."""
+    if rasterio is not None:                          # pragma: no cover
+        info = dispatch_uri(uri, band, sceneid)
+        return rasterio.open(info["gdal_path"])
+    buf = read_member_bytes(uri, band, sceneid)
+    if buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from ..sinks.cog import read_geotiff_band
+        return read_geotiff_band(buf)
+    if buf[:4] == b"\x00\x00\x00\x0c" or buf[:2] == b"\xff\x4f":
+        raise NotImplementedError(
+            "JP2 decode needs rasterio/GDAL or glymur — the archive "
+            "member was located and read; only the codec is missing")
+    raise NotImplementedError(
+        f"no stdlib codec for magic {buf[:4]!r}; install rasterio")
 
 
 def probe_integrity(uri: str, read_bytes: bool = False) -> tuple[bool, str | None]:
@@ -108,6 +183,15 @@ def probe_integrity(uri: str, read_bytes: bool = False) -> tuple[bool, str | Non
         return False, "missing"
     if os.path.getsize(path) == 0:
         return False, "empty file"
+    if read_bytes:
+        # full-read validation through the stdlib archive+codec path
+        # (the reference's ds.read(1) deep probe, image.py:300-304)
+        try:
+            open_raster(uri)
+        except NotImplementedError:
+            pass        # located + read, codec missing: shallow-valid
+        except Exception as e:
+            return False, str(e)
     return True, None
 
 

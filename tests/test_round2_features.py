@@ -1,0 +1,155 @@
+"""Round-2 feature tests: S13 probe, C8 expression rules, geographic
+grids, cross-cube reuse validations, K1/K2 verified sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cube_builder_spark.sources.probe import (CONNECTION_ERROR,
+                                              classify_response, probe_links)
+
+
+# S13 -------------------------------------------------------------------------
+
+def test_classify_response_mapping():
+    assert classify_response("file:///x.tif", None, False) == (True, "skipped (not http)")
+    assert classify_response("http://x", 200, False) == (True, "ok")
+    ok, msg = classify_response("http://x", CONNECTION_ERROR, False)
+    assert not ok and msg == "Connection refused http://x"
+    assert classify_response("http://x", 403, True)[1] == \
+        "(Forbidden) You don't have permission to request this resource."
+    assert classify_response("http://x", 403, False)[1] == \
+        "(Forbidden) Missing Authentication Token."
+    assert classify_response("http://x", 500, False)[1] == \
+        "(Internal Server Error) Could not request this resource."
+
+
+def test_probe_links_distributed(spark):
+    links = spark.createDataFrame(
+        [("https://a/1",), ("http://a/2",), ("file:///a/3",)], "link string")
+    rep = probe_links(links, access_token="tok",
+                      prober=lambda u: 403 if u.endswith("1") else 200)
+    got = {r.link: (r.status, r.ok) for r in rep.collect()}
+    assert got["https://a/1"] == (403, False)
+    assert got["http://a/2"] == (200, True)
+    assert got["file:///a/3"] == (-9999, True)     # skipped, not probed
+
+
+# C8 expression rules ---------------------------------------------------------
+
+def test_confidence_expression_matches_manual_bits(spark):
+    from cube_builder_spark.operators import masking
+    df = spark.range(0, 65536).select(F.col("id").alias("qa"))
+    expr = masking.compile_confidence_expression("cloud >= MEDIUM", F.col("qa"))
+    manual = masking.extract_bits(F.col("qa"), 8, 9) >= masking.MEDIUM
+    assert df.filter(expr != manual).count() == 0
+    combo = masking.compile_confidence_expression(
+        "cloud == HIGH or (cloud_shadow >= MEDIUM and not snow == HIGH)",
+        F.col("qa"))
+    manual2 = ((masking.extract_bits(F.col("qa"), 8, 9) == masking.HIGH)
+               | ((masking.extract_bits(F.col("qa"), 10, 11) >= masking.MEDIUM)
+                  & ~(masking.extract_bits(F.col("qa"), 12, 13) == masking.HIGH)))
+    assert df.filter(combo != manual2).count() == 0
+
+
+def test_confidence_expression_rejects_unsafe():
+    from cube_builder_spark.operators.masking import (
+        ConfidenceExpressionError, compile_confidence_expression)
+    for bad in ("__import__('os')", "cloud + 1", "x == 1", "cloud == MEDIUM; 1"):
+        with pytest.raises(ConfidenceExpressionError):
+            compile_confidence_expression(bad, F.lit(0))
+
+
+# Geographic grids ------------------------------------------------------------
+
+def test_geographic_grid_hierarchy_nests():
+    from cube_builder_spark.grids import (create_geographic_grids,
+                                          geographic_grid_constants)
+    params = dict(names=["SM", "MD", "LG"], projection="aea", meridian=-54.0,
+                  tile_factor=[(10, 10), (20, 20), (40, 40)],
+                  shape=(10560, 10560),
+                  bbox=(-60.0, -20.0, -50.0, -10.0))
+    c = geographic_grid_constants(params["projection"], params["meridian"],
+                                  params["tile_factor"], params["shape"],
+                                  params["bbox"])
+    # center-tile size: shape * ref resolution (10560 px * 10 m)
+    assert c["tile_size_x"] == pytest.approx(105600.0)
+    grids = create_geographic_grids(**params)
+    sm, md, lg = grids["SM"], grids["MD"], grids["LG"]
+    assert len(sm) > len(md) > len(lg) > 0
+    assert all(len(t["tile_id"]) == 6 for t in sm)
+    # every MD tile corner sits on the SM lattice; MD tile = 2x SM tile
+    ts = c["tile_size_x"]
+    for t in md:
+        k = (t["xmin"] - c["x_min_grid"]) / ts
+        assert abs(k - round(k)) < 1e-9
+        assert (t["xmax"] - t["xmin"]) == pytest.approx(2 * ts)
+    for t in lg:
+        assert (t["xmax"] - t["xmin"]) == pytest.approx(4 * ts)
+
+
+def test_geographic_grid_sinusoidal():
+    from cube_builder_spark.grids import create_geographic_grids
+    grids = create_geographic_grids(
+        names=["S"], projection="sinu", meridian=0.0,
+        tile_factor=[(100, 100)], shape=(1200, 1200),
+        bbox=(-10.0, -10.0, 10.0, 10.0))
+    assert len(grids["S"]) > 0
+
+
+# Cross-cube reuse validations ------------------------------------------------
+
+def _mini_obs(spark, bands=("B04", "SCL")):
+    rows = [(0, p, "2020-01-02", 2, 0, b, 100 + p)
+            for p in range(4) for b in bands]
+    df = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, date string, doy long, "
+              "source_idx long, band string, value long")
+    return (df.withColumn("date", F.col("date").cast("date"))
+            .withColumn("scene_order", F.col("source_idx")))
+
+
+def test_reuse_missing_band_and_force_rejected(spark, tmp_path):
+    from datetime import date
+
+    from cube_builder_spark.plans.build_cube import CubeJobConfig, build_cube
+    src = str(tmp_path / "src")
+    cfg_a = CubeJobConfig(start=date(2020, 1, 1), end=date(2020, 1, 8), step=8,
+                          index_bands={}, write_identity=True)
+    build_cube(spark, _mini_obs(spark), src, cfg_a)
+
+    dst = str(tmp_path / "dst")
+    with pytest.raises(RuntimeError, match="must have all bands"):
+        build_cube(spark, _mini_obs(spark, bands=("B04", "B99", "SCL")), dst,
+                   CubeJobConfig(start=date(2020, 1, 1), end=date(2020, 1, 8),
+                                 step=8, index_bands={}, reuse_from=src))
+    with pytest.raises(RuntimeError, match="force"):
+        build_cube(spark, _mini_obs(spark), dst,
+                   CubeJobConfig(start=date(2020, 1, 1), end=date(2020, 1, 8),
+                                 step=8, index_bands={}, reuse_from=src,
+                                 force=True))
+    with pytest.raises(RuntimeError, match="no\\s+identity|has no"):
+        build_cube(spark, _mini_obs(spark), dst,
+                   CubeJobConfig(start=date(2020, 1, 1), end=date(2020, 1, 8),
+                                 step=8, index_bands={},
+                                 reuse_from=str(tmp_path / "nowhere")))
+
+
+def test_reuse_matches_direct_build(spark, tmp_path):
+    from datetime import date
+
+    from cube_builder_spark.plans.build_cube import CubeJobConfig, build_cube
+    obs = _mini_obs(spark)
+    src, direct, reused = (str(tmp_path / d) for d in ("src", "direct", "re"))
+    base = dict(start=date(2020, 1, 1), end=date(2020, 1, 8), step=8,
+                index_bands={})
+    build_cube(spark, obs, src, CubeJobConfig(**base, write_identity=True))
+    build_cube(spark, obs, direct, CubeJobConfig(**base))
+    build_cube(spark, obs, reused, CubeJobConfig(**base, reuse_from=src))
+    a = spark.read.parquet(direct + "/cube")
+    b = spark.read.parquet(reused + "/cube")
+    cols = ["tile_id", "period", "band", "pixel_id", "lcf_value",
+            "provenance", "datasource", "med_value", "totalob", "clearob"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == \
+        sorted(map(tuple, b.select(*cols).collect()))
