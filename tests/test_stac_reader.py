@@ -100,11 +100,18 @@ def test_dispatch_uri_families():
     assert landsat_tgz_member("SC", "B1") == "SC_B1.TIF"
 
 
-def test_open_raster_gated_without_rasterio():
+def test_open_raster_without_rasterio(tmp_path):
     import cube_builder_spark.sources.raster_reader as rr
-    if rr.rasterio is None:
-        with pytest.raises(NotImplementedError):
-            open_raster("file:///d/x.tif")
+    if rr.rasterio is not None:
+        pytest.skip("rasterio present: GDAL path takes over")
+    # stdlib path is real now: a missing file is a missing file
+    with pytest.raises(FileNotFoundError):
+        open_raster("file:///d/x.tif")
+    # non-TIFF payloads (e.g. JP2 magic) stay honestly gated
+    jp2 = tmp_path / "x.jp2"
+    jp2.write_bytes(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        open_raster(f"file://{jp2}")
 
 
 def test_probe_integrity_and_distributed_probe(spark, tmp_path):
