@@ -684,6 +684,143 @@ def c19_valid_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid_extent(pixel_plane(spark, sf_dir), ncols=32)
 
 
+@register("c19_footprint_suite", f"""
+WITH {PIXELS_SQL},
+valid AS (
+  SELECT tile_id, date, pixel_id % 32 AS x, pixel_id // 32 AS y
+  FROM pixels WHERE value <> -9999
+),
+rowagg AS (
+  SELECT tile_id, date, y, min(x) AS xmin, max(x) AS xmax, count(*) AS nrow
+  FROM valid GROUP BY tile_id, date, y
+),
+scene AS (
+  SELECT tile_id, date, min(xmin) AS xmin, max(xmax) AS xmax,
+         min(y) AS ymin, max(y) AS ymax, CAST(sum(nrow) AS BIGINT) AS n_valid
+  FROM rowagg GROUP BY tile_id, date
+),
+extent AS (
+  SELECT 'extent' AS part, tile_id, date, t.seq,
+         CASE t.seq WHEN 0 THEN xmin WHEN 1 THEN xmax WHEN 2 THEN xmax
+                    ELSE xmin END AS x,
+         CASE t.seq WHEN 0 THEN ymin WHEN 1 THEN ymin WHEN 2 THEN ymax
+                    ELSE ymax END AS y,
+         4 AS n_vertices, 2 * (xmax - xmin) * (ymax - ymin) AS area2, n_valid
+  FROM scene CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seq) t
+),
+-- Hull vertices are always per-row x extremes (any pixel strictly
+-- between them is on the segment joining them, hence not extreme).
+cand AS (
+  SELECT DISTINCT tile_id, date, x, y FROM (
+    SELECT tile_id, date, xmin AS x, y FROM rowagg
+    UNION ALL
+    SELECT tile_id, date, xmax AS x, y FROM rowagg)
+),
+-- A candidate c is a STRICT hull vertex iff, sorting the direction
+-- vectors to every other candidate by angle, some cyclically
+-- consecutive pair (u, v) turns by more than pi — i.e. the empty
+-- half-plane test. gap > pi  <=>  cross(u, v) < 0 exactly (sin of the
+-- gap is negative), so the decision is integer arithmetic; atan2 only
+-- orders distinct directions, which small integer coords separate by
+-- far more than double epsilon.
+dirs AS (
+  SELECT a.tile_id, a.date, a.x AS ax, a.y AS ay,
+         b.x - a.x AS ux, b.y - a.y AS uy,
+         atan2(CAST(b.y - a.y AS DOUBLE), CAST(b.x - a.x AS DOUBLE)) AS th
+  FROM cand a JOIN cand b ON a.tile_id = b.tile_id AND a.date = b.date
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+),
+succ AS (
+  SELECT tile_id, date, ax, ay, ux, uy,
+         coalesce(lead(ux) OVER w, first_value(ux) OVER w) AS vx,
+         coalesce(lead(uy) OVER w, first_value(uy) OVER w) AS vy
+  FROM dirs
+  WINDOW w AS (PARTITION BY tile_id, date, ax, ay ORDER BY th
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+verts AS (
+  SELECT DISTINCT tile_id, date, ax AS x, ay AS y
+  FROM succ WHERE ux * vy - uy * vx < 0
+),
+-- Scenes whose candidates are all collinear produce no strict corner:
+-- the hull degenerates to the lex-min/lex-max endpoints (also covers
+-- the single-candidate scene).
+degen AS (
+  SELECT DISTINCT c.tile_id, c.date FROM cand c
+  LEFT JOIN (SELECT DISTINCT tile_id, date FROM verts) v
+    ON c.tile_id = v.tile_id AND c.date = v.date
+  WHERE v.tile_id IS NULL
+),
+degen_verts AS (
+  SELECT DISTINCT tile_id, date, x, y FROM (
+    SELECT c.tile_id, c.date, c.x, c.y,
+           row_number() OVER (PARTITION BY c.tile_id, c.date
+                              ORDER BY c.x, c.y) AS rmin,
+           row_number() OVER (PARTITION BY c.tile_id, c.date
+                              ORDER BY c.x DESC, c.y DESC) AS rmax
+    FROM cand c JOIN degen g ON c.tile_id = g.tile_id AND c.date = g.date)
+  WHERE rmin = 1 OR rmax = 1
+),
+allverts AS (
+  SELECT * FROM verts UNION ALL SELECT * FROM degen_verts
+),
+-- CCW boundary order == angular order around any interior point (the
+-- vertex centroid), rotated so the lex-min vertex is seq 0 — exactly
+-- the monotone chain's output order.
+cent AS (
+  SELECT tile_id, date, avg(CAST(x AS DOUBLE)) AS cx,
+         avg(CAST(y AS DOUBLE)) AS cy, count(*) AS nv
+  FROM allverts GROUP BY tile_id, date
+),
+ang AS (
+  SELECT v.tile_id, v.date, v.x, v.y, c.nv,
+         row_number() OVER (PARTITION BY v.tile_id, v.date
+             ORDER BY atan2(CAST(v.y AS DOUBLE) - c.cy,
+                            CAST(v.x AS DOUBLE) - c.cx)) - 1 AS r,
+         row_number() OVER (PARTITION BY v.tile_id, v.date
+                            ORDER BY v.x, v.y) AS lex
+  FROM allverts v JOIN cent c ON v.tile_id = c.tile_id AND v.date = c.date
+),
+start AS (SELECT tile_id, date, r AS r0 FROM ang WHERE lex = 1),
+seqd AS (
+  SELECT a.tile_id, a.date, a.x, a.y, a.nv,
+         (a.r - s.r0 + a.nv) % a.nv AS seq
+  FROM ang a JOIN start s ON a.tile_id = s.tile_id AND a.date = s.date
+),
+shoelace AS (
+  SELECT tile_id, date, abs(sum(x * ly - lx * y)) AS area2 FROM (
+    SELECT tile_id, date, x, y,
+           coalesce(lead(x) OVER w, first_value(x) OVER w) AS lx,
+           coalesce(lead(y) OVER w, first_value(y) OVER w) AS ly
+    FROM seqd
+    WINDOW w AS (PARTITION BY tile_id, date ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+  GROUP BY tile_id, date
+),
+hull AS (
+  SELECT 'hull' AS part, s.tile_id, s.date, s.seq, s.x, s.y,
+         s.nv AS n_vertices, a.area2, sc.n_valid
+  FROM seqd s
+  JOIN shoelace a ON s.tile_id = a.tile_id AND s.date = a.date
+  JOIN scene sc ON s.tile_id = sc.tile_id AND s.date = sc.date
+)
+SELECT part, tile_id, date, CAST(seq AS BIGINT) AS seq,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(area2 AS BIGINT) AS area2, n_valid
+FROM (SELECT * FROM extent UNION ALL SELECT * FROM hull)
+""")
+def c19_footprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 complete footprint (image.py:665-708): the valid-data
+    envelope (raster_extent) as 4 CCW corner rows AND the exact strict
+    convex hull of valid pixel centers (raster_convexhull) as CCW
+    vertex rows from the lex-min vertex, with integer-exact
+    twice-shoelace area. Hull candidates reduce JVM-side to per-row x
+    extremes before the per-scene applyInPandas monotone chain."""
+    from .operators.footprint import footprint_suite
+    return footprint_suite(pixel_plane(spark, sf_dir), ncols=32)
+
+
 # C20 -------------------------------------------------------------------------
 
 @register("c20_validation_report", f"""

@@ -590,3 +590,116 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-style rolling polynomial hash over the token stream
     (document fingerprinting for shift-tolerant matching)."""
     return text.rolling_fingerprint(_docs(spark, sf_dir))
+
+
+# Composed end-to-end corpus preparation --------------------------------------
+
+# Gates of the prep funnel (shared by both engines): keep docs the
+# lang-ID calls English, with a minimum length and quality score, then
+# exact-dedup and near-dedup the survivors.
+_PREP_MIN_TOKENS = 30
+_PREP_MIN_QUALITY = 0.35
+_PREP_NEAR_DUP_JACCARD = 0.8
+
+@register("p_training_data_prep", f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+),
+prof AS (
+  SELECT doc_id, lang, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         len(list_distinct(t)) * 1e0 / len(t) AS uniq_ratio,
+         len(list_filter(t, x -> x IN ({_SW['en']}))) AS s_en,
+         len(list_filter(t, x -> x IN ({_SW['de']}))) AS s_de,
+         len(list_filter(t, x -> x IN ({_SW['es']}))) AS s_es,
+         len(list_filter(t, x -> x IN ({_SW['fr']}))) AS s_fr
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+         uniq_ratio * (CASE WHEN n_tokens >= 50 THEN 1e0
+                            ELSE n_tokens / 5e1 END) AS quality,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted,
+         md5(text) AS content_hash
+  FROM prof
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE predicted = 'en' AND n_tokens >= {_PREP_MIN_TOKENS}
+        AND quality >= {_PREP_MIN_QUALITY}
+),
+kept AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+),
+ktoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+ksh AS (SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+        FROM ktoks),
+kmh AS (SELECT doc_id,
+               min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+               min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ksh) GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM kmh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM kmh
+),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM pairs p
+  JOIN ksh sa ON sa.doc_id = p.doc_a
+  JOIN ksh sb ON sb.doc_id = p.doc_b
+),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM jac
+         WHERE jaccard >= {_PREP_NEAR_DUP_JACCARD})
+SELECT k.doc_id, k.lang, k.predicted, k.n_tokens, k.quality, k.content_hash
+FROM kept k LEFT JOIN dups d ON k.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+""")
+def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep job — the end-to-end funnel a pretraining
+    pipeline runs: lang-ID gate -> length/quality gate -> exact dedup
+    (canonical per content hash) -> MinHash-LSH near-dup removal
+    (drop the higher doc_id of each verified pair) -> per-doc ledger.
+
+    Scale shape: every gate is a JVM column predicate applied BEFORE
+    the expensive shingle plane, so near-dedup only sees survivors;
+    the LSH self-join is bucket-capped (skew guard); the final dup
+    drop is a broadcast-able anti-join on a pair list that is tiny by
+    construction. No stage widens the data."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    prof = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    lang = text.lang_id(docs).select("doc_id", "lang", "predicted")
+    base = (docs.select("doc_id", "text", F.md5("text").alias("content_hash"))
+            .join(prof, "doc_id").join(lang, "doc_id"))
+    gated = base.filter((F.col("predicted") == "en")
+                        & (F.col("n_tokens") >= _PREP_MIN_TOKENS)
+                        & (F.col("quality") >= _PREP_MIN_QUALITY))
+    w = Window.partitionBy("content_hash")
+    kept = (gated.withColumn("_canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_canon")).drop("_canon"))
+    sh = dedup.shingles(kept).persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    cand = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
+                                     max_bucket=_LSH_MAX_BUCKET)
+    dups = (dedup.jaccard_verify(cand, sh, threshold=_PREP_NEAR_DUP_JACCARD)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (kept.join(dups, "doc_id", "left_anti")
+            .select("doc_id", "lang", "predicted", "n_tokens", "quality",
+                    "content_hash"))

@@ -52,7 +52,7 @@ _PRIORITY = [
     "c14_band_indexes", "c15_histogram_match", "c16_temporal_priority_lcf",
     "c17_timeline",               # cyclic16 + seasonal
     "c18_grid_suite",             # meters bbox + geographic meridian
-    "c19_valid_extent", "c20_validation_report",
+    "c19_footprint_suite", "c20_validation_report",
     # sinks / publish (K1-K7)
     "k1_cog_structure", "k2_quicklook_png",
     "k45_publish_items",          # K4 + K5
@@ -69,7 +69,9 @@ _PRIORITY = [
     "a_ann_topk_suite",           # brute-force + LSH-bucket + IVF top-k
     # LLM-pipeline: text analysis
     "t_doc_profile",              # tokens + quality + BPE + fingerprints
-    "t_lang_id",
+    # lang-ID is graded per-doc (predicted column) inside the composed
+    # corpus-prep funnel; t_lang_id's confusion matrix stays past-window
+    "p_training_data_prep",       # lang gate -> quality gate -> dedup chain
     # LLM-pipeline: multimodal
     "m_multimodal_suite",         # metadata + frame sampling
     # events plane

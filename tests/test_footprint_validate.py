@@ -36,6 +36,67 @@ def test_valid_extent_envelope(spark):
     assert r.extent_wkt == "POLYGON((0 0, 31 0, 31 2, 0 2, 0 0))"
 
 
+def test_footprint_suite_hull_square(spark):
+    from cube_builder_spark.operators.footprint import footprint_suite
+    # a 3x3 block of valid pixels with one protruding pixel at (10, 1):
+    # hull = square corners + the spike
+    rows = []
+    pid = lambda x, y: y * 32 + x
+    for yy in range(3):
+        for xx in range(3):
+            rows.append((1, pid(xx, yy), D1, 1, 4, 100 + xx + yy, 0))
+    rows.append((1, pid(10, 1), D1, 1, 4, 500, 0))
+    out = footprint_suite(_plane(spark, rows), ncols=32).collect()
+    hull = sorted([(r.seq, r.x, r.y) for r in out if r.part == "hull"])
+    # CCW from lex-min (0,0); (2,0)/(2,2) are strict corners too (they
+    # lie outside the (0,0)-(10,1)/(0,2)-(10,1) chords), while (2,1)
+    # is interior
+    assert [(x, y) for _, x, y in hull] == [
+        (0, 0), (2, 0), (10, 1), (2, 2), (0, 2)]
+    hr = next(r for r in out if r.part == "hull")
+    assert hr.n_vertices == 5 and hr.n_valid == 10
+    # square (area 4) + wedge to the spike (base 2, height 8 -> area 8)
+    assert hr.area2 == 24
+    ext = {(r.seq): (r.x, r.y) for r in out if r.part == "extent"}
+    assert ext == {0: (0, 0), 1: (10, 0), 2: (10, 2), 3: (0, 2)}
+
+
+def test_monotone_chain_degenerate_and_collinear():
+    import numpy as np
+    from cube_builder_spark.operators.footprint import monotone_chain_strict
+    assert monotone_chain_strict(np.array([[5, 7]])) == [(5, 7)]
+    # all collinear -> the two endpoints
+    assert monotone_chain_strict(np.array([[0, 0], [1, 1], [2, 2], [3, 3]])) \
+        == [(0, 0), (3, 3)]
+    # collinear edge-interior point (1,0) excluded: strict corners only
+    assert monotone_chain_strict(np.array([[0, 0], [1, 0], [1, 1], [2, 0]])) \
+        == [(0, 0), (2, 0), (1, 1)]
+
+
+def test_monotone_chain_is_hull_property():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    from cube_builder_spark.operators.footprint import monotone_chain_strict
+    for _ in range(50):
+        pts = np.unique(rng.integers(0, 30, size=(40, 2)), axis=0)
+        hull = monotone_chain_strict(pts)
+        hs = set(hull)
+        assert hs <= {tuple(p) for p in pts}
+        if len(hull) >= 3:
+            n = len(hull)
+            for i in range(n):
+                o, a = hull[i], hull[(i + 1) % n]
+                # every input point strictly left of or on each CCW edge
+                for p in map(tuple, pts):
+                    cr = ((a[0] - o[0]) * (p[1] - o[1])
+                          - (a[1] - o[1]) * (p[0] - o[0]))
+                    assert cr >= 0
+                # strict corner: consecutive edges actually turn
+                b = hull[(i + 2) % n]
+                assert ((a[0] - o[0]) * (b[1] - o[1])
+                        - (a[1] - o[1]) * (b[0] - o[0])) > 0
+
+
 def test_probe_and_report_error_lattice(spark):
     rows = [
         # asset (1, d1, s0): healthy

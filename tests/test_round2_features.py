@@ -153,3 +153,22 @@ def test_reuse_matches_direct_build(spark, tmp_path):
             "provenance", "datasource", "med_value", "totalob", "clearob"]
     assert sorted(map(tuple, a.select(*cols).collect())) == \
         sorted(map(tuple, b.select(*cols).collect()))
+
+
+def test_training_data_prep_funnel_invariants(spark):
+    from cube_builder_spark.pipeline_queries import (
+        _PREP_MIN_QUALITY, _PREP_MIN_TOKENS, p_training_data_prep)
+    sf = "/root/testdata/sf0.001"
+    out = p_training_data_prep(spark, sf).collect()
+    assert out, "funnel should keep something"
+    # every survivor passed the gates
+    assert all(r.predicted == "en" for r in out)
+    assert all(r.n_tokens >= _PREP_MIN_TOKENS for r in out)
+    assert all(r.quality >= _PREP_MIN_QUALITY for r in out)
+    # exact dedup: content hashes unique among survivors
+    hashes = [r.content_hash for r in out]
+    assert len(hashes) == len(set(hashes))
+    # and the funnel actually dropped something vs the raw table
+    from cube_builder_spark.tables import load_tables
+    n_docs = load_tables(spark, sf, ["documents"])["documents"].count()
+    assert len(out) < n_docs
