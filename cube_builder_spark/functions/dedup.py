@@ -70,16 +70,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
     are dropped before the join — the standard LSH practice (their
     members still pair through their other, more selective bands).
     """
-    buckets = None
-    for i, cols in enumerate(bands):
-        b = signatures.select(
-            "doc_id",
-            F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols]).alias("bucket"))
-        buckets = b if buckets is None else buckets.unionAll(b)
+    # one explode instead of a per-band union: the signature subtree is
+    # evaluated once, not once per band
+    band_keys = [F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols])
+                 for i, cols in enumerate(bands)]
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_keys)).alias("bucket"))
     if max_bucket is not None:
-        sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-        buckets = (buckets.join(sizes.filter(F.col("_n") <= max_bucket), "bucket")
-                   .drop("_n"))
+        # count-over-window, not groupBy+join: the cap rides the SAME
+        # shuffle-by-bucket the self-join needs anyway (the old shape
+        # spent two extra full shuffles sizing and re-joining buckets)
+        w = Window.partitionBy("bucket")
+        buckets = (buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+                   .filter(F.col("_n") <= max_bucket).drop("_n"))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
