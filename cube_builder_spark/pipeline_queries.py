@@ -542,39 +542,96 @@ def t_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("m_multimodal_suite", f"""
-WITH {_MEDIA_SQL}
+WITH {_MEDIA_SQL},
+imgdocs AS (
+  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+imgpx AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM imgdocs
+),
+imgagg AS (
+  SELECT doc_id, w, h,
+         CAST(sum((doc_id * 7 + ((i // 3) % w) * 13 + (i // (3 * w)) * 31
+                   + (i % 3) * 97) % 256) AS BIGINT) AS px_sum
+  FROM imgpx GROUP BY doc_id, w, h
+),
+auddocs AS (
+  SELECT doc_id, 50 + n_chars % 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+audouts AS (
+  SELECT doc_id, n, (n * 12000) // 8000 AS n_out FROM auddocs
+),
+audagg AS (
+  SELECT a.doc_id, a.n_out,
+         CAST(sum((a.doc_id * 31 + ((t.i * 8000) // 12000) * 17) % 2001
+                  - 1000) AS BIGINT) AS pcm_sum
+  FROM audouts a, unnest(range(0, a.n_out)) AS t(i)
+  GROUP BY a.doc_id, a.n_out
+)
 SELECT 'metadata' AS variant, doc_id, media_type,
        CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
        md5(s) AS sha,
        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
        CAST(n_frames AS INTEGER) AS n_frames,
-       CAST(NULL AS INTEGER) AS frame_idx
+       CAST(NULL AS INTEGER) AS frame_idx,
+       CAST(NULL AS BIGINT) AS px_sum,
+       CAST(NULL AS BIGINT) AS n_out, CAST(NULL AS BIGINT) AS pcm_sum
 FROM media
 UNION ALL
 SELECT 'frames', doc_id, media_type,
        NULL, NULL, NULL, NULL,
        CAST(n_frames AS INTEGER),
-       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS INTEGER)
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS INTEGER),
+       NULL, NULL, NULL
 FROM media
+UNION ALL
+SELECT 'decode', doc_id, 'image/bmp',
+       NULL, NULL, CAST(w AS INTEGER), CAST(h AS INTEGER), NULL, NULL,
+       px_sum, NULL, NULL
+FROM imgagg
+UNION ALL
+SELECT 'resample', doc_id, 'audio/wav',
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, n_out, pcm_sum
+FROM audagg
 """)
 def m_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal suite: binary-payload metadata extraction (Arrow
-    mapInPandas header parse) + metadata-only frame sampling, one
-    graded row for the multimodal family."""
+    mapInPandas header parse), metadata-only frame sampling, AND the
+    real-codec roundtrips (stdlib BMP decode stats + WAV integer
+    resample) — one graded row for the multimodal family."""
     from .functions import multimodal
-    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    real = multimodal.attach_real_media(docs)
     nuli = F.lit(None).cast("int")
+    null = F.lit(None).cast("long")
+    nuls = F.lit(None).cast("string")
     meta = multimodal.media_metadata(media).select(
         F.lit("metadata").alias("variant"), "doc_id", "media_type",
         "n_bytes", "sha", "width", "height", "n_frames",
-        nuli.alias("frame_idx"))
+        nuli.alias("frame_idx"), null.alias("px_sum"),
+        null.alias("n_out"), null.alias("pcm_sum"))
     frames = multimodal.frame_sample(media, every_n=2).select(
         F.lit("frames").alias("variant"), "doc_id", "media_type",
-        F.lit(None).cast("long").alias("n_bytes"),
-        F.lit(None).cast("string").alias("sha"),
+        null.alias("n_bytes"), nuls.alias("sha"),
         nuli.alias("width"), nuli.alias("height"),
-        "n_frames", "frame_idx")
-    return meta.unionByName(frames)
+        "n_frames", "frame_idx", null.alias("px_sum"),
+        null.alias("n_out"), null.alias("pcm_sum"))
+    decode = multimodal.decode_image(real).select(
+        F.lit("decode").alias("variant"), "doc_id",
+        F.lit("image/bmp").alias("media_type"), null.alias("n_bytes"),
+        nuls.alias("sha"), "width", "height", nuli.alias("n_frames"),
+        nuli.alias("frame_idx"), "px_sum",
+        null.alias("n_out"), null.alias("pcm_sum"))
+    resample = multimodal.resample_audio(real, rate_hz=12000).select(
+        F.lit("resample").alias("variant"), "doc_id",
+        F.lit("audio/wav").alias("media_type"), null.alias("n_bytes"),
+        nuls.alias("sha"), nuli.alias("width"), nuli.alias("height"),
+        nuli.alias("n_frames"), nuli.alias("frame_idx"),
+        null.alias("px_sum"), "n_out", "pcm_sum")
+    return meta.unionByName(frames).unionByName(decode).unionByName(resample)
 
 
 @register("t_rolling_fingerprint", """
@@ -703,3 +760,75 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", "lang", "predicted", "n_tokens", "quality",
                     "content_hash"))
+
+
+# Real-codec roundtrip: BMP / WAV encode->decode verified by replaying
+# the deterministic content arithmetic in SQL -------------------------------
+
+_IMG_DECODE_SQL = """
+imgdocs AS (
+  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+imgpx AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM imgdocs
+),
+imgvals AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + ((i // 3) % w) * 13 + (i // (3 * w)) * 31
+          + (i % 3) * 97) % 256 AS v
+  FROM imgpx
+)
+"""
+
+_AUD_RESAMPLE_SQL = """
+auddocs AS (
+  SELECT doc_id, 50 + n_chars % 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+audouts AS (
+  SELECT doc_id, n, (n * 12000) // 8000 AS n_out FROM auddocs
+),
+audsamp AS (
+  SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS i FROM audouts
+),
+audvals AS (
+  SELECT doc_id, n, n_out,
+         (doc_id * 31 + ((i * 8000) // 12000) * 17) % 2001 - 1000 AS s
+  FROM audsamp
+)
+"""
+
+@register("m_decode_image", f"""
+WITH {_IMG_DECODE_SQL}
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INTEGER) AS px_min, CAST(max(v) AS INTEGER) AS px_max
+FROM imgvals GROUP BY doc_id, w, h
+""")
+def m_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode roundtrip: deterministic pixels -> stdlib BMP
+    encoder -> payload bytes -> numpy BMP decoder -> per-doc stats; the
+    oracle replays the pixel arithmetic, so a hash match proves the
+    whole encode->decode byte path (reference analogue: the quicklook/
+    COG byte paths, processing.py:1291-1324)."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.decode_image(media)
+
+
+@register("m_resample_audio", f"""
+WITH {_AUD_RESAMPLE_SQL}
+SELECT doc_id, CAST(8000 AS INTEGER) AS src_rate,
+       CAST(12000 AS INTEGER) AS dst_rate,
+       CAST(n AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+       CAST(sum(s) AS BIGINT) AS pcm_sum
+FROM audvals GROUP BY doc_id, n, n_out
+""")
+def m_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample roundtrip: deterministic PCM16 -> stdlib WAV
+    -> decode -> integer nearest-index resample 8k->12k; the oracle
+    replays the index arithmetic exactly."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.resample_audio(media, rate_hz=12000)
