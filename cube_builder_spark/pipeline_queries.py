@@ -381,6 +381,30 @@ def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_lists=8, k=5)
 
 
+@register("a_ann_ivf_topk_nprobe2", f"""
+WITH {_IVF_SQL}, {_EV_SQL},
+qscored AS (
+  SELECT s.g,
+         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
+                            s.g) AS rn
+  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
+),
+qlists AS (SELECT g FROM qscored WHERE rn <= 2)
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM assign ba JOIN qlists q ON ba.list_id = q.g
+JOIN ev eb ON eb.vec_id = ba.vec_id
+JOIN ev ea ON ea.vec_id = 0
+WHERE ba.vec_id <> 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: exact cosine over the members of the
+    query's two closest inverted lists — the recall/cost knob one
+    notch up (candidate recall strictly dominates nprobe=1)."""
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               n_lists=8, k=5, nprobe=2)
+
+
 # Multimodal ------------------------------------------------------------------
 
 _MEDIA_SQL = """

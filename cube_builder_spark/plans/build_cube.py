@@ -74,6 +74,12 @@ class CubeJobConfig:
     # persists this cube's merge plane so others can reuse it.
     reuse_from: str | None = None
     write_identity: bool = False
+    # Bucketed cube store: additionally persist the composite cube as
+    # a bucketBy(tile_id, pixel_id) table so later sessions' per-pixel
+    # joins/aggregations (incremental refresh, cross-cube comparison)
+    # run with zero Exchange — the on-disk form of the session-cache
+    # subset-key partitioning. Value = catalog table name.
+    bucketed_table: str | None = None
 
 
 def periods_df(spark: SparkSession, cfg: CubeJobConfig) -> DataFrame:
@@ -348,6 +354,14 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     summary = {"cube_path": cube_path, "items_path": items_path,
                "new_items": n_items,
                "reused_items": 0 if done is None else done.count()}
+    if n_items and cfg.bucketed_table:
+        from ..sinks.bucketed import write_bucketed_cube
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed_cube(spark.read.parquet(cube_path),
+                            cfg.bucketed_table,
+                            os.path.join(out_dir, "cube_bucketed"),
+                            n_buckets=n_buckets)
+        summary["bucketed_table"] = cfg.bucketed_table
     if n_items and cfg.quicklook_bands:
         summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
     if n_items and cfg.export_tiffs:

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed_cube(df: DataFrame, table: str, path: str,
                         n_buckets: int = 32,
                         bucket_cols: tuple[str, str] = ("tile_id", "pixel_id"),
-                        sort_cols: tuple[str, ...] = ("band", "date")) -> None:
+                        sort_cols: tuple[str, ...] = ("band", "date",
+                                                      "period")) -> None:
     """Persist ``df`` as an external bucketed parquet table.
 
     The writer produces exactly ``n_buckets`` hash buckets on
@@ -45,10 +46,14 @@ def write_bucketed_cube(df: DataFrame, table: str, path: str,
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (df.write.mode("overwrite")
-     .bucketBy(n_buckets, *bucket_cols)
-     .sortBy(*sort_cols)
-     .option("path", path)
+    # keep only sort columns the frame actually has (the composite
+    # cube carries `period`, an identity plane carries `date`)
+    present = [c for c in sort_cols if c in df.columns]
+    writer = (df.write.mode("overwrite")
+              .bucketBy(n_buckets, *bucket_cols))
+    if present:
+        writer = writer.sortBy(*present)
+    (writer.option("path", path)
      .format("parquet")
      .saveAsTable(table))
 

@@ -192,3 +192,21 @@ def test_job_media_exports(spark, sf_dir, tmp_path):
     tif = sorted(glob.glob(os.path.join(out, "tiff", "*.tif")))[0]
     got = read_cog(open(tif, "rb").read())          # publish writes COGs now
     assert got["array"].shape[1] == 32 and got["tile"] == 16
+
+
+def test_build_cube_bucketed_store(spark, sf_dir, tmp_path):
+    from cube_builder_spark.sinks.bucketed import (plan_has_exchange,
+                                                   read_bucketed)
+    out = str(tmp_path / "cube_out")
+    obs = synth_observations(spark, sf_dir)
+    res = build_cube(spark, obs, out,
+                     CubeJobConfig(bucketed_table="cube_e2e_bucketed"))
+    assert res["bucketed_table"] == "cube_e2e_bucketed"
+    back = read_bucketed(spark, "cube_e2e_bucketed")
+    # same content as the partitioned cube
+    flat = spark.read.parquet(res["cube_path"])
+    assert back.count() == flat.count()
+    # the payoff: per-pixel aggregation with zero Exchange
+    agg = back.groupBy("tile_id", "pixel_id").agg(F.count(F.lit(1)))
+    assert not plan_has_exchange(agg)
+    spark.sql("DROP TABLE IF EXISTS cube_e2e_bucketed")
