@@ -197,3 +197,34 @@ def x_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("x_stateful_sessions")
+
+
+@register("x_stream_dedup", """
+SELECT md5(text) AS content_hash, doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) - 1
+            AS BIGINT) AS n_seen_before
+FROM documents
+""")
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState over
+    content-hash state) driven over the bounded documents table. On a
+    single batch the ledger IS SQL-expressible (row_number per hash),
+    so unlike the sessionizer this custom stateful operator gets a
+    full hash-checked oracle; cross-micro-batch canonical persistence
+    is covered by tests/test_multimodal_stateful.py."""
+    import tempfile
+
+    from .streaming.dedup_stream import dedup_stream
+    from .tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (dedup_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("x_stream_dedup_out").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("x_stream_dedup_out")

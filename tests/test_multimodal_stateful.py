@@ -112,3 +112,36 @@ def test_stateful_sessionizer_closed_sessions(spark, tmp_path):
     assert s.session_start == t0 and s.session_end == t0 + datetime.timedelta(minutes=10)
     # user 2's session never closed -> not emitted in append mode
     assert 2 not in got
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """Two micro-batches through the stateful dedup: the canonical
+    survives across batches, later duplicates are attributed to it."""
+    from cube_builder_spark.streaming.dedup_stream import dedup_stream
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_stream")
+    # batch 1: doc 10 and 11 identical, 12 unique
+    spark.createDataFrame(
+        [(11, "aaa bbb"), (10, "aaa bbb"), (12, "ccc")], schema
+    ).write.parquet(src + "/b1")
+    out = dedup_stream(spark.readStream.schema(schema).parquet(src + "/*"))
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_led").start())
+    q.processAllAvailable()
+    # batch 2: doc 20 duplicates batch-1 content, 21 unique
+    spark.createDataFrame(
+        [(20, "aaa bbb"), (21, "ddd")], schema).write.parquet(src + "/b2")
+    q.processAllAvailable()
+    q.stop()
+    led = {r.doc_id: r for r in
+           spark.sql("SELECT * FROM dedup_led").collect()}
+    assert len(led) == 5
+    # canonical = lowest doc_id of the FIRST batch the hash appeared in
+    assert led[10].is_canonical and led[10].canonical_id == 10
+    assert not led[11].is_canonical and led[11].canonical_id == 10
+    assert led[11].n_seen_before == 1
+    # cross-batch: doc 20 attributed to batch-1's canonical
+    assert not led[20].is_canonical and led[20].canonical_id == 10
+    assert led[20].n_seen_before == 2
+    assert led[12].is_canonical and led[21].is_canonical
