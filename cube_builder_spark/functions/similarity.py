@@ -167,29 +167,53 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 8,
     """Assign every vector to its max-cosine centroid (ties -> lowest g).
 
     The centroid table is bounded metadata (n_lists × dim) — it is
-    collected once and re-emitted as literal arrays, so assignment is a
-    PURE MAP: one zip_with dot per centroid inside the task that read
-    the vector. No per-dimension explode (the old shape inflated each
-    vector to dim × n_lists rows before aggregating), no join, no
-    window — the only shuffle left in the IVF path is the centroid
-    build itself. Ties resolve via greatest(struct(cos, -g)): higher
-    cosine wins, then lower g — same order as the SQL oracle's
-    row_number."""
+    collected once and broadcast inside the UDF closure, so assignment
+    is a PURE MAP over the task that read the vector: no join, no
+    window, no per-dimension explode; the only shuffle in the IVF path
+    is the centroid build itself."""
     by_g = collect_centroids(embeddings, n_lists) if centroids is None \
         else centroids
     dim = 1 + max(d for dims in by_g.values() for d in dims)
+    gs = sorted(by_g)
+    import numpy as np
 
-    ev = quantize(F.col("embedding"))
-    vv = dot_q(ev, ev)
-    picks = []
-    for g in sorted(by_g):
-        carr = F.array(*[F.lit(by_g[g].get(i, 0)) for i in range(dim)])
-        cc = sum(c * c for c in by_g[g].values())
-        cos_g = dot_q(ev, carr) / (F.sqrt(vv) * F.sqrt(F.lit(cc).cast("double")))
-        picks.append(F.struct(cos_g.alias("cos"), F.lit(-g).alias("ng")))
-    best = F.greatest(*picks) if len(picks) > 1 else picks[0]
-    return embeddings.select(
-        "vec_id", (-best["ng"]).cast("long").alias("list_id"))
+    # centroid matrix (dim x n_lists) + per-list norms, exact int64
+    cmat = np.zeros((dim, len(gs)), np.int64)
+    for j, g in enumerate(gs):
+        for d, c in by_g[g].items():
+            cmat[d, j] = c
+    cnorm = np.sqrt((cmat.astype(np.float64) ** 2).sum(axis=0))
+    glist = np.array(gs, np.int64)
+
+    # Arrow-batched numpy matmul, not per-row zip_with folds: higher-
+    # order functions are interpreted (no codegen), costing ~0.5ms/row
+    # for 8 lists x 64 dims; one (batch x dim) @ (dim x n_lists)
+    # matmul is ~100x cheaper. Quantized dots are exact int64 (< 2^53),
+    # so results are bit-identical to the JVM fold; np.argmax takes
+    # the FIRST max, i.e. the lowest g on cosine ties — the same order
+    # as greatest(struct(cos, -g)) / the oracle's row_number.
+    import pandas as pd
+
+    def assign_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([
+                np.floor(np.asarray(e, np.float64) * 1000 + 0.5)
+                for e in pdf["embedding"]]).astype(np.int64)
+            if q.shape[1] < dim:
+                q = np.pad(q, ((0, 0), (0, dim - q.shape[1])))
+            dots = (q @ cmat).astype(np.float64)
+            vnorm = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (vnorm[:, None] * cnorm[None, :])
+            cos = np.nan_to_num(cos, nan=-np.inf,
+                                posinf=np.inf, neginf=-np.inf)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                                "list_id": glist[np.argmax(cos, axis=1)]})
+
+    return (embeddings.select("vec_id", "embedding")
+            .mapInPandas(assign_batch, "vec_id long, list_id long"))
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
