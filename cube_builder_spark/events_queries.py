@@ -89,6 +89,32 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_value")))
 
 
+@register("e_sliding_window", """
+WITH hits AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000)
+           AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+)
+SELECT window_start, event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 1e2 AS total_value
+FROM hits GROUP BY window_start, event_type
+""")
+def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min (each event lands in two
+    windows; streaming twin: window(ts, '1 hour', '30 minutes') +
+    watermark). The oracle derives the two covering window starts per
+    event on the same epoch-aligned 30-min grid Spark uses."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value"))
+
+
 @register("e_topk_per_type", """
 SELECT event_type, event_id, user_id, value FROM (
   SELECT event_type, event_id, user_id, value,
@@ -148,6 +174,14 @@ FROM (
   FROM events
 ) WHERE rn <= 3
 UNION ALL
+SELECT 'sliding',
+       strftime(make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000),
+                '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 1e2 AS v
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+GROUP BY k1, event_type
+UNION ALL
 SELECT 'running', CAST(user_id AS VARCHAR), strftime(day, '%Y-%m-%d'),
        CAST(NULL AS BIGINT),
        sum(v_c) OVER (PARTITION BY user_id ORDER BY day
@@ -155,9 +189,9 @@ SELECT 'running', CAST(user_id AS VARCHAR), strftime(day, '%Y-%m-%d'),
 FROM daily
 """)
 def e_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-analytics suite: tumbling 1-hour windows + top-3 ranking +
-    per-user running totals, one graded row for the windowed-events
-    family (streaming twins live in cube_builder_spark/streaming).
+    """Event-analytics suite: tumbling 1-hour windows + 30-min sliding
+    windows + top-3 ranking + per-user running totals, one graded row
+    for the windowed-events family (streaming twins live in cube_builder_spark/streaming).
     Per-variant columns: tumbling (k1=hour, k2=type, n, v=total);
     topk (k1=type, k2=event_id, n=user_id, v=value); running
     (k1=user_id, k2=day, v=running total)."""
@@ -170,11 +204,17 @@ def e_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("topk").alias("variant"), F.col("event_type").alias("k1"),
         F.col("event_id").cast("string").alias("k2"),
         F.col("user_id").cast("long").alias("n"), F.col("value").alias("v"))
+    sliding = e_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("variant"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n"), F.col("total_value").alias("v"))
     running = e_user_daily_running(spark, sf_dir).select(
         F.lit("running").alias("variant"), F.col("user_id").cast("string").alias("k1"),
         F.date_format("day", "yyyy-MM-dd").alias("k2"),
         F.lit(None).cast("long").alias("n"), F.col("running_value").alias("v"))
-    return tumbling.unionByName(topk).unionByName(running)
+    return (tumbling.unionByName(topk).unionByName(sliding)
+            .unionByName(running))
 
 
 @register("x_stateful_sessionize", None)
