@@ -138,6 +138,33 @@ def collect_centroids(embeddings: DataFrame, n_lists: int = 8) -> dict:
     return by_g
 
 
+def lloyd_refine(embeddings: DataFrame, n_lists: int = 8,
+                 iters: int = 1) -> dict:
+    """Spherical k-means (Lloyd) refinement of the IVF quantizer: the
+    broadcast-assign-recompute loop. Each iteration broadcasts the
+    bounded centroid table inside the assignment UDF closure (one map
+    over the vectors, no join), then recomputes per-list integer
+    centroid sums with one groupBy. Everything is exact int64, so the
+    result is deterministic and the SQL oracle can replay an iteration
+    verbatim. Cost per iteration at any scale: one full pass + one
+    tiny (n_lists x dim) shuffle — the canonical Spark iterative-ML
+    shape (empty lists simply vanish, same as standard k-means).
+
+    Returns the refined {g: {dim: c}} centroid table."""
+    by_g = collect_centroids(embeddings, n_lists)
+    for _ in range(iters):
+        assign = ivf_assign(embeddings, n_lists, centroids=by_g)
+        dims = (embeddings.join(assign, "vec_id")
+                .select(F.col("list_id").alias("g"),
+                        F.posexplode(quantize(F.col("embedding")))
+                        .alias("dim", "q")))
+        rows = dims.groupBy("g", "dim").agg(F.sum("q").alias("c")).collect()
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(int(r.g), {})[int(r.dim)] = int(r.c)
+    return by_g
+
+
 def rank_lists(qv: list[int], by_g: dict) -> list[int]:
     """Driver-side twin of the assignment order for ONE quantized
     vector: exact integer dots, lists sorted by (cosine desc, g asc) —

@@ -405,6 +405,35 @@ def a_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_lists=8, k=5, nprobe=2)
 
 
+@register("a_ann_ivf_lloyd", f"""
+WITH {_IVF_SQL},
+cent2 AS (
+  SELECT a.list_id AS g, d.dim, sum(d.qval) AS c
+  FROM assign a JOIN dims d ON d.vec_id = a.vec_id
+  GROUP BY a.list_id, d.dim
+),
+sizes AS (SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id)
+SELECT s.list_id, s.n_vectors, CAST(sum(c2.c * c2.c) AS BIGINT) AS cnorm2
+FROM sizes s JOIN cent2 c2 ON c2.g = s.list_id
+GROUP BY s.list_id, s.n_vectors
+""")
+def a_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-k-means (Lloyd) refinement of the IVF quantizer:
+    per surviving list, the member count under the refined assignment
+    and the exact integer norm^2 of the recomputed centroid — the SQL
+    oracle replays the whole broadcast-assign-recompute iteration."""
+    emb = _embs(spark, sf_dir)
+    by0 = similarity.collect_centroids(emb, n_lists=8)
+    assign = similarity.ivf_assign(emb, n_lists=8, centroids=by0)
+    sizes = (assign.groupBy("list_id")
+             .agg(F.count(F.lit(1)).alias("n_vectors")))
+    by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
+    cn2 = [(g, sum(v * v for v in dims.values()))
+           for g, dims in sorted(by1.items())]
+    norms = spark.createDataFrame(cn2, "list_id long, cnorm2 long")
+    return sizes.join(F.broadcast(norms), "list_id")
+
+
 # Multimodal ------------------------------------------------------------------
 
 _MEDIA_SQL = """

@@ -49,3 +49,35 @@ def test_cosine_dup_pairs_are_bucket_gated_and_thresholded(spark, sf_dir):
     buckets = {r.vec_id: r.bucket
                for r in similarity.lsh_buckets(embs, 4).collect()}
     assert all(buckets[r.vec_a] == buckets[r.vec_b] for r in rows)
+
+
+def test_lloyd_refine_improves_objective(spark, sf_dir):
+    """One spherical-k-means iteration must not decrease the total
+    cosine-to-assigned-centroid objective (exact Lloyd monotonicity)."""
+    import numpy as np
+    from cube_builder_spark.functions import similarity
+    from cube_builder_spark.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    vecs = {int(r.vec_id): np.floor(np.asarray(r.embedding, np.float64)
+                                    * 1000 + 0.5).astype(np.int64)
+            for r in emb.collect()}
+
+    def objective(by_g):
+        total = 0.0
+        for v in vecs.values():
+            vn = np.sqrt(float(v @ v))
+            best = -np.inf
+            for g in sorted(by_g):
+                c = np.zeros(len(v), np.int64)
+                for d, val in by_g[g].items():
+                    c[d] = val
+                cn = np.sqrt(float(c @ c))
+                if vn and cn:
+                    best = max(best, float(v @ c) / (vn * cn))
+            total += best
+        return total
+
+    by0 = similarity.collect_centroids(emb, n_lists=8)
+    by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
+    assert objective(by1) >= objective(by0) - 1e-9
