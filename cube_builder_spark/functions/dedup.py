@@ -66,9 +66,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
 
     ``max_bucket`` is the scale guard: a degenerate bucket (boilerplate
     or stop-shingle collisions) of size n contributes n²/2 pairs and
-    dominates the self-join as pure skew. Buckets larger than the cap
-    are dropped before the join — the standard LSH practice (their
-    members still pair through their other, more selective bands).
+    dominates the pair expansion as pure skew. Buckets larger than the
+    cap are dropped — the standard LSH practice (their members still
+    pair through their other, more selective bands).
+
+    Shape: NOT a self-join. A self-join on bucket evaluates the whole
+    upstream signature subtree once per side (shingle explode + K md5
+    minhash groupBy — the expensive part — runs twice); Spark's
+    ReusedExchange does not rescue it because the join sides canonicalize
+    differently. Instead: ONE groupBy(bucket) collecting the sorted
+    member list (bounded by ``max_bucket``), then pair expansion with
+    array functions — one shuffle, one subtree evaluation, and the cap
+    is a simple ``size(ids)`` filter instead of a count-over-window.
     """
     # one explode instead of a per-band union: the signature subtree is
     # evaluated once, not once per band
@@ -76,17 +85,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
                  for i, cols in enumerate(bands)]
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("bucket"))
+    grouped = buckets.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"))
     if max_bucket is not None:
-        # count-over-window, not groupBy+join: the cap rides the SAME
-        # shuffle-by-bucket the self-join needs anyway (the old shape
-        # spent two extra full shuffles sizing and re-joining buckets)
-        w = Window.partitionBy("bucket")
-        buckets = (buckets.withColumn("_n", F.count(F.lit(1)).over(w))
-                   .filter(F.col("_n") <= max_bucket).drop("_n"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # expand i<j combinations of the sorted list: doc_a < doc_b for free
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (grouped.select(F.explode(combos).alias("p"))
+            .select("p.doc_a", "p.doc_b")
             .distinct())
 
 

@@ -158,9 +158,13 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(4) + 2-band LSH candidate pairs with exact Jaccard
     verification — the near-dup detector."""
     docs = _docs(spark, sf_dir)
-    # persist: the shingle plane feeds the signature AND both sides of
-    # the verify join — without it the tokenize+explode runs 3x.
-    sh = dedup.shingles(docs).persist()
+    # localCheckpoint (not persist): the shingle plane feeds the
+    # signature AND both sides of the verify join — without a cut the
+    # tokenize+explode runs 3x. Checkpoint blocks are released by the
+    # ContextCleaner when the plan is GC'd; persist() entries live in
+    # the CacheManager until an explicit unpersist and leak across a
+    # long registry run.
+    sh = dedup.shingles(docs).localCheckpoint(eager=False)
     sig = dedup.minhash_signatures(sh, num_hashes=4)
     pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
                                       max_bucket=_LSH_MAX_BUCKET)
@@ -193,7 +197,7 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-hash bucketing + n-gram Jaccard threshold (>= 0.5):
     confirmed near-duplicate pairs."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs).persist()
+    sh = dedup.shingles(docs).localCheckpoint(eager=False)
     sig = dedup.minhash_signatures(sh, num_hashes=4)
     pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]],
                                       max_bucket=_LSH_MAX_BUCKET)
@@ -804,7 +808,7 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("content_hash")
     kept = (gated.withColumn("_canon", F.min("doc_id").over(w))
             .filter(F.col("doc_id") == F.col("_canon")).drop("_canon"))
-    sh = dedup.shingles(kept).persist()
+    sh = dedup.shingles(kept).localCheckpoint(eager=False)
     sig = dedup.minhash_signatures(sh, num_hashes=4)
     cand = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
                                      max_bucket=_LSH_MAX_BUCKET)
