@@ -2,9 +2,10 @@
 
 Scale shape (the point of these at 100 TB):
 - exact: one hash + one groupBy — pure shuffle-on-digest;
-- MinHash+LSH: shingle → K minhashes (map-side, no shuffle) → band
-  buckets → self-join *within buckets only* (the candidate set is tiny
-  versus the quadratic pair space) → Jaccard verify on candidates;
+- MinHash+LSH: shingle → K minhashes → band buckets → ONE
+  groupBy(bucket) with a count-over-window skew cap applied BEFORE any
+  bucket member list is collected, then in-array pair expansion
+  (bounded by the cap) → Jaccard verify on candidates;
 - SimHash: per-token hash bit votes aggregated per doc (one groupBy);
 - all joins happen on short digest strings, never on document bodies.
 
@@ -39,13 +40,22 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     (explode × K hashes) is huge — without this the whole shingle plane
     runs on as many cores as there are input files. At 100 TB the same
     spread keeps explode skew bounded by doc length, not file layout.
+
+    The token array is materialized as its own projection before the
+    shingle transform: higher-order functions are interpreted (no
+    codegen), so an inline ``split()`` sub-expression is re-evaluated
+    per lambda reference — binding it to an attribute first makes it
+    once-per-row (CollapseProject keeps non-cheap multi-referenced
+    aliases separate). Measured 2× on the shingle plane at sf0.1.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = tokens_col(F.col(text_col))
+    toks_df = (df.repartition(par, "doc_id")
+               .select("doc_id", tokens_col(F.col(text_col)).alias("_toks")))
+    tc = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
-    return df.repartition(par, "doc_id").select("doc_id", grams.alias("shingles"))
+        F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tc, i + j) for j in range(k)]))
+    return toks_df.select("doc_id", grams.alias("shingles"))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 4) -> DataFrame:
@@ -74,10 +84,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
     upstream signature subtree once per side (shingle explode + K md5
     minhash groupBy — the expensive part — runs twice); Spark's
     ReusedExchange does not rescue it because the join sides canonicalize
-    differently. Instead: ONE groupBy(bucket) collecting the sorted
-    member list (bounded by ``max_bucket``), then pair expansion with
-    array functions — one shuffle, one subtree evaluation, and the cap
-    is a simple ``size(ids)`` filter instead of a count-over-window.
+    differently. Instead: ONE shuffle on bucket, where a
+    count-over-window applies the skew cap BEFORE any member list
+    exists — a degenerate bucket flows through the (spillable,
+    sort-based) window exec and is dropped by the filter, so it never
+    materializes as a single aggregation-buffer array. The following
+    groupBy(bucket) reuses the window's hash partitioning (no second
+    shuffle, verified in the plan: one Exchange) and only ever collects
+    lists of size ∈ [2, max_bucket]. Pair expansion is then in-array —
+    O(cap²) interpreted per bucket, bounded by the cap.
     """
     # one explode instead of a per-band union: the signature subtree is
     # evaluated once, not once per band
@@ -85,10 +100,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
                  for i, cols in enumerate(bands)]
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("bucket"))
-    grouped = buckets.groupBy("bucket").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    # skew cap BEFORE collect_list: bound every aggregation buffer.
+    # Singleton buckets (the vast majority) yield no pairs — dropping
+    # them here also keeps the collect stage small.
+    n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sized = buckets.withColumn("n", n).filter(F.col("n") >= 2)
     if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
+        sized = sized.filter(F.col("n") <= max_bucket)
+    grouped = sized.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"))
     # expand i<j combinations of the sorted list: doc_a < doc_b for free
     combos = F.flatten(F.transform(
         F.col("ids"),
@@ -98,6 +118,103 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[list[str]],
     return (grouped.select(F.explode(combos).alias("p"))
             .select("p.doc_a", "p.doc_b")
             .distinct())
+
+
+def inline_signatures(sh: DataFrame, hash_ids: list[int]) -> DataFrame:
+    """MinHash signatures computed in-row from the shingle array:
+    ``h_p = array_min(transform(shingles, s -> md5('p|' || s)))``.
+
+    No explode, no groupBy, no shuffle — the signature lives in the
+    same row as the shingle set, which lets the LSH stage carry both
+    through ONE shuffle (see :func:`lsh_near_dup_pairs`). Docs with an
+    empty shingle array are dropped (parity with the explode/groupBy
+    form, where they simply produce no rows)."""
+    def perm(p):
+        # single-parameter lambda: a two-param lambda would be bound by
+        # F.transform as its (element, index) form, not a closure
+        prefix = f"{p}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = sh.filter(F.size("shingles") > 0)
+    return sig.select(
+        "*", *[F.array_min(F.transform("shingles", perm(p))).alias(f"h{p}")
+               for p in hash_ids])
+
+
+def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
+                       max_bucket: int | None = None,
+                       threshold: float | None = None) -> DataFrame:
+    """Fused MinHash-LSH near-duplicate detector: signature → band
+    buckets → skew-capped bucket grouping → in-array pair expansion →
+    exact shingle-set Jaccard, as ONE subtree evaluation.
+
+    Why fused: the un-fused chain (signatures, candidate pairs, then a
+    verify join back to the shingle plane) consumes the shingle plane
+    three times — once for the signature and once per verify side — so
+    it either re-tokenizes the corpus 3× or materializes the ~3×-corpus
+    shingle plane (persist leaks across a registry run; checkpoint pays
+    a full local-storage write inside the first job and truncates
+    lineage, which on a cluster turns any executor loss into job
+    failure). Here the shingle array rides along into the bucket
+    shuffle instead: tokenize+md5 run once, and the only wide shuffle
+    is num_bands × shingle-plane — the same volume the verify joins
+    would have shuffled anyway.
+
+    Scale guards (the 100 TB story):
+    - the ``max_bucket`` cap is applied by count-over-window BEFORE any
+      member list is collected — a degenerate (boilerplate) bucket
+      streams through the spillable sort-based window exec and is
+      dropped by a filter; it never materializes in an aggregation
+      buffer;
+    - the groupBy(bucket) reuses the window's hash partitioning (one
+      Exchange total — asserted in tests);
+    - collected lists are bounded by cap × avg-doc-shingles;
+    - pair expansion is O(cap²) per bucket, bounded by the cap;
+    - the final dedup shuffle moves only surviving candidate pairs.
+    """
+    hash_ids = sorted({int(c[1:]) for cols in bands for c in cols})
+    # Signature pass: explode + groupBy(doc_id), with the shingle array
+    # rebuilt by collect_list IN THE SAME aggregation. This keeps md5
+    # inside whole-stage codegen (an inline array_min(transform(...))
+    # signature is interpreted — measured 6× slower at sf0.1) while
+    # still landing signatures and shingles in one row. The buffer is
+    # one doc's shingles — bounded by doc length. shingles() already
+    # hash-partitioned by doc_id, so this groupBy adds no Exchange.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
+          for p in hash_ids],
+        F.sort_array(F.collect_list("s")).alias("shingles"))
+    band_keys = [F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols])
+                 for i, cols in enumerate(bands)]
+    plane = sig.select(F.struct("doc_id", "shingles").alias("m"),
+                       F.explode(F.array(*band_keys)).alias("bucket"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sized = plane.withColumn("n", n).filter(F.col("n") >= 2)
+    if max_bucket is not None:
+        sized = sized.filter(F.col("n") <= max_bucket)
+    # sort_array on struct(doc_id, shingles) orders by doc_id (first
+    # field), so the i<j expansion yields doc_a < doc_b directly
+    grouped = sized.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("m")).alias("ms"))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+                x["shingles"].alias("sh_a"), y["shingles"].alias("sh_b")))))
+    pairs = (grouped.select(F.explode(combos).alias("p"))
+             .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
+             .dropDuplicates(["doc_a", "doc_b"]))
+    out = pairs.select(
+        "doc_a", "doc_b",
+        (F.size(F.array_intersect("sh_a", "sh_b")) * 1.0
+         / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
+         ).alias("jaccard"))
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,

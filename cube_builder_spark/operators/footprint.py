@@ -76,7 +76,7 @@ _FOOTPRINT_SCHEMA = ("part string, tile_id bigint, date date, seq bigint, "
                      "n_valid bigint")
 
 
-def _footprint_rows(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _footprint_rows(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     tile_id, date = key
     ys = pdf["y"].to_numpy(np.int64)
     xmins = pdf["xmin"].to_numpy(np.int64)

@@ -158,17 +158,12 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(4) + 2-band LSH candidate pairs with exact Jaccard
     verification — the near-dup detector."""
     docs = _docs(spark, sf_dir)
-    # localCheckpoint (not persist): the shingle plane feeds the
-    # signature AND both sides of the verify join — without a cut the
-    # tokenize+explode runs 3x. Checkpoint blocks are released by the
-    # ContextCleaner when the plan is GC'd; persist() entries live in
-    # the CacheManager until an explicit unpersist and leak across a
-    # long registry run.
-    sh = dedup.shingles(docs).localCheckpoint(eager=False)
-    sig = dedup.minhash_signatures(sh, num_hashes=4)
-    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
-                                      max_bucket=_LSH_MAX_BUCKET)
-    return dedup.jaccard_verify(pairs, sh)
+    # Fused single-subtree shape (shingle arrays ride into the bucket
+    # shuffle; no verify join, no persist/checkpoint): see
+    # dedup.lsh_near_dup_pairs for the full rationale.
+    sh = dedup.shingles(docs)
+    return dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
+                                    max_bucket=_LSH_MAX_BUCKET)
 
 
 @register("d_ngram_jaccard_dups", f"""
@@ -197,11 +192,9 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-hash bucketing + n-gram Jaccard threshold (>= 0.5):
     confirmed near-duplicate pairs."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs).localCheckpoint(eager=False)
-    sig = dedup.minhash_signatures(sh, num_hashes=4)
-    pairs = dedup.lsh_candidate_pairs(sig, bands=[["h0"]],
-                                      max_bucket=_LSH_MAX_BUCKET)
-    return dedup.jaccard_verify(pairs, sh, threshold=0.5)
+    sh = dedup.shingles(docs)
+    return dedup.lsh_near_dup_pairs(sh, bands=[["h0"]],
+                                    max_bucket=_LSH_MAX_BUCKET, threshold=0.5)
 
 
 @register("d_simhash", """
@@ -808,11 +801,10 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("content_hash")
     kept = (gated.withColumn("_canon", F.min("doc_id").over(w))
             .filter(F.col("doc_id") == F.col("_canon")).drop("_canon"))
-    sh = dedup.shingles(kept).localCheckpoint(eager=False)
-    sig = dedup.minhash_signatures(sh, num_hashes=4)
-    cand = dedup.lsh_candidate_pairs(sig, bands=[["h0", "h1"], ["h2", "h3"]],
-                                     max_bucket=_LSH_MAX_BUCKET)
-    dups = (dedup.jaccard_verify(cand, sh, threshold=_PREP_NEAR_DUP_JACCARD)
+    sh = dedup.shingles(kept)
+    dups = (dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
+                                     max_bucket=_LSH_MAX_BUCKET,
+                                     threshold=_PREP_NEAR_DUP_JACCARD)
             .select(F.col("doc_b").alias("doc_id")).distinct())
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", "lang", "predicted", "n_tokens", "quality",

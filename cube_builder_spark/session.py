@@ -47,6 +47,17 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         # numpy-kernel parity: x/0 -> NULL (not error), like the
         # reference's masked-array arithmetic; oracles use NULLIF.
         .config("spark.sql.ansi.enabled", "false")
+        # InferFiltersFromGenerate synthesizes a `size(arr) > 0` filter
+        # under every explode; predicate pushdown then drags it below
+        # our repartition/projection chain, where alias substitution
+        # re-inlines the array-building lambda into the filter — for
+        # the shingle plane that means an O(tokens × shingles)
+        # INTERPRETED re-evaluation of the whole transform per row at
+        # the scan (measured: 4.3s -> 0.9s warm on d_minhash at sf0.1
+        # with the rule off). Explode already skips empty arrays at
+        # execution, so the rule is pure overhead for generated arrays.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

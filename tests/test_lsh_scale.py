@@ -1,0 +1,118 @@
+"""Scale-safety tests for the fused MinHash-LSH near-dup detector.
+
+The 100 TB contract of ``dedup.lsh_near_dup_pairs``:
+- the skew cap filters bucket membership BEFORE any member list is
+  collected (a degenerate boilerplate bucket must never materialize in
+  an aggregation buffer);
+- the bucket stage runs on ONE shuffle (window + groupBy share the
+  hash partitioning);
+- a boilerplate flood (one bucket holding a large fraction of the
+  corpus) is dropped in bounded time while honest near-dups are kept.
+
+Reference analogue: the reference has no dedup surface; these ops are
+the LLM-pipeline extension (SURVEY.md §2 dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cube_builder_spark.functions import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BANDS = [["h0", "h1"], ["h2", "h3"]]
+
+
+def test_fused_matches_unfused(spark):
+    """The fused single-subtree shape must produce exactly the pairs of
+    the unfused signature -> candidate -> verify chain."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+            for i in range(20)]
+    # two near-dup clusters sharing long prefixes
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight"),
+             (200, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+             (201, "lorem ipsum dolor sit amet consectetur adipiscing elit nunc")]
+    docs = _docs(spark, rows)
+    sh = dedup.shingles(docs)
+    fused = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+             for r in dedup.lsh_near_dup_pairs(sh, BANDS, max_bucket=8).collect()}
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    cand = dedup.lsh_candidate_pairs(sig, BANDS, max_bucket=8)
+    unfused = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in dedup.jaccard_verify(cand, sh).collect()}
+    assert fused == unfused
+    assert {(100, 101), (200, 201)} <= {(a, b) for a, b, _ in fused}
+
+
+def test_inline_signatures_match_grouped(spark):
+    """Regression: the in-row signature (array_min over transform) must
+    equal the explode+groupBy signature. (A two-parameter lambda here
+    silently binds F.transform's (element, index) form — the index
+    Column stringifies into the hash prefix and every signature goes
+    wrong.)"""
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} shared tail of words {i % 3}")
+            for i in range(30)]
+    sh = dedup.shingles(_docs(spark, rows))
+    grouped = {(r.doc_id, r.h0, r.h1, r.h2, r.h3)
+               for r in dedup.minhash_signatures(sh, 4).collect()}
+    inline = {(r.doc_id, r.h0, r.h1, r.h2, r.h3)
+              for r in dedup.inline_signatures(sh, [0, 1, 2, 3])
+              .select("doc_id", "h0", "h1", "h2", "h3").collect()}
+    assert grouped == inline
+
+
+def test_cap_applied_before_collect(spark):
+    """Plan shape: the bucket-size cap must sit BELOW the collect_list
+    aggregation (between it and the window), so oversized buckets are
+    dropped before any member list exists in an aggregation buffer."""
+    rows = [(i, f"some text body number {i} with trailing words") for i in range(8)]
+    out = dedup.lsh_near_dup_pairs(dedup.shingles(_docs(spark, rows)),
+                                   BANDS, max_bucket=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    i_agg = plan.index("collect_list(m#")
+    i_cap = plan.index("<= 64")
+    i_win = plan.index("windowspecdefinition")
+    # toString prints parents first: aggregate above filter above window
+    assert i_agg < i_cap < i_win, plan
+
+
+def test_bucket_stage_single_exchange(spark):
+    """The groupBy(bucket) must reuse the window's hash partitioning:
+    exactly three Exchanges in the whole fused plan — the doc_id
+    repartition, the bucket shuffle, and the final pair dedup."""
+    rows = [(i, f"some text body number {i} with trailing words") for i in range(8)]
+    out = dedup.lsh_near_dup_pairs(dedup.shingles(_docs(spark, rows)),
+                                   BANDS, max_bucket=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 3, plan
+
+
+def test_skew_boilerplate_flood_bounded(spark):
+    """One boilerplate string repeated across 10% of a corpus forms a
+    mega-bucket far over the cap (the exact skew the cap exists for):
+    it must be dropped entirely — in bounded time — while an honest
+    near-dup pair elsewhere in the corpus is still found."""
+    boiler = ("this page is intentionally left blank please see the "
+              "terms and conditions for details of the license")
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000 + i,
+              f"unique document {i} talks about topic{i} and topic{i + 1} "
+              f"with its own distinct vocabulary item{i}") for i in range(1800)]
+    rows += [(5000, "an honest near duplicate pair shares most of its words "
+                    "with its partner in this synthetic corpus example"),
+             (5001, "an honest near duplicate pair shares most of its words "
+                    "with its partner in this synthetic corpus sample")]
+    out = dedup.lsh_near_dup_pairs(dedup.shingles(_docs(spark, rows)),
+                                   BANDS, max_bucket=64).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (5000, 5001) in pairs
+    # identical boilerplate docs bucket together in EVERY band -> all
+    # their pairs are capped away; nothing else pairs with them
+    assert not any(a < 200 or b < 200 for a, b in pairs)
+    # bounded output: no quadratic blowup leaked through
+    assert len(pairs) < 200
