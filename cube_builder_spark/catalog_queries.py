@@ -322,10 +322,222 @@ def s13_remote_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# S4 --------------------------------------------------------------------------
+
+# Synthetic scene-file manifest derived from `part`: Sentinel-style
+# names with a band token, a timestamp token, and deliberate
+# unclassifiable rows (a NODATE timestamp and a .jp2 extension) that
+# the format regexes must drop — the misfiled-junk case a real
+# directory scan hits (local_accessor.py:161-188).
+_S4_MANIFEST_SQL = """
+m AS (
+  SELECT p_partkey,
+         ['B04','B8A','SCL','B02'][CAST(p_partkey % 4 AS INTEGER) + 1] AS b,
+         CASE WHEN p_partkey % 7 = 0 THEN 'NODATE'
+              ELSE strftime(DATE '2020-01-01'
+                            + CAST(p_partkey % 60 AS INTEGER), '%Y%m%d')
+         END AS dstr,
+         CASE WHEN p_partkey % 11 = 0 THEN '.jp2' ELSE '.tif' END AS ext
+  FROM part
+),
+manifest AS (
+  SELECT '/data/scenes/S2A_MSIL2A_' || dstr || 'T103021_T23LLA_' || b || ext
+           AS path
+  FROM m
+),
+classified AS (
+  SELECT path,
+         CASE WHEN regexp_extract(path, '.*_(B04)\\.tif$', 1) <> '' THEN 'B04'
+              WHEN regexp_extract(path, '.*_(B8A)\\.tif$', 1) <> '' THEN 'B8A'
+              WHEN regexp_extract(path, '.*_(SCL)\\.tif$', 1) <> '' THEN 'SCL'
+         END AS band,
+         CASE WHEN regexp_extract(path, '.*_(\\d{8})T\\d{6}_.*', 1) <> ''
+              THEN CAST(strptime(regexp_extract(path, '.*_(\\d{8})T\\d{6}_.*', 1),
+                                 '%Y%m%d') AS DATE)
+         END AS date
+  FROM manifest
+),
+s4 AS (
+  SELECT path, band, date FROM classified
+  WHERE band IN ('B04', 'SCL')
+    AND date BETWEEN DATE '2020-01-10' AND DATE '2020-02-15'
+)
+"""
+
+
+def _s4_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.local_scan import classify_assets, filter_assets
+    from .tables import load_tables
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    b = F.element_at(F.array(F.lit("B04"), F.lit("B8A"),
+                             F.lit("SCL"), F.lit("B02")),
+                     (F.col("p_partkey") % 4 + 1).cast("int"))
+    dstr = F.when(F.col("p_partkey") % 7 == 0, F.lit("NODATE")).otherwise(
+        F.date_format(F.date_add(F.lit("2020-01-01").cast("date"),
+                                 (F.col("p_partkey") % 60).cast("int")),
+                      "yyyyMMdd"))
+    ext = F.when(F.col("p_partkey") % 11 == 0, F.lit(".jp2")) \
+        .otherwise(F.lit(".tif"))
+    manifest = part.select(F.concat(
+        F.lit("/data/scenes/S2A_MSIL2A_"), dstr, F.lit("T103021_T23LLA_"),
+        b, ext).alias("path"))
+    assets = classify_assets(manifest)
+    return filter_assets(assets, bands=["B04", "SCL"],
+                         start="2020-01-10", end="2020-02-15") \
+        .select("path", "band", "date")
+
+
+@register("s4_local_scan_parse", f"""
+WITH {_S4_MANIFEST_SQL}
+SELECT path, band, date FROM s4
+""")
+def s4_local_scan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 directory-scan classification (local_accessor.py:120-209) on
+    a synthetic manifest: per-band regex + datetime regex/format via
+    sources.local_scan.classify_assets, then the band-set/date-window
+    filter. Unclassifiable paths (bad extension, unparseable
+    timestamp) drop in both engines."""
+    return _s4_frame(spark, sf_dir)
+
+
+# S6 --------------------------------------------------------------------------
+
+# URI corpus covering every dispatch family: SAFE zip (file://), local
+# and remote Landsat tgz (member synthesis), plain zip, remote COG,
+# plain local, and file:// local.
+_S6_URIS_SQL = """
+u AS (
+  SELECT p_partkey AS k, CAST(p_partkey % 7 AS INTEGER) AS m FROM part
+),
+uris AS (
+  SELECT k, m,
+         CASE m
+           WHEN 0 THEN 'file:///mnt/scenes/S2B_MSIL2A_' || k || '.SAFE.zip'
+           WHEN 1 THEN '/mnt/landsat/LC08_' || k || '.tar.gz'
+           WHEN 2 THEN 'https://cloud.example.com/ls/' || k || '.tgz'
+           WHEN 3 THEN '/mnt/zips/bundle_' || k || '.zip'
+           WHEN 4 THEN 'https://stac.example.org/cog/' || k || '/B04.tif'
+           WHEN 5 THEN '/mnt/local/t' || k || '_B04.tif'
+           ELSE 'file:///mnt/local/t' || k || '_B04.tif'
+         END AS uri,
+         CASE WHEN m = 0 THEN 'B8A'
+              WHEN m IN (1, 2) THEN 'B04' END AS band,
+         CASE WHEN m IN (1, 2) THEN 'LC08_L2SP_' || k END AS sceneid
+  FROM u
+),
+s6 AS (
+  SELECT uri, band,
+         CASE m
+           WHEN 0 THEN 'sentinel_safe_zip'
+           WHEN 1 THEN 'landsat_tgz' WHEN 2 THEN 'landsat_tgz'
+           WHEN 3 THEN 'zip'
+           WHEN 4 THEN 'remote'
+           ELSE 'local'
+         END AS kind,
+         CASE m
+           WHEN 0 THEN '/vsizip//mnt/scenes/S2B_MSIL2A_' || k || '.SAFE.zip'
+           WHEN 1 THEN '/vsitar//mnt/landsat/LC08_' || k || '.tar.gz/'
+                       || sceneid || '_B04.TIF'
+           WHEN 2 THEN '/vsitar//vsicurl/' || uri || '/' || sceneid || '_B04.TIF'
+           WHEN 3 THEN '/vsizip/' || uri
+           WHEN 4 THEN '/vsicurl/' || uri
+           WHEN 5 THEN uri
+           ELSE '/mnt/local/t' || k || '_B04.tif'
+         END AS gdal_path,
+         CASE WHEN m = 0 THEN '20m' END AS band_group
+  FROM uris
+)
+"""
+
+
+def _s6_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .tables import load_tables
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    k, m = F.col("p_partkey"), (F.col("p_partkey") % 7).cast("int")
+    uri = (F.when(m == 0, F.concat(F.lit("file:///mnt/scenes/S2B_MSIL2A_"),
+                                   k, F.lit(".SAFE.zip")))
+           .when(m == 1, F.concat(F.lit("/mnt/landsat/LC08_"), k,
+                                  F.lit(".tar.gz")))
+           .when(m == 2, F.concat(F.lit("https://cloud.example.com/ls/"), k,
+                                  F.lit(".tgz")))
+           .when(m == 3, F.concat(F.lit("/mnt/zips/bundle_"), k, F.lit(".zip")))
+           .when(m == 4, F.concat(F.lit("https://stac.example.org/cog/"), k,
+                                  F.lit("/B04.tif")))
+           .when(m == 5, F.concat(F.lit("/mnt/local/t"), k, F.lit("_B04.tif")))
+           .otherwise(F.concat(F.lit("file:///mnt/local/t"), k,
+                               F.lit("_B04.tif"))))
+    band = F.when(m == 0, F.lit("B8A")).when(m.isin(1, 2), F.lit("B04"))
+    sceneid = F.when(m.isin(1, 2), F.concat(F.lit("LC08_L2SP_"), k))
+    inputs = part.select(uri.alias("uri"), band.alias("band"),
+                         sceneid.alias("sceneid"))
+
+    def dispatch_batch(batches):
+        # the REAL driver-side dispatcher, applied row-wise over Arrow
+        # batches — grading the actual sources.raster_reader code path
+        from .sources.raster_reader import dispatch_uri
+        for pdf in batches:
+            infos = [dispatch_uri(u, b if isinstance(b, str) else None,
+                                  s if isinstance(s, str) else None)
+                     for u, b, s in zip(pdf["uri"], pdf["band"], pdf["sceneid"])]
+            yield pd.DataFrame({
+                "uri": pdf["uri"], "band": pdf["band"],
+                "kind": [i["kind"] for i in infos],
+                "gdal_path": [i["gdal_path"] for i in infos],
+                "band_group": [i.get("band_group") for i in infos]})
+
+    return inputs.mapInPandas(
+        dispatch_batch,
+        "uri string, band string, kind string, gdal_path string, "
+        "band_group string")
+
+
+@register("s6_uri_dispatch", f"""
+WITH {_S6_URIS_SQL}
+SELECT uri, band, kind, gdal_path, band_group FROM s6
+""")
+def s6_uri_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 URI dispatcher (dataset_from_uri,
+    drivers/datasets/__init__.py:34-101): the real
+    sources.raster_reader.dispatch_uri applied over a URI corpus
+    covering SAFE-zip / zip / Landsat-tgz (local + /vsicurl remote,
+    with member synthesis) / remote COG / local / file://; the oracle
+    replays the dispatch table in SQL."""
+    return _s6_frame(spark, sf_dir)
+
+
 # Merged graded suites --------------------------------------------------------
 # The driver hash-checks only the first 50 registry entries; these
 # suites carry one graded row per operator FAMILY while the individual
 # queries above stay registered (past the window) for local runs.
+
+@register("s46_ingest_suite", f"""
+WITH {_S4_MANIFEST_SQL},
+{_S6_URIS_SQL}
+SELECT 's4' AS part, path AS key, band,
+       CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS gdal_path,
+       CAST(NULL AS VARCHAR) AS band_group, date
+FROM s4
+UNION ALL
+SELECT 's6', uri, band, kind, gdal_path, band_group, CAST(NULL AS DATE)
+FROM s6
+""")
+def s46_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + S6 in one graded row: directory-scan classification and
+    URI dispatch (schema-aligned union; both halves hash-checked)."""
+    s4 = _s4_frame(spark, sf_dir).select(
+        F.lit("s4").alias("part"), F.col("path").alias("key"), "band",
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("string").alias("gdal_path"),
+        F.lit(None).cast("string").alias("band_group"), "date")
+    s6 = _s6_frame(spark, sf_dir).select(
+        F.lit("s6").alias("part"), F.col("uri").alias("key"), "band",
+        "kind", "gdal_path", "band_group",
+        F.lit(None).cast("date").alias("date"))
+    return s4.unionByName(s6)
 
 @register("c17_timeline", """
 SELECT 'cyclic16' AS variant,

@@ -528,8 +528,7 @@ scenes AS (
 )
 """
 
-@register("c1_mosaic_first_valid", f"""
-WITH {_SCENES_SQL},
+_C1_MOSAIC_SQL = """
 ranked AS (
   SELECT *, value <> -9999 AS is_valid,
          -- content ordering (priority, then value desc): lineitem has
@@ -537,12 +536,20 @@ ranked AS (
          row_number() OVER (PARTITION BY tile_id, pixel_id, date, value <> -9999
                             ORDER BY source_idx ASC, value DESC) AS rn
   FROM scenes
+),
+c1m AS (
+  SELECT tile_id, pixel_id, date,
+         coalesce(max(CASE WHEN is_valid AND rn = 1 THEN value END), -9999) AS merge_value,
+         CAST(coalesce(max(CASE WHEN is_valid AND rn = 1 THEN source_idx END), 255) AS BIGINT) AS datasource,
+         count(*) AS n_scenes
+  FROM ranked GROUP BY tile_id, pixel_id, date
 )
-SELECT tile_id, pixel_id, date,
-       coalesce(max(CASE WHEN is_valid AND rn = 1 THEN value END), -9999) AS merge_value,
-       CAST(coalesce(max(CASE WHEN is_valid AND rn = 1 THEN source_idx END), 255) AS BIGINT) AS datasource,
-       count(*) AS n_scenes
-FROM ranked GROUP BY tile_id, pixel_id, date
+"""
+
+@register("c1_mosaic_first_valid", f"""
+WITH {_SCENES_SQL},
+{_C1_MOSAIC_SQL}
+SELECT tile_id, pixel_id, date, merge_value, datasource, n_scenes FROM c1m
 """)
 def c1_mosaic_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 mosaic reduction (processing.py:329-367): first-valid-pixel
@@ -1150,8 +1157,7 @@ def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube
 
 
-@register("c1b_warp_resample", f"""
-WITH {PIXELS_SQL}
+_C1B_WARP_SQL = f"""
 SELECT tile_id,
        ((pixel_id // 32) // 2) * 16 + (pixel_id % 32) // 2 AS pixel_id,
        value
@@ -1159,6 +1165,11 @@ FROM pixels
 WHERE date = DATE '2020-01-02'
   AND (pixel_id // 32) % 2 = 0 AND (pixel_id % 32) % 2 = 0
   AND value <> {BAND_NODATA}
+"""
+
+@register("c1b_warp_resample", f"""
+WITH {PIXELS_SQL}
+{_C1B_WARP_SQL}
 """)
 def c1b_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 geometric half (operators/warp.py; processing.py:303-316):
@@ -1196,6 +1207,34 @@ def c1b_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              for t in range(8)]
     return warp_scenes(files, tiles, "EPSG:32722", "EPSG:32722",
                        nodata=BAND_NODATA)
+
+
+@register("c1_suite", f"""
+WITH {_SCENES_SQL},
+{_C1_MOSAIC_SQL},
+{PIXELS_SQL}
+SELECT 'mosaic' AS part, tile_id, pixel_id, date,
+       merge_value AS value, datasource, n_scenes
+FROM c1m
+UNION ALL
+SELECT 'warp', tile_id, pixel_id, CAST(NULL AS DATE), value,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_C1B_WARP_SQL})
+""")
+def c1_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 in one graded row: the mosaic half (first-valid-wins with
+    DATASOURCE provenance) and the geometric warp half (stdlib GeoTIFF
+    encode → reproject/resample), schema-aligned — both halves
+    hash-checked in a single window slot."""
+    mos = c1_mosaic_first_valid(spark, sf_dir).select(
+        F.lit("mosaic").alias("part"), "tile_id", "pixel_id", "date",
+        F.col("merge_value").alias("value"), "datasource", "n_scenes")
+    warp = c1b_warp_resample(spark, sf_dir).select(
+        F.lit("warp").alias("part"), "tile_id", "pixel_id",
+        F.lit(None).cast("date").alias("date"), "value",
+        F.lit(None).cast("long").alias("datasource"),
+        F.lit(None).cast("long").alias("n_scenes"))
+    return mos.unionByName(warp)
 
 
 # C8 provenance-conditional ----------------------------------------------------

@@ -27,29 +27,41 @@ DEFAULT_FORMAT = {
 }
 
 
+def classify_assets(df: DataFrame, fmt: dict = None) -> DataFrame:
+    """Classify a path manifest into (…, band, date) rows via the
+    format dict's per-band regex + datetime regex/format
+    (local_accessor.py:161-188 applied as pure column expressions —
+    works on a live ``binaryFile`` listing or any path DataFrame).
+    Paths matching no band regex or no parseable datetime drop, exactly
+    as the reference accessor skips unclassifiable files."""
+    fmt = fmt or DEFAULT_FORMAT
+    band = None
+    for name, regex in sorted(fmt["bands"].items()):
+        hit = F.regexp_extract(F.col("path"), regex, 1) != ""
+        band = F.when(hit, F.lit(name)) if band is None else band.when(hit, F.lit(name))
+    # try_to_date: a path whose timestamp token fails the format must
+    # classify as NULL (and drop), not kill the scan
+    date = F.try_to_date(
+        F.regexp_extract(F.col("path"), fmt["datetime"]["pattern"], 1),
+        fmt["datetime"]["format"])
+    return (df.withColumn("band", band)
+            .withColumn("date", date)
+            .filter(F.col("band").isNotNull() & F.col("date").isNotNull()))
+
+
 def scan_directory(spark: SparkSession, folder: str,
                    fmt: dict = None, recursive: bool = True,
                    with_content: bool = False) -> DataFrame:
     """List a raster folder into an assets DataFrame
     (path, length, band, date). Content bytes stay out of the plan
     unless ``with_content`` — listing-only scans never read files."""
-    fmt = fmt or DEFAULT_FORMAT
     cols = ["path", "length"] + (["content"] if with_content else [])
     df = (spark.read.format("binaryFile")
           .option("recursiveFileLookup", str(recursive).lower())
           .option("pathGlobFilter", "*.tif")
           .load(folder)
           .select(*cols))
-    band = None
-    for name, regex in sorted(fmt["bands"].items()):
-        hit = F.regexp_extract(F.col("path"), regex, 1) != ""
-        band = F.when(hit, F.lit(name)) if band is None else band.when(hit, F.lit(name))
-    date = F.to_date(
-        F.regexp_extract(F.col("path"), fmt["datetime"]["pattern"], 1),
-        fmt["datetime"]["format"])
-    return (df.withColumn("band", band)
-            .withColumn("date", date)
-            .filter(F.col("band").isNotNull() & F.col("date").isNotNull()))
+    return classify_assets(df, fmt)
 
 
 def filter_assets(assets: DataFrame, bands: list[str] | None = None,

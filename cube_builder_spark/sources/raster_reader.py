@@ -43,25 +43,30 @@ SAFE_BAND_GROUPS = {
 def dispatch_uri(uri: str, band: str | None = None,
                  sceneid: str | None = None) -> dict:
     """S6 (dataset_from_uri, drivers/datasets/__init__.py:34-101):
-    classify a URI and produce the concrete GDAL path to open."""
+    classify a URI and produce the concrete GDAL path to open.
+    ``file://`` URIs are local for EVERY container kind (a
+    /vsicurl/file:// path would be nonsense — GDAL's curl driver is for
+    network schemes only)."""
     low = uri.lower()
+    remote = "://" in uri and not uri.startswith("file://")
+    local_path = uri.removeprefix("file://")
     if low.endswith(".safe.zip") or (".safe" in low and low.endswith(".zip")):
         kind = "sentinel_safe_zip"
-        vsi = f"/vsizip/{uri}" if "://" not in uri else f"/vsizip//vsicurl/{uri}"
+        vsi = f"/vsizip//vsicurl/{uri}" if remote else f"/vsizip/{local_path}"
     elif low.endswith(".zip"):
         kind = "zip"
-        vsi = f"/vsizip/{uri}" if "://" not in uri else f"/vsizip//vsicurl/{uri}"
+        vsi = f"/vsizip//vsicurl/{uri}" if remote else f"/vsizip/{local_path}"
     elif low.endswith((".tar.gz", ".tgz")):
         kind = "landsat_tgz"
-        base = f"/vsitar/{uri}" if "://" not in uri else f"/vsitar//vsicurl/{uri}"
+        base = f"/vsitar//vsicurl/{uri}" if remote else f"/vsitar/{local_path}"
         member = landsat_tgz_member(sceneid or "", band or "")
         vsi = f"{base}/{member}" if member else base
-    elif "://" in uri and not uri.startswith("file://"):
+    elif remote:
         kind = "remote"
         vsi = f"/vsicurl/{uri}"
     else:
         kind = "local"
-        vsi = uri.removeprefix("file://")
+        vsi = local_path
     out = {"kind": kind, "gdal_path": vsi}
     if kind == "sentinel_safe_zip" and band:
         out["band_group"] = SAFE_BAND_GROUPS.get(band, "20m")

@@ -71,3 +71,34 @@ def test_baseline_offset_semantics(spark):
     df = spark.createDataFrame(rows, "v long, bl long")
     out = df.select(baseline_offset(F.col("v"), F.col("bl"), -9999).alias("h"))
     assert [r.h for r in out.collect()] == [4000, -9999, 0, 5000, -9999]
+
+
+def test_classify_assets_on_manifest(spark):
+    """S4 classification works on a pure path manifest (no files):
+    band via per-band regex, date via try_to_date (bad timestamps and
+    wrong extensions drop instead of erroring)."""
+    from cube_builder_spark.sources.local_scan import classify_assets
+    paths = [
+        ("/d/S2A_MSIL2A_20200105T103021_T23LLA_B04.tif",),
+        ("/d/S2A_MSIL2A_20200105T103021_T23LLA_SCL.tif",),
+        ("/d/S2A_MSIL2A_NODATET103021_T23LLA_B04.tif",),    # bad timestamp
+        ("/d/S2A_MSIL2A_20200105T103021_T23LLA_B04.jp2",),  # bad extension
+        ("/d/S2A_MSIL2A_20200199T103021_T23LLA_B04.tif",),  # invalid date
+    ]
+    out = classify_assets(spark.createDataFrame(paths, "path string")).collect()
+    assert {(r.band, str(r.date)) for r in out} == {
+        ("B04", "2020-01-05"), ("SCL", "2020-01-05")}
+
+
+def test_dispatch_uri_file_scheme_archives():
+    """S6: file:// URIs are local for EVERY container kind — never
+    wrapped in /vsicurl."""
+    from cube_builder_spark.sources.raster_reader import dispatch_uri
+    z = dispatch_uri("file:///mnt/s/S2B.SAFE.zip", band="B8A")
+    assert z["kind"] == "sentinel_safe_zip"
+    assert z["gdal_path"] == "/vsizip//mnt/s/S2B.SAFE.zip"
+    assert z["band_group"] == "20m"
+    t = dispatch_uri("file:///mnt/l/LC08.tar.gz", band="B04", sceneid="LC08_X")
+    assert t["gdal_path"] == "/vsitar//mnt/l/LC08.tar.gz/LC08_X_B04.TIF"
+    r = dispatch_uri("https://h/scene.zip")
+    assert r["gdal_path"] == "/vsizip//vsicurl/https://h/scene.zip"
