@@ -1,0 +1,187 @@
+"""S5 (remote half) — ranged Cloud-Optimized-GeoTIFF reader, stdlib
+only.
+
+Reference: GDAL ``/vsicurl`` access with ``GDAL_DISABLE_READDIR_ON_OPEN``
+and HTTP range reads (``config.py:85-88``,
+``drivers/datasets/__init__.py:78-83``): open a remote COG, read its
+header/IFDs cheaply, then fetch only the tile byte-ranges a requested
+window intersects. This module reproduces that access pattern with
+``urllib`` + the repo's own GeoTIFF codec (sinks/cog.py) — no GDAL.
+
+Layout contract (what makes the range pattern work, and what
+``write_cog_band`` produces): IFDs lead the file, tile data trails,
+overviews' data precede full-res data — so header + overview reads
+touch only the file's head.
+
+Executor use: the fetcher is plain Python/urllib, so a pandas-UDF
+reader can window remote COGs per task exactly like the reference's
+one-Celery-task-per-asset rasterio reads, with bounded bytes per task.
+"""
+
+from __future__ import annotations
+
+import struct
+import urllib.request
+import zlib
+
+import numpy as np
+
+_BLOCK = 16 * 1024
+
+
+class RangeFetcher:
+    """Byte-range access over file paths, file:// and http(s):// URIs
+    with a block cache (16 KB blocks, contiguous misses coalesced into
+    one request). ``bytes_fetched``/``n_requests`` expose the I/O
+    actually performed so tests can assert windows don't read the whole
+    file."""
+
+    def __init__(self, uri: str, block: int = _BLOCK):
+        self.uri = uri
+        self.block = block
+        self._remote = uri.startswith(("http://", "https://"))
+        self._path = uri.removeprefix("file://") if not self._remote else None
+        self._blocks: dict[int, bytes] = {}
+        self._full: bytes | None = None      # server ignored Range
+        self.bytes_fetched = 0
+        self.n_requests = 0
+
+    def _fetch_raw(self, start: int, length: int) -> bytes:
+        self.n_requests += 1
+        if not self._remote:
+            with open(self._path, "rb") as f:
+                f.seek(start)
+                data = f.read(length)
+            self.bytes_fetched += len(data)
+            return data
+        req = urllib.request.Request(
+            self.uri, headers={"Range": f"bytes={start}-{start + length - 1}"})
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            self.bytes_fetched += len(body)
+            if resp.status == 206:
+                return body
+            # 200: server ignored Range and sent the whole file — keep
+            # it so no further requests are needed
+            self._full = body
+            return body[start:start + length]
+
+    def get(self, start: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        if self._full is not None:
+            return self._full[start:start + length]
+        blk = self.block
+        b0, b1 = start // blk, (start + length - 1) // blk
+        missing = [b for b in range(b0, b1 + 1) if b not in self._blocks]
+        # coalesce contiguous missing blocks into single range requests
+        i = 0
+        while i < len(missing):
+            j = i
+            while j + 1 < len(missing) and missing[j + 1] == missing[j] + 1:
+                j += 1
+            lo, hi = missing[i], missing[j]
+            data = self._fetch_raw(lo * blk, (hi - lo + 1) * blk)
+            if self._full is not None:
+                return self._full[start:start + length]
+            for b in range(lo, hi + 1):
+                off = (b - lo) * blk
+                self._blocks[b] = data[off:off + blk]
+            i = j + 1
+        out = b"".join(self._blocks[b] for b in range(b0, b1 + 1))
+        skip = start - b0 * blk
+        return out[skip:skip + length]
+
+
+class CogReader:
+    """Lazy COG: parses the IFD chain from ranged reads at open; tile
+    payloads are fetched only when a window asks for them."""
+
+    def __init__(self, uri: str, fetcher: RangeFetcher | None = None):
+        self.fetcher = fetcher or RangeFetcher(uri)
+        get = self.fetcher.get
+        if get(0, 4) != b"II\x2a\x00":
+            raise ValueError(f"not a little-endian TIFF: {uri!r}")
+        (ifd_off,) = struct.unpack("<I", get(4, 4))
+        self.levels: list[dict] = []
+        self.geo: dict = {}
+        first = True
+        while ifd_off:
+            (n,) = struct.unpack("<H", get(ifd_off, 2))
+            raw_entries = get(ifd_off + 2, n * 12)
+            tags = {}
+            for i in range(n):
+                t, code, count, raw = struct.unpack_from(
+                    "<HHI4s", raw_entries, i * 12)
+                tags[t] = (code, count, raw)
+
+            def val(t, tags=tags, get=get):
+                code, count, raw = tags[t]
+                if count == 1 and code == 3:
+                    return struct.unpack("<H2x", raw)[0]
+                if count == 1 and code == 4:
+                    return struct.unpack("<I", raw)[0]
+                size = {2: 1, 3: 2, 4: 4, 12: 8}[code] * count
+                if size <= 4:
+                    fmt = {3: "H", 4: "I"}[code]
+                    return struct.unpack_from(f"<{count}{fmt}", raw)
+                (off,) = struct.unpack("<I", raw)
+                payload = get(off, size)
+                if code == 12:
+                    return struct.unpack(f"<{count}d", payload)
+                if code == 2:
+                    return payload.rstrip(b"\x00").decode()
+                fmt = {3: "H", 4: "I"}[code]
+                return struct.unpack(f"<{count}{fmt}", payload)
+
+            w, h, tile = val(256), val(257), val(322)
+            offs, cnts = val(324), val(325)
+            if isinstance(offs, int):
+                offs, cnts = (offs,), (cnts,)
+            self.levels.append({
+                "width": w, "height": h, "tile": tile,
+                "offsets": tuple(offs), "counts": tuple(cnts),
+                "subfile_type": val(254) if 254 in tags else 0})
+            if first:
+                scale, tie = val(33550), val(33922)
+                self.geo = {"pixel_size": (scale[0], scale[1]),
+                            "origin": (tie[3], tie[4]),
+                            "nodata": (int(val(42113))
+                                       if 42113 in tags else None)}
+                first = False
+            (ifd_off,) = struct.unpack("<I", get(ifd_off + 2 + n * 12, 4))
+
+    def read_window(self, row0: int, col0: int, height: int, width: int,
+                    level: int = 0) -> np.ndarray:
+        """Decode exactly the tiles intersecting the window at the given
+        pyramid level; bytes fetched ≈ the window's compressed tiles."""
+        lv = self.levels[level]
+        tile, w, h = lv["tile"], lv["width"], lv["height"]
+        row1 = min(row0 + height, h)
+        col1 = min(col0 + width, w)
+        if row0 < 0 or col0 < 0 or row0 >= h or col0 >= w:
+            raise IndexError(f"window ({row0},{col0})+({height},{width}) "
+                             f"outside level {level} shape ({h},{w})")
+        tx = (w + tile - 1) // tile
+        out = np.zeros((row1 - row0, col1 - col0), "<i2")
+        for tr in range(row0 // tile, (row1 - 1) // tile + 1):
+            for tc in range(col0 // tile, (col1 - 1) // tile + 1):
+                i = tr * tx + tc
+                payload = self.fetcher.get(lv["offsets"][i], lv["counts"][i])
+                block = np.frombuffer(zlib.decompress(payload),
+                                      "<i2").reshape(tile, tile)
+                # intersection of this tile with the window
+                r_lo = max(row0, tr * tile)
+                r_hi = min(row1, (tr + 1) * tile)
+                c_lo = max(col0, tc * tile)
+                c_hi = min(col1, (tc + 1) * tile)
+                out[r_lo - row0:r_hi - row0, c_lo - col0:c_hi - col0] = \
+                    block[r_lo - tr * tile:r_hi - tr * tile,
+                          c_lo - tc * tile:c_hi - tc * tile]
+        return out
+
+
+def read_cog_window(uri: str, row0: int, col0: int, height: int, width: int,
+                    level: int = 0) -> np.ndarray:
+    """One-shot convenience: open + window in a single fetcher."""
+    return CogReader(uri).read_window(row0, col0, height, width, level)

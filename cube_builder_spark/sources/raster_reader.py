@@ -111,16 +111,23 @@ def read_member_bytes(uri: str, band: str | None = None,
     member (generic or SAFE band-group resolution, stdlib ``zipfile``
     standing in for /vsizip), or tar.gz member (Landsat
     ``{sceneid}_{band}.TIF`` synthesis with suffix-match fallback,
-    stdlib ``tarfile`` standing in for /vsitar). Remote URIs need the
-    rasterio/vsicurl path."""
+    stdlib ``tarfile`` standing in for /vsitar). Remote plain rasters
+    fetch over HTTP (urllib; ranged windows via sources.cog_reader);
+    only remote ARCHIVE members still need rasterio/GDAL — reading a
+    member would mean parsing zip/tar structure over ranges."""
     import tarfile
+    import urllib.request
     import zipfile
 
     info = dispatch_uri(uri, band, sceneid)
     path = uri.removeprefix("file://")
     if "://" in path:
+        if info["kind"] == "remote":
+            with urllib.request.urlopen(uri) as resp:
+                return resp.read()
         raise NotImplementedError(
-            "remote archive access requires rasterio/GDAL (/vsicurl)")
+            "remote archive member access requires rasterio/GDAL (/vsicurl); "
+            "plain remote rasters are served (cog_reader for windows)")
     if info["kind"] in ("zip", "sentinel_safe_zip"):
         with zipfile.ZipFile(path) as zf:
             member = _pick_zip_member(zf.namelist(), band,
