@@ -7,13 +7,13 @@ Two substrates:
   the metadata/frame-sampling queries whose oracle replays the header
   fields (and md5) directly in SQL.
 - ``attach_real_media``: REAL codec bytes — 24-bit BMP encoded by the
-  stdlib encoder below (same spirit as the stdlib COG writer) and
-  PCM-16 WAV via the stdlib ``wave`` module — with deterministic
-  pixel/PCM content. ``decode_image`` and ``resample_audio`` are real
-  numpy implementations over those bytes; their oracles replay the
-  generator arithmetic in SQL, so a hash match proves the whole
-  encode->decode byte path, not a stub. Only video decode stays gated
-  (no stdlib video codec exists).
+  stdlib encoder below (same spirit as the stdlib COG writer), PCM-16
+  WAV via the stdlib ``wave`` module, and uncompressed RIFF AVI
+  (hdrl/strl/movi/idx1 with DIB frames) — all with deterministic
+  pixel/PCM content. ``decode_image``, ``resample_audio`` and
+  ``decode_video`` are real numpy implementations over those bytes;
+  their oracles replay the generator arithmetic in SQL, so a hash
+  match proves the whole encode->decode byte path, not a stub.
 
 At 100 TB this layout is the standard one: payloads stay as parquet
 binary chunks co-partitioned with their metadata; ``mapInPandas``
@@ -141,6 +141,93 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, "<i2")
 
 
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(frames: np.ndarray, fps: int) -> bytes:
+    """Encode an (n, h, w, 3) uint8 BGR stack as an uncompressed AVI
+    (RIFF: hdrl{avih, strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER}},
+    movi{'00db' DIB frames, bottom-up 4-byte-padded rows}, idx1) —
+    the third real stdlib codec next to BMP and WAV."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+    pad = b"\x00" * (row_bytes - w * 3)
+
+    def dib(frame: np.ndarray) -> bytes:
+        return b"".join(frame[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+    avih = struct.pack("<10I4I", 1_000_000 // fps, frame_size * fps, 0,
+                       0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " +
+            struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                        frame_size, 0xFFFFFFFF, 0) +
+            struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) +
+                      _riff_list(b"strl", _riff_chunk(b"strh", strh) +
+                                 _riff_chunk(b"strf", strf)))
+    chunks, idx, off = [], [], 4
+    for f in frames:
+        payload = dib(f)
+        chunks.append(_riff_chunk(b"00db", payload))
+        idx.append(b"00db" + struct.pack("<III", 0x10, off, len(payload)))
+        off += len(chunks[-1])
+    movi = _riff_list(b"movi", b"".join(chunks))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes) -> tuple[int, np.ndarray]:
+    """Decode an uncompressed 24-bit AVI back to (fps, (n, h, w, 3)
+    uint8 BGR). Walks the RIFF chunk tree; fps is the exact strh
+    rate/scale ratio."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    info: dict = {}
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_lo = pos + 8
+            if fourcc == b"LIST":
+                walk(data_lo + 4, data_lo + size)
+            elif fourcc == b"strh" and buf[data_lo:data_lo + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, data_lo + 20)
+                info["fps"] = rate // scale
+            elif fourcc == b"strf":
+                _sz, w, h, _planes, bpp = struct.unpack_from(
+                    "<IiiHH", buf, data_lo)
+                if bpp != 24:
+                    raise NotImplementedError(
+                        f"only 24-bit DIB frames supported, got {bpp}")
+                info["w"], info["h"] = w, h
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(buf[data_lo:data_lo + size])
+            pos = data_lo + size + (size % 2)
+
+    walk(12, len(buf))
+    w, h = info["w"], info["h"]
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), np.uint8)
+    for fi, raw in enumerate(frames_raw):
+        for i in range(h):
+            out[fi, h - 1 - i] = np.frombuffer(
+                raw, np.uint8, w * 3, i * row_bytes).reshape(w, 3)
+    return info["fps"], out
+
+
 # Deterministic content generators (replayed arithmetically by the SQL
 # oracles — a hash match proves the full encode->decode byte path).
 
@@ -157,6 +244,16 @@ def audio_samples(doc_id: int, n: int) -> np.ndarray:
     return ((doc_id * 31 + i * 17) % 2001 - 1000).astype(np.int16)
 
 
+def video_pixels(doc_id: int, n_frames: int, w: int, h: int) -> np.ndarray:
+    f, y, x, c = np.ogrid[0:n_frames, 0:h, 0:w, 0:3]
+    return ((doc_id * 7 + f * 53 + x * 13 + y * 31 + c * 97) % 256) \
+        .astype(np.uint8)
+
+
+def video_fps(doc_id: int) -> int:
+    return 10 + doc_id % 20
+
+
 def real_media_dims(doc_id: int, n_chars: int) -> tuple:
     """(kind, *params) for the real-media plane; shared by generator,
     tests, and (as SQL arithmetic) the oracles."""
@@ -165,20 +262,19 @@ def real_media_dims(doc_id: int, n_chars: int) -> tuple:
         return ("image/bmp", 4 + n_chars % 13, 3 + n_chars % 8)
     if m == 1:
         return ("audio/wav", 50 + n_chars % 100)
-    return ("video/mp4", 1 + n_chars % 4)
+    return ("video/avi", 1 + n_chars % 4, 4 + n_chars % 9, 3 + n_chars % 6)
 
 
 def attach_real_media(docs: DataFrame) -> DataFrame:
-    """Real-codec media plane: per doc, a genuine BMP / WAV payload
-    with deterministic content (video stays an opaque container — no
-    stdlib video codec). Generated executor-side in Arrow batches."""
+    """Real-codec media plane: per doc, a genuine BMP / WAV / AVI
+    payload with deterministic content. Generated executor-side in
+    Arrow batches."""
     par = docs.sparkSession.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, n_chars, text in zip(pdf["doc_id"], pdf["n_chars"],
-                                             pdf["text"]):
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 doc_id, n_chars = int(doc_id), int(n_chars)
                 kind = real_media_dims(doc_id, n_chars)
                 if kind[0] == "image/bmp":
@@ -188,8 +284,9 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                     payload = encode_wav(audio_samples(doc_id, kind[1]),
                                          AUDIO_SRC_RATE)
                 else:
-                    payload = (b"VID" + bytes(f"{kind[1]:03d}", "ascii")
-                               + text.encode("utf-8"))
+                    _, nf, w, h = kind
+                    payload = encode_avi(video_pixels(doc_id, nf, w, h),
+                                         video_fps(doc_id))
                 rows.append((doc_id, kind[0], payload))
             yield pd.DataFrame(rows,
                                columns=["doc_id", "media_type", "payload"])
@@ -244,11 +341,27 @@ def resample_audio(media: DataFrame, rate_hz: int = 12000) -> DataFrame:
 
 
 def decode_video(media: DataFrame) -> DataFrame:
-    """STUB — video decode has no stdlib codec; production wires
-    libav/ffmpeg into the same mapInPandas shape as decode_image."""
-    raise NotImplementedError(
-        "video decode requires libav/ffmpeg, not present in this "
-        "container; image (BMP) and audio (WAV) decode above are real")
+    """REAL video decode: AVI payload -> frame stack -> per-doc stats
+    (frame count, dims, exact fps from strh rate/scale, channel
+    sum/min/max over every frame). Same mapInPandas batch shape a
+    libav/ffmpeg decoder plugs into unchanged."""
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fps, frames = decode_avi(bytes(payload))
+                a = frames.astype(np.int64)
+                rows.append((int(doc_id), len(frames), frames.shape[2],
+                             frames.shape[1], fps, int(a.sum()),
+                             int(a.min()), int(a.max())))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "width",
+                                              "height", "fps", "px_sum",
+                                              "px_min", "px_max"])
+
+    return (media.filter(F.col("media_type").startswith("video/"))
+            .mapInPandas(dec, "doc_id long, n_frames int, width int, "
+                              "height int, fps int, px_sum long, "
+                              "px_min int, px_max int"))
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -619,6 +619,23 @@ audagg AS (
                   - 1000) AS BIGINT) AS pcm_sum
   FROM audouts a, unnest(range(0, a.n_out)) AS t(i)
   GROUP BY a.doc_id, a.n_out
+),
+viddocs AS (
+  SELECT doc_id, 1 + n_chars % 4 AS nf, 4 + n_chars % 9 AS vw,
+         3 + n_chars % 6 AS vh
+  FROM documents WHERE doc_id % 3 = 2
+),
+vidpx AS (
+  SELECT doc_id, nf, vw, vh, unnest(range(0, nf * vh * vw * 3)) AS i
+  FROM viddocs
+),
+vidagg AS (
+  SELECT doc_id, nf, vw, vh,
+         CAST(sum((doc_id * 7 + (i // (vh * vw * 3)) * 53
+                   + ((i % (vw * 3)) // 3) * 13
+                   + ((i % (vh * vw * 3)) // (vw * 3)) * 31
+                   + (i % 3) * 97) % 256) AS BIGINT) AS px_sum
+  FROM vidpx GROUP BY doc_id, nf, vw, vh
 )
 SELECT 'metadata' AS variant, doc_id, media_type,
        CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
@@ -645,12 +662,18 @@ UNION ALL
 SELECT 'resample', doc_id, 'audio/wav',
        NULL, NULL, NULL, NULL, NULL, NULL, NULL, n_out, pcm_sum
 FROM audagg
+UNION ALL
+SELECT 'video', doc_id, 'video/avi',
+       NULL, NULL, CAST(vw AS INTEGER), CAST(vh AS INTEGER),
+       CAST(nf AS INTEGER), NULL, px_sum, NULL, NULL
+FROM vidagg
 """)
 def m_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal suite: binary-payload metadata extraction (Arrow
     mapInPandas header parse), metadata-only frame sampling, AND the
     real-codec roundtrips (stdlib BMP decode stats + WAV integer
-    resample) — one graded row for the multimodal family."""
+    resample + AVI video decode stats) — one graded row for the
+    multimodal family."""
     from .functions import multimodal
     docs = _docs(spark, sf_dir)
     media = multimodal.attach_fake_media(docs)
@@ -681,7 +704,14 @@ def m_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nuls.alias("sha"), nuli.alias("width"), nuli.alias("height"),
         nuli.alias("n_frames"), nuli.alias("frame_idx"),
         null.alias("px_sum"), "n_out", "pcm_sum")
-    return meta.unionByName(frames).unionByName(decode).unionByName(resample)
+    video = multimodal.decode_video(real).select(
+        F.lit("video").alias("variant"), "doc_id",
+        F.lit("video/avi").alias("media_type"), null.alias("n_bytes"),
+        nuls.alias("sha"), "width", "height", "n_frames",
+        nuli.alias("frame_idx"), "px_sum",
+        null.alias("n_out"), null.alias("pcm_sum"))
+    return (meta.unionByName(frames).unionByName(decode)
+            .unionByName(resample).unionByName(video))
 
 
 @register("t_rolling_fingerprint", """
@@ -881,3 +911,39 @@ def m_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import multimodal
     media = multimodal.attach_real_media(_docs(spark, sf_dir))
     return multimodal.resample_audio(media, rate_hz=12000)
+
+
+_VID_DECODE_SQL = """
+viddocs AS (
+  SELECT doc_id, 1 + n_chars % 4 AS nf, 4 + n_chars % 9 AS w,
+         3 + n_chars % 6 AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+vidpx AS (
+  SELECT doc_id, nf, w, h, unnest(range(0, nf * h * w * 3)) AS i FROM viddocs
+),
+vidvals AS (
+  SELECT doc_id, nf, w, h,
+         (doc_id * 7 + (i // (h * w * 3)) * 53 + ((i % (w * 3)) // 3) * 13
+          + ((i % (h * w * 3)) // (w * 3)) * 31 + (i % 3) * 97) % 256 AS v
+  FROM vidpx
+)
+"""
+
+@register("m_decode_video", f"""
+WITH {_VID_DECODE_SQL}
+SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(10 + doc_id % 20 AS INTEGER) AS fps,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INTEGER) AS px_min, CAST(max(v) AS INTEGER) AS px_max
+FROM vidvals GROUP BY doc_id, nf, w, h
+""")
+def m_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode roundtrip: deterministic frames -> stdlib
+    RIFF/AVI encoder -> payload bytes -> chunk-walking decoder ->
+    per-doc stats incl. exact strh-rate fps; the oracle replays the
+    frame/pixel arithmetic, proving the whole container byte path."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.decode_video(media)

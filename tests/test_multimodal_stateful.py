@@ -72,9 +72,25 @@ def test_real_decode_and_resample(spark, sf_dir):
     assert res, "audio docs exist"
     for r in res:
         assert r.n_out == (r.n_in * 12000) // 8000
-    # only video decode remains honestly gated (no stdlib codec)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_video(media)
+    vid = multimodal.decode_video(media).collect()
+    assert vid, "video docs exist"
+    for r in vid:
+        pix = multimodal.video_pixels(r.doc_id, r.n_frames, r.width, r.height)
+        assert r.px_sum == int(pix.astype(np.int64).sum())
+        assert r.fps == multimodal.video_fps(r.doc_id)
+
+
+def test_avi_codec_roundtrip():
+    import numpy as np
+    frames = multimodal.video_pixels(doc_id=11, n_frames=3, w=5, h=4)
+    buf = multimodal.encode_avi(frames, fps=17)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    fps, back = multimodal.decode_avi(buf)
+    assert fps == 17 and np.array_equal(back, frames)
+    # even width (no row padding) round-trips too
+    frames2 = multimodal.video_pixels(doc_id=2, n_frames=1, w=4, h=3)
+    fps2, back2 = multimodal.decode_avi(multimodal.encode_avi(frames2, 30))
+    assert fps2 == 30 and np.array_equal(back2, frames2)
 
 
 def test_stateful_sessionizer_closed_sessions(spark, tmp_path):
