@@ -204,14 +204,16 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
             lambda y: F.struct(
                 x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
                 x["shingles"].alias("sh_a"), y["shingles"].alias("sh_b")))))
-    pairs = (grouped.select(F.explode(combos).alias("p"))
-             .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
-             .dropDuplicates(["doc_a", "doc_b"]))
-    out = pairs.select(
-        "doc_a", "doc_b",
-        (F.size(F.array_intersect("sh_a", "sh_b")) * 1.0
-         / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
-         ).alias("jaccard"))
+    # Jaccard BEFORE the cross-band dedup: a pair seen in two bands
+    # computes it twice (cheap, map-side), but the dedup shuffle then
+    # moves only (doc_a, doc_b, jaccard) scalars — never shingle
+    # arrays — and the distinct becomes a plain HashAggregate.
+    out = (grouped.select(F.explode(combos).alias("p"))
+           .select("p.doc_a", "p.doc_b",
+                   (F.size(F.array_intersect("p.sh_a", "p.sh_b")) * 1.0
+                    / F.nullif(F.size(F.array_union("p.sh_a", "p.sh_b")),
+                               F.lit(0))).alias("jaccard"))
+           .dropDuplicates(["doc_a", "doc_b"]))
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out

@@ -101,7 +101,8 @@ def assign_periods(obs: DataFrame, periods: DataFrame) -> DataFrame:
         & (F.col("date") <= F.col("period_end")))
 
 
-def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
+def merge_stage(obs: DataFrame, cfg: CubeJobConfig,
+                share: bool = True) -> DataFrame:
     """C1 mosaic: first-valid-wins across overlapping scenes of one
     (tile, band, date) slot. Input columns: tile_id, pixel_id, band,
     date, period, value, source_idx, scene_order.
@@ -127,8 +128,10 @@ def merge_stage(obs: DataFrame, cfg: CubeJobConfig) -> DataFrame:
     # (the agg itself has no Exchange: it reuses the input clustering).
     # Same hash keys, so everything downstream still chains
     # shuffle-free. Measured at sf0.1: blend cold 5.3s -> 2.1s with no
-    # persist/cache involved.
-    return out.repartition(n, "tile_id", "pixel_id")
+    # persist/cache involved. Callers that immediately materialize the
+    # merge (identity write, persist) pass share=False — the exchange
+    # would be dead weight in front of their own repartition.
+    return out.repartition(n, "tile_id", "pixel_id") if share else out
 
 
 def histogram_stage(merged: DataFrame, cfg: CubeJobConfig) -> DataFrame:
@@ -342,7 +345,7 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
             tagged = tagged.join(
                 F.broadcast(done.select("tile_id", "period").distinct()),
                 ["tile_id", "period"], "left_anti")
-        merged = merge_stage(tagged, cfg)
+        merged = merge_stage(tagged, cfg, share=not cfg.write_identity)
         if cfg.write_identity:
             from ..streaming.incremental import upsert_partitioned
             upsert_partitioned(merged, os.path.join(out_dir, "identity"))
