@@ -75,6 +75,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gate_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-prep gate columns (n_tokens, quality, predicted
+    lang, content_hash) in ONE projection over one scan — value-equal
+    to composing token_stats + quality_score + lang_id via doc_id
+    joins, but with zero joins and zero shuffles: every column is a
+    pure function of the row, so at corpus scale the gates cost one
+    pass instead of four scans and three shuffles. The token array is
+    bound to a column first so the interpreted higher-order filters
+    don't re-split the text per reference."""
+    tok_df = df.select("doc_id", "lang", F.col(text_col).alias("text"),
+                       F.md5(F.col(text_col)).alias("content_hash"),
+                       tokens_col(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    n_tokens = F.size(t).cast("long")
+    uniq_ratio = F.size(F.array_distinct(t)) * 1.0 / F.size(t)
+
+    def hits(words):
+        wlist = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(t, lambda x: F.array_contains(wlist, x))) \
+            .cast("long")
+
+    s = {lg: hits(ws) for lg, ws in STOPWORDS.items()}
+    pred = (F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+                   & (s["en"] >= s["fr"]), "en")
+            .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+            .when(s["es"] >= s["fr"], "es").otherwise("fr"))
+    length_factor = (F.when(n_tokens >= 50, F.lit(1.0))
+                     .otherwise(n_tokens / 50.0))
+    return tok_df.select(
+        "doc_id", "lang", "text", "content_hash",
+        n_tokens.alias("n_tokens"),
+        (uniq_ratio * length_factor).alias("quality"),
+        pred.alias("predicted"))
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact hash + order-insensitive content
     hash (sorted distinct tokens), the keys for exact/near dedup."""

@@ -580,15 +580,45 @@ def t_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite: one wide per-document profile — token
     stats, quality score, BPE-ish pretokenizer counts, exact /
     order-insensitive / rolling fingerprints — all JVM column
-    expressions, one graded row for the text family."""
+    expressions, one graded row for the text family.
+
+    Shape: every output column is a pure function of the row, so the
+    whole profile is ONE projection over ONE scan (the token and BPE
+    arrays bound to columns first — interpreted higher-order functions
+    re-evaluate inline sub-expressions per reference). The per-metric
+    functions above stay as the composable API; composing them with
+    doc_id joins here would cost five scans and four shuffles for
+    identical values."""
     docs = _docs(spark, sf_dir)
-    stats = text.token_stats(docs)
-    quality = text.quality_score(docs).select("doc_id", "stopword_ratio", "quality")
-    bpe = text.bpe_token_stats(docs).select("doc_id", "n_bpe_tokens", "n_bpe_uniq")
-    fps = text.fingerprints(docs)
-    roll = text.rolling_fingerprint(docs)
-    return (stats.join(quality, "doc_id").join(bpe, "doc_id")
-            .join(fps, "doc_id").join(roll, "doc_id"))
+    bound = docs.select(
+        "doc_id", "text",
+        text.tokens_col(F.col("text")).alias("_t"),
+        text.bpe_tokens_col(F.col("text")).alias("_bt"))
+    t, bt = F.col("_t"), F.col("_bt")
+    n_tokens = F.size(t).cast("long")
+    n_uniq = F.size(F.array_distinct(t)).cast("long")
+    uniq_ratio = F.size(F.array_distinct(t)) * 1.0 / F.size(t)
+    en = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    s_en = F.size(F.filter(t, lambda x: F.array_contains(en, x))).cast("long")
+    length_factor = (F.when(n_tokens >= 50, F.lit(1.0))
+                     .otherwise(n_tokens / 50.0))
+    codes = F.transform(t, lambda x: F.ascii(F.substring(F.md5(x), 1, 1)))
+    rolled = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * text.ROLL_BASE + c) % text.ROLL_MOD)
+    return bound.select(
+        "doc_id", n_tokens.alias("n_tokens"), n_uniq.alias("n_uniq"),
+        uniq_ratio.alias("uniq_ratio"),
+        (F.length(F.translate(F.col("text"), " ", "")) * 1.0 / F.size(t))
+        .alias("mean_token_len"),
+        (s_en * 1.0 / n_tokens).alias("stopword_ratio"),
+        (uniq_ratio * length_factor).alias("quality"),
+        F.size(bt).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bt)).cast("long").alias("n_bpe_uniq"),
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
+        .alias("content_fp"),
+        rolled.alias("rolling_fp"))
 
 
 @register("m_multimodal_suite", f"""
@@ -821,10 +851,8 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    prof = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
-    lang = text.lang_id(docs).select("doc_id", "lang", "predicted")
-    base = (docs.select("doc_id", "text", F.md5("text").alias("content_hash"))
-            .join(prof, "doc_id").join(lang, "doc_id"))
+    # one-projection gates (no joins/shuffles): see text.gate_profile
+    base = text.gate_profile(docs)
     gated = base.filter((F.col("predicted") == "en")
                         & (F.col("n_tokens") >= _PREP_MIN_TOKENS)
                         & (F.col("quality") >= _PREP_MIN_QUALITY))
