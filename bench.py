@@ -36,6 +36,7 @@ HEADLINE = [
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_simhash",
+    "d_dup_clusters",
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "t_quality_score",

@@ -219,6 +219,46 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
     return out
 
 
+def dup_clusters(pairs: DataFrame, iters: int = 6) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id,
+    canonical_id, is_canonical): the cluster-canonicalization step
+    after pair detection (keep one doc per duplicate CLUSTER, not per
+    pair — pairwise drop-the-higher-id over-deletes on chains like
+    a–b, b–c).
+
+    Min-label propagation with a FIXED iteration count:
+    ``l_{k+1}(v) = min(l_k(v), min over neighbors of l_k)``. After k
+    rounds each label is the min doc_id of the k-hop neighborhood, so
+    any two engines running the same k produce identical output
+    whether or not components have converged — which is what makes
+    this hash-checkable against a SQL oracle with the same unrolled
+    steps. Near-dup clusters are near-cliques (diameter 2-3), so
+    ``iters=6`` converges with margin.
+
+    Scale shape: per round, one join of the (small, pairs-derived)
+    edge list with the label table and one min-groupBy — both keyed on
+    doc ids, broadcast-eligible when the dup graph is small relative
+    to the corpus (the normal case). At petabyte scale with huge dup
+    graphs, run more rounds and cut lineage every few rounds with a
+    checkpoint; label propagation stays the standard Spark idiom.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+             .unionByName(pairs.select(F.col("doc_b").alias("s"),
+                                       F.col("doc_a").alias("d"))))
+    labels = (edges.select(F.col("s").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")))
+    for _ in range(iters):
+        nbr_min = (edges.join(labels.select(F.col("doc_id").alias("d_id"),
+                                            F.col("lbl").alias("d_lbl")),
+                              F.col("d") == F.col("d_id"))
+                   .groupBy("s").agg(F.min("d_lbl").alias("nmin")))
+        labels = (labels.join(nbr_min, labels["doc_id"] == nbr_min["s"])
+                  .select(F.col("doc_id"),
+                          F.least(F.col("lbl"), F.col("nmin")).alias("lbl")))
+    return labels.select("doc_id", F.col("lbl").alias("canonical_id"),
+                         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"))
+
+
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage

@@ -197,6 +197,117 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_bucket=_LSH_MAX_BUCKET, threshold=0.5)
 
 
+# Unrolled min-label propagation steps (l1..l6): both engines run the
+# SAME fixed number of rounds, so the output is deterministic and
+# hash-comparable even on a not-yet-converged component (it isn't one:
+# near-dup clusters have diameter 2-3).
+def _label_steps_sql(n: int) -> str:
+    steps = []
+    for i in range(1, n + 1):
+        steps.append(f"""
+l{i} AS (
+  SELECT n.doc_id, least(n.lbl, min(l.lbl)) AS lbl
+  FROM l{i - 1} n
+  JOIN edges e ON e.s = n.doc_id
+  JOIN l{i - 1} l ON l.doc_id = e.d
+  GROUP BY n.doc_id, n.lbl
+)""")
+    return ",".join(steps)
+
+
+_CLUSTER_ITERS = 6
+
+@register("d_dup_clusters", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (SELECT doc_id, h0 AS bucket FROM mh),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+),
+dups AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 5e-1),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dups
+  UNION ALL
+  SELECT doc_b, doc_a FROM dups
+),
+l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
+{_label_steps_sql(_CLUSTER_ITERS)}
+SELECT doc_id, lbl AS canonical_id, doc_id = lbl AS is_canonical
+FROM l{_CLUSTER_ITERS}
+""")
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER canonicalization: near-dup pairs (single-band
+    LSH + Jaccard >= 0.5) -> connected components by min-label
+    propagation -> one canonical doc per cluster. The full-value
+    oracle replays the same fixed label rounds in SQL."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    pairs = dedup.lsh_near_dup_pairs(sh, bands=[["h0"]],
+                                     max_bucket=_LSH_MAX_BUCKET,
+                                     threshold=0.5).select("doc_a", "doc_b")
+    return dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
+
+
+@register("d_fingerprint_suite", """
+WITH exact AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+votes AS (
+  SELECT doc_id, count(*) AS n,
+         """ + ",\n         ".join(
+    f"sum(ascii(substr(md5(t), {j + 1}, 1)) % 2) AS v{j}" for j in range(16)) + """
+  FROM toks GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST(""" + " + ".join(
+    f"(CASE WHEN v{j} * 2 > n THEN {1 << j} ELSE 0 END)" for j in range(16)) + """
+         AS BIGINT) AS simhash
+  FROM votes
+)
+SELECT 'exact' AS part, doc_id, content_hash, group_size, canonical_id,
+       is_canonical, CAST(NULL AS BIGINT) AS simhash
+FROM exact
+UNION ALL
+SELECT 'simhash', doc_id, NULL, NULL, NULL, NULL, simhash FROM sim
+""")
+def d_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash dedup + SimHash fingerprints in one graded row
+    (schema-aligned union; both halves hash-checked)."""
+    docs = _docs(spark, sf_dir)
+    nul = F.lit(None)
+    exact = dedup.exact_dedup(docs).select(
+        F.lit("exact").alias("part"), "doc_id", "content_hash",
+        "group_size", "canonical_id", "is_canonical",
+        nul.cast("long").alias("simhash"))
+    sim = dedup.simhash(docs).select(
+        F.lit("simhash").alias("part"), "doc_id",
+        nul.cast("string").alias("content_hash"),
+        nul.cast("long").alias("group_size"),
+        nul.cast("long").alias("canonical_id"),
+        nul.cast("boolean").alias("is_canonical"), "simhash")
+    return exact.unionByName(sim)
+
+
 @register("d_simhash", """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents

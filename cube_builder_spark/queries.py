@@ -64,8 +64,10 @@ _PRIORITY = [
     # §3.2 cube metadata creation
     "meta_catalog_suite",
     # LLM-pipeline: dedup family
-    "d_exact_dedup", "d_minhash_lsh_pairs", "d_ngram_jaccard_dups",
-    "d_simhash", "d_embedding_cosine_dups",
+    "d_fingerprint_suite",        # exact dedup + simhash, one slot
+    "d_minhash_lsh_pairs", "d_ngram_jaccard_dups",
+    "d_dup_clusters",             # connected-component canonicalization
+    "d_embedding_cosine_dups",
     # LLM-pipeline: similarity search
     "a_ann_topk_suite",           # brute-force + LSH-bucket + IVF top-k
     # LLM-pipeline: text analysis

@@ -116,3 +116,15 @@ def test_skew_boilerplate_flood_bounded(spark):
     assert not any(a < 200 or b < 200 for a, b in pairs)
     # bounded output: no quadratic blowup leaked through
     assert len(pairs) < 200
+
+
+def test_dup_clusters_chain(spark):
+    """A chain a-b, b-c plus a separate pair must form two clusters
+    with min-id canonicals — the case where pairwise drop-the-higher
+    over-deletes (b would kill c even though a is the keeper)."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.canonical_id, r.is_canonical)
+           for r in dedup.dup_clusters(pairs, iters=4).collect()}
+    assert out == {1: (1, True), 5: (1, False), 9: (1, False),
+                   20: (20, True), 21: (20, False)}
