@@ -39,6 +39,7 @@ HEADLINE = [
     "d_dup_clusters",
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
+    "a_ann_batch_topk",
     "t_quality_score",
     "m_media_metadata",
     "e_stream_suite",

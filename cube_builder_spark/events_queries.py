@@ -154,6 +154,37 @@ def e_user_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.sum("v_c").over(w) / 100.0).alias("running_value"))
 
 
+@register("e_asof_join", """
+WITH b1 AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+a AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.ts, a.event_id, a.value,
+       b.ts AS r_ts, b.view_event_id AS r_view_event_id
+FROM a ASOF LEFT JOIN b1 b ON a.user_id = b.user_id AND b.ts <= a.ts
+""")
+def e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attribute each purchase to the latest
+    at-or-before view by the same user (functions/asof.py union+window
+    shape — one sort-shuffle, no range join); the oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, an independent implementation of the same
+    semantics."""
+    from .functions.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    return asof_join(purchases, views, keys=["user_id"], ts_col="ts",
+                     right_cols=["view_event_id"])
+
+
 @register("e_stream_suite", """
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -187,14 +218,25 @@ SELECT 'running', CAST(user_id AS VARCHAR), strftime(day, '%Y-%m-%d'),
        sum(v_c) OVER (PARTITION BY user_id ORDER BY day
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2
 FROM daily
+UNION ALL
+SELECT 'asof', CAST(a.event_id AS VARCHAR),
+       CAST(b.view_event_id AS VARCHAR), a.user_id, a.value
+FROM (SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
 """)
 def e_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-analytics suite: tumbling 1-hour windows + 30-min sliding
-    windows + top-3 ranking + per-user running totals, one graded row
-    for the windowed-events family (streaming twins live in cube_builder_spark/streaming).
+    windows + top-3 ranking + per-user running totals + backward as-of
+    attribution, one graded row for the windowed-events family
+    (streaming twins live in cube_builder_spark/streaming).
     Per-variant columns: tumbling (k1=hour, k2=type, n, v=total);
     topk (k1=type, k2=event_id, n=user_id, v=value); running
-    (k1=user_id, k2=day, v=running total)."""
+    (k1=user_id, k2=day, v=running total); asof (k1=purchase event,
+    k2=attributed view event, n=user_id, v=purchase value)."""
     tumbling = e_tumbling_window(spark, sf_dir).select(
         F.lit("tumbling").alias("variant"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
@@ -213,8 +255,13 @@ def e_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("running").alias("variant"), F.col("user_id").cast("string").alias("k1"),
         F.date_format("day", "yyyy-MM-dd").alias("k2"),
         F.lit(None).cast("long").alias("n"), F.col("running_value").alias("v"))
+    asof = e_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("variant"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("r_view_event_id").cast("string").alias("k2"),
+        F.col("user_id").alias("n"), F.col("value").alias("v"))
     return (tumbling.unionByName(topk).unionByName(sliding)
-            .unionByName(running))
+            .unionByName(running).unionByName(asof))
 
 
 @register("x_stateful_sessionize", None)

@@ -48,6 +48,66 @@ def brute_force_topk(embeddings: DataFrame, query_vec_id: int = 0,
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
 
 
+def batch_topk(embeddings: DataFrame, queries: DataFrame,
+               k: int = 5) -> DataFrame:
+    """Batch exact ANN: cosine top-k for EVERY query vector in ONE
+    corpus pass — the shape a pipeline uses to look up thousands of
+    queries at once (dedup against a held-out set, hard-negative
+    mining) instead of one scan per query.
+
+    Scale shape: the query block is collected and closed over as a
+    (Q × dim) int matrix — the standard broadcast-the-queries
+    assumption; a query set beyond broadcast size goes through the
+    IVF/LSH path instead. Candidates stream through an Arrow-batched
+    numpy matmul ((batch × dim) @ (dim × Q)), and each batch emits only
+    its PARTIAL top-k per query, so the final exact merge (one window)
+    shuffles at most partitions × Q × k scored rows — never the corpus.
+    Quantized dots are exact int64, so cosines are bit-identical to
+    the SQL oracle's; per-batch ordering uses the same
+    (cosine DESC, vec_id) tie-break as the final window, which makes
+    the partial top-k lossless."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows], np.int64)
+    qmat = np.stack([
+        np.floor(np.asarray(r.embedding, np.float64) * 1000 + 0.5)
+        for r in qrows]).astype(np.int64)
+    qnorm = np.sqrt((qmat.astype(np.float64) ** 2).sum(axis=1))
+
+    def score_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack([
+                np.floor(np.asarray(e, np.float64) * 1000 + 0.5)
+                for e in pdf["embedding"]]).astype(np.int64)
+            dots = (c @ qmat.T).astype(np.float64)
+            cnorm = np.sqrt((c.astype(np.float64) ** 2).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (cnorm[:, None] * qnorm[None, :])
+            cos = np.nan_to_num(cos, nan=-np.inf)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            kk = min(k, len(vids))
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qids)):
+                top = np.lexsort((vids, -cos[:, j]))[:kk]
+                out_q.extend([qids[j]] * len(top))
+                out_v.extend(vids[top])
+                out_c.extend(cos[top, j])
+            yield pd.DataFrame({"q_vec_id": out_q, "vec_id": out_v,
+                                "cosine": out_c})
+
+    partial = (embeddings.select("vec_id", "embedding")
+               .mapInPandas(score_batch,
+                            "q_vec_id long, vec_id long, cosine double"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "vec_id")
+    return (partial.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def hyperplane_weight(j: int, i: int) -> int:
     """Deterministic integer hyperplane weights w(plane, dim) in [-3, 3]."""
     return (j * 31 + i * 17) % 7 - 3

@@ -489,6 +489,46 @@ def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_lists=8, k=5)
 
 
+_BATCH_TOPK_SQL = """
+bq AS (
+  SELECT vec_id AS q_vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+bcand AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS ev
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+bscored AS (
+  SELECT q.q_vec_id, c.vec_id,
+         list_dot_product(c.ev, q.qv)
+           / (sqrt(list_dot_product(c.ev, c.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM bcand c CROSS JOIN bq q
+),
+branked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM bscored
+)
+"""
+
+@register("a_ann_batch_topk", f"""
+WITH {_BATCH_TOPK_SQL}
+SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
+""")
+def a_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact ANN: cosine top-3 for EVERY vector of the query
+    block (vec_id % 50 = 0) in one corpus pass — broadcast query
+    matrix, Arrow-batched matmul, per-batch partial top-k, exact
+    window merge (similarity.batch_topk)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    return similarity.batch_topk(cands, queries, k=3)
+
+
 @register("a_ann_ivf_topk_nprobe2", f"""
 WITH {_IVF_SQL}, {_EV_SQL},
 qscored AS (
@@ -643,18 +683,28 @@ SELECT 'ivf', vec_id, cosine FROM (
   WHERE qa.vec_id = 0
   ORDER BY cosine DESC, eb.vec_id LIMIT 5
 )
+UNION ALL
+SELECT 'batch:' || q_vec_id || ':' || rank, vec_id, cosine FROM (
+  WITH {_BATCH_TOPK_SQL}
+  SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
+)
 """)
 def a_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-search suite: exact brute-force cosine top-10 (the
-    baseline) + LSH bucket-probe top-5 + IVF nprobe=1 top-5, one graded
-    row for the whole ANN family."""
+    baseline) + LSH bucket-probe top-5 + IVF nprobe=1 top-5 + batch
+    top-3 for a whole query block in one corpus pass, one graded row
+    for the whole ANN family."""
     brute = a_ann_bruteforce_topk(spark, sf_dir).select(
         F.lit("brute").alias("variant"), "vec_id", "cosine")
     lsh = a_ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("variant"), "vec_id", "cosine")
     ivf = a_ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("variant"), "vec_id", "cosine")
-    return brute.unionByName(lsh).unionByName(ivf)
+    batch = a_ann_batch_topk(spark, sf_dir).select(
+        F.concat(F.lit("batch:"), F.col("q_vec_id"),
+                 F.lit(":"), F.col("rank")).alias("variant"),
+        "vec_id", "cosine")
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(batch)
 
 
 @register("t_doc_profile", rf"""
