@@ -994,7 +994,10 @@ jac AS (
 ),
 dups AS (SELECT DISTINCT doc_b AS doc_id FROM jac
          WHERE jaccard >= {_PREP_NEAR_DUP_JACCARD})
-SELECT k.doc_id, k.lang, k.predicted, k.n_tokens, k.quality, k.content_hash
+SELECT k.doc_id, k.lang, k.predicted, k.n_tokens, k.quality, k.content_hash,
+       CASE WHEN ascii(substr(md5('split|' || CAST(k.doc_id AS VARCHAR)), 1, 1))
+                 % 20 = 0
+            THEN 'val' ELSE 'train' END AS split
 FROM kept k LEFT JOIN dups d ON k.doc_id = d.doc_id
 WHERE d.doc_id IS NULL
 """)
@@ -1025,9 +1028,16 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_bucket=_LSH_MAX_BUCKET,
                                      threshold=_PREP_NEAR_DUP_JACCARD)
             .select(F.col("doc_b").alias("doc_id")).distinct())
+    # deterministic hash-based train/val split (~5% val): content-
+    # independent (doc_id keyed), reproducible across engines and runs
+    # — the leakage-safe split a pretraining pipeline stamps last
+    split = F.when(
+        F.ascii(F.substring(F.md5(F.concat(F.lit("split|"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 1)) % 20 == 0, "val").otherwise("train")
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", "lang", "predicted", "n_tokens", "quality",
-                    "content_hash"))
+                    "content_hash", split.alias("split")))
 
 
 # Real-codec roundtrip: BMP / WAV encode->decode verified by replaying
