@@ -105,16 +105,87 @@ def _pick_zip_member(names: list[str], band: str | None,
         f"cannot resolve band {band!r} among {len(rasters)} raster members")
 
 
+def _remote_zip_member(uri: str, band: str | None,
+                       band_group: str | None) -> bytes:
+    """Zip/SAFE member over HTTP ranges WITHOUT GDAL — the
+    /vsizip//vsicurl access pattern: suffix-range the End-Of-Central-
+    Directory record, range the central directory, resolve the member
+    (SAFE band-group rules), then range exactly that member's bytes.
+    Total transfer ≈ tail block + central directory + the one member —
+    never the whole archive."""
+    import struct
+    import urllib.request
+    import zlib
+
+    # suffix range: EOCD lives in the last 22..(22+64K) bytes
+    req = urllib.request.Request(uri, headers={"Range": "bytes=-65558"})
+    with urllib.request.urlopen(req) as resp:
+        tail = resp.read()
+        if resp.status != 206:          # server ignored Range: full body
+            return _zip_member_from_bytes(tail, band, band_group)
+        # Content-Range: bytes <lo>-<hi>/<total>
+        total = int(resp.headers["Content-Range"].rsplit("/", 1)[1])
+    eocd = tail.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError(f"no zip end-of-central-directory in {uri!r}")
+    n_entries, cd_size, cd_off = struct.unpack_from("<HII", tail, eocd + 10)
+    if cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 archives need rasterio/GDAL")
+
+    def fetch(lo: int, n: int) -> bytes:
+        tail_lo = total - len(tail)
+        if lo >= tail_lo:               # already in the tail block
+            return tail[lo - tail_lo:lo - tail_lo + n]
+        r = urllib.request.Request(
+            uri, headers={"Range": f"bytes={lo}-{lo + n - 1}"})
+        with urllib.request.urlopen(r) as resp:
+            return resp.read()
+
+    cd = fetch(cd_off, cd_size)
+    entries, pos = {}, 0
+    for _ in range(n_entries):
+        if cd[pos:pos + 4] != b"PK\x01\x02":
+            break
+        method, = struct.unpack_from("<H", cd, pos + 10)
+        csize, = struct.unpack_from("<I", cd, pos + 20)
+        nlen, elen, clen = struct.unpack_from("<HHH", cd, pos + 28)
+        lho, = struct.unpack_from("<I", cd, pos + 42)
+        name = cd[pos + 46:pos + 46 + nlen].decode()
+        entries[name] = (method, csize, lho)
+        pos += 46 + nlen + elen + clen
+    member = _pick_zip_member(list(entries), band, band_group)
+    method, csize, lho = entries[member]
+    lh = fetch(lho, 30)
+    nlen, elen = struct.unpack_from("<HH", lh, 26)
+    data = fetch(lho + 30 + nlen + elen, csize)
+    if method == 0:
+        return data
+    if method == 8:
+        return zlib.decompress(data, -15)
+    raise NotImplementedError(f"zip compression method {method}")
+
+
+def _zip_member_from_bytes(buf: bytes, band: str | None,
+                           band_group: str | None) -> bytes:
+    import io
+    import zipfile
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        member = _pick_zip_member(zf.namelist(), band, band_group)
+        return zf.read(member)
+
+
 def read_member_bytes(uri: str, band: str | None = None,
                       sceneid: str | None = None) -> bytes:
     """S5/S7/S9 container access WITHOUT GDAL: plain file read, zip
     member (generic or SAFE band-group resolution, stdlib ``zipfile``
-    standing in for /vsizip), or tar.gz member (Landsat
-    ``{sceneid}_{band}.TIF`` synthesis with suffix-match fallback,
-    stdlib ``tarfile`` standing in for /vsitar). Remote plain rasters
-    fetch over HTTP (urllib; ranged windows via sources.cog_reader);
-    only remote ARCHIVE members still need rasterio/GDAL — reading a
-    member would mean parsing zip/tar structure over ranges."""
+    standing in for /vsizip; HTTP-range central-directory walk for
+    remote zips standing in for /vsizip//vsicurl), or tar.gz member
+    (Landsat ``{sceneid}_{band}.TIF`` synthesis with suffix-match
+    fallback, stdlib ``tarfile`` standing in for /vsitar). Remote
+    plain rasters fetch over HTTP (urllib; ranged windows via
+    sources.cog_reader). Only remote TAR.GZ members stay gated — a
+    gzip stream has no random access, so member reads genuinely need
+    GDAL's buffered /vsitar//vsicurl path."""
     import tarfile
     import urllib.request
     import zipfile
@@ -125,9 +196,12 @@ def read_member_bytes(uri: str, band: str | None = None,
         if info["kind"] == "remote":
             with urllib.request.urlopen(uri) as resp:
                 return resp.read()
+        if info["kind"] in ("zip", "sentinel_safe_zip"):
+            return _remote_zip_member(uri, band, info.get("band_group"))
         raise NotImplementedError(
-            "remote archive member access requires rasterio/GDAL (/vsicurl); "
-            "plain remote rasters are served (cog_reader for windows)")
+            "remote tar.gz member access requires rasterio/GDAL "
+            "(gzip streams have no random access); zips and plain "
+            "rasters are served over HTTP ranges")
     if info["kind"] in ("zip", "sentinel_safe_zip"):
         with zipfile.ZipFile(path) as zf:
             member = _pick_zip_member(zf.namelist(), band,

@@ -144,5 +144,66 @@ def test_remote_plain_raster_full_fetch(cog_file, http_url):
     buf = read_member_bytes(http_url)
     assert buf == open(path, "rb").read()
     np.testing.assert_array_equal(read_cog(buf)["array"], arr)
+    # the one remaining honest gate: gzip streams have no random access
     with pytest.raises(NotImplementedError):
-        read_member_bytes("https://example.com/bundle.zip")
+        read_member_bytes("https://example.com/bundle.tar.gz",
+                          band="B04", sceneid="LC08_X")
+
+
+def test_remote_zip_member_over_ranges(tmp_path_factory, http_url, cog_file):
+    """SAFE-style zip member over HTTP ranges: EOCD + central directory
+    + one member — never the whole archive (the /vsizip//vsicurl
+    pattern, stdlib only)."""
+    import urllib.request
+    import zipfile
+
+    from cube_builder_spark.sources.raster_reader import read_member_bytes
+
+    path, _arr, _ = cog_file
+    d = tmp_path_factory.mktemp("zips")
+    zpath = d / "S2B_MSIL2A_TEST.SAFE.zip"
+    big_filler = bytes(bytearray(range(256)) * 4096)     # 1 MB, stored
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("S2B.SAFE/GRANULE/R20m/T23LLA_B8A_20m.jp2",
+                    open(path, "rb").read(), zipfile.ZIP_DEFLATED)
+        zf.writestr("S2B.SAFE/GRANULE/R10m/T23LLA_B04_10m.jp2",
+                    b"b04-bytes", zipfile.ZIP_DEFLATED)
+        zf.writestr("S2B.SAFE/filler.bin", big_filler, zipfile.ZIP_STORED)
+    base = http_url.rsplit("/", 1)[0]
+    # serve from the same Range server: copy into its directory
+    import os
+    import shutil
+    served_dir = os.path.dirname(path)
+    shutil.copy(zpath, os.path.join(served_dir, zpath.name))
+    zuri = f"{base}/{zpath.name}"
+
+    got = read_member_bytes(zuri, band="B8A")
+    assert got == open(path, "rb").read()
+    assert read_member_bytes(zuri, band="B04") == b"b04-bytes"
+
+    # bounded transfer: tail + central dir + the one member — the 1 MB
+    # stored filler must never be ranged
+    with urllib.request.urlopen(zuri) as resp:
+        full = len(resp.read())
+    assert full > 1_000_000
+    spans = []
+    real_open = urllib.request.urlopen
+
+    def counting(req, *a, **kw):
+        rng = req.get_header("Range") if hasattr(req, "get_header") else None
+        assert rng, "every request must be a range request"
+        spans.append(rng)
+        return real_open(req, *a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch("urllib.request.urlopen", counting):
+        assert read_member_bytes(zuri, band="B04") == b"b04-bytes"
+    total_requested = 0
+    for rng in spans:
+        lo_hi = rng.removeprefix("bytes=")
+        if lo_hi.startswith("-"):
+            total_requested += int(lo_hi[1:])
+        else:
+            lo, hi = lo_hi.split("-")
+            total_requested += int(hi) - int(lo) + 1
+    assert total_requested < full - 900_000, (spans, full)
