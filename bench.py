@@ -41,6 +41,9 @@ HEADLINE = [
     "a_ann_ivf_topk",
     "a_ann_batch_topk",
     "t_quality_score",
+    "t_repetition_profile",
+    "p_decontaminate",
+    "p_sequence_pack",
     "m_media_metadata",
     "e_stream_suite",
     "p_training_data_prep",

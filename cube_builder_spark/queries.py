@@ -27,6 +27,7 @@ _MODULES = [
     "cube_builder_spark.cube_queries",
     "cube_builder_spark.catalog_queries",
     "cube_builder_spark.pipeline_queries",
+    "cube_builder_spark.corpus_queries",
     "cube_builder_spark.events_queries",
 ]
 
