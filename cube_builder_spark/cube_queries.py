@@ -1069,7 +1069,7 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical to the one-shot SQL oracle — a full-value oracle
     for a streaming operator, not a rows-only check."""
     import shutil
-    import tempfile
+    from .session import scratch_dir
     from datetime import date as _date
 
     from .plans.build_cube import CubeJobConfig
@@ -1086,7 +1086,7 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                         step=8, index_bands={})
     dates = sorted(r.date for r in obs.select("date").distinct().collect())
     cut = dates[len(dates) // 2]
-    out = tempfile.mkdtemp(prefix="incr_cube_")
+    out = scratch_dir("incr_cube_")
     try:
         update_cube_batch(spark, obs.filter(F.col("date") <= F.lit(cut)),
                           out, cfg)
@@ -1108,18 +1108,20 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_cube_reuse", _E2E_BLEND_SQL)
 def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-cube reuse (reference maestro.py:222-259, 359-394;
-    tasks.py:111-117): cube A builds with ``write_identity`` and an
-    EXTRA band; cube B builds with ``reuse_from`` pointing at A's
-    output and never touches raw scenes — its merge plane is A's
-    persisted identity table, band-subset validated and pruned to B's
-    two bands. B's blended cube must be hash-identical to the one-shot
-    e2e oracle, proving the reuse path changes data flow, not
+    tasks.py:111-117): cube A is an IDENTITY (IDT) cube — merges
+    published as-is, no blend (tasks.py:398-400) — carrying an EXTRA
+    band; cube B builds with ``reuse_from`` pointing at A's output and
+    never touches raw scenes — its merge plane is A's persisted
+    identity table, band-subset validated and pruned to B's two bands
+    (the maestro.py:387-388 pattern: every composed cube derives from
+    an IDT source). B's blended cube must be hash-identical to the
+    one-shot e2e oracle, proving the reuse path changes data flow, not
     results."""
     import shutil
-    import tempfile
     from datetime import date as _date
 
     from .plans.build_cube import CubeJobConfig, build_cube
+    from .session import scratch_dir
 
     px = pixel_plane(spark, sf_dir)
     common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
@@ -1134,12 +1136,13 @@ def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scene_order", F.col("source_idx"))
     obs_b = b04.unionByName(scl).withColumn("scene_order", F.col("source_idx"))
 
-    dir_a = tempfile.mkdtemp(prefix="reuse_src_")
-    dir_b = tempfile.mkdtemp(prefix="reuse_dst_")
+    dir_a = scratch_dir("reuse_src_")
+    dir_b = scratch_dir("reuse_dst_")
     try:
-        cfg_a = CubeJobConfig(cube="IDT-SRC", start=_date(2020, 1, 1),
+        cfg_a = CubeJobConfig(cube="IDT-SRC", composite="IDT",
+                              start=_date(2020, 1, 1),
                               end=_date(2020, 1, 16), step=8,
-                              index_bands={}, write_identity=True)
+                              index_bands={})
         build_cube(spark, obs_a, dir_a, cfg_a)
         cfg_b = CubeJobConfig(cube="REUSED", start=_date(2020, 1, 1),
                               end=_date(2020, 1, 16), step=8,

@@ -271,12 +271,12 @@ def x_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle (rows-only check): arbitrary-stateful streaming is not
     SQL-expressible. Semantics cross-checked in tests against the
     batch e_sessionize plane."""
-    import tempfile
+    from .session import scratch_dir
 
     from .streaming.events import EVENT_SCHEMA
     from .streaming.stateful import sessionize_stream
 
-    d = tempfile.mkdtemp(prefix="stateful_sess_")
+    d = scratch_dir("stateful_sess_")
     _events(spark, sf_dir).write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
     q = (sessionize_stream(stream).writeStream.outputMode("append")
@@ -301,13 +301,13 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike the sessionizer this custom stateful operator gets a
     full hash-checked oracle; cross-micro-batch canonical persistence
     is covered by tests/test_multimodal_stateful.py."""
-    import tempfile
+    from .session import scratch_dir
 
     from .streaming.dedup_stream import dedup_stream
     from .tables import load_tables
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    d = scratch_dir("stream_dedup_")
     docs.select("doc_id", "text").write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema("doc_id long, text string").parquet(d)
     q = (dedup_stream(stream).writeStream.outputMode("append")

@@ -43,7 +43,13 @@ from ..timeline import timeline_rows
 class CubeJobConfig:
     cube: str = "SYN-CUBE"
     version: int = 1
-    composite: str = "LCF"              # LCF | MED
+    # LCF | MED | IDT. IDT (constants.py:21 IDENTITY) is the
+    # reference's identity cube: merges are published as-is with no
+    # temporal compositing — "For IDENTITY data cube trigger, just
+    # publish" (tasks.py:398-400) — and every non-IDT cube derives
+    # from an IDT source (maestro.py:387-388), which is exactly the
+    # reuse_from path here.
+    composite: str = "LCF"
     quality_band: str = "SCL"
     start: date = date(2020, 1, 1)
     end: date = date(2020, 1, 16)
@@ -329,6 +335,13 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     """
     cfg = cfg or CubeJobConfig()
     periods = periods_df(spark, cfg)
+    # IDT = identity cube: its OUTPUT is the merge plane, so the
+    # identity write is implied and the blend plane is never built
+    identity_cube = cfg.composite == "IDT"
+    if identity_cube and cfg.reuse_from:
+        raise RuntimeError("An identity (IDT) cube cannot reuse another "
+                           "cube's merges — it IS the merge source")
+    write_identity = cfg.write_identity or identity_cube
 
     if cfg.reuse_from:
         required = [r.band for r in obs.select("band").distinct().collect()]
@@ -345,8 +358,8 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
             tagged = tagged.join(
                 F.broadcast(done.select("tile_id", "period").distinct()),
                 ["tile_id", "period"], "left_anti")
-        merged = merge_stage(tagged, cfg, share=not cfg.write_identity)
-        if cfg.write_identity:
+        merged = merge_stage(tagged, cfg, share=not write_identity)
+        if write_identity:
             from ..streaming.incremental import upsert_partitioned
             upsert_partitioned(merged, os.path.join(out_dir, "identity"))
             merged = spark.read.parquet(os.path.join(out_dir, "identity")).select(
@@ -365,11 +378,17 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
     merged = merged.persist()
     caches.append(merged)
     try:
-        blended = blend_stage(merged, cfg)
-        cube = index_stage(blended, cfg)
+        if identity_cube:
+            # tasks.py:398-400: identity cubes skip blend — the
+            # published scenes are the merges themselves
+            cube = None
+            cube_path = os.path.join(out_dir, "identity")
+        else:
+            blended = blend_stage(merged, cfg)
+            cube = index_stage(blended, cfg)
+            cube_path = os.path.join(out_dir, "cube")
         items = publish_stage(merged, cfg)
 
-        cube_path = os.path.join(out_dir, "cube")
         items_path = os.path.join(out_dir, "items")
         n_items = items.count()
         if n_items:
@@ -377,12 +396,13 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
             # (or a failed existing_items read) re-plans already-built
             # units — append would duplicate every pixel and item row
             from ..streaming.incremental import upsert_partitioned
-            upsert_partitioned(cube, cube_path)
+            if cube is not None:
+                upsert_partitioned(cube, cube_path)
             upsert_partitioned(items, items_path)
         summary = {"cube_path": cube_path, "items_path": items_path,
                    "new_items": n_items,
                    "reused_items": 0 if done is None else done.count()}
-        if n_items and cfg.bucketed_table:
+        if n_items and cfg.bucketed_table and cube is not None:
             from ..sinks.bucketed import write_bucketed_cube
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
             write_bucketed_cube(spark.read.parquet(cube_path),
@@ -390,9 +410,9 @@ def build_cube(spark: SparkSession, obs: DataFrame, out_dir: str,
                                 os.path.join(out_dir, "cube_bucketed"),
                                 n_buckets=n_buckets)
             summary["bucketed_table"] = cfg.bucketed_table
-        if n_items and cfg.quicklook_bands:
+        if n_items and cfg.quicklook_bands and cube is not None:
             summary["quicklooks"] = _export_quicklooks(cube, out_dir, cfg)
-        if n_items and cfg.export_tiffs:
+        if n_items and cfg.export_tiffs and cube is not None:
             from ..sinks.cog import export_band_tiffs
             manifest = export_band_tiffs(cube, os.path.join(out_dir, "tiff"),
                                          cog=cfg.cog, cog_tile=cfg.cog_tile)

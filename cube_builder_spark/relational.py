@@ -367,7 +367,7 @@ def x_merge_into_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the table back. Full-value oracle: the on-disk result equals
     the relational MERGE expression."""
     import shutil
-    import tempfile
+    from .session import scratch_dir
 
     from .sinks.merge import merge_into_parquet
 
@@ -382,7 +382,7 @@ def x_merge_into_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (_cents(F.col("o_totalprice")) * 11 / 1000.0)
                       .alias("o_totalprice"),
                       F.lit("U").alias("o_orderstatus")))
-    out = tempfile.mkdtemp(prefix="merge_into_")
+    out = scratch_dir("merge_into_")
     try:
         path = f"{out}/orders_upsert"
         merge_into_parquet(spark, path, target, keys=["o_orderkey"],
