@@ -41,6 +41,8 @@ HEADLINE = [
     "a_ann_ivf_topk",
     "a_ann_batch_topk",
     "t_quality_score",
+    "t_tfidf_topterms",
+    "t_inverted_index",
     "t_repetition_profile",
     "p_decontaminate",
     "p_sequence_pack",

@@ -279,3 +279,223 @@ def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).cast("long")
                         .alias("sample_rank"))
             .filter(F.col("sample_rank") <= _STRATUM_CAP))
+
+
+# --- tf-idf top terms ---------------------------------------------------------
+
+_TOP_TERMS = 3
+
+
+@register("t_tfidf_topterms", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * (n.n_docs * 1e0 / d.df) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= {_TOP_TERMS}
+""")
+def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TOP_TERMS} characteristic terms by a tf-idf
+    variant: ``score = tf * (N / df)`` — the keyword-extraction /
+    topic-tagging step of a corpus pipeline.
+
+    The score is deliberately log-free: ``N/df`` is one IEEE double
+    division and ``tf *`` one multiplication, both correctly rounded
+    and therefore BIT-IDENTICAL across engines — ``ln()`` differs in
+    the last ulp between libm implementations, which can flip
+    near-tie rankings and break cross-engine hash checks. Ranking
+    ties break on the term itself.
+
+    Scale shape: explode -> groupBy(doc_id, term) with map-side
+    partial agg, one vocabulary-keyed shuffle for df (never collected
+    — at web scale the vocabulary is billions of terms), a term-keyed
+    join, and a doc-keyed top-k window. The 1-row corpus count is
+    broadcast."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df, "term").crossJoin(F.broadcast(n))
+              .withColumn("score",
+                          F.col("tf") * (F.col("n_docs") * F.lit(1.0)
+                                         / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("term_rank") <= _TOP_TERMS)
+            .select("doc_id", "term", "tf", "df", "score", "term_rank"))
+
+
+# --- inverted index -----------------------------------------------------------
+
+_POSTING_CAP = 16
+
+
+@register("t_inverted_index", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+w AS (
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term) AS df,
+         sum(tf) OVER (PARTITION BY term) AS cf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term, CAST(max(df) AS BIGINT) AS df, CAST(max(cf) AS BIGINT) AS cf,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM w WHERE rn <= {_POSTING_CAP} GROUP BY term
+""")
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with BOUNDED posting lists: per term, document
+    frequency, collection frequency, and the first {_POSTING_CAP}
+    doc_ids (comma-joined: the grading driver's canonicalizer takes
+    scalars, not arrays) — the retrieval-side artifact of a corpus
+    pipeline (contamination lookups, keyword routing).
+
+    Scale shape — same skew discipline as the LSH bucket cap
+    (functions/dedup.py): df/cf and the posting rank come out of ONE
+    term-keyed window pass (spillable sort, never an array buffer),
+    the cap filter drops beyond-cap rows BEFORE collect_list, and the
+    following groupBy(term) reuses the window's hash partitioning (no
+    second shuffle). A stopword with a billion documents therefore
+    contributes exactly {_POSTING_CAP} rows to the collect stage —
+    full-list postings for degenerate terms are the OOM this shape
+    avoids."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wt = Window.partitionBy("term")
+    wr = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.select(
+        "doc_id", "term", "tf",
+        F.count(F.lit(1)).over(wt).alias("df"),
+        F.sum("tf").over(wt).alias("cf"),
+        F.row_number().over(wr).alias("rn"))
+    return (ranked.filter(F.col("rn") <= _POSTING_CAP)
+            .groupBy("term")
+            .agg(F.max("df").alias("df"), F.max("cf").alias("cf"),
+                 F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+                 .alias("postings")))
+
+
+# --- quality-weighted sampling ------------------------------------------------
+
+@register("p_weighted_sample", """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(least(n_chars, 400) AS BIGINT) AS w_num
+FROM documents
+WHERE CAST(('0x' || substr(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) * 800
+      < least(n_chars, 400) * 4294967296
+""")
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted downsample: each document is
+    kept with probability ``min(n_chars, 400)/800`` (longer docs up to
+    the cap are more likely to survive) — the importance-sampling step
+    that reshapes a corpus toward higher-value documents without an
+    RNG.
+
+    Determinism across engines comes from PURE INTEGER math: the
+    uniform draw is the first 32 bits of a salted md5 as a bigint, and
+    the Bernoulli test cross-multiplies (``u * denom < num * 2^32``)
+    instead of dividing — no doubles anywhere. Row-pure projection +
+    filter: no shuffle at all; at 100 TB this is a map-only scan."""
+    docs = _docs(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.concat(F.lit("w|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long")
+    w_num = F.least(F.col("n_chars"), F.lit(400)).cast("long")
+    return (docs.select("doc_id", "lang", "source",
+                        F.col("n_chars").cast("long").alias("n_chars"),
+                        w_num.alias("w_num"))
+            .filter(u * 800 < F.col("w_num") * F.lit(4294967296)))
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Derived support-ticket text (the pixel-plane pattern: both engines
+# synthesize the SAME strings from the real customer table, so the
+# scrubber sees realistic PII shapes while staying hash-checkable).
+_TICKET_SQL = """
+tickets AS (
+  SELECT c_custkey AS custkey,
+         'Reach ' || c_name || ' at 555-' ||
+         lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0') ||
+         ' or cust' || CAST(c_custkey AS VARCHAR) || '@' ||
+         lower(c_mktsegment) || '.example.com ref ' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((c_custkey * 13) % 100 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') AS text
+  FROM customer
+)
+"""
+
+_PII_PHONE = "555-[0-9]{4}"
+_PII_EMAIL = "[a-z0-9]+@[a-z.]+[a-z]"
+_PII_ID = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register("t_pii_scrub", f"""
+WITH {_TICKET_SQL}
+SELECT custkey,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_ID}')) AS BIGINT) AS n_ids,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_ID}', '<ID>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM tickets
+""")
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass a training-data
+    pipeline runs before anything else: count and replace phone,
+    email, and id-number shapes with typed placeholders.
+
+    The input text is synthesized deterministically from the customer
+    table (both engines build identical strings), so the regexes see
+    realistic PII embedded in prose. Patterns are kept in the
+    Java-regex ∩ RE2 common dialect (char classes + bounded repeats,
+    no lookaround) so Spark and DuckDB agree; replacement order is
+    fixed (email, id, phone) in both. Row-pure column expressions —
+    map-only at any scale."""
+    from .tables import load_tables
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    text = F.concat(
+        F.lit("Reach "), F.col("c_name"), F.lit(" at 555-"),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000).cast("string"), 4, "0"),
+        F.lit(" or cust"), F.col("c_custkey").cast("string"), F.lit("@"),
+        F.lower("c_mktsegment"), F.lit(".example.com ref "),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 13) % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 31) % 10000).cast("string"), 4, "0"))
+    t = cust.select(F.col("c_custkey").alias("custkey"), text.alias("text"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_ID, "<ID>"),
+        _PII_PHONE, "<PHONE>")
+    return t.select(
+        "custkey",
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_ID)).cast("long").alias("n_ids"),
+        scrub.alias("scrubbed"))

@@ -106,3 +106,80 @@ def test_repetition_profile_short_docs(spark, patched_docs):
     # 1-token doc: no grams at all -> absent from the gram plane
     assert 0 not in got
     assert got[1].n_2grams == 1 and got[1].dup_3gram_frac is None
+
+
+def test_tfidf_topterms_semantics(spark, patched_docs):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common", "en", "s", 25),
+         (2, "cherry common", "en", "s", 13),
+         (3, "common date date date", "en", "s", 21)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    patched_docs(docs)
+    out = cq.t_tfidf_topterms(spark, "ignored")
+    rows = {(r.doc_id, r.term): r for r in out.collect()}
+    # 'common' appears in all 3 docs -> df=3, score tf*(3/3)=1 — always
+    # beaten by any doc-unique term (score tf*3)
+    top1 = {r.doc_id: r.term for r in out.filter("term_rank = 1").collect()}
+    assert top1 == {1: "apple", 2: "cherry", 3: "date"}
+    assert rows[(1, "apple")].tf == 2 and rows[(1, "apple")].df == 1
+    assert rows[(1, "apple")].score == 2 * 3.0
+    # at most _TOP_TERMS rows per doc
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= cq._TOP_TERMS for r in per_doc)
+
+
+def test_inverted_index_cap_and_counts(spark, patched_docs):
+    n = cq._POSTING_CAP + 7
+    rows = [(i, "stop uniq%d" % i, "en", "s", 10) for i in range(n)]
+    patched_docs(spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"))
+    out = {r.term: r for r in
+           cq.t_inverted_index(spark, "ignored").collect()}
+    stop = out["stop"]
+    # df/cf reflect the FULL corpus, postings are capped to the first
+    # _POSTING_CAP doc_ids
+    assert stop.df == n and stop.cf == n
+    assert stop.postings == ",".join(str(i) for i in range(cq._POSTING_CAP))
+    assert out["uniq3"].df == 1 and out["uniq3"].postings == "3"
+
+
+def test_inverted_index_caps_before_collect(spark, sf_dir):
+    """The posting-cap filter must sit BELOW the collect_list agg in
+    the plan (rows dropped by the window rank never reach an array
+    buffer), and the groupBy must reuse the window's partitioning."""
+    plan = (cq.t_inverted_index(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.index("collect_list") < plan.index("row_number")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    out = cq.p_weighted_sample(spark, sf_dir)
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in cq.p_weighted_sample(spark, sf_dir).collect())
+    assert a == b and a
+    # longer docs survive more often: acceptance rate of capped-weight
+    # docs (>=400 chars, p=0.5) must exceed the short-doc rate
+    docs = cq._docs(spark, sf_dir).select("doc_id", "n_chars")
+    kept = set(a)
+    long_ids = [r.doc_id for r in docs.filter("n_chars >= 400").collect()]
+    short_ids = [r.doc_id for r in docs.filter("n_chars < 200").collect()]
+    if long_ids and short_ids:
+        long_rate = sum(i in kept for i in long_ids) / len(long_ids)
+        short_rate = sum(i in kept for i in short_ids) / len(short_ids)
+        assert long_rate > short_rate
+
+
+def test_pii_scrub_redacts_everything(spark, sf_dir):
+    out = cq.t_pii_scrub(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # every ticket embeds exactly one of each PII shape...
+        assert (r.n_phones, r.n_emails, r.n_ids) == (1, 1, 1)
+        # ...and the scrubbed text carries placeholders, no residue
+        assert "<PHONE>" in r.scrubbed and "<EMAIL>" in r.scrubbed \
+            and "<ID>" in r.scrubbed
+        assert "@" not in r.scrubbed
+        assert "555-" not in r.scrubbed
