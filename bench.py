@@ -67,15 +67,16 @@ def main():
     def _identity(it):
         yield from it
     spark.range(256).repartition(32).mapInPandas(_identity, "id long").count()
-    # Each query runs twice and reports the min: the first execution
-    # carries one-off plan-compilation/JIT cost that grew with the
-    # registry and swings with box noise; min-of-2 measures the
-    # steady-state latency a production job sees. Both runs are
-    # recorded for transparency.
+    # Each query runs three times and reports the min: the first
+    # execution carries one-off plan-compilation/JIT cost, and this
+    # box shows intermittent host CPU-steal waves (measured up to
+    # 15%/s) that can multiply any single run — min-of-3 measures the
+    # steady-state latency a production job sees while staying robust
+    # to one wave. All runs are recorded for transparency.
     timings, all_runs = {}, {}
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 4))
@@ -94,7 +95,7 @@ def main():
         "unit": "sec",
         "first_run_total": first_total,
         "queries": timings,
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "agg": "min",
         "all_runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -183,9 +183,12 @@ def read_member_bytes(uri: str, band: str | None = None,
     (Landsat ``{sceneid}_{band}.TIF`` synthesis with suffix-match
     fallback, stdlib ``tarfile`` standing in for /vsitar). Remote
     plain rasters fetch over HTTP (urllib; ranged windows via
-    sources.cog_reader). Only remote TAR.GZ members stay gated — a
-    gzip stream has no random access, so member reads genuinely need
-    GDAL's buffered /vsitar//vsicurl path."""
+    sources.cog_reader). Remote tar.gz streams the whole archive into
+    spooled scratch first — a gzip stream has no random access, so a
+    ranged member read is impossible BY CONSTRUCTION; GDAL's
+    /vsitar//vsicurl likewise decompresses sequentially up to the
+    member, and the reference's S9 detection reads the first 512
+    bytes only to pick the access path (landsat.py:24-43)."""
     import tarfile
     import urllib.request
     import zipfile
@@ -198,10 +201,16 @@ def read_member_bytes(uri: str, band: str | None = None,
                 return resp.read()
         if info["kind"] in ("zip", "sentinel_safe_zip"):
             return _remote_zip_member(uri, band, info.get("band_group"))
-        raise NotImplementedError(
-            "remote tar.gz member access requires rasterio/GDAL "
-            "(gzip streams have no random access); zips and plain "
-            "rasters are served over HTTP ranges")
+        if info["kind"] == "landsat_tgz":
+            import shutil
+            import tempfile
+            with urllib.request.urlopen(uri) as resp, \
+                    tempfile.SpooledTemporaryFile(max_size=64 << 20) as sp:
+                shutil.copyfileobj(resp, sp)
+                sp.seek(0)
+                with tarfile.open(fileobj=sp, mode="r:*") as tf:
+                    return _tgz_member_bytes(tf, band, sceneid, uri)
+        raise NotImplementedError(f"unsupported remote container: {uri}")
     if info["kind"] in ("zip", "sentinel_safe_zip"):
         with zipfile.ZipFile(path) as zf:
             member = _pick_zip_member(zf.namelist(), band,
@@ -209,21 +218,29 @@ def read_member_bytes(uri: str, band: str | None = None,
             return zf.read(member)
     if info["kind"] == "landsat_tgz":
         with tarfile.open(path, "r:*") as tf:
-            names = tf.getnames()
-            member = landsat_tgz_member(sceneid or "", band or "")
-            if member not in names:
-                suffix = f"_{band}.TIF" if band else ".TIF"
-                cands = [n for n in names if n.upper().endswith(suffix.upper())]
-                if not cands:
-                    raise FileNotFoundError(
-                        f"no member {member!r} (or *{suffix}) in {uri}")
-                member = cands[0]
-            f = tf.extractfile(member)
-            if f is None:
-                raise FileNotFoundError(member)
-            return f.read()
+            return _tgz_member_bytes(tf, band, sceneid, uri)
     with open(path, "rb") as f:
         return f.read()
+
+
+def _tgz_member_bytes(tf, band: str | None, sceneid: str | None,
+                      uri: str) -> bytes:
+    """Landsat member pick inside an open tarfile: exact
+    ``{sceneid}_{band}.TIF`` synthesis (landsat.py:24-43) with a
+    suffix-match fallback."""
+    names = tf.getnames()
+    member = landsat_tgz_member(sceneid or "", band or "")
+    if member not in names:
+        suffix = f"_{band}.TIF" if band else ".TIF"
+        cands = [n for n in names if n.upper().endswith(suffix.upper())]
+        if not cands:
+            raise FileNotFoundError(
+                f"no member {member!r} (or *{suffix}) in {uri}")
+        member = cands[0]
+    f = tf.extractfile(member)
+    if f is None:
+        raise FileNotFoundError(member)
+    return f.read()
 
 
 def open_raster(uri: str, band: str | None = None, sceneid: str | None = None):

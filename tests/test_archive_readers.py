@@ -79,3 +79,36 @@ def test_probe_deep_read_flags_corrupt_archive(tmp_path):
     bad.write_bytes(b"PK\x03\x04 this is not really a zip")
     ok, err = probe_integrity(str(bad), read_bytes=True)
     assert not ok and err
+
+
+def test_remote_tgz_member_over_http(tmp_path):
+    """S9 remote half: the archive streams over HTTP into spooled
+    scratch (gzip has no random access — GDAL's /vsitar//vsicurl also
+    decompresses sequentially), then the member resolves exactly as in
+    the local path."""
+    import http.server
+    import threading
+
+    sceneid = "LC08_L2SP_220064_20200101_20210101_02_T1"
+    p = tmp_path / f"{sceneid}.tar.gz"
+    data = _tiff(11)
+    with tarfile.open(p, "w:gz") as tf:
+        info = tarfile.TarInfo(f"{sceneid}_SR_B5.TIF")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    handler = lambda *a, **kw: _Quiet(*a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/{p.name}"
+        got = read_member_bytes(url, band="SR_B5", sceneid=sceneid)
+        assert got == data
+        # suffix fallback without a sceneid, same remote path
+        assert read_member_bytes(url, band="SR_B5") == data
+    finally:
+        srv.shutdown()
