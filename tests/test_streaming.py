@@ -48,3 +48,70 @@ def test_session_windows_agree_with_batch_totals(spark, sf_dir, event_stream):
     srows = {r.user_id: (r.n_sessions, r.n_events) for r in s.collect()}
     brows = {r.user_id: (r.n_sessions, r.n_events) for r in b.collect()}
     assert srows == brows
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics end-to-end: after the watermark advances
+    past a window, an event arriving for that window in a later
+    micro-batch is DROPPED — its aggregate must not change. Driven
+    deterministically: one file per micro-batch, maxFilesPerTrigger=1,
+    update-mode memory sink."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "src" / name))
+        # the file source tracks NEW files under a common glob dir;
+        # move each batch in as its own file
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / "src" / name / "part-*.parquet"))[0]
+        (tmp_path / "in").mkdir(exist_ok=True)
+        shutil.copy(part, str(tmp_path / "in" / f"{name}.parquet"))
+
+    # batch 1: events at t0 and t0+3h -> watermark after batch 1 is
+    # (t0+3h) - 30min, far past the [t0, t0+1h) window
+    write_batch([(1, t0, 1, "view", 1.0, "{}"),
+                 (2, t0 + dt.timedelta(hours=3), 1, "view", 1.0, "{}")], "b1")
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(tmp_path / "in")))
+    q = (windowed_counts(src, window="1 hour", watermark="30 minutes")
+         .writeStream.outputMode("update")
+         .format("memory").queryName("late_wc").start())
+    try:
+        q.processAllAvailable()
+        before = {(r.window_start, r.event_type): r.n
+                  for r in spark.sql("SELECT * FROM late_wc").collect()}
+        assert before[(t0, "view")] == 1
+
+        # batch 2: one LATE event back at t0 (window end t0+1h is far
+        # below the watermark -> dropped), one on-time at t0+3h30
+        write_batch([(3, t0, 2, "view", 1.0, "{}"),
+                     (4, t0 + dt.timedelta(hours=3, minutes=30), 2,
+                      "view", 1.0, "{}")], "b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_wc").collect()
+        # update mode re-emits a window row when it changes: the late
+        # event must NOT have produced an updated [t0, t0+1h) row
+        t0_rows = [r.n for r in rows if r.window_start == t0]
+        assert max(t0_rows) == 1, "late event leaked past the watermark"
+        # while the on-time event did land
+        t330 = t0 + dt.timedelta(hours=3, minutes=30)
+        assert any(r.window_start == t330 - dt.timedelta(minutes=30)
+                   or r.window_start == t0 + dt.timedelta(hours=3)
+                   for r in rows)
+    finally:
+        q.stop()
