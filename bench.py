@@ -40,6 +40,7 @@ HEADLINE = [
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "a_ann_batch_topk",
+    "a_ann_recall_eval",
     "t_quality_score",
     "t_tfidf_topterms",
     "t_inverted_index",

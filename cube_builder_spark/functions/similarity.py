@@ -16,7 +16,7 @@ summation order never matters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -324,3 +324,66 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
              .filter(F.col("list_id").isin(probe)).select("vec_id"))
     return brute_force_topk(embeddings.join(cands, "vec_id", "left_semi"),
                             query_vec_id, k)
+
+
+def ivf_batch_topk(embeddings: DataFrame, queries: DataFrame,
+                   n_lists: int = 8, k: int = 5, nprobe: int = 1) -> DataFrame:
+    """IVF search for a whole QUERY BLOCK: every query probes its
+    ``nprobe`` closest inverted lists; exact cosine over the probed
+    members only.
+
+    Scale shape: one assignment pass over the corpus (Arrow-batched
+    matmul, ivf_assign), probe lists resolved driver-side from the
+    bounded query block (the same bounded-metadata collect batch_topk
+    already does for its broadcast query matrix), then a list_id-keyed
+    join — the pair space is query × its-list-members, never query ×
+    corpus. Per-pair cosine is an interpreted zip_with fold, bounded
+    by list size × nprobe; the Arrow matmul path (batch_topk) remains
+    the exact-search fallback when lists degenerate."""
+    import math
+
+    by_g = collect_centroids(embeddings, n_lists)
+    qrows = queries.select("vec_id", "embedding").collect()
+    probes = []
+    for r in qrows:
+        qv = [int(math.floor(float(x) * 1000 + 0.5)) for x in r.embedding]
+        for g in rank_lists(qv, by_g)[:nprobe]:
+            probes.append((r.vec_id, g))
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "q_vec_id long, list_id long")
+
+    qids = [r.vec_id for r in qrows]
+    assign = ivf_assign(embeddings, n_lists, centroids=by_g)
+    cands = (assign.join(F.broadcast(probe_df), "list_id")
+             .filter(~F.col("vec_id").isin(qids))
+             .select("q_vec_id", "vec_id"))
+    ev = embeddings.select("vec_id", quantize(F.col("embedding")).alias("ev"))
+    eq = embeddings.select(F.col("vec_id").alias("q_vec_id"),
+                           quantize(F.col("embedding")).alias("qv"))
+    scored = (cands.join(ev, "vec_id").join(F.broadcast(eq), "q_vec_id")
+              .select("q_vec_id", "vec_id",
+                      (dot_q(F.col("ev"), F.col("qv"))
+                       / (F.sqrt(dot_q(F.col("ev"), F.col("ev")))
+                          * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
+                      .alias("cosine")))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """ANN quality eval: per query, |approx-top-k ∩ exact-top-k| / k.
+
+    Generic over any two ranked result frames with (q_vec_id, vec_id,
+    rank); queries absent from the approx side score 0 (left join from
+    the exact side's query set). Both sides are k-bounded per query,
+    so the join input is tiny regardless of corpus size."""
+    a = approx.filter(F.col("rank") <= k).select("q_vec_id", "vec_id")
+    e = exact.filter(F.col("rank") <= k).select("q_vec_id", "vec_id")
+    hits = (e.join(a.withColumn("hit", F.lit(1)), ["q_vec_id", "vec_id"],
+                   "left")
+            .groupBy("q_vec_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                 .cast("long").alias("n_hits")))
+    return hits.select("q_vec_id", "n_hits",
+                       (F.col("n_hits") / F.lit(float(k))).alias("recall"))

@@ -529,6 +529,57 @@ def a_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.batch_topk(cands, queries, k=3)
 
 
+_IVF_BATCH_SQL = """
+ivfc AS (
+  SELECT qa.vec_id AS q_vec_id, ba.vec_id
+  FROM assign qa JOIN assign ba
+    ON ba.list_id = qa.list_id AND ba.vec_id % 50 <> 0
+  WHERE qa.vec_id % 50 = 0
+),
+ivfs AS (
+  SELECT i.q_vec_id, i.vec_id,
+         row_number() OVER (PARTITION BY i.q_vec_id ORDER BY
+           list_dot_product(eb.v, eq.v)
+             / (sqrt(list_dot_product(eb.v, eb.v))
+                * sqrt(list_dot_product(eq.v, eq.v))) DESC,
+           i.vec_id) AS rn
+  FROM ivfc i
+  JOIN ev eb ON eb.vec_id = i.vec_id
+  JOIN ev eq ON eq.vec_id = i.q_vec_id
+)
+"""
+
+@register("a_ann_recall_eval", f"""
+WITH {_IVF_SQL}, {_EV_SQL}, {_BATCH_TOPK_SQL}, {_IVF_BATCH_SQL},
+qs AS (SELECT DISTINCT q_vec_id FROM branked),
+hits AS (
+  SELECT q.q_vec_id, CAST(count(s.vec_id) AS BIGINT) AS n_hits
+  FROM qs q
+  LEFT JOIN branked b ON b.q_vec_id = q.q_vec_id AND b.rank <= 5
+  LEFT JOIN ivfs s ON s.q_vec_id = b.q_vec_id AND s.vec_id = b.vec_id
+                   AND s.rn <= 5
+  GROUP BY q.q_vec_id
+)
+SELECT q_vec_id, n_hits, n_hits / 5.0 AS recall FROM hits
+""")
+def a_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality-evaluation harness: recall@5 of IVF(nprobe=1)
+    against exact search, per query of the query block (vec_id % 50
+    = 0) — the measurement loop that justifies an nprobe setting
+    before deploying the approximate path.
+
+    Exact side = batch_topk (broadcast query matrix, Arrow matmul);
+    approx side = ivf_batch_topk (one corpus assignment pass, probes
+    joined on list_id); recall_at_k joins the two k-bounded result
+    sets — tiny regardless of corpus size."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    exact = similarity.batch_topk(cands, queries, k=5)
+    approx = similarity.ivf_batch_topk(embs, queries, n_lists=8, k=5)
+    return similarity.recall_at_k(approx, exact, k=5)
+
+
 @register("a_ann_ivf_topk_nprobe2", f"""
 WITH {_IVF_SQL}, {_EV_SQL},
 qscored AS (

@@ -81,3 +81,33 @@ def test_lloyd_refine_improves_objective(spark, sf_dir):
     by0 = similarity.collect_centroids(emb, n_lists=8)
     by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
     assert objective(by1) >= objective(by0) - 1e-9
+
+
+def test_recall_eval_bounds_and_self_recall(spark, sf_dir):
+    from cube_builder_spark.pipeline_queries import a_ann_recall_eval
+    from cube_builder_spark.tables import load_tables
+
+    out = a_ann_recall_eval(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall == r.n_hits / 5.0
+    # exact-vs-exact recall is 1.0 by definition
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cands = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = similarity.batch_topk(cands, queries, k=5)
+    perfect = similarity.recall_at_k(exact, exact, k=5).collect()
+    assert perfect and all(r.recall == 1.0 for r in perfect)
+
+
+def test_ivf_batch_topk_matches_single_query_path(spark, sf_dir):
+    from cube_builder_spark.tables import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    single = {r.vec_id for r in
+              similarity.ivf_topk(emb, query_vec_id=0, n_lists=8, k=5).collect()}
+    batch = {r.vec_id for r in
+             similarity.ivf_batch_topk(
+                 emb, emb.filter(F.col("vec_id") == 0), n_lists=8, k=5)
+             .collect()}
+    assert single == batch
