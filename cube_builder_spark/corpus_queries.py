@@ -499,3 +499,101 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PII_ID)).cast("long").alias("n_ids"),
         scrub.alias("scrubbed"))
+
+
+# --- RAG-style chunking -------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24      # overlap = size - stride = 8 tokens
+
+
+@register("p_doc_chunks", f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CAST(greatest(
+           CASE WHEN n > {_CHUNK_SIZE}
+                THEN (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+                ELSE 0 END, 0) + 1 AS BIGINT))) AS chunk_id
+  FROM toks WHERE n > 0
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+       CAST(least({_CHUNK_SIZE}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT)
+         AS n_tokens,
+       array_to_string(
+         list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                    chunk_id * {_CHUNK_STRIDE}
+                      + least({_CHUNK_SIZE}, n - chunk_id * {_CHUNK_STRIDE})),
+         ' ') AS chunk_text
+FROM idx
+""")
+def p_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks: {_CHUNK_SIZE}-token windows at a
+    {_CHUNK_STRIDE}-token stride ({_CHUNK_SIZE - _CHUNK_STRIDE}-token
+    overlap), the RAG indexing shape. The final chunk is the shorter
+    tail; chunk generation stops once a window reaches the document
+    end (no fully-redundant tail windows).
+
+    Scale shape: row-pure — tokenization, the chunk-count arithmetic,
+    the explode, and each slice+join all happen in the task that read
+    the document; no shuffle at all. Output volume is ~n_tokens/stride
+    rows per doc, the planned index inflation."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", F.split("text", " ").alias("t"))
+            .withColumn("n", F.size("t"))
+            .filter(F.col("n") > 0))
+    i_max = F.greatest(
+        F.when(F.col("n") > _CHUNK_SIZE,
+               F.floor((F.col("n") - _CHUNK_SIZE + _CHUNK_STRIDE - 1)
+                       / _CHUNK_STRIDE)).otherwise(F.lit(0)),
+        F.lit(0)).cast("long")
+    idx = toks.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), i_max)).alias("chunk_id"))
+    start = (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("long")
+    length = F.least(F.lit(_CHUNK_SIZE),
+                     F.col("n") - F.col("chunk_id") * _CHUNK_STRIDE)
+    return idx.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"), length.cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("t"), start, length))
+        .alias("chunk_text"))
+
+
+# --- corpus mixture report ----------------------------------------------------
+
+@register("p_corpus_report", """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       sum(n_chars) * 1e0 / count(*) AS mean_chars,
+       (count(*) - count(DISTINCT md5(text))) * 1e0 / count(*) AS dup_rate
+FROM documents GROUP BY lang, source
+""")
+def p_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture dashboard: per (lang, source) stratum, document/token
+    volume, exact-duplicate rate (content-digest distinct), and size
+    stats — the report a data-mixture owner reads before reweighting.
+
+    Scale shape: ONE groupBy over the corpus; the distinct-digest count
+    is a partial_count(distinct md5) inside the same aggregation (two-
+    phase hash agg, no second shuffle); ratios are single divisions of
+    exact integers (cross-engine deterministic)."""
+    docs = _docs(spark, sf_dir)
+    return (docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"))
+        .select("lang", "source", "n_docs", "n_tokens", "n_unique",
+                "sum_chars",
+                (F.col("sum_chars") * F.lit(1.0) / F.col("n_docs"))
+                .alias("mean_chars"),
+                ((F.col("n_docs") - F.col("n_unique")) * F.lit(1.0)
+                 / F.col("n_docs")).alias("dup_rate")))

@@ -183,3 +183,45 @@ def test_pii_scrub_redacts_everything(spark, sf_dir):
             and "<ID>" in r.scrubbed
         assert "@" not in r.scrubbed
         assert "555-" not in r.scrubbed
+
+
+def test_doc_chunks_cover_and_overlap(spark, patched_docs):
+    text = " ".join(f"w{i}" for i in range(80))   # 80 tokens
+    patched_docs(spark.createDataFrame(
+        [(1, text, "en", "s", len(text)), (2, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"))
+    rows = sorted(cq.p_doc_chunks(spark, "ignored").collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 80 tokens, size 32, stride 24 -> chunks at 1, 25, 49: last covers
+    # to token 80; no redundant tail window
+    assert [(r.start_token, r.n_tokens) for r in d1] == [(1, 32), (25, 32),
+                                                         (49, 32)]
+    # overlap: chunk i+1 repeats the last 8 tokens of chunk i
+    a, b = d1[0].chunk_text.split(), d1[1].chunk_text.split()
+    assert a[-8:] == b[:8]
+    # full coverage: union of chunks == the document
+    covered = set()
+    for r in d1:
+        covered.update(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(1, 81))
+    # short doc: one chunk, the whole doc
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.start_token, r.n_tokens, r.chunk_text) for r in d2] == \
+        [(1, 2, "a b")]
+
+
+def test_corpus_report_semantics(spark, patched_docs):
+    patched_docs(spark.createDataFrame(
+        [(1, "x y", "en", "s1", 3), (2, "x y", "en", "s1", 3),
+         (3, "z", "en", "s1", 1), (4, "q r s", "de", "s2", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"))
+    rows = {(r.lang, r.source): r
+            for r in cq.p_corpus_report(spark, "ignored").collect()}
+    en = rows[("en", "s1")]
+    assert (en.n_docs, en.n_tokens, en.n_unique) == (3, 5, 2)
+    assert en.dup_rate == 1 / 3
+    de = rows[("de", "s2")]
+    assert (de.n_docs, de.n_tokens, de.n_unique, de.dup_rate) == (1, 3, 1, 0.0)
