@@ -597,3 +597,76 @@ def p_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("mean_chars"),
                 ((F.col("n_docs") - F.col("n_unique")) * F.lit(1.0)
                  / F.col("n_docs")).alias("dup_rate")))
+
+
+# --- KMV distinct sketch ------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register("t_kmv_distinct", f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT source, term,
+         CAST(('0x' || substr(md5('kmv|' || term), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, term) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_exact
+  FROM hashed
+),
+sk AS (
+  SELECT source, CAST(max(n_exact) AS BIGINT) AS n_exact,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(h) AS BIGINT) AS kth_hash
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY source
+)
+SELECT source, n_exact, k_used, kth_hash,
+       CASE WHEN k_used < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE (k_used - 1) * 4294967296e0 / kth_hash END AS est_distinct
+FROM sk
+""")
+def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source: keep the
+    {_KMV_K} smallest 32-bit hashes of the distinct terms; estimate
+    distinct = (k-1) * 2^32 / kth-smallest-hash (exact count when the
+    stratum has fewer than k terms). The per-stratum cardinality
+    estimator a mixture dashboard runs when exact count-distinct is
+    too expensive — and, unlike HyperLogLog implementations, fully
+    DETERMINISTIC across engines: md5 draws + integer rank + one
+    double division.
+
+    Scale shape: the same window-rank-then-cap discipline as the
+    inverted index — the k smallest hashes come out of a spillable
+    sort, never a per-group buffer; the exact count rides the same
+    window pass (here only to VALIDATE the estimate — a production
+    sketch drops it and with it any full-cardinality work)."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("source",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .distinct())
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("term"))),
+                           1, 8), 16, 10).cast("long")
+    hashed = toks.select("source", "term", h.alias("h"))
+    wr = Window.partitionBy("source").orderBy("h", "term")
+    wn = Window.partitionBy("source")
+    ranked = hashed.select(
+        "source", "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_exact"))
+    sk = (ranked.filter(F.col("rn") <= _KMV_K)
+          .groupBy("source")
+          .agg(F.max("n_exact").cast("long").alias("n_exact"),
+               F.count(F.lit(1)).cast("long").alias("k_used"),
+               F.max("h").cast("long").alias("kth_hash")))
+    est = (F.when(F.col("k_used") < _KMV_K,
+                  F.col("n_exact").cast("double"))
+           .otherwise((F.col("k_used") - 1) * F.lit(4294967296.0)
+                      / F.col("kth_hash")))
+    return sk.select("source", "n_exact", "k_used", "kth_hash",
+                     est.alias("est_distinct"))

@@ -315,3 +315,66 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("x_stream_dedup_out")
+
+
+@register("e_funnel", """
+WITH base AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, day) AS t_view
+  FROM base
+),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id, day) AS t_click
+  FROM v
+),
+p AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id, day) AS t_purchase
+  FROM c
+)
+SELECT DISTINCT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+       t_view AS view_ts, t_click AS click_ts, t_purchase AS purchase_ts
+FROM p
+""")
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per (user, day): first view, first
+    click STRICTLY AFTER that view, first purchase strictly after that
+    click — the sequence-matching analytics shape (out-of-order events
+    don't count, unlike a naive per-type min).
+
+    Scale shape: three unordered-frame window passes over ONE
+    (user_id, day) partitioning — a single shuffle, no sorts (min-over-
+    partition needs no ordering), no self-joins of the event table —
+    then a distinct on the per-group result. Each pass feeds the next
+    (the strictly-after condition references the previous stage's
+    time), which is exactly what chained windows express."""
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("event_type").isin("view", "click", "purchase"))
+          .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                  "event_type", "ts"))
+    w = Window.partitionBy("user_id", "day")
+    v = ev.withColumn("t_view", F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    c = v.withColumn("t_click", F.min(
+        F.when((F.col("event_type") == "click")
+               & (F.col("ts") > F.col("t_view")), F.col("ts"))).over(w))
+    p = c.withColumn("t_purchase", F.min(
+        F.when((F.col("event_type") == "purchase")
+               & (F.col("ts") > F.col("t_click")), F.col("ts"))).over(w))
+    stage = (F.when(F.col("t_purchase").isNotNull(), 3)
+             .when(F.col("t_click").isNotNull(), 2)
+             .when(F.col("t_view").isNotNull(), 1).otherwise(0))
+    return (p.select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
+                     stage.cast("int").alias("funnel_stage"),
+                     F.col("t_view").alias("view_ts"),
+                     F.col("t_click").alias("click_ts"),
+                     F.col("t_purchase").alias("purchase_ts"))
+            .distinct())

@@ -225,3 +225,14 @@ def test_corpus_report_semantics(spark, patched_docs):
     assert en.dup_rate == 1 / 3
     de = rows[("de", "s2")]
     assert (de.n_docs, de.n_tokens, de.n_unique, de.dup_rate) == (1, 3, 1, 0.0)
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    rows = cq.t_kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.k_used < cq._KMV_K:
+            assert r.est_distinct == float(r.n_exact)
+        else:
+            # KMV with k=64 has ~1/sqrt(k-2) ≈ 13% std error; allow 4σ
+            assert abs(r.est_distinct - r.n_exact) / r.n_exact < 0.52

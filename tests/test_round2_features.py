@@ -172,3 +172,30 @@ def test_training_data_prep_funnel_invariants(spark):
     from cube_builder_spark.tables import load_tables
     n_docs = load_tables(spark, sf, ["documents"])["documents"].count()
     assert len(out) < n_docs
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the first view/click must not convert."""
+    import datetime as dt
+    from cube_builder_spark import events_queries as eq
+    t0 = dt.datetime(2020, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: purchase happens before view -> stage stops at 1
+        (1, t0, 1, "purchase", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        # user 2: proper view < click < purchase -> stage 3
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=2), 2, "purchase", 1.0, "{}"),
+        # user 3: click only, no view -> stage 0
+        (6, t0, 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    import unittest.mock as mock
+    with mock.patch.object(eq, "_events", lambda s, d: df):
+        out = {r.user_id: r for r in eq.e_funnel(spark, "x").collect()}
+    assert out[1].funnel_stage == 1 and out[1].click_ts is None
+    assert out[2].funnel_stage == 3
+    assert out[3].funnel_stage == 0
