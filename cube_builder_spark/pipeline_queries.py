@@ -980,8 +980,9 @@ _PREP_MIN_TOKENS = 30
 _PREP_MIN_QUALITY = 0.35
 _PREP_NEAR_DUP_JACCARD = 0.8
 
-@register("p_training_data_prep", f"""
-WITH toks AS (
+# Gate CTEs (lang-ID + length + quality -> `gated`) shared by the
+# batch corpus-prep oracle and the streaming ledger oracle.
+_GATES_SQL = f"""toks AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
 ),
 prof AS (
@@ -1007,7 +1008,10 @@ gated AS (
   SELECT * FROM scored
   WHERE predicted = 'en' AND n_tokens >= {_PREP_MIN_TOKENS}
         AND quality >= {_PREP_MIN_QUALITY}
-),
+)"""
+
+@register("p_training_data_prep", f"""
+WITH {_GATES_SQL},
 kept AS (
   SELECT * FROM gated
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
@@ -1089,6 +1093,38 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", "lang", "predicted", "n_tokens", "quality",
                     "content_hash", split.alias("split")))
+
+
+@register("x_stream_corpus_prep", f"""
+WITH {_GATES_SQL}
+SELECT content_hash, doc_id, lang, predicted, n_tokens, quality,
+       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical,
+       CAST(row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) - 1
+            AS BIGINT) AS n_seen_before
+FROM gated
+""")
+def x_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (streaming/corpus.py): stateless
+    gates + stateful cross-batch exact-dedup ledger, driven over the
+    bounded documents table. Single-batch the ledger is
+    SQL-expressible (gates + row_number per hash), so this custom
+    stateful operator hash-checks like x_stream_dedup; cross-batch
+    canonical persistence is covered by tests/test_streaming.py."""
+    from .session import scratch_dir
+    from .streaming.corpus import corpus_prep_stream
+    from .tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = scratch_dir("stream_prep_")
+    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string").parquet(d)
+    q = (corpus_prep_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("x_stream_prep_out").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("x_stream_prep_out")
 
 
 # Real-codec roundtrip: BMP / WAV encode->decode verified by replaying

@@ -115,3 +115,52 @@ def test_watermark_drops_late_events(spark, tmp_path):
                    for r in rows)
     finally:
         q.stop()
+
+
+def test_corpus_prep_stream_cross_batch(spark, tmp_path):
+    """Cross-batch contract: the canonical of a content hash is fixed
+    by its FIRST batch; later batches' duplicates attribute to it.
+    Gated-out docs (wrong lang / too short) never reach the ledger."""
+    from cube_builder_spark.streaming.corpus import corpus_prep_stream
+
+    # 40 tokens, all distinct (passes the uniq-ratio quality gate),
+    # with enough English stopwords to win the lang vote
+    good = " ".join("the and is in it you that was for on".split()
+                    + [f"word{i}" for i in range(30)])
+    short = "the and is"                                      # fails length
+    de = " ".join("der die und ist nicht das ich du sie es".split()
+                  + [f"wort{i}" for i in range(30)])
+
+    def write_batch(rows, name):
+        import glob
+        import shutil
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / "stage" / name))
+        (tmp_path / "in").mkdir(exist_ok=True)
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(tmp_path / "in" / f"{name}.parquet"))
+
+    write_batch([(1, "en", good), (2, "en", short), (3, "de", de)], "b1")
+    src = (spark.readStream
+           .schema("doc_id long, lang string, text string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(tmp_path / "in")))
+    q = (corpus_prep_stream(src).writeStream.outputMode("append")
+         .format("memory").queryName("prep_stream").start())
+    try:
+        q.processAllAvailable()
+        # batch 2 re-sends the SAME text under a new doc_id
+        write_batch([(10, "en", good)], "b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM prep_stream").collect()
+    finally:
+        q.stop()
+    by_doc = {r.doc_id: r for r in rows}
+    # gated-out docs never entered the ledger
+    assert set(by_doc) == {1, 10}
+    assert by_doc[1].is_canonical and by_doc[1].n_seen_before == 0
+    # cross-batch duplicate attributes to the batch-1 canonical
+    assert not by_doc[10].is_canonical
+    assert by_doc[10].canonical_id == 1 and by_doc[10].n_seen_before == 1
