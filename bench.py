@@ -26,6 +26,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q18_large_orders",
     "r6_groupby_collect_timeline",
     "r11_multiway_join",
     "c2_blend_lcf",

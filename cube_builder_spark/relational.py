@@ -127,7 +127,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'REGION_1' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n.n_name
 """)
@@ -137,7 +137,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders join shuffles."""
     t = load_tables(spark, sf_dir,
                     ["customer", "orders", "lineitem", "supplier", "nation", "region"])
-    nr = (t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "REGION_1")),
+    nr = (t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
                            F.col("n_regionkey") == F.col("r_regionkey")))
     return (
         t["lineitem"]
@@ -474,3 +474,164 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rev.orderBy(F.desc("rev_c"), "c_custkey").limit(20)
             .select("c_custkey", "c_name", "n_name",
                     (F.col("rev_c") / 100.0).alias("revenue")))
+
+
+@register("q7_nation_volume", """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by shipping year. Both
+    nation sides broadcast; the only shuffle is lineitem⋈orders."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "supplier", "nation"])
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"),
+                            F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(F.col("n_nationkey").alias("ck"),
+                            F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg((F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")))) / 100.0)
+                 .alias("revenue")))
+
+
+@register("q8_market_share", """
+WITH all_orders AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS vol_c,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) * 1e0
+         / sum(vol_c) AS mkt_share
+FROM all_orders GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part volume sold
+    into ASIA, by order year — conditional-sum ratio over one join
+    tree (the share division happens once per group, exact-integer
+    numerator/denominator)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer",
+                                    "supplier", "nation", "region", "part"])
+    cn = (t["nation"].join(F.broadcast(
+        t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("ck")))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"),
+                            F.col("n_name").alias("supp_nation"))
+    j = (t["lineitem"]
+         .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+         .join(F.broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk")))
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                     vol.alias("vol_c"), "supp_nation")
+            .groupBy("o_year")
+            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                               F.col("vol_c")).otherwise(F.lit(0)))
+                  * F.lit(1.0) / F.sum("vol_c")).alias("mkt_share")))
+
+
+@register("q14_promo_revenue", """
+SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) * 100e0
+         / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage — broadcast part
+    join, conditional-sum ratio, exact-integer cents until the one
+    final division."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    j = li.join(F.broadcast(t["part"]),
+                F.col("l_partkey") == F.col("p_partkey"))
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.agg(
+        (F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+         * F.lit(100.0) / F.sum(disc)).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@register("q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+)
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       b.qty_c / 100.0 AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via group-having then
+    join back — the having aggregation shrinks lineitem to qualifying
+    orderkeys BEFORE any join, so the join inputs are tiny."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+           .filter(F.col("qty_c") > 15000))
+    return (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    (_cents(F.col("o_totalprice")) / 100.0)
+                    .alias("o_totalprice"),
+                    (F.col("qty_c") / 100.0).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))

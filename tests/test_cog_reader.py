@@ -136,18 +136,16 @@ def test_http_200_fallback(cog_file, http_url, monkeypatch):
 
 
 def test_remote_plain_raster_full_fetch(cog_file, http_url):
-    """read_member_bytes serves plain remote rasters via urllib; only
-    remote ARCHIVE members remain rasterio-gated."""
+    """read_member_bytes serves plain remote rasters via urllib.
+    Remote zip members read over HTTP ranges (below) and remote tar.gz
+    members stream into spooled scratch (test_archive_readers) — no
+    remote container is gated anymore."""
     from cube_builder_spark.sinks.cog import read_cog
     from cube_builder_spark.sources.raster_reader import read_member_bytes
     path, arr, _ = cog_file
     buf = read_member_bytes(http_url)
     assert buf == open(path, "rb").read()
     np.testing.assert_array_equal(read_cog(buf)["array"], arr)
-    # the one remaining honest gate: gzip streams have no random access
-    with pytest.raises(NotImplementedError):
-        read_member_bytes("https://example.com/bundle.tar.gz",
-                          band="B04", sceneid="LC08_X")
 
 
 def test_remote_zip_member_over_ranges(tmp_path_factory, http_url, cog_file):
