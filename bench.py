@@ -39,6 +39,7 @@ HEADLINE = [
     "d_minhash_lsh_pairs",
     "d_simhash",
     "d_dup_clusters",
+    "x_incremental_near_dup",
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "a_ann_batch_topk",

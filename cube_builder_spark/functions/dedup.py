@@ -172,14 +172,21 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
     - pair expansion is O(cap²) per bucket, bounded by the cap;
     - the final dedup shuffle moves only surviving candidate pairs.
     """
+    return capped_plane_pairs(lsh_plane(sh, bands), max_bucket, threshold)
+
+
+def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
+    """Signature/bucket plane: (bucket, m=struct(doc_id, shingles)),
+    one row per (doc, band).
+
+    Signature pass: explode + groupBy(doc_id), with the shingle array
+    rebuilt by collect_list IN THE SAME aggregation. This keeps md5
+    inside whole-stage codegen (an inline array_min(transform(...))
+    signature is interpreted — measured 6× slower at sf0.1) while
+    still landing signatures and shingles in one row. The buffer is
+    one doc's shingles — bounded by doc length. shingles() already
+    hash-partitioned by doc_id, so this groupBy adds no Exchange."""
     hash_ids = sorted({int(c[1:]) for cols in bands for c in cols})
-    # Signature pass: explode + groupBy(doc_id), with the shingle array
-    # rebuilt by collect_list IN THE SAME aggregation. This keeps md5
-    # inside whole-stage codegen (an inline array_min(transform(...))
-    # signature is interpreted — measured 6× slower at sf0.1) while
-    # still landing signatures and shingles in one row. The buffer is
-    # one doc's shingles — bounded by doc length. shingles() already
-    # hash-partitioned by doc_id, so this groupBy adds no Exchange.
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = ex.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
@@ -187,8 +194,18 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
         F.sort_array(F.collect_list("s")).alias("shingles"))
     band_keys = [F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols])
                  for i, cols in enumerate(bands)]
-    plane = sig.select(F.struct("doc_id", "shingles").alias("m"),
-                       F.explode(F.array(*band_keys)).alias("bucket"))
+    return sig.select(F.struct("doc_id", "shingles").alias("m"),
+                      F.explode(F.array(*band_keys)).alias("bucket"))
+
+
+def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
+                       threshold: float | None = None,
+                       new_field: str | None = None) -> DataFrame:
+    """Skew-capped bucket grouping → in-array pair expansion → exact
+    Jaccard over a (bucket, m) plane. ``m`` is struct(doc_id, shingles
+    [, <new_field>]); with ``new_field`` set (the incremental-index
+    path) only pairs touching at least one new document are emitted —
+    history×history pairs were already reported by earlier batches."""
     n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     sized = plane.withColumn("n", n).filter(F.col("n") >= 2)
     if max_bucket is not None:
@@ -197,18 +214,27 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
     # field), so the i<j expansion yields doc_a < doc_b directly
     grouped = sized.groupBy("bucket").agg(
         F.sort_array(F.collect_list("m")).alias("ms"))
+
+    def pair(x, y):
+        fields = [x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+                  x["shingles"].alias("sh_a"), y["shingles"].alias("sh_b")]
+        if new_field is not None:
+            fields.append((x[new_field] | y[new_field]).alias("any_new"))
+        return F.struct(*fields)
+
     combos = F.flatten(F.transform(
         F.col("ms"),
         lambda x, i: F.transform(
             F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-            lambda y: F.struct(
-                x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                x["shingles"].alias("sh_a"), y["shingles"].alias("sh_b")))))
+            lambda y: pair(x, y))))
+    exploded = grouped.select(F.explode(combos).alias("p"))
+    if new_field is not None:
+        exploded = exploded.filter(F.col("p.any_new"))
     # Jaccard BEFORE the cross-band dedup: a pair seen in two bands
     # computes it twice (cheap, map-side), but the dedup shuffle then
     # moves only (doc_a, doc_b, jaccard) scalars — never shingle
     # arrays — and the distinct becomes a plain HashAggregate.
-    out = (grouped.select(F.explode(combos).alias("p"))
+    out = (exploded
            .select("p.doc_a", "p.doc_b",
                    (F.size(F.array_intersect("p.sh_a", "p.sh_b")) * 1.0
                     / F.nullif(F.size(F.array_union("p.sh_a", "p.sh_b")),

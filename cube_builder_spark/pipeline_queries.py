@@ -1095,6 +1095,54 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "content_hash", split.alias("split")))
 
 
+@register("x_incremental_near_dup", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
+),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 8e-1
+""")
+def x_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a persisted LSH signature index
+    (streaming/neardup.py): arriving batches compare only against the
+    index buckets they touch — never corpus×corpus. Driven here as one
+    batch into a fresh index, which by construction equals the
+    one-shot LSH run, so the incremental machinery hash-checks against
+    the same oracle; multi-batch folding (new×history pairs, index
+    append, bucket pruning) is covered by tests/test_streaming.py."""
+    import shutil
+
+    from .session import scratch_dir
+    from .streaming.neardup import update_near_dup_index
+
+    docs = _docs(spark, sf_dir)
+    d = scratch_dir("neardup_idx_")
+    try:
+        return update_near_dup_index(
+            spark, docs, d, max_bucket=_LSH_MAX_BUCKET, threshold=0.8)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register("x_stream_corpus_prep", f"""
 WITH {_GATES_SQL}
 SELECT content_hash, doc_id, lang, predicted, n_tokens, quality,

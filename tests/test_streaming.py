@@ -164,3 +164,37 @@ def test_corpus_prep_stream_cross_batch(spark, tmp_path):
     # cross-batch duplicate attributes to the batch-1 canonical
     assert not by_doc[10].is_canonical
     assert by_doc[10].canonical_id == 1 and by_doc[10].n_seen_before == 1
+
+
+def test_incremental_near_dup_index(spark, sf_dir, tmp_path):
+    """Folding the corpus in two batches must find the SAME pair set
+    as the one-shot run: in-batch pairs surface with their batch,
+    cross-batch pairs when the later member arrives."""
+    from cube_builder_spark.streaming.neardup import update_near_dup_index
+    from cube_builder_spark.tables import load_tables
+    from cube_builder_spark.functions import dedup
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .select("doc_id", "text"))
+    one_shot = dedup.lsh_near_dup_pairs(
+        dedup.shingles(docs), bands=[["h0", "h1"], ["h2", "h3"]],
+        max_bucket=64, threshold=0.8)
+    expected = {(r.doc_a, r.doc_b) for r in one_shot.collect()}
+
+    idx = str(tmp_path / "ndidx")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    p1 = {(r.doc_a, r.doc_b) for r in
+          update_near_dup_index(spark, b1, idx, max_bucket=64,
+                                threshold=0.8).collect()}
+    p2 = {(r.doc_a, r.doc_b) for r in
+          update_near_dup_index(spark, b2, idx, max_bucket=64,
+                                threshold=0.8).collect()}
+    # batch-1 pairs are even×even only; batch 2 adds odd×odd AND the
+    # cross-parity pairs against the indexed history
+    assert all(a % 2 == 0 and b % 2 == 0 for a, b in p1)
+    assert p1 | p2 == expected
+    assert p1.isdisjoint(p2)
+    # cross-batch pairs actually exist in this corpus (the test would
+    # be vacuous otherwise)
+    assert any(a % 2 != b % 2 for a, b in p2)
