@@ -635,3 +635,250 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("o_totalprice"),
                     (F.col("qty_c") / 100.0).alias("total_qty"))
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))
+
+
+@register("q13_order_count_distribution", """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT coalesce(p.n_orders, 0) AS c_count,
+       count(*) AS custdist
+FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+GROUP BY c_count
+""")
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    zero-order customers included.
+
+    Scale shape: orders is pre-aggregated to one row per customer
+    (map-side partial agg) BEFORE the left join, so the join moves
+    ~|customers| rows instead of ~|orders| rows; the final histogram
+    agg is tiny."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (t["orders"]
+                .filter(F.col("o_orderpriority") != "1-URGENT")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    joined = t["customer"].join(
+        per_cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+    return (joined
+            .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@register("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.rev_c / 100.0 AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_c = (SELECT max(rev_c) FROM rev)
+ORDER BY s.s_suppkey
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — scalar-max subquery against a derived revenue view.
+
+    Scale shape: lineitem reduces to one row per supplier first; the
+    scalar max is a 1-row broadcast cross join (never a window over a
+    single partition, which would funnel the revenue view through one
+    task at scale)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")))).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("mx_c"))
+    return (rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx_c"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("rev_c") / 100.0).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@register("q17_small_quantity_revenue", """
+WITH pq AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pq.n < pq.sum_qc
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — each
+    line compared against 20% of its part's average quantity
+    (correlated-aggregate decorrelated into a per-part groupBy + join).
+
+    The threshold test is pure integer math (qty_c * 5 * n < sum_qc ⟺
+    qty < 0.2·avg) so both engines agree bit-for-bit — no float
+    average crosses the comparison.
+
+    Scale shape: the per-part aggregate is a map-side-combining
+    groupBy; the brand filter broadcasts; the only wide join is
+    lineitem⋈per-part-stats on l_partkey, which AQE can convert to
+    broadcast when the brand slice is selective."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    qc = _cents(F.col("l_quantity"))
+    pq = (t["lineitem"].groupBy("l_partkey")
+          .agg(F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("n"))
+          .withColumnRenamed("l_partkey", "pq_partkey"))
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")),
+        F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+    return (j.filter(qc * 5 * F.col("n") < F.col("sum_qc"))
+            .agg((F.sum(_cents(F.col("l_extendedprice"))) / 700.0)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q19_disjunctive_filter", """
+SELECT sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    Scale shape: the part-only disjunction (brand ∈ {3,12,23} AND
+    size ≤ 15) is implied by the full predicate, so Catalyst's
+    constraint propagation pushes a partial filter to the part scan,
+    shrinking it to broadcast size; the mixed part×lineitem terms
+    evaluate post-join inside codegen."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (((b == "Brand#3") & sz.between(1, 5) & q.between(1, 11))
+            | ((b == "Brand#12") & sz.between(1, 10) & q.between(10, 20))
+            | ((b == "Brand#23") & sz.between(1, 15) & q.between(20, 30)))
+    return (j.filter(cond)
+            .agg((F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")))) / 100.0)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q21_sole_return_supplier", """
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers
+    who were the ONLY supplier with a returned line in a multi-supplier
+    finalized order — the classic EXISTS + NOT-EXISTS pair.
+
+    Scale shape: instead of two correlated self-joins against lineitem
+    (each a full re-scan + shuffle), the order-level facts decorrelate
+    into ONE aggregation pyramid: distinct (order, supplier,
+    any-return) rows, then per-order supplier/returner counts. The
+    qualifying test (n_supp ≥ 2 AND n_ret = 1) is then a row filter
+    after a single equi-join — EXISTS and NOT EXISTS both answered by
+    the same tiny per-order table."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    per_supp = (t["lineitem"]
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max((F.col("l_returnflag") == "R").cast("int"))
+                     .alias("has_ret")))
+    per_order = (per_supp.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum("has_ret").alias("n_ret"))
+                 .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+                 .select(F.col("l_orderkey").alias("q_orderkey")))
+    l1 = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = (t["orders"].filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey"))
+    qual = (l1.join(per_order, F.col("l_orderkey") == F.col("q_orderkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    return (qual.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(20))
+
+
+@register("q22_dormant_customers", """
+WITH pos AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_custkey % 10 AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer c, pos
+WHERE c.c_custkey % 10 IN (1, 2, 3, 4, 5)
+  AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY cntrycode
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (cntrycode adapted to custkey % 10 — this
+    schema has no phone column): customers in selected segments with
+    above-average positive balance and NO orders.
+
+    The above-average test is integer (bal_c · n > sum_c ⟺ bal >
+    avg), so no float average crosses an engine boundary. Scale
+    shape: the global average is a 1-row broadcast; the NOT EXISTS is
+    a left-anti join on custkey (shuffle both sides on the key, no
+    correlated rescan); orders pre-projects to the join key only."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    bal_c = _cents(F.col("c_acctbal"))
+    pos = (t["customer"].filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal_c).alias("sum_c"), F.count(F.lit(1)).alias("n")))
+    cand = (t["customer"]
+            .filter((F.col("c_custkey") % 10).isin(1, 2, 3, 4, 5))
+            .join(F.broadcast(pos))
+            .filter(bal_c * F.col("n") > F.col("sum_c")))
+    dormant = cand.join(t["orders"].select("o_custkey"),
+                        F.col("c_custkey") == F.col("o_custkey"),
+                        "left_anti")
+    return (dormant
+            .groupBy((F.col("c_custkey") % 10).cast("long")
+                     .alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 (F.sum(bal_c) / 100.0).alias("totacctbal")))
