@@ -43,6 +43,7 @@ HEADLINE = [
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "a_ann_batch_topk",
+    "a_ann_pq_topk",
     "a_ann_recall_eval",
     "t_quality_score",
     "t_tfidf_topterms",

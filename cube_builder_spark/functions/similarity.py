@@ -387,3 +387,163 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
                  .cast("long").alias("n_hits")))
     return hits.select("q_vec_id", "n_hits",
                        (F.col("n_hits") / F.lit(float(k))).alias("recall"))
+
+
+# Product quantization -------------------------------------------------------
+#
+# The 100 TB vector-store representation: each D-dim float vector is
+# compressed to M small codes (one per disjoint dimension subspace),
+# ~M bytes instead of 4·D — a 100 TB raw corpus becomes a few TB of
+# codes that an ADC scan reads WITHOUT touching the float vectors.
+# Deterministic "training" reuses the IVF trick (sub-centroid g = the
+# integer sum of quantized member sub-vectors for vec_id % ks == g,
+# optionally Lloyd-refined per subspace), so the whole path — codebook,
+# encoding, ADC scores — is exact-integer until one final division and
+# replays verbatim in the SQL oracle.
+
+
+def pq_codebook(embeddings: DataFrame, m_sub: int = 4,
+                ks: int = 8) -> tuple[dict, int]:
+    """Per-subspace codebooks: split the D dims into ``m_sub``
+    contiguous subspaces, and in each build ``ks`` sub-centroids as
+    element-wise integer SUMS of the quantized sub-vectors of members
+    g = vec_id % ks (deterministic seeding; cosine ranking is
+    norm-invariant, so the un-divided sum points the same way as the
+    mean).
+
+    One explode + one map-side-combining groupBy over the corpus; the
+    output is bounded metadata (m_sub × ks × D/m_sub values), returned
+    driver-side as ({(m, g): {dim: c}}, D). ``dim`` is the GLOBAL
+    dimension index (matches the oracle's ``dims`` view)."""
+    dim = len(embeddings.select("embedding").first().embedding)
+    sub = dim // m_sub
+    rows = (embeddings.select(
+                (F.col("vec_id") % ks).alias("g"),
+                F.posexplode(quantize(F.col("embedding"))).alias("dim", "q"))
+            .groupBy(F.floor(F.col("dim") / sub).cast("int").alias("m"),
+                     "g", "dim")
+            .agg(F.sum("q").alias("c"))
+            .collect())
+    cb: dict[tuple[int, int], dict[int, int]] = {}
+    for r in rows:
+        cb.setdefault((int(r.m), int(r.g)), {})[int(r.dim)] = int(r.c)
+    return cb, dim
+
+
+def _pq_matrices(cb: dict, dim: int, m_sub: int, ks: int):
+    """Codebook as numpy: list of (sub × ks) int64 matrices + per-
+    (m, g) float64 norms (sqrt of the exact integer norm²)."""
+    import numpy as np
+    sub = dim // m_sub
+    mats, norms = [], []
+    for m in range(m_sub):
+        c = np.zeros((sub, ks), np.int64)
+        for g in range(ks):
+            for d, v in cb.get((m, g), {}).items():
+                c[d - m * sub, g] = v
+        mats.append(c)
+        norms.append(np.sqrt((c.astype(np.float64) ** 2).sum(axis=0)))
+    return mats, norms
+
+
+def pq_encode(embeddings: DataFrame, m_sub: int = 4, ks: int = 8,
+              codebook: tuple[dict, int] | None = None) -> DataFrame:
+    """Encode every vector to its M nearest sub-centroids →
+    (vec_id, codes array<int>, code_word long).
+
+    Assignment score is ``dot(sub_vec, c) / ‖c‖`` — the same ranking
+    as sub-vector cosine (the ‖sub_vec‖ denominator is constant per
+    row) without the 0/0 hazard of an all-zero sub-vector; ties take
+    the lowest g (np.argmax first-max ≡ the oracle's row_number
+    tie-break). A zero-norm centroid scores -inf and is never chosen.
+
+    Scale shape: the codebook is bounded metadata closed over by an
+    Arrow-batched mapInPandas — encoding is a PURE MAP over the
+    corpus scan (per batch, m_sub small matmuls), no join, no
+    shuffle. ``code_word`` packs the M codes little-endian
+    (Σ code_m · ks^m): the compact stored form — log2(ks^M) bits per
+    vector instead of 32·D."""
+    import numpy as np
+    import pandas as pd
+
+    cb, dim = codebook if codebook is not None \
+        else pq_codebook(embeddings, m_sub, ks)
+    mats, norms = _pq_matrices(cb, dim, m_sub, ks)
+    sub = dim // m_sub
+
+    def encode_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([
+                np.floor(np.asarray(e, np.float64) * 1000 + 0.5)
+                for e in pdf["embedding"]]).astype(np.int64)
+            codes = np.zeros((len(q), m_sub), np.int64)
+            for m in range(m_sub):
+                dots = (q[:, m * sub:(m + 1) * sub] @ mats[m]) \
+                    .astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    score = dots / norms[m][None, :]
+                score = np.nan_to_num(score, nan=-np.inf,
+                                      posinf=np.inf, neginf=-np.inf)
+                codes[:, m] = np.argmax(score, axis=1)
+            word = (codes * (ks ** np.arange(m_sub, dtype=np.int64))[None, :]
+                    ).sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "codes": [row.astype("int32").tolist() for row in codes],
+                "code_word": word})
+
+    return (embeddings.select("vec_id", "embedding")
+            .mapInPandas(encode_batch,
+                         "vec_id long, codes array<int>, code_word long"))
+
+
+def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                m_sub: int = 4, ks: int = 8, k: int = 10,
+                codebook: tuple[dict, int] | None = None) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate cosine
+    between the query and each vector's RECONSTRUCTION (the
+    concatenation of its chosen sub-centroids).
+
+    Because subspaces are disjoint, dot(q, recon) = Σ_m qd[m][code_m]
+    and ‖recon‖² = Σ_m cc[m][code_m] — both pure lookups. The two
+    M×ks tables are computed driver-side from the bounded codebook
+    (exact ints) and baked into the plan as array LITERALS indexed by
+    ``element_at(lut_m, code_m + 1)``: the whole ADC scan is
+    whole-stage-codegen arithmetic over the codes column — no join,
+    no shuffle, no floats read — and the top-k is a map-side-partial
+    TakeOrdered. THIS is the plan that survives 100 TB: the scan
+    reads ~M bytes per vector.
+
+    adc_cosine = Σqd / (‖q‖·√Σcc), exact-integer numerator and
+    radicands, one final double division (bit-identical to the SQL
+    oracle); a zero reconstruction scores -1e308."""
+    import math
+
+    cb, dim = codebook if codebook is not None \
+        else pq_codebook(embeddings, m_sub, ks)
+    codes = pq_encode(embeddings, m_sub, ks, codebook=(cb, dim))
+    sub = dim // m_sub
+
+    qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding").first())
+    qv = [int(math.floor(float(x) * 1000 + 0.5)) for x in qrow.embedding]
+    qq = sum(x * x for x in qv)
+
+    qd = [[sum(qv[d] * c for d, c in cb.get((m, g), {}).items())
+           for g in range(ks)] for m in range(m_sub)]
+    cc = [[sum(c * c for c in cb.get((m, g), {}).values())
+           for g in range(ks)] for m in range(m_sub)]
+
+    def lut(table, m):
+        arr = F.array(*[F.lit(int(v)) for v in table[m]])
+        return F.element_at(arr, F.col("codes")[m].cast("int") + 1)
+
+    num = sum((lut(qd, m) for m in range(m_sub)), F.lit(0).cast("long"))
+    rr = sum((lut(cc, m) for m in range(m_sub)), F.lit(0).cast("long"))
+    score = F.when(rr > 0, num / (F.lit(math.sqrt(qq)) * F.sqrt(rr))) \
+        .otherwise(F.lit(-1e308))
+    return (codes.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", score.alias("adc_cosine"))
+            .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))

@@ -633,6 +633,64 @@ def a_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(F.broadcast(norms), "list_id")
 
 
+_PQ_SQL = f"""
+{_dims_sql()},
+cb AS (
+  SELECT dim // 16 AS m, vec_id % 8 AS g, dim, sum(qval) AS c
+  FROM dims GROUP BY dim // 16, vec_id % 8, dim
+),
+cbn AS (SELECT m, g, sum(c * c) AS cc FROM cb GROUP BY m, g),
+sub_scores AS (
+  SELECT d.vec_id, cb.m, cb.g, sum(d.qval * cb.c) AS dot
+  FROM dims d JOIN cb ON cb.dim = d.dim
+  GROUP BY d.vec_id, cb.m, cb.g
+),
+encode AS (
+  SELECT vec_id, m, g AS code FROM (
+    SELECT s.vec_id, s.m, s.g,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             CASE WHEN n.cc = 0 THEN -1e308
+                  ELSE s.dot / sqrt(n.cc) END DESC, s.g) AS rn
+    FROM sub_scores s JOIN cbn n ON n.m = s.m AND n.g = s.g)
+  WHERE rn = 1
+)"""
+
+
+@register("a_ann_pq_topk", f"""
+WITH {_PQ_SQL},
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+)
+SELECT a.vec_id,
+       CASE WHEN a.rr = 0 THEN -1e308
+            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
+FROM adc a, qq q
+WHERE a.vec_id <> 0
+ORDER BY adc_cosine DESC, a.vec_id
+LIMIT 10
+""")
+def a_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10: vectors compressed to 4 codes
+    (8 sub-centroids per 16-dim subspace), query scored against each
+    vector's RECONSTRUCTION via two M×ks lookup tables baked into the
+    plan as array literals — the scan reads only the codes column
+    (whole-stage codegen, no join, no shuffle; top-k is a map-side
+    TakeOrdered). The compressed representation is the 100 TB vector
+    store: ~M bytes/vector instead of 4·D."""
+    return similarity.pq_adc_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                  m_sub=4, ks=8, k=10)
+
+
 # Multimodal ------------------------------------------------------------------
 
 _MEDIA_SQL = """

@@ -111,3 +111,47 @@ def test_ivf_batch_topk_matches_single_query_path(spark, sf_dir):
                  emb, emb.filter(F.col("vec_id") == 0), n_lists=8, k=5)
              .collect()}
     assert single == batch
+
+
+def test_pq_encode_shape_and_packing(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    cb, dim = similarity.pq_codebook(embs, m_sub=4, ks=8)
+    assert dim == 64
+    # bounded metadata: at most m_sub*ks sub-centroids, 16 dims each
+    assert len(cb) <= 4 * 8
+    assert all(len(dims) == 16 for dims in cb.values())
+    codes = similarity.pq_encode(embs, m_sub=4, ks=8,
+                                 codebook=(cb, dim)).collect()
+    assert len(codes) == n
+    for r in codes:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+        # little-endian packing round-trips
+        assert r.code_word == sum(c * 8 ** m for m, c in enumerate(r.codes))
+        assert 0 <= r.code_word < 8 ** 4
+
+
+def test_pq_adc_scan_has_no_shuffle(spark, sf_dir):
+    """The ADC scoring scan must be a pure map + TakeOrdered: at 100 TB
+    a shuffle of per-vector scores would dominate; the lookup-table
+    plan keeps everything map-side until the k-bounded reduction."""
+    embs = _embs(spark, sf_dir)
+    top = similarity.pq_adc_topk(embs, query_vec_id=0, k=10)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_scores_are_true_cosines_of_reconstruction(spark, sf_dir):
+    """|ADC score| <= 1 (Cauchy-Schwarz on q·recon), descending order,
+    deterministic across runs."""
+    embs = _embs(spark, sf_dir)
+    a = similarity.pq_adc_topk(embs, query_vec_id=0, k=10).collect()
+    b = similarity.pq_adc_topk(embs, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.adc_cosine) for r in a] \
+        == [(r.vec_id, r.adc_cosine) for r in b]
+    scores = [r.adc_cosine for r in a]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+    assert all(r.vec_id != 0 for r in a)
