@@ -882,3 +882,67 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cntrycode"))
             .agg(F.count(F.lit(1)).alias("numcust"),
                  (F.sum(bal_c) / 100.0).alias("totacctbal")))
+
+
+@register("x_bloom_prune_join", """
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+),
+bits AS (
+  SELECT (o_orderkey * 2654435761 + 0) % 4096 AS pos FROM dim
+  UNION
+  SELECT (o_orderkey * 40503 + 1) % 4096 FROM dim
+  UNION
+  SELECT (o_orderkey * 69069 + 2) % 4096 FROM dim
+),
+pass AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  WHERE (l_orderkey * 2654435761 + 0) % 4096 IN (SELECT pos FROM bits)
+    AND (l_orderkey * 40503 + 1) % 4096 IN (SELECT pos FROM bits)
+    AND (l_orderkey * 69069 + 2) % 4096 IN (SELECT pos FROM bits)
+),
+j AS (SELECT p.* FROM pass p JOIN dim d ON d.o_orderkey = p.l_orderkey)
+SELECT (SELECT count(*) FROM lineitem) AS n_fact,
+       (SELECT count(*) FROM pass) AS n_pass_bloom,
+       (SELECT count(*) FROM j) AS n_matched,
+       (SELECT count(*) FROM pass) - (SELECT count(*) FROM j)
+         AS n_false_positive_rows,
+       (SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) FROM j) / 100.0 AS revenue
+""")
+def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning of a fact⋈dim-slice join: a 4096-
+    bit filter built over the selective dim keys (urgent finalized
+    orders) broadcasts as an array literal and drops non-matching
+    lineitem rows AT THE SCAN, before any shuffle — the explicit form
+    of Spark's runtime bloom injection, reusable across queries.
+
+    Output is the pruning report: fact rows scanned, rows passing the
+    bloom, rows actually matched, deterministic false positives (the
+    affine-hash positions are exact int64, so both engines agree on
+    every false positive), and the joined revenue — proving the
+    pruned join is lossless."""
+    from .functions import bloom
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    dim = (t["orders"]
+           .filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_orderstatus") == "F"))
+           .select("o_orderkey"))
+    mask = bloom.build(dim, "o_orderkey", k=3, mbits=4096)
+    li = t["lineitem"]
+    passed = li.filter(bloom.might_contain(F.col("l_orderkey"), mask,
+                                           k=3, mbits=4096))
+    joined = passed.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))
+    jn = joined.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(_cents(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")))).alias("rev_c"))
+    return (n_fact.crossJoin(F.broadcast(n_pass)).crossJoin(F.broadcast(jn))
+            .select("n_fact", "n_pass_bloom", "n_matched",
+                    (F.col("n_pass_bloom") - F.col("n_matched"))
+                    .alias("n_false_positive_rows"),
+                    (F.col("rev_c") / 100.0).alias("revenue")))
