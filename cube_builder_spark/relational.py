@@ -946,3 +946,71 @@ def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_pass_bloom") - F.col("n_matched"))
                     .alias("n_false_positive_rows"),
                     (F.col("rev_c") / 100.0).alias("revenue")))
+
+
+@register("x_zorder_bbox_prune", """
+WITH pts AS (
+  SELECT o_orderkey,
+         o_orderkey % 1024 AS x,
+         (o_orderkey * 7919) % 1024 AS y
+  FROM orders
+),
+zs AS (
+  SELECT o_orderkey, x, y,
+         CAST(list_sum(list_transform(range(0, 10), i ->
+              ((x >> i) & 1) * (1 << (2 * i))
+            + ((y >> i) & 1) * (1 << (2 * i + 1)))) AS BIGINT) AS z
+  FROM pts
+),
+stats AS (
+  SELECT z // 4096 AS cell, count(*) AS n,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM zs GROUP BY z // 4096
+),
+scanned AS (
+  SELECT * FROM stats
+  WHERE mnx <= 300 AND mxx >= 100 AND mny <= 500 AND mxy >= 200
+)
+SELECT (SELECT count(*) FROM stats) AS n_cells,
+       (SELECT count(*) FROM scanned) AS n_scanned_cells,
+       (SELECT CAST(sum(n) AS BIGINT) FROM stats) AS rows_total,
+       (SELECT CAST(sum(n) AS BIGINT) FROM scanned) AS rows_scanned,
+       (SELECT count(*) FROM zs
+        WHERE x BETWEEN 100 AND 300 AND y BETWEEN 200 AND 500)
+         AS rows_matched
+""")
+def x_zorder_bbox_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout pruning report: points (synthetic deterministic
+    coords) are clustered into Morton cells (z >> 12 ⇒ 64×64 spatial
+    blocks — the per-file granule of a z-ordered write); each cell
+    keeps min/max x/y exactly like parquet file statistics. A bbox
+    query then scans only cells whose empirical bbox intersects it.
+
+    The report proves the layout's pruning power: total cells vs
+    cells a [100,300]×[200,500] bbox must scan, and total rows vs
+    rows inside scanned cells vs exact matches. Pure integer plan —
+    the interleave is literal-shift codegen arithmetic, one groupBy,
+    and three tiny aggregates."""
+    from .functions import zorder
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    pts = t["orders"].select(
+        (F.col("o_orderkey") % 1024).alias("x"),
+        ((F.col("o_orderkey") * 7919) % 1024).alias("y"))
+    zs = pts.withColumn("z", zorder.z_value(F.col("x"), F.col("y"), bits=10))
+    stats = (zs.groupBy(F.floor(F.col("z") / 4096).cast("long").alias("cell"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                  F.min("y").alias("mny"), F.max("y").alias("mxy")))
+    scanned = stats.filter((F.col("mnx") <= 300) & (F.col("mxx") >= 100)
+                           & (F.col("mny") <= 500) & (F.col("mxy") >= 200))
+    tot = stats.agg(F.count(F.lit(1)).alias("n_cells"),
+                    F.sum("n").alias("rows_total"))
+    scn = scanned.agg(F.count(F.lit(1)).alias("n_scanned_cells"),
+                      F.sum("n").alias("rows_scanned"))
+    mtc = (zs.filter(F.col("x").between(100, 300)
+                     & F.col("y").between(200, 500))
+           .agg(F.count(F.lit(1)).alias("rows_matched")))
+    return (tot.crossJoin(F.broadcast(scn)).crossJoin(F.broadcast(mtc))
+            .select("n_cells", "n_scanned_cells", "rows_total",
+                    "rows_scanned", "rows_matched"))
