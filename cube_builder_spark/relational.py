@@ -1014,3 +1014,42 @@ def x_zorder_bbox_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tot.crossJoin(F.broadcast(scn)).crossJoin(F.broadcast(mtc))
             .select("n_cells", "n_scanned_cells", "rows_total",
                     "rows_scanned", "rows_matched"))
+
+
+@register("x_salted_skew_join", """
+WITH fact AS (
+  SELECT CASE WHEN l_quantity <= 25 THEN 1
+              ELSE l_orderkey % 25 END AS hot_key,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+)
+SELECT n.n_name AS n_name, count(*) AS n_rows,
+       sum(f.rev_c) / 100.0 AS revenue
+FROM fact f JOIN nation n ON n.n_nationkey = f.hot_key
+GROUP BY n.n_name
+""")
+def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: ~half of lineitem maps to hot_key=1 — a
+    plain shuffle join would funnel that volume to one reducer. The
+    salted join spreads every key over 8 sub-keys (big side salts
+    row-locally, small side replicates 8×), then aggregates. The
+    oracle is the PLAIN join: salting must not change the result.
+
+    shuffle_hash hint models the real scenario (both sides above
+    broadcast size — at 100 TB the dim here stands in for a
+    multi-GB table); with a truly small dim, broadcast() is the
+    right tool instead and no salt is needed."""
+    from .functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["lineitem", "nation"])
+    fact = t["lineitem"].select(
+        F.when(F.col("l_quantity") <= 25, F.lit(1))
+        .otherwise(F.col("l_orderkey") % 25).alias("hot_key"),
+        _cents(F.col("l_extendedprice")
+               * (1 - F.col("l_discount"))).alias("rev_c"))
+    dim = t["nation"].select("n_nationkey", "n_name").hint("shuffle_hash")
+    joined = salted_join(fact, dim, "hot_key", "n_nationkey", salt_n=8)
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum("rev_c") / 100.0).alias("revenue")))
