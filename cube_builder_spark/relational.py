@@ -1053,3 +1053,290 @@ def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  (F.sum("rev_c") / 100.0).alias("revenue")))
+
+
+# The tables have no partsupp; q2/q9/q11/q16/q20 run over a derived
+# `supply` relation (distinct lineitem supplier×part pairs) with a
+# deterministic synthetic integer supply cost, keeping each query's
+# SHAPE (correlated min, profit join tree, value concentration,
+# distinct-supplier counts, dominant-share semi-join) intact.
+_SUPPLY_SQL = """
+supply AS (
+  SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+         (l_suppkey * 13 + l_partkey * 7) % 1000 + 1 AS ps_cost
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)"""
+
+
+def _supply(t):
+    """Spark twin of _SUPPLY_SQL (exact integer cost)."""
+    return (t["lineitem"]
+            .groupBy(F.col("l_suppkey").alias("ps_suppkey"),
+                     F.col("l_partkey").alias("ps_partkey"))
+            .agg(F.first(F.lit(1)))
+            .select("ps_suppkey", "ps_partkey",
+                    ((F.col("ps_suppkey") * 13 + F.col("ps_partkey") * 7)
+                     % 1000 + 1).alias("ps_cost")))
+
+
+@register("q2_min_cost_supplier", f"""
+WITH {_SUPPLY_SQL},
+eligible AS (
+  SELECT sc.ps_partkey, sc.ps_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM supply sc
+  JOIN supplier s ON s.s_suppkey = sc.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+),
+minc AS (SELECT ps_partkey, min(ps_cost) AS mc FROM eligible
+         GROUP BY ps_partkey)
+SELECT CAST(round(e.s_acctbal * 100) AS BIGINT) / 100.0 AS acctbal,
+       e.s_name AS s_name, e.n_name AS n_name,
+       p.p_partkey AS p_partkey, e.ps_cost AS supply_cost
+FROM eligible e
+JOIN minc m ON m.ps_partkey = e.ps_partkey AND e.ps_cost = m.mc
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per qualifying part in a
+    region — the correlated-min subquery decorrelated into a per-part
+    min aggregate joined back on (part, cost).
+
+    Scale shape: supplier/nation/region and the part slice broadcast;
+    the supply relation aggregates once and is reused for both the
+    min and the join-back (same grouping key, no second scan)."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "supplier", "nation", "region", "part"])
+    nr = (t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    eligible = (_supply(t)
+                .join(F.broadcast(t["supplier"]),
+                      F.col("ps_suppkey") == F.col("s_suppkey"))
+                .join(F.broadcast(nr),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("ps_partkey", "ps_cost", "s_name", "s_acctbal",
+                        "n_name"))
+    minc = (eligible.groupBy("ps_partkey")
+            .agg(F.min("ps_cost").alias("mc")))
+    psel = t["part"].filter((F.col("p_size") == 15)
+                            & (F.col("p_type") == "SMALL"))
+    return (eligible
+            .join(minc.withColumnRenamed("ps_partkey", "m_partkey"),
+                  (F.col("ps_partkey") == F.col("m_partkey"))
+                  & (F.col("ps_cost") == F.col("mc")))
+            .join(F.broadcast(psel),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .select((_cents(F.col("s_acctbal")) / 100.0).alias("acctbal"),
+                    "s_name", "n_name", "p_partkey",
+                    F.col("ps_cost").alias("supply_cost"))
+            .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(20))
+
+
+@register("q9_product_profit", f"""
+WITH {_SUPPLY_SQL}
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)
+           - sc.ps_cost * CAST(round(l.l_quantity * 100) AS BIGINT))
+         / 100.0 AS profit
+FROM lineitem l
+JOIN supply sc ON sc.ps_suppkey = l.l_suppkey
+              AND sc.ps_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − supply cost × qty) by
+    supplier nation and order year for a part-name slice — the
+    classic 6-way join tree, exact-integer cents throughout.
+
+    Scale shape: part slice / supplier / nation broadcast; the
+    supply-cost join is keyed on the same (suppkey, partkey) the
+    fact row already carries; the one wide shuffle is
+    lineitem⋈orders."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "part", "supplier", "nation"])
+    j = (t["lineitem"]
+         .join(F.broadcast(t["part"]
+                           .filter(F.col("p_name").like("%red%"))
+                           .select("p_partkey")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(_supply(t), (F.col("l_suppkey") == F.col("ps_suppkey"))
+               & (F.col("l_partkey") == F.col("ps_partkey")))
+         .join(t["orders"].select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    amount = (_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              - F.col("ps_cost") * _cents(F.col("l_quantity")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((F.sum(amount) / 100.0).alias("profit")))
+
+
+@register("q11_important_stock", f"""
+WITH {_SUPPLY_SQL},
+val AS (
+  SELECT sc.ps_partkey, CAST(sum(sc.ps_cost) AS BIGINT) AS v
+  FROM supply sc
+  JOIN supplier s ON s.s_suppkey = sc.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+  GROUP BY sc.ps_partkey
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM val)
+SELECT v.ps_partkey AS ps_partkey, v.v AS part_value
+FROM val v, tot
+WHERE v.v * 200 > tot.t
+ORDER BY part_value DESC, ps_partkey
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value within one nation
+    exceeds 0.5% of the nation's total — value concentration with a
+    scalar-total subquery, decided by integer cross-multiplication
+    (v·200 > total) so no float fraction crosses engines.
+
+    Scale shape: the total is a 1-row broadcast over the per-part
+    aggregate; supplier/nation broadcast into the supply scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    n7 = t["nation"].filter(F.col("n_name") == "NATION_7")
+    val = (_supply(t)
+           .join(F.broadcast(t["supplier"]),
+                 F.col("ps_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n7),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum("ps_cost").cast("long").alias("v")))
+    tot = val.agg(F.sum("v").cast("long").alias("t"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("v") * 200 > F.col("t"))
+            .select("ps_partkey", F.col("v").alias("part_value"))
+            .orderBy(F.desc("part_value"), "ps_partkey"))
+
+
+@register("q12_priority_by_flag", """
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""")
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (returnflag standing in for the absent
+    shipmode column): high/low-priority line counts per category for
+    a one-year window — conditional-sum pivot after one equi-join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+@register("q16_supplier_part_counts", f"""
+WITH {_SUPPLY_SQL}
+SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+       CAST(count(DISTINCT sc.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply sc
+JOIN part p ON p.p_partkey = sc.ps_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND sc.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+""")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) over a part slice, excluding flagged suppliers (negative
+    balance standing in for the absent comment column) — NOT IN as a
+    broadcast anti-join, count(DISTINCT) as its two-level exact
+    form."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = (t["supplier"].filter(F.col("s_acctbal") < 0)
+           .select("s_suppkey"))
+    psel = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    return (_supply(t)
+            .join(F.broadcast(bad),
+                  F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(psel),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+            .limit(50))
+
+
+@register("q20_dominant_suppliers", """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq FROM pq
+       GROUP BY l_partkey),
+dom AS (
+  SELECT DISTINCT pq.l_suppkey FROM pq
+  JOIN pt ON pt.l_partkey = pq.l_partkey
+  WHERE pq.sq * 2 > pt.tq
+)
+SELECT s.s_name AS s_name, n.n_name AS n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_4'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_name
+""")
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped the
+    MAJORITY of some part's 1997 volume (availqty threshold adapted
+    to a shipped-share threshold — same correlated-aggregate +
+    semi-join structure, integer cross-multiplied share test).
+
+    Scale shape: two stacked aggregations over the same windowed
+    lineitem slice (the second input is already one row per
+    (part, supplier)), then a semi-join into the broadcast
+    supplier×nation slice."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    pq = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(_cents(F.col("l_quantity"))).alias("sq")))
+    pt = (pq.groupBy("l_partkey")
+          .agg(F.sum("sq").cast("long").alias("tq")))
+    dom = (pq.join(pt.withColumnRenamed("l_partkey", "t_partkey"),
+                   F.col("l_partkey") == F.col("t_partkey"))
+           .filter(F.col("sq") * 2 > F.col("tq"))
+           .select("l_suppkey").distinct())
+    sn = (t["supplier"]
+          .join(F.broadcast(t["nation"]
+                            .filter(F.col("n_name") == "NATION_4")),
+                F.col("s_nationkey") == F.col("n_nationkey")))
+    return (sn.join(dom, F.col("s_suppkey") == F.col("l_suppkey"),
+                    "left_semi")
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
