@@ -547,3 +547,61 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
     return (codes.filter(F.col("vec_id") != query_vec_id)
             .select("vec_id", score.alias("adc_cosine"))
             .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))
+
+
+def hard_negatives(embeddings: DataFrame, queries: DataFrame,
+                   k: int = 5) -> DataFrame:
+    """Hard-negative mining: for every query vector, the k most
+    similar corpus vectors with a DIFFERENT label — the contrastive-
+    training data op (the negatives that are hardest to distinguish
+    are the ones worth training on).
+
+    Same scale shape as batch_topk — broadcast (Q × dim) query matrix
+    + query labels, Arrow-batched matmul over the corpus scan,
+    per-batch partial top-k — with same-label candidates masked to
+    -inf BEFORE the partial top-k, so the mask never costs a second
+    pass and the partial reduction stays lossless. Final exact merge
+    is one window over partitions × Q × k rows."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("vec_id", "embedding", "label").collect()
+    qids = np.array([r.vec_id for r in qrows], np.int64)
+    qlab = np.array([r.label for r in qrows], np.int64)
+    qmat = np.stack([
+        np.floor(np.asarray(r.embedding, np.float64) * 1000 + 0.5)
+        for r in qrows]).astype(np.int64)
+    qnorm = np.sqrt((qmat.astype(np.float64) ** 2).sum(axis=1))
+
+    def score_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack([
+                np.floor(np.asarray(e, np.float64) * 1000 + 0.5)
+                for e in pdf["embedding"]]).astype(np.int64)
+            dots = (c @ qmat.T).astype(np.float64)
+            cnorm = np.sqrt((c.astype(np.float64) ** 2).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (cnorm[:, None] * qnorm[None, :])
+            cos = np.nan_to_num(cos, nan=-np.inf)
+            clab = pdf["label"].to_numpy(np.int64)
+            cos[clab[:, None] == qlab[None, :]] = -np.inf  # mask positives
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            kk = min(k, len(vids))
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qids)):
+                top = np.lexsort((vids, -cos[:, j]))[:kk]
+                top = top[np.isfinite(cos[top, j])]
+                out_q.extend([qids[j]] * len(top))
+                out_v.extend(vids[top])
+                out_c.extend(cos[top, j])
+            yield pd.DataFrame({"q_vec_id": out_q, "vec_id": out_v,
+                                "cosine": out_c})
+
+    scored = (embeddings.select("vec_id", "embedding", "label")
+              .mapInPandas(score_batch,
+                           "q_vec_id long, vec_id long, cosine double"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

@@ -691,6 +691,44 @@ def a_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   m_sub=4, ks=8, k=10)
 
 
+@register("a_hard_negatives", """
+WITH evl AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS q_vec_id, label AS qlabel, v AS qv
+       FROM evl WHERE vec_id % 50 = 0),
+cand AS (SELECT vec_id, label, v FROM evl WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT q.q_vec_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM qs q JOIN cand c ON c.label <> q.qlabel
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def a_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 nearest corpus vectors with a DIFFERENT label (the
+    negatives the model most confuses). One Arrow-batched corpus pass
+    with the positive-label mask applied before the partial top-k;
+    the oracle replays it as a label-mismatch join + window."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    return similarity.hard_negatives(cands, queries, k=5)
+
+
 # Multimodal ------------------------------------------------------------------
 
 _MEDIA_SQL = """

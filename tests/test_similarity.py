@@ -155,3 +155,22 @@ def test_pq_adc_scores_are_true_cosines_of_reconstruction(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in scores)
     assert all(r.vec_id != 0 for r in a)
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    out = similarity.hard_negatives(cands, queries, k=5).collect()
+    labels = {r.vec_id: r.label
+              for r in embs.select("vec_id", "label").collect()}
+    assert out
+    per_q = {}
+    for r in out:
+        # a hard negative never shares the query's label
+        assert labels[r.vec_id] != labels[r.q_vec_id]
+        per_q.setdefault(r.q_vec_id, []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= 5
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
