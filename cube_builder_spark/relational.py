@@ -14,7 +14,7 @@ Determinism notes for the DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .tables import load_tables
@@ -697,9 +697,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(_cents(F.col("l_extendedprice")
-                     * (1 - F.col("l_discount")))).alias("rev_c"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))).alias("rev_c"))
+           # rev feeds BOTH the scalar max and the join-back; without a
+           # lineage cut the lineitem scan+shuffle above runs twice.
+           # rev is one row per supplier — tiny — so an eager local
+           # checkpoint costs nothing and halves the heavy subtree.
+           .localCheckpoint(eager=True))
     mx = rev.agg(F.max("rev_c").alias("mx_c"))
     return (rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx_c"))
             .join(F.broadcast(t["supplier"]),
@@ -734,19 +739,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty < 0.2·avg) so both engines agree bit-for-bit — no float
     average crosses the comparison.
 
-    Scale shape: the per-part aggregate is a map-side-combining
-    groupBy; the brand filter broadcasts; the only wide join is
-    lineitem⋈per-part-stats on l_partkey, which AQE can convert to
-    broadcast when the brand slice is selective."""
+    Scale shape: the correlated avg is PER PART, so only Brand#23
+    parts' stats matter — the broadcast part slice pre-filters the
+    scan (the naive shape aggregates ALL of lineitem for stats that
+    are then 99% discarded), and the per-part stats are WINDOW
+    aggregates over the same filtered rows rather than a groupBy
+    joined back (which would scan + shuffle the slice twice — column
+    pruning defeats exchange reuse). One scan, one shuffle on
+    l_partkey (verified in the executed plan)."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     qc = _cents(F.col("l_quantity"))
-    pq = (t["lineitem"].groupBy("l_partkey")
-          .agg(F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("n"))
-          .withColumnRenamed("l_partkey", "pq_partkey"))
-    li = t["lineitem"].join(
-        F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")),
-        F.col("l_partkey") == F.col("p_partkey"))
-    j = li.join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+    brand = F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")
+                        .select("p_partkey"))
+    li = t["lineitem"].join(brand,
+                            F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    j = (li.withColumn("sum_qc", F.sum(qc).over(w))
+         .withColumn("n", F.count(F.lit(1)).over(w)))
     return (j.filter(qc * 5 * F.col("n") < F.col("sum_qc"))
             .agg((F.sum(_cents(F.col("l_extendedprice"))) / 700.0)
                  .alias("avg_yearly"),
@@ -813,31 +822,35 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized order — the classic EXISTS + NOT-EXISTS pair.
 
     Scale shape: instead of two correlated self-joins against lineitem
-    (each a full re-scan + shuffle), the order-level facts decorrelate
-    into ONE aggregation pyramid: distinct (order, supplier,
-    any-return) rows, then per-order supplier/returner counts. The
-    qualifying test (n_supp ≥ 2 AND n_ret = 1) is then a row filter
-    after a single equi-join — EXISTS and NOT EXISTS both answered by
-    the same tiny per-order table."""
+    (each a full re-scan + shuffle), ONE aggregation pyramid on ONE
+    scan: groupBy (order, supplier) keeps the per-pair R-line count
+    alongside the any-return flag, and the per-order supplier/returner
+    counts are WINDOW aggregates over those (already aggregated) rows
+    — the window reuses the groupBy's hash partitioning prefix, so
+    EXISTS and NOT EXISTS are both answered without a second lineitem
+    subtree (verified: one lineitem scan in the executed plan).
+    numwait = Σ cnt_r over qualifying pairs ≡ counting l1 rows."""
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
     per_supp = (t["lineitem"]
                 .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max((F.col("l_returnflag") == "R").cast("int"))
-                     .alias("has_ret")))
-    per_order = (per_supp.groupBy("l_orderkey")
-                 .agg(F.count(F.lit(1)).alias("n_supp"),
-                      F.sum("has_ret").alias("n_ret"))
-                 .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
-                 .select(F.col("l_orderkey").alias("q_orderkey")))
-    l1 = t["lineitem"].filter(F.col("l_returnflag") == "R")
+                     .alias("has_ret"),
+                     F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                           .otherwise(0)).alias("cnt_r")))
+    w = Window.partitionBy("l_orderkey")
+    qual_pairs = (per_supp
+                  .withColumn("n_supp", F.count(F.lit(1)).over(w))
+                  .withColumn("n_ret", F.sum("has_ret").over(w))
+                  .filter((F.col("has_ret") == 1) & (F.col("n_supp") >= 2)
+                          & (F.col("n_ret") == 1)))
     o = (t["orders"].filter(F.col("o_orderstatus") == "F")
          .select("o_orderkey"))
-    qual = (l1.join(per_order, F.col("l_orderkey") == F.col("q_orderkey"))
+    qual = (qual_pairs
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(t["supplier"]),
                   F.col("l_suppkey") == F.col("s_suppkey")))
     return (qual.groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("cnt_r").cast("long").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name").limit(20))
 
 
@@ -1104,32 +1117,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region — the correlated-min subquery decorrelated into a per-part
     min aggregate joined back on (part, cost).
 
-    Scale shape: supplier/nation/region and the part slice broadcast;
-    the supply relation aggregates once and is reused for both the
-    min and the join-back (same grouping key, no second scan)."""
+    Scale shape: supplier/nation/region and the part slice broadcast.
+    The per-part min is a WINDOW over the eligible rows, not a
+    groupBy + join-back — the join-back shape evaluates the whole
+    supply subtree (lineitem scan + shuffle) twice because column
+    pruning makes the two branches non-reusable; the window keeps it
+    ONE subtree with one hash partition on ps_partkey (verified: one
+    lineitem scan in the executed plan)."""
     t = load_tables(spark, sf_dir,
                     ["lineitem", "supplier", "nation", "region", "part"])
     nr = (t["nation"].join(
         F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
         F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name"))
+    psel = t["part"].filter((F.col("p_size") == 15)
+                            & (F.col("p_type") == "SMALL"))
     eligible = (_supply(t)
+                # part slice first: shrinks the window input ~1000x
+                .join(F.broadcast(psel),
+                      F.col("ps_partkey") == F.col("p_partkey"))
                 .join(F.broadcast(t["supplier"]),
                       F.col("ps_suppkey") == F.col("s_suppkey"))
                 .join(F.broadcast(nr),
-                      F.col("s_nationkey") == F.col("n_nationkey"))
-                .select("ps_partkey", "ps_cost", "s_name", "s_acctbal",
-                        "n_name"))
-    minc = (eligible.groupBy("ps_partkey")
-            .agg(F.min("ps_cost").alias("mc")))
-    psel = t["part"].filter((F.col("p_size") == 15)
-                            & (F.col("p_type") == "SMALL"))
+                      F.col("s_nationkey") == F.col("n_nationkey")))
+    mc = F.min("ps_cost").over(Window.partitionBy("ps_partkey"))
     return (eligible
-            .join(minc.withColumnRenamed("ps_partkey", "m_partkey"),
-                  (F.col("ps_partkey") == F.col("m_partkey"))
-                  & (F.col("ps_cost") == F.col("mc")))
-            .join(F.broadcast(psel),
-                  F.col("ps_partkey") == F.col("p_partkey"))
+            .withColumn("mc", mc)
+            .filter(F.col("ps_cost") == F.col("mc"))
             .select((_cents(F.col("s_acctbal")) / 100.0).alias("acctbal"),
                     "s_name", "n_name", "p_partkey",
                     F.col("ps_cost").alias("supply_cost"))
@@ -1316,20 +1330,20 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a shipped-share threshold — same correlated-aggregate +
     semi-join structure, integer cross-multiplied share test).
 
-    Scale shape: two stacked aggregations over the same windowed
-    lineitem slice (the second input is already one row per
-    (part, supplier)), then a semi-join into the broadcast
-    supplier×nation slice."""
+    Scale shape: one (part, supplier) aggregation, then the per-part
+    total as a WINDOW sum over those aggregated rows — not a second
+    groupBy joined back, which would evaluate the lineitem scan +
+    shuffle twice (the differing partial aggregates defeat exchange
+    reuse). The window reuses the aggregation's hash partitioning
+    prefix; its input is already one row per (part, supplier)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     pq = (li.groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(_cents(F.col("l_quantity"))).alias("sq")))
-    pt = (pq.groupBy("l_partkey")
-          .agg(F.sum("sq").cast("long").alias("tq")))
-    dom = (pq.join(pt.withColumnRenamed("l_partkey", "t_partkey"),
-                   F.col("l_partkey") == F.col("t_partkey"))
+    tq = F.sum("sq").over(Window.partitionBy("l_partkey"))
+    dom = (pq.withColumn("tq", tq.cast("long"))
            .filter(F.col("sq") * 2 > F.col("tq"))
            .select("l_suppkey").distinct())
     sn = (t["supplier"]
