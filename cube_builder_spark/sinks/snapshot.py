@@ -1,0 +1,137 @@
+"""Snapshot-versioned parquet store — time travel for cube products.
+
+The reference reprocesses periods in place (`processing.py` re-runs a
+merge/blend and overwrites the COGs; consumers see the change
+immediately and the old product is gone). At warehouse scale that is
+not acceptable: a reprocessing job must publish a NEW version while
+running readers keep a consistent view, and a bad publish must be
+revertible without recomputation. This store implements the minimal
+manifest-log design behind Delta/Iceberg, over plain parquet:
+
+- data files are immutable, written once under `data/`;
+- each commit writes a JSON manifest `_manifests/v{N}.json` listing
+  EXACTLY the files visible at that version (append = parent's list +
+  new files; overwrite = new files only);
+- readers resolve a version (default: latest) to its file list and
+  read only those files — a reader holding version N is unaffected by
+  later commits;
+- rollback is a METADATA commit: a new version re-pointing at an old
+  version's files (no data movement, instant);
+- vacuum deletes files referenced by NO retained manifest.
+
+Single-writer by assumption (the reference's Celery queue serializes
+publishes the same way); the manifest is written last, so a crashed
+commit leaves only unreferenced data files for vacuum to collect —
+never a corrupt table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- manifest log -------------------------------------------------
+    def versions(self) -> list[int]:
+        mdir = os.path.join(self.root, _MANIFESTS)
+        return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFESTS, f"v{version:05d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], op: str,
+                parent: int | None) -> int:
+        version = (self.versions() or [0])[-1] + 1
+        manifest = {"version": version, "op": op, "parent": parent,
+                    "files": sorted(files)}
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    # -- write path ---------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Commit ``df`` as a new version. ``mode='append'`` adds its
+        files to the current view; ``'overwrite'`` replaces the view.
+        Data lands under a unique subdir first; the manifest commit is
+        the only publication point."""
+        sub = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("error").parquet(sub)
+        new_files = sorted(
+            os.path.join(sub, f) for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith("."))
+        vs = self.versions()
+        parent = vs[-1] if vs else None
+        base = self._read_manifest(parent)["files"] \
+            if (parent is not None and mode == "append") else []
+        return self._commit(base + new_files, mode, parent)
+
+    def rollback(self, to_version: int) -> int:
+        """Metadata-only revert: new version = ``to_version``'s file
+        list. Instant at any scale."""
+        files = self._read_manifest(to_version)["files"]
+        return self._commit(files, f"rollback[{to_version}]",
+                            (self.versions() or [None])[-1])
+
+    # -- read path ----------------------------------------------------
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default latest). Empty-log or
+        empty-file-list versions are an error — there is nothing to
+        infer a schema from."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        v = vs[-1] if version is None else version
+        files = self._read_manifest(v)["files"]
+        if not files:
+            raise FileNotFoundError(f"version {v} is empty")
+        return spark.read.parquet(*files)
+
+    # -- maintenance --------------------------------------------------
+    def expire(self, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` manifests (readers of
+        dropped versions lose time travel; current data unaffected)."""
+        vs = self.versions()
+        dropped = vs[:-keep_last] if keep_last > 0 else vs
+        for v in dropped:
+            os.remove(self._manifest_path(v))
+        return dropped
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest (crash
+        leftovers and expired-version files)."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._read_manifest(v)["files"])
+        removed = []
+        droot = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(droot, topdown=False):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                # only data files: _SUCCESS markers and checksums are
+                # harmless and never referenced by manifests
+                if f.endswith(".parquet") and not f.startswith(".") \
+                        and p not in referenced:
+                    os.remove(p)
+                    removed.append(p)
+            if dirpath != droot and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed

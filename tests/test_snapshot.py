@@ -1,0 +1,82 @@
+"""Snapshot store: time travel, isolation from later commits,
+metadata rollback, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cube_builder_spark.sinks.snapshot import SnapshotStore
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 3).alias("v"))
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "snap"))
+    v1 = st.write(_df(spark, 0, 10))
+    v2 = st.write(_df(spark, 10, 15))              # append
+    v3 = st.write(_df(spark, 100, 103), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _ids(st.read(spark, v1)) == list(range(10))
+    assert _ids(st.read(spark, v2)) == list(range(15))
+    assert _ids(st.read(spark, v3)) == [100, 101, 102]
+    assert _ids(st.read(spark)) == [100, 101, 102]  # latest
+
+
+def test_reader_pinned_to_old_version_sees_no_new_commits(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "snap"))
+    v1 = st.write(_df(spark, 0, 5))
+    pinned = st.read(spark, v1)   # plan resolved against v1's files
+    st.write(_df(spark, 5, 50))
+    assert _ids(pinned) == list(range(5))
+
+
+def test_rollback_is_metadata_only(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "snap"))
+    v1 = st.write(_df(spark, 0, 5))
+    st.write(_df(spark, 1000, 2000), mode="overwrite")
+    n_files_before = sum(len(fs) for _d, _s, fs in
+                         os.walk(str(tmp_path / "snap" / "data")))
+    v3 = st.rollback(v1)
+    n_files_after = sum(len(fs) for _d, _s, fs in
+                        os.walk(str(tmp_path / "snap" / "data")))
+    assert n_files_after == n_files_before  # no data movement
+    assert _ids(st.read(spark, v3)) == list(range(5))
+    # the bad version remains reachable for forensics
+    assert _ids(st.read(spark, 2)) == list(range(1000, 2000))
+
+
+def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 5))
+    st.write(_df(spark, 5, 10), mode="overwrite")   # v1 files now orphaned
+    # nothing removable while v1's manifest is retained
+    assert st.vacuum() == []
+    assert st.expire(keep_last=1) == [1]
+    removed = st.vacuum()
+    assert removed                                    # v1's files collected
+    assert _ids(st.read(spark)) == list(range(5, 10))
+    with pytest.raises(FileNotFoundError):
+        st._read_manifest(1)  # noqa: SLF001 — expired
+
+
+def test_crashed_commit_leaves_table_consistent(spark, tmp_path):
+    """Data files without a manifest (simulated crash between data
+    write and manifest commit) are invisible and vacuumable."""
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 5))
+    # simulate: data landed, manifest never written
+    _df(spark, 900, 905).write.parquet(
+        str(tmp_path / "snap" / "data" / "orphan"))
+    assert _ids(st.read(spark)) == list(range(5))
+    assert any("orphan" in p for p in st.vacuum())
+    assert _ids(st.read(spark)) == list(range(5))
