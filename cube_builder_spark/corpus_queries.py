@@ -670,3 +670,56 @@ def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / F.col("kth_hash")))
     return sk.select("source", "n_exact", "k_used", "kth_hash",
                      est.alias("est_distinct"))
+
+
+@register("t_length_quantiles", """
+WITH counts AS (
+  SELECT lang, n_chars, count(*) AS c
+  FROM documents GROUP BY lang, n_chars
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM counts
+        GROUP BY lang),
+cum AS (
+  SELECT lang, n_chars,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY n_chars)
+              AS BIGINT) AS cum_c
+  FROM counts
+)
+SELECT cum.lang AS lang, t.n AS n_docs,
+       min(CASE WHEN cum_c * 100 >= 50 * t.n THEN n_chars END) AS p50,
+       min(CASE WHEN cum_c * 100 >= 90 * t.n THEN n_chars END) AS p90,
+       min(CASE WHEN cum_c * 100 >= 99 * t.n THEN n_chars END) AS p99,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM cum JOIN tot t ON t.lang = cum.lang
+GROUP BY cum.lang, t.n
+""")
+def t_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles (nearest-rank
+    p50/p90/p99) — corpus length profiling for sequence-length and
+    truncation decisions.
+
+    Scale shape: NOT a per-group sort (few language groups ⇒ one
+    giant sorted partition each at corpus scale). Instead the classic
+    exact-quantile two-step: value counts per (lang, n_chars) — a
+    map-side-combining groupBy whose output is bounded by #distinct
+    lengths, not #docs — then a cumulative window over that tiny
+    aggregate. The nearest-rank pick (min value with cum ≥ ⌈p·n⌉) is
+    integer cross-multiplied, so both engines agree exactly."""
+    docs = _docs(spark, sf_dir)
+    counts = (docs.groupBy("lang", "n_chars")
+              .agg(F.count(F.lit(1)).alias("c")))
+    tot = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    cum = counts.withColumn(
+        "cum_c", F.sum("c").over(
+            Window.partitionBy("lang").orderBy("n_chars")).cast("long"))
+
+    def pick(pct):
+        return F.min(F.when(F.col("cum_c") * 100 >= pct * F.col("n"),
+                            F.col("n_chars")))
+
+    return (cum.join(tot, "lang")
+            .groupBy("lang", F.col("n").alias("n_docs"))
+            .agg(pick(50).alias("p50"), pick(90).alias("p90"),
+                 pick(99).alias("p99"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
