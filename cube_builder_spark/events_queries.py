@@ -378,3 +378,45 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("t_click").alias("click_ts"),
                      F.col("t_purchase").alias("purchase_ts"))
             .distinct())
+
+
+@register("e_moving_avg", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, cnt,
+       CAST(sum(cnt) OVER w AS BIGINT) AS cnt_7d,
+       CAST(count(*) OVER w AS BIGINT) AS days_present,
+       CAST(sum(cnt) OVER w AS BIGINT) * 1e0 / (count(*) OVER w) AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def e_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily event volume per type —
+    a RANGE (value-based) window frame, which skips calendar gaps
+    correctly where a ROWS frame would silently span them.
+
+    Scale shape: events collapse to (type, day) counts first — a
+    map-side-combining groupBy whose output is bounded by days ×
+    types — and the range window runs over that tiny aggregate, never
+    the raw stream. avg is the exact integer frame sum divided by
+    present days (both engines bit-identical)."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.select("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .cast("long").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-6, 0))
+    return daily.select(
+        "event_type", "day", "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cnt_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present"),
+        (F.sum("cnt").over(w).cast("long") * F.lit(1.0)
+         / F.count(F.lit(1)).over(w)).alias("avg_7d"))

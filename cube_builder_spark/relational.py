@@ -1354,3 +1354,68 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "left_semi")
             .select("s_name", "n_name")
             .orderBy("s_name"))
+
+
+@register("r12_rollup_revenue", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def r12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: revenue at (flag, status), per-flag subtotal, and
+    grand total in ONE pass — Spark expands the grouping sets before
+    the exchange, so partial aggregation still combines map-side and
+    the shuffle carries one row per (set, group), never a second scan
+    per level. NULL subtotal markers are coalesced to 'ALL' so both
+    engines hash identically."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (t["lineitem"]
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 (F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")))) / 100.0)
+                 .alias("revenue"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                    .alias("linestatus"),
+                    "n_lines", "revenue"))
+
+
+@register("r13_pivot_status_revenue", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) / 100.0 AS rev_f,
+       sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) / 100.0 AS rev_o,
+       sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) / 100.0 AS rev_p
+FROM orders
+GROUP BY o_year
+""")
+def r13_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue by year, one column per order status.
+    The status values are DECLARED (pivot(col, values)), which keeps
+    it one pass — an undeclared pivot first runs a distinct-values
+    job. The pivot compiles to conditional aggregates, identical to
+    the oracle's CASE columns; totals are exact cents, missing cells
+    exact 0."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (t["orders"]
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    "o_orderstatus",
+                    _cents(F.col("o_totalprice")).alias("tp_c"))
+            .groupBy("o_year")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.coalesce(F.sum("tp_c"), F.lit(0)))
+            .select("o_year",
+                    (F.col("F") / 100.0).alias("rev_f"),
+                    (F.col("O") / 100.0).alias("rev_o"),
+                    (F.col("P") / 100.0).alias("rev_p")))
