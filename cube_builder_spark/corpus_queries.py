@@ -723,3 +723,74 @@ def t_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pick(99).alias("p99"),
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars")))
+
+
+_CMS_D, _CMS_W = 3, 1024
+
+@register("t_heavy_hitters_cms", f"""
+WITH terms AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS exact_n FROM terms GROUP BY term),
+pos AS (
+  SELECT c.term, j.j,
+         CAST(('0x' || substr(md5('cms' || j.j || '|' || c.term), 1, 8))
+              AS BIGINT) % {_CMS_W} AS p
+  FROM cnt c CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+),
+sketch AS (
+  SELECT p.j, p.p, CAST(sum(c.exact_n) AS BIGINT) AS ctr
+  FROM pos p JOIN cnt c ON c.term = p.term
+  GROUP BY p.j, p.p
+),
+top AS (SELECT term, exact_n FROM cnt
+        ORDER BY exact_n DESC, term LIMIT 20)
+SELECT t.term AS term, CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.ctr) AS BIGINT) AS est_n,
+       CAST(min(s.ctr) - t.exact_n AS BIGINT) AS overcount
+FROM top t
+JOIN pos p ON p.term = t.term
+JOIN sketch s ON s.j = p.j AND s.p = p.p
+GROUP BY t.term, t.exact_n
+""")
+def t_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: term frequencies compressed
+    into a {_CMS_D}×{_CMS_W} counter grid (md5-derived positions, so
+    both engines build the IDENTICAL sketch and agree on every
+    collision), estimates = min over rows — always ≥ exact, verified
+    per top-20 term against the exact count.
+
+    Completes the deterministic sketch family: KMV (cardinality),
+    Bloom (membership), CMS (frequency) — the bounded-memory
+    summaries a 100 TB profile pass ships instead of raw counts.
+    Scale shape: one vocab aggregation (map-side combining; the only
+    corpus-sized pass), checkpointed once because three consumers
+    (sketch, positions, top-k) would otherwise re-run it; the sketch
+    itself is ≤{_CMS_D * _CMS_W} rows."""
+    docs = _docs(spark, sf_dir)
+    cnt = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+           # vocab-sized (tiny next to the corpus); one eager cut
+           # instead of three evaluations of the corpus aggregation
+           .localCheckpoint(eager=True))
+
+    def h(j):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms{j}|"), F.col("term"))), 1, 8),
+            16, 10).cast("long") % _CMS_W)
+
+    pos = cnt.select("term", "exact_n", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), h(j).alias("p"))
+        for j in range(_CMS_D)])).alias("jp")) \
+        .select("term", "exact_n", "jp.j", "jp.p")
+    sketch = (pos.groupBy("j", "p")
+              .agg(F.sum("exact_n").cast("long").alias("ctr")))
+    top = cnt.orderBy(F.desc("exact_n"), "term").limit(20)
+    return (top.join(pos.select("term", "j", "p"), "term")
+            .join(F.broadcast(sketch), ["j", "p"])
+            .groupBy("term", "exact_n")
+            .agg(F.min("ctr").alias("est_n"))
+            .select("term", F.col("exact_n").cast("long").alias("exact_n"),
+                    "est_n",
+                    (F.col("est_n") - F.col("exact_n")).cast("long")
+                    .alias("overcount")))
