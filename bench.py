@@ -26,8 +26,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q2_min_cost_supplier",
     "q8_market_share",
+    "q9_product_profit",
     "q18_large_orders",
+    "q21_sole_return_supplier",
+    "r12_rollup_revenue",
+    "x_bloom_prune_join",
+    "x_zorder_bbox_prune",
     "r6_groupby_collect_timeline",
     "r11_multiway_join",
     "c2_blend_lcf",
@@ -45,7 +51,10 @@ HEADLINE = [
     "a_ann_batch_topk",
     "a_ann_pq_topk",
     "a_ann_recall_eval",
+    "a_hard_negatives",
     "t_quality_score",
+    "t_length_quantiles",
+    "t_heavy_hitters_cms",
     "t_tfidf_topterms",
     "t_inverted_index",
     "t_repetition_profile",
