@@ -794,3 +794,168 @@ def t_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "est_n",
                     (F.col("est_n") - F.col("exact_n")).cast("long")
                     .alias("overcount")))
+
+
+@register("t_bigram_lm", """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*) AS c
+  FROM bi GROUP BY w1, w2
+),
+wn AS (
+  SELECT w1, w2, CAST(c AS BIGINT) AS c,
+         CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+  FROM bc
+)
+SELECT w1, w2, c, n_w1, c * 1e0 / n_w1 AS cond_p
+FROM wn ORDER BY c DESC, w1, w2 LIMIT 30
+""")
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: top bigrams with conditional
+    probability P(w2|w1) = c(w1,w2) / c(w1·) — the n-gram-LM building
+    block (and the engine shape behind any conditional-frequency
+    feature).
+
+    Scale shape: one explode + map-side-combining groupBy to
+    vocab²-bounded bigram counts; the unigram denominator is a WINDOW
+    sum over those aggregated rows (a groupBy + join-back would
+    re-evaluate the corpus subtree); exact integer division only at
+    the end."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("_t"), i),
+                              F.element_at(F.col("_t"), i + 1)))
+    bi = (docs.select(t.alias("_t"))
+          .filter(F.size(F.col("_t")) >= 2)
+          .select(F.explode(grams).alias("bg")))
+    bc = (bi.select(F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+                    F.substring_index(F.col("bg"), " ", -1).alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    n_w1 = F.sum("c").over(Window.partitionBy("w1")).cast("long")
+    return (bc.select("w1", "w2", F.col("c").cast("long").alias("c"),
+                      n_w1.alias("n_w1"))
+            .withColumn("cond_p", F.col("c") * 1.0 / F.col("n_w1"))
+            .orderBy(F.desc("c"), "w1", "w2").limit(30))
+
+
+@register("p_source_overlap", f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           range(1, len(t) - {_DECON_N - 2}),
+           i -> md5(array_to_string(list_slice(t, i, i + {_DECON_N - 1}), ' ')))))
+         AS g
+  FROM toks WHERE len(t) >= {_DECON_N}
+),
+gn AS (
+  SELECT source, g,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM g
+),
+pairs AS (
+  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+  FROM gn a JOIN gn b ON a.g = b.g AND a.source < b.source
+)
+SELECT src_a, src_b,
+       CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+       count(*) AS n_shared,
+       count(*) * 1e0 / least(min(n_a), min(n_b)) AS overlap
+FROM pairs GROUP BY src_a, src_b
+""")
+def p_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-contamination matrix: for every source pair, how many
+    distinct 8-gram fingerprints they share, normalized by the
+    smaller side (overlap coefficient) — which corpora republish each
+    other's content.
+
+    Scale shape: the corpus reduces to distinct (source, digest)
+    rows once; per-source totals ride along as a window count, and
+    shared digests expand IN-ARRAY per digest (groupBy(digest) +
+    i<j combination expansion, the repo's standard fused-LSH shape)
+    instead of a digest self-join that would evaluate the corpus
+    subtree twice. Group sizes are bounded by #sources."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - (_DECON_N - 1)),
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(F.col("_t"), i + j)
+                   for j in range(_DECON_N)]))))
+    g = (docs.select("source", t.alias("_t"))
+         .filter(F.size(F.col("_t")) >= _DECON_N)
+         .select("source", F.explode(grams).alias("g"))
+         .distinct())
+    gn = g.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        .cast("long"))
+    grouped = (gn.groupBy("g")
+               .agg(F.sort_array(F.collect_list(F.struct("source", "n")))
+                    .alias("ms"))
+               .filter(F.size("ms") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["source"].alias("src_a"),
+                               x["n"].alias("n_a"),
+                               y["source"].alias("src_b"),
+                               y["n"].alias("n_b")))))
+    pairs = grouped.select(F.explode(combos).alias("p")).select("p.*")
+    return (pairs.groupBy("src_a", "src_b")
+            .agg(F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"),
+                 F.count(F.lit(1)).alias("n_shared"))
+            .withColumn("overlap",
+                        F.col("n_shared") * 1.0
+                        / F.least(F.col("n_a"), F.col("n_b"))))
+
+
+_BUCKETS = [64, 128, 256, 512, 1024]
+
+@register("p_length_buckets", f"""
+WITH b AS (
+  SELECT n_chars,
+         CASE {' '.join(f"WHEN n_chars <= {w} THEN {w}" for w in _BUCKETS)}
+              ELSE {2 * _BUCKETS[-1]} END AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(bucket * count(*) AS BIGINT) AS capacity,
+       (bucket * count(*) - CAST(sum(n_chars) AS BIGINT)) * 1e0
+         / (bucket * count(*)) AS waste_frac
+FROM b GROUP BY bucket
+""")
+def p_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: documents assigned to
+    power-of-two length buckets, with per-bucket padding waste
+    (capacity − real chars) — the measurement that justifies bucketed
+    batching for inference/training (vs padding everything to the
+    global max). One scan, one tiny groupBy; the bucket ladder is a
+    codegen CASE, identical in both engines."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.lit(2 * _BUCKETS[-1])
+    for w in reversed(_BUCKETS):
+        bucket = F.when(F.col("n_chars") <= w, F.lit(w)).otherwise(bucket)
+    b = docs.select(F.col("n_chars"), bucket.cast("long").alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .select("bucket", "n_docs", "total_chars",
+                    (F.col("bucket") * F.col("n_docs")).cast("long")
+                    .alias("capacity"),
+                    ((F.col("bucket") * F.col("n_docs")
+                      - F.col("total_chars")) * 1.0
+                     / (F.col("bucket") * F.col("n_docs")))
+                    .alias("waste_frac")))

@@ -143,7 +143,8 @@ def inline_signatures(sh: DataFrame, hash_ids: list[int]) -> DataFrame:
 
 def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
                        max_bucket: int | None = None,
-                       threshold: float | None = None) -> DataFrame:
+                       threshold: float | None = None,
+                       with_containment: bool = False) -> DataFrame:
     """Fused MinHash-LSH near-duplicate detector: signature → band
     buckets → skew-capped bucket grouping → in-array pair expansion →
     exact shingle-set Jaccard, as ONE subtree evaluation.
@@ -172,7 +173,8 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
     - pair expansion is O(cap²) per bucket, bounded by the cap;
     - the final dedup shuffle moves only surviving candidate pairs.
     """
-    return capped_plane_pairs(lsh_plane(sh, bands), max_bucket, threshold)
+    return capped_plane_pairs(lsh_plane(sh, bands), max_bucket, threshold,
+                              with_containment=with_containment)
 
 
 def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
@@ -200,7 +202,8 @@ def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
 
 def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
                        threshold: float | None = None,
-                       new_field: str | None = None) -> DataFrame:
+                       new_field: str | None = None,
+                       with_containment: bool = False) -> DataFrame:
     """Skew-capped bucket grouping → in-array pair expansion → exact
     Jaccard over a (bucket, m) plane. ``m`` is struct(doc_id, shingles
     [, <new_field>]); with ``new_field`` set (the incremental-index
@@ -234,12 +237,23 @@ def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
     # computes it twice (cheap, map-side), but the dedup shuffle then
     # moves only (doc_a, doc_b, jaccard) scalars — never shingle
     # arrays — and the distinct becomes a plain HashAggregate.
-    out = (exploded
-           .select("p.doc_a", "p.doc_b",
-                   (F.size(F.array_intersect("p.sh_a", "p.sh_b")) * 1.0
-                    / F.nullif(F.size(F.array_union("p.sh_a", "p.sh_b")),
-                               F.lit(0))).alias("jaccard"))
-           .dropDuplicates(["doc_a", "doc_b"]))
+    # (duplicate rows of one pair carry identical metric values, so
+    # dropDuplicates stays deterministic with extra metric columns)
+    inter = F.size(F.array_intersect("p.sh_a", "p.sh_b"))
+    cols = ["p.doc_a", "p.doc_b",
+            (inter * 1.0
+             / F.nullif(F.size(F.array_union("p.sh_a", "p.sh_b")),
+                        F.lit(0))).alias("jaccard")]
+    if with_containment:
+        # containment is ASYMMETRIC: cont_a = |A∩B| / |A| flags A as a
+        # quote/subset of B even when Jaccard is small (|B| >> |A|)
+        cols += [(inter * 1.0
+                  / F.nullif(F.size(F.array_distinct("p.sh_a")), F.lit(0))
+                  ).alias("cont_a"),
+                 (inter * 1.0
+                  / F.nullif(F.size(F.array_distinct("p.sh_b")), F.lit(0))
+                  ).alias("cont_b")]
+    out = exploded.select(*cols).dropDuplicates(["doc_a", "doc_b"])
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out

@@ -1377,3 +1377,47 @@ def m_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import multimodal
     media = multimodal.attach_real_media(_docs(spark, sf_dir))
     return multimodal.decode_video(media)
+
+
+@register("d_containment_pairs", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (SELECT doc_id, h0 AS bucket FROM mh),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+metrics AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0)
+           AS jaccard,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles)), 0) AS cont_a,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sb.shingles)), 0) AS cont_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard, cont_a, cont_b
+FROM metrics WHERE greatest(cont_a, cont_b) >= 8e-1
+""")
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset detection via shingle CONTAINMENT: cont_a =
+    |A∩B| / |A| flags documents that are near-subsets of another
+    (excerpts, quoted posts, boilerplate wrappers) even when Jaccard
+    is tiny because |B| ≫ |A| — the asymmetric relative the
+    symmetric near-dup detectors can't see. Same fused single-subtree
+    LSH shape as d_minhash_lsh_pairs (one bucket shuffle, skew cap
+    before any member list, in-array pair expansion)."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    pairs = dedup.lsh_near_dup_pairs(sh, bands=[["h0"]],
+                                     max_bucket=_LSH_MAX_BUCKET,
+                                     with_containment=True)
+    return pairs.filter(F.greatest("cont_a", "cont_b") >= 0.8)
