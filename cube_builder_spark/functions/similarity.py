@@ -524,28 +524,12 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
     cb, dim = codebook if codebook is not None \
         else pq_codebook(embeddings, m_sub, ks)
     codes = pq_encode(embeddings, m_sub, ks, codebook=(cb, dim))
-    sub = dim // m_sub
 
     qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
             .select("embedding").first())
     qv = [int(math.floor(float(x) * 1000 + 0.5)) for x in qrow.embedding]
-    qq = sum(x * x for x in qv)
-
-    qd = [[sum(qv[d] * c for d, c in cb.get((m, g), {}).items())
-           for g in range(ks)] for m in range(m_sub)]
-    cc = [[sum(c * c for c in cb.get((m, g), {}).values())
-           for g in range(ks)] for m in range(m_sub)]
-
-    def lut(table, m):
-        arr = F.array(*[F.lit(int(v)) for v in table[m]])
-        return F.element_at(arr, F.col("codes")[m].cast("int") + 1)
-
-    num = sum((lut(qd, m) for m in range(m_sub)), F.lit(0).cast("long"))
-    rr = sum((lut(cc, m) for m in range(m_sub)), F.lit(0).cast("long"))
-    score = F.when(rr > 0, num / (F.lit(math.sqrt(qq)) * F.sqrt(rr))) \
-        .otherwise(F.lit(-1e308))
-    return (codes.filter(F.col("vec_id") != query_vec_id)
-            .select("vec_id", score.alias("adc_cosine"))
+    return (_adc_scored(codes, qv, cb, m_sub, ks)
+            .filter(F.col("vec_id") != query_vec_id)
             .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))
 
 
@@ -605,3 +589,80 @@ def hard_negatives(embeddings: DataFrame, queries: DataFrame,
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                        num_planes: int = 8, k: int = 5) -> DataFrame:
+    """Multi-probe LSH: probe the query's bucket AND every bucket at
+    Hamming distance 1 (one sign bit flipped) — the standard recall
+    lever that avoids building more hash tables. num_planes+1 probed
+    buckets ⇒ candidate recall strictly dominates single-probe; the
+    probe set is a bounded driver-side literal, so the candidate scan
+    is one IN filter on the bucket column (partition key at scale),
+    never a join."""
+    buckets = lsh_buckets(embeddings, num_planes)
+    qrow = buckets.filter(F.col("vec_id") == query_vec_id).first()
+    qb = int(qrow.bucket)
+    probes = [qb] + [qb ^ (1 << j) for j in range(num_planes)]
+    cands = (buckets.filter(F.col("bucket").isin(probes))
+             .select("vec_id"))
+    return brute_force_topk(embeddings.join(cands, "vec_id", "left_semi"),
+                            query_vec_id, k)
+
+
+def _adc_scored(codes: DataFrame, qv: list[int], cb: dict,
+                m_sub: int, ks: int) -> DataFrame:
+    """(vec_id, adc_cosine) from a codes frame: the shared ADC scorer
+    behind pq_adc_topk and ivfpq_topk (lookup-table array literals,
+    whole-stage codegen, no shuffle)."""
+    import math
+
+    qq = sum(x * x for x in qv)
+    qd = [[sum(qv[d] * c for d, c in cb.get((m, g), {}).items())
+           for g in range(ks)] for m in range(m_sub)]
+    cc = [[sum(c * c for c in cb.get((m, g), {}).values())
+           for g in range(ks)] for m in range(m_sub)]
+
+    def lut(table, m):
+        arr = F.array(*[F.lit(int(v)) for v in table[m]])
+        return F.element_at(arr, F.col("codes")[m].cast("int") + 1)
+
+    num = sum((lut(qd, m) for m in range(m_sub)), F.lit(0).cast("long"))
+    rr = sum((lut(cc, m) for m in range(m_sub)), F.lit(0).cast("long"))
+    score = F.when(rr > 0, num / (F.lit(math.sqrt(qq)) * F.sqrt(rr))) \
+        .otherwise(F.lit(-1e308))
+    return codes.select("vec_id", score.alias("adc_cosine"))
+
+
+def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
+               n_lists: int = 8, nprobe: int = 2, m_sub: int = 4,
+               ks: int = 8, k: int = 10) -> DataFrame:
+    """IVF-PQ search — the FAISS-style index shape for web-scale
+    vector stores: the IVF coarse quantizer prunes the corpus to
+    ``nprobe`` inverted lists, and the survivors are scored from
+    their PQ CODES via ADC lookups (this implementation encodes raw
+    vectors with the global codebook rather than per-list residuals —
+    the residual refinement changes accuracy, not the plan shape).
+
+    At scale the store keeps (list_id, code_word) per vector: the
+    query reads nprobe/n_lists of the corpus and only M bytes per
+    read vector; probe lists resolve driver-side from the bounded
+    centroid table, candidate pruning is one IN filter feeding a
+    left-semi join keyed on vec_id, scoring is codegen lookups, and
+    the top-k is a map-side TakeOrdered."""
+    import math
+
+    by_g = collect_centroids(embeddings, n_lists)
+    qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding").first())
+    qv = [int(math.floor(float(x) * 1000 + 0.5)) for x in qrow.embedding]
+    probe = rank_lists(qv, by_g)[:nprobe]
+    cands = (ivf_assign(embeddings, n_lists, centroids=by_g)
+             .filter(F.col("list_id").isin(probe))
+             .select("vec_id"))
+    cb, dim = pq_codebook(embeddings, m_sub, ks)
+    codes = pq_encode(embeddings, m_sub, ks, codebook=(cb, dim))
+    scored = _adc_scored(codes.join(cands, "vec_id", "left_semi"),
+                         qv, cb, m_sub, ks)
+    return (scored.filter(F.col("vec_id") != query_vec_id)
+            .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))

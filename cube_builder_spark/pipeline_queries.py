@@ -1421,3 +1421,79 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_bucket=_LSH_MAX_BUCKET,
                                      with_containment=True)
     return pairs.filter(F.greatest("cont_a", "cont_b") >= 0.8)
+
+
+# CTE tails (bodies after the shared `dims` view) so IVF and PQ
+# fragments compose into one WITH without redefining dims
+_IVF_TAIL = "cent AS" + _IVF_SQL.split("cent AS", 1)[1]
+_PQ_TAIL = "cb AS" + _PQ_SQL.split("cb AS", 1)[1]
+
+
+@register("a_ann_lsh_multiprobe", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+probes AS (
+  SELECT bucket FROM qb
+  UNION
+  SELECT xor(q.bucket, CAST(1 << j.j AS BIGINT)) AS bucket
+  FROM qb q CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+)
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM bkt ba
+JOIN probes p ON ba.bucket = p.bucket
+JOIN ev eb ON eb.vec_id = ba.vec_id
+JOIN ev ea ON ea.vec_id = 0
+WHERE ba.vec_id <> 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: the query's bucket plus all 8 buckets
+    one flipped sign bit away — the recall lever that needs no extra
+    hash tables; probes are a bounded driver-side IN list over the
+    bucket partition key."""
+    return similarity.lsh_multiprobe_topk(_embs(spark, sf_dir),
+                                          query_vec_id=0, num_planes=8, k=5)
+
+
+@register("a_ann_ivfpq_topk", f"""
+WITH {_dims_sql()}, {_IVF_TAIL}, {_PQ_TAIL},
+qsc AS (
+  SELECT s.g,
+         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
+                            s.g) AS rn
+  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
+),
+qlists AS (SELECT g FROM qsc WHERE rn <= 2),
+cands AS (
+  SELECT a.vec_id FROM assign a
+  JOIN qlists q ON a.list_id = q.g
+  WHERE a.vec_id <> 0
+),
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN cands c ON c.vec_id = e.vec_id
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+)
+SELECT a.vec_id,
+       CASE WHEN a.rr = 0 THEN -1e308
+            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
+FROM adc a, qq q
+ORDER BY adc_cosine DESC, a.vec_id
+LIMIT 10
+""")
+def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 (nprobe=2): coarse quantizer prunes to two
+    inverted lists, survivors scored from PQ codes via ADC lookups —
+    the FAISS-style index shape where a query reads nprobe/n_lists of
+    the corpus at ~M bytes per vector."""
+    return similarity.ivfpq_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                 n_lists=8, nprobe=2, m_sub=4, ks=8, k=10)

@@ -174,3 +174,31 @@ def test_hard_negatives_exclude_query_label(spark, sf_dir):
         assert len(rows) <= 5
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe's, so
+    its top-k cosine at each rank is >= single-probe's."""
+    embs = _embs(spark, sf_dir)
+    single = similarity.lsh_topk_in_bucket(embs, 0, num_planes=8, k=5)
+    multi = similarity.lsh_multiprobe_topk(embs, 0, num_planes=8, k=5)
+    s = [r.cosine for r in single.collect()]
+    m = [r.cosine for r in multi.collect()]
+    assert len(m) >= len(s)
+    for i in range(len(s)):
+        assert m[i] >= s[i]
+
+
+def test_ivfpq_candidates_subset_of_probed_lists(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    out = similarity.ivfpq_topk(embs, 0, n_lists=8, nprobe=2, k=10)
+    rows = out.collect()
+    assert rows and all(r.vec_id != 0 for r in rows)
+    by_g = similarity.collect_centroids(embs, n_lists=8)
+    import math
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [int(math.floor(float(x) * 1000 + 0.5)) for x in q.embedding]
+    probe = set(similarity.rank_lists(qv, by_g)[:2])
+    assign = {r.vec_id: r.list_id
+              for r in similarity.ivf_assign(embs, 8, by_g).collect()}
+    assert all(assign[r.vec_id] in probe for r in rows)
