@@ -1419,3 +1419,46 @@ def r13_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("F") / 100.0).alias("rev_f"),
                     (F.col("O") / 100.0).alias("rev_o"),
                     (F.col("P") / 100.0).alias("rev_p")))
+
+
+@register("r14_set_operations", """
+WITH big_spenders AS (
+  SELECT DISTINCT o_custkey AS c FROM orders WHERE o_totalprice > 250000
+),
+urgent_buyers AS (
+  SELECT DISTINCT o_custkey AS c FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+both_k AS (SELECT c FROM big_spenders INTERSECT SELECT c FROM urgent_buyers),
+only_big AS (SELECT c FROM big_spenders EXCEPT SELECT c FROM urgent_buyers)
+SELECT 'intersect' AS set_op, count(*) AS n_customers,
+       CAST(min(c) AS BIGINT) AS min_key, CAST(max(c) AS BIGINT) AS max_key
+FROM both_k
+UNION ALL
+SELECT 'except' AS set_op, count(*) AS n_customers,
+       CAST(min(c) AS BIGINT) AS min_key, CAST(max(c) AS BIGINT) AS max_key
+FROM only_big
+""")
+def r14_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations: INTERSECT and EXCEPT between two
+    customer segments (big spenders vs urgent buyers), summarized.
+    Spark compiles both to hash joins over the distinct key sets
+    (left-semi / left-anti after aggregation) — the segments are
+    keyed projections, so the shuffles move only keys."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    big = (t["orders"].filter(F.col("o_totalprice") > 250000)
+           .select(F.col("o_custkey").alias("c")).distinct())
+    urgent = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c")).distinct())
+    both_k = big.intersect(urgent)
+    only_big = big.exceptAll(urgent).distinct()
+
+    def summarize(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_customers"),
+                      F.min("c").cast("long").alias("min_key"),
+                      F.max("c").cast("long").alias("max_key")) \
+            .select(F.lit(label).alias("set_op"), "n_customers",
+                    "min_key", "max_key")
+
+    return summarize(both_k, "intersect") \
+        .unionByName(summarize(only_big, "except"))
