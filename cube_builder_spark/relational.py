@@ -1462,3 +1462,86 @@ def r14_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return summarize(both_k, "intersect") \
         .unionByName(summarize(only_big, "except"))
+
+
+@register("x_quality_report", """
+SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+FROM (
+WITH o AS (SELECT count(*) AS n FROM orders),
+l AS (SELECT count(*) AS n FROM lineitem)
+SELECT 'orders.o_custkey not_null' AS check_name, o.n AS n_rows,
+       (SELECT CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) FROM orders) AS n_violations
+FROM o
+UNION ALL
+SELECT 'orders.o_totalprice range[0.0,1000000.0]', o.n,
+       (SELECT CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                             THEN 0 ELSE 1 END) AS BIGINT) FROM orders)
+FROM o
+UNION ALL
+SELECT 'orders.o_orderstatus in_set', o.n,
+       (SELECT CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                             THEN 0 ELSE 1 END) AS BIGINT) FROM orders)
+FROM o
+UNION ALL
+SELECT 'orders.(o_orderkey) unique', o.n,
+       o.n - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+FROM o
+UNION ALL
+SELECT 'lineitem.l_quantity range[1.0,50.0]', l.n,
+       (SELECT CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                             THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem)
+FROM l
+UNION ALL
+SELECT 'lineitem.l_discount range[0.0,1.0]', l.n,
+       (SELECT CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1
+                             THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem)
+FROM l
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber) unique', l.n,
+       l.n - (SELECT count(*) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+FROM l
+UNION ALL
+SELECT 'orders.o_custkey -> customer.c_custkey', o.n,
+       (SELECT count(*) FROM orders a LEFT JOIN customer c
+        ON c.c_custkey = a.o_custkey WHERE c.c_custkey IS NULL)
+FROM o
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders.o_orderkey', l.n,
+       (SELECT count(*) FROM lineitem a LEFT JOIN orders oo
+        ON oo.o_orderkey = a.l_orderkey WHERE oo.o_orderkey IS NULL)
+FROM l
+)
+""")
+def x_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: key uniqueness, referential
+    integrity, ranges, null budgets, set membership — declared as
+    data and compiled so every row-local check on a table rides ONE
+    aggregation over ONE scan (adding a check adds a conditional-sum
+    column, not a pass); FKs are anti-joins. The published report is
+    (check, n_rows, n_violations, passed), tiny at any scale."""
+    from .quality import TableChecks, check_foreign_key, combine, \
+        run_table_checks
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "customer"])
+    orders_checks = run_table_checks(TableChecks(
+        df=t["orders"],
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 1000000.0)},
+        in_set={"o_orderstatus": ["F", "O", "P"]},
+        unique=[["o_orderkey"]],
+    ), "orders")
+    lineitem_checks = run_table_checks(TableChecks(
+        df=t["lineitem"],
+        ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 1.0)},
+        unique=[["l_orderkey", "l_linenumber"]],
+    ), "lineitem")
+    fks = combine(
+        check_foreign_key(t["orders"], "o_custkey",
+                          t["customer"], "c_custkey",
+                          "orders.o_custkey -> customer.c_custkey"),
+        check_foreign_key(t["lineitem"], "l_orderkey",
+                          t["orders"], "o_orderkey",
+                          "lineitem.l_orderkey -> orders.o_orderkey"))
+    return combine(orders_checks, lineitem_checks, fks)
