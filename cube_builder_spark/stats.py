@@ -1,0 +1,129 @@
+"""ANALYZE-style table statistics and a join-strategy advisor.
+
+Spark's AQE re-plans joins at runtime from observed shuffle sizes;
+that is reactive — the first execution still pays for a wrong initial
+choice, and cross-job planning (which table to bucket, which side to
+pre-filter) needs numbers BEFORE any job runs. This module computes
+the classic optimizer statistics in ONE pass per table and persists
+them next to the data:
+
+- n_rows, on-disk bytes (from the file listing — free);
+- per column: null fraction, min/max (pruning bounds), and NDV —
+  exact via count(distinct) for requested columns (one aggregation,
+  Spark expands distincts in the same scan).
+
+`advise_join` then applies the textbook rules: broadcast the side
+whose estimated in-memory size clears the threshold, else prefer
+shuffle-hash when one side is much smaller, else sort-merge; a join
+key whose NDV is tiny relative to rows flags skew (salt or AQE skew
+join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TableStats:
+    name: str
+    n_rows: int
+    n_bytes: int                      # on-disk parquet bytes
+    columns: dict                     # col -> {null_frac, min, max, ndv}
+
+    @property
+    def bytes_per_row(self) -> float:
+        return self.n_bytes / self.n_rows if self.n_rows else 0.0
+
+
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f))
+                     for f in files if f.endswith(".parquet"))
+    return total
+
+
+def analyze(spark: SparkSession, path: str, name: str,
+            columns: list[str]) -> TableStats:
+    """One aggregation pass over one scan for all requested columns."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"_null_{c}"),
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    cols = {}
+    for c in columns:
+        mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
+        cols[c] = {
+            "null_frac": (int(row[f"_null_{c}"]) / n) if n else 0.0,
+            "min": mn if not hasattr(mn, "isoformat") else mn.isoformat(),
+            "max": mx if not hasattr(mx, "isoformat") else mx.isoformat(),
+            "ndv": int(row[f"_ndv_{c}"]),
+        }
+    return TableStats(name=name, n_rows=n, n_bytes=_dir_bytes(path),
+                      columns=cols)
+
+
+def save_stats(stats: TableStats, stats_dir: str) -> str:
+    os.makedirs(stats_dir, exist_ok=True)
+    p = os.path.join(stats_dir, f"{stats.name}.json")
+    with open(p, "w") as fh:
+        json.dump(asdict(stats), fh)
+    return p
+
+
+def load_stats(stats_dir: str, name: str) -> TableStats:
+    with open(os.path.join(stats_dir, f"{name}.json")) as fh:
+        return TableStats(**json.load(fh))
+
+
+# parquet is compressed+encoded; in-memory rows decompress ~3x
+_INMEM_FACTOR = 3.0
+
+
+@dataclass
+class JoinAdvice:
+    strategy: str          # broadcast_left | broadcast_right |
+    #                        shuffle_hash | sort_merge
+    skew_warning: str | None
+    est_left_bytes: int
+    est_right_bytes: int
+
+
+def advise_join(left: TableStats, right: TableStats,
+                left_key: str, right_key: str,
+                broadcast_threshold: int = 10 * 1024 * 1024,
+                skew_ratio: int = 1000) -> JoinAdvice:
+    lb = int(left.n_bytes * _INMEM_FACTOR)
+    rb = int(right.n_bytes * _INMEM_FACTOR)
+    if rb <= broadcast_threshold or lb <= broadcast_threshold:
+        strategy = "broadcast_right" if rb <= lb else "broadcast_left"
+    elif min(lb, rb) * 3 < max(lb, rb):
+        # one side much smaller: hash-build it per partition
+        strategy = "shuffle_hash"
+    else:
+        strategy = "sort_merge"
+    warn = None
+    for st, key in ((left, left_key), (right, right_key)):
+        col = st.columns.get(key)
+        if col and col["ndv"] and st.n_rows / max(col["ndv"], 1) \
+                >= skew_ratio:
+            warn = (f"{st.name}.{key}: ~{st.n_rows // max(col['ndv'], 1)}"
+                    " rows/key — salt the key or rely on AQE skew join")
+    return JoinAdvice(strategy=strategy, skew_warning=warn,
+                      est_left_bytes=lb, est_right_bytes=rb)
