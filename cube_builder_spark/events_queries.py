@@ -420,3 +420,47 @@ def e_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("days_present"),
         (F.sum("cnt").over(w).cast("long") * F.lit(1.0)
          / F.count(F.lit(1)).over(w)).alias("avg_7d"))
+
+
+@register("e_interval_join", """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(v.ts) AS BIGINT) AS n_views_1h
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""")
+def e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: views by the same user in the hour
+    before each purchase — attribution lookback.
+
+    Scale shape: a naive range join pairs each purchase with the
+    user's ENTIRE view history and filters afterwards (the equi part
+    is only user_id). Here both sides get an hour bucket and the
+    purchase side explodes to its two candidate buckets, so the join
+    key is (user, bucket) and each purchase meets at most two hours
+    of views before the exact range filter — the standard
+    time-binning bound for interval joins. Purchases with no views
+    survive via the final left join against the bucketed counts."""
+    ev = _events(spark, sf_dir)
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     hour(F.col("ts")).alias("v_bucket")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    pexp = purch.withColumn(
+        "jb", F.explode(F.array(hour(F.col("ts")),
+                                hour(F.col("ts")) - 1)))
+    j = (pexp.join(views, (F.col("v_user") == F.col("user_id"))
+                   & (F.col("v_bucket") == F.col("jb")))
+         .filter((F.col("v_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+                 & (F.col("v_ts") <= F.col("ts"))))
+    counts = j.groupBy(F.col("event_id").alias("c_id")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    return (purch.join(counts, F.col("event_id") == F.col("c_id"), "left")
+            .select("event_id", "user_id", "ts",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n_views_1h")))

@@ -32,6 +32,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 
@@ -135,3 +136,35 @@ class SnapshotStore:
             if dirpath != droot and not os.listdir(dirpath):
                 os.rmdir(dirpath)
         return removed
+
+
+def snapshot_diff(store: SnapshotStore, spark: SparkSession,
+                  v_old: int, v_new: int,
+                  key_cols: list[str]) -> DataFrame:
+    """Semantic diff between two versions keyed by ``key_cols``:
+    one row per added / removed / changed key (unchanged rows are
+    filtered out — at scale the diff is delta-sized, not
+    table-sized). `change` ∈ {added, removed, changed}.
+
+    Shape: ONE full-outer join on the key, non-key columns compared
+    as structs — no per-column join, no collect. This is the review
+    tool for a reprocessing publish: 'what did version N+1 actually
+    change?' before flipping readers to it."""
+    old = store.read(spark, v_old)
+    new = store.read(spark, v_new)
+    non_key = [c for c in old.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*non_key).alias("_o"))
+    n = new.select(*[F.col(c).alias(f"_k_{c}") for c in key_cols],
+                   F.struct(*non_key).alias("_n"))
+    cond = None
+    for c in key_cols:
+        eq = F.col(c) == F.col(f"_k_{c}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    change = (F.when(F.col("_o").isNull(), F.lit("added"))
+              .when(F.col("_n").isNull(), F.lit("removed"))
+              .when(F.col("_o") != F.col("_n"), F.lit("changed")))
+    keys = [F.coalesce(F.col(c), F.col(f"_k_{c}")).alias(c)
+            for c in key_cols]
+    return (j.select(change.alias("change"), *keys)
+            .filter(F.col("change").isNotNull()))

@@ -65,3 +65,25 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_stream_view_purchase(views: DataFrame, purchases: DataFrame,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    pairs with the same user's views from the preceding hour.
+
+    Both sides carry a watermark and the join condition bounds v_ts
+    relative to ts, so Spark can EXPIRE join state: a buffered view is
+    dropped once the purchase-side watermark passes v_ts + 1 hour —
+    state stays proportional to the lookback window, not the stream
+    history. This is the streaming twin of the batch e_interval_join
+    (inner pairs; the zero-view purchases need the batch side's left
+    join, which streaming append mode cannot express)."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select("event_id", "user_id", "ts"))
+    return p.join(
+        v, F.expr("v_user = user_id AND "
+                  "v_ts > ts - INTERVAL 1 HOUR AND v_ts <= ts"))

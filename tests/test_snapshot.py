@@ -80,3 +80,15 @@ def test_crashed_commit_leaves_table_consistent(spark, tmp_path):
     assert _ids(st.read(spark)) == list(range(5))
     assert any("orphan" in p for p in st.vacuum())
     assert _ids(st.read(spark)) == list(range(5))
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import snapshot_diff
+    st = SnapshotStore(str(tmp_path / "snap"))
+    v1 = st.write(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"))
+    v2 = st.write(spark.createDataFrame(
+        [(2, 20), (3, 99), (4, 40)], "k long, v long"), mode="overwrite")
+    d = {r.k: r.change
+         for r in snapshot_diff(st, spark, v1, v2, ["k"]).collect()}
+    assert d == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged

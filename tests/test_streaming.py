@@ -198,3 +198,34 @@ def test_incremental_near_dup_index(spark, sf_dir, tmp_path):
     # cross-batch pairs actually exist in this corpus (the test would
     # be vacuous otherwise)
     assert any(a % 2 != b % 2 for a, b in p2)
+
+
+def test_stream_stream_join_matches_batch_pairs(spark, sf_dir, event_stream):
+    """Stream-stream view→purchase join produces exactly the batch
+    inner-join pair set."""
+    from cube_builder_spark.streaming.events import (
+        stream_stream_view_purchase)
+    views = event_stream.filter(F.col("event_type") == "view")
+    purchases = event_stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_view_purchase(views, purchases)
+    q = (joined.writeStream.format("memory")
+         .queryName("ssj").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    stream_pairs = sorted((r.event_id, r.v_ts)
+                          for r in spark.sql("SELECT * FROM ssj").collect())
+
+    from cube_builder_spark.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    batch_pairs = sorted(
+        (r.event_id, r.v_ts)
+        for r in p.join(v, (F.col("v_user") == F.col("user_id"))
+                        & (F.col("v_ts") > F.col("ts")
+                           - F.expr("INTERVAL 1 HOUR"))
+                        & (F.col("v_ts") <= F.col("ts"))).collect())
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
