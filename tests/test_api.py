@@ -1,0 +1,102 @@
+"""Endpoint-parity facade: drive the reference's API surface
+end-to-end — create grid + cube, list periods, start a build, page
+items, check status/meta/completion."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from cube_builder_spark.api import ROUTES, CubeService
+from cube_builder_spark.catalog import CubeDefinition
+from tests.test_build_cube_job import synth_observations
+
+
+@pytest.fixture()
+def svc(tmp_path):
+    return CubeService(str(tmp_path / "api"))
+
+
+def _defn():
+    return CubeDefinition(
+        name="S2-16D", version=1, composite_function="LCF",
+        grid="G_SM", resolution=10.0, quality_band="SCL",
+        temporal_schema={"schema": "continuous", "unit": "day", "step": 8},
+        bands=[{"name": "B04", "common_name": "red",
+                "data_type": "int16", "nodata": -9999},
+               {"name": "B8A", "common_name": "nir",
+                "data_type": "int16", "nodata": -9999},
+               {"name": "SCL", "common_name": "quality",
+                "data_type": "uint8", "nodata": 0}],
+        indexes={"NDVI": "10000 * (B8A - B04) / (B8A + B04)"})
+
+
+def test_routes_cover_every_reference_endpoint():
+    paths = {p for _m, p in ROUTES}
+    for must in ["/", "/cube-status", "/cubes", "/cubes/<cube_id>",
+                 "/cubes/<cube_id>/tiles", "/cubes/<cube_id>/complete",
+                 "/cubes/<cube_id>/items", "/cubes/<cube_id>/meta",
+                 "/start", "/list-merges", "/grids", "/create-grids",
+                 "/list-periods", "/composite-functions", "/tasks"]:
+        assert must in paths, f"missing route {must}"
+    assert len(ROUTES) >= 18
+
+
+def test_catalog_and_grid_routes(svc):
+    assert svc.status()["message"] == "Running"
+    assert {c["alias"] for c in svc.composite_functions()} \
+        == {"IDT", "LCF", "MED"}
+    svc.create_grids("G", kind="hierarchical",
+                     bbox=(0.0, 0.0, 200000.0, 200000.0),
+                     base_tile_size_m=100000.0, factors=[1, 2],
+                     names=["G_SM", "G_MD"])
+    assert [g["name"] for g in svc.list_grids()] == ["G_MD", "G_SM"]
+    assert svc.list_grids("G_SM")["tiles"]
+
+    svc.create_cube(_defn(), parameters={"grid": "G_SM"})
+    assert svc.list_cubes() == [{"name": "S2-16D", "version": 1}]
+    assert svc.list_cubes("S2-16D")["parameters"]["grid"] == "G_SM"
+    svc.update_cube("S2-16D", title="Sentinel 16-day")
+    svc.update_parameters("S2-16D", stac_url="https://example/stac")
+    assert svc.list_cubes("S2-16D")["parameters"]["title"] \
+        == "Sentinel 16-day"
+    assert svc.list_tiles("S2-16D")
+
+    periods = svc.list_periods("continuous", date(2020, 1, 1),
+                               date(2020, 1, 16), "day", 8)
+    assert [p["period"] for p in periods] \
+        == ["2020-01-01_2020-01-08", "2020-01-09_2020-01-16"]
+
+
+def test_build_items_status_complete(spark, sf_dir, svc):
+    svc.create_cube(_defn(), parameters={"grid": "G_SM"})
+    obs = synth_observations(spark, sf_dir)
+    res = svc.start(spark, "S2-16D", obs,
+                    start=date(2020, 1, 1), end=date(2020, 1, 16), step=8)
+    assert res["cube"] == "S2-16D"
+
+    status = svc.cube_status(spark, "S2-16D")
+    assert status["finished"] and status["done"] > 0
+
+    items_p1 = svc.list_items(spark, "S2-16D", page=1, per_page=3).collect()
+    items_p2 = svc.list_items(spark, "S2-16D", page=2, per_page=3).collect()
+    assert len(items_p1) == 3
+    assert not {r.item_id for r in items_p1} & {r.item_id for r in items_p2}
+
+    meta = svc.cube_meta(spark, "S2-16D")
+    assert meta["n_items"] > 0 and meta["start_date"].startswith("2020-01")
+
+    # timeline already fully published -> extending it reports exactly
+    # the missing tail periods
+    missing = svc.complete_cube(spark, "S2-16D",
+                                timeline_end=date(2020, 2, 1), step=8)
+    assert missing and all(p.split("_")[0] > "2020-01-16" or
+                           p.split("_")[0] > "2020-01-09"
+                           for p in missing)
+    assert "2020-01-01_2020-01-08" not in missing
+
+    merges = svc.list_merges(spark, "S2-16D").collect()
+    assert merges and merges[0].status == "done"
+    tasks = svc.tasks(spark)
+    assert tasks and tasks[0]["cube"] == "S2-16D"
