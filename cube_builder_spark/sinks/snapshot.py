@@ -168,3 +168,70 @@ def snapshot_diff(store: SnapshotStore, spark: SparkSession,
             for c in key_cols]
     return (j.select(change.alias("change"), *keys)
             .filter(F.col("change").isNotNull()))
+
+
+def delete_keys(store: SnapshotStore, spark: SparkSession,
+                keys: list, key_col: str) -> tuple[int, int]:
+    """Targeted row deletion (the GDPR/right-to-erasure path): rewrite
+    ONLY the data files whose parquet footer min/max for ``key_col``
+    can contain a deleted key — every other file carries over into the
+    new version BY REFERENCE (zero bytes moved). Returns
+    (new_version, n_files_rewritten).
+
+    This is the Delta DELETE file-pruning strategy: at scale a delete
+    of k keys touches O(k) files of a z-ordered/clustered table, not
+    the whole dataset. Files without footer stats are conservatively
+    rewritten. The rewrite itself is one filtered read of the touched
+    files — the anti-join is a literal IN filter for bounded key
+    lists."""
+    import pyarrow.parquet as pq
+
+    current = store.versions()[-1]
+    files = store._read_manifest(current)["files"]
+    skeys = sorted(keys)
+
+    def may_contain(path: str) -> bool:
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            return True
+        idx = None
+        for i in range(meta.num_columns):
+            if meta.row_group(0).column(i).path_in_schema == key_col:
+                idx = i
+                break
+        if idx is None:
+            return True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if any(st.min <= k <= st.max for k in skeys):
+                return True
+        return False
+
+    touched = [f for f in files if may_contain(f)]
+    kept = [f for f in files if f not in set(touched)]
+    new_files = list(kept)
+    if touched:
+        sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+        (spark.read.parquet(*touched)
+         .filter(~F.col(key_col).isin(keys))
+         .write.mode("error").parquet(sub))
+        new_files += sorted(
+            os.path.join(sub, f) for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith("."))
+    version = store._commit(new_files, f"delete[{key_col}]", current)
+    return version, len(touched)
+
+
+def read_merged_schema(store: SnapshotStore, spark: SparkSession,
+                       version: int | None = None) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file in the
+    version (columns added by later appends come back as NULL for
+    older files) — `mergeSchema`, scoped to the manifest's file
+    list."""
+    vs = store.versions()
+    v = vs[-1] if version is None else version
+    files = store._read_manifest(v)["files"]
+    return (spark.read.option("mergeSchema", "true").parquet(*files))

@@ -92,3 +92,31 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     d = {r.k: r.change
          for r in snapshot_diff(st, spark, v1, v2, ["k"]).collect()}
     assert d == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_delete_keys_rewrites_only_touched_files(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import delete_keys
+    st = SnapshotStore(str(tmp_path / "snap"))
+    # two appends -> two disjoint key-range file sets
+    st.write(spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")).coalesce(1))
+    st.write(spark.range(1000, 1100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")).coalesce(1))
+    v, n_rewritten = delete_keys(st, spark, [5, 7], "k")
+    assert n_rewritten == 1          # only the 0-99 file contains 5/7
+    got = sorted(r.k for r in st.read(spark, v).collect())
+    assert 5 not in got and 7 not in got
+    assert len(got) == 198
+    # prior version still has the rows (time travel unaffected)
+    assert 5 in {r.k for r in st.read(spark, 2).collect()}
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import read_merged_schema
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(spark.createDataFrame([(1, 10)], "k long, v long"))
+    st.write(spark.createDataFrame([(2, 20, "x")],
+                                   "k long, v long, tag string"))
+    df = read_merged_schema(st, spark)
+    rows = {r.k: (r.v, r.tag) for r in df.collect()}
+    assert rows == {1: (10, None), 2: (20, "x")}
