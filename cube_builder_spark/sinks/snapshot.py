@@ -235,3 +235,44 @@ def read_merged_schema(store: SnapshotStore, spark: SparkSession,
     v = vs[-1] if version is None else version
     files = store._read_manifest(v)["files"]
     return (spark.read.option("mergeSchema", "true").parquet(*files))
+
+
+def write_stream_batch(store: SnapshotStore, df: DataFrame,
+                       batch_id: int, mode: str = "append") -> int | None:
+    """Idempotent foreachBatch sink: commit a micro-batch as a new
+    snapshot version EXACTLY ONCE. Structured Streaming re-delivers a
+    batch after a failure/restart with the SAME batch_id; the manifest
+    records the id, and a replayed batch is skipped (returns None), so
+    the table never double-counts — the standard exactly-once recipe
+    for non-transactional sinks.
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(
+                lambda b, i: write_stream_batch(store, b, i))
+             .start())
+    """
+    for v in reversed(store.versions()):
+        bid = store._read_manifest(v).get("batch_id")
+        if bid is not None:
+            if batch_id <= bid:
+                return None
+            break
+    sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(sub)
+    new_files = sorted(
+        os.path.join(sub, f) for f in os.listdir(sub)
+        if f.endswith(".parquet") and not f.startswith("."))
+    vs = store.versions()
+    parent = vs[-1] if vs else None
+    base = store._read_manifest(parent)["files"] \
+        if (parent is not None and mode == "append") else []
+    version = (store.versions() or [0])[-1] + 1
+    manifest = {"version": version, "op": f"stream[{batch_id}]",
+                "parent": parent, "batch_id": batch_id,
+                "files": sorted(base + new_files)}
+    tmp = store._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, store._manifest_path(version))
+    return version
