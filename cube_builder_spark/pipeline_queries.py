@@ -1497,3 +1497,77 @@ def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus at ~M bytes per vector."""
     return similarity.ivfpq_topk(_embs(spark, sf_dir), query_vec_id=0,
                                  n_lists=8, nprobe=2, m_sub=4, ks=8, k=10)
+
+
+@register("s_archive_roundtrip", """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE md5(text) END AS zip_md5,
+       doc_id % 5 <> 0 AS zip_valid,
+       md5(text) AS tgz_md5
+FROM documents
+""")
+def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded archive-reader round-trip (S5 zip half / S7 SAFE member
+    resolution / S9 Landsat tgz / S12 corruption detection): per
+    document, a SAFE-style zip (with a WRONG-resolution decoy member,
+    so extraction must apply the band-group rule, not just name
+    matching) and a Landsat tar.gz (with a wrong-band decoy) are built
+    in-memory from the text, read back through the REAL reader
+    functions, and hashed. Every 5th zip gets its end-of-central-
+    directory record corrupted; the reader must flag it instead of
+    returning bytes. The oracle knows only md5(text) and the
+    corruption rule — a hash match proves the entire pack→resolve→
+    decompress path byte-exact."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def roundtrip(batches):
+        import hashlib
+        import io
+        import tarfile
+        import zipfile
+
+        from .sources.raster_reader import (_tgz_member_bytes,
+                                            _zip_member_from_bytes)
+
+        def tar_add(tf, name, payload):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+
+        for pdf in batches:
+            rows = {"doc_id": [], "zip_md5": [], "zip_valid": [],
+                    "tgz_md5": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = str(text).encode("utf-8")
+                zb = io.BytesIO()
+                with zipfile.ZipFile(zb, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr("GRANULE/R20m/T1_B04_20m.tif",
+                                b"DECOY" + payload)
+                    zf.writestr("GRANULE/R10m/T1_B04_10m.tif", payload)
+                buf = zb.getvalue()
+                if doc_id % 5 == 0:
+                    buf = buf.replace(b"PK\x05\x06", b"XX\x05\x06")
+                try:
+                    got = _zip_member_from_bytes(buf, "B04", "10m")
+                    zmd5, zvalid = hashlib.md5(got).hexdigest(), True
+                except Exception:
+                    zmd5, zvalid = None, False
+                scene = f"LC08{doc_id}"
+                tb = io.BytesIO()
+                with tarfile.open(fileobj=tb, mode="w:gz") as tf:
+                    tar_add(tf, f"{scene}_B5.TIF", b"DECOY" + payload)
+                    tar_add(tf, f"{scene}_B4.TIF", payload)
+                with tarfile.open(fileobj=io.BytesIO(tb.getvalue()),
+                                  mode="r:*") as tf:
+                    tgz = _tgz_member_bytes(tf, "B4", scene, "mem://")
+                rows["doc_id"].append(int(doc_id))
+                rows["zip_md5"].append(zmd5)
+                rows["zip_valid"].append(zvalid)
+                rows["tgz_md5"].append(hashlib.md5(tgz).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, zip_md5 string, zip_valid boolean, tgz_md5 string")

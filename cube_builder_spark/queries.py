@@ -41,13 +41,18 @@ _PRIORITY = [
     "r4_count_by_status", "r5_distinct_join", "r6_groupby_collect_timeline",
     "r7_json_explode", "r8_pagination", "r9_bbox_intersect", "r10_upsert",
     "r11_multiway_join",
-    # sources (S4+S6 suite, S8, S10, S11, S13)
+    # sources (S4+S6 suite, S5/S7/S9/S12 archive round-trip, S8,
+    # S10, S11, S13)
     "s46_ingest_suite",           # S4 scan classify + S6 URI dispatch
+    "s_archive_roundtrip",        # S5 zip + S7 SAFE + S9 tgz + S12
     "s8_baseline_offset", "s10_sceneid_parse", "s11_empty_fill",
     "s13_remote_probe",
     # raster compute plane (C1-C20)
     "c1_suite",                   # C1 mosaic half + warp half
-    "c2_blend_lcf", "c2_blend_blocks",
+    "c2_blend_lcf",
+    # c2_blend_blocks (block-array C2 variant) sits just past the
+    # window: same semantics as c2_blend_lcf + p_cube_build_e2e's
+    # blocks, still hash-checked by tests/test_queries_oracle
     "c_masking_suite",            # C7 + C8 (pixel/cirrus/expr) + C9 + C10
     "c11_scene_efficacy",
     "c12c13_rescale",             # C12 + C13
