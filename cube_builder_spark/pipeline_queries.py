@@ -1571,3 +1571,69 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         roundtrip,
         "doc_id long, zip_md5 string, zip_valid boolean, tgz_md5 string")
+
+
+@register("s123_stac_adapt", """
+SELECT d.doc_id, b.band,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN 'https://stac.test/dl/' || d.doc_id || '.zip'
+            ELSE 'https://stac.test/dl/' || d.doc_id || '_' || b.band
+                 || '.tif' END AS link,
+       'S2A_' || d.doc_id AS sceneid,
+       'Sentinel-2A' AS platform,
+       '2020-01-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS date,
+       CAST(d.doc_id % 10 AS VARCHAR) AS tile_id
+FROM documents d
+CROSS JOIN (SELECT unnest(['B02', 'B04']) AS band) b
+""")
+def s123_stac_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded STAC adaptation (S1 feature→asset-row extraction + S3
+    SAFE-zip rewrite; S2's transport/pagination stays unit-tested —
+    it is network plumbing, not data logic): each document becomes a
+    deterministic STAC feature — even doc_ids get the SAFE shape (ONE
+    zip asset), odd ones get per-band assets — and runs through the
+    REAL adapt_safe_items + features_to_asset_rows inside
+    mapInPandas. The oracle re-derives every field (link rewrite,
+    sceneid, platform, datetime truncation, tile) from the same
+    rules, so a hash match proves the adapters' JSON logic."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def adapt(batches):
+        from .sources.stac import adapt_safe_items, features_to_asset_rows
+        bands = ["B02", "B04"]
+        for pdf in batches:
+            out = {"doc_id": [], "band": [], "link": [], "sceneid": [],
+                   "platform": [], "date": [], "tile_id": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                props = {"datetime":
+                         f"2020-01-{doc_id % 28 + 1:02d}T10:00:00Z",
+                         "platform": "Sentinel-2A"}
+                if doc_id % 2 == 0:
+                    assets = {"asset": {
+                        "href": f"https://stac.test/dl/{doc_id}.zip"}}
+                else:
+                    assets = {b: {
+                        "href": f"https://stac.test/dl/{doc_id}_{b}.tif"}
+                        for b in bands}
+                feat = {"id": f"S2A_{doc_id}", "properties": props,
+                        "assets": assets}
+                feats = adapt_safe_items([feat], bands)
+                for r in features_to_asset_rows(
+                        feats, bands, dataset="S2",
+                        tile_id=doc_id % 10):
+                    out["doc_id"].append(doc_id)
+                    out["band"].append(r["band"])
+                    out["link"].append(r["link"])
+                    out["sceneid"].append(r["sceneid"])
+                    out["platform"].append(r["platform"])
+                    out["date"].append(r["date"])
+                    out["tile_id"].append(r["tile_id"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        adapt, "doc_id long, band string, link string, sceneid string, "
+               "platform string, date string, tile_id string")

@@ -45,6 +45,7 @@ _PRIORITY = [
     # S10, S11, S13)
     "s46_ingest_suite",           # S4 scan classify + S6 URI dispatch
     "s_archive_roundtrip",        # S5 zip + S7 SAFE + S9 tgz + S12
+    "s123_stac_adapt",            # S1 asset extraction + S3 SAFE rewrite
     "s8_baseline_offset", "s10_sceneid_parse", "s11_empty_fill",
     "s13_remote_probe",
     # raster compute plane (C1-C20)
@@ -71,7 +72,11 @@ _PRIORITY = [
     "meta_catalog_suite",
     # LLM-pipeline: dedup family
     "d_fingerprint_suite",        # exact dedup + simhash, one slot
-    "d_minhash_lsh_pairs", "d_ngram_jaccard_dups",
+    "d_minhash_lsh_pairs",
+    # d_ngram_jaccard_dups (single-band LSH + Jaccard threshold) sits
+    # just past the window: same fused machinery as d_minhash_lsh_pairs
+    # with one band — its slot went to s123_stac_adapt; still
+    # hash-checked by tests/test_queries_oracle
     "d_dup_clusters",             # connected-component canonicalization
     "d_embedding_cosine_dups",
     # LLM-pipeline: similarity search
