@@ -1479,3 +1479,44 @@ def c2_blend_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has observed pixels
     return out.join(px.select("tile_id", "pixel_id").distinct(),
                     ["tile_id", "pixel_id"], "left_semi")
+
+
+@register("x_job_status", """
+SELECT 'JOBLOG-1' AS cube, 'LCF' AS composite, 'done' AS status,
+       CAST(2 AS BIGINT) AS n_runs, CAST(4 AS BIGINT) AS total_items,
+       CAST(0 AS BIGINT) AS new_items, CAST(4 AS BIGINT) AS reused_items
+""")
+def x_job_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 async-status surface, graded: run the build DAG TWICE over a
+    2-tile observation slice — the second run is the incremental
+    no-op — and read back the job-log status row. Every field is
+    determined by the orchestration semantics alone (2 runs, 2 tiles ×
+    2 periods = 4 items first run, 0 new + 4 reused on re-run, status
+    'done'), independent of scale factor, so a static oracle pins the
+    broker-state-machine behavior (reference tasks.py:549-574 /
+    controller.py:385-417)."""
+    from datetime import date as _date
+
+    from .plans.build_cube import CubeJobConfig, build_cube, job_status
+    from .session import scratch_dir
+
+    px = pixel_plane(spark, sf_dir).filter(F.col("tile_id").isin(0, 1))
+    common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
+    b04 = px.select(*common, F.lit("B04").alias("band"),
+                    F.col("value").cast("long").alias("value"))
+    scl = px.select(*common, F.lit("SCL").alias("band"),
+                    F.col("quality").cast("long").alias("value"))
+    obs = b04.unionByName(scl).withColumn("scene_order",
+                                          F.col("source_idx"))
+    out = scratch_dir("joblog_")
+    cfg = CubeJobConfig(cube="JOBLOG", composite="LCF",
+                        start=_date(2020, 1, 1), end=_date(2020, 1, 16),
+                        step=8, index_bands={})
+    build_cube(spark, obs, out, cfg)
+    build_cube(spark, obs, out, cfg)      # incremental no-op
+    return job_status(spark, out).select(
+        "cube", "composite", "status",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("total_items").cast("long").alias("total_items"),
+        F.col("new_items").cast("long").alias("new_items"),
+        F.col("reused_items").cast("long").alias("reused_items"))
