@@ -1545,3 +1545,28 @@ def x_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                           t["orders"], "o_orderkey",
                           "lineitem.l_orderkey -> orders.o_orderkey"))
     return combine(orders_checks, lineitem_checks, fks)
+
+
+_R15_SQL = """
+SELECT n.n_name AS n_name,
+       count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) * 1e0 / 100 AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("r15_sql_interface", _R15_SQL)
+def r15_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw ANSI-SQL surface: THE ORACLE STRING ITSELF is executed
+    by ``spark.sql`` over registered views — one query text, two
+    engines, identical hashes. Everything else in this repo uses the
+    DataFrame API for composability, but a reference user's ad-hoc
+    SQL (dialect-neutral subset) runs verbatim, with Catalyst doing
+    the same join selection/pushdown it does for DataFrames."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_R15_SQL)
