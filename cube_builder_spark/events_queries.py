@@ -464,3 +464,66 @@ def e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts",
                     F.coalesce(F.col("n"), F.lit(0)).cast("long")
                     .alias("n_views_1h")))
+
+
+@register("e_volume_anomaly", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+win AS (
+  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+         CAST(sum(cnt) OVER w AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sq,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 13 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, cnt, n AS baseline_days,
+       CASE WHEN n >= 7 THEN s * 1e0 / n ELSE NULL END AS baseline_mean,
+       CASE WHEN n >= 7
+            AND (cnt * n - s) * (cnt * n - s) * 1e0
+                > 4 * n * (sq * n - s * s)
+            AND sq * n > s * s
+            THEN TRUE
+            WHEN n >= 7 THEN FALSE ELSE NULL END AS is_anomaly
+FROM win
+""")
+def e_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flags: a day is anomalous when its count
+    deviates from the TRAILING-two-week baseline (excluding itself)
+    by more than 2 sigma. The z-test is cross-multiplied into pure
+    integers — (cnt·n − s)² > 4·n·(sq·n − s²) ⟺ (cnt−mean)² > 4·var
+    — so no float mean/variance ever crosses engines; days with under
+    a week of baseline return NULL (unknown), and a zero-variance
+    baseline is never anomalous (strict >).
+
+    Scale shape: same as e_moving_avg — the window runs over
+    pre-aggregated (type, day) counts, never the raw stream."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.select("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .cast("long").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-13, -1))
+    win = daily.select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt"),
+        F.sum("cnt").over(w).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("sq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"))
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    var_n2 = F.col("sq") * F.col("n") - F.col("s") * F.col("s")
+    enough = F.col("n") >= 7
+    return win.select(
+        "event_type", "day", "cnt",
+        F.col("n").alias("baseline_days"),
+        F.when(enough, F.col("s") * 1.0 / F.col("n")).alias("baseline_mean"),
+        F.when(enough & (dev * dev * 1.0 > 4 * F.col("n") * var_n2)
+               & (var_n2 > 0), F.lit(True))
+        .when(enough, F.lit(False)).alias("is_anomaly"))
