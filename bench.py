@@ -97,7 +97,7 @@ def main():
         timings[name] = min(runs)
         all_runs[name] = runs
     total = round(sum(timings.values()), 4)
-    # Report BOTH aggregates: `value` (min-of-2) is the steady-state a
+    # Report BOTH aggregates: `value` (min-of-3) is the steady-state a
     # production job sees; `first_run_total` is what one cold job pays
     # — a plan that only looks good warm is hiding one-off cost (e.g.
     # an eager materialization inside the first action), so the cold
