@@ -527,3 +527,45 @@ def e_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(enough & (dev * dev * 1.0 > 4 * F.col("n") * var_n2)
                & (var_n2 > 0), F.lit(True))
         .when(enough, F.lit(False)).alias("is_anomaly"))
+
+
+@register("e_cohort_retention", """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events
+),
+off AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM weeks
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(*) AS n_users
+FROM off
+GROUP BY cohort_week, week_offset
+""")
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted at each later week they return — the standard retention
+    triangle.
+
+    Scale shape: ONE subtree — the raw stream reduces to distinct
+    (user, week) rows (map-side-combining distinct), the cohort week
+    is a WINDOW min over those rows (a min-groupBy joined back would
+    scan and shuffle the events twice), and the final matrix agg
+    reuses the user partitioning. count(*) == count(distinct user)
+    because the input is already (user, week)-distinct."""
+    ev = _events(spark, sf_dir)
+    weeks = (ev.select("user_id",
+                       F.floor(F.datediff(F.to_date("ts"),
+                                          F.lit("1970-01-01")) / 7)
+                       .cast("long").alias("week"))
+             .distinct())
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (weeks.withColumn("cohort_week", cohort)
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
