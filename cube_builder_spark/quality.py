@@ -102,3 +102,48 @@ def combine(*reports: DataFrame) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+class AuditFailed(Exception):
+    """Raised by publish_with_audit; carries the failing report rows."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        super().__init__(
+            "; ".join(f"{r['check_name']}: {r['n_violations']} violations"
+                      for r in failures))
+
+
+def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
+                       mode: str = "append") -> int:
+    """Write-audit-publish: stage the data, run the declared checks
+    against the STAGED copy, and only then commit the manifest — a
+    failed audit leaves no new version (the staged files are orphans
+    for vacuum). This is the WAP pattern from Iceberg deployments,
+    here expressed with the snapshot store's write-last-manifest
+    invariant: auditing before the manifest commit IS the isolation.
+
+    The checks run on the staged parquet (one extra read of the new
+    files only), not the input plan — what was audited is exactly
+    what readers will see."""
+    import os
+    import uuid
+
+    sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(sub)
+    staged = df.sparkSession.read.parquet(sub)
+    report = run_table_checks(
+        TableChecks(df=staged, not_null=tc.not_null, ranges=tc.ranges,
+                    in_set=tc.in_set, unique=tc.unique), table)
+    failures = [r.asDict() for r in report.filter(~F.col("passed"))
+                .collect()]
+    if failures:
+        raise AuditFailed(failures)
+    new_files = sorted(
+        os.path.join(sub, f) for f in os.listdir(sub)
+        if f.endswith(".parquet") and not f.startswith("."))
+    vs = store.versions()
+    parent = vs[-1] if vs else None
+    base = store._read_manifest(parent)["files"] \
+        if (parent is not None and mode == "append") else []
+    return store._commit(base + new_files, f"wap-{mode}", parent)

@@ -276,3 +276,21 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
         json.dump(manifest, fh)
     os.replace(tmp, store._manifest_path(version))
     return version
+
+
+def optimize_zorder(store: SnapshotStore, spark: SparkSession,
+                    xcol: str, ycol: str, bits: int = 10,
+                    npartitions: int | None = None) -> int:
+    """OPTIMIZE ... ZORDER BY over the store: rewrite the CURRENT
+    version's data Morton-clustered (each output file owns a disjoint
+    z-range ⇒ tight min/max on both axes ⇒ bbox file pruning) and
+    commit it as a new version. Metadata history is preserved — the
+    un-clustered version remains readable until expired, so the
+    rewrite is safely abortable at any point (manifest-last
+    invariant)."""
+    from ..functions.zorder import layout
+
+    current = store.read(spark)
+    laid = layout(current, xcol, ycol, bits=bits,
+                  npartitions=npartitions)
+    return store.write(laid, mode="overwrite")

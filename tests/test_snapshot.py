@@ -150,3 +150,49 @@ def test_stream_sink_end_to_end(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _ids(st.read(spark)) == list(range(20))
+
+
+def test_publish_with_audit_blocks_bad_data(spark, tmp_path):
+    from cube_builder_spark.quality import (AuditFailed, TableChecks,
+                                            publish_with_audit)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    checks = TableChecks(df=None, ranges={"v": (0.0, 10.0)},
+                         unique=[["k"]])
+    v = publish_with_audit(st, good, checks, "t")
+    assert v == 1
+    bad = spark.createDataFrame([(3, 99.0), (3, 1.0)], "k long, v double")
+    import pytest as _pytest
+    with _pytest.raises(AuditFailed) as e:
+        publish_with_audit(st, bad, checks, "t")
+    assert any("range" in f["check_name"] for f in e.value.failures)
+    # failed audit left NO new version; staged files are vacuumable
+    assert st.versions() == [1]
+    assert st.vacuum()
+    assert sorted(r.k for r in st.read(spark).collect()) == [1, 2]
+
+
+def test_optimize_zorder_clusters_current_version(spark, tmp_path):
+    from cube_builder_spark.functions.zorder import z_value
+    from cube_builder_spark.sinks.snapshot import optimize_zorder
+    st = SnapshotStore(str(tmp_path / "snap"))
+    pts = spark.range(4000).select(
+        (F.col("id") * 977 % 1024).alias("x"),
+        (F.col("id") * 389 % 1024).alias("y"))
+    v1 = st.write(pts.repartition(8))          # scattered layout
+    v2 = optimize_zorder(st, spark, "x", "y", npartitions=4)
+    new = st.read(spark, v2)
+    assert new.count() == 4000
+    # every optimized FILE owns a disjoint z-range
+    files = st._read_manifest(v2)["files"]
+    ranges = []
+    for f in files:
+        zf = (spark.read.parquet(f)
+              .select(z_value(F.col("x"), F.col("y")).alias("z"))
+              .agg(F.min("z"), F.max("z")).collect()[0])
+        ranges.append((zf[0], zf[1]))
+    ranges.sort()
+    for a, b in zip(ranges, ranges[1:]):
+        assert a[1] <= b[0]
+    # pre-optimize version intact
+    assert st.read(spark, v1).count() == 4000
