@@ -569,3 +569,72 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("week") - F.col("cohort_week"))
                      .alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register("e_funnel_latency", """
+WITH pairs AS (
+  SELECT p.event_id,
+         min(date_diff('second', v.ts, p.ts)) AS delta
+  FROM events p JOIN events v
+    ON v.user_id = p.user_id AND v.event_type = 'view'
+   AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.event_id
+),
+counts AS (SELECT delta, count(*) AS c FROM pairs GROUP BY delta),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+cum AS (
+  SELECT delta, CAST(sum(c) OVER (ORDER BY delta) AS BIGINT) AS cum_c
+  FROM counts
+)
+SELECT t.n AS n_converted,
+       min(CASE WHEN cum_c * 100 >= 50 * t.n THEN delta END) AS p50_sec,
+       min(CASE WHEN cum_c * 100 >= 90 * t.n THEN delta END) AS p90_sec,
+       min(delta) AS min_sec, max(delta) AS max_sec
+FROM cum, tot t
+GROUP BY t.n
+""")
+def e_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from the NEAREST prior
+    view (within the hour) to each purchase, summarized as exact
+    nearest-rank p50/p90 — the funnel-latency readout after the
+    attribution join.
+
+    Scale shape: the hour-bucketed interval join bounds the pair
+    space (as in e_interval_join); the per-purchase min is a
+    map-side-combining groupBy; and the quantiles use value counts +
+    a cumulative window over ≤3600 distinct delta values — never a
+    global sort of the purchase stream."""
+    ev = _events(spark, sf_dir)
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     hour(F.col("ts")).alias("v_bucket")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    pexp = purch.withColumn(
+        "jb", F.explode(F.array(hour(F.col("ts")),
+                                hour(F.col("ts")) - 1)))
+    deltas = (pexp.join(views, (F.col("v_user") == F.col("user_id"))
+                        & (F.col("v_bucket") == F.col("jb")))
+              .filter((F.col("v_ts") > F.col("ts")
+                       - F.expr("INTERVAL 1 HOUR"))
+                      & (F.col("v_ts") <= F.col("ts")))
+              .groupBy("event_id")
+              .agg(F.min(F.unix_timestamp("ts")
+                         - F.unix_timestamp("v_ts")).alias("delta")))
+    counts = deltas.groupBy("delta").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    cum = counts.withColumn(
+        "cum_c", F.sum("c").over(Window.orderBy("delta")).cast("long"))
+
+    def pick(pct):
+        return F.min(F.when(F.col("cum_c") * 100 >= pct * F.col("n"),
+                            F.col("delta")))
+
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("n").alias("n_converted"))
+            .agg(pick(50).alias("p50_sec"), pick(90).alias("p90_sec"),
+                 F.min("delta").alias("min_sec"),
+                 F.max("delta").alias("max_sec")))
