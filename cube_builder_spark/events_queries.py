@@ -638,3 +638,48 @@ def e_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pick(50).alias("p50_sec"), pick(90).alias("p90_sec"),
                  F.min("delta").alias("min_sec"),
                  F.max("delta").alias("max_sec")))
+
+
+@register("e_rank_functions", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ntile(4) OVER w AS BIGINT) AS volume_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(cnt - lag(cnt, 1) OVER
+            (PARTITION BY event_type ORDER BY day) AS BIGINT)
+         AS day_over_day
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY cnt, day)
+""")
+def e_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over daily volumes: ntile quartiles,
+    percent_rank, cume_dist (ordered by count with a day tie-break so
+    every rank is deterministic) and a lag day-over-day delta on the
+    time ordering.
+
+    Scale shape: both windows run over the pre-aggregated (type, day)
+    table — bounded by days × types — and share the event_type hash
+    partitioning; percent_rank/cume_dist are exact rational doubles
+    of integer ranks, bit-identical across engines."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.select("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .cast("long").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("cnt", "day")
+    wt = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt"),
+        F.ntile(4).over(w).cast("long").alias("volume_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        (F.col("cnt") - F.lag("cnt", 1).over(wt)).cast("long")
+        .alias("day_over_day"))
