@@ -1520,3 +1520,39 @@ def x_job_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_items").cast("long").alias("total_items"),
         F.col("new_items").cast("long").alias("new_items"),
         F.col("reused_items").cast("long").alias("reused_items"))
+
+
+@register("x_bucketed_cube_agg", f"""
+WITH {PIXELS_SQL},
+plane AS (SELECT tile_id, pixel_id, value, quality FROM pixels)
+SELECT tile_id, pixel_id,
+       count(*) AS n_obs,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       CAST(max(quality) AS BIGINT) AS max_quality
+FROM plane
+GROUP BY tile_id, pixel_id
+""")
+def x_bucketed_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed cube store in a graded path: the pixel plane is
+    persisted with bucketBy(tile_id, pixel_id) + in-bucket sort, read
+    back from disk, and aggregated ON THE BUCKET KEY — the
+    aggregation elides its Exchange because the scan exposes the
+    bucket hash partitioning (the zero-shuffle property asserted in
+    tests/test_bucketed_store.py; here the RESULT is hash-checked, so
+    the store also provably round-trips the data bit-exact)."""
+    from .pixelplane import pixel_plane
+    from .session import scratch_dir
+    from .sinks.bucketed import read_bucketed, write_bucketed_cube
+
+    px = pixel_plane(spark, sf_dir).select(
+        "tile_id", "pixel_id", "value", "quality")
+    path = scratch_dir("bucketed_agg_")
+    table = "x_bucketed_cube_agg_t"
+    write_bucketed_cube(px, table, path, n_buckets=32,
+                        bucket_cols=("tile_id", "pixel_id"),
+                        sort_cols=())
+    stored = read_bucketed(spark, table)
+    return (stored.groupBy("tile_id", "pixel_id")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.sum("value").cast("long").alias("sum_value"),
+                 F.max("quality").cast("long").alias("max_quality")))
