@@ -127,3 +127,35 @@ def advise_join(left: TableStats, right: TableStats,
                     " rows/key — salt the key or rely on AQE skew join")
     return JoinAdvice(strategy=strategy, skew_warning=warn,
                       est_left_bytes=lb, est_right_bytes=rb)
+
+
+def recommend_conf(total_input_bytes: int, total_cores: int = 32,
+                   target_partition_bytes: int = 128 * 1024 * 1024,
+                   max_partition_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Size the shuffle for a job BEFORE it runs, from ANALYZE totals:
+
+    - ``spark.sql.shuffle.partitions`` = enough partitions that each
+      holds ≈ target bytes of (decompressed) data, floored at the
+      cluster's core count so every core has work — the knob AQE can
+      only coalesce DOWN from, so the static value must be the upper
+      envelope;
+    - ``spark.sql.files.maxPartitionBytes`` controls scan granularity
+      (split big files, not small ones);
+    - ``spark.sql.autoBroadcastJoinThreshold`` left at default unless
+      the caller knows better — advise_join handles per-join choices.
+
+    The estimate inflates parquet bytes by the in-memory factor; at
+    100 TB input with 128 MB targets this yields ~2.4M partitions,
+    which is why real deployments ALSO enable AQE coalescing — the
+    recommendation is the safe ceiling, not the final runtime value.
+    """
+    import math
+    inmem = int(total_input_bytes * _INMEM_FACTOR)
+    parts = max(total_cores,
+                math.ceil(inmem / target_partition_bytes))
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(max_partition_bytes),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }

@@ -79,3 +79,14 @@ def test_analyze_and_join_advice(spark, sf_dir, tmp_path):
     adv2 = advise_join(li, na, "l_returnflag", "n_nationkey",
                        broadcast_threshold=1)
     assert adv2.skew_warning and "l_returnflag" in adv2.skew_warning
+
+
+def test_recommend_conf_scales_with_input():
+    from cube_builder_spark.stats import recommend_conf
+    small = recommend_conf(10 * 1024 * 1024, total_cores=32)
+    # tiny input: floor at core count so every core has work
+    assert small["spark.sql.shuffle.partitions"] == "32"
+    big = recommend_conf(1 << 40, total_cores=32)        # 1 TB
+    # 1 TB * 3x inflation / 128MB ≈ 24576 partitions
+    assert int(big["spark.sql.shuffle.partitions"]) > 20000
+    assert big["spark.sql.adaptive.enabled"] == "true"
