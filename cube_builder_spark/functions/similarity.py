@@ -129,13 +129,20 @@ def lsh_buckets(embeddings: DataFrame, num_planes: int = 8) -> DataFrame:
     inflation) and no groupBy shuffle at all. Exact integer math,
     bit-identical to the per-dimension formulation."""
     dim = _embedding_dim(embeddings)
+    return embeddings.select(
+        "vec_id", _bucket_expr(dim, num_planes).alias("bucket"))
+
+
+def _bucket_expr(dim: int, num_planes: int):
+    """The map-side bucket column: sign-bit pattern of ``num_planes``
+    integer hyperplane projections of the quantized embedding."""
     ev = quantize(F.col("embedding"))
     bucket = None
     for j in range(num_planes):
         w = F.array(*[F.lit(hyperplane_weight(j, i)) for i in range(dim)])
         bit = (F.when(dot_q(ev, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         bucket = bit if bucket is None else bucket + bit
-    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
 
 
 def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
@@ -152,29 +159,58 @@ def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
                             query_vec_id, k)
 
 
-def cosine_dup_pairs(embeddings: DataFrame, num_planes: int = 4,
-                     threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-gated.
+def cosine_dup_pairs(embeddings: DataFrame, num_planes: int = 8,
+                     threshold: float = 0.35,
+                     max_bucket: int = 256) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-gated AND skew-capped.
 
     Candidate pairs come only from vectors sharing a hyperplane-LSH
-    bucket (the quadratic all-pairs space never materializes — at 100 TB
-    the bucket is the shuffle key and the join is per-bucket-local);
-    the exact integer-quantized cosine then confirms each candidate.
-    """
-    buckets = lsh_buckets(embeddings, num_planes)
-    ev = embeddings.select("vec_id", quantize(F.col("embedding")).alias("ev"))
-    side = buckets.join(ev, "vec_id")
-    a = side.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
-                    F.col("ev").alias("ea"))
-    b = side.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
-                    F.col("ev").alias("eb"))
-    pairs = (a.join(b, "bucket")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b",
-                     (dot_q(F.col("ea"), F.col("eb"))
-                      / (F.sqrt(dot_q(F.col("ea"), F.col("ea")))
-                         * F.sqrt(dot_q(F.col("eb"), F.col("eb"))))).alias("cosine")))
-    return pairs.filter(F.col("cosine") >= threshold).dropDuplicates(["vec_a", "vec_b"])
+    bucket; the exact integer-quantized cosine confirms each candidate.
+
+    Scale shape (mirrors dedup.capped_plane_pairs — the text-LSH path):
+    bucket populations are measured with a count-over-window BEFORE any
+    collect_list, and buckets above ``max_bucket`` are dropped, so a
+    mega-bucket can never materialize a quadratic in-memory pair space.
+    The groupBy reuses the window's hash partitioning (one Exchange on
+    ``bucket`` total), pair expansion is an in-array slice/transform,
+    and the post-expansion plan moves only (vec_a, vec_b, cosine)
+    scalars through the dedup shuffle. Default ``num_planes=8`` gives
+    256 buckets so expected population is bounded by design, not luck;
+    a dropped over-cap bucket is the standard LSH recall/cost trade
+    (rerun with more planes, not a bigger cap, as corpus density
+    grows)."""
+    # bucket AND quantized vector from ONE map-side projection of the
+    # corpus — no bucket⋈vector self-join, so the only Exchanges in the
+    # whole plan are the bucket shuffle and the final pair dedup
+    dim = _embedding_dim(embeddings)
+    plane = embeddings.select(
+        _bucket_expr(dim, num_planes).alias("bucket"),
+        F.struct(F.col("vec_id"),
+                 quantize(F.col("embedding")).alias("ev")).alias("m"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sized = (plane.withColumn("n", n)
+             .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)))
+    # struct sorts by its first field (vec_id, unique), so the i<j
+    # in-array expansion yields vec_a < vec_b directly
+    grouped = sized.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("m")).alias("ms"))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["vec_id"].alias("vec_a"),
+                               y["vec_id"].alias("vec_b"),
+                               x["ev"].alias("ea"),
+                               y["ev"].alias("eb")))))
+    pairs = (grouped.select(F.explode(combos).alias("p"))
+             .select(F.col("p.vec_a").alias("vec_a"),
+                     F.col("p.vec_b").alias("vec_b"),
+                     (dot_q(F.col("p.ea"), F.col("p.eb"))
+                      / (F.sqrt(dot_q(F.col("p.ea"), F.col("p.ea")))
+                         * F.sqrt(dot_q(F.col("p.eb"), F.col("p.eb")))))
+                     .alias("cosine")))
+    return (pairs.filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
 
 
 def ivf_centroids(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
@@ -358,8 +394,12 @@ def ivf_batch_topk(embeddings: DataFrame, queries: DataFrame,
              .filter(~F.col("vec_id").isin(qids))
              .select("q_vec_id", "vec_id"))
     ev = embeddings.select("vec_id", quantize(F.col("embedding")).alias("ev"))
-    eq = embeddings.select(F.col("vec_id").alias("q_vec_id"),
-                           quantize(F.col("embedding")).alias("qv"))
+    # restrict the broadcast side to the bounded query block BEFORE
+    # hinting — broadcasting the unfiltered corpus projection would
+    # OOM at scale even though the join key only matches query ids
+    eq = (embeddings.filter(F.col("vec_id").isin(qids))
+          .select(F.col("vec_id").alias("q_vec_id"),
+                  quantize(F.col("embedding")).alias("qv")))
     scored = (cands.join(ev, "vec_id").join(F.broadcast(eq), "q_vec_id")
               .select("q_vec_id", "vec_id",
                       (dot_q(F.col("ev"), F.col("qv"))

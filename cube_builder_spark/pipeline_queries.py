@@ -430,18 +430,23 @@ def a_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("d_embedding_cosine_dups", f"""
-WITH {_dims_sql()}, {_bucket_sql(4)}, {_EV_SQL}
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS cosine
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
 JOIN ev ea ON ea.vec_id = a.vec_id
 JOIN ev eb ON eb.vec_id = b.vec_id
 WHERE {_COS_AB} >= 0.35
 """)
 def d_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket candidate generation
-    (never the quadratic pair space), exact cosine confirm."""
+    (never the quadratic pair space), exact cosine confirm. Skew-capped
+    at max_bucket=256 with a count-over-window BEFORE any collect_list
+    — the oracle mirrors the cap in its bn CTE."""
     return similarity.cosine_dup_pairs(_embs(spark, sf_dir),
-                                       num_planes=4, threshold=0.35)
+                                       num_planes=8, threshold=0.35,
+                                       max_bucket=256)
 
 
 _IVF_SQL = f"""

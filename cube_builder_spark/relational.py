@@ -101,14 +101,15 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective join + top-k. customer side is small →
-    Catalyst broadcasts it (verified via explain)."""
+    """TPC-H Q3 shape: selective join + top-k. The filtered customer
+    side is small at low SF — AQE converts the join to broadcast at
+    runtime; no forced hint (customer scales linearly)."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     return (
         t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
         .join(t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+        .join(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
@@ -133,8 +134,9 @@ GROUP BY n.n_name
 """)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — the reference's multiway id joins (R11,
-    tasks.py:471-476) at scale. Dim tables broadcast; only the
-    lineitem⋈orders join shuffles."""
+    tasks.py:471-476) at scale. Only nation/region (fixed-size) carry
+    broadcast hints; customer/supplier are left to AQE, which
+    broadcasts them at small SF and shuffles them at 100x."""
     t = load_tables(spark, sf_dir,
                     ["customer", "orders", "lineitem", "supplier", "nation", "region"])
     nr = (t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
@@ -145,8 +147,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
             F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]),
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"],
               (F.col("o_custkey") == F.col("c_custkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -258,7 +260,7 @@ def r6_groupby_collect_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6: per-tile timeline summary via group-by + array_agg
     (controller.py:677-710 jsonb_agg of item dates)."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
-    return (t["orders"].join(F.broadcast(t["customer"]),
+    return (t["orders"].join(t["customer"],
                              F.col("o_custkey") == F.col("c_custkey"))
             .select("c_nationkey", F.year("o_orderdate").cast("long").alias("y"))
             .groupBy("c_nationkey")
@@ -409,7 +411,7 @@ def r11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: id-joins for names (maestro.py:216-220, tasks.py:471-476)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return (t["lineitem"]
-            .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("s_name", "n_name")
             .agg(F.count(F.lit(1)).alias("n_lineitems"),
@@ -506,9 +508,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(t["customer"]),
+         .join(t["customer"],
                F.col("o_custkey") == F.col("c_custkey"))
-         .join(F.broadcast(t["supplier"]),
+         .join(t["supplier"],
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
@@ -561,10 +563,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
                F.col("l_partkey") == F.col("p_partkey"))
          .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(t["customer"]),
+         .join(t["customer"],
                F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
-         .join(F.broadcast(t["supplier"]),
+         .join(t["supplier"],
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk")))
     vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -595,7 +597,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
-    j = li.join(F.broadcast(t["part"]),
+    j = li.join(t["part"],
                 F.col("l_partkey") == F.col("p_partkey"))
     disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return j.agg(
@@ -628,7 +630,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
            .filter(F.col("qty_c") > 15000))
     return (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(t["customer"]),
+            .join(t["customer"],
                   F.col("o_custkey") == F.col("c_custkey"))
             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     (_cents(F.col("o_totalprice")) / 100.0)
@@ -707,7 +709,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     mx = rev.agg(F.max("rev_c").alias("mx_c"))
     return (rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx_c"))
-            .join(F.broadcast(t["supplier"]),
+            .join(t["supplier"],
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     (F.col("rev_c") / 100.0).alias("total_revenue"))
@@ -784,7 +786,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking it to broadcast size; the mixed part×lineitem terms
     evaluate post-join inside codegen."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    j = t["lineitem"].join(F.broadcast(t["part"]),
+    j = t["lineitem"].join(t["part"],
                            F.col("l_partkey") == F.col("p_partkey"))
     b = F.col("p_brand")
     sz = F.col("p_size")
@@ -847,7 +849,7 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("o_orderkey"))
     qual = (qual_pairs
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(t["supplier"]),
+            .join(t["supplier"],
                   F.col("l_suppkey") == F.col("s_suppkey")))
     return (qual.groupBy("s_name")
             .agg(F.sum("cnt_r").cast("long").alias("numwait"))
@@ -1136,7 +1138,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # part slice first: shrinks the window input ~1000x
                 .join(F.broadcast(psel),
                       F.col("ps_partkey") == F.col("p_partkey"))
-                .join(F.broadcast(t["supplier"]),
+                .join(t["supplier"],
                       F.col("ps_suppkey") == F.col("s_suppkey"))
                 .join(F.broadcast(nr),
                       F.col("s_nationkey") == F.col("n_nationkey")))
@@ -1188,7 +1190,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("l_partkey") == F.col("ps_partkey")))
          .join(t["orders"].select("o_orderkey", "o_orderdate"),
                F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(t["supplier"]),
+         .join(t["supplier"],
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(t["nation"]),
                F.col("s_nationkey") == F.col("n_nationkey")))
@@ -1225,7 +1227,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     n7 = t["nation"].filter(F.col("n_name") == "NATION_7")
     val = (_supply(t)
-           .join(F.broadcast(t["supplier"]),
+           .join(t["supplier"],
                  F.col("ps_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(n7),
                  F.col("s_nationkey") == F.col("n_nationkey"))

@@ -29,6 +29,21 @@ def _fast_local_dir() -> str | None:
     return None
 
 
+def defer_cleanup(path: str) -> str:
+    """Register ``path`` for removal at interpreter exit and return it.
+
+    Query functions that hand back a DataFrame READING from a scratch
+    dir use this instead of eager-localCheckpoint-then-rmtree: the
+    checkpoint variant pins one persisted RDD per call in the block
+    manager for the session's lifetime (the round-4 x_cube_reuse
+    monotone-slowdown: +1 persistentRDD per run), while a deferred
+    rmtree leaves the result lazy and leak-free."""
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp for EPHEMERAL per-query outputs (oracle-harness cube
     builds, streaming checkpoints in tests) — RAM-backed when tmpfs is

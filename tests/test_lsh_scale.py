@@ -128,3 +128,93 @@ def test_dup_clusters_chain(spark):
            for r in dedup.dup_clusters(pairs, iters=4).collect()}
     assert out == {1: (1, True), 5: (1, False), 9: (1, False),
                    20: (20, True), 21: (20, False)}
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine dedup: same 100 TB contract as the text path
+# (round-5: cosine_dup_pairs routed through the capped machinery).
+# ---------------------------------------------------------------------------
+
+from cube_builder_spark.functions import similarity
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_cap_applied_before_collect(spark):
+    """The bucket-size cap must sit BELOW the collect_list aggregation
+    (between it and the count window) so an over-cap bucket never
+    materializes a member array in an aggregation buffer."""
+    rows = [(i, [float(i % 5), float(i % 3), 1.0, -1.0]) for i in range(8)]
+    out = similarity.cosine_dup_pairs(_vecs(spark, rows), num_planes=4,
+                                      threshold=-2.0, max_bucket=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    i_agg = plan.index("collect_list(m#")
+    i_cap = plan.index("<= 64")
+    i_win = plan.index("windowspecdefinition")
+    # toString prints parents first: aggregate above filter above window
+    assert i_agg < i_cap < i_win, plan
+
+
+def test_cosine_bucket_stage_single_exchange(spark):
+    """groupBy(bucket) must reuse the count window's hash partitioning:
+    the bucket stage contributes ONE Exchange (plus the final pair
+    dedup's)."""
+    rows = [(i, [float(i % 5), float(i % 3), 1.0, -1.0]) for i in range(8)]
+    out = similarity.cosine_dup_pairs(_vecs(spark, rows), num_planes=4,
+                                      threshold=-2.0, max_bucket=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_cosine_mega_bucket_never_materializes(spark):
+    """An embedding flood (40% of the corpus identical -> one bucket far
+    over the cap) must be dropped entirely while an honest near-dup
+    pair elsewhere survives, with bounded output size."""
+    flood = [1.0, 1.0, 1.0, 1.0]
+    rows = [(i, flood) for i in range(400)]
+    # spread-out singles: orthogonal-ish directions, no near-dups
+    rows += [(1000 + i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6),
+                         float((i * 5) % 17 - 8), 1.0]) for i in range(600)]
+    rows += [(5000, [2.0, -3.0, 4.0, -5.0]),
+             (5001, [2.0, -3.0, 4.0, -5.01])]  # honest near-dup pair
+    out = similarity.cosine_dup_pairs(_vecs(spark, rows), num_planes=8,
+                                      threshold=0.95, max_bucket=64).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (5000, 5001) in pairs
+    # identical flood vectors bucket together -> the 400-member bucket
+    # (79800 latent pairs) is capped away entirely
+    assert not any(a < 400 or b < 400 for a, b in pairs)
+    assert len(pairs) < 5000
+
+
+def test_cosine_capped_matches_naive_when_unskewed(spark):
+    """On a corpus where no bucket exceeds the cap, the capped in-array
+    expansion must produce exactly the pairs of the naive per-bucket
+    self-join formulation."""
+    rows = [(i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6),
+                 float((i * 5) % 17 - 8), float(i % 4 - 2)])
+            for i in range(120)]
+    embs = _vecs(spark, rows)
+    capped = {(r.vec_a, r.vec_b, round(r.cosine, 9))
+              for r in similarity.cosine_dup_pairs(
+                  embs, num_planes=4, threshold=0.5,
+                  max_bucket=10_000).collect()}
+    b = similarity.lsh_buckets(embs, 4)
+    ev = embs.select("vec_id", similarity.quantize(F.col("embedding")).alias("ev"))
+    side = b.join(ev, "vec_id")
+    a_ = side.select(F.col("vec_id").alias("vec_a"), "bucket",
+                     F.col("ev").alias("ea"))
+    b_ = side.select(F.col("vec_id").alias("vec_b"), "bucket",
+                     F.col("ev").alias("eb"))
+    naive = {(r.vec_a, r.vec_b, round(r.cosine, 9))
+             for r in a_.join(b_, "bucket")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b",
+                     (similarity.dot_q(F.col("ea"), F.col("eb"))
+                      / (F.sqrt(similarity.dot_q(F.col("ea"), F.col("ea")))
+                         * F.sqrt(similarity.dot_q(F.col("eb"), F.col("eb")))))
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= 0.5).collect()}
+    assert capped == naive
