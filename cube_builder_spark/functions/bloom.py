@@ -11,8 +11,8 @@ the shuffle — the same idea as Spark's own
 explicit so the filter can be persisted and reused across queries.
 
 Determinism (what makes it SQL-oracle-able): positions come from k
-integer affine hashes `(key * P_j + j) mod mbits` — exact int64 both
-engines — rather than engine-private hash functions. The membership
+integer affine hashes `((key mod R) * P_j + j) mod mbits` with
+R = 2^31-1 — exact, overflow-free int64 in both engines — rather than engine-private hash functions. The membership
 test is conjunctive over the SAME bit set, so false positives are
 identical everywhere: a row passes iff all k positions are set.
 """
@@ -27,9 +27,18 @@ from pyspark.sql import functions as F
 _PRIMES = (2654435761, 40503, 69069, 2246822519, 3266489917)
 
 
+# pre-multiply reducer: keys are folded into [0, 2^31) so the affine
+# product stays under 2^63 for ANY int64 key — a raw key >= ~3.4e9
+# times the largest multiplier would wrap negative in Spark (and error
+# in DuckDB), corrupting positions and cross-engine determinism
+_REDUCER = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
 def positions(key: Column, k: int = 3, mbits: int = 4096) -> list[Column]:
-    """The k bit positions of a key (exact int64 affine hashes)."""
-    return [((key.cast("long") * F.lit(_PRIMES[j]) + F.lit(j)) % mbits)
+    """The k bit positions of a key (exact, overflow-free int64 affine
+    hashes; pmod keeps positions non-negative for negative keys)."""
+    folded = F.pmod(key.cast("long"), F.lit(_REDUCER))
+    return [F.pmod(folded * F.lit(_PRIMES[j]) + F.lit(j), F.lit(mbits))
             for j in range(k)]
 
 

@@ -10,9 +10,11 @@ also composes with aggregation.
 Shape: the big side adds a salt in [0, n) (row-local, no shuffle —
 the salt only needs to SPREAD rows, its value is irrelevant to the
 result); the small side replicates each row n times, once per salt.
-Joining on (key, salt) splits every hot key across n reducers. The
-result is EXACTLY the plain join — replication guarantees each big
-row still meets each matching small row exactly once.
+Joining on (key, salt) splits every hot key across n reducers. For
+inner/left joins the result is EXACTLY the plain join — replication
+guarantees each big row still meets each matching small row exactly
+once (right/full outer are rejected: unmatched small rows would
+appear once per salt).
 
 Cost model: small-side volume × n. Worth it iff the small side is
 modest but above broadcast size, or the join must be shuffle-based
@@ -34,7 +36,19 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     """`big ⋈ small` on ``big_key = small_key``, spread over
     ``salt_n`` sub-keys per join key. Output columns = big ∪ small
     (salt columns dropped); row multiset identical to the plain
-    join."""
+    join.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: the
+    small side is replicated salt_n-fold, so under right/full outer
+    joins each UNMATCHED small-side row would surface salt_n times —
+    a different multiset than the plain join."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the salt_n-fold "
+            "small-side replication multiplies unmatched small rows "
+            "under right/full outer joins; use inner/left* forms")
     b = big.withColumn(
         _SALT, (F.monotonically_increasing_id() % salt_n).cast("int"))
     s = small.withColumn(

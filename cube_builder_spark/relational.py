@@ -905,17 +905,17 @@ WITH dim AS (
   WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
 ),
 bits AS (
-  SELECT (o_orderkey * 2654435761 + 0) % 4096 AS pos FROM dim
+  SELECT ((o_orderkey % 2147483647) * 2654435761 + 0) % 4096 AS pos FROM dim
   UNION
-  SELECT (o_orderkey * 40503 + 1) % 4096 FROM dim
+  SELECT ((o_orderkey % 2147483647) * 40503 + 1) % 4096 FROM dim
   UNION
-  SELECT (o_orderkey * 69069 + 2) % 4096 FROM dim
+  SELECT ((o_orderkey % 2147483647) * 69069 + 2) % 4096 FROM dim
 ),
 pass AS (
   SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
-  WHERE (l_orderkey * 2654435761 + 0) % 4096 IN (SELECT pos FROM bits)
-    AND (l_orderkey * 40503 + 1) % 4096 IN (SELECT pos FROM bits)
-    AND (l_orderkey * 69069 + 2) % 4096 IN (SELECT pos FROM bits)
+  WHERE ((l_orderkey % 2147483647) * 2654435761 + 0) % 4096 IN (SELECT pos FROM bits)
+    AND ((l_orderkey % 2147483647) * 40503 + 1) % 4096 IN (SELECT pos FROM bits)
+    AND ((l_orderkey % 2147483647) * 69069 + 2) % 4096 IN (SELECT pos FROM bits)
 ),
 j AS (SELECT p.* FROM pass p JOIN dim d ON d.o_orderkey = p.l_orderkey)
 SELECT (SELECT count(*) FROM lineitem) AS n_fact,

@@ -94,7 +94,15 @@ def compact(spark: SparkSession, root: str,
          .write.mode("overwrite").parquet(tmp))
         for old in plan.small_files:
             os.remove(old)
-        n = 0
+        # start numbering AFTER the highest surviving compact-N file:
+        # a well-sized compact output from a PRIOR run stays in place,
+        # and re-using its name would silently clobber its rows
+        n = 1 + max(
+            (int(f[len("compact-"):-len(".parquet")])
+             for f in os.listdir(part_abs)
+             if f.startswith("compact-") and f.endswith(".parquet")
+             and f[len("compact-"):-len(".parquet")].isdigit()),
+            default=-1)
         for f in sorted(os.listdir(tmp)):
             if f.endswith(".parquet") and not f.startswith("."):
                 os.replace(os.path.join(tmp, f),

@@ -109,9 +109,20 @@ class SnapshotStore:
     # -- maintenance --------------------------------------------------
     def expire(self, keep_last: int) -> list[int]:
         """Drop all but the newest ``keep_last`` manifests (readers of
-        dropped versions lose time travel; current data unaffected)."""
+        dropped versions lose time travel; current data unaffected).
+
+        The newest STREAM manifest (one carrying a batch_id) is always
+        retained even when older than the cutoff: it is the idempotence
+        ledger for write_stream_batch — expiring it would reopen the
+        duplicate-commit window for a replayed micro-batch."""
         vs = self.versions()
         dropped = vs[:-keep_last] if keep_last > 0 else vs
+        last_stream = None
+        for v in reversed(vs):
+            if self._read_manifest(v).get("batch_id") is not None:
+                last_stream = v
+                break
+        dropped = [v for v in dropped if v != last_stream]
         for v in dropped:
             os.remove(self._manifest_path(v))
         return dropped
@@ -215,8 +226,10 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
     new_files = list(kept)
     if touched:
         sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+        # NOT isin(keys) is NULL (not true) for NULL keys — keep
+        # NULL-key rows explicitly so only the targeted keys vanish
         (spark.read.parquet(*touched)
-         .filter(~F.col(key_col).isin(keys))
+         .filter(F.col(key_col).isNull() | ~F.col(key_col).isin(keys))
          .write.mode("error").parquet(sub))
         new_files += sorted(
             os.path.join(sub, f) for f in os.listdir(sub)
@@ -237,14 +250,35 @@ def read_merged_schema(store: SnapshotStore, spark: SparkSession,
     return (spark.read.option("mergeSchema", "true").parquet(*files))
 
 
+def _active_run_id(df: DataFrame) -> str:
+    """Best-effort run id for idempotent stream commits: the session's
+    single active streaming query's runId (the foreachBatch case), else
+    a constant — callers with several concurrent streams into one store
+    pass run_id explicitly."""
+    try:
+        active = df.sparkSession.streams.active
+        if len(active) == 1:
+            return str(active[0].runId)
+    except Exception:
+        pass
+    return "batch"
+
+
 def write_stream_batch(store: SnapshotStore, df: DataFrame,
-                       batch_id: int, mode: str = "append") -> int | None:
+                       batch_id: int, mode: str = "append",
+                       run_id: str | None = None) -> int | None:
     """Idempotent foreachBatch sink: commit a micro-batch as a new
     snapshot version EXACTLY ONCE. Structured Streaming re-delivers a
     batch after a failure/restart with the SAME batch_id; the manifest
-    records the id, and a replayed batch is skipped (returns None), so
-    the table never double-counts — the standard exactly-once recipe
-    for non-transactional sinks.
+    records (run_id, batch_id) — the Delta idempotent-writer
+    (txnAppId, txnVersion) recipe — and a replayed batch of the SAME
+    run is skipped (returns None), so the table never double-counts.
+    A stream restarted with a FRESH checkpoint restarts batch ids at 0
+    under a NEW run_id and its commits land; comparing batch_id alone
+    would silently drop them all.
+
+    ``run_id`` defaults to the DataFrame's streaming-query run id when
+    one is active, else a per-store constant (plain batch callers).
 
     Usage::
 
@@ -252,12 +286,19 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
                 lambda b, i: write_stream_batch(store, b, i))
              .start())
     """
+    if run_id is None:
+        run_id = _active_run_id(df)
     for v in reversed(store.versions()):
-        bid = store._read_manifest(v).get("batch_id")
-        if bid is not None:
+        m = store._read_manifest(v)
+        bid = m.get("batch_id")
+        if bid is None:
+            continue  # non-stream commit interleaved; keep scanning
+        if m.get("run_id", run_id) == run_id:
+            # last commit of THIS run found: replay iff not newer
             if batch_id <= bid:
                 return None
             break
+        # a different run's commit: keep scanning for ours
     sub = os.path.join(store.root, "data", uuid.uuid4().hex)
     df.write.mode("error").parquet(sub)
     new_files = sorted(
@@ -269,7 +310,7 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
         if (parent is not None and mode == "append") else []
     version = (store.versions() or [0])[-1] + 1
     manifest = {"version": version, "op": f"stream[{batch_id}]",
-                "parent": parent, "batch_id": batch_id,
+                "parent": parent, "batch_id": batch_id, "run_id": run_id,
                 "files": sorted(base + new_files)}
     tmp = store._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:

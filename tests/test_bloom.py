@@ -53,3 +53,22 @@ def test_bloom_actually_prunes(spark, sf_dir):
     # the pass set should be far closer to the true matches than to
     # the full scan (false-positive rate well under 50% of the resid)
     assert (n_pass - n_match) < (n_fact - n_match) * 0.5
+
+
+def test_positions_safe_for_huge_keys(spark, sf_dir):
+    """Round-5 advisor fix: keys >= ~3.4e9 overflowed the affine
+    product int64 in the old formulation (negative positions ->
+    element_at errors / wrong bits). Positions must be in [0, mbits)
+    for any int64 key, and membership must still hold."""
+    from cube_builder_spark.functions import bloom
+    big = spark.createDataFrame(
+        [(2**62,), (2**63 - 1,), (3_400_000_000,), (-17,), (0,)],
+        "k long")
+    pos = big.select(*[p.alias(f"p{j}") for j, p in
+                       enumerate(bloom.positions(F.col("k"), 3, 4096))])
+    for r in pos.collect():
+        for j in range(3):
+            assert 0 <= r[f"p{j}"] < 4096, r
+    mask = bloom.build(big, "k", k=3, mbits=4096)
+    hits = big.filter(bloom.might_contain(F.col("k"), mask, 3, 4096))
+    assert hits.count() == 5  # no false negatives on the build keys

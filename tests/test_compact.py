@@ -84,3 +84,30 @@ def test_plan_reads_only_small_files(spark, tmp_path):
     n_before = spark.read.parquet(root).count()
     compact(spark, root, target_bytes=1 << 20, small_ratio=0.02)
     assert spark.read.parquet(root).count() == n_before
+
+
+def test_recompaction_after_appends_keeps_prior_outputs(spark, tmp_path):
+    """Round-5 advisor fix: a second compaction in a partition that
+    already holds a well-sized compact-N file from a prior run must
+    NOT clobber it (output numbering starts after the highest
+    survivor)."""
+    root = str(tmp_path / "t")
+    _write_fragmented(spark, root)
+    compact(spark, root, target_bytes=1 << 30)  # everything -> 1 file/part
+    before = spark.read.parquet(root)
+    n_before = before.count()
+    # append a fresh wave of tiny files, then recompact with a
+    # threshold SMALL enough that the prior compact-00000 (well-sized)
+    # is kept while the new tiny files merge
+    extra = (spark.range(5000, 5200)
+             .select(F.col("id"), (F.col("id") % 3).alias("grp"),
+                     (F.col("id") * 7 % 1000).alias("v")))
+    (extra.repartition(8).write.mode("append")
+     .partitionBy("grp").parquet(root))
+    sizes = {p: os.path.getsize(p) for p in _parquet_names(root)}
+    big = max(sizes.values())
+    compact(spark, root, target_bytes=big + 1, small_ratio=0.99)
+    after = spark.read.parquet(root)
+    assert after.count() == n_before + 200
+    assert sorted(r.id for r in after.collect()) == sorted(
+        list(range(2000)) + list(range(5000, 5200)))

@@ -50,3 +50,16 @@ def test_left_join_preserves_unmatched_rows(spark, sf_dir):
     salted = salted_join(fact, dim5, "hot_key", "n_nationkey",
                          salt_n=8, how="left").count()
     assert salted == plain
+
+
+def test_right_and_full_outer_rejected(spark, sf_dir):
+    """Round-5 advisor fix: the salt_n-fold small-side replication
+    would surface each unmatched small row salt_n times under
+    right/full outer joins — those forms must raise."""
+    import pytest
+    from cube_builder_spark.functions.skew import salted_join
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(5).select(F.col("id").alias("j"))
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", "j", salt_n=4, how=how)

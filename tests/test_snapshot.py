@@ -196,3 +196,51 @@ def test_optimize_zorder_clusters_current_version(spark, tmp_path):
         assert a[1] <= b[0]
     # pre-optimize version intact
     assert st.read(spark, v1).count() == 4000
+
+
+def test_delete_keys_preserves_null_key_rows(spark, tmp_path):
+    """Round-5 advisor fix: NOT isin(keys) is NULL for NULL keys —
+    NULL-key rows in a rewritten file must survive a keyed delete."""
+    from cube_builder_spark.sinks.snapshot import delete_keys
+    st = SnapshotStore(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (5, "e")],
+        "k int, v string")
+    st.write(df.coalesce(1))
+    delete_keys(st, spark, [2, 5], "k")
+    rows = {(r.k, r.v) for r in st.read(spark).collect()}
+    assert rows == {(1, "a"), (None, "c"), (None, "d")}
+
+
+def test_stream_restart_with_fresh_checkpoint_commits(spark, tmp_path):
+    """Round-5 advisor fix: a stream restarted with a fresh checkpoint
+    restarts batch ids at 0 under a NEW run id — its commits must land
+    (batch_id-only dedup silently dropped them all)."""
+    from cube_builder_spark.sinks.snapshot import write_stream_batch
+    st = SnapshotStore(str(tmp_path / "t"))
+    b0, b1 = _df(spark, 0, 5), _df(spark, 5, 9)
+    assert write_stream_batch(st, b0, 0, run_id="run-A") == 1
+    assert write_stream_batch(st, b1, 1, run_id="run-A") == 2
+    # same run replays -> skipped
+    assert write_stream_batch(st, b0, 0, run_id="run-A") is None
+    # NEW run, ids restart at 0 -> must commit
+    b2 = _df(spark, 9, 12)
+    assert write_stream_batch(st, b2, 0, run_id="run-B") == 3
+    assert _ids(st.read(spark)) == list(range(12))
+    # and the new run's own replay is skipped
+    assert write_stream_batch(st, b2, 0, run_id="run-B") is None
+
+
+def test_expire_retains_latest_stream_manifest(spark, tmp_path):
+    """expire() must keep the newest batch_id-carrying manifest (the
+    stream idempotence ledger) even when older than the cutoff."""
+    from cube_builder_spark.sinks.snapshot import write_stream_batch
+    st = SnapshotStore(str(tmp_path / "t"))
+    write_stream_batch(st, _df(spark, 0, 3), 0, run_id="run-A")   # v1
+    st.write(_df(spark, 3, 6))                                   # v2
+    st.write(_df(spark, 6, 9))                                   # v3
+    dropped = st.expire(keep_last=1)
+    assert 1 not in dropped  # the stream ledger survives
+    # so a replay of batch 0 is STILL recognized and skipped
+    assert write_stream_batch(st, _df(spark, 0, 3), 0,
+                              run_id="run-A") is None
