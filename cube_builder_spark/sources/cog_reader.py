@@ -43,8 +43,36 @@ class RangeFetcher:
         self._path = uri.removeprefix("file://") if not self._remote else None
         self._blocks: dict[int, bytes] = {}
         self._full: bytes | None = None      # server ignored Range
+        self._size: int | None = None
         self.bytes_fetched = 0
         self.n_requests = 0
+
+    def size(self) -> int:
+        """Total object size. Local: one stat. Remote: a 1-byte range
+        probe whose Content-Range carries the total — and if the
+        server ignores Range (200), the full body is kept so no
+        further requests happen (same fallback as ``get``)."""
+        if self._size is not None:
+            return self._size
+        if self._full is not None:
+            self._size = len(self._full)
+        elif not self._remote:
+            import os
+            self._size = os.path.getsize(self._path)
+        else:
+            req = urllib.request.Request(self.uri,
+                                         headers={"Range": "bytes=0-0"})
+            self.n_requests += 1
+            with urllib.request.urlopen(req) as resp:
+                body = resp.read()
+                self.bytes_fetched += len(body)
+                if resp.status == 206:
+                    self._size = int(
+                        resp.headers["Content-Range"].rsplit("/", 1)[1])
+                else:
+                    self._full = body
+                    self._size = len(body)
+        return self._size
 
     def _fetch_raw(self, start: int, length: int) -> bytes:
         self.n_requests += 1

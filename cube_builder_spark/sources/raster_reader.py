@@ -56,8 +56,10 @@ def dispatch_uri(uri: str, band: str | None = None,
     elif low.endswith(".zip"):
         kind = "zip"
         vsi = f"/vsizip//vsicurl/{uri}" if remote else f"/vsizip/{local_path}"
-    elif low.endswith((".tar.gz", ".tgz")):
-        kind = "landsat_tgz"
+    elif low.endswith((".tar.gz", ".tgz", ".tar")):
+        # gzipped tars stream (no random access inside a DEFLATE
+        # stream); PLAIN tars support ranged member scans
+        kind = "landsat_tar" if low.endswith(".tar") else "landsat_tgz"
         base = f"/vsitar//vsicurl/{uri}" if remote else f"/vsitar/{local_path}"
         member = landsat_tgz_member(sceneid or "", band or "")
         vsi = f"{base}/{member}" if member else base
@@ -106,25 +108,28 @@ def _pick_zip_member(names: list[str], band: str | None,
 
 
 def _remote_zip_member(uri: str, band: str | None,
-                       band_group: str | None) -> bytes:
+                       band_group: str | None,
+                       fetcher=None) -> bytes:
     """Zip/SAFE member over HTTP ranges WITHOUT GDAL — the
-    /vsizip//vsicurl access pattern: suffix-range the End-Of-Central-
-    Directory record, range the central directory, resolve the member
+    /vsizip//vsicurl access pattern: range the End-Of-Central-
+    Directory tail, range the central directory, resolve the member
     (SAFE band-group rules), then range exactly that member's bytes.
     Total transfer ≈ tail block + central directory + the one member —
-    never the whole archive."""
+    never the whole archive. All reads go through cog_reader's
+    RangeFetcher (round-5: replaces hand-rolled urllib ranges), so
+    adjacent local-header + member reads coalesce into one request,
+    repeat reads hit the block cache, and a server that ignores Range
+    degrades to one cached full-body fetch."""
     import struct
-    import urllib.request
     import zlib
 
-    # suffix range: EOCD lives in the last 22..(22+64K) bytes
-    req = urllib.request.Request(uri, headers={"Range": "bytes=-65558"})
-    with urllib.request.urlopen(req) as resp:
-        tail = resp.read()
-        if resp.status != 206:          # server ignored Range: full body
-            return _zip_member_from_bytes(tail, band, band_group)
-        # Content-Range: bytes <lo>-<hi>/<total>
-        total = int(resp.headers["Content-Range"].rsplit("/", 1)[1])
+    from .cog_reader import RangeFetcher
+
+    f = fetcher or RangeFetcher(uri)
+    total = f.size()
+    # EOCD lives in the last 22..(22+64K) bytes
+    tail_len = min(total, 65558)
+    tail = f.get(total - tail_len, tail_len)
     eocd = tail.rfind(b"PK\x05\x06")
     if eocd < 0:
         raise ValueError(f"no zip end-of-central-directory in {uri!r}")
@@ -132,15 +137,7 @@ def _remote_zip_member(uri: str, band: str | None,
     if cd_off == 0xFFFFFFFF:
         raise NotImplementedError("ZIP64 archives need rasterio/GDAL")
 
-    def fetch(lo: int, n: int) -> bytes:
-        tail_lo = total - len(tail)
-        if lo >= tail_lo:               # already in the tail block
-            return tail[lo - tail_lo:lo - tail_lo + n]
-        r = urllib.request.Request(
-            uri, headers={"Range": f"bytes={lo}-{lo + n - 1}"})
-        with urllib.request.urlopen(r) as resp:
-            return resp.read()
-
+    fetch = f.get
     cd = fetch(cd_off, cd_size)
     entries, pos = {}, 0
     for _ in range(n_entries):
@@ -163,6 +160,49 @@ def _remote_zip_member(uri: str, band: str | None,
     if method == 8:
         return zlib.decompress(data, -15)
     raise NotImplementedError(f"zip compression method {method}")
+
+
+def _remote_tar_member(uri: str, band: str | None,
+                       sceneid: str | None, fetcher=None) -> bytes:
+    """PLAIN-tar member over HTTP ranges — the /vsitar//vsicurl
+    pattern for uncompressed tars (reference
+    drivers/datasets/__init__.py:72-101 range-probes the container
+    before choosing an access path): walk the 512-byte member headers
+    with ranged reads (block-cached/coalesced by RangeFetcher), then
+    fetch ONLY the resolved member's data range. Gzipped tars can't do
+    this — a DEFLATE stream has no random access — so .tar.gz stays on
+    the streamed-spool path."""
+    from .cog_reader import RangeFetcher
+
+    f = fetcher or RangeFetcher(uri)
+    total = f.size()
+    members: dict[str, tuple[int, int]] = {}
+    pos = 0
+    while pos + 512 <= total:
+        hdr = f.get(pos, 512)
+        if len(hdr) < 512 or hdr[:1] == b"\x00":
+            break                       # end-of-archive zero block
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix and hdr[257:262] == b"ustar":
+            name = f"{prefix}/{name}"
+        size_field = hdr[124:136].rstrip(b"\x00 ") or b"0"
+        sz = int(size_field, 8)
+        if hdr[156:157] in (b"0", b"\x00"):   # regular file
+            members[name] = (pos + 512, sz)
+        pos += 512 + ((sz + 511) // 512) * 512
+
+    member = landsat_tgz_member(sceneid or "", band or "")
+    if member not in members:
+        suffix = f"_{band}.TIF" if band else ".TIF"
+        cands = [n for n in members
+                 if n.upper().endswith(suffix.upper())]
+        if not cands:
+            raise FileNotFoundError(
+                f"no member {member!r} (or *{suffix}) in {uri}")
+        member = cands[0]
+    off, sz = members[member]
+    return f.get(off, sz)
 
 
 def _zip_member_from_bytes(buf: bytes, band: str | None,
@@ -201,6 +241,8 @@ def read_member_bytes(uri: str, band: str | None = None,
                 return resp.read()
         if info["kind"] in ("zip", "sentinel_safe_zip"):
             return _remote_zip_member(uri, band, info.get("band_group"))
+        if info["kind"] == "landsat_tar":
+            return _remote_tar_member(uri, band, sceneid)
         if info["kind"] == "landsat_tgz":
             import shutil
             import tempfile
@@ -216,7 +258,7 @@ def read_member_bytes(uri: str, band: str | None = None,
             member = _pick_zip_member(zf.namelist(), band,
                                       info.get("band_group"))
             return zf.read(member)
-    if info["kind"] == "landsat_tgz":
+    if info["kind"] in ("landsat_tgz", "landsat_tar"):
         with tarfile.open(path, "r:*") as tf:
             return _tgz_member_bytes(tf, band, sceneid, uri)
     with open(path, "rb") as f:

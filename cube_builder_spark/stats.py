@@ -52,9 +52,17 @@ def _dir_bytes(path: str) -> int:
 
 
 def analyze(spark: SparkSession, path: str, name: str,
-            columns: list[str]) -> TableStats:
-    """One aggregation pass over one scan for all requested columns."""
+            columns: list[str], exact_ndv: bool = False) -> TableStats:
+    """One aggregation pass over one scan for all requested columns.
+
+    NDV defaults to ``approx_count_distinct(col, 0.05)``: HLL++ folds
+    map-side with no per-column expand, where an exact count_distinct
+    at 100 TB expands the aggregation once PER COLUMN — and the join
+    advisor only needs NDV to ~10% to pick a strategy. ``exact_ndv``
+    opts back into the exact count."""
     df = spark.read.parquet(path)
+    ndv = (F.count_distinct if exact_ndv
+           else lambda c: F.approx_count_distinct(c, 0.05))
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in columns:
         aggs += [
@@ -62,7 +70,7 @@ def analyze(spark: SparkSession, path: str, name: str,
             .alias(f"_null_{c}"),
             F.min(c).alias(f"_min_{c}"),
             F.max(c).alias(f"_max_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+            ndv(F.col(c)).alias(f"_ndv_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
     n = int(row["_n"])

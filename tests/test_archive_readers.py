@@ -112,3 +112,82 @@ def test_remote_tgz_member_over_http(tmp_path):
         assert read_member_bytes(url, band="SR_B5") == data
     finally:
         srv.shutdown()
+
+
+def test_local_plain_tar_member(tmp_path):
+    """S9: plain .tar containers resolve members like .tar.gz."""
+    sceneid = "LC08_L2SP_220064_20200101_20210101_02_T1"
+    p = tmp_path / f"{sceneid}.tar"
+    data = _tiff(21)
+    with tarfile.open(p, "w") as tf:
+        info = tarfile.TarInfo(f"{sceneid}_SR_B4.TIF")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    assert read_member_bytes(str(p), band="SR_B4", sceneid=sceneid) == data
+
+
+def test_remote_plain_tar_member_is_ranged(tmp_path):
+    """S9 remote half for UNCOMPRESSED tars: member headers walk over
+    HTTP ranges and only the resolved member's data range transfers —
+    a fat sibling member must never be fetched (the /vsitar//vsicurl
+    pattern; .tar.gz still streams, DEFLATE has no random access)."""
+    import http.server
+    import re
+    import threading
+
+    sceneid = "LC08_L2SP_220064_20200101_20210101_02_T1"
+    p = tmp_path / f"{sceneid}.tar"
+    data = _tiff(22)
+    filler = bytes(bytearray(range(256)) * 8192)        # 2 MB sibling
+    with tarfile.open(p, "w") as tf:
+        fi = tarfile.TarInfo(f"{sceneid}_BIG_ANC.dat")
+        fi.size = len(filler)
+        tf.addfile(fi, io.BytesIO(filler))
+        info = tarfile.TarInfo(f"{sceneid}_SR_B4.TIF")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    served = {"bytes": 0}
+
+    class _Range(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            path = self.translate_path(self.path)
+            with open(path, "rb") as fh:
+                body = fh.read()
+            m = re.match(r"bytes=(\d+)-(\d*)$",
+                         self.headers.get("Range", "") or "")
+            if not m:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                served["bytes"] += len(body)
+                return
+            lo = int(m.group(1))
+            hi = int(m.group(2)) if m.group(2) else len(body) - 1
+            hi = min(hi, len(body) - 1)
+            chunk = body[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{hi}/{len(body)}")
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+            served["bytes"] += len(chunk)
+
+    handler = lambda *a, **kw: _Range(*a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/{p.name}"
+        got = read_member_bytes(url, band="SR_B4", sceneid=sceneid)
+        assert got == data
+        total = p.stat().st_size
+        assert total > 2_000_000
+        # header walk + one small member — the 2 MB filler never moves
+        assert served["bytes"] < total - 1_900_000, served
+    finally:
+        srv.shutdown()
