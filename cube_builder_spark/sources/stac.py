@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 import urllib.request
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,3 +153,46 @@ def search_images(spark: SparkSession, client: StacClient, collection: str,
         feats = adapt_safe_items(feats, bands)
     rows = features_to_asset_rows(feats, bands, dataset or collection, tile_id)
     return assets_df(spark, rows)
+
+
+def fetch_asset_pixels(assets: DataFrame) -> DataFrame:
+    """Executor-side fetch + decode of STAC assets into pixel rows —
+    the reference's one-Celery-task-per-asset rasterio open of a
+    remote ``/vsicurl`` href (maestro.py:905-948 dispatch →
+    processing.py merge open), as one Arrow-batched ``mapInPandas``
+    over the assets DataFrame.
+
+    Each row's ``link`` goes through raster_reader.read_member_bytes
+    (ranged remote zip/tar members, streamed tgz, plain HTTP rasters,
+    local paths) and the stdlib GeoTIFF codec; pixels come back
+    row-major with (band, tile_id, date, sceneid) carried through.
+    Partitioning: one task per asset batch — repartition the assets
+    frame by (sceneid, band) upstream when a search returns thousands
+    of assets so the fetch fans out across executors."""
+    import pandas as pd
+
+    from ..sinks.cog import read_geotiff_band
+    from .raster_reader import read_member_bytes
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"link": [], "band": [], "tile_id": [], "date": [],
+                   "sceneid": [], "pixel_id": [], "value": []}
+            for r in pdf.itertuples(index=False):
+                buf = read_member_bytes(r.link, band=r.band,
+                                        sceneid=r.sceneid)
+                arr = read_geotiff_band(buf)["array"].reshape(-1)
+                n = len(arr)
+                out["link"].extend([r.link] * n)
+                out["band"].extend([r.band] * n)
+                out["tile_id"].extend([r.tile_id] * n)
+                out["date"].extend([r.date] * n)
+                out["sceneid"].extend([r.sceneid] * n)
+                out["pixel_id"].extend(range(n))
+                out["value"].extend(int(v) for v in arr)
+            yield pd.DataFrame(out)
+
+    schema = ("link string, band string, tile_id string, date string, "
+              "sceneid string, pixel_id long, value long")
+    return assets.select("link", "band", "tile_id", "date",
+                         "sceneid").mapInPandas(fetch, schema)
