@@ -35,6 +35,8 @@ HEADLINE = [
     "x_bloom_prune_join",
     "x_zorder_bbox_prune",
     "r6_groupby_collect_timeline",
+    "r16_grouping_sets",
+    "x_pagerank_trade",
     "r11_multiway_join",
     "c2_blend_lcf",
     "c3_blend_med",
@@ -43,6 +45,7 @@ HEADLINE = [
     "c19_footprint_suite",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
+    "d_embedding_cosine_dups",
     "d_simhash",
     "d_dup_clusters",
     "x_incremental_near_dup",
@@ -108,6 +111,8 @@ def main():
         "value": total,
         "unit": "sec",
         "first_run_total": first_total,
+        "total_cold": first_total,
+        "total_warm": total,
         "queries": timings,
         "runs_per_query": 3,
         "agg": "min",

@@ -1572,3 +1572,131 @@ def r15_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in t.items():
         df.createOrReplaceTempView(name)
     return spark.sql(_R15_SQL)
+
+
+@register("r16_grouping_sets", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gset,
+       count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         * 1e0 / 100 AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""")
+def r16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP GROUPING SETS with HETEROGENEOUS sets — (flag, mode) cells,
+    per-mode subtotals, and the grand total in ONE aggregation pass
+    (rollup/cube are the special cases; this is the general form a
+    reporting layer asks for). Spark expands the sets BEFORE the
+    exchange, so partial aggregation still combines map-side and the
+    shuffle carries one row per (set, group) — never one scan per
+    level. grouping() markers disambiguate a genuine NULL group from a
+    subtotal row, exactly as in the oracle."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (t["lineitem"]
+            .groupingSets([["l_returnflag", "l_linestatus"],
+                           ["l_linestatus"], []],
+                          "l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 (F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                  * F.lit(1.0) / 100).alias("revenue"),
+                 (F.grouping("l_returnflag") * 2
+                  + F.grouping("l_linestatus")).cast("long").alias("gset"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                    .alias("linestatus"),
+                    "gset", "n_lines", "revenue"))
+
+
+_PAGERANK_ITER = 3
+
+
+def _pagerank_sql() -> str:
+    """Unrolled exact-integer PageRank oracle: ranks in micro-units,
+    floor division everywhere, so every intermediate is a BIGINT and
+    sums are order-independent (doubles would hash-differ between
+    engines)."""
+    cte = ["""edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+)""", """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)""",
+           """r0 AS (SELECT n_nationkey AS node,
+         CAST(1000000 AS BIGINT) AS rank FROM nation)"""]
+    for i in range(_PAGERANK_ITER):
+        cte.append(f"""c{i + 1} AS (
+  SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+  FROM edges e JOIN deg d ON d.src = e.src
+  JOIN r{i} r ON r.node = e.src GROUP BY e.dst)""")
+        cte.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM r{i} n LEFT JOIN c{i + 1} c ON c.dst = n.node)""")
+    last = f"r{_PAGERANK_ITER}"
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node AS nationkey, rank AS rank_micro FROM {last}")
+
+
+@register("x_pagerank_trade", _pagerank_sql())
+def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the nation TRADE GRAPH (edge
+    src→dst iff any customer in nation src bought from a supplier in
+    nation dst) — the standard iterative-graph shape beyond
+    dup-clusters' min-label propagation.
+
+    Scale shape: the expensive part is DERIVING the edge set — one
+    early-projected lineitem⋈orders shuffle, AQE-broadcast dims, then
+    a distinct on (src, dst) that shrinks the fact table to ≤ |N|²
+    rows. The 3 unrolled rank iterations then run on that bounded
+    graph: contribs re-aggregate per dst, ranks rebuild per node —
+    tiny joins a 100 TB corpus never inflates, because graph size is
+    fixed by the nation vocabulary, not the fact volume. Determinism:
+    ranks are exact BIGINT micro-units with floor division (Spark
+    ``div`` ≡ DuckDB ``//`` on non-negatives), so cross-engine sums
+    can't drift the way double addition does. Dangling-node mass is
+    dropped (simplified PageRank), identically in both engines."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "supplier", "nation"])
+    edges = (t["lineitem"].select("l_orderkey", "l_suppkey")
+             .join(t["orders"].select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(t["customer"].select("c_custkey", "c_nationkey"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst"))
+             .distinct())
+    # the graph is BOUNDED METADATA (≤ |nations|² rows) and re-read
+    # every iteration: land it driver-side once so 3 iterations don't
+    # re-run the fact join 3 times (a localCheckpoint would pin a
+    # persisted RDD per call — the x_cube_reuse leak shape)
+    edges = spark.createDataFrame(
+        [(int(r.src), int(r.dst)) for r in edges.collect()],
+        "src long, dst long")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(F.broadcast(deg), "src")
+    ranks = t["nation"].select(
+        F.col("n_nationkey").alias("node"),
+        F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(_PAGERANK_ITER):
+        contrib = (e.join(F.broadcast(ranks),
+                          F.col("src") == F.col("node"))
+                   .select("dst", F.expr("rank div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("contrib")))
+        ranks = (t["nation"].select(F.col("n_nationkey").alias("node"))
+                 .join(F.broadcast(contrib),
+                       F.col("node") == F.col("dst"), "left")
+                 .select("node",
+                         (F.lit(150_000)
+                          + F.expr("(85 * coalesce(contrib, 0)) div 100"))
+                         .cast("long").alias("rank")))
+    return ranks.select(F.col("node").alias("nationkey"),
+                        F.col("rank").alias("rank_micro"))
