@@ -1508,7 +1508,8 @@ def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN NULL ELSE md5(text) END AS zip_md5,
        doc_id % 5 <> 0 AS zip_valid,
-       md5(text) AS tgz_md5
+       md5(text) AS tgz_md5,
+       md5(text) AS tar_md5
 FROM documents
 """)
 def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,7 +1523,10 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory record corrupted; the reader must flag it instead of
     returning bytes. The oracle knows only md5(text) and the
     corruption rule — a hash match proves the entire pack→resolve→
-    decompress path byte-exact."""
+    decompress path byte-exact. Round-5 adds the PLAIN-tar RANGED
+    walk (_remote_tar_member over a byte-range fetcher): the member
+    must resolve from 512-byte header reads + one data range, never a
+    sequential stream."""
     import pandas as pd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1533,8 +1537,22 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tarfile
         import zipfile
 
-        from .sources.raster_reader import (_tgz_member_bytes,
+        from .sources.raster_reader import (_remote_tar_member,
+                                            _tgz_member_bytes,
                                             _zip_member_from_bytes)
+
+        class _MemFetcher:
+            """RangeFetcher protocol over in-memory bytes (the graded
+            twin of the HTTP range path — same get/size surface)."""
+
+            def __init__(self, buf):
+                self.buf = buf
+
+            def size(self):
+                return len(self.buf)
+
+            def get(self, start, length):
+                return self.buf[start:start + length]
 
         def tar_add(tf, name, payload):
             ti = tarfile.TarInfo(name)
@@ -1543,7 +1561,7 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = {"doc_id": [], "zip_md5": [], "zip_valid": [],
-                    "tgz_md5": []}
+                    "tgz_md5": [], "tar_md5": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = str(text).encode("utf-8")
                 zb = io.BytesIO()
@@ -1567,15 +1585,25 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with tarfile.open(fileobj=io.BytesIO(tb.getvalue()),
                                   mode="r:*") as tf:
                     tgz = _tgz_member_bytes(tf, "B4", scene, "mem://")
+                # PLAIN tar, read back through the RANGED header walk
+                pb = io.BytesIO()
+                with tarfile.open(fileobj=pb, mode="w") as tf:
+                    tar_add(tf, f"{scene}_B5.TIF", b"DECOY" + payload)
+                    tar_add(tf, f"{scene}_B4.TIF", payload)
+                tar = _remote_tar_member(
+                    "mem://archive.tar", "B4", scene,
+                    fetcher=_MemFetcher(pb.getvalue()))
                 rows["doc_id"].append(int(doc_id))
                 rows["zip_md5"].append(zmd5)
                 rows["zip_valid"].append(zvalid)
                 rows["tgz_md5"].append(hashlib.md5(tgz).hexdigest())
+                rows["tar_md5"].append(hashlib.md5(tar).hexdigest())
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         roundtrip,
-        "doc_id long, zip_md5 string, zip_valid boolean, tgz_md5 string")
+        "doc_id long, zip_md5 string, zip_valid boolean, "
+        "tgz_md5 string, tar_md5 string")
 
 
 @register("s123_stac_adapt", """
