@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import broadcast_if_small as _bc, load_tables
 
 # (name, spark_fn, oracle_sql) tuples collected by queries.py
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -109,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
         .join(t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+        .join(_bc(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"), sf_dir, "customer"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
@@ -147,8 +147,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
             F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(t["customer"],
+        .join(_bc(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bc(t["customer"], sf_dir, "customer"),
               (F.col("o_custkey") == F.col("c_custkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -260,7 +260,7 @@ def r6_groupby_collect_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6: per-tile timeline summary via group-by + array_agg
     (controller.py:677-710 jsonb_agg of item dates)."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
-    return (t["orders"].join(t["customer"],
+    return (t["orders"].join(_bc(t["customer"], sf_dir, "customer"),
                              F.col("o_custkey") == F.col("c_custkey"))
             .select("c_nationkey", F.year("o_orderdate").cast("long").alias("y"))
             .groupBy("c_nationkey")
@@ -411,7 +411,7 @@ def r11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: id-joins for names (maestro.py:216-220, tasks.py:471-476)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return (t["lineitem"]
-            .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(_bc(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("s_name", "n_name")
             .agg(F.count(F.lit(1)).alias("n_lineitems"),
@@ -467,7 +467,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     rev = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+           .join(_bc(t["customer"], sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(t["nation"]),
                  F.col("c_nationkey") == F.col("n_nationkey"))
            .groupBy("c_custkey", "c_name", "n_name")
@@ -508,9 +508,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(t["customer"],
+         .join(_bc(t["customer"], sf_dir, "customer"),
                F.col("o_custkey") == F.col("c_custkey"))
-         .join(t["supplier"],
+         .join(_bc(t["supplier"], sf_dir, "supplier"),
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
@@ -563,10 +563,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
                F.col("l_partkey") == F.col("p_partkey"))
          .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(t["customer"],
+         .join(_bc(t["customer"], sf_dir, "customer"),
                F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
-         .join(t["supplier"],
+         .join(_bc(t["supplier"], sf_dir, "supplier"),
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk")))
     vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -597,7 +597,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
-    j = li.join(t["part"],
+    j = li.join(_bc(t["part"], sf_dir, "part"),
                 F.col("l_partkey") == F.col("p_partkey"))
     disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return j.agg(
@@ -630,7 +630,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
            .filter(F.col("qty_c") > 15000))
     return (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(t["customer"],
+            .join(_bc(t["customer"], sf_dir, "customer"),
                   F.col("o_custkey") == F.col("c_custkey"))
             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     (_cents(F.col("o_totalprice")) / 100.0)
@@ -709,7 +709,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     mx = rev.agg(F.max("rev_c").alias("mx_c"))
     return (rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx_c"))
-            .join(t["supplier"],
+            .join(_bc(t["supplier"], sf_dir, "supplier"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     (F.col("rev_c") / 100.0).alias("total_revenue"))
@@ -786,7 +786,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking it to broadcast size; the mixed part×lineitem terms
     evaluate post-join inside codegen."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    j = t["lineitem"].join(t["part"],
+    j = t["lineitem"].join(_bc(t["part"], sf_dir, "part"),
                            F.col("l_partkey") == F.col("p_partkey"))
     b = F.col("p_brand")
     sz = F.col("p_size")
@@ -849,7 +849,7 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("o_orderkey"))
     qual = (qual_pairs
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(t["supplier"],
+            .join(_bc(t["supplier"], sf_dir, "supplier"),
                   F.col("l_suppkey") == F.col("s_suppkey")))
     return (qual.groupBy("s_name")
             .agg(F.sum("cnt_r").cast("long").alias("numwait"))
@@ -1138,7 +1138,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # part slice first: shrinks the window input ~1000x
                 .join(F.broadcast(psel),
                       F.col("ps_partkey") == F.col("p_partkey"))
-                .join(t["supplier"],
+                .join(_bc(t["supplier"], sf_dir, "supplier"),
                       F.col("ps_suppkey") == F.col("s_suppkey"))
                 .join(F.broadcast(nr),
                       F.col("s_nationkey") == F.col("n_nationkey")))
@@ -1190,7 +1190,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("l_partkey") == F.col("ps_partkey")))
          .join(t["orders"].select("o_orderkey", "o_orderdate"),
                F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(t["supplier"],
+         .join(_bc(t["supplier"], sf_dir, "supplier"),
                F.col("l_suppkey") == F.col("s_suppkey"))
          .join(F.broadcast(t["nation"]),
                F.col("s_nationkey") == F.col("n_nationkey")))
@@ -1227,7 +1227,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     n7 = t["nation"].filter(F.col("n_name") == "NATION_7")
     val = (_supply(t)
-           .join(t["supplier"],
+           .join(_bc(t["supplier"], sf_dir, "supplier"),
                  F.col("ps_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(n7),
                  F.col("s_nationkey") == F.col("n_nationkey"))

@@ -92,10 +92,18 @@ def _forced_linear_broadcasts(analyzed: str) -> list[str]:
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_forced_broadcast_of_linear_table(name, spark, sf_dir):
+def test_no_forced_broadcast_of_linear_table(name, spark, sf_dir,
+                                             monkeypatch):
+    # Simulate the 100 TB regime: every stats-gated hint
+    # (tables.broadcast_if_small) degrades to no-hint, and the plan
+    # built under THAT regime must contain no forced broadcast of a
+    # linear-scaling table. (At sf0.001 the gates legitimately fire —
+    # that is their point — so they are disabled for this invariant.)
+    from cube_builder_spark import tables
+    monkeypatch.setattr(tables, "FORCE_NO_BROADCAST_HINTS", True)
     df = QUERIES[name](spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     bad = _forced_linear_broadcasts(analyzed)
     assert not bad, (
         f"{name}: forced broadcast() of unfiltered linearly-scaling "
-        f"table(s) {bad} — drop the hint and let AQE decide")
+        f"table(s) {bad} — drop the hint or gate it on table size")
