@@ -1670,3 +1670,61 @@ def s123_stac_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         adapt, "doc_id long, band string, link string, sceneid string, "
                "platform string, date string, tile_id string")
+
+
+@register("p_hash_split_sample", """
+WITH tagged AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483647) * 2654435761 + 17) % 10 AS split_bucket,
+         ((doc_id % 2147483647) * 2246822519 + 31) % 100 AS sample_bucket
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, source,
+         CASE WHEN split_bucket < 8 THEN 'train'
+              WHEN split_bucket = 8 THEN 'val'
+              ELSE 'test' END AS split,
+         sample_bucket < (CASE source WHEN 'src0' THEN 80
+                                      WHEN 'src1' THEN 100
+                                      WHEN 'src2' THEN 50
+                                      ELSE 25 END) AS sampled
+  FROM tagged
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM marked GROUP BY split, source
+""")
+def p_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + per-source stratified
+    sampling — the REPRODUCIBLE form a training pipeline needs (a
+    seeded ``df.sample`` depends on partitioning and engine RNG; a
+    key-hash bucket is stable across engines, reruns, and cluster
+    sizes, and a 100 TB re-shard never moves a document between
+    splits).
+
+    Buckets come from the same overflow-safe affine hash family as
+    functions/bloom.py: fold the key mod 2^31-1, multiply by a large
+    odd constant, take the bucket modulus — all exact int64, so the
+    Spark and DuckDB bucket assignments are bit-identical. Split is
+    80/10/10 by bucket; the per-source sample rate is the MIXTURE
+    WEIGHT table (src0 80%, src1 100%, src2 50%, else 25% over the
+    synthetic corpus's source vocabulary) a corpus recipe specifies. One map-side projection + one aggregation —
+    nothing shuffles but the final (split, source) rollup."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    folded = F.pmod(F.col("doc_id"), F.lit(2147483647))
+    split_b = F.pmod(folded * F.lit(2654435761) + 17, F.lit(10))
+    sample_b = F.pmod(folded * F.lit(2246822519) + 31, F.lit(100))
+    rate = (F.when(F.col("source") == "src0", 80)
+            .when(F.col("source") == "src1", 100)
+            .when(F.col("source") == "src2", 50)
+            .otherwise(25))
+    marked = docs.select(
+        "source",
+        F.when(split_b < 8, "train").when(split_b == 8, "val")
+        .otherwise("test").alias("split"),
+        (sample_b < rate).alias("sampled"))
+    return (marked.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+                 .cast("long").alias("n_sampled")))
