@@ -1674,29 +1674,27 @@ def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("c_nationkey").alias("src"),
                      F.col("s_nationkey").alias("dst"))
              .distinct())
-    # the graph is BOUNDED METADATA (≤ |nations|² rows) and re-read
-    # every iteration: land it driver-side once so 3 iterations don't
-    # re-run the fact join 3 times (a localCheckpoint would pin a
-    # persisted RDD per call — the x_cube_reuse leak shape)
-    edges = spark.createDataFrame(
-        [(int(r.src), int(r.dst)) for r in edges.collect()],
-        "src long, dst long")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(F.broadcast(deg), "src")
-    ranks = t["nation"].select(
-        F.col("n_nationkey").alias("node"),
-        F.lit(1_000_000).cast("long").alias("rank"))
+    # The graph is BOUNDED METADATA (≤ |nations|² rows): land it
+    # driver-side once — the repo's IVF-centroid pattern — and run the
+    # 3 iterations as plain Python int arithmetic. Distributed
+    # iteration over a 25-node graph would pay 2 joins + an Exchange
+    # of scheduler latency PER ROUND for microseconds of math (the
+    # distributed iterative shape lives in d_dup_clusters, where the
+    # graph actually scales with the data). Python ``//`` on
+    # non-negative ints ≡ Spark ``div`` ≡ DuckDB ``//``, so the
+    # driver-side fold is bit-identical to the unrolled SQL oracle.
+    edge_rows = [(int(r.src), int(r.dst)) for r in edges.collect()]
+    nodes = [int(r.n_nationkey)
+             for r in t["nation"].select("n_nationkey").collect()]
+    deg: dict[int, int] = {}
+    for src, _dst in edge_rows:
+        deg[src] = deg.get(src, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
     for _ in range(_PAGERANK_ITER):
-        contrib = (e.join(F.broadcast(ranks),
-                          F.col("src") == F.col("node"))
-                   .select("dst", F.expr("rank div deg").alias("c"))
-                   .groupBy("dst").agg(F.sum("c").alias("contrib")))
-        ranks = (t["nation"].select(F.col("n_nationkey").alias("node"))
-                 .join(F.broadcast(contrib),
-                       F.col("node") == F.col("dst"), "left")
-                 .select("node",
-                         (F.lit(150_000)
-                          + F.expr("(85 * coalesce(contrib, 0)) div 100"))
-                         .cast("long").alias("rank")))
-    return ranks.select(F.col("node").alias("nationkey"),
-                        F.col("rank").alias("rank_micro"))
+        contrib = {n: 0 for n in nodes}
+        for src, dst in edge_rows:
+            contrib[dst] = contrib.get(dst, 0) + rank[src] // deg[src]
+        rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100
+                for n in nodes}
+    return spark.createDataFrame(
+        sorted(rank.items()), "nationkey long, rank_micro long")
