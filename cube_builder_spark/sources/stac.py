@@ -196,3 +196,29 @@ def fetch_asset_pixels(assets: DataFrame) -> DataFrame:
               "sceneid string, pixel_id long, value long")
     return assets.select("link", "band", "tile_id", "date",
                          "sceneid").mapInPandas(fetch, schema)
+
+
+def fetch_asset_content(assets: DataFrame) -> DataFrame:
+    """Executor-side fetch of raw asset BYTES (no decode): each row's
+    ``link`` goes through raster_reader.read_member_bytes inside one
+    Arrow-batched ``mapInPandas``. Feeds the decode/warp stages that
+    already consume (content + passthrough columns) — the
+    STAC-sourced twin of local_scan's ``with_content`` frame."""
+    import pandas as pd
+
+    from .raster_reader import read_member_bytes
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [read_member_bytes(r.link, band=r.band,
+                                         sceneid=r.sceneid)
+                       for r in pdf.itertuples(index=False)]
+            out = pdf[["link", "band", "tile_id", "date",
+                       "sceneid"]].copy()
+            out["content"] = content
+            yield out
+
+    schema = ("link string, band string, tile_id string, date string, "
+              "sceneid string, content binary")
+    return assets.select("link", "band", "tile_id", "date",
+                         "sceneid").mapInPandas(fetch, schema)

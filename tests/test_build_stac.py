@@ -150,3 +150,64 @@ def test_cli_main_parses_and_runs(spark, tmp_path, stac_env, monkeypatch):
               "--bands", "B04,SCL", "--composite", "MED"])
     import os.path
     assert os.path.isdir(os.path.join(out, "cube"))
+
+
+def test_stac_build_with_grid_warps_scenes(spark, tmp_path):
+    """STAC assets carrying UTM georef warp onto a grid tile during
+    the build (the reference's warp-merge flow) — same-CRS translation
+    case checked exactly against the source array."""
+    import http.server
+    import threading
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from build_stac import build_from_stac
+
+    d = tmp_path / "grid_assets"
+    d.mkdir()
+    arr_b04 = np.arange(256, dtype=np.int16).reshape(16, 16)
+    arr_scl = np.full((16, 16), 4, np.int16)
+    for band, arr in (("B04", arr_b04), ("SCL", arr_scl)):
+        buf = write_geotiff_band(arr, pixel_size=(30.0, 30.0),
+                                 origin=(600000.0, 8000480.0),
+                                 nodata=-9999)
+        (d / f"S2A_g_{band}.tif").write_bytes(buf)
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    handler = lambda *a, **kw: _Quiet(*a, directory=str(d), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def transport(url, params=None, payload=None):
+        return {"features": [{
+            "id": "S2A_g",
+            "properties": {"datetime": "2020-01-02T10:00:00Z"},
+            "assets": {b: {"href": f"{base}/S2A_g_{b}.tif"}
+                       for b in ("B04", "SCL")}}]}
+
+    tiles = [{"tile_id": 7, "west": 600000.0, "north": 8000480.0,
+              "width": 16, "height": 16, "res": 30.0}]
+    cfg = CubeJobConfig(cube="STAC-GRID", composite="LCF",
+                        start=date(2020, 1, 1), end=date(2020, 1, 16),
+                        step=8, index_bands={})
+    try:
+        res = build_from_stac(
+            spark, str(tmp_path / "out"), cfg, "http://stac.invalid",
+            "S2_L2A", ["B04", "SCL"], [0, 0, 1, 1],
+            "2020-01-01", "2020-01-16", tiles=["7"],
+            transport=transport, grid=tiles,
+            src_crs="EPSG:32722", dst_crs="EPSG:32722")
+    finally:
+        srv.shutdown()
+    assert res["new_items"] > 0
+    cube = spark.read.parquet(res["cube_path"])
+    got = {r.pixel_id: r.value
+           for r in cube.filter((F.col("band") == "B04")
+                                & (F.col("tile_id") == 7)).collect()}
+    assert len(got) == 256
+    assert all(got[i] == i for i in range(256))

@@ -27,17 +27,27 @@ def build_from_stac(spark, out_dir: str, cfg, stac_url: str,
                     collection: str, bands: list[str], bbox: list[float],
                     start: str, end: str, tiles: list[str],
                     version: str = "1.0.0", safe_zip: bool = False,
-                    transport=None, tile_bboxes: dict | None = None):
+                    transport=None, tile_bboxes: dict | None = None,
+                    grid: list[dict] | None = None,
+                    src_crs: str | None = None,
+                    dst_crs: str | None = None,
+                    resampling: str = "nearest"):
     """STAC search → asset fetch/decode → cube job (importable API).
 
     Mirrors the reference flow CubeController.maestro →
     Maestro.search_images → per-asset merge tasks (cli.py:81-144,
     maestro.py:630-753) as: search_images per tile, one distributed
-    fetch_asset_pixels pass, build_cube."""
+    fetch pass, build_cube. Without ``grid``, scenes are assumed
+    already on the target grid (decode path). With ``grid``
+    (+ src_crs/dst_crs), each fetched scene is warped onto the grid
+    tiles first — the reference's full warp-merge flow
+    (processing.py:144-316), sharing operators/warp.py with
+    build_local."""
     from pyspark.sql import functions as F
 
     from cube_builder_spark.plans.build_cube import build_cube
     from cube_builder_spark.sources.stac import (StacClient,
+                                                 fetch_asset_content,
                                                  fetch_asset_pixels,
                                                  http_transport,
                                                  search_images)
@@ -59,11 +69,25 @@ def build_from_stac(spark, out_dir: str, cfg, stac_url: str,
     # return thousands of assets; without this a single createDataFrame
     # partition would serialize every download)
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pixels = fetch_asset_pixels(assets.repartition(npart, "sceneid", "band"))
+    assets = assets.repartition(npart, "sceneid", "band")
+    if grid is not None:
+        from cube_builder_spark.operators.warp import warp_scenes
+        content = (fetch_asset_content(assets)
+                   .withColumnRenamed("date", "date_s")
+                   .withColumnRenamed("link", "path"))
+        pixels = warp_scenes(
+            content.select("path", "content", "band", "date_s"),
+            grid, dst_crs or "EPSG:4326",
+            src_crs or dst_crs or "EPSG:4326",
+            resampling=resampling, nodata=cfg.nodata,
+            extra_cols=("band", "date_s"))
+        pixels = pixels.withColumn("date", F.col("date_s").cast("date"))
+    else:
+        pixels = (fetch_asset_pixels(assets)
+                  .withColumn("date", F.col("date").cast("date"))
+                  .withColumn("tile_id", F.col("tile_id").cast("long")))
     obs = (pixels
-           .withColumn("date", F.col("date").cast("date"))
            .withColumn("doy", F.dayofyear("date").cast("long"))
-           .withColumn("tile_id", F.col("tile_id").cast("long"))
            .withColumn("source_idx", F.lit(0))
            .withColumn("scene_order", F.lit(0))
            .select("tile_id", "pixel_id", "band", "date", "doy",
