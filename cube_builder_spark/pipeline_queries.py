@@ -1728,3 +1728,62 @@ def p_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("sampled"), 1).otherwise(0))
                  .cast("long").alias("n_sampled")))
+
+
+@register("x_snapshot_time_travel", """
+WITH ev AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 2 = 0),
+od AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id % 2 = 1),
+allv AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+after_del AS (SELECT * FROM allv
+              WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000))
+SELECT 'v1_even' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ev
+UNION ALL
+SELECT 'v2_all', count(*), CAST(sum(n_chars) AS BIGINT) FROM allv
+UNION ALL
+SELECT 'v3_after_delete', count(*), CAST(sum(n_chars) AS BIGINT)
+FROM after_del
+UNION ALL
+SELECT 'v1_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM ev
+""")
+def x_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded snapshot-store lifecycle (sinks/snapshot.py — previously
+    unit-only): append two versions, delete a key set (stat-pruned
+    file rewrite), then read each version INCLUDING time-traveling
+    back to v1 after later commits exist. The oracle recomputes every
+    version's aggregate from the raw table and the same modular
+    rules, so a hash match proves manifest isolation: later commits
+    and deletes never leak into an earlier version's read."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, delete_keys
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_q_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 2 == 0))          # v1
+        st.write(docs.filter(F.col("doc_id") % 2 == 1))          # v2
+        # bounded key list: the delete targets are enumerable ids
+        keys = list(range(0, 1000, 10))
+        delete_keys(st, spark, keys, "doc_id")                   # v3
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("label"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"))
+
+        out = (agg(st.read(spark, 1), "v1_even")
+               .unionByName(agg(st.read(spark, 2), "v2_all"))
+               .unionByName(agg(st.read(spark, 3), "v3_after_delete"))
+               .unionByName(agg(st.read(spark, 1), "v1_time_travel")))
+        rows = out.collect()                  # materialize BEFORE rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long")
