@@ -1787,3 +1787,56 @@ def x_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long")
+
+
+@register("x_compact_roundtrip", """
+SELECT count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       TRUE AS files_reduced,
+       TRUE AS second_pass_stable
+FROM documents
+""")
+def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded small-file compaction (sinks/compact.py — previously
+    unit-only): write the documents table deliberately fragmented
+    (16 tiny files per partition), compact, and verify (a) the data
+    aggregate is byte-identical to the source, (b) the file count
+    actually dropped, (c) an immediate second compaction pass changes
+    nothing (idempotence — and with the round-5 fix, never clobbers a
+    prior run's surviving outputs)."""
+    import os as _os
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.compact import compact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id") % 4).alias("grp"))
+    root = scratch_dir("compact_q_")
+    try:
+        (docs.repartition(16)
+         .write.mode("overwrite").partitionBy("grp").parquet(root))
+
+        def n_files():
+            return sum(
+                1 for dp, _d, fs in _os.walk(root) for f in fs
+                if f.endswith(".parquet") and not f.startswith("."))
+
+        before = n_files()
+        compact(spark, root, target_bytes=1 << 30)
+        after = n_files()
+        plans2 = compact(spark, root, target_bytes=1 << 30)
+        stable = (len(plans2) == 0) and (n_files() == after)
+        row = (spark.read.parquet(root)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("sum_chars"))
+               .collect()[0])
+        result = [(int(row.n_docs), int(row.sum_chars),
+                   bool(after < before), bool(stable))]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "n_docs long, sum_chars long, files_reduced boolean, "
+        "second_pass_stable boolean")
