@@ -36,8 +36,11 @@ _MODULES = [
 # present in any module registry are skipped, so this list can lead
 # the implementation.
 _PRIORITY = [
-    # relational plane (R1-R11)
-    "r1_list_filter_like_order", "r2_point_lookup", "r3_minmax_range",
+    # relational plane (R1-R11; r2/r3 point-lookup/minmax moved just
+    # past the window in round 5 — the simplest R variants, still
+    # hash-checked locally and subsumed by the TPC-H sweep — freeing
+    # two slots for the previously UNGRADED store components below)
+    "r1_list_filter_like_order",
     "r4_count_by_status", "r5_distinct_join", "r6_groupby_collect_timeline",
     "r7_json_explode", "r8_pagination", "r9_bbox_intersect", "r10_upsert",
     "r11_multiway_join",
@@ -97,6 +100,11 @@ _PRIORITY = [
     # nature) sits just past the window: still registered, still run
     # by tests/test_queries_oracle, graded as rows-only when reached.
     "x_stream_dedup",
+    # storage plane, graded since round 5: snapshot-store lifecycle
+    # (append/delete/time-travel isolation) and small-file compaction
+    # (data-preserving OPTIMIZE + idempotence)
+    "x_snapshot_time_travel",
+    "x_compact_roundtrip",
 ]
 
 
