@@ -68,6 +68,9 @@ HEADLINE = [
     "p_training_data_prep",
     "x_cube_reuse",
     "p_cube_build_e2e",
+    "x_snapshot_time_travel",
+    "x_compact_roundtrip",
+    "p_hash_split_sample",
 ]
 
 
