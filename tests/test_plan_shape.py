@@ -70,3 +70,38 @@ def test_e2e_pipeline_assigns_periods_by_broadcast(spark, sf_dir, queries):
     plan = _physical(queries["p_cube_build_e2e"](spark, sf_dir))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_pass(spark, sf_dir, queries):
+    """GROUPING SETS must expand BEFORE the exchange: one scan, one
+    shuffle carrying (set, group) rows — never one scan per level."""
+    import re
+    plan = _physical(queries["r16_grouping_sets"](spark, sf_dir))
+    # formatted explain names each scan in the tree AND its detail
+    # section — count distinct node ids
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "Expand" in plan
+    # one real (non-broadcast) shuffle: the grouping aggregation
+    assert len(_distinct_shuffles(plan)) == 1
+
+
+def test_hash_split_sample_single_shuffle_and_pruned_scan(
+        spark, sf_dir, queries):
+    """Deterministic split/sample is map-side arithmetic: one scan
+    reading only (doc_id, source), one rollup shuffle."""
+    import re
+    plan = _physical(queries["p_hash_split_sample"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read          # the fat column never loads
+    assert len(_distinct_shuffles(plan)) == 1
+
+
+def test_pagerank_edge_derivation_projects_early(spark, sf_dir, queries):
+    """The fact-table scans behind the PageRank edge set must read only
+    join keys — never prices/dates — and the iterations add no plan at
+    all (driver-side fold over bounded metadata)."""
+    df = queries["x_pagerank_trade"](spark, sf_dir)
+    # the returned frame is a bounded local relation: no scan, no join
+    plan = _physical(df)
+    assert "Scan parquet" not in plan
