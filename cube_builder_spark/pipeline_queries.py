@@ -1840,3 +1840,45 @@ def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "n_docs long, sum_chars long, files_reduced boolean, "
         "second_pass_stable boolean")
+
+
+@register("x_analyze_stats", """
+SELECT 'l_orderkey' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_nulls,
+       CAST(min(l_orderkey) AS BIGINT) AS min_v,
+       CAST(max(l_orderkey) AS BIGINT) AS max_v,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(min(l_linenumber) AS BIGINT),
+       CAST(max(l_linenumber) AS BIGINT),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT)
+FROM lineitem
+""")
+def x_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ANALYZE (stats.py — previously unit-only): one
+    aggregation pass collects per-column null fraction, min/max and
+    NDV over lineitem; the oracle recomputes each from the raw table.
+    Exact NDV is opted into here so both engines agree bit-for-bit
+    (the default approx HLL++ path keeps its unit tests; its values
+    are engine-specific by construction)."""
+    import os as _os
+
+    from .stats import analyze
+
+    st = analyze(spark, _os.path.join(sf_dir, "lineitem.parquet"),
+                 "lineitem", ["l_orderkey", "l_linenumber"],
+                 exact_ndv=True)
+    # integer null COUNT, not fraction: a 0.0 double renders "0" in
+    # Spark's canonical form but "0.0" in DuckDB's — the exact
+    # float-rendering trap the verify notes warn about
+    rows = [(c, st.n_rows,
+             int(round(st.columns[c]["null_frac"] * st.n_rows)),
+             int(st.columns[c]["min"]), int(st.columns[c]["max"]),
+             st.columns[c]["ndv"])
+            for c in ("l_orderkey", "l_linenumber")]
+    return spark.createDataFrame(
+        rows, "col string, n_rows long, n_nulls long, "
+              "min_v long, max_v long, ndv long")
