@@ -143,9 +143,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_regionkey") == F.col("r_regionkey")))
     return (
         t["lineitem"]
-        .join(t["orders"].filter(
+        # the filtered orders slice also goes through the size gate: at
+        # sf<=0.1 it broadcasts statically (no lineitem shuffle at
+        # all); at 100x the gate fails and AQE decides
+        .join(_bc(t["orders"].filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"))
         .join(_bc(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(_bc(t["customer"], sf_dir, "customer"),
