@@ -1702,3 +1702,41 @@ def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for n in nodes}
     return spark.createDataFrame(
         sorted(rank.items()), "nationkey long, rank_micro long")
+
+
+@register("r17_moving_avg_revenue", """
+WITH m AS (
+  SELECT o_orderstatus AS status,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1, 2)
+SELECT status, ym,
+       rev_c * 1e0 / 100 AS revenue,
+       CAST(sum(rev_c) OVER w AS BIGINT) * 1e0 / 100
+         / (count(*) OVER w) AS moving_avg
+FROM m
+WINDOW w AS (PARTITION BY status ORDER BY ym
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+""")
+def r17_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving average of monthly revenue per order status —
+    the classic OLAP trend window. ONE aggregation shuffle (per
+    (status, month) partial sums combine map-side), then the window
+    runs over the already-tiny monthly frame; the frame sum stays
+    exact BIGINT cents so the two final double divisions are the only
+    float ops and are order-identical in both engines."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    m = (t["orders"]
+         .groupBy(F.col("o_orderstatus").alias("status"),
+                  (F.year("o_orderdate") * 100
+                   + F.month("o_orderdate")).cast("long").alias("ym"))
+         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c")))
+    w = (Window.partitionBy("status").orderBy("ym")
+         .rowsBetween(-1, 1))
+    return m.select(
+        "status", "ym",
+        (F.col("rev_c") * F.lit(1.0) / 100).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("long") * F.lit(1.0) / 100
+         / F.count(F.lit(1)).over(w)).alias("moving_avg"))
