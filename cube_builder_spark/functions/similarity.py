@@ -602,6 +602,27 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))
 
 
+def pq_refine_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                   m_sub: int = 4, ks: int = 8, shortlist: int = 50,
+                   k: int = 10) -> DataFrame:
+    """PQ shortlist + EXACT rerank — the standard refine step: the
+    compressed ADC scan (codes-only, no shuffle) nominates a
+    ``shortlist`` of candidates, and only those few read their full
+    float vectors for an exact cosine rerank.
+
+    Scale shape: the 100 TB corpus is touched once through the
+    ~M-bytes-per-vector ADC scan; the refine join is a broadcast
+    semi-join against the k-bounded shortlist, so the full-precision
+    column is read for ``shortlist`` rows, never the corpus. This is
+    the accuracy/IO trade every production PQ index ships."""
+    short = (pq_adc_topk(embeddings, query_vec_id, m_sub, ks,
+                         k=shortlist)
+             .select("vec_id"))
+    cand = embeddings.join(F.broadcast(short), "vec_id", "left_semi")
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id)
+    return brute_force_topk(cand.unionByName(qrow), query_vec_id, k)
+
+
 def hard_negatives(embeddings: DataFrame, queries: DataFrame,
                    k: int = 5) -> DataFrame:
     """Hard-negative mining: for every query vector, the k most

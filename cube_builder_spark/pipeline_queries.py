@@ -696,6 +696,46 @@ def a_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   m_sub=4, ks=8, k=10)
 
 
+@register("a_ann_pq_refine_topk", f"""
+WITH {_PQ_SQL},
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+),
+short AS (
+  SELECT a.vec_id
+  FROM adc a, qq q
+  WHERE a.vec_id <> 0
+  ORDER BY (CASE WHEN a.rr = 0 THEN -1e308
+                 ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END) DESC,
+           a.vec_id
+  LIMIT 50
+),{_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM short s
+JOIN ev eb ON eb.vec_id = s.vec_id
+JOIN ev ea ON ea.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id
+LIMIT 10
+""")
+def a_ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact rerank (the FAISS refine step): the
+    codes-only ADC scan nominates 50 candidates; only those read
+    their full vectors for the exact cosine top-10."""
+    return similarity.pq_refine_topk(_embs(spark, sf_dir),
+                                     query_vec_id=0, m_sub=4, ks=8,
+                                     shortlist=50, k=10)
+
+
 @register("a_hard_negatives", """
 WITH evl AS (
   SELECT vec_id, label,
