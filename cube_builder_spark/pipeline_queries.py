@@ -1922,3 +1922,41 @@ def x_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, n_rows long, n_nulls long, "
               "min_v long, max_v long, ndv long")
+
+
+@register("a_embedding_dup_clusters", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_AB} >= 0.35
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
+{_label_steps_sql(_CLUSTER_ITERS)}
+SELECT doc_id AS vec_id, lbl AS canonical_id, doc_id = lbl AS is_canonical
+FROM l{_CLUSTER_ITERS}
+""")
+def a_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: the skew-capped embedding-cosine
+    pairs feed the same min-label connected-component
+    canonicalization the text path uses — keep one vector per
+    semantic cluster, not per pair (pairwise drop over-deletes on
+    chains). Oracle replays bucket cap, exact cosine gate, and the
+    fixed label rounds."""
+    pairs = (similarity.cosine_dup_pairs(_embs(spark, sf_dir),
+                                         num_planes=8, threshold=0.35,
+                                         max_bucket=256)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    return (dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
+            .select(F.col("doc_id").alias("vec_id"),
+                    "canonical_id", "is_canonical"))
