@@ -959,3 +959,33 @@ def p_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - F.col("total_chars")) * 1.0
                      / (F.col("bucket") * F.col("n_docs")))
                     .alias("waste_frac")))
+
+
+@register("t_length_histogram", """
+SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+            WHEN n_chars >= 4000 THEN 11
+            ELSE (CAST(n_chars AS BIGINT) * 10) // 4000 + 1 END
+       AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY bucket
+""")
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width document-length histogram via ``width_bucket`` —
+    the binning primitive behind every corpus length-distribution
+    dashboard. Spark's width_bucket and the oracle's explicit
+    integer closed form (floor(x*nb/hi)+1 with under/overflow buckets
+    0 and nb+1) agree exactly on integer inputs; one map-side
+    projection + one rollup."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select(
+        F.width_bucket(F.col("n_chars").cast("long"),
+                       F.lit(0), F.lit(4000), F.lit(10))
+        .cast("long").alias("bucket"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars")))
