@@ -48,11 +48,13 @@ HEADLINE = [
     "d_embedding_cosine_dups",
     "d_simhash",
     "d_dup_clusters",
+    "a_embedding_dup_clusters",
     "x_incremental_near_dup",
     "a_ann_bruteforce_topk",
     "a_ann_ivf_topk",
     "a_ann_batch_topk",
     "a_ann_pq_topk",
+    "a_ann_pq_refine_topk",
     "a_ann_recall_eval",
     "a_hard_negatives",
     "t_quality_score",
