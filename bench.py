@@ -106,24 +106,32 @@ def main():
         all_runs[name] = runs
     total = round(sum(timings.values()), 4)
     # Report BOTH aggregates: `value` (min-of-3) is the steady-state a
-    # production job sees; `first_run_total` is what one cold job pays
-    # — a plan that only looks good warm is hiding one-off cost (e.g.
-    # an eager materialization inside the first action), so the cold
+    # production job sees; `total_cold` is what one cold job pays — a
+    # plan that only looks good warm is hiding one-off cost (e.g. an
+    # eager materialization inside the first action), so the cold
     # trend must stay visible at the top level.
     first_total = round(sum(r[0] for r in all_runs.values()), 4)
+    # Per-run transparency goes on its OWN earlier line: the driver
+    # captures only a ~2 KB stdout TAIL, and embedding all_runs in the
+    # final JSON line pushed its head past the capture window (r5's
+    # record has parsed:null). The contract line prints LAST and is
+    # kept compact (3-decimal mins) so the tail always contains —
+    # and can parse — the whole thing.
+    print("ALL_RUNS " + json.dumps(all_runs))
+    sys.stdout.flush()
+    worst = sorted(timings, key=timings.get, reverse=True)[:5]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "first_run_total": first_total,
         "total_cold": first_total,
         "total_warm": total,
-        "queries": timings,
+        "worst5": worst,
         "runs_per_query": 3,
         "agg": "min",
-        "all_runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1102,7 +1102,8 @@ def x_incremental_cube_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-column type inference reads tile_id back as int —
     # restore the plane's long so the oracle schema matches
     return spark.read.parquet(
-        _os.path.join(defer_cleanup(out), "cube")).select(
+        _os.path.join(defer_cleanup(out, key="x_incremental_cube_update"),
+                      "cube")).select(
         F.col("tile_id").cast("long").alias("tile_id"),
         "period", "band", "pixel_id",
         "lcf_value", "provenance", "datasource",
@@ -1165,7 +1166,8 @@ def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned one persisted RDD per run — the round-4 bench's monotone
     # 6.2->6.7->8.4s slowdown across identical runs
     return spark.read.parquet(
-        _os.path.join(defer_cleanup(dir_b), "cube")).select(
+        _os.path.join(defer_cleanup(dir_b, key="x_cube_reuse"),
+                      "cube")).select(
         F.col("tile_id").cast("long").alias("tile_id"),
         "period", "band", "pixel_id",
         "lcf_value", "provenance", "datasource",

@@ -29,7 +29,15 @@ def _fast_local_dir() -> str | None:
     return None
 
 
-def defer_cleanup(path: str) -> str:
+# defer_cleanup's session registry: one live scratch dir per key. The
+# scratch lives on tmpfs, so without the purge a long session running
+# the same query repeatedly (bench: 3x each) accumulates full cube
+# copies in RAM — the round-5 advisor's "traded an RDD leak for
+# unbounded tmpfs growth" finding.
+_DEFERRED_DIRS: dict[str, str] = {}
+
+
+def defer_cleanup(path: str, key: str | None = None) -> str:
     """Register ``path`` for removal at interpreter exit and return it.
 
     Query functions that hand back a DataFrame READING from a scratch
@@ -37,9 +45,20 @@ def defer_cleanup(path: str) -> str:
     checkpoint variant pins one persisted RDD per call in the block
     manager for the session's lifetime (the round-4 x_cube_reuse
     monotone-slowdown: +1 persistentRDD per run), while a deferred
-    rmtree leaves the result lazy and leak-free."""
+    rmtree leaves the result lazy and leak-free.
+
+    ``key`` bounds tmpfs growth: when a NEW path registers under the
+    same key, the PREVIOUS path is removed immediately — by then the
+    prior run's lazy DataFrame is dead (the caller re-built it), so
+    one scratch copy per query name is live at any time instead of
+    one per invocation."""
     import atexit
     import shutil
+    if key is not None:
+        prev = _DEFERRED_DIRS.get(key)
+        if prev is not None and prev != path:
+            shutil.rmtree(prev, ignore_errors=True)
+        _DEFERRED_DIRS[key] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 

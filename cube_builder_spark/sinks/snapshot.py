@@ -111,18 +111,22 @@ class SnapshotStore:
         """Drop all but the newest ``keep_last`` manifests (readers of
         dropped versions lose time travel; current data unaffected).
 
-        The newest STREAM manifest (one carrying a batch_id) is always
-        retained even when older than the cutoff: it is the idempotence
-        ledger for write_stream_batch — expiring it would reopen the
-        duplicate-commit window for a replayed micro-batch."""
+        The newest STREAM manifest (one carrying a batch_id) of EACH
+        distinct run_id is always retained even when older than the
+        cutoff: each is the idempotence ledger for write_stream_batch
+        under that run — expiring an older run's last manifest would
+        reopen the duplicate-commit window for that run's replayed
+        micro-batch (the Delta recipe keeps the latest txnVersion per
+        txnAppId, not one global latest)."""
         vs = self.versions()
         dropped = vs[:-keep_last] if keep_last > 0 else vs
-        last_stream = None
-        for v in reversed(vs):
-            if self._read_manifest(v).get("batch_id") is not None:
-                last_stream = v
-                break
-        dropped = [v for v in dropped if v != last_stream]
+        last_stream_per_run: dict[str, int] = {}
+        for v in vs:
+            m = self._read_manifest(v)
+            if m.get("batch_id") is not None:
+                last_stream_per_run[m.get("run_id", "batch")] = v
+        keep = set(last_stream_per_run.values())
+        dropped = [v for v in dropped if v not in keep]
         for v in dropped:
             os.remove(self._manifest_path(v))
         return dropped
@@ -253,14 +257,33 @@ def read_merged_schema(store: SnapshotStore, spark: SparkSession,
 def _active_run_id(df: DataFrame) -> str:
     """Best-effort run id for idempotent stream commits: the session's
     single active streaming query's runId (the foreachBatch case), else
-    a constant — callers with several concurrent streams into one store
-    pass run_id explicitly."""
+    the plain-batch constant.
+
+    Two or more active streams are AMBIGUOUS — guessing (or falling
+    back to the shared constant) would let two concurrent streams share
+    one (run_id, batch_id) ledger, silently skipping batches — so that
+    case raises and the caller must pass run_id explicitly. Zero active
+    streams is the plain-batch path, but foreachBatch hands the batch a
+    CLONED session whose StreamingQueryManager may not list the query,
+    so foreachBatch callers should not rely on the default either (see
+    write_stream_batch's usage example); the fallback is logged."""
+    active = []
     try:
-        active = df.sparkSession.streams.active
-        if len(active) == 1:
-            return str(active[0].runId)
+        active = list(df.sparkSession.streams.active)
     except Exception:
         pass
+    if len(active) == 1:
+        return str(active[0].runId)
+    if len(active) > 1:
+        raise ValueError(
+            f"{len(active)} streaming queries are active — the commit "
+            "ledger cannot infer which one this batch belongs to; pass "
+            "run_id=str(query.runId) to write_stream_batch explicitly")
+    import logging
+    logging.getLogger(__name__).info(
+        "write_stream_batch: no visible active stream; using the shared "
+        "'batch' run_id (pass run_id explicitly from foreachBatch — the "
+        "cloned session may hide the query)")
     return "batch"
 
 
@@ -278,13 +301,21 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
     would silently drop them all.
 
     ``run_id`` defaults to the DataFrame's streaming-query run id when
-    one is active, else a per-store constant (plain batch callers).
+    exactly one is visibly active, else a per-store constant (plain
+    batch callers); >1 active streams raise. foreachBatch should pass
+    it EXPLICITLY — the batch gets a cloned session whose
+    StreamingQueryManager may not list the query, and the fallback
+    constant would merge two streams' ledgers.
 
     Usage::
 
         q = (stream.writeStream.foreachBatch(
-                lambda b, i: write_stream_batch(store, b, i))
+                lambda b, i: write_stream_batch(
+                    store, b, i, run_id=checkpoint_name))
              .start())
+
+    (any per-stream-stable token works as run_id — the checkpoint
+    location is the natural one, mirroring Delta's txnAppId.)
     """
     if run_id is None:
         run_id = _active_run_id(df)

@@ -211,3 +211,48 @@ def test_stac_build_with_grid_warps_scenes(spark, tmp_path):
                                 & (F.col("tile_id") == 7)).collect()}
     assert len(got) == 256
     assert all(got[i] == i for i in range(256))
+
+
+def test_empty_search_fails_fast(spark, tmp_path, stac_env):
+    """Round-6 advisor fix: a zero-feature STAC search must fail with
+    a clear message, not an opaque build_cube error downstream."""
+    transport, _ = stac_env
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from build_stac import build_from_stac
+
+    cfg = CubeJobConfig(cube="EMPTY", composite="LCF",
+                        start=date(2020, 1, 1), end=date(2020, 1, 16),
+                        step=8, index_bands={})
+    with pytest.raises(SystemExit, match="no items"):
+        build_from_stac(
+            spark, str(tmp_path / "out"), cfg,
+            "http://stac.invalid", "S2_L2A", ["B04", "SCL"],
+            # bbox far from every synthetic tile -> empty search
+            [500, 500, 501, 501], "2020-01-01", "2020-01-16",
+            tiles=["0"], transport=transport,
+            tile_bboxes={"0": [500, 500, 501, 501]})
+
+
+def test_auto_shuffle_partitions_conf():
+    """Round-6 advisor fix: sessions built with
+    shuffle.partitions='auto' (AQE auto-coalescing platforms) must not
+    crash the fetch fan-out width computation — it falls back to the
+    cluster's default parallelism. (Stock Spark rejects setting 'auto'
+    at runtime, so the helper is exercised with a stub session.)"""
+    import os
+    import sys
+    from types import SimpleNamespace
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from build_stac import _shuffle_width
+
+    def fake(conf_value, parallelism=24):
+        return SimpleNamespace(
+            conf=SimpleNamespace(get=lambda k: conf_value),
+            sparkContext=SimpleNamespace(defaultParallelism=parallelism))
+
+    assert _shuffle_width(fake("32")) == 32
+    assert _shuffle_width(fake("auto")) == 24

@@ -244,3 +244,42 @@ def test_expire_retains_latest_stream_manifest(spark, tmp_path):
     # so a replay of batch 0 is STILL recognized and skipped
     assert write_stream_batch(st, _df(spark, 0, 3), 0,
                               run_id="run-A") is None
+
+
+def test_expire_retains_latest_stream_manifest_per_run(spark, tmp_path):
+    """Round-6 advisor fix: with MULTIPLE writer runs, expire() must
+    keep the newest stream manifest of EACH run_id (Delta keeps the
+    latest txnVersion per txnAppId) — one global latest would reopen
+    the duplicate-commit window for the older run's replayed batch."""
+    from cube_builder_spark.sinks.snapshot import write_stream_batch
+    st = SnapshotStore(str(tmp_path / "t"))
+    write_stream_batch(st, _df(spark, 0, 3), 7, run_id="run-A")   # v1
+    write_stream_batch(st, _df(spark, 3, 6), 2, run_id="run-B")   # v2
+    st.write(_df(spark, 6, 9))                                    # v3
+    st.write(_df(spark, 9, 12))                                   # v4
+    dropped = st.expire(keep_last=1)
+    assert 1 not in dropped and 2 not in dropped
+    # BOTH runs' replays are still recognized and skipped
+    assert write_stream_batch(st, _df(spark, 0, 3), 7,
+                              run_id="run-A") is None
+    assert write_stream_batch(st, _df(spark, 3, 6), 2,
+                              run_id="run-B") is None
+
+
+def test_active_run_id_ambiguous_streams_raise():
+    """>1 active streams: inferring a run id would merge two streams'
+    (run_id, batch_id) ledgers — must raise, demanding explicit
+    run_id, instead of silently sharing the 'batch' constant."""
+    from types import SimpleNamespace
+
+    from cube_builder_spark.sinks.snapshot import _active_run_id
+
+    def fake_df(n_active):
+        qs = [SimpleNamespace(runId=f"r{i}") for i in range(n_active)]
+        streams = SimpleNamespace(active=qs)
+        return SimpleNamespace(sparkSession=SimpleNamespace(streams=streams))
+
+    assert _active_run_id(fake_df(1)) == "r0"
+    assert _active_run_id(fake_df(0)) == "batch"   # plain-batch path
+    with pytest.raises(ValueError, match="run_id"):
+        _active_run_id(fake_df(2))

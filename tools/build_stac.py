@@ -23,6 +23,17 @@ from datetime import date
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _shuffle_width(spark) -> int:
+    """Fetch-fan-out width. Platforms whose sessions are built with
+    ``spark.sql.shuffle.partitions=auto`` (AQE auto-coalescing setups)
+    return a non-integer here — fall back to the cluster's default
+    parallelism instead of crashing the CLI on int()."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def build_from_stac(spark, out_dir: str, cfg, stac_url: str,
                     collection: str, bands: list[str], bbox: list[float],
                     start: str, end: str, tiles: list[str],
@@ -65,11 +76,17 @@ def build_from_stac(spark, out_dir: str, cfg, stac_url: str,
         assets = a if assets is None else assets.unionByName(a)
     if assets is None:
         raise SystemExit("no tiles requested")
+    # fail fast on an empty search — otherwise the miss surfaces much
+    # later as an opaque build_cube error on an empty merge plane
+    if not assets.take(1):
+        raise SystemExit(
+            f"STAC search returned no items for collection "
+            f"{collection!r}, tiles {tiles}, {start}..{end} — check the "
+            "bbox/date window and collection name")
     # fan the per-asset fetch out across executors (one search can
     # return thousands of assets; without this a single createDataFrame
     # partition would serialize every download)
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assets = assets.repartition(npart, "sceneid", "band")
+    assets = assets.repartition(_shuffle_width(spark), "sceneid", "band")
     if grid is not None:
         from cube_builder_spark.operators.warp import warp_scenes
         content = (fetch_asset_content(assets)
