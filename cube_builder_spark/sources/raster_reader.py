@@ -107,6 +107,31 @@ def _pick_zip_member(names: list[str], band: str | None,
         f"cannot resolve band {band!r} among {len(rasters)} raster members")
 
 
+def _zip64_extra_fields(extra: bytes, usize: int, csize: int,
+                        lho: int) -> tuple[int, int]:
+    """Resolve a central-directory entry's ZIP64 extended-info extra
+    field (header id 0x0001). Its 8-byte values appear IN ORDER for
+    exactly the fixed-record fields that saturated at 0xFFFFFFFF:
+    uncompressed size, compressed size, local-header offset (APPNOTE
+    4.5.3). Returns the resolved (csize, lho)."""
+    import struct
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, sz = struct.unpack_from("<HH", extra, pos)
+        if hid == 0x0001:
+            fpos = pos + 4
+            if usize == 0xFFFFFFFF:
+                fpos += 8                      # present but unused here
+            if csize == 0xFFFFFFFF:
+                csize, = struct.unpack_from("<Q", extra, fpos)
+                fpos += 8
+            if lho == 0xFFFFFFFF:
+                lho, = struct.unpack_from("<Q", extra, fpos)
+            return csize, lho
+        pos += 4 + sz
+    raise ValueError("ZIP64-saturated entry without a 0x0001 extra field")
+
+
 def _remote_zip_member(uri: str, band: str | None,
                        band_group: str | None,
                        fetcher=None) -> bytes:
@@ -129,13 +154,29 @@ def _remote_zip_member(uri: str, band: str | None,
     total = f.size()
     # EOCD lives in the last 22..(22+64K) bytes
     tail_len = min(total, 65558)
-    tail = f.get(total - tail_len, tail_len)
+    tail_base = total - tail_len
+    tail = f.get(tail_base, tail_len)
     eocd = tail.rfind(b"PK\x05\x06")
     if eocd < 0:
         raise ValueError(f"no zip end-of-central-directory in {uri!r}")
     n_entries, cd_size, cd_off = struct.unpack_from("<HII", tail, eocd + 10)
-    if cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("ZIP64 archives need rasterio/GDAL")
+    if 0xFFFF in (n_entries,) or 0xFFFFFFFF in (cd_size, cd_off):
+        # ZIP64 (real Sentinel SAFE archives routinely exceed 4 GiB —
+        # GDAL handles this inside /vsizip): the 20-byte EOCD LOCATOR
+        # sits immediately before the EOCD and points at the ZIP64
+        # EOCD RECORD, which carries the 64-bit entry count / central
+        # directory size / offset.
+        loc = eocd - 20
+        if loc < 0 or tail[loc:loc + 4] != b"PK\x06\x07":
+            raise ValueError(
+                f"ZIP64 markers present but no EOCD locator in {uri!r}")
+        z64_off, = struct.unpack_from("<Q", tail, loc + 8)
+        # the record usually sits right before the locator (already in
+        # the cached tail); f.get serves it from cache either way
+        rec = f.get(z64_off, 56)
+        if rec[:4] != b"PK\x06\x06":
+            raise ValueError(f"bad ZIP64 EOCD record in {uri!r}")
+        n_entries, cd_size, cd_off = struct.unpack_from("<QQQ", rec, 32)
 
     fetch = f.get
     cd = fetch(cd_off, cd_size)
@@ -144,10 +185,13 @@ def _remote_zip_member(uri: str, band: str | None,
         if cd[pos:pos + 4] != b"PK\x01\x02":
             break
         method, = struct.unpack_from("<H", cd, pos + 10)
-        csize, = struct.unpack_from("<I", cd, pos + 20)
+        csize, usize = struct.unpack_from("<II", cd, pos + 20)
         nlen, elen, clen = struct.unpack_from("<HHH", cd, pos + 28)
         lho, = struct.unpack_from("<I", cd, pos + 42)
         name = cd[pos + 46:pos + 46 + nlen].decode()
+        if 0xFFFFFFFF in (csize, usize, lho):
+            extra = cd[pos + 46 + nlen:pos + 46 + nlen + elen]
+            csize, lho = _zip64_extra_fields(extra, usize, csize, lho)
         entries[name] = (method, csize, lho)
         pos += 46 + nlen + elen + clen
     member = _pick_zip_member(list(entries), band, band_group)
@@ -160,6 +204,44 @@ def _remote_zip_member(uri: str, band: str | None,
     if method == 8:
         return zlib.decompress(data, -15)
     raise NotImplementedError(f"zip compression method {method}")
+
+
+def _tar_checksum_ok(hdr: bytes) -> bool:
+    """Validate a tar header's checksum (bytes 148–156: octal sum of
+    the header with the checksum field read as spaces). A corrupt or
+    misaligned stream then raises instead of yielding garbage member
+    offsets; the caller falls back to the streamed-spool path."""
+    field = hdr[148:156].rstrip(b"\x00 ")
+    try:
+        want = int(field or b"0", 8)
+    except ValueError:
+        return False
+    got = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+    return got == want
+
+
+def _parse_pax(payload: bytes) -> dict[str, str]:
+    """PAX extended-header records: repeated '<len> <key>=<value>\\n'
+    (len counts the whole record including itself and the newline)."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(payload):
+        sp = payload.find(b" ", pos)
+        if sp < 0:
+            break
+        try:
+            rec_len = int(payload[pos:sp])
+        except ValueError:
+            break
+        rec = payload[sp + 1:pos + rec_len]
+        eq = rec.find(b"=")
+        if eq > 0:
+            out[rec[:eq].decode("utf-8", "replace")] = \
+                rec[eq + 1:].rstrip(b"\n").decode("utf-8", "replace")
+        if rec_len <= 0:
+            break
+        pos += rec_len
+    return out
 
 
 def _remote_tar_member(uri: str, band: str | None,
@@ -178,18 +260,44 @@ def _remote_tar_member(uri: str, band: str | None,
     total = f.size()
     members: dict[str, tuple[int, int]] = {}
     pos = 0
+    # PAX 'x' records and GNU 'L' longname records carry the REAL name
+    # of the FOLLOWING member (modern tar defaults emit them for >100
+    # char names and large members); 'g' records set archive-global
+    # defaults. Skipping them as non-regular surfaces truncated header
+    # names and mis-resolves the suffix fallback.
+    pending_name: str | None = None
+    global_name: str | None = None
     while pos + 512 <= total:
         hdr = f.get(pos, 512)
         if len(hdr) < 512 or hdr[:1] == b"\x00":
             break                       # end-of-archive zero block
-        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
-        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
-        if prefix and hdr[257:262] == b"ustar":
-            name = f"{prefix}/{name}"
+        if not _tar_checksum_ok(hdr):
+            raise ValueError(
+                f"bad tar header checksum at offset {pos} in {uri!r}")
         size_field = hdr[124:136].rstrip(b"\x00 ") or b"0"
         sz = int(size_field, 8)
-        if hdr[156:157] in (b"0", b"\x00"):   # regular file
-            members[name] = (pos + 512, sz)
+        typ = hdr[156:157]
+        if typ in (b"x", b"g"):         # PAX extended header
+            pax = _parse_pax(f.get(pos + 512, sz))
+            if "path" in pax:
+                if typ == b"x":
+                    pending_name = pax["path"]
+                else:
+                    global_name = pax["path"]
+        elif typ == b"L":               # GNU longname
+            pending_name = (f.get(pos + 512, sz)
+                            .split(b"\x00", 1)[0].decode("utf-8", "replace"))
+        else:
+            name = hdr[0:100].split(b"\x00", 1)[0] \
+                .decode("utf-8", "replace")
+            prefix = hdr[345:500].split(b"\x00", 1)[0] \
+                .decode("utf-8", "replace")
+            if prefix and hdr[257:262] == b"ustar":
+                name = f"{prefix}/{name}"
+            name = pending_name or global_name or name
+            pending_name = None
+            if typ in (b"0", b"\x00"):  # regular file
+                members[name] = (pos + 512, sz)
         pos += 512 + ((sz + 511) // 512) * 512
 
     member = landsat_tgz_member(sceneid or "", band or "")
@@ -242,16 +350,15 @@ def read_member_bytes(uri: str, band: str | None = None,
         if info["kind"] in ("zip", "sentinel_safe_zip"):
             return _remote_zip_member(uri, band, info.get("band_group"))
         if info["kind"] == "landsat_tar":
-            return _remote_tar_member(uri, band, sceneid)
+            try:
+                return _remote_tar_member(uri, band, sceneid)
+            except ValueError:
+                # header-walk parse failure (checksum/format): fall
+                # back to the streamed spool, where stdlib tarfile
+                # handles every format variant
+                return _spool_remote_tar(uri, band, sceneid)
         if info["kind"] == "landsat_tgz":
-            import shutil
-            import tempfile
-            with urllib.request.urlopen(uri) as resp, \
-                    tempfile.SpooledTemporaryFile(max_size=64 << 20) as sp:
-                shutil.copyfileobj(resp, sp)
-                sp.seek(0)
-                with tarfile.open(fileobj=sp, mode="r:*") as tf:
-                    return _tgz_member_bytes(tf, band, sceneid, uri)
+            return _spool_remote_tar(uri, band, sceneid)
         raise NotImplementedError(f"unsupported remote container: {uri}")
     if info["kind"] in ("zip", "sentinel_safe_zip"):
         with zipfile.ZipFile(path) as zf:
@@ -263,6 +370,25 @@ def read_member_bytes(uri: str, band: str | None = None,
             return _tgz_member_bytes(tf, band, sceneid, uri)
     with open(path, "rb") as f:
         return f.read()
+
+
+def _spool_remote_tar(uri: str, band: str | None,
+                      sceneid: str | None) -> bytes:
+    """Stream the whole remote tar into spooled scratch and resolve
+    the member with stdlib tarfile. The required path for .tar.gz
+    (DEFLATE has no random access — GDAL's /vsitar//vsicurl likewise
+    decompresses sequentially) and the fallback when the ranged
+    header walk can't parse a plain tar."""
+    import shutil
+    import tarfile
+    import tempfile
+    import urllib.request
+    with urllib.request.urlopen(uri) as resp, \
+            tempfile.SpooledTemporaryFile(max_size=64 << 20) as sp:
+        shutil.copyfileobj(resp, sp)
+        sp.seek(0)
+        with tarfile.open(fileobj=sp, mode="r:*") as tf:
+            return _tgz_member_bytes(tf, band, sceneid, uri)
 
 
 def _tgz_member_bytes(tf, band: str | None, sceneid: str | None,
