@@ -67,7 +67,10 @@ def _ellps(name: str) -> tuple[float, float]:
 
 def parse_crs(spec) -> CRS:
     """EPSG codes (4326, 3857, 326xx/327xx UTM) or a minimal proj4
-    string (+proj=utm/tmerc/aea/longlat/webmerc +ellps=... +lat_0=...)."""
+    string (+proj=utm/tmerc/aea/longlat/webmerc/sinu +ellps=...
+    +lat_0=...). Sinusoidal is the MODIS spherical form (the reference
+    emits '+proj=sinu +a=6371007.181 +b=6371007.181',
+    grids.py:115-116); its radius comes from +R or +a."""
     if isinstance(spec, CRS):
         return spec
     s = str(spec).strip()
@@ -114,6 +117,19 @@ def parse_crs(spec) -> CRS:
             return CRS("aea", a, e2, {
                 "lat_0": num.get("lat_0", 0.0), "lon_0": num.get("lon_0", 0.0),
                 "lat_1": num["lat_1"], "lat_2": num["lat_2"],
+                "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)})
+        if proj == "sinu":
+            # spherical sinusoidal (Snyder PP 1395 eq. 30-1/30-2) — the
+            # MODIS grid form. Radius from +R or +a (a==b sphere);
+            # an ellipsoidal +a/+b pair is not supported.
+            R = float(kv.get("R", kv.get("a", 6371007.181)) or 6371007.181)
+            b = kv.get("b")
+            if b and abs(float(b) - R) > 1e-6:
+                raise ValueError(
+                    "+proj=sinu supports the spherical form only "
+                    f"(a={R} != b={b})")
+            return CRS("sinu", R, 0.0, {
+                "lon_0": num.get("lon_0", 0.0),
                 "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)})
         raise ValueError(f"unsupported +proj={proj}")
     raise ValueError(f"cannot parse CRS {spec!r}")
@@ -273,6 +289,13 @@ def forward(crs, lon, lat):
         return _tmerc_fwd(crs, lon, lat)
     if crs.proj == "aea":
         return _aea_fwd(crs, lon, lat)
+    if crs.proj == "sinu":
+        # Snyder 30-1, 30-2: x = R(λ−λ0)cosφ, y = Rφ
+        R, p = crs.a, crs.params
+        phi = np.radians(lat)
+        return (R * (np.radians(lon) - np.radians(p["lon_0"]))
+                * np.cos(phi) + p["x_0"],
+                R * phi + p["y_0"])
     raise ValueError(crs.proj)
 
 
@@ -291,6 +314,17 @@ def inverse(crs, x, y):
         return _newton_refine(_tmerc_fwd, crs, x, y, lon, lat)
     if crs.proj == "aea":
         return _aea_inv(crs, x, y)
+    if crs.proj == "sinu":
+        # Snyder 30-6, 30-7: φ = y/R, λ = λ0 + x/(R cosφ); at the
+        # poles cosφ → 0 and every λ maps to the same point — pin λ0
+        R, p = crs.a, crs.params
+        phi = (y - p["y_0"]) / R
+        cos = np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = np.where(np.abs(cos) > 1e-12,
+                            (x - p["x_0"]) / (R * cos), 0.0)
+        return (np.degrees(np.radians(p["lon_0"]) + dlam),
+                np.degrees(phi))
     raise ValueError(crs.proj)
 
 
