@@ -81,7 +81,12 @@ _PRIORITY = [
     # with one band — its slot went to s123_stac_adapt; still
     # hash-checked by tests/test_queries_oracle
     "d_dup_clusters",             # connected-component canonicalization
-    "d_embedding_cosine_dups",
+    # d_embedding_cosine_dups rotated past the window in round 7: it is
+    # strictly dominated by a_embedding_dup_clusters (same capped
+    # cosine-bucket machinery plus clustering), still hash-checked by
+    # tests/test_queries_oracle. Its slot went to x_analyze_stats so
+    # the stats/advisor component earns a driver-graded row.
+    "x_analyze_stats",
     # LLM-pipeline: similarity search
     "a_ann_topk_suite",           # brute-force + LSH-bucket + IVF top-k
     # LLM-pipeline: text analysis

@@ -184,3 +184,85 @@ def test_warp_scenes_cross_crs(spark):
         scol, srow = src_tr.apply(sx[0], sy[0])
         want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
         assert r.value == int(want)
+
+
+# Spherical sinusoidal (MODIS grid form) -------------------------------------
+
+MODIS_SINU = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181"
+
+
+def test_snyder_sinusoidal_example():
+    """Snyder PP 1395 eq. 30-1/30-2 worked values (sphere R=1):
+    phi=-50deg, lam-lam0=15deg -> x=0.1682814, y=-0.8726646."""
+    x, y = forward("+proj=sinu +lon_0=0 +R=1", 15.0, -50.0)
+    assert abs(x - 0.1682814) < 1e-7
+    assert abs(y - -0.8726646) < 1e-7
+    lon, lat = inverse("+proj=sinu +lon_0=0 +R=1", x, y)
+    assert abs(lon - 15.0) < 1e-12 and abs(lat - -50.0) < 1e-12
+
+
+def test_sinu_roundtrip_modis_radius():
+    """fwd/inv round-trip on the MODIS sphere, incl. false offsets and
+    a nonzero central meridian."""
+    crs = "+proj=sinu +lon_0=-54 +x_0=1000 +y_0=-2000 +R=6371007.181"
+    lons = np.array([-73.9, -54.0, -35.1, 0.0, 179.5])
+    lats = np.array([-33.7, -12.0, 5.2, 89.0, -89.0])
+    x, y = forward(crs, lons, lats)
+    lon2, lat2 = inverse(crs, x, y)
+    assert np.allclose(lon2, lons, atol=1e-8)
+    assert np.allclose(lat2, lats, atol=1e-8)
+
+
+def test_sinu_pole_pins_lon0():
+    """cos(phi)->0 at the poles: every lambda collapses to x=x_0 on
+    forward, and inverse pins lambda to lon_0 instead of dividing by
+    zero (documented in warp.py:317-327)."""
+    crs = "+proj=sinu +lon_0=-54 +R=6371007.181"
+    x, y = forward(crs, np.array([-170.0, 0.0, 120.0]),
+                   np.array([90.0, 90.0, 90.0]))
+    assert np.allclose(x, 0.0, atol=1e-6)
+    R = 6371007.181
+    assert np.allclose(y, R * np.pi / 2)
+    lon, lat = inverse(crs, np.array([123456.0]), np.array([R * np.pi / 2]))
+    assert abs(lon[0] - -54.0) < 1e-9 and abs(lat[0] - 90.0) < 1e-9
+
+
+def test_sinu_rejects_ellipsoid():
+    """Only the spherical form is implemented; an a!=b pair must fail
+    loudly, not silently produce sphere math on an ellipsoid."""
+    with pytest.raises(ValueError, match="spherical"):
+        parse_crs("+proj=sinu +a=6378137 +b=6356752.3")
+
+
+def test_warp_scenes_onto_sinu_grid(spark):
+    """C1-style case: a UTM scene warped onto a MODIS-sinusoidal target
+    tile; every warped pixel's value must equal the source pixel its
+    center inverse-maps to (same oracle as the Albers cross-CRS test).
+    Reference emits sinu grids for MODIS (grids.py:115-116)."""
+    from cube_builder_spark.sinks.cog import write_geotiff_band
+
+    arr = (np.arange(1024, dtype=np.int32) % 3000).astype(np.int16).reshape(32, 32)
+    west, north = 400000.0, 8800000.0
+    buf = write_geotiff_band(arr, pixel_size=(60.0, 60.0),
+                             origin=(west, north), nodata=-9999)
+    files = spark.createDataFrame(
+        [("s1", bytearray(buf))], "path string, content binary")
+
+    cx, cy = transform_points("EPSG:32722", MODIS_SINU,
+                              np.array([west + 16 * 60.0]),
+                              np.array([north - 16 * 60.0]))
+    tiles = [{"tile_id": 7, "west": float(cx[0]) - 480.0,
+              "north": float(cy[0]) + 480.0, "width": 16, "height": 16,
+              "res": 60.0}]
+    rows = warp_scenes(files, tiles, MODIS_SINU, "EPSG:32722").collect()
+    assert len(rows) > 200
+    src_tr = Affine.from_origin(west, north, 60.0, 60.0).invert()
+    for r in rows[:50]:
+        pr, pc = divmod(r.pixel_id, 16)
+        dx = tiles[0]["west"] + (pc + 0.5) * 60.0
+        dy = tiles[0]["north"] - (pr + 0.5) * 60.0
+        sx, sy = transform_points(MODIS_SINU, "EPSG:32722",
+                                  np.array([dx]), np.array([dy]))
+        scol, srow = src_tr.apply(sx[0], sy[0])
+        want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
+        assert r.value == int(want)
