@@ -107,26 +107,64 @@ class SnapshotStore:
         return spark.read.parquet(*files)
 
     # -- maintenance --------------------------------------------------
-    def expire(self, keep_last: int) -> list[int]:
+    # -- stream idempotence ledger (sidecar, no file references) ------
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, _MANIFESTS, "stream_ledger.json")
+
+    def _read_ledger(self) -> dict[str, int]:
+        """run_id → highest batch_id folded in by expire(). Insertion
+        order = fold order (oldest-expired run first)."""
+        try:
+            with open(self._ledger_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_ledger(self, ledger: dict[str, int]) -> None:
+        tmp = self._ledger_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh)
+        os.replace(tmp, self._ledger_path())
+
+    def expire(self, keep_last: int,
+               ledger_max_runs: int | None = None) -> list[int]:
         """Drop all but the newest ``keep_last`` manifests (readers of
         dropped versions lose time travel; current data unaffected).
 
-        The newest STREAM manifest (one carrying a batch_id) of EACH
-        distinct run_id is always retained even when older than the
-        cutoff: each is the idempotence ledger for write_stream_batch
-        under that run — expiring an older run's last manifest would
-        reopen the duplicate-commit window for that run's replayed
-        micro-batch (the Delta recipe keeps the latest txnVersion per
-        txnAppId, not one global latest)."""
+        Stream idempotence survives WITHOUT pinning data: before a
+        run's newest stream manifest (one carrying a batch_id) is
+        dropped, its (run_id, batch_id) high-water mark is folded into
+        a tiny sidecar ledger that write_stream_batch consults on
+        replay — the Delta (txnAppId, txnVersion) recipe, kept apart
+        from file-bearing manifests so vacuum() can reclaim an expired
+        run's data files (round-7 advisor fix: retaining the manifest
+        itself pinned one full snapshot's files per stream restart,
+        forever).
+
+        ``ledger_max_runs`` bounds the sidecar (Delta's
+        setTransactionRetentionDuration analogue): keep only the most
+        recently folded N runs' entries. Default None keeps all —
+        entries are two small strings each; prune only when run_ids
+        are generated per-restart and restarts are unbounded."""
         vs = self.versions()
         dropped = vs[:-keep_last] if keep_last > 0 else vs
-        last_stream_per_run: dict[str, int] = {}
+        drop_set = set(dropped)
+        ledger = self._read_ledger()
+        changed = False
         for v in vs:
             m = self._read_manifest(v)
-            if m.get("batch_id") is not None:
-                last_stream_per_run[m.get("run_id", "batch")] = v
-        keep = set(last_stream_per_run.values())
-        dropped = [v for v in dropped if v not in keep]
+            bid = m.get("batch_id")
+            if bid is not None and v in drop_set:
+                rid = m.get("run_id", "batch")
+                if bid > ledger.get(rid, -1):
+                    ledger.pop(rid, None)   # re-insert: newest-last
+                    ledger[rid] = bid
+                    changed = True
+        if ledger_max_runs is not None and len(ledger) > ledger_max_runs:
+            ledger = dict(list(ledger.items())[-ledger_max_runs:])
+            changed = True
+        if changed:
+            self._write_ledger(ledger)
         for v in dropped:
             os.remove(self._manifest_path(v))
         return dropped
@@ -319,6 +357,7 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
     """
     if run_id is None:
         run_id = _active_run_id(df)
+    found_run = False
     for v in reversed(store.versions()):
         m = store._read_manifest(v)
         bid = m.get("batch_id")
@@ -328,8 +367,15 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
             # last commit of THIS run found: replay iff not newer
             if batch_id <= bid:
                 return None
+            found_run = True
             break
         # a different run's commit: keep scanning for ours
+    if not found_run:
+        # this run's manifests may have been expire()d — the sidecar
+        # ledger keeps its batch high-water mark without pinning files
+        led = store._read_ledger().get(run_id)
+        if led is not None and batch_id <= led:
+            return None
     sub = os.path.join(store.root, "data", uuid.uuid4().hex)
     df.write.mode("error").parquet(sub)
     new_files = sorted(

@@ -30,6 +30,24 @@ try:                                    # gated: not in this container
 except ImportError:                     # pragma: no cover
     rasterio = None
 
+_GLYMUR_UNSET = object()
+_glymur_mod = _GLYMUR_UNSET
+
+
+def _glymur():
+    """Optional JP2 codec probe (S5). glymur wraps OpenJPEG; when it is
+    importable on a rasterio-less executor, open_raster decodes SAFE
+    JP2 payloads through it instead of gating. Probed once per worker
+    process and cached (import cost is per-interpreter, not per-row)."""
+    global _glymur_mod
+    if _glymur_mod is _GLYMUR_UNSET:
+        try:
+            import glymur               # type: ignore
+            _glymur_mod = glymur
+        except ImportError:             # pragma: no cover
+            _glymur_mod = None
+    return _glymur_mod
+
 # SAFE band → resolution group (sentinel2.py:44-76)
 SAFE_BAND_GROUPS = {
     "B02": "10m", "B03": "10m", "B04": "10m", "B08": "10m",
@@ -120,13 +138,25 @@ def _zip64_extra_fields(extra: bytes, usize: int, csize: int,
         hid, sz = struct.unpack_from("<HH", extra, pos)
         if hid == 0x0001:
             fpos = pos + 4
+            end = pos + 4 + sz                 # declared 0x0001 block end
+
+            def _take(fpos):
+                # bounds-check against the DECLARED block size: a short
+                # or malformed ZIP64 extra must error, not silently
+                # read bytes belonging to the next extra field
+                if fpos + 8 > end or fpos + 8 > len(extra):
+                    raise ValueError(
+                        f"truncated ZIP64 extra block (size {sz})")
+                return struct.unpack_from("<Q", extra, fpos)[0]
+
             if usize == 0xFFFFFFFF:
-                fpos += 8                      # present but unused here
+                _take(fpos)                    # present but unused here
+                fpos += 8
             if csize == 0xFFFFFFFF:
-                csize, = struct.unpack_from("<Q", extra, fpos)
+                csize = _take(fpos)
                 fpos += 8
             if lho == 0xFFFFFFFF:
-                lho, = struct.unpack_from("<Q", extra, fpos)
+                lho = _take(fpos)
             return csize, lho
         pos += 4 + sz
     raise ValueError("ZIP64-saturated entry without a 0x0001 extra field")
@@ -266,6 +296,7 @@ def _remote_tar_member(uri: str, band: str | None,
     # defaults. Skipping them as non-regular surfaces truncated header
     # names and mis-resolves the suffix fallback.
     pending_name: str | None = None
+    pending_size: int | None = None
     global_name: str | None = None
     while pos + 512 <= total:
         hdr = f.get(pos, 512)
@@ -284,9 +315,23 @@ def _remote_tar_member(uri: str, band: str | None,
                     pending_name = pax["path"]
                 else:
                     global_name = pax["path"]
+            # a per-file PAX 'size' overrides the ustar octal field
+            # (emitted for >8 GiB members, where the 12-char octal
+            # saturates); ignoring it would misalign every later
+            # header offset in the walk
+            if typ == b"x" and "size" in pax:
+                try:
+                    pending_size = int(pax["size"])
+                except ValueError:
+                    pass
         elif typ == b"L":               # GNU longname
             pending_name = (f.get(pos + 512, sz)
                             .split(b"\x00", 1)[0].decode("utf-8", "replace"))
+        elif typ == b"K":               # GNU longlink: linkname of the
+            pass                        # NEXT member — skip its payload
+            #                             WITHOUT consuming pending_name
+            #                             (GNU tar emits 'L' then 'K';
+            #                             either order must survive)
         else:
             name = hdr[0:100].split(b"\x00", 1)[0] \
                 .decode("utf-8", "replace")
@@ -296,6 +341,9 @@ def _remote_tar_member(uri: str, band: str | None,
                 name = f"{prefix}/{name}"
             name = pending_name or global_name or name
             pending_name = None
+            if pending_size is not None:
+                sz = pending_size
+                pending_size = None
             if typ in (b"0", b"\x00"):  # regular file
                 members[name] = (pos + 512, sz)
         pos += 512 + ((sz + 511) // 512) * 512
@@ -427,11 +475,72 @@ def open_raster(uri: str, band: str | None = None, sceneid: str | None = None):
         from ..sinks.cog import read_geotiff_band
         return read_geotiff_band(buf)
     if buf[:4] == b"\x00\x00\x00\x0c" or buf[:2] == b"\xff\x4f":
+        if _glymur() is not None:
+            return decode_jp2(buf)
         raise NotImplementedError(
             "JP2 decode needs rasterio/GDAL or glymur — the archive "
             "member was located and read; only the codec is missing")
     raise NotImplementedError(
         f"no stdlib codec for magic {buf[:4]!r}; install rasterio")
+
+
+def decode_jp2(buf: bytes) -> dict:
+    """Decode a JP2/J2K payload via glymur (OpenJPEG) into the same
+    {array, origin, pixel_size, nodata} dict the warp/mosaic operators
+    consume (parity with sinks.cog.read_geotiff_band).
+
+    The reference decodes JP2 through GDAL (reference
+    cube_builder/drivers/datasets/sentinel/sentinel2.py:44-111, which
+    hands /vsizip JP2 paths to rasterio); this is the rasterio-less
+    executor path. glymur's Jp2k reads from a path, so the member
+    bytes are spooled to a tmpfs-backed temp file — one small file per
+    decode, removed immediately; at scale this is per-task local I/O,
+    never a shuffle.
+
+    Georeferencing: Sentinel-2 SAFE JP2s embed a GMLJP2 box. glymur
+    exposes raw boxes, but the origin/offset live in a tiny XML
+    fragment — parsed best-effort from the payload bytes directly
+    (``gml:pos``/``offsetVector``); absent → origin (0,0), unit pixel,
+    matching the empty-georef contract of read_geotiff_band."""
+    gly = _glymur()
+    if gly is None:
+        raise NotImplementedError("glymur not importable")
+    import os
+    import tempfile
+    fd, path = tempfile.mkstemp(
+        suffix=".jp2",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(buf)
+        arr = gly.Jp2k(path)[:]
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    origin, pixel_size = _jp2_georef(buf)
+    return {"array": arr, "origin": origin, "pixel_size": pixel_size,
+            "nodata": None}
+
+
+def _jp2_georef(buf: bytes) -> tuple[tuple[float, float], tuple[float, float]]:
+    """Best-effort GMLJP2 georeferencing: upper-left corner from the
+    first ``gml:pos``/``gml:lowerCorner`` and pixel size from the two
+    ``gml:offsetVector`` rows. Returns ((0,0),(1,1)) when absent."""
+    import re
+    head = buf[:1 << 20]                  # GMLJP2 box sits in the header
+    pos = re.search(rb"<gml:pos>([-\d.eE]+)\s+([-\d.eE]+)</gml:pos>", head)
+    offs = re.findall(
+        rb"<gml:offsetVector[^>]*>([-\d.eE]+)\s+([-\d.eE]+)"
+        rb"</gml:offsetVector>", head)
+    if pos is None or len(offs) < 2:
+        return (0.0, 0.0), (1.0, 1.0)
+    ox, oy = float(pos.group(1)), float(pos.group(2))
+    # row 0 is the x step (dx, 0), row 1 the y step (0, -dy)
+    dx = float(offs[0][0]) or float(offs[0][1])
+    dy = float(offs[1][1]) or float(offs[1][0])
+    return (ox, oy), (abs(dx), abs(dy))
 
 
 def probe_integrity(uri: str, read_bytes: bool = False) -> tuple[bool, str | None]:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import io
 import os
+import sys
 import tarfile
 import zipfile
 
@@ -64,11 +65,75 @@ def test_landsat_tgz_member_synthesis(tmp_path):
 
 
 def test_jp2_member_located_but_codec_gated(tmp_path):
+    import cube_builder_spark.sources.raster_reader as rr
+    if rr._glymur() is not None:
+        pytest.skip("glymur installed: gate does not apply")
     p = tmp_path / "x.SAFE.zip"
     with zipfile.ZipFile(p, "w") as zf:
         zf.writestr("R10m/T_B04_10m.jp2", b"\x00\x00\x00\x0cjP  \r\n\x87\n")
-    with pytest.raises(NotImplementedError, match="JP2"):
+    # the gate message must name BOTH optional codecs a user could add
+    with pytest.raises(NotImplementedError, match="rasterio/GDAL or glymur"):
         open_raster(str(p), band="B04")
+
+
+_GML = (b"<gml:pos>600000.0 8000000.0</gml:pos>"
+        b"<gml:offsetVector srsName='x'>10.0 0.0</gml:offsetVector>"
+        b"<gml:offsetVector srsName='x'>0.0 -10.0</gml:offsetVector>")
+
+
+def test_jp2_decodes_through_glymur_hook(tmp_path, monkeypatch):
+    """With glymur importable (faked here — not in this container) the
+    JP2 branch decodes instead of gating, spooling the member bytes to
+    a temp file and handing back the standard raster dict with the
+    GMLJP2 georef parsed from the payload."""
+    import cube_builder_spark.sources.raster_reader as rr
+
+    seen = {}
+
+    class FakeJp2k:
+        def __init__(self, path):
+            seen["bytes"] = open(path, "rb").read()
+
+        def __getitem__(self, sl):
+            import numpy as np
+            return np.arange(6, dtype="int16").reshape(2, 3)
+
+    fake = type(sys)("glymur")
+    fake.Jp2k = FakeJp2k
+    monkeypatch.setattr(rr, "_glymur_mod", fake)
+
+    payload = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + _GML + b"\x00" * 32
+    p = tmp_path / "x.SAFE.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("R10m/T_B04_10m.jp2", payload)
+    got = open_raster(str(p), band="B04")
+    assert seen["bytes"] == payload            # full member reached codec
+    assert got["array"].shape == (2, 3) and got["array"][1, 2] == 5
+    assert got["origin"] == (600000.0, 8000000.0)
+    assert got["pixel_size"] == (10.0, 10.0)
+    assert got["nodata"] is None
+    # no spool file left behind
+    assert not [f for f in os.listdir("/dev/shm") if f.endswith(".jp2")] \
+        if os.access("/dev/shm", os.W_OK) else True
+
+
+def test_jp2_georef_absent_defaults_to_unit_grid(monkeypatch):
+    import cube_builder_spark.sources.raster_reader as rr
+    assert rr._jp2_georef(b"\xff\x4f" + b"\x00" * 64) == ((0.0, 0.0), (1.0, 1.0))
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("glymur") is None,
+    reason="glymur not installed in this container")
+def test_jp2_decodes_with_real_glymur(tmp_path):  # pragma: no cover
+    import glymur
+    import numpy as np
+    import cube_builder_spark.sources.raster_reader as rr
+    arr = np.arange(64, dtype="uint8").reshape(8, 8)
+    jp2_path = tmp_path / "r.jp2"
+    glymur.Jp2k(str(jp2_path), data=arr)
+    got = rr.decode_jp2(jp2_path.read_bytes())
+    assert np.array_equal(got["array"], arr)
 
 
 def test_probe_deep_read_flags_corrupt_archive(tmp_path):
@@ -433,3 +498,117 @@ def test_remote_tar_walk_failure_spool_fallback_recovers(tmp_path,
         assert got == data
     finally:
         srv.shutdown()
+
+
+# Hand-crafted tar records (round-7 advisor fixes) ---------------------------
+
+def _raw_tar_hdr(name: bytes, size: int, typ: bytes,
+                 linkname: bytes = b"") -> bytes:
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = (b"%011o" % size) + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156:157] = typ
+    hdr[157:157 + len(linkname)] = linkname
+    hdr[257:265] = b"ustar  \x00"          # GNU magic
+    hdr[148:156] = (b"%06o" % sum(hdr)) + b"\x00 "
+    return bytes(hdr)
+
+
+def _pad512(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 512)
+
+
+class _BytesFetcher:
+    def __init__(self, data: bytes):
+        self._d = data
+
+    def size(self):
+        return len(self._d)
+
+    def get(self, pos, n):
+        return self._d[pos:pos + n]
+
+
+def test_remote_tar_gnu_longlink_does_not_eat_longname(tmp_path):
+    """Advisor round-7: a GNU 'K' (longlink) record between an 'L'
+    (longname) record and its member must NOT consume the pending
+    name — both 'L then K' and the CPython 'K then L' order must
+    resolve the member under its long name."""
+    from cube_builder_spark.sources.raster_reader import _remote_tar_member
+
+    sceneid = "LC08_L2SP_220064_20200101_20210101_02_T1"
+    longname = (b"a-directory-name-stretched-well-past-one-hundred-chars/"
+                b"another-level-of-nesting-to-be-sure-we-overflow/"
+                + f"{sceneid}_SR_B4.TIF".encode())
+    longlink = b"link-target/" + b"x" * 120
+    data = _tiff(51)
+    for order in ("LK", "KL"):
+        recs = []
+        l_rec = (_raw_tar_hdr(b"././@LongLink", len(longname) + 1, b"L")
+                 + _pad512(longname + b"\x00"))
+        k_rec = (_raw_tar_hdr(b"././@LongLink", len(longlink) + 1, b"K")
+                 + _pad512(longlink + b"\x00"))
+        recs.extend([l_rec, k_rec] if order == "LK" else [k_rec, l_rec])
+        recs.append(_raw_tar_hdr(longname[-100:], len(data), b"0")
+                    + _pad512(data))
+        blob = b"".join(recs) + b"\x00" * 1024
+        got = _remote_tar_member("mem://t.tar", "SR_B4", sceneid,
+                                 fetcher=_BytesFetcher(blob))
+        assert got == data, order
+
+
+def test_remote_tar_pax_size_override_keeps_walk_aligned():
+    """Advisor round-7: a per-file PAX 'size' key overrides the ustar
+    octal field (>8 GiB members saturate it). Ignoring it misaligns
+    every subsequent header offset; honoring it must both size the
+    member correctly AND keep the next member resolvable."""
+    from cube_builder_spark.sources.raster_reader import _remote_tar_member
+
+    sceneid = "LC08_L2SP_220064_20200101_20210101_02_T1"
+    big = _tiff(52)                      # "big" member: ustar field lies
+    after = _tiff(53)
+    pax_payload = b""
+    for kv in (f"path=deep/{sceneid}_SR_B9.TIF".encode(),
+               b"size=%d" % len(big)):
+        # rec_len counts itself, the space, the payload and newline
+        n = len(kv) + 3
+        n += len(str(n + len(str(n)))) - 1
+        rec = b"%d %s\n" % (n, kv)
+        assert len(rec) == n
+        pax_payload += rec
+    recs = [
+        _raw_tar_hdr(b"./PaxHeaders/b9", len(pax_payload), b"x")
+        + _pad512(pax_payload),
+        # ustar size field DELIBERATELY wrong (0): PAX size must win
+        _raw_tar_hdr(b"truncated_b9_name.TIF", 0, b"0") + _pad512(big),
+        _raw_tar_hdr(f"{sceneid}_SR_B4.TIF".encode(), len(after), b"0")
+        + _pad512(after),
+    ]
+    blob = b"".join(recs) + b"\x00" * 1024
+    f = _BytesFetcher(blob)
+    assert _remote_tar_member("mem://t.tar", "SR_B9", sceneid,
+                              fetcher=f) == big
+    assert _remote_tar_member("mem://t.tar", "SR_B4", sceneid,
+                              fetcher=f) == after
+
+
+def test_zip64_truncated_extra_block_raises():
+    """Advisor round-7: a 0x0001 extra whose declared size is too
+    short for the saturated fields must raise, not read bytes from
+    the NEXT extra field."""
+    import struct
+    from cube_builder_spark.sources.raster_reader import _zip64_extra_fields
+
+    # well-formed: csize + lho saturated, 16 bytes declared
+    ok = struct.pack("<HHQQ", 0x0001, 16, 77, 88)
+    assert _zip64_extra_fields(ok, 0, 0xFFFFFFFF, 0xFFFFFFFF) == (77, 88)
+    # truncated: declares 8 bytes but two fields saturated — the 2nd
+    # unpack would land in the following 0x9999 extra field
+    bad = struct.pack("<HHQ", 0x0001, 8, 77) + struct.pack("<HHQ", 0x9999, 8, 1234)
+    with pytest.raises(ValueError, match="truncated ZIP64"):
+        _zip64_extra_fields(bad, 0, 0xFFFFFFFF, 0xFFFFFFFF)

@@ -218,3 +218,46 @@ def test_cosine_capped_matches_naive_when_unskewed(spark):
                      .alias("cosine"))
              .filter(F.col("cosine") >= 0.5).collect()}
     assert capped == naive
+
+
+def test_capped_plane_pairs_exact_cap_boundary(spark):
+    """The off-by-one contract of the skew cap (round-5 task, pinned
+    round 7): a bucket with EXACTLY max_bucket members expands to its
+    full n(n-1)/2 pairs; max_bucket+1 members drops the bucket whole."""
+    cap = 5
+
+    def plane(n):
+        rows = [(j, "b", ["s1", "s2", "s3"]) for j in range(n)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, bucket string, shingles array<string>")
+        return df.select("bucket",
+                         F.struct("doc_id", "shingles").alias("m"))
+
+    at_cap = dedup.capped_plane_pairs(plane(cap), max_bucket=cap).collect()
+    assert len(at_cap) == cap * (cap - 1) // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in at_cap)
+    over_cap = dedup.capped_plane_pairs(plane(cap + 1),
+                                        max_bucket=cap).collect()
+    assert over_cap == []
+
+
+def test_cosine_pairs_exact_cap_boundary(spark):
+    """Same boundary for the embedding-cosine path: identical vectors
+    all share one hyperplane bucket, so the bucket population equals
+    the corpus size — n == max_bucket expands, n == max_bucket+1
+    drops."""
+    from cube_builder_spark.functions.similarity import cosine_dup_pairs
+    cap = 5
+
+    def emb(n):
+        return spark.createDataFrame(
+            [(j, [0.5, -0.25, 0.125, 1.0]) for j in range(n)],
+            "vec_id long, embedding array<float>")
+
+    at_cap = cosine_dup_pairs(emb(cap), num_planes=4, threshold=0.9,
+                              max_bucket=cap).collect()
+    assert len(at_cap) == cap * (cap - 1) // 2
+    assert all(r.cosine > 0.999 for r in at_cap)
+    over = cosine_dup_pairs(emb(cap + 1), num_planes=4, threshold=0.9,
+                            max_bucket=cap).collect()
+    assert over == []

@@ -231,39 +231,51 @@ def test_stream_restart_with_fresh_checkpoint_commits(spark, tmp_path):
     assert write_stream_batch(st, b2, 0, run_id="run-B") is None
 
 
-def test_expire_retains_latest_stream_manifest(spark, tmp_path):
-    """expire() must keep the newest batch_id-carrying manifest (the
-    stream idempotence ledger) even when older than the cutoff."""
+def test_expire_folds_stream_manifest_into_ledger(spark, tmp_path):
+    """Round-7 advisor fix: expire() DROPS out-of-window stream
+    manifests (so vacuum can reclaim their data) but folds each run's
+    batch high-water mark into the sidecar ledger — replays stay
+    skipped, new batches still land."""
     from cube_builder_spark.sinks.snapshot import write_stream_batch
     st = SnapshotStore(str(tmp_path / "t"))
     write_stream_batch(st, _df(spark, 0, 3), 0, run_id="run-A")   # v1
     st.write(_df(spark, 3, 6))                                   # v2
-    st.write(_df(spark, 6, 9))                                   # v3
+    st.write(_df(spark, 6, 9), mode="overwrite")                 # v3
     dropped = st.expire(keep_last=1)
-    assert 1 not in dropped  # the stream ledger survives
-    # so a replay of batch 0 is STILL recognized and skipped
+    assert dropped == [1, 2]  # stream manifest no longer pinned
+    # replay of batch 0 is STILL recognized via the ledger
     assert write_stream_batch(st, _df(spark, 0, 3), 0,
                               run_id="run-A") is None
+    # a NEW batch of the same run lands
+    assert write_stream_batch(st, _df(spark, 3, 6), 1,
+                              run_id="run-A") is not None
+    # and the expired run's data files are reclaimable: only v3's
+    # overwrite files + the new batch remain referenced
+    removed = st.vacuum()
+    assert removed, "expired stream batch data must be reclaimed"
+    current = st.read(spark).count()
+    assert current == 6  # v3 overwrite (3 rows) + new batch (3 rows)
 
 
-def test_expire_retains_latest_stream_manifest_per_run(spark, tmp_path):
-    """Round-6 advisor fix: with MULTIPLE writer runs, expire() must
-    keep the newest stream manifest of EACH run_id (Delta keeps the
-    latest txnVersion per txnAppId) — one global latest would reopen
-    the duplicate-commit window for the older run's replayed batch."""
+def test_expire_ledger_is_per_run_and_bounded(spark, tmp_path):
+    """Each run_id keeps its OWN high-water mark (Delta txnAppId
+    recipe); ledger_max_runs prunes the oldest-folded runs."""
     from cube_builder_spark.sinks.snapshot import write_stream_batch
     st = SnapshotStore(str(tmp_path / "t"))
     write_stream_batch(st, _df(spark, 0, 3), 7, run_id="run-A")   # v1
     write_stream_batch(st, _df(spark, 3, 6), 2, run_id="run-B")   # v2
     st.write(_df(spark, 6, 9))                                    # v3
     st.write(_df(spark, 9, 12))                                   # v4
-    dropped = st.expire(keep_last=1)
-    assert 1 not in dropped and 2 not in dropped
-    # BOTH runs' replays are still recognized and skipped
+    st.expire(keep_last=1)
+    # BOTH runs' replays are recognized and skipped via the ledger
     assert write_stream_batch(st, _df(spark, 0, 3), 7,
                               run_id="run-A") is None
     assert write_stream_batch(st, _df(spark, 3, 6), 2,
                               run_id="run-B") is None
+    assert st._read_ledger() == {"run-A": 7, "run-B": 2}
+    # bounded retention: keep only the most recently folded run
+    st.expire(keep_last=1, ledger_max_runs=1)
+    assert list(st._read_ledger()) == ["run-B"]
 
 
 def test_active_run_id_ambiguous_streams_raise():
@@ -283,3 +295,20 @@ def test_active_run_id_ambiguous_streams_raise():
     assert _active_run_id(fake_df(0)) == "batch"   # plain-batch path
     with pytest.raises(ValueError, match="run_id"):
         _active_run_id(fake_df(2))
+
+
+def test_active_run_id_zero_streams_logs_fallback(caplog):
+    """The foreachBatch cloned-session case: 0 visible streams falls
+    back to the shared 'batch' run_id but LOGS it, steering callers to
+    pass run_id explicitly (the cloned session may hide the query)."""
+    import logging
+    from types import SimpleNamespace
+
+    from cube_builder_spark.sinks.snapshot import _active_run_id
+
+    df = SimpleNamespace(sparkSession=SimpleNamespace(
+        streams=SimpleNamespace(active=[])))
+    with caplog.at_level(logging.INFO,
+                         logger="cube_builder_spark.sinks.snapshot"):
+        assert _active_run_id(df) == "batch"
+    assert any("run_id explicitly" in r.message for r in caplog.records)
