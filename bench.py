@@ -76,6 +76,27 @@ HEADLINE = [
 ]
 
 
+def _previous_bench_queries() -> dict[str, float]:
+    """Per-query mins from the newest driver-recorded BENCH_r*.json
+    whose tail parsed (``parsed.queries``). Empty dict when absent."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    for path in reversed(files):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            qs = (rec.get("parsed") or {}).get("queries") or {}
+        except (OSError, ValueError):
+            continue
+        if qs:
+            return {k: float(v) for k, v in qs.items()}
+    return {}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,6 +139,20 @@ def main():
     # kept compact (3-decimal mins) so the tail always contains —
     # and can parse — the whole thing.
     print("ALL_RUNS " + json.dumps(all_runs))
+    # Per-query regression tripwire (round-7): diff each min against
+    # the newest BENCH_r*.json with a parsed queries map and print
+    # >25% movers on their own line — r6's q5/c1 drifts went unnoticed
+    # for a round because only the totals were eyeballed. Printed
+    # BEFORE the contract line so the 2 KB tail capture keeps the
+    # contract JSON intact.
+    prev = _previous_bench_queries()
+    if prev:
+        movers = {
+            n: {"prev": prev[n], "now": round(t, 3),
+                "pct": round(100.0 * (t - prev[n]) / prev[n], 1)}
+            for n, t in timings.items()
+            if n in prev and prev[n] > 0.05 and t > prev[n] * 1.25}
+        print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))
     sys.stdout.flush()
     worst = sorted(timings, key=timings.get, reverse=True)[:5]
     print(json.dumps({

@@ -50,7 +50,12 @@ def update_near_dup_index(spark: SparkSession, batch_docs: DataFrame,
     (doc_a, doc_b, jaccard), already materialized."""
     bands = bands or DEFAULT_BANDS
     sh = dedup.shingles(batch_docs)
-    plane = dedup.lsh_plane(sh, bands)
+    # the plane feeds BOTH the pair computation and the index append;
+    # uncached, the shingle+minhash pass over the batch text runs
+    # twice (measured ~2x the whole plane cost at sf0.1). Persist for
+    # the two reads, unpersist before returning — the pairs frame is
+    # an eager checkpoint, so nothing downstream re-reads the plane.
+    plane = dedup.lsh_plane(sh, bands).persist()
     new = _as_member(plane, True)
 
     have_index = os.path.exists(index_dir) and any(
@@ -78,10 +83,20 @@ def update_near_dup_index(spark: SparkSession, batch_docs: DataFrame,
     # to its output sink here instead (same barrier, durable).
     pairs = pairs.localCheckpoint(eager=True)
 
+    # One shuffle on bshard before the write: without it every input
+    # partition opens a writer for every shard it touches — up to
+    # tasks × N_SHARDS small files per batch (measured 2k files,
+    # 2.3s at sf0.1 vs 66 files, 0.5s repartitioned — the write was
+    # 70% of the whole query). Exactly one file per touched shard per
+    # batch bounds the index file count at 100 TB ingest rates, and
+    # the within-shard bucket sort still gives row-group min/max
+    # pruning for the semi-join reads.
     (plane.select(F.col("m.doc_id").alias("doc_id"),
                   F.col("m.shingles").alias("shingles"), "bucket",
                   F.pmod(F.xxhash64("bucket"), F.lit(N_SHARDS))
                   .alias("bshard"))
+     .repartition(N_SHARDS, "bshard")
      .sortWithinPartitions("bucket")
      .write.mode("append").partitionBy("bshard").parquet(index_dir))
+    plane.unpersist()
     return pairs

@@ -101,6 +101,12 @@ def test_stac_build_equals_direct(spark, tmp_path, stac_env):
         tile_bboxes={"0": [0, 0, 1, 1]})
     assert res["new_items"] > 0
     assert calls and calls[0]["payload"]["collections"] == ["S2_L2A"]
+    # the searches are EAGER driver-side calls: exactly one transport
+    # round per requested tile, regardless of how many Spark actions
+    # (the fail-fast take(1), the fetch, the build) read the assets
+    # frame afterwards — the round-7 advisor worried the probe doubled
+    # the STAC API traffic; this pins that it does not
+    assert len(calls) == 1
     cube = spark.read.parquet(res["cube_path"])
 
     # direct build from the same arrays (tile_id comes from the STAC

@@ -77,3 +77,53 @@ def test_band_expression_rejects_injection():
         compile_band_expression("select_something('x')", ["B04"])
     with pytest.raises(BandExpressionError):
         compile_band_expression("B04; drop table x", ["B04"])
+
+
+def test_mosaic_packed_matches_struct_path(spark):
+    """The packed-argmax fast path (HashAggregate) must select exactly
+    the pixels the general struct path (SortAggregate) selects —
+    including priority ties broken by highest value."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.operators import mosaic
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        rows.append((i % 7, i % 53, "2020-01-0%d" % (1 + i % 3),
+                     -9999 if rng.random() < 0.3
+                     else rng.randint(-20000, 20000),
+                     rng.randint(0, 4), rng.randint(0, 9)))
+    scenes = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, date string, value long, "
+              "source_idx long, scene_order long")
+    packed = mosaic.mosaic_first_valid(scenes)
+    general = mosaic.mosaic_first_valid(
+        scenes,
+        order_key=F.struct((-F.col("scene_order")).alias("k1"),
+                           F.col("value").alias("k2"),
+                           F.col("source_idx").alias("k3")))
+    key = lambda r: (r.tile_id, r.pixel_id, r.date)
+    a = {key(r): (r.merge_value, r.datasource, r.n_scenes)
+         for r in packed.collect()}
+    b = {key(r): (r.merge_value, r.datasource, r.n_scenes)
+         for r in general.collect()}
+    assert a == b and len(a) > 1000
+
+
+def test_mosaic_packed_domain_violation_raises(spark):
+    """An out-of-contract observation (|value| >= 2^31) must fail the
+    job loudly, never silently corrupt the packed comparison."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cube_builder_spark.operators import mosaic
+
+    scenes = spark.createDataFrame(
+        [(0, 0, "2020-01-01", 1 << 40, 0, 0)],
+        "tile_id long, pixel_id long, date string, value long, "
+        "source_idx long, scene_order long")
+    with pytest.raises(SparkRuntimeException, match="domain violated"):
+        mosaic.mosaic_first_valid(scenes).collect()

@@ -58,6 +58,10 @@ def test_blend_has_no_window_and_single_agg_exchange(spark, sf_dir, queries):
 def test_mosaic_has_no_window(spark, sf_dir, queries):
     plan = _physical(queries["c1_mosaic_first_valid"](spark, sf_dir))
     assert "Window" not in plan
+    # the packed-argmax must plan a HashAggregate (max over a packed
+    # long); the struct form's SortAggregate re-sorts every partition
+    # — measured 10x slower at sf0.1 (round 7)
+    assert "SortAggregate" not in plan
 
 
 def test_ann_bruteforce_broadcasts_query_vector(spark, sf_dir, queries):

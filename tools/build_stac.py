@@ -77,7 +77,12 @@ def build_from_stac(spark, out_dir: str, cfg, stac_url: str,
     if assets is None:
         raise SystemExit("no tiles requested")
     # fail fast on an empty search — otherwise the miss surfaces much
-    # later as an opaque build_cube error on an empty merge plane
+    # later as an opaque build_cube error on an empty merge plane.
+    # This take(1) does NOT re-run the STAC searches: client.search is
+    # an EAGER driver-side call (each tile's features are already
+    # local lists; assets is a union of LocalTableScans), so the probe
+    # and the later build both read the same collected rows —
+    # tests/test_build_stac.py pins the transport call count.
     if not assets.take(1):
         raise SystemExit(
             f"STAC search returned no items for collection "
