@@ -47,6 +47,7 @@ HEADLINE = [
     "d_minhash_lsh_pairs",
     "d_embedding_cosine_dups",
     "d_simhash",
+    "d_repeated_spans",
     "d_dup_clusters",
     "a_embedding_dup_clusters",
     "x_incremental_near_dup",
@@ -63,6 +64,7 @@ HEADLINE = [
     "t_tfidf_topterms",
     "t_inverted_index",
     "t_repetition_profile",
+    "t_lm_doc_likelihood",
     "p_decontaminate",
     "p_sequence_pack",
     "m_media_metadata",

@@ -846,6 +846,75 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("c"), "w1", "w2").limit(30))
 
 
+@register("t_lm_doc_likelihood", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2),
+wn AS (SELECT w1, w2, c,
+              CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+       FROM bc),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(1e6 * (wn.c + 1) / (wn.n_w1 + vocab.v)) AS BIGINT) AS s
+  FROM bi b JOIN wn ON b.w1 = wn.w1 AND b.w2 = wn.w2
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS score_sum,
+       CAST(sum(s) AS BIGINT) * 1e0 / count(*) / 1e6 AS mean_p
+FROM scored GROUP BY doc_id
+""")
+def t_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM likelihood — the CCNet-style LM quality
+    gate (train an n-gram LM on the corpus, score each document by
+    how predictable its text is; low scores flag boilerplate/garble):
+    mean add-one-smoothed conditional probability P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V) over each doc's bigrams.
+
+    Fixed-point contract: each bigram contributes
+    floor(1e6 · p) as an INTEGER, so the per-doc sum is
+    order-independent and engine-exact (a float sum's rounding depends
+    on reduction order; log-space scoring would additionally depend on
+    the engines' libm ln — both hash-unstable).
+
+    Scale shape: bigram counts are a vocab²-bounded groupBy with
+    map-side combine; the unigram denominator is a window over those
+    AGGREGATED rows (not a corpus re-scan); scoring is ONE
+    co-partitioned join of the bigram stream against the count table
+    on (w1, w2); V is a 1-row broadcast."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", t.alias("_t"))
+    vocab = (toks.select(F.explode("_t").alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.struct(F.element_at(F.col("_t"), i).alias("w1"),
+                           F.element_at(F.col("_t"), i + 1).alias("w2")))
+    bi = (toks.filter(F.size(F.col("_t")) >= 2)
+          .select("doc_id", F.explode(grams).alias("g"))
+          .select("doc_id", F.col("g.w1").alias("w1"),
+                  F.col("g.w2").alias("w2")))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wn = bc.withColumn(
+        "n_w1", F.sum("c").over(Window.partitionBy("w1")).cast("long"))
+    s = F.floor(F.lit(1e6) * (F.col("c") + 1) / (F.col("n_w1") + F.col("v")))
+    return (bi.join(wn, ["w1", "w2"])
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", s.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("s").cast("long").alias("score_sum"))
+            .withColumn("mean_p", F.col("score_sum") * 1.0
+                        / F.col("n_bigrams") / 1e6))
+
+
 @register("p_source_overlap", f"""
 WITH toks AS (
   SELECT source, string_split(text, ' ') AS t FROM documents

@@ -341,3 +341,68 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         bit = F.when(F.col(f"v{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def repeated_spans(docs: DataFrame, k: int = 8, min_df: int = 2,
+                   max_df: int = 1000) -> DataFrame:
+    """Cross-document repeated-span detection — substring-level dedup
+    (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" shape, over token k-grams instead of suffix
+    arrays): find every maximal token span whose k-grams all occur in
+    at least ``min_df`` distinct documents, per document.
+
+    Returns (doc_id, span_start, span_end, n_grams): 1-based token
+    positions of each merged span and how many duplicated k-grams it
+    contains. Downstream removal is a per-doc slice-out of the spans.
+
+    Scale shape (no suffix array — pure relational):
+    - one explode to (doc_id, pos, gram_hash) rows — positions ride
+      along, so no second tokenization pass;
+    - document frequency per gram via groupBy(gh) with map-side
+      combine, joined back ON THE SAME KEY (co-partitioned, one
+      shuffle each side, no broadcast of an unbounded gram set);
+    - ``max_df`` is the skew guard: a boilerplate gram present in
+      thousands of docs (headers, license text) would explode the hit
+      list quadratically at 100 TB — grams above the cap are dropped,
+      the standard recall/cost trade (same posture as the LSH bucket
+      cap);
+    - span merge is gaps-and-islands: one window per doc over the hit
+      positions (overlap-or-adjacent iff pos - prev <= k), then a
+      groupBy over (doc, island). The per-doc hit list is
+      output-bounded, not corpus-bounded.
+    """
+    t = tokens_col(F.col("text"))
+    n = F.size(F.col("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, k))).alias("gh")))
+    # single-file parquet sources land on ONE input partition, which
+    # would serialize the whole gram explode + md5 plane (the
+    # dedup.shingles precedent); pinned-count repartition fans it out
+    # and AQE cannot collapse it back below the explode
+    npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    g = (docs.select("doc_id", t.alias("_t"))
+         .filter(n >= k)
+         .repartition(npart, "doc_id")
+         .select("doc_id", F.explode(grams).alias("g"))
+         .select("doc_id", F.col("g.pos").alias("pos"),
+                 F.col("g.gh").alias("gh")))
+    df_ = (g.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    hits = g.join(df_.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)) \
+           .otherwise(F.lit(1))
+    island = F.sum(brk).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hits
+            .withColumn("island", island)
+            .groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .drop("island"))

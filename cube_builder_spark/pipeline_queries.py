@@ -197,6 +197,49 @@ def d_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_bucket=_LSH_MAX_BUCKET, threshold=0.5)
 
 
+_SPAN_K = 8        # k-gram width for span dedup (p_decontaminate's n)
+_SPAN_MAX_DF = 1000  # boilerplate cap: grams in more docs are dropped
+
+
+@register("d_repeated_spans", f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' ')) AS gh
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K - 2})) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+freq AS (
+  SELECT gh FROM g GROUP BY gh
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_MAX_DF}
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN freq ON g.gh = freq.gh),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, island
+""")
+def d_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: maximal token spans whose 8-grams occur
+    in >= 2 documents (Lee et al. 2022's repeated-substring removal,
+    relationally — see dedup.repeated_spans for the 100 TB shape)."""
+    return dedup.repeated_spans(_docs(spark, sf_dir), k=_SPAN_K,
+                                max_df=_SPAN_MAX_DF)
+
+
 # Unrolled min-label propagation steps (l1..l6): both engines run the
 # SAME fixed number of rounds, so the output is deterministic and
 # hash-comparable even on a not-yet-converged component (it isn't one:

@@ -236,3 +236,76 @@ def test_kmv_estimate_accuracy(spark, sf_dir):
         else:
             # KMV with k=64 has ~1/sqrt(k-2) ≈ 13% std error; allow 4σ
             assert abs(r.est_distinct - r.n_exact) / r.n_exact < 0.52
+
+
+def test_repeated_spans_merges_and_caps(spark):
+    """Constructed corpus: two docs share one 10-token run (k=8 →
+    3 duplicated grams merging into ONE span), a third doc is unique
+    (no spans), and a boilerplate gram present in every doc above
+    max_df is dropped."""
+    from cube_builder_spark.functions.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten eleven"),
+        (3, "completely different words with no overlap at all here ok"),
+    ], "doc_id long, text string")
+    got = {(r.doc_id): (r.span_start, r.span_end, r.n_grams)
+           for r in repeated_spans(docs, k=8).collect()}
+    # doc 1: shared run occupies tokens 4..13 → grams at pos 4,5,6
+    assert got[1] == (4, 13, 3)
+    # doc 2: run at tokens 1..10 → grams at pos 1,2,3
+    assert got[2] == (1, 10, 3)
+    assert 3 not in got
+    # max_df cap: the same gram in 3 docs with max_df=2 is dropped
+    docs3 = spark.createDataFrame(
+        [(i, shared) for i in range(1, 4)], "doc_id long, text string")
+    assert repeated_spans(docs3, k=8, max_df=2).collect() == []
+    assert len(repeated_spans(docs3, k=8, max_df=3).collect()) == 3
+
+
+def test_repeated_spans_distinct_islands(spark):
+    """Two separated shared runs in one doc stay TWO spans (the gap
+    exceeds k), and within-doc repetition alone (df=1) does not
+    count as duplication."""
+    from cube_builder_spark.functions.dedup import repeated_spans
+
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"          # exactly one 8-gram
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = " ".join(f"g{i}" for i in range(12))
+    docs = spark.createDataFrame([
+        (1, f"{run_a} {gap} {run_b}"),
+        (2, f"x0 {run_a} y0"),
+        (3, f"z0 z1 {run_b}"),
+        (4, f"{run_a} {run_a}"),   # self-repeat only in doc 4? no — run_a
+    ], "doc_id long, text string")  # is shared with docs 1/2 so it counts
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in repeated_spans(docs, k=8).collect()}
+    assert (1, 1, 8) in spans            # run_a island
+    assert (1, 21, 28) in spans          # run_b island, separate
+    assert (2, 2, 9) in spans
+    assert (3, 3, 10) in spans
+
+
+def test_lm_doc_likelihood_hand_computed(spark, monkeypatch, tmp_path):
+    """3-doc corpus small enough to verify the smoothed scores by
+    hand: doc with the corpus's dominant bigram scores higher than a
+    doc of one-off transitions."""
+    import cube_builder_spark.corpus_queries as cq
+
+    docs = spark.createDataFrame([
+        (1, "a b a b"), (2, "a b c"), (3, "c a")],
+        "doc_id long, text string")
+    monkeypatch.setattr(cq, "_docs", lambda s, d: docs)
+    rows = {r.doc_id: r for r in
+            cq.t_lm_doc_likelihood(spark, "unused").collect()}
+    # corpus: V=3; bigrams: (a,b)x3 (b,a)x1 (b,c)x1 (c,a)x1
+    # n_a. = 3, n_b. = 2, n_c. = 1
+    # P(b|a)=(3+1)/(3+3)=2/3 ; P(a|b)=(1+1)/(2+3)=2/5
+    # P(c|b)=2/5 ; P(a|c)=(1+1)/(1+3)=1/2
+    s = lambda p: int(1e6 * p)  # all exactly representable here
+    assert rows[1].score_sum == s(2/3) + s(2/5) + s(2/3)
+    assert rows[2].score_sum == s(2/3) + s(2/5)
+    assert rows[3].score_sum == s(1/2)
+    assert rows[1].mean_p > rows[2].mean_p  # dominant-bigram doc wins
