@@ -79,8 +79,14 @@ def t_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     t = F.split(F.col("text"), " ")
-    bound = docs.select("doc_id", t.alias("_t"),
-                        F.size(t).cast("long").alias("n_tokens"))
+    # fan the gram-building explode out BEFORE it runs: a single-file
+    # parquet source is one input partition, and the per-row
+    # struct+concat transform was serializing on one task (the
+    # dedup.shingles precedent; pinned count so AQE can't re-collapse)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bound = (docs.select("doc_id", t.alias("_t"),
+                         F.size(t).cast("long").alias("n_tokens"))
+             .repartition(npart, "doc_id"))
     g2 = F.when(
         F.size("_t") >= 2,
         F.expr("transform(sequence(0, size(_t)-2),"
