@@ -43,6 +43,8 @@ HEADLINE = [
     "c1_mosaic_first_valid",
     "c11_scene_efficacy",
     "c19_footprint_suite",
+    "c21_pixel_trend",
+    "c22_gap_fill",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_embedding_cosine_dups",

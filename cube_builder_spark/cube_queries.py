@@ -10,10 +10,11 @@ hash-checked end-to-end, not just unit-tested.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import blend, indexes, masking, mosaic, rescale
-from .pixelplane import BAND_NODATA, PIXELS_SQL, pixel_plane
+from .pixelplane import BAND_NODATA, N_DATES, PIXELS_SQL, pixel_plane
 from .tables import load_tables
 
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -1571,3 +1572,150 @@ def x_bucketed_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_obs"),
                  F.sum("value").cast("long").alias("sum_value"),
                  F.max("quality").cast("long").alias("max_quality")))
+
+
+# C21/C22 — temporal analytics over the cube (round 7) -----------------------
+# The reference stops at composites (LCF/MED); per-pixel trend and
+# gap-filling are the next analytics an EO-cube user runs on the
+# result (NDVI greening rates, cloud-gap interpolation). Both are pure
+# integer/window relational shapes with exact SQL twins.
+
+@register("c21_pixel_trend", f"""
+WITH {{PIXELS}},
+v AS (
+  SELECT tile_id, pixel_id, doy, value FROM pixels WHERE value <> {BAND_NODATA}
+),
+s AS (
+  SELECT tile_id, pixel_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(doy) AS BIGINT) AS sx,
+         CAST(sum(value) AS BIGINT) AS sy,
+         CAST(sum(doy * value) AS BIGINT) AS sxy,
+         CAST(sum(doy * doy) AS BIGINT) AS sxx
+  FROM v GROUP BY tile_id, pixel_id
+)
+SELECT tile_id, pixel_id, n AS n_obs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       (n * sxy - sx * sy) * 1e0 / (n * sxx - sx * sx) AS slope
+FROM s WHERE n * sxx - sx * sx > 0
+""".replace("{PIXELS}", PIXELS_SQL))
+def c21_pixel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: per-pixel temporal trend — least-squares slope of value
+    over day-of-year across the time stack (the NDVI greening-rate
+    analytic). Exact integer moment sums (n, Σx, Σy, Σxy, Σx²) feed
+    the closed-form slope, so the only float op is ONE division —
+    bit-identical across engines. Pixels with a degenerate design
+    (fewer than 2 distinct days) are excluded by den > 0.
+
+    Scale shape: one groupBy(tile, pixel) with map-side partial
+    moments — the classic mergeable-statistics reduction; no window,
+    no join, shuffle bounded by the pixel count."""
+    px = pixel_plane(spark, sf_dir).filter(F.col("value") != BAND_NODATA)
+    s = px.groupBy("tile_id", "pixel_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doy").cast("long").alias("sx"),
+        F.sum("value").cast("long").alias("sy"),
+        F.sum(F.col("doy") * F.col("value")).cast("long").alias("sxy"),
+        F.sum(F.col("doy") * F.col("doy")).cast("long").alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (s.select("tile_id", "pixel_id", F.col("n").alias("n_obs"),
+                     num.cast("long").alias("num"),
+                     den.cast("long").alias("den"),
+                     (num * 1.0 / den).alias("slope"))
+            .filter(F.col("den") > 0))
+
+
+# (doy, value) packed into ONE integer so a single IGNORE NULLS window
+# carries both neighbor coordinates: doy * 100000 + (value + 10001);
+# value ∈ [-10000, 10000] keeps the low field < 100000.
+_GF_PACK = 100000
+
+@register("c22_gap_fill", f"""
+WITH {{PIXELS}},
+base AS (SELECT DISTINCT tile_id, pixel_id FROM pixels),
+dense AS (
+  SELECT tile_id, pixel_id, CAST(d AS BIGINT) AS doy
+  FROM base, unnest(range(1, {N_DATES} + 1)) AS u(d)
+),
+obs AS (
+  SELECT tile_id, pixel_id, doy, value FROM pixels
+  WHERE value <> {BAND_NODATA}
+),
+j AS (
+  SELECT d.tile_id, d.pixel_id, d.doy, o.value,
+         CASE WHEN o.value IS NOT NULL
+              THEN d.doy * {_GF_PACK} + o.value + 10001 END AS pk
+  FROM dense d LEFT JOIN obs o
+    ON d.tile_id = o.tile_id AND d.pixel_id = o.pixel_id AND d.doy = o.doy
+),
+w AS (
+  SELECT tile_id, pixel_id, doy, value,
+         last_value(pk IGNORE NULLS) OVER
+           (PARTITION BY tile_id, pixel_id ORDER BY doy
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ppk,
+         first_value(pk IGNORE NULLS) OVER
+           (PARTITION BY tile_id, pixel_id ORDER BY doy
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npk
+  FROM j
+)
+SELECT tile_id, pixel_id, doy,
+       CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+            ELSE (ppk % {_GF_PACK} - 10001)
+                 + ((npk % {_GF_PACK} - 10001) - (ppk % {_GF_PACK} - 10001))
+                   * (doy - ppk // {_GF_PACK}) * 1e0
+                   / (npk // {_GF_PACK} - ppk // {_GF_PACK}) END AS filled_value,
+       value IS NULL AND ppk IS NOT NULL AND npk IS NOT NULL AS is_filled
+FROM w
+WHERE value IS NOT NULL OR (ppk IS NOT NULL AND npk IS NOT NULL)
+""".replace("{PIXELS}", PIXELS_SQL))
+def c22_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: temporal gap-filling — linear interpolation of interior
+    missing/cloudy slots per pixel between the nearest valid
+    neighbors (the standard cloud-gap treatment downstream of the
+    reference's empty_fill, which only densifies with nodata:
+    reference cube_builder/maestro.py:550-564 builds the dense
+    timeline, the interpolation itself is new surface).
+
+    Exactness: neighbor (doy, value) pairs ride ONE packed integer
+    through each IGNORE NULLS window, and the interpolation is a
+    fixed-shape expression over integers with a single float
+    multiply+divide — identical IEEE ops in both engines. Boundary
+    gaps (no neighbor on one side) are dropped, not extrapolated.
+
+    Scale shape: the dense grid is an explode of sequence(1, N) over
+    the distinct pixel set (no cross join); ONE shuffle on
+    (tile, pixel) serves the left join and both windows."""
+    px = pixel_plane(spark, sf_dir)
+    obs = (px.filter(F.col("value") != BAND_NODATA)
+           .select("tile_id", "pixel_id", "doy", "value"))
+    dense = (px.select("tile_id", "pixel_id").distinct()
+             .select("tile_id", "pixel_id",
+                     F.explode(F.sequence(F.lit(1), F.lit(N_DATES)))
+                     .alias("_d"))
+             .select("tile_id", "pixel_id",
+                     F.col("_d").cast("long").alias("doy")))
+    j = dense.join(obs, ["tile_id", "pixel_id", "doy"], "left")
+    pk = F.when(F.col("value").isNotNull(),
+                F.col("doy") * _GF_PACK + F.col("value") + 10001)
+    wp = (Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = (Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
+          .rowsBetween(1, Window.unboundedFollowing))
+    w = (j.withColumn("pk", pk)
+         .withColumn("ppk", F.last("pk", ignorenulls=True).over(wp))
+         .withColumn("npk", F.first("pk", ignorenulls=True).over(wn)))
+    pv = F.col("ppk") % _GF_PACK - 10001
+    nv = F.col("npk") % _GF_PACK - 10001
+    pd_ = F.floor(F.col("ppk") / _GF_PACK)
+    nd = F.floor(F.col("npk") / _GF_PACK)
+    filled = (pv + (nv - pv) * (F.col("doy") - pd_) * F.lit(1.0) / (nd - pd_))
+    return (w.select(
+        "tile_id", "pixel_id", "doy",
+        F.when(F.col("value").isNotNull(), F.col("value").cast("double"))
+         .otherwise(filled).alias("filled_value"),
+        (F.col("value").isNull() & F.col("ppk").isNotNull()
+         & F.col("npk").isNotNull()).alias("is_filled"))
+        .filter(F.col("value").isNotNull()
+                | (F.col("ppk").isNotNull() & F.col("npk").isNotNull())))

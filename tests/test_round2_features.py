@@ -222,3 +222,51 @@ def test_defer_cleanup_purges_previous_dir_per_key(tmp_path):
     # re-registering the SAME path is a no-op, never a self-delete
     defer_cleanup(str(b), key="qX")
     assert os.path.isdir(b)
+
+
+def test_pixel_trend_exact_slope(spark, monkeypatch):
+    """C21 on a constructed stack: slope of a perfectly linear pixel
+    is exact; a constant pixel has slope 0; a single-obs pixel and an
+    all-nodata pixel are excluded (den == 0 / no rows)."""
+    import cube_builder_spark.cube_queries as cq
+
+    rows = []
+    for d in range(1, 6):
+        rows.append((0, 1, d, 100 + 7 * d))   # linear: slope 7
+        rows.append((0, 2, d, 42))            # constant: slope 0
+    rows.append((0, 3, 3, 5))                 # single obs
+    rows.append((0, 4, 2, -9999))             # nodata only
+    plane = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, value long")
+    monkeypatch.setattr(cq, "pixel_plane", lambda s, d: plane)
+    got = {r.pixel_id: r for r in cq.c21_pixel_trend(spark, "x").collect()}
+    assert got[1].slope == 7.0 and got[1].n_obs == 5
+    assert got[2].slope == 0.0
+    assert 3 not in got and 4 not in got
+    # exact integer moments: num/den are the unreduced closed form
+    assert got[1].num / got[1].den == 7.0
+
+
+def test_gap_fill_interpolates_interior_only(spark, monkeypatch):
+    """C22 on a constructed stack: interior gaps interpolate linearly
+    between nearest valid neighbors (nodata observations count as
+    gaps), boundary gaps are dropped, observed values pass through."""
+    import cube_builder_spark.cube_queries as cq
+    import cube_builder_spark.pixelplane as pp
+
+    # pixel 1: valid at doy 2 (10) and doy 5 (40); doy 3,4 interior
+    # gaps; doy 1 boundary gap; doy 3 is an explicit nodata obs
+    rows = [(0, 1, 2, 10), (0, 1, 3, -9999), (0, 1, 5, 40)]
+    plane = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, value long")
+    monkeypatch.setattr(cq, "pixel_plane", lambda s, d: plane)
+    monkeypatch.setattr(cq, "N_DATES", 5)
+    out = {r.doy: r for r in cq.c22_gap_fill(spark, "x").collect()
+           if r.pixel_id == 1}
+    assert 1 not in out                       # boundary gap dropped
+    assert out[2].filled_value == 10.0 and not out[2].is_filled
+    assert out[3].filled_value == 20.0 and out[3].is_filled
+    assert out[4].filled_value == 30.0 and out[4].is_filled
+    assert out[5].filled_value == 40.0 and not out[5].is_filled
+    # doys 6.. beyond N_DATES never appear
+    assert set(out) == {2, 3, 4, 5}
