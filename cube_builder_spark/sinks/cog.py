@@ -35,7 +35,7 @@ try:                                     # pragma: no cover
 except ImportError:
     rasterio = None
 
-_TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12, "ASCII": 2}
+_TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12, "ASCII": 2, "LONG8": 16}
 
 
 def _ifd_entry(tag: int, ttype: int, count: int, value_or_offset: int) -> bytes:
@@ -152,7 +152,7 @@ def read_geotiff_band(buf: bytes) -> dict:
 def _pack_tag_values(ttype: str, values) -> bytes:
     if isinstance(values, bytes):
         return values
-    fmt = {"SHORT": "H", "LONG": "I", "DOUBLE": "d"}[ttype]
+    fmt = {"SHORT": "H", "LONG": "I", "DOUBLE": "d", "LONG8": "Q"}[ttype]
     return b"".join(struct.pack("<" + fmt, v) for v in values)
 
 
@@ -172,7 +172,8 @@ def _tile_grid(arr: np.ndarray, tile: int) -> list[bytes]:
 
 def write_cog_band(arr: np.ndarray, *, tile: int = 512,
                    pixel_size=(30.0, 30.0), origin=(0.0, 0.0),
-                   nodata: int | None = -9999) -> bytes:
+                   nodata: int | None = -9999,
+                   bigtiff: bool = False) -> bytes:
     """Encode an (h, w) int16 array as a Cloud-Optimized GeoTIFF:
     internally tiled (TileWidth/TileLength/TileOffsets/TileByteCounts),
     deflate per tile, with a nearest-resampled 2x overview pyramid in
@@ -216,15 +217,26 @@ def write_cog_band(arr: np.ndarray, *, tile: int = 512,
         level_entries.append(e)
 
     # Pass 1 — layout: header, then each IFD + its external payloads.
-    pos = 8
+    # BigTIFF widens every structural field: 16-byte header, 8-byte
+    # entry counts, 20-byte entries, 8-byte inline values and next-IFD
+    # pointers; tile offsets/counts become LONG8.
+    if bigtiff:
+        for e in level_entries:
+            for i, (t, ttype, values) in enumerate(e):
+                if t in (324, 325):
+                    e[i] = (t, "LONG8", values)
+    hdr_len = 16 if bigtiff else 8
+    ifd_fixed = (8, 20, 8) if bigtiff else (2, 12, 4)  # count, entry, next
+    inline_max = 8 if bigtiff else 4
+    pos = hdr_len
     ifd_offsets, ext_bases = [], []
     for e in level_entries:
         ifd_offsets.append(pos)
-        pos += 2 + len(e) * 12 + 4
+        pos += ifd_fixed[0] + len(e) * ifd_fixed[1] + ifd_fixed[2]
         ext_bases.append(pos)
         for _t, ttype, values in e:
             payload = _pack_tag_values(ttype, values)
-            if len(payload) > 4:
+            if len(payload) > inline_max:
                 pos += len(payload)
     # Tile data: smallest overview first, full-res last.
     tile_offsets = [None] * len(levels)
@@ -236,10 +248,13 @@ def write_cog_band(arr: np.ndarray, *, tile: int = 512,
         tile_offsets[li] = offs
 
     # Pass 2 — assemble.
-    out = [struct.pack("<2sHI", b"II", 42, 8)]
+    if bigtiff:
+        out = [struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)]
+    else:
+        out = [struct.pack("<2sHI", b"II", 42, 8)]
     for li, e in enumerate(level_entries):
         ext_off = ext_bases[li]
-        ifd = [struct.pack("<H", len(e))]
+        ifd = [struct.pack("<Q" if bigtiff else "<H", len(e))]
         ext = []
         for t, ttype, values in e:
             if t == 324:
@@ -248,14 +263,23 @@ def write_cog_band(arr: np.ndarray, *, tile: int = 512,
             count = (len(payload) // 8 if ttype == "DOUBLE" else
                      len(payload) if ttype == "ASCII" else len(values))
             code = _TAG_TYPES[ttype]
-            if len(payload) > 4:
+            if bigtiff:
+                if len(payload) > 8:
+                    ifd.append(struct.pack(
+                        "<HHQQ", t, code, count,
+                        ext_off + sum(map(len, ext))))
+                    ext.append(payload)
+                else:
+                    ifd.append(struct.pack("<HHQ8s", t, code, count,
+                                           payload.ljust(8, b"\x00")))
+            elif len(payload) > 4:
                 ifd.append(_ifd_entry(t, code, count, ext_off + sum(map(len, ext))))
                 ext.append(payload)
             else:
                 ifd.append(struct.pack("<HHI4s", t, code, count,
                                        payload.ljust(4, b"\x00")))
         next_ifd = ifd_offsets[li + 1] if li + 1 < len(levels) else 0
-        ifd.append(struct.pack("<I", next_ifd))
+        ifd.append(struct.pack("<Q" if bigtiff else "<I", next_ifd))
         out += ifd + ext
     for li in range(len(levels) - 1, -1, -1):
         out += level_tiles[li]

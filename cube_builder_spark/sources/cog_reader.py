@@ -128,39 +128,57 @@ class CogReader:
     def __init__(self, uri: str, fetcher: RangeFetcher | None = None):
         self.fetcher = fetcher or RangeFetcher(uri)
         get = self.fetcher.get
-        if get(0, 4) != b"II\x2a\x00":
+        magic = get(0, 4)
+        if magic == b"II\x2a\x00":                 # classic TIFF (42)
+            big = False
+            (ifd_off,) = struct.unpack("<I", get(4, 4))
+        elif magic == b"II\x2b\x00":               # BigTIFF (43)
+            # >4 GiB rasters: 8-byte offsets/counts, 20-byte IFD
+            # entries — the format a 100 TB mosaic level actually
+            # ships in (the ZIP64 of the TIFF world)
+            big = True
+            osize, pad = struct.unpack("<HH", get(4, 4))
+            if osize != 8 or pad != 0:
+                raise ValueError(
+                    f"unsupported BigTIFF offset size {osize}: {uri!r}")
+            (ifd_off,) = struct.unpack("<Q", get(8, 8))
+        else:
             raise ValueError(f"not a little-endian TIFF: {uri!r}")
-        (ifd_off,) = struct.unpack("<I", get(4, 4))
+        self.bigtiff = big
+        # structural widths: (count-field, entry, entry-fmt, inline,
+        # offset-fmt)
+        n_len, e_len, e_fmt, inline, off_fmt = (
+            (8, 20, "<HHQ8s", 8, "<Q") if big else
+            (2, 12, "<HHI4s", 4, "<I"))
         self.levels: list[dict] = []
         self.geo: dict = {}
         first = True
         while ifd_off:
-            (n,) = struct.unpack("<H", get(ifd_off, 2))
-            raw_entries = get(ifd_off + 2, n * 12)
+            (n,) = struct.unpack(
+                "<Q" if big else "<H", get(ifd_off, n_len))
+            raw_entries = get(ifd_off + n_len, n * e_len)
             tags = {}
             for i in range(n):
                 t, code, count, raw = struct.unpack_from(
-                    "<HHI4s", raw_entries, i * 12)
+                    e_fmt, raw_entries, i * e_len)
                 tags[t] = (code, count, raw)
 
             def val(t, tags=tags, get=get):
                 code, count, raw = tags[t]
-                if count == 1 and code == 3:
-                    return struct.unpack("<H2x", raw)[0]
-                if count == 1 and code == 4:
-                    return struct.unpack("<I", raw)[0]
-                size = {2: 1, 3: 2, 4: 4, 12: 8}[code] * count
-                if size <= 4:
-                    fmt = {3: "H", 4: "I"}[code]
-                    return struct.unpack_from(f"<{count}{fmt}", raw)
-                (off,) = struct.unpack("<I", raw)
-                payload = get(off, size)
-                if code == 12:
-                    return struct.unpack(f"<{count}d", payload)
-                if code == 2:
-                    return payload.rstrip(b"\x00").decode()
-                fmt = {3: "H", 4: "I"}[code]
-                return struct.unpack(f"<{count}{fmt}", payload)
+                esize = {2: 1, 3: 2, 4: 4, 12: 8, 16: 8, 17: 8}[code]
+                fmt = {3: "H", 4: "I", 12: "d", 16: "Q", 17: "q"}.get(code)
+                size = esize * count
+                if size <= inline:
+                    if code == 2:
+                        return raw[:size].rstrip(b"\x00").decode()
+                    vals = struct.unpack_from(f"<{count}{fmt}", raw)
+                else:
+                    (off,) = struct.unpack_from(off_fmt, raw)
+                    payload = get(off, size)
+                    if code == 2:
+                        return payload.rstrip(b"\x00").decode()
+                    vals = struct.unpack(f"<{count}{fmt}", payload)
+                return vals[0] if count == 1 else vals
 
             w, h, tile = val(256), val(257), val(322)
             offs, cnts = val(324), val(325)
@@ -177,7 +195,9 @@ class CogReader:
                             "nodata": (int(val(42113))
                                        if 42113 in tags else None)}
                 first = False
-            (ifd_off,) = struct.unpack("<I", get(ifd_off + 2 + n * 12, 4))
+            (ifd_off,) = struct.unpack(
+                "<Q" if big else "<I",
+                get(ifd_off + n_len + n * e_len, n_len if big else 4))
 
     def read_window(self, row0: int, col0: int, height: int, width: int,
                     level: int = 0) -> np.ndarray:

@@ -205,3 +205,140 @@ def test_remote_zip_member_over_ranges(tmp_path_factory, http_url, cog_file):
             lo, hi = lo_hi.split("-")
             total_requested += int(hi) - int(lo) + 1
     assert total_requested < full - 900_000, (spans, full)
+
+
+# BigTIFF (round 7) ----------------------------------------------------------
+
+def test_bigtiff_roundtrip_window_reads(tmp_path):
+    """write_cog_band(bigtiff=True) emits version-43 structure that
+    CogReader auto-detects; windows and overview levels match the
+    classic encoding of the same array."""
+    arr = (np.arange(H * W, dtype=np.int64) * 41 % 20001 - 10000).astype("<i2")
+    arr = arr.reshape(H, W)
+    big = write_cog_band(arr, tile=TILE, origin=(1.0, 2.0), bigtiff=True)
+    classic = write_cog_band(arr, tile=TILE, origin=(1.0, 2.0))
+    assert big[:4] == b"II\x2b\x00" and classic[:4] == b"II\x2a\x00"
+    pb = tmp_path / "big.tif"
+    pb.write_bytes(big)
+    rb = CogReader(str(pb))
+    assert rb.bigtiff
+    pc = tmp_path / "classic.tif"
+    pc.write_bytes(classic)
+    rc = CogReader(str(pc))
+    assert len(rb.levels) == len(rc.levels)
+    assert rb.geo == rc.geo
+    for lv in range(len(rb.levels)):
+        wb = rb.read_window(5, 7, 100, 90, level=lv) \
+            if rb.levels[lv]["width"] > 100 else \
+            rb.read_window(0, 0, rb.levels[lv]["height"],
+                           rb.levels[lv]["width"], level=lv)
+        wc = rc.read_window(5, 7, 100, 90, level=lv) \
+            if rc.levels[lv]["width"] > 100 else \
+            rc.read_window(0, 0, rc.levels[lv]["height"],
+                           rc.levels[lv]["width"], level=lv)
+        assert np.array_equal(wb, wc)
+    assert np.array_equal(rb.read_window(100, 200, 64, 64), arr[100:164, 200:264])
+
+
+def _seek_range_server(directory, counter):
+    class _H(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            path = self.translate_path(self.path)
+            size = os.path.getsize(path)
+            m = re.match(r"bytes=(\d+)-(\d+)?$",
+                         self.headers.get("Range", "") or "")
+            with open(path, "rb") as f:
+                if m:
+                    lo = int(m.group(1))
+                    hi = min(int(m.group(2) or size - 1), size - 1)
+                    f.seek(lo)
+                    body = f.read(hi - lo + 1)
+                    self.send_response(206)
+                    self.send_header("Content-Range",
+                                     f"bytes {lo}-{hi}/{size}")
+                else:
+                    body = f.read()
+                    self.send_response(200)
+            counter[0] += len(body)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    handler = lambda *a, **kw: _H(*a, directory=str(directory), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_bigtiff_tiles_beyond_4gib_ranged(tmp_path):
+    """The point of BigTIFF: tile offsets past the 4 GiB line a
+    classic LONG cannot express. A sparse 4.5 GB file with two tiles
+    at >4 GiB resolves over HTTP ranges, transferring well under 1 MB
+    (same contract as the ZIP64 ranged-walk test)."""
+    import struct
+    import zlib
+
+    tile = 16
+    a0 = np.arange(tile * tile, dtype="<i2").reshape(tile, tile)
+    a1 = (a0 * 3 + 1).astype("<i2")
+    t0, t1 = zlib.compress(a0.tobytes()), zlib.compress(a1.tobytes())
+    off0 = 4 * 1024 ** 3 + 512          # > 4 GiB: needs LONG8
+    off1 = off0 + 0x100000
+
+    entries = [
+        (256, 4, 1, struct.pack("<I4x", 32)),          # width
+        (257, 4, 1, struct.pack("<I4x", 16)),          # height
+        (258, 3, 1, struct.pack("<H6x", 16)),
+        (259, 3, 1, struct.pack("<H6x", 8)),
+        (322, 3, 1, struct.pack("<H6x", tile)),
+        (323, 3, 1, struct.pack("<H6x", tile)),
+        (324, 16, 2, None),                            # offsets → ext
+        (325, 16, 2, None),                            # counts → ext
+        (33550, 12, 3, None),
+        (33922, 12, 6, None),
+    ]
+    hdr = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    ifd_len = 8 + len(entries) * 20 + 8
+    ext = 16 + ifd_len
+    ext_payloads = []
+    blobs = {
+        324: struct.pack("<2Q", off0, off1),
+        325: struct.pack("<2Q", len(t0), len(t1)),
+        33550: struct.pack("<3d", 30.0, 30.0, 0.0),
+        33922: struct.pack("<6d", 0, 0, 0, 7.0, 9.0, 0),
+    }
+    ifd = [struct.pack("<Q", len(entries))]
+    for tag, code, count, inline in entries:
+        if inline is not None:
+            ifd.append(struct.pack("<HHQ", tag, code, count) + inline)
+        else:
+            b = blobs[tag]
+            ifd.append(struct.pack("<HHQQ", tag, code, count, ext))
+            ext_payloads.append(b)
+            ext += len(b)
+    ifd.append(struct.pack("<Q", 0))
+
+    p = tmp_path / "huge.tif"
+    with open(p, "wb") as f:
+        f.write(hdr + b"".join(ifd) + b"".join(ext_payloads))
+        f.seek(off0)
+        f.write(t0)
+        f.seek(off1)
+        f.write(t1)
+    assert os.path.getsize(p) > 4 * 1024 ** 3
+
+    served = [0]
+    srv, base = _seek_range_server(tmp_path, served)
+    try:
+        r = CogReader(f"{base}/huge.tif")
+        assert r.bigtiff
+        assert r.geo["origin"] == (7.0, 9.0)
+        got = r.read_window(0, 0, 16, 32)
+        assert np.array_equal(got[:, :16], a0)
+        assert np.array_equal(got[:, 16:], a1)
+    finally:
+        srv.shutdown()
+    assert served[0] < 1 << 20, f"served {served[0]} bytes"
