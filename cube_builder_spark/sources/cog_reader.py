@@ -29,6 +29,25 @@ import numpy as np
 _BLOCK = 16 * 1024
 
 
+class BytesFetcher:
+    """RangeFetcher interface over an in-memory buffer — lets
+    CogReader parse archive-member bytes (e.g. a BigTIFF inside a
+    zip/tar) without spooling to disk."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self.bytes_fetched = 0
+        self.n_requests = 0
+
+    def size(self) -> int:
+        return len(self._d)
+
+    def get(self, start: int, length: int) -> bytes:
+        self.n_requests += 1
+        self.bytes_fetched += length
+        return self._d[start:start + length]
+
+
 class RangeFetcher:
     """Byte-range access over file paths, file:// and http(s):// URIs
     with a block cache (16 KB blocks, contiguous misses coalesced into

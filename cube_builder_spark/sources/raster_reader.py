@@ -474,6 +474,16 @@ def open_raster(uri: str, band: str | None = None, sceneid: str | None = None):
     if buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         from ..sinks.cog import read_geotiff_band
         return read_geotiff_band(buf)
+    if buf[:4] == b"II\x2b\x00":
+        # BigTIFF member (>4 GiB offsets; the reference's save_as_cog
+        # BIGTIFF option): parse via the COG reader over the bytes
+        from .cog_reader import BytesFetcher, CogReader
+        r = CogReader(uri, fetcher=BytesFetcher(buf))
+        lv = r.levels[0]
+        return {"array": r.read_window(0, 0, lv["height"], lv["width"]),
+                "origin": r.geo["origin"],
+                "pixel_size": r.geo["pixel_size"],
+                "nodata": r.geo["nodata"]}
     if buf[:4] == b"\x00\x00\x00\x0c" or buf[:2] == b"\xff\x4f":
         if _glymur() is not None:
             return decode_jp2(buf)

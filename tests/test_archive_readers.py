@@ -612,3 +612,22 @@ def test_zip64_truncated_extra_block_raises():
     bad = struct.pack("<HHQ", 0x0001, 8, 77) + struct.pack("<HHQ", 0x9999, 8, 1234)
     with pytest.raises(ValueError, match="truncated ZIP64"):
         _zip64_extra_fields(bad, 0, 0xFFFFFFFF, 0xFFFFFFFF)
+
+
+def test_bigtiff_zip_member_decodes(tmp_path):
+    """A BigTIFF member inside a zip (the reference's save_as_cog can
+    emit BIGTIFF) decodes through CogReader over the member bytes —
+    no spool, same raster dict as the classic path."""
+    from cube_builder_spark.sinks.cog import write_cog_band
+
+    arr = (np.arange(64 * 96, dtype=np.int64) % 5000 - 2500).astype("<i2")
+    arr = arr.reshape(64, 96)
+    buf = write_cog_band(arr, tile=64, origin=(11.0, 22.0), bigtiff=True)
+    p = tmp_path / "scene.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("scene/B04.tif", buf)
+    got = open_raster(str(p))
+    assert np.array_equal(got["array"], arr)
+    assert got["origin"] == (11.0, 22.0)
+    assert got["pixel_size"] == (30.0, 30.0)
+    assert got["nodata"] == -9999
