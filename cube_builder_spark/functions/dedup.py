@@ -294,6 +294,11 @@ def dup_clusters(pairs: DataFrame, iters: int = 6) -> DataFrame:
     labels = (edges.select(F.col("s").alias("doc_id")).distinct()
               .withColumn("lbl", F.col("doc_id")))
     for i in range(iters):
+        # (round 7 note: a union+single-groupBy formulation of this
+        # round was tried and REVERTED — it forces both branches
+        # through the shuffle, while this two-step form lets AQE
+        # broadcast the tiny nbr_min join-back; measured 30% slower
+        # unified at sf0.1)
         nbr_min = (edges.join(labels.select(F.col("doc_id").alias("d_id"),
                                             F.col("lbl").alias("d_lbl")),
                               F.col("d") == F.col("d_id"))
