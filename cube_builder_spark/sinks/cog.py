@@ -246,6 +246,12 @@ def write_cog_band(arr: np.ndarray, *, tile: int = 512,
             offs.append(pos)
             pos += len(t)
         tile_offsets[li] = offs
+    if not bigtiff and pos > 0xFFFFFFFF:
+        # classic LONG offsets would overflow — restart in BigTIFF
+        # (the reference's rio_cogeo profile is BIGTIFF=IF_SAFER:
+        # silently upgrade rather than emit wrapped offsets)
+        return write_cog_band(arr, tile=tile, pixel_size=pixel_size,
+                              origin=origin, nodata=nodata, bigtiff=True)
 
     # Pass 2 — assemble.
     if bigtiff:
