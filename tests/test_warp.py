@@ -266,3 +266,40 @@ def test_warp_scenes_onto_sinu_grid(spark):
         scol, srow = src_tr.apply(sx[0], sy[0])
         want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
         assert r.value == int(want)
+
+
+# Property-based round-trip across the whole CRS family ----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        crs=st.sampled_from([
+            "EPSG:32722", "EPSG:32633", "EPSG:3857", BDC_AEA,
+            CLRK66_TM, MODIS_SINU,
+            "+proj=sinu +lon_0=-54 +x_0=300 +y_0=-70 +R=6371007.181",
+        ]),
+        lon=st.floats(-179.5, 179.5),
+        lat=st.floats(-84.0, 84.0),
+    )
+    def test_forward_inverse_roundtrip_property(crs, lon, lat):
+        """Any in-domain (lon, lat) must survive forward→inverse to
+        1e-7 degrees for every supported projection family.
+
+        Domain: transverse-Mercator's series diverges far from the
+        central meridian (UTM is specified for ±6°, usable to ~±10°),
+        so for tmerc the longitude is folded to lon_0 ± 10°."""
+        p = parse_crs(crs)
+        if p.proj == "tmerc":
+            lon = p.params["lon_0"] + (lon % 20.0) - 10.0
+        x, y = forward(crs, np.array([lon]), np.array([lat]))
+        assert np.isfinite(x).all() and np.isfinite(y).all()
+        lon2, lat2 = inverse(crs, x, y)
+        assert abs(lat2[0] - lat) < 1e-7
+        # longitude is degenerate at the poles; scale tolerance by
+        # cos(lat) the same way the projections compress it
+        assert abs(lon2[0] - lon) * max(np.cos(np.radians(lat)), 1e-3) < 1e-7
+except ImportError:  # pragma: no cover
+    pass
