@@ -31,6 +31,9 @@ from .grids import (create_geographic_grids, create_hierarchical_grids,
 from .plans.build_cube import CubeJobConfig, build_cube, job_status
 from .timeline import timeline_rows
 
+# Also the `load-data` CLI seed (reference cli.py:37-63): the three
+# CompositeFunction rows the reference inserts into its DB. Here they
+# are static values behind GET /composite-functions — nothing to seed.
 COMPOSITE_FUNCTIONS = [
     {"name": "Identity", "alias": "IDT", "description":
      "publish merges as-is, no temporal compositing"},
