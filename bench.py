@@ -45,6 +45,7 @@ HEADLINE = [
     "c19_footprint_suite",
     "c21_pixel_trend",
     "c22_gap_fill",
+    "c23_pixel_anomaly",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_embedding_cosine_dups",

@@ -1719,3 +1719,50 @@ def c22_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
          & F.col("npk").isNotNull()).alias("is_filled"))
         .filter(F.col("value").isNotNull()
                 | (F.col("ppk").isNotNull() & F.col("npk").isNotNull())))
+
+
+@register("c23_pixel_anomaly", f"""
+WITH {{PIXELS}},
+v AS (
+  SELECT tile_id, pixel_id, doy, value FROM pixels WHERE value <> {BAND_NODATA}
+),
+w AS (
+  SELECT tile_id, pixel_id, doy, value,
+         CAST(count(*) OVER px AS BIGINT) AS n,
+         CAST(sum(value) OVER px AS BIGINT) AS sx,
+         CAST(sum(value * value) OVER px AS BIGINT) AS sxx
+  FROM v WINDOW px AS (PARTITION BY tile_id, pixel_id)
+)
+SELECT tile_id, pixel_id, doy, value,
+       (n * value - sx) * 1e0 / sqrt(n * sxx - sx * sx) AS z
+FROM w
+WHERE n * sxx - sx * sx > 0
+  AND (n * value - sx) * (n * value - sx) >= 4 * (n * sxx - sx * sx)
+""".replace("{PIXELS}", PIXELS_SQL))
+def c23_pixel_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: per-pixel temporal anomaly screen — observations at least
+    2 population standard deviations from their pixel's time-stack
+    mean (cloud-shadow / sensor-glitch flagging downstream of the
+    composites).
+
+    Exactness: the MEMBERSHIP test is pure integer arithmetic —
+    z² ≥ 4 ⟺ (n·x − Σx)² ≥ 4·(n·Σx² − (Σx)²) — so which rows
+    qualify never depends on float rounding; the reported z is then
+    one IEEE sqrt + one division (both correctly rounded, identical
+    across engines). Degenerate stacks (zero variance) are excluded.
+
+    Scale shape: one unordered window over (tile, pixel) — same
+    partitioning as every other stack operator, no join, no second
+    scan."""
+    px = pixel_plane(spark, sf_dir).filter(F.col("value") != BAND_NODATA)
+    win = Window.partitionBy("tile_id", "pixel_id")
+    w = (px.select("tile_id", "pixel_id", "doy", "value")
+         .withColumn("n", F.count(F.lit(1)).over(win).cast("long"))
+         .withColumn("sx", F.sum("value").over(win).cast("long"))
+         .withColumn("sxx", F.sum(F.col("value") * F.col("value"))
+                     .over(win).cast("long")))
+    dev = F.col("n") * F.col("value") - F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (w.filter((den > 0) & (dev * dev >= 4 * den))
+            .select("tile_id", "pixel_id", "doy", "value",
+                    (dev * 1.0 / F.sqrt(den)).alias("z")))

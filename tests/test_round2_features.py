@@ -270,3 +270,24 @@ def test_gap_fill_interpolates_interior_only(spark, monkeypatch):
     assert out[5].filled_value == 40.0 and not out[5].is_filled
     # doys 6.. beyond N_DATES never appear
     assert set(out) == {2, 3, 4, 5}
+
+
+def test_pixel_anomaly_integer_membership(spark, monkeypatch):
+    """C23 on a constructed stack: the |z| >= 2 cut is an exact
+    integer test — a stack of nine 10s and one 40 flags only the 40
+    (z = 3·sqrt(10)/... > 2), while a mild outlier below the line
+    stays out."""
+    import cube_builder_spark.cube_queries as cq
+
+    rows = [(0, 1, d, 10) for d in range(1, 10)] + [(0, 1, 10, 40)]
+    # pixel 2: tight stack, small wiggle -> no anomalies
+    rows += [(0, 2, d, 100 + (d % 2)) for d in range(1, 11)]
+    plane = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, value long")
+    monkeypatch.setattr(cq, "pixel_plane", lambda s, d: plane)
+    got = cq.c23_pixel_anomaly(spark, "x").collect()
+    assert [(r.pixel_id, r.doy, r.value) for r in got] == [(1, 10, 40)]
+    z = got[0].z
+    # hand check: n=10, sx=130, sxx=2500 -> den=10*2500-16900=8100
+    # dev = 10*40-130 = 270 -> z = 270/90 = 3.0 exactly
+    assert z == 3.0
