@@ -54,8 +54,9 @@ def mosaic_first_valid(scenes: DataFrame, order_key=None,
       long, so the aggregate is ``max(long)`` and Spark plans a
       HashAggregate inside whole-stage codegen. The struct form plans
       a SortAggregate (struct buffers aren't hash-aggregable), which
-      re-sorts every input partition — measured 10x slower at sf0.1
-      (1.36s → 0.14s) and strictly worse at scale, where the map-side
+      re-sorts every input partition — measured 3x slower on the
+      standalone mosaic at sf0.1 (c1 1.36s → 0.45s min-of-3; the bare
+      aggregate itself is ~10x) and strictly worse at scale, where the map-side
       sort is O(rows log rows) per task against the hash path's O(rows).
       Ties on ``priority`` break by highest value then highest
       source_idx — deterministic by construction (the packed compare

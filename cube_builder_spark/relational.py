@@ -1099,13 +1099,18 @@ def _supply(t, part_filter=None, supp_filter=None):
     selectivity — measured 2x on q9 at sf0.1 — and is the plan a
     partsupp TABLE would get for free from predicate pushdown + DPP.
     Results are identical: the dropped pairs could never survive the
-    consumer's join."""
+    consumer's join.
+
+    No forced broadcast on the filter frames: a %red% slice of part is
+    still LINEAR in SF (~5% of a 1e10-row part table does not fit an
+    executor), so the semi-joins are left to the size threshold/AQE —
+    broadcast at bench SF, shuffle semi-join at 100x."""
     li = t["lineitem"]
     if part_filter is not None:
-        li = li.join(F.broadcast(part_filter),
+        li = li.join(part_filter,
                      F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     if supp_filter is not None:
-        li = li.join(F.broadcast(supp_filter),
+        li = li.join(supp_filter,
                      F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
     return (li
             .groupBy(F.col("l_suppkey").alias("ps_suppkey"),

@@ -330,8 +330,9 @@ def _remote_tar_member(uri: str, band: str | None,
         elif typ == b"K":               # GNU longlink: linkname of the
             pass                        # NEXT member — skip its payload
             #                             WITHOUT consuming pending_name
-            #                             (GNU tar emits 'L' then 'K';
-            #                             either order must survive)
+            #                             (GNU tar/CPython emit 'K'
+            #                             then 'L', other writers the
+            #                             reverse; both orders survive)
         else:
             name = hdr[0:100].split(b"\x00", 1)[0] \
                 .decode("utf-8", "replace")
