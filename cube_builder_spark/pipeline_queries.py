@@ -2003,3 +2003,54 @@ def a_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
             .select(F.col("doc_id").alias("vec_id"),
                     "canonical_id", "is_canonical"))
+
+
+@register("x_snapshot_cdc", """
+WITH v1 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                   ELSE n_chars END AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       coalesce(a.doc_id, b.doc_id) AS doc_id
+FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+   OR a.n_chars <> b.n_chars
+""")
+def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded change-data-feed (sinks/snapshot.snapshot_diff —
+    previously unit-only): publish v1, overwrite with a v2 that drops,
+    adds AND mutates rows, then diff the two snapshot versions. The
+    oracle recomputes added/removed/changed from the same modular
+    rules, so a hash match proves the version reads feeding the diff
+    are isolated AND the one-full-outer-join classification is exact
+    (the reprocessing-review tool: 'what did version N+1 change?')."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, snapshot_diff
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_cdc_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 != 0))          # v1
+        st.write(                                                # v2
+            docs.filter(F.col("doc_id") % 2 == 0)
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 7 == 0,
+                                   F.col("n_chars") + 5)
+                            .otherwise(F.col("n_chars"))),
+            mode="overwrite")
+        rows = snapshot_diff(st, spark, 1, 2, ["doc_id"]).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "change string, doc_id long")
