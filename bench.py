@@ -76,6 +76,7 @@ HEADLINE = [
     "x_cube_reuse",
     "p_cube_build_e2e",
     "x_snapshot_time_travel",
+    "x_snapshot_cdc",
     "x_compact_roundtrip",
     "p_hash_split_sample",
 ]
