@@ -37,6 +37,10 @@ except ImportError:
 
 _TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12, "ASCII": 2, "LONG8": 16}
 
+# classic TIFF's LONG offset ceiling; module-level so tests can lower
+# it to exercise the auto-BigTIFF switch without writing 4 GiB
+_CLASSIC_OFFSET_MAX = 0xFFFFFFFF
+
 
 def _ifd_entry(tag: int, ttype: int, count: int, value_or_offset: int) -> bytes:
     return struct.pack("<HHII", tag, ttype, count, value_or_offset)
@@ -246,7 +250,7 @@ def write_cog_band(arr: np.ndarray, *, tile: int = 512,
             offs.append(pos)
             pos += len(t)
         tile_offsets[li] = offs
-    if not bigtiff and pos > 0xFFFFFFFF:
+    if not bigtiff and pos > _CLASSIC_OFFSET_MAX:
         # classic LONG offsets would overflow — restart in BigTIFF
         # (the reference's rio_cogeo profile is BIGTIFF=IF_SAFER:
         # silently upgrade rather than emit wrapped offsets)

@@ -342,3 +342,22 @@ def test_bigtiff_tiles_beyond_4gib_ranged(tmp_path):
     finally:
         srv.shutdown()
     assert served[0] < 1 << 20, f"served {served[0]} bytes"
+
+
+def test_auto_bigtiff_switch_when_offsets_overflow(tmp_path, monkeypatch):
+    """write_cog_band silently upgrades to BigTIFF when the layout
+    would overflow classic LONG offsets (rio_cogeo's IF_SAFER);
+    exercised by lowering the ceiling instead of writing 4 GiB."""
+    import cube_builder_spark.sinks.cog as cogmod
+
+    arr = (np.arange(64 * 64, dtype=np.int64) % 1000).astype("<i2").reshape(64, 64)
+    monkeypatch.setattr(cogmod, "_CLASSIC_OFFSET_MAX", 1_000)
+    auto = cogmod.write_cog_band(arr, tile=64)
+    assert auto[:4] == b"II\x2b\x00"          # upgraded
+    monkeypatch.setattr(cogmod, "_CLASSIC_OFFSET_MAX", 0xFFFFFFFF)
+    small = cogmod.write_cog_band(arr, tile=64)
+    assert small[:4] == b"II\x2a\x00"         # classic when it fits
+    p = tmp_path / "auto.tif"
+    p.write_bytes(auto)
+    r = CogReader(str(p))
+    assert np.array_equal(r.read_window(0, 0, 64, 64), arr)
