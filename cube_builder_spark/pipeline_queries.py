@@ -1588,12 +1588,20 @@ def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("s_archive_roundtrip", """
-SELECT doc_id,
-       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE md5(text) END AS zip_md5,
-       doc_id % 5 <> 0 AS zip_valid,
-       md5(text) AS tgz_md5,
-       md5(text) AS tar_md5
-FROM documents
+WITH bt AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 7 + i.i * 13 + j.j) % 20001 - 10000)
+              AS BIGINT) AS bt_sum
+  FROM documents d, unnest(range(0, 4)) AS i(i), unnest(range(0, 6)) AS j(j)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE md5(d.text) END AS zip_md5,
+       d.doc_id % 5 <> 0 AS zip_valid,
+       md5(d.text) AS tgz_md5,
+       md5(d.text) AS tar_md5,
+       b.bt_sum AS bigtiff_sum
+FROM documents d JOIN bt b ON d.doc_id = b.doc_id
 """)
 def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded archive-reader round-trip (S5 zip half / S7 SAFE member
@@ -1609,7 +1617,13 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decompress path byte-exact. Round-5 adds the PLAIN-tar RANGED
     walk (_remote_tar_member over a byte-range fetcher): the member
     must resolve from 512-byte header reads + one data range, never a
-    sequential stream."""
+    sequential stream. Round-7 adds a BigTIFF column: a per-doc int16
+    array with closed-form values is encoded as a version-43 BigTIFF
+    (write_cog_band(bigtiff=True)), packed into a SAFE-style zip with
+    a decoy, resolved by the band-group rule and decoded back through
+    CogReader — the oracle recomputes the array sum from the same
+    arithmetic, so a hash match proves the whole BigTIFF
+    encode→pack→resolve→parse→tile-decode path numerically exact."""
     import pandas as pd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1642,9 +1656,14 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ti.size = len(payload)
             tf.addfile(ti, io.BytesIO(payload))
 
+        import numpy as np
+
+        from .sinks.cog import write_cog_band
+        from .sources.cog_reader import BytesFetcher, CogReader
+
         for pdf in batches:
             rows = {"doc_id": [], "zip_md5": [], "zip_valid": [],
-                    "tgz_md5": [], "tar_md5": []}
+                    "tgz_md5": [], "tar_md5": [], "bigtiff_sum": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = str(text).encode("utf-8")
                 zb = io.BytesIO()
@@ -1676,17 +1695,32 @@ def s_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tar = _remote_tar_member(
                     "mem://archive.tar", "B4", scene,
                     fetcher=_MemFetcher(pb.getvalue()))
+                # BigTIFF: closed-form array -> v43 encode -> zip with
+                # decoy -> band-group resolve -> CogReader decode
+                ii = np.arange(4)[:, None]
+                jj = np.arange(6)[None, :]
+                arr = ((int(doc_id) * 7 + ii * 13 + jj) % 20001
+                       - 10000).astype("<i2")
+                btb = write_cog_band(arr, tile=16, bigtiff=True)
+                zb2 = io.BytesIO()
+                with zipfile.ZipFile(zb2, "w") as zf:
+                    zf.writestr("GRANULE/R20m/T1_B04_20m.tif", b"DECOY")
+                    zf.writestr("GRANULE/R10m/T1_B04_10m.tif", btb)
+                member = _zip_member_from_bytes(zb2.getvalue(), "B04", "10m")
+                dec = CogReader("mem://bt", fetcher=BytesFetcher(member))
+                bt_sum = int(dec.read_window(0, 0, 4, 6).astype(np.int64).sum())
                 rows["doc_id"].append(int(doc_id))
                 rows["zip_md5"].append(zmd5)
                 rows["zip_valid"].append(zvalid)
                 rows["tgz_md5"].append(hashlib.md5(tgz).hexdigest())
                 rows["tar_md5"].append(hashlib.md5(tar).hexdigest())
+                rows["bigtiff_sum"].append(bt_sum)
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         roundtrip,
         "doc_id long, zip_md5 string, zip_valid boolean, "
-        "tgz_md5 string, tar_md5 string")
+        "tgz_md5 string, tar_md5 string, bigtiff_sum long")
 
 
 @register("s123_stac_adapt", """
