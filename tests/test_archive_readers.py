@@ -631,3 +631,64 @@ def test_bigtiff_zip_member_decodes(tmp_path):
     assert got["origin"] == (11.0, 22.0)
     assert got["pixel_size"] == (30.0, 30.0)
     assert got["nodata"] == -9999
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _name_part = st.text(
+        alphabet=st.sampled_from(
+            "abcdefghijklmnopqrstuvwxyz0123456789-_."), min_size=1,
+        max_size=40)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        fmt=st.sampled_from([tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT,
+                             tarfile.PAX_FORMAT]),
+        dirs=st.lists(_name_part, min_size=0, max_size=4),
+        n_decoys=st.integers(0, 4),
+        sizes=st.lists(st.integers(0, 3000), min_size=5, max_size=5),
+        data=st.binary(min_size=1, max_size=64),
+    )
+    def test_ranged_tar_walk_matches_stdlib(fmt, dirs, n_decoys, sizes,
+                                            data):
+        """Differential property: for ANY archive stdlib tarfile can
+        produce (ustar/GNU/PAX, nested long paths, varied sizes), the
+        ranged header walk returns byte-identical member content to
+        tarfile's own extraction — wrong bytes are never an option."""
+        from cube_builder_spark.sources.raster_reader import \
+            _remote_tar_member
+
+        scene = "LC08_L2SP_220064_20200101_20210101_02_T1"
+        prefix = "/".join(dirs)
+        target_name = (f"{prefix}/{scene}_SR_B4.TIF" if prefix
+                       else f"{scene}_SR_B4.TIF")
+        payload = (data * (sizes[0] // len(data) + 1))[:max(sizes[0], 1)]
+        bio = io.BytesIO()
+        with tarfile.open(fileobj=bio, mode="w", format=fmt) as tf:
+            for i in range(n_decoys):
+                d = tarfile.TarInfo(
+                    f"{prefix + '/' if prefix else ''}decoy{i}_B9.TIF")
+                blob = bytes([i]) * sizes[1 + i % 4]
+                d.size = len(blob)
+                tf.addfile(d, io.BytesIO(blob))
+            ti = tarfile.TarInfo(target_name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+        blob = bio.getvalue()
+
+        class _F:
+            def size(self):
+                return len(blob)
+
+            def get(self, start, length):
+                return blob[start:start + length]
+
+        got = _remote_tar_member("mem://t.tar", "SR_B4", scene,
+                                 fetcher=_F())
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            want = tf.extractfile(target_name).read()
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass
