@@ -692,3 +692,57 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        method=st.sampled_from([zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED]),
+        dirs=st.lists(_name_part, min_size=0, max_size=3),
+        n_decoys=st.integers(0, 4),
+        size=st.integers(0, 5000),
+        data=st.binary(min_size=1, max_size=64),
+        comment=st.binary(min_size=0, max_size=200),
+    )
+    def test_ranged_zip_walk_matches_stdlib(method, dirs, n_decoys, size,
+                                            data, comment):
+        """Differential property for the hand-rolled EOCD/central-
+        directory/local-header ranged walk (_remote_zip_member):
+        whatever stdlib zipfile writes (stored/deflated, nested names,
+        archive comments that shift the EOCD), the ranged reader's
+        member bytes equal stdlib's own read."""
+        from cube_builder_spark.sources.raster_reader import \
+            _remote_zip_member
+
+        prefix = "/".join(dirs)
+        base = f"{prefix}/" if prefix else ""
+        target = f"{base}GRANULE/R10m/T1_B04_10m.tif"
+        payload = (data * (size // len(data) + 1))[:size]
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w", method) as zf:
+            zf.writestr(f"{base}GRANULE/R20m/T1_B04_20m.tif",
+                        b"DECOY" + payload)
+            for i in range(n_decoys):
+                zf.writestr(f"{base}GRANULE/R10m/T1_B{5 + i}_10m.tif",
+                            bytes([i]) * (size % 97))
+            zf.writestr(target, payload)
+            zf.comment = comment
+        blob = bio.getvalue()
+
+        class _F:
+            def size(self):
+                return len(blob)
+
+            def get(self, start, length):
+                return blob[start:start + length]
+
+        got = _remote_zip_member("mem://a.SAFE.zip", "B04", "10m",
+                                 fetcher=_F())
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            want = zf.read(target)
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass
