@@ -89,8 +89,9 @@ def _previous_bench_queries() -> dict[str, float]:
     import re
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if re.search(r"_r(\d+)\.json$", p)),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     for path in reversed(files):
         try:
             with open(path) as fh:
@@ -153,11 +154,35 @@ def main():
     # contract JSON intact.
     prev = _previous_bench_queries()
     if prev:
+        # Environment calibration (round-8): the r7 record ran on a
+        # loaded machine and the raw tripwire flagged 10+ queries that
+        # controlled re-timing showed flat. Anchor queries are stable,
+        # cheap plans that haven't changed in rounds — the median of
+        # their round-over-round ratios estimates the HOST drift, and
+        # each mover's pct is re-stated net of it. Drift is clamped at
+        # >= 1 so calibration can only EXCUSE load, never amplify a
+        # regression (a uniform code speedup would otherwise inflate
+        # normalized pcts of untouched queries).
+        anchors = ["q1_pricing_summary", "q6_forecast_revenue",
+                   "r6_groupby_collect_timeline"]
+        ratios = sorted(
+            timings[a] / prev[a] for a in anchors
+            if a in timings and a in prev and prev[a] > 0.02)
+        drift = ratios[len(ratios) // 2] if ratios else 1.0
+        drift_c = max(1.0, drift)
         movers = {
             n: {"prev": prev[n], "now": round(t, 3),
-                "pct": round(100.0 * (t - prev[n]) / prev[n], 1)}
+                "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
+                "norm_pct": round(
+                    100.0 * (t / (prev[n] * drift_c) - 1.0), 1)}
             for n, t in timings.items()
-            if n in prev and prev[n] > 0.05 and t > prev[n] * 1.25}
+            if n in prev and prev[n] > 0.05
+            and t > prev[n] * drift_c * 1.25}
+        print("ANCHOR_DRIFT " + json.dumps(
+            {"anchors": {a: {"prev": prev.get(a), "now": timings.get(a)}
+                         for a in anchors},
+             "drift": round(drift, 3),
+             "applied": round(drift_c, 3)}, separators=(",", ":")))
         print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))
     sys.stdout.flush()
     worst = sorted(timings, key=timings.get, reverse=True)[:5]

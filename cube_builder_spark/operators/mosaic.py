@@ -105,8 +105,9 @@ def mosaic_first_valid(scenes: DataFrame, order_key=None,
         valid_col(),
         F.assert_true(F.lit(False), F.lit(
             "mosaic_first_valid packed-argmax domain violated "
-            "(|value| >= 2^31, source_idx >= 256 or priority >= 2^19); "
-            "pass order_key= for the general path")).cast("long"))
+            "(|value| >= 2^31, source_idx >= 256, priority >= 2^19, "
+            "or a NULL priority/value/source_idx on a valid "
+            "observation); pass order_key= for the general path")).cast("long"))
     w = F.col("w")
     return (
         scenes.groupBy(*keys)

@@ -42,7 +42,11 @@ _PRIORITY = [
     # two slots for the previously UNGRADED store components below)
     "r1_list_filter_like_order",
     "r4_count_by_status", "r5_distinct_join", "r6_groupby_collect_timeline",
-    "r7_json_explode", "r8_pagination", "r9_bbox_intersect", "r10_upsert",
+    # r7_json_explode rotated just past the window in round 8 (trivial
+    # R variant fully subsumed by the TPC-H sweep, still hash-checked
+    # by tests/test_queries_oracle); its slot went to c22_gap_fill so
+    # the C21-C23 temporal-analytics family earns a driver-graded row.
+    "r8_pagination", "r9_bbox_intersect", "r10_upsert",
     "r11_multiway_join",
     # sources (S4+S6 suite, S5/S7/S9/S12 archive round-trip, S8,
     # S10, S11, S13)
@@ -64,6 +68,11 @@ _PRIORITY = [
     "c17_timeline",               # cyclic16 + seasonal
     "c18_grid_suite",             # meters bbox + geographic meridian
     "c19_footprint_suite", "c20_validation_report",
+    # post-composite temporal analytics (round-7 family, graded since
+    # round 8): c22 is the most intricate of C21-C23 (packed-integer
+    # IGNORE NULLS gap interpolation) and the likeliest to drift;
+    # c21/c23 stay past-window, hash-checked locally.
+    "c22_gap_fill",
     # sinks / publish (K1-K7)
     "k1_cog_structure", "k2_quicklook_png",
     "k45_publish_items",          # K4 + K5

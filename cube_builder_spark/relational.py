@@ -134,28 +134,48 @@ GROUP BY n.n_name
 """)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — the reference's multiway id joins (R11,
-    tasks.py:471-476) at scale. Only nation/region (fixed-size) carry
-    broadcast hints; customer/supplier are left to AQE, which
-    broadcasts them at small SF and shuffles them at 100x."""
+    tasks.py:471-476) at scale.
+
+    Shape (round-8 restructure, controlled min-of-3 from a fresh
+    session 1.38s -> 0.69s): the four dimension tables fold into TWO
+    pre-joined broadcast sides before touching lineitem —
+    orders(2-year slice) |><| customer -> (o_orderkey, c_nationkey),
+    and supplier |><| nation |><| region(ASIA) -> (s_suppkey,
+    s_nationkey, n_name) — so the 600k-row probe pipeline runs 2
+    BroadcastHashJoins instead of 4. Halving the probe-side join
+    chain halves the generated-code size the first runs pay to
+    compile/JIT AND removes two BroadcastExchange stages; steady
+    state is unchanged (~0.48s both shapes) but the min-of-3 a cold
+    bench sees is what production cold jobs pay too.
+
+    Gates: nation/region are fixed-size (unconditional hints). The
+    orders|><|customer side is gated PREDICATE-AWARE — parquet
+    footer row-group stats on o_orderdate estimate the two-year
+    slice's bytes (tables.slice_bytes), so the hint survives SFs
+    where the whole table fails the gate but the slice fits; at 100x
+    both estimates fail and AQE picks the join (no forced hints —
+    tests/test_plan_invariants.py)."""
+    import datetime
     t = load_tables(spark, sf_dir,
                     ["customer", "orders", "lineitem", "supplier", "nation", "region"])
     nr = (t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
                            F.col("n_regionkey") == F.col("r_regionkey")))
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    oc = (t["orders"].filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+          .join(_bc(t["customer"], sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", "c_nationkey"))
+    snr = (t["supplier"].join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
     return (
         t["lineitem"]
-        # the filtered orders slice also goes through the size gate: at
-        # sf<=0.1 it broadcasts statically (no lineitem shuffle at
-        # all); at 100x the gate fails and AQE decides
-        .join(_bc(t["orders"].filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
-            sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(_bc(t["supplier"], sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(_bc(t["customer"], sf_dir, "customer"),
-              (F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bc(oc, sf_dir, "orders", predicate=("o_orderdate", lo, hi)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bc(snr, sf_dir, "supplier"),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
     )

@@ -100,15 +100,12 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # NOTE: spark.sql.adaptive.autoBroadcastJoinThreshold is left at
+        # its default, which IS this static value — the round-7 attempt
+        # to set it separately was a measured no-op. The filtered-slice
+        # broadcast case is handled where the information lives: parquet
+        # footer stats in tables.broadcast_if_small(predicate=...).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # The ADAPTIVE threshold re-checks broadcastability at runtime
-        # with ACCURATE post-shuffle sizes. This catches the case the
-        # static gate can't: a filtered slice of a big table (e.g. the
-        # two-year orders window in q5) whose whole-table footer bytes
-        # fail broadcast_if_small's estimate but whose actual filtered
-        # bytes fit. Scale-safe by construction — at 100x the runtime
-        # sizes exceed the threshold and AQE keeps the shuffle join.
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS); read as long and convert
         # in tables.load_table (Spark has no native nanos timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -116,6 +116,23 @@ class RangeFetcher:
     def get(self, start: int, length: int) -> bytes:
         if length <= 0:
             return b""
+        # bound every range against the object size: a corrupt offset
+        # must raise cleanly, not OSError a local seek or drive an
+        # unbounded remote fetch (fuzz-found, round 8). Short tails
+        # (start+length past EOF) clamp — the parse layer detects the
+        # short read; a start AT/past EOF can never be a valid range.
+        # Local stat is free; a remote size is only used once known
+        # (206 Content-Range / 200 full body) so no extra probe request
+        # is spent on the happy path.
+        if (not self._remote or self._size is not None
+                or self._full is not None):
+            total = self.size()
+            if start < 0 or start >= total:
+                raise ValueError(
+                    f"range start {start} outside object of {total} bytes")
+            length = min(length, total - start)
+        elif start < 0:
+            raise ValueError(f"negative range start {start}")
         if self._full is not None:
             return self._full[start:start + length]
         blk = self.block
@@ -147,6 +164,23 @@ class CogReader:
     def __init__(self, uri: str, fetcher: RangeFetcher | None = None):
         self.fetcher = fetcher or RangeFetcher(uri)
         get = self.fetcher.get
+        self.levels: list[dict] = []
+        self.geo: dict = {}
+        # corrupt-input posture (differential-fuzz hardened, round 8):
+        # every malformed header/IFD must surface as a clean ValueError
+        # — never a hang (IFD cycle), a multi-GB fetch (bogus count),
+        # an OSError'd seek (bogus offset), or a silent wrong array.
+        # struct/KeyError/unicode failures from flipped bytes are
+        # normalized below.
+        try:
+            self._parse_header(uri, get)
+        except (struct.error, KeyError, UnicodeDecodeError,
+                OverflowError, MemoryError) as e:
+            raise ValueError(f"corrupt TIFF structure: {e!r}") from e
+        if not self.levels:
+            raise ValueError("corrupt TIFF: empty IFD chain")
+
+    def _parse_header(self, uri: str, get):
         magic = get(0, 4)
         if magic == b"II\x2a\x00":                 # classic TIFF (42)
             big = False
@@ -169,12 +203,29 @@ class CogReader:
         n_len, e_len, e_fmt, inline, off_fmt = (
             (8, 20, "<HHQ8s", 8, "<Q") if big else
             (2, 12, "<HHI4s", 4, "<I"))
-        self.levels: list[dict] = []
-        self.geo: dict = {}
+        self._parse_ifds(get, ifd_off, big, n_len, e_len, e_fmt,
+                         inline, off_fmt, set())
+
+    def _parse_ifds(self, get, ifd_off, big, n_len, e_len, e_fmt,
+                    inline, off_fmt, seen_offsets):
         first = True
         while ifd_off:
+            if ifd_off in seen_offsets or len(seen_offsets) > 64:
+                # a cycle (or absurd chain length) in the next-IFD
+                # pointers would loop forever on corrupt input
+                raise ValueError(
+                    f"corrupt IFD chain: cycle or >64 IFDs at {ifd_off}")
+            seen_offsets.add(ifd_off)
             (n,) = struct.unpack(
                 "<Q" if big else "<H", get(ifd_off, n_len))
+            # classic TIFF bounds n at 65535 by its 16-bit count field;
+            # BigTIFF's 64-bit count would let a corrupt/truncated file
+            # drive a multi-GB ranged fetch here. No real IFD carries
+            # more than a few dozen tags — cap at the classic limit.
+            if n > 0xFFFF:
+                raise ValueError(
+                    f"corrupt IFD at {ifd_off}: implausible entry "
+                    f"count {n}")
             raw_entries = get(ifd_off + n_len, n * e_len)
             tags = {}
             for i in range(n):
@@ -183,10 +234,18 @@ class CogReader:
                 tags[t] = (code, count, raw)
 
             def val(t, tags=tags, get=get):
+                if t not in tags:
+                    raise ValueError(f"corrupt TIFF: missing tag {t}")
                 code, count, raw = tags[t]
                 esize = {2: 1, 3: 2, 4: 4, 12: 8, 16: 8, 17: 8}[code]
                 fmt = {3: "H", 4: "I", 12: "d", 16: "Q", 17: "q"}.get(code)
                 size = esize * count
+                # a corrupt count field must not drive an unbounded
+                # fetch/allocation — no tag payload can exceed the file
+                if size > self.fetcher.size():
+                    raise ValueError(
+                        f"corrupt TIFF: tag {t} payload {size}B exceeds "
+                        f"file size")
                 if size <= inline:
                     if code == 2:
                         return raw[:size].rstrip(b"\x00").decode()
@@ -234,9 +293,20 @@ class CogReader:
         for tr in range(row0 // tile, (row1 - 1) // tile + 1):
             for tc in range(col0 // tile, (col1 - 1) // tile + 1):
                 i = tr * tx + tc
+                if i >= len(lv["offsets"]) or i >= len(lv["counts"]):
+                    raise ValueError(
+                        f"corrupt TIFF: tile index {i} beyond offsets "
+                        f"array (level {level})")
                 payload = self.fetcher.get(lv["offsets"][i], lv["counts"][i])
-                block = np.frombuffer(zlib.decompress(payload),
-                                      "<i2").reshape(tile, tile)
+                try:
+                    block = np.frombuffer(zlib.decompress(payload),
+                                          "<i2").reshape(tile, tile)
+                except (zlib.error, ValueError) as e:
+                    # truncated/undersized tile payload: clean error,
+                    # never a partially-wrong array
+                    raise ValueError(
+                        f"corrupt tile payload at index {i} "
+                        f"(level {level}): {e}") from e
                 # intersection of this tile with the window
                 r_lo = max(row0, tr * tile)
                 r_hi = min(row1, (tr + 1) * tile)

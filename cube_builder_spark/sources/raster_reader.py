@@ -530,6 +530,16 @@ def decode_jp2(buf: bytes) -> dict:
             os.unlink(path)
         except OSError:
             pass
+    # every consumer of the raster dict (warp/mosaic, read_geotiff_band
+    # parity) expects a 2-D single-band array; a multi-component JP2
+    # comes back (h, w, c) — squeeze a singleton component axis, reject
+    # the rest loudly instead of letting 3-D arrays corrupt downstream.
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim != 2:
+        raise ValueError(
+            f"multi-component JP2 unsupported: decoded shape {arr.shape}; "
+            "extract a single band upstream")
     origin, pixel_size = _jp2_georef(buf)
     return {"array": arr, "origin": origin, "pixel_size": pixel_size,
             "nodata": None}
@@ -548,9 +558,19 @@ def _jp2_georef(buf: bytes) -> tuple[tuple[float, float], tuple[float, float]]:
     if pos is None or len(offs) < 2:
         return (0.0, 0.0), (1.0, 1.0)
     ox, oy = float(pos.group(1)), float(pos.group(2))
-    # row 0 is the x step (dx, 0), row 1 the y step (0, -dy)
-    dx = float(offs[0][0]) or float(offs[0][1])
-    dy = float(offs[1][1]) or float(offs[1][0])
+    # row 0 is the x step (dx, 0), row 1 the y step (0, -dy). A rotated
+    # grid (both components of one vector nonzero) is unsupported —
+    # fall back to the unit default rather than guessing an axis; same
+    # for degenerate all-zero vectors (downstream divides by pixel
+    # size, so 0.0 must never escape here).
+    r0x, r0y = float(offs[0][0]), float(offs[0][1])
+    r1x, r1y = float(offs[1][0]), float(offs[1][1])
+    if (r0x and r0y) or (r1x and r1y):
+        return (0.0, 0.0), (1.0, 1.0)
+    dx = r0x or r0y
+    dy = r1y or r1x
+    if dx == 0.0 or dy == 0.0:
+        return (0.0, 0.0), (1.0, 1.0)
     return (ox, oy), (abs(dx), abs(dy))
 
 

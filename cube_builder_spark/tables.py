@@ -42,8 +42,103 @@ def _table_bytes(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def _parquet_files(sf_dir: str, name: str) -> list[str]:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return [path]
+    return [
+        os.path.join(dp, f)
+        for dp, _dirs, files in os.walk(path)
+        for f in files if f.endswith(".parquet")]
+
+
+def _stat_to_float(v) -> float | None:
+    """Normalize a parquet row-group stat (int/float/datetime/date) to a
+    float on a common axis so overlap fractions can be interpolated."""
+    import datetime
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).timestamp() if v.tzinfo is None else v.timestamp()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).timestamp()
+    return None
+
+
+def slice_bytes(sf_dir: str, name: str, column: str,
+                lo=None, hi=None) -> int | None:
+    """Predicate-aware on-disk byte estimate from parquet FOOTER stats.
+
+    For a range predicate ``lo <= column < hi``, walk every row group's
+    min/max statistic for ``column`` and charge the group:
+
+    - 0 bytes when its [min, max] does not overlap [lo, hi) — the
+      row-group-pruning case, which at 100 TB with time-ordered ingest
+      is MOST groups;
+    - its full compressed bytes scaled by the linear overlap fraction
+      of [lo, hi) within [min, max] otherwise (uniform-within-group
+      assumption — the same one Spark's own CBO range estimator makes).
+
+    This is what lets a filtered slice of a big table earn a broadcast
+    hint the whole table can't: the whole-table gate sees total bytes,
+    this sees only the bytes the predicate can reach. Returns None when
+    stats are absent/unusable (caller falls back to whole-table bytes).
+    Driver-side footer reads only — no data pages are touched.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    flo, fhi = _stat_to_float(lo), _stat_to_float(hi)
+    if lo is not None and flo is None:
+        return None
+    if hi is not None and fhi is None:
+        return None
+    total = 0.0
+    saw_group = False
+    try:
+        for path in _parquet_files(sf_dir, name):
+            md = pq.ParquetFile(path).metadata
+            col_idx = None
+            for i in range(md.num_columns):
+                if md.row_group(0).column(i).path_in_schema == column:
+                    col_idx = i
+                    break
+            if col_idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                saw_group = True
+                gbytes = rg.total_byte_size  # uncompressed: matches _INMEM-free use
+                st = rg.column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    total += gbytes  # no stats -> can't prune this group
+                    continue
+                gmin, gmax = _stat_to_float(st.min), _stat_to_float(st.max)
+                if gmin is None or gmax is None:
+                    total += gbytes
+                    continue
+                lo_c = gmin if flo is None else max(flo, gmin)
+                hi_c = gmax if fhi is None else min(fhi, gmax)
+                if hi_c < lo_c:
+                    continue  # pruned: predicate range misses the group
+                if gmax > gmin:
+                    frac = (hi_c - lo_c) / (gmax - gmin)
+                else:
+                    frac = 1.0
+                total += gbytes * min(1.0, max(0.0, frac))
+    except (OSError, ValueError, KeyError):
+        return None
+    if not saw_group:
+        return None
+    return int(total)
+
+
 def broadcast_if_small(df: DataFrame, sf_dir: str, name: str,
-                       threshold: int = 10 * 1024 * 1024) -> DataFrame:
+                       threshold: int = 10 * 1024 * 1024,
+                       predicate: tuple | None = None) -> DataFrame:
     """Stats-gated broadcast hint for LINEAR-scaling tables.
 
     A bare ``F.broadcast(customer)`` wins at sf0.1 and OOMs a 100x
@@ -55,14 +150,43 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, name: str,
     bytes x decompression inflation fit the broadcast threshold — the
     same estimate stats.advise_join uses. At 100x the gate fails and
     the plan degrades to AQE's choice, never a forced broadcast.
-    Fixed-size dims (nation/region) keep their unconditional hints."""
+    Fixed-size dims (nation/region) keep their unconditional hints.
+
+    ``predicate=(column, lo, hi)`` makes the gate PREDICATE-AWARE: the
+    byte estimate comes from parquet row-group footer stats restricted
+    to ``lo <= column < hi`` (``slice_bytes``), so a filtered slice of
+    a big table (e.g. q5's two-year orders window) earns a hint the
+    whole table can't. The whole-table estimate stays the fallback
+    when footer stats are unusable, so the gate never gets LOOSER than
+    before without evidence.
+    """
     if FORCE_NO_BROADCAST_HINTS:
         return df
-    nbytes = _table_bytes(sf_dir, name)
-    if nbytes is not None and nbytes * _INMEM_FACTOR < threshold:
+    est = None
+    if predicate is not None:
+        column, lo, hi = predicate
+        sliced = slice_bytes(sf_dir, name, column, lo, hi)
+        if sliced is not None:
+            # slice_bytes works on uncompressed (in-memory-shaped) row
+            # group sizes; no further inflation factor.
+            est = sliced
+    if est is None:
+        nbytes = _table_bytes(sf_dir, name)
+        est = None if nbytes is None else nbytes * _INMEM_FACTOR
+    if est is not None and est < threshold:
         from pyspark.sql import functions as F
         return F.broadcast(df)
     return df
+
+
+# Session-scoped DataFrame cache. spark.read.parquet costs ~50ms of
+# driver-side listing + footer/schema work PER TABLE; a 6-table query
+# re-paid ~0.35s of it on every invocation (measured, q5 at sf0.1 —
+# over a third of its warm latency). DataFrames are immutable plans, so
+# reuse within a session is safe; the key carries the path mtime so a
+# rewritten table (test fixtures) re-reads. Keyed on id(spark) because
+# sessions here are process-lifetime singletons (driver + bench + tests).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,7 +206,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # grading driver builds its own SparkSession, so the engine must
         # be session-independent (conf is runtime-settable).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (id(spark), sf_dir, name, mtime)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos via
         # spark.sql.legacy.parquet.nanosAsLong; truncate to micros
@@ -92,6 +225,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div: nanos exceed 2^53, double division loses µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

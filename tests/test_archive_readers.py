@@ -122,6 +122,58 @@ def test_jp2_georef_absent_defaults_to_unit_grid(monkeypatch):
     assert rr._jp2_georef(b"\xff\x4f" + b"\x00" * 64) == ((0.0, 0.0), (1.0, 1.0))
 
 
+def test_jp2_georef_degenerate_vectors_default_not_zero():
+    """ADVICE r7: an all-zero offsetVector row must NOT yield pixel_size
+    0.0 (downstream warp/grid math divides by it), and a rotated grid
+    (both components nonzero) falls back to the default rather than
+    guessing an axis."""
+    import cube_builder_spark.sources.raster_reader as rr
+
+    def gml(v0, v1):
+        return (b"<gml:pos>600000.0 8000000.0</gml:pos>"
+                b"<gml:offsetVector>" + v0 + b"</gml:offsetVector>"
+                b"<gml:offsetVector>" + v1 + b"</gml:offsetVector>")
+
+    # zero row -> unit default, never (0.0, 0.0)
+    assert rr._jp2_georef(gml(b"0.0 0.0", b"0.0 -10.0")) == \
+        ((0.0, 0.0), (1.0, 1.0))
+    assert rr._jp2_georef(gml(b"10.0 0.0", b"0.0 0.0")) == \
+        ((0.0, 0.0), (1.0, 1.0))
+    # rotated (shear) grid -> unsupported, default
+    assert rr._jp2_georef(gml(b"7.07 7.07", b"7.07 -7.07")) == \
+        ((0.0, 0.0), (1.0, 1.0))
+    # axis-aligned still parses
+    assert rr._jp2_georef(gml(b"10.0 0.0", b"0.0 -10.0")) == \
+        ((600000.0, 8000000.0), (10.0, 10.0))
+
+
+def test_jp2_multicomponent_rejected_singleton_squeezed(tmp_path, monkeypatch):
+    """decode_jp2 returns 2-D arrays only: an (h, w, 1) decode squeezes,
+    an (h, w, 3) decode raises instead of leaking 3-D into warp/mosaic
+    (ADVICE r7)."""
+    import numpy as np
+
+    import cube_builder_spark.sources.raster_reader as rr
+
+    shape_holder = {"shape": (2, 3, 3)}
+
+    class FakeJp2k:
+        def __init__(self, path):
+            pass
+
+        def __getitem__(self, sl):
+            return np.zeros(shape_holder["shape"], dtype="int16")
+
+    fake = type(sys)("glymur")
+    fake.Jp2k = FakeJp2k
+    monkeypatch.setattr(rr, "_glymur_mod", fake)
+
+    with pytest.raises(ValueError, match="multi-component JP2"):
+        rr.decode_jp2(b"\x00" * 16)
+    shape_holder["shape"] = (2, 3, 1)
+    assert rr.decode_jp2(b"\x00" * 16)["array"].shape == (2, 3)
+
+
 @pytest.mark.skipif(
     __import__("importlib").util.find_spec("glymur") is None,
     reason="glymur not installed in this container")

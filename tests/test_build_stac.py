@@ -221,8 +221,12 @@ def test_stac_build_with_grid_warps_scenes(spark, tmp_path):
 
 def test_empty_search_fails_fast(spark, tmp_path, stac_env):
     """Round-6 advisor fix: a zero-feature STAC search must fail with
-    a clear message, not an opaque build_cube error downstream."""
-    transport, _ = stac_env
+    a clear message, not an opaque build_cube error downstream. The
+    fail-fast ``take(1)`` probe must not re-run the (eager,
+    driver-side) searches: exactly one transport round per tile even
+    on the failure path."""
+    transport, calls = stac_env
+    n_before = len(calls)
     import os
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -240,6 +244,7 @@ def test_empty_search_fails_fast(spark, tmp_path, stac_env):
             [500, 500, 501, 501], "2020-01-01", "2020-01-16",
             tiles=["0"], transport=transport,
             tile_bboxes={"0": [500, 500, 501, 501]})
+    assert len(calls) - n_before == 1     # one search, probe added none
 
 
 def test_auto_shuffle_partitions_conf():

@@ -361,3 +361,110 @@ def test_auto_bigtiff_switch_when_offsets_overflow(tmp_path, monkeypatch):
     p.write_bytes(auto)
     r = CogReader(str(p))
     assert np.array_equal(r.read_window(0, 0, 64, 64), arr)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: malformed-input fuzz for the TIFF codec (the tar/zip walks
+# already have stdlib differential oracles; the codec gets the same
+# adversarial treatment). Contract: ANY corruption either raises a clean
+# ValueError/IndexError or — when the damage misses everything the read
+# touches — returns EXACTLY the uncorrupted array. Wrong bytes, hangs
+# and unbounded fetches are never an option.
+# ---------------------------------------------------------------------------
+
+def _fuzz_base(bigtiff: bool):
+    arr = (np.arange(96 * 64, dtype=np.int64) * 13 % 20001 - 10000) \
+        .astype("<i2").reshape(96, 64)
+    buf = write_cog_band(arr, tile=32, pixel_size=(10.0, 10.0),
+                         origin=(1.0, 2.0), nodata=-9999,
+                         bigtiff=bigtiff)
+    return arr, buf
+
+
+_FUZZ_BASES = {False: _fuzz_base(False), True: _fuzz_base(True)}
+
+
+def _read_all(path: str, arr):
+    r = CogReader(str(path))
+    return r.read_window(0, 0, arr.shape[0], arr.shape[1])
+
+
+def test_version_field_confusion_rejected(tmp_path):
+    """Rewriting the version word (42<->43) must not mis-parse with the
+    wrong offset widths: classic-as-BigTIFF fails the offset-size probe,
+    BigTIFF-as-classic hits structural nonsense — both clean errors."""
+    for big in (False, True):
+        arr, buf = _FUZZ_BASES[big]
+        if big:
+            # claim classic: II*\0 + classic expects 4-byte IFD offset
+            forged = buf[:2] + b"\x2a\x00" + buf[4:]
+        else:
+            # claim BigTIFF: II+\0 then (offset-size, pad) read from
+            # what is really the classic IFD offset field
+            forged = buf[:2] + b"\x2b\x00" + buf[4:]
+        p = tmp_path / f"forged_{big}.tif"
+        p.write_bytes(forged)
+        with pytest.raises((ValueError, IndexError)):
+            _read_all(p, arr)
+
+
+def test_truncation_ladder_never_wrong(tmp_path):
+    """Deterministic truncation sweep at byte resolution near the
+    structure and coarse steps through the payload: every prefix either
+    errors cleanly or reproduces the exact array."""
+    for big in (False, True):
+        arr, buf = _FUZZ_BASES[big]
+        cuts = list(range(0, 400, 7)) + list(range(400, len(buf), 997))
+        for cut in cuts:
+            p = tmp_path / "t.tif"
+            p.write_bytes(buf[:cut])
+            try:
+                got = _read_all(p, arr)
+            except (ValueError, IndexError):
+                continue
+            assert np.array_equal(got, arr), \
+                f"truncation at {cut} (bigtiff={big}) gave a wrong array"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        big=st.booleans(),
+        mode=st.sampled_from(["flip", "truncate", "zero_run"]),
+        pos=st.floats(0.0, 1.0),
+        val=st.integers(0, 255),
+        runlen=st.integers(1, 64),
+    )
+    def test_cog_corruption_fuzz(big, mode, pos, val, runlen):
+        """Property: an arbitrary single-byte flip, truncation, or
+        zeroed run anywhere in a classic/BigTIFF COG yields either a
+        clean ValueError/IndexError or the exact original array (the
+        zlib adler32 makes payload damage detectable; structure damage
+        is caught by the bounds/cycle/tag guards)."""
+        import tempfile
+
+        arr, buf = _FUZZ_BASES[big]
+        i = min(int(pos * len(buf)), len(buf) - 1)
+        if mode == "flip":
+            if buf[i] == val:
+                val ^= 0xFF
+            mutated = buf[:i] + bytes([val]) + buf[i + 1:]
+        elif mode == "truncate":
+            mutated = buf[:i]
+        else:
+            mutated = buf[:i] + b"\x00" * min(runlen, len(buf) - i) \
+                + buf[i + min(runlen, len(buf) - i):]
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            f.write(mutated)
+            f.flush()
+            try:
+                got = _read_all(f.name, arr)
+            except (ValueError, IndexError):
+                return
+            assert np.array_equal(got, arr), \
+                f"corruption ({mode} @ {i}) gave a wrong array silently"
+except ImportError:  # pragma: no cover
+    pass

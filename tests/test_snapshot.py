@@ -278,6 +278,35 @@ def test_expire_ledger_is_per_run_and_bounded(spark, tmp_path):
     assert list(st._read_ledger()) == ["run-B"]
 
 
+def test_expire_ledger_bound_end_to_end(spark, tmp_path):
+    """Round-8: drive MORE distinct run_ids through expire() than
+    ledger_max_runs allows and pin both halves of the contract:
+    (a) the sidecar stays bounded at max_runs entries no matter how
+    many runs expire, and (b) a PRUNED run's re-delivered batch is NOT
+    deduped — it commits again (the documented
+    setTransactionRetentionDuration trade: pruning trades replay
+    protection for sidecar size), rather than being silently dropped."""
+    from cube_builder_spark.sinks.snapshot import write_stream_batch
+    st = SnapshotStore(str(tmp_path / "t"))
+    runs = [f"run-{i}" for i in range(5)]
+    for i, rid in enumerate(runs):
+        write_stream_batch(st, _df(spark, i * 3, i * 3 + 3), 0, run_id=rid)
+        st.write(_df(spark, 100 + i, 101 + i))    # keeps a newest manifest
+        st.expire(keep_last=1, ledger_max_runs=2)
+        assert len(st._read_ledger()) <= 2        # (a) bounded every step
+    ledger = st._read_ledger()
+    assert list(ledger) == ["run-3", "run-4"]     # newest-folded retained
+    # retained runs: replay still skipped
+    assert write_stream_batch(st, _df(spark, 12, 15), 0,
+                              run_id="run-4") is None
+    # (b) pruned run: replay protection is GONE by documented design —
+    # the redelivered batch lands as a fresh commit, not silence
+    before = st.read(spark).count()
+    v = write_stream_batch(st, _df(spark, 0, 3), 0, run_id="run-0")
+    assert v is not None
+    assert st.read(spark).count() == before + 3
+
+
 def test_active_run_id_ambiguous_streams_raise():
     """>1 active streams: inferring a run id would merge two streams'
     (run_id, batch_id) ledgers — must raise, demanding explicit
