@@ -46,6 +46,7 @@ HEADLINE = [
     "c21_pixel_trend",
     "c22_gap_fill",
     "c23_pixel_anomaly",
+    "c24_temporal_smooth",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_embedding_cosine_dups",
@@ -68,8 +69,10 @@ HEADLINE = [
     "t_inverted_index",
     "t_repetition_profile",
     "t_lm_doc_likelihood",
+    "t_dsir_importance",
     "p_decontaminate",
     "p_sequence_pack",
+    "p_token_budget_mix",
     "m_media_metadata",
     "e_stream_suite",
     "p_training_data_prep",

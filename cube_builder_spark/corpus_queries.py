@@ -1064,3 +1064,78 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars")))
+
+
+@register("t_dsir_importance", """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+bi AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+ratio AS (
+  SELECT w1, w2,
+         (CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+          + 1) * 1000000 // (CAST(count(*) AS BIGINT) + 1) AS rf
+  FROM bi GROUP BY w1, w2
+)
+SELECT b.doc_id, b.source,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(ratio.rf) AS BIGINT) AS score_sum,
+       CAST(sum(ratio.rf) AS BIGINT) * 1e0 / count(*) / 1e6
+         AS importance
+FROM bi b JOIN ratio ON b.w1 = ratio.w1 AND b.w2 = ratio.w2
+GROUP BY b.doc_id, b.source
+""")
+def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weighting, the DSIR shape (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its n-gram feature
+    distribution resembles a TARGET domain relative to the raw pool,
+    then resample by the weights. Target here is the corpus's own
+    'src1' source slice — the standard quality-proxy target; the raw
+    distribution is the whole pool.
+
+    Fixed-point contract: each bigram feature f contributes
+    floor(1e6 * (ct(f)+1) / (cr(f)+1)) as an INTEGER (add-one on both
+    counts), so the per-doc sum is order-independent and engine-exact
+    — the same reduction-order argument as t_lm_doc_likelihood. The
+    published method uses hashed features and a log-ratio; hashing is
+    engine-specific (murmur vs xxhash) and ln is libm-dependent, so
+    the exact-contract form keeps raw bigram keys and the linear
+    ratio, which is monotone in the same evidence.
+
+    Scale shape: ONE vocab2-bounded groupBy with map-side combine
+    carries both distributions (the target count is a conditional sum
+    in the same aggregate — no second corpus scan, no count-table
+    join); the ratio table joins back to the bigram stream
+    co-partitioned on (w1, w2); the per-doc rollup is the only other
+    shuffle. No collects, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source",
+                       F.split(F.col("text"), " ").alias("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.struct(F.element_at(F.col("_t"), i).alias("w1"),
+                           F.element_at(F.col("_t"), i + 1).alias("w2")))
+    bi = (toks.filter(F.size(F.col("_t")) >= 2)
+          .select("doc_id", "source", F.explode(grams).alias("g"))
+          .select("doc_id", "source", F.col("g.w1").alias("w1"),
+                  F.col("g.w2").alias("w2")))
+    # ONE vocab2-bounded aggregation carries BOTH distributions
+    # (conditional target count beside the raw count) — no second
+    # corpus scan, no count-table join
+    ratio = (bi.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("cr"),
+                  F.sum(F.when(F.col("source") == "src1", 1)
+                        .otherwise(0)).alias("ct"))
+             .select("w1", "w2",
+                     F.floor((F.col("ct") + 1) * F.lit(1000000)
+                             / (F.col("cr") + 1)).alias("rf")))
+    return (bi.join(ratio, ["w1", "w2"])
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                 F.sum("rf").cast("long").alias("score_sum"))
+            .withColumn("importance",
+                        F.col("score_sum") * 1e0 / F.col("n_feats") / 1e6))

@@ -1781,3 +1781,70 @@ def c23_pixel_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (w.filter((den > 0) & (dev * dev >= 4 * den))
             .select("tile_id", "pixel_id", "doy", "value",
                     (dev * 1.0 / F.sqrt(den)).alias("z")))
+
+
+@register("c24_temporal_smooth", f"""
+WITH {{PIXELS}},
+v AS (
+  SELECT tile_id, pixel_id, doy, value FROM pixels
+  WHERE value <> {BAND_NODATA}
+),
+w AS (
+  SELECT tile_id, pixel_id, doy, value,
+         lag(value, 2)  OVER px AS vm2, lag(doy, 2)  OVER px AS dm2,
+         lag(value, 1)  OVER px AS vm1, lag(doy, 1)  OVER px AS dm1,
+         lead(value, 1) OVER px AS vp1, lead(doy, 1) OVER px AS dp1,
+         lead(value, 2) OVER px AS vp2, lead(doy, 2) OVER px AS dp2
+  FROM v WINDOW px AS (PARTITION BY tile_id, pixel_id ORDER BY doy)
+)
+SELECT tile_id, pixel_id, doy, value,
+       CAST(-3 * vm2 + 12 * vm1 + 17 * value + 12 * vp1 - 3 * vp2
+            AS BIGINT) AS sg_num,
+       (-3 * vm2 + 12 * vm1 + 17 * value + 12 * vp1 - 3 * vp2) * 1e0 / 35
+         AS smoothed
+FROM w
+WHERE dm2 = doy - 2 AND dm1 = doy - 1 AND dp1 = doy + 1 AND dp2 = doy + 2
+""".replace("{PIXELS}", PIXELS_SQL))
+def c24_temporal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: Savitzky-Golay temporal smoothing — the standard EO
+    time-series noise treatment downstream of compositing (Chen et
+    al. 2004's S-G NDVI reconstruction; the reference densifies and
+    composites but ships no smoother, maestro.py:550-564). Quadratic
+    S-G, window 5, integer kernel (-3, 12, 17, 12, -3)/35 applied
+    wherever a pixel has five consecutive-doy valid observations;
+    runs shorter than the window pass through untouched (they simply
+    emit no smoothed row — no edge padding, no extrapolation).
+
+    Exactness: the convolution numerator is a pure int64 dot product
+    (sg_num), so row membership and the reported integer are
+    engine-exact; the final /35 is one IEEE division. The
+    consecutive-doy guard is integer equality on lag/lead doys — a
+    gap (cloudy slot) breaks the run instead of silently convolving
+    across it.
+
+    Scale shape: ONE ordered window over (tile, pixel) — the same
+    hash partitioning every stack operator uses, no densify join, no
+    self-join; lag/lead are O(1) per row in a single sort within
+    partitions. At 100 TB the sort amortizes across all four
+    neighbors (one window, eight frame columns)."""
+    px = pixel_plane(spark, sf_dir).filter(F.col("value") != BAND_NODATA)
+    win = Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
+    w = (px.select("tile_id", "pixel_id", "doy", "value")
+         .withColumn("vm2", F.lag("value", 2).over(win))
+         .withColumn("dm2", F.lag("doy", 2).over(win))
+         .withColumn("vm1", F.lag("value", 1).over(win))
+         .withColumn("dm1", F.lag("doy", 1).over(win))
+         .withColumn("vp1", F.lead("value", 1).over(win))
+         .withColumn("dp1", F.lead("doy", 1).over(win))
+         .withColumn("vp2", F.lead("value", 2).over(win))
+         .withColumn("dp2", F.lead("doy", 2).over(win)))
+    num = (F.lit(-3) * F.col("vm2") + F.lit(12) * F.col("vm1")
+           + F.lit(17) * F.col("value") + F.lit(12) * F.col("vp1")
+           - F.lit(3) * F.col("vp2"))
+    return (w.filter((F.col("dm2") == F.col("doy") - 2)
+                     & (F.col("dm1") == F.col("doy") - 1)
+                     & (F.col("dp1") == F.col("doy") + 1)
+                     & (F.col("dp2") == F.col("doy") + 2))
+            .select("tile_id", "pixel_id", "doy", "value",
+                    num.cast("long").alias("sg_num"),
+                    (num * 1e0 / 35).alias("smoothed")))

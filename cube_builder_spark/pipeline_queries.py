@@ -2088,3 +2088,96 @@ def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "change string, doc_id long")
+
+
+@register("p_token_budget_mix", """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         ((doc_id % 2147483647) * 2246822519 + 31) % 100 AS bucket
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tokens) AS BIGINT) AS available,
+         CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 40
+                     WHEN 'src2' THEN 20 ELSE 10 END AS w
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(available) AS BIGINT) // 3 AS budget,
+         CAST(sum(w) AS BIGINT) AS sumw
+  FROM per_src
+),
+plan AS (
+  SELECT p.source, p.n_docs, p.available,
+         least(t.budget * p.w // t.sumw, p.available) AS alloc,
+         least(t.budget * p.w // t.sumw, p.available) * 100
+           // p.available AS rate_pct
+  FROM per_src p CROSS JOIN tot t
+)
+SELECT p.source, p.available AS available_tokens,
+       CAST(p.alloc AS BIGINT) AS alloc_tokens,
+       CAST(p.rate_pct AS BIGINT) AS rate_pct,
+       CAST(sum(CASE WHEN d.bucket < p.rate_pct THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN d.bucket < p.rate_pct THEN d.tokens ELSE 0 END)
+            AS BIGINT) AS achieved_tokens
+FROM d JOIN plan p ON d.source = p.source
+GROUP BY p.source, p.available, p.alloc, p.rate_pct
+""")
+def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the data-mixing step of a
+    pretraining recipe (the Pile/Dolma-style source weighting):
+    given relative mixture weights per source and a global token
+    budget (a third of the corpus here), derive each source's token
+    allocation, cap it at what the source actually has, convert to a
+    deterministic per-source sampling rate, and report the achieved
+    tokens. Unlike p_hash_split_sample (fixed declared rates), the
+    rates here are DERIVED from the budget and the measured
+    per-source token supply.
+
+    Exactness: allocations and rates are pure int64 arithmetic
+    (floor divisions), and doc selection uses the same overflow-safe
+    affine hash as the split sampler — bit-identical buckets in both
+    engines, stable under re-sharding at 100 TB.
+
+    Scale shape: one narrow scan computes per-doc tokens + bucket;
+    the per-source supply table is a tiny aggregate joined back by
+    broadcast; the final per-source rollup is the only wide shuffle.
+    The budget/sumw scalars ride a 1-row cross join."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(2147483647))
+               * F.lit(2246822519) + 31, F.lit(100)).alias("bucket"))
+    w = (F.when(F.col("source") == "src0", 30)
+         .when(F.col("source") == "src1", 40)
+         .when(F.col("source") == "src2", 20).otherwise(10))
+    per_src = (d.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("tokens").cast("long").alias("available"))
+               .withColumn("w", w.cast("long")))
+    tot = per_src.agg(
+        F.floor(F.sum("available") / 3).cast("long").alias("budget"),
+        F.sum("w").cast("long").alias("sumw"))
+    plan = (per_src.crossJoin(F.broadcast(tot))
+            .withColumn("alloc", F.least(
+                F.floor(F.col("budget") * F.col("w") / F.col("sumw"))
+                .cast("long"), F.col("available")))
+            .withColumn("rate_pct",
+                        F.floor(F.col("alloc") * 100 / F.col("available"))
+                        .cast("long")))
+    return (d.join(F.broadcast(plan.select(
+                "source", "available", "alloc", "rate_pct")), "source")
+            .groupBy("source", "available", "alloc", "rate_pct")
+            .agg(F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1)
+                       .otherwise(0)).cast("long").alias("n_sampled"),
+                 F.sum(F.when(F.col("bucket") < F.col("rate_pct"),
+                              F.col("tokens")).otherwise(0))
+                 .cast("long").alias("achieved_tokens"))
+            .select(F.col("source"),
+                    F.col("available").alias("available_tokens"),
+                    F.col("alloc").alias("alloc_tokens"),
+                    "rate_pct", "n_sampled", "achieved_tokens"))

@@ -309,3 +309,62 @@ def test_lm_doc_likelihood_hand_computed(spark, monkeypatch, tmp_path):
     assert rows[2].score_sum == s(2/3) + s(2/5)
     assert rows[3].score_sum == s(1/2)
     assert rows[1].mean_p > rows[2].mean_p  # dominant-bigram doc wins
+
+
+def test_dsir_importance_hand_computed(spark, monkeypatch):
+    """4-doc corpus: a doc made of the target source's signature
+    bigram outscores a doc of off-target transitions; scores match
+    the hand-derived fixed-point ratios exactly."""
+    import cube_builder_spark.corpus_queries as cq
+
+    docs = spark.createDataFrame([
+        (1, "src1", "x y x y"),     # target doc: (x,y)x2 (y,x)x1
+        (2, "src1", "x y"),         # target doc: (x,y)x1
+        (3, "src9", "x y q"),       # raw doc sharing the target bigram
+        (4, "src9", "q r q")],      # raw-only transitions
+        "doc_id long, source string, text string")
+    monkeypatch.setattr(cq, "_docs", lambda s, d: docs)
+    rows = {r.doc_id: r for r in
+            cq.t_dsir_importance(spark, "unused").collect()}
+    # corpus bigram counts (cr) / target counts (ct):
+    #  (x,y): cr=4 ct=3 -> rf = 4*1e6 // 5 = 800000
+    #  (y,x): cr=1 ct=1 -> rf = 2*1e6 // 2 = 1000000
+    #  (y,q): cr=1 ct=0 -> rf = 1*1e6 // 2 = 500000
+    #  (q,r): cr=1 ct=0 -> 500000 ; (r,q): cr=1 ct=0 -> 500000
+    assert rows[1].score_sum == 800000 + 1000000 + 800000
+    assert rows[2].score_sum == 800000
+    assert rows[3].score_sum == 800000 + 500000
+    assert rows[4].score_sum == 500000 + 500000
+    # target-like docs carry more importance than off-target ones
+    assert rows[1].importance > rows[4].importance
+    assert rows[2].importance > rows[4].importance
+
+
+def test_token_budget_mix_caps_and_rates(spark, monkeypatch):
+    """Budget maths on a constructed corpus: a source whose weighted
+    allocation exceeds its supply is capped at 100% rate; the others
+    get floor-division rates; achieved tokens only count sampled
+    docs."""
+    import cube_builder_spark.pipeline_queries as pq
+
+    # src1 (weight 40): tiny supply -> capped; src9 (weight 10): big
+    docs = spark.createDataFrame(
+        [(1, "src1", "a b c")]                     # 3 tokens
+        + [(i, "src9", "w " * 9 + "w") for i in range(2, 12)],  # 10x10
+        "doc_id long, source string, text string")
+    monkeypatch.setattr(pq, "_docs", lambda s, d: docs)
+    rows = {r.source: r for r in
+            pq.p_token_budget_mix(spark, "unused").collect()}
+    # totals: 103 tokens -> budget = 34; sumw = 40 + 10 = 50
+    # src1: alloc = min(34*40//50, 3) = min(27, 3) = 3 -> rate 100%
+    # src9: alloc = min(34*10//50, 100) = 6 -> rate 6*100//100 = 6%
+    assert rows["src1"].available_tokens == 3
+    assert rows["src1"].alloc_tokens == 3
+    assert rows["src1"].rate_pct == 100
+    assert rows["src1"].n_sampled == 1        # 100% keeps everything
+    assert rows["src1"].achieved_tokens == 3
+    assert rows["src9"].available_tokens == 100
+    assert rows["src9"].alloc_tokens == 6
+    assert rows["src9"].rate_pct == 6
+    # achieved = 10 tokens per sampled doc
+    assert rows["src9"].achieved_tokens == 10 * rows["src9"].n_sampled

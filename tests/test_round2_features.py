@@ -291,3 +291,32 @@ def test_pixel_anomaly_integer_membership(spark, monkeypatch):
     # hand check: n=10, sx=130, sxx=2500 -> den=10*2500-16900=8100
     # dev = 10*40-130 = 270 -> z = 270/90 = 3.0 exactly
     assert z == 3.0
+
+
+def test_temporal_smooth_sg_kernel_exact(spark, monkeypatch):
+    """C24 on a constructed stack: the quadratic S-G kernel
+    (-3,12,17,12,-3)/35 reproduces a quadratic exactly (that is its
+    defining property), only interior points of consecutive-doy valid
+    runs emit, and a gap (missing or nodata doy) breaks the run."""
+    import cube_builder_spark.cube_queries as cq
+
+    # pixel 1: quadratic v = d*d over doys 1..7 -> smoothing is exact
+    rows = [(0, 1, d, d * d) for d in range(1, 8)]
+    # pixel 2: doys 1,2,3,5,6,7 (gap at 4): no 5-run anywhere
+    rows += [(0, 2, d, 10 * d) for d in (1, 2, 3, 5, 6, 7)]
+    # pixel 3: doys 1..5 but doy 3 is nodata: run broken by the filter
+    rows += [(0, 3, d, 7) for d in (1, 2, 4, 5)] + [(0, 3, 3, -9999)]
+    plane = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, value long")
+    monkeypatch.setattr(cq, "pixel_plane", lambda s, d: plane)
+    got = cq.c24_temporal_smooth(spark, "x").collect()
+    by_px = {}
+    for r in got:
+        by_px.setdefault(r.pixel_id, {})[r.doy] = r
+    # pixel 1: interior doys 3,4,5 emit; S-G reproduces d^2 exactly
+    assert set(by_px[1]) == {3, 4, 5}
+    for d in (3, 4, 5):
+        assert by_px[1][d].sg_num == 35 * d * d
+        assert by_px[1][d].smoothed == float(d * d)
+    # pixels 2 and 3 have no full consecutive window
+    assert 2 not in by_px and 3 not in by_px
