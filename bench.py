@@ -47,6 +47,7 @@ HEADLINE = [
     "c22_gap_fill",
     "c23_pixel_anomaly",
     "c24_temporal_smooth",
+    "c25_zonal_stats",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_embedding_cosine_dups",
@@ -70,6 +71,7 @@ HEADLINE = [
     "t_repetition_profile",
     "t_lm_doc_likelihood",
     "t_dsir_importance",
+    "t_bpe_train",
     "p_decontaminate",
     "p_sequence_pack",
     "p_token_budget_mix",

@@ -1139,3 +1139,157 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("rf").cast("long").alias("score_sum"))
             .withColumn("importance",
                         F.col("score_sum") * 1e0 / F.col("n_feats") / 1e6))
+
+
+
+_BPE_K = 6
+
+
+def _bpe_train_sql(k: int = _BPE_K) -> str:
+    """Generate the k-stage BPE-training oracle: each stage counts
+    adjacent symbol pairs over the word-frequency dict, picks the
+    argmax (ties: lexicographic), and applies the merge with exact
+    left-to-right non-overlap semantics via gaps-and-islands parity
+    (greedy scan == every odd-numbered position inside each run of
+    consecutive matches). Validated against a pure-Python reference
+    BPE (Sennrich et al. 2016 get_stats/merge loop) on the corpus."""
+    parts = ["""WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY word
+)"""]
+    for i in range(k):
+        parts.append(f""",
+p{i} AS (
+  SELECT syms[j] AS a, syms[j + 1] AS b,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM w{i}, unnest(range(1, len(syms))) AS u(j)
+  WHERE len(syms) >= 2
+  GROUP BY a, b
+),
+t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+e{i} AS (
+  SELECT w.word, w.freq, j AS pos, w.syms[j] AS sym,
+         (j < len(w.syms) AND w.syms[j] = t.a AND w.syms[j + 1] = t.b)
+           AS m
+  FROM w{i} w CROSS JOIN t{i} t,
+       unnest(range(1, len(w.syms) + 1)) AS u(j)
+),
+s{i} AS (
+  SELECT word, freq, pos, sym, m,
+         CASE WHEN m THEN row_number() OVER
+             (PARTITION BY word, m, grp ORDER BY pos) END AS rn
+  FROM (
+    SELECT *, pos - row_number() OVER
+        (PARTITION BY word, m ORDER BY pos) AS grp
+    FROM e{i}
+  )
+),
+g{i} AS (
+  SELECT word, freq, pos, sym, m AND rn % 2 = 1 AS sel,
+         lag(m AND rn % 2 = 1, 1, false) OVER
+           (PARTITION BY word ORDER BY pos) AS prev_sel,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{i}
+),
+w{i + 1} AS (
+  SELECT word, freq,
+         list(CASE WHEN sel THEN sym || nxt ELSE sym END
+              ORDER BY pos) AS syms
+  FROM g{i} WHERE NOT prev_sel
+  GROUP BY word, freq
+)""")
+    tops = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
+        f" cnt FROM t{i}" for i in range(k))
+    parts.append("\n" + tops)
+    return "".join(parts)
+
+
+def _bpe_merge_expr(a: str, b: str):
+    """Left-to-right non-overlapping merge of adjacent (a, b) in a
+    symbol array, as a JVM-side aggregate() fold with a
+    (out, pending) struct accumulator — the Sennrich merge loop as a
+    Catalyst expression. The pair strings ride F.lit (never SQL text:
+    corpus-derived symbols may contain quotes)."""
+    def _s(out, pend):
+        return F.struct(out.alias("out"), pend.alias("pend"))
+
+    def step(acc, x):
+        return (F.when((acc["pend"] == a) & (x == b),
+                       _s(F.concat(acc["out"], F.array(F.lit(a + b))),
+                          F.lit("")))
+                .when(acc["pend"] == "", _s(acc["out"], x))
+                .otherwise(_s(F.concat(acc["out"], F.array(acc["pend"])),
+                              x)))
+
+    def fin(acc):
+        return (F.when(acc["pend"] == "", acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"]))))
+
+    zero = _s(F.array().cast("array<string>"), F.lit(""))
+    return F.aggregate(F.col("syms"), zero, step, fin)
+
+
+@register("t_bpe_train", _bpe_train_sql())
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — learn the first k merge rules from
+    the corpus (Sennrich et al. 2016), the canonical pipeline step
+    the existing t_bpe_segment only consumes. Classic dict-based
+    formulation: the corpus is scanned ONCE into a word-frequency
+    dict; every iteration then (1) counts adjacent symbol pairs over
+    the dict weighted by word freq, (2) takes the argmax pair
+    (ties: lexicographic — deterministic), (3) merges it left-to-
+    right non-overlapping inside every word.
+
+    Exactness: counts are int64; the merge fold and the oracle's
+    gaps-and-islands parity formulation provably implement the same
+    greedy scan, and the whole k-stage derivation was validated
+    against a pure-Python reference BPE.
+
+    Scale shape: the 100 TB corpus is touched exactly once (the word
+    count — map-side combinable); all k training iterations run over
+    the VOCAB-bounded dict (persisted, unpersisted before return),
+    which is how production BPE trainers work. Per iteration the
+    driver collects exactly ONE (pair, count) row — a bounded
+    collect; the merge itself is a JVM-side aggregate() fold, no
+    explode, no window, no Python UDF."""
+    docs = _docs(spark, sf_dir)
+    w = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+         .filter(F.length("word") >= 1)
+         .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+         .withColumn("syms", F.expr(
+             "transform(sequence(1, length(word)), i ->"
+             " substring(word, i, 1))")))
+    merges = []
+    persisted = []
+    try:
+        for it in range(_BPE_K):
+            w = w.persist()
+            persisted.append(w)
+            pairs = F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b")))
+            top = (w.filter(F.size("syms") >= 2)
+                   .select("freq", F.explode(pairs).alias("g"))
+                   .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+                   .agg(F.sum("freq").cast("long").alias("cnt"))
+                   .orderBy(F.desc("cnt"), "a", "b")
+                   .limit(1).collect())
+            if not top:
+                break
+            a, b, cnt = top[0].a, top[0].b, top[0].cnt
+            merges.append((it + 1, a, b, cnt))
+            w = w.withColumn("syms", _bpe_merge_expr(a, b))
+    finally:
+        # training state is vocab-bounded and DONE: nothing the
+        # returned (local, k-row) result depends on stays pinned
+        for p in persisted:
+            p.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, sym_a string, sym_b string, cnt long")

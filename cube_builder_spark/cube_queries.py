@@ -1848,3 +1848,44 @@ def c24_temporal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tile_id", "pixel_id", "doy", "value",
                     num.cast("long").alias("sg_num"),
                     (num * 1e0 / 35).alias("smoothed")))
+
+
+@register("c25_zonal_stats", f"""
+WITH {{PIXELS}},
+v AS (
+  SELECT tile_id, pixel_id // 64 AS zone_id, doy, value
+  FROM pixels WHERE value <> {BAND_NODATA}
+)
+SELECT tile_id, zone_id, doy,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(min(value) AS BIGINT) AS v_min,
+       CAST(max(value) AS BIGINT) AS v_max,
+       CAST(sum(value) AS BIGINT) AS v_sum,
+       CAST(sum(value) AS BIGINT) * 1e0 / count(*) AS v_mean
+FROM v GROUP BY tile_id, zone_id, doy
+""".replace("{PIXELS}", PIXELS_SQL))
+def c25_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: zonal statistics — per-zone aggregates of a band over
+    polygon zones, the raster-vector summary every EO product ships
+    (county-level NDVI means etc.). Zones here are the 8x8-pixel
+    blocks of the synthetic plane (pixel_id // 64), standing in for
+    rasterized polygon ids; the reference has no zonal layer (its
+    quicklooks aggregate visually, image.py) so this is beyond-
+    reference surface in the same family as C21-C24.
+
+    Exactness: count/min/max/sum are int64; the mean is ONE IEEE
+    division of exact integers. Scale shape: a single groupBy with
+    map-side combine on (tile, zone, doy) — zone assignment is a
+    projection, so at 100 TB this is a pure partial-aggregate
+    pipeline, no join against a zone table (a real polygon layer
+    would broadcast its rasterized lookup)."""
+    px = pixel_plane(spark, sf_dir).filter(F.col("value") != BAND_NODATA)
+    return (px.select("tile_id",
+                      F.floor(F.col("pixel_id") / 64).cast("long")
+                      .alias("zone_id"), "doy", "value")
+            .groupBy("tile_id", "zone_id", "doy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_valid"),
+                 F.min("value").cast("long").alias("v_min"),
+                 F.max("value").cast("long").alias("v_max"),
+                 F.sum("value").cast("long").alias("v_sum"))
+            .withColumn("v_mean", F.col("v_sum") * 1e0 / F.col("n_valid")))

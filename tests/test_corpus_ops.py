@@ -368,3 +368,48 @@ def test_token_budget_mix_caps_and_rates(spark, monkeypatch):
     assert rows["src9"].rate_pct == 6
     # achieved = 10 tokens per sampled doc
     assert rows["src9"].achieved_tokens == 10 * rows["src9"].n_sampled
+
+
+def test_bpe_train_hand_computed_with_overlaps(spark, monkeypatch):
+    """BPE training on a corpus tiny enough to derive the merges by
+    hand, including the overlapping-pair case ('aaaa'): pair counts
+    follow Sennrich get_stats (every adjacent occurrence counts), the
+    merge is greedy left-to-right non-overlapping, and later
+    iterations see merged symbols."""
+    import cube_builder_spark.corpus_queries as cq
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa ab"), (2, "aaaa"), (3, "ab ab")],
+        "doc_id long, text string")
+    monkeypatch.setattr(cq, "_docs", lambda s, d: docs)
+    monkeypatch.setattr(cq, "_BPE_K", 3)
+    rows = {r.rank: r for r in cq.t_bpe_train(spark, "unused").collect()}
+    # word freqs: aaaa x2, ab x3
+    # iter 1: (a,a) = 3 per 'aaaa' x2 = 6; (a,b) = 3 -> merge (a,a)
+    #   'aaaa' -> [aa, aa] (greedy, non-overlapping), 'ab' unchanged
+    assert (rows[1].sym_a, rows[1].sym_b, rows[1].cnt) == ("a", "a", 6)
+    # iter 2: (aa,aa) = 2; (a,b) = 3 -> merge (a,b); 'ab' -> [ab]
+    assert (rows[2].sym_a, rows[2].sym_b, rows[2].cnt) == ("a", "b", 3)
+    # iter 3: only (aa,aa) = 2 remains
+    assert (rows[3].sym_a, rows[3].sym_b, rows[3].cnt) == ("aa", "aa", 2)
+
+
+def test_zonal_stats_exact_on_constructed_plane(spark, monkeypatch):
+    """C25 on a constructed plane: zones are pixel_id // 64; nodata
+    rows are excluded; min/max/sum/mean are the hand values."""
+    import cube_builder_spark.cube_queries as cq
+
+    rows = [(0, 0, 1, 10), (0, 63, 1, 30),     # zone 0
+            (0, 64, 1, 100), (0, 70, 1, -9999),  # zone 1 (one nodata)
+            (1, 5, 2, 7)]                      # other tile/doy
+    plane = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, value long")
+    monkeypatch.setattr(cq, "pixel_plane", lambda s, d: plane)
+    got = {(r.tile_id, r.zone_id, r.doy): r
+           for r in cq.c25_zonal_stats(spark, "x").collect()}
+    z0 = got[(0, 0, 1)]
+    assert (z0.n_valid, z0.v_min, z0.v_max, z0.v_sum, z0.v_mean) == \
+        (2, 10, 30, 40, 20.0)
+    z1 = got[(0, 1, 1)]
+    assert (z1.n_valid, z1.v_sum) == (1, 100)   # nodata excluded
+    assert got[(1, 0, 2)].v_mean == 7.0
