@@ -106,14 +106,28 @@ def encode_bmp(pix: np.ndarray) -> bytes:
 
 
 def decode_bmp(buf: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP back to (h, w, 3) uint8 BGR."""
-    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", buf, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
+    """Decode an uncompressed 24-bit BMP back to (h, w, 3) uint8 BGR.
+
+    Corrupt-input posture (fuzz-hardened, round 8): malformed
+    dimensions or a truncated pixel region raise a clean ValueError —
+    never a giant allocation from a corrupt height or a partial
+    wrong array."""
+    try:
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", buf, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
+    except struct.error as e:
+        raise ValueError(f"truncated BMP header: {e}") from e
     if bpp != 24:
         raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"corrupt BMP dimensions {w}x{h}")
     row_bytes = (w * 3 + 3) & ~3
+    if offset < 0 or offset + row_bytes * h > len(buf):
+        raise ValueError(
+            f"truncated BMP: {w}x{h} needs {row_bytes * h} bytes at "
+            f"offset {offset}, payload is {len(buf)}")
     out = np.empty((h, w, 3), np.uint8)
     for i in range(h):
         start = offset + i * row_bytes
@@ -134,10 +148,18 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
-    """Decode mono PCM-16 WAV -> (rate, int16 samples)."""
-    with wave.open(io.BytesIO(buf), "rb") as wf:
-        rate = wf.getframerate()
-        data = wf.readframes(wf.getnframes())
+    """Decode mono PCM-16 WAV -> (rate, int16 samples). Stdlib
+    ``wave`` failures (wave.Error/EOFError on corrupt payloads)
+    normalize to ValueError — one error contract across all three
+    codecs."""
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as wf:
+            rate = wf.getframerate()
+            data = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"corrupt WAV payload: {e}") from e
+    if len(data) % 2:
+        data = data[:-1]                     # truncated final sample
     return rate, np.frombuffer(data, "<i2")
 
 
@@ -192,34 +214,69 @@ def decode_avi(buf: bytes) -> tuple[int, np.ndarray]:
     rate/scale ratio."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    if 8 + riff_size > len(buf):
+        # RIFF declares its own length: losing trailing frame chunks
+        # to truncation must not silently decode as "fewer frames"
+        raise ValueError(
+            f"truncated AVI: RIFF declares {8 + riff_size} bytes, "
+            f"payload is {len(buf)}")
     info: dict = {}
     frames_raw: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    # corrupt-input posture (fuzz-hardened, round 8): a corrupt chunk
+    # tree must yield a clean ValueError — never a ZeroDivision from
+    # scale=0, a RecursionError from LIST cycles, a KeyError from a
+    # missing header, or a partial wrong array from short frames.
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > 32:
+            raise ValueError("corrupt AVI: LIST nesting exceeds 32")
         pos = lo
         while pos + 8 <= hi:
             fourcc = buf[pos:pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            try:
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+            except struct.error as e:
+                raise ValueError(f"truncated AVI chunk at {pos}") from e
             data_lo = pos + 8
-            if fourcc == b"LIST":
-                walk(data_lo + 4, data_lo + size)
-            elif fourcc == b"strh" and buf[data_lo:data_lo + 4] == b"vids":
-                scale, rate = struct.unpack_from("<II", buf, data_lo + 20)
-                info["fps"] = rate // scale
-            elif fourcc == b"strf":
-                _sz, w, h, _planes, bpp = struct.unpack_from(
-                    "<IiiHH", buf, data_lo)
-                if bpp != 24:
-                    raise NotImplementedError(
-                        f"only 24-bit DIB frames supported, got {bpp}")
-                info["w"], info["h"] = w, h
-            elif fourcc in (b"00db", b"00dc"):
-                frames_raw.append(buf[data_lo:data_lo + size])
+            try:
+                if fourcc == b"LIST":
+                    walk(data_lo + 4, min(data_lo + size, len(buf)),
+                         depth + 1)
+                elif fourcc == b"strh" and \
+                        buf[data_lo:data_lo + 4] == b"vids":
+                    scale, rate = struct.unpack_from(
+                        "<II", buf, data_lo + 20)
+                    if scale == 0:
+                        raise ValueError("corrupt AVI: strh scale 0")
+                    info["fps"] = rate // scale
+                elif fourcc == b"strf":
+                    _sz, w, h, _planes, bpp = struct.unpack_from(
+                        "<IiiHH", buf, data_lo)
+                    if bpp != 24:
+                        raise NotImplementedError(
+                            f"only 24-bit DIB frames supported, got {bpp}")
+                    if w <= 0 or h <= 0:
+                        raise ValueError(
+                            f"corrupt AVI dimensions {w}x{h}")
+                    info["w"], info["h"] = w, h
+                elif fourcc in (b"00db", b"00dc"):
+                    frames_raw.append(buf[data_lo:data_lo + size])
+            except struct.error as e:
+                raise ValueError(
+                    f"truncated AVI header chunk at {pos}") from e
             pos = data_lo + size + (size % 2)
 
     walk(12, len(buf))
+    if "w" not in info or "h" not in info or "fps" not in info:
+        raise ValueError("corrupt AVI: missing strh/strf headers")
     w, h = info["w"], info["h"]
     row_bytes = (w * 3 + 3) & ~3
+    for raw in frames_raw:
+        if len(raw) < row_bytes * h:
+            raise ValueError(
+                f"truncated AVI frame: {len(raw)} bytes < "
+                f"{row_bytes * h} for {w}x{h}")
     out = np.empty((len(frames_raw), h, w, 3), np.uint8)
     for fi, raw in enumerate(frames_raw):
         for i in range(h):

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -161,3 +162,88 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert not led[20].is_canonical and led[20].canonical_id == 10
     assert led[20].n_seen_before == 2
     assert led[12].is_canonical and led[21].is_canonical
+
+
+# ---------------------------------------------------------------------------
+# Round-8: corruption fuzz for the hand-written media codecs (same
+# adversarial treatment as the tar/zip walks and the TIFF codec).
+# Contract: any flip/truncation/zeroed-run either raises a clean
+# ValueError/NotImplementedError/IndexError or — when the damage misses
+# everything the decode touches — returns the exact original payload.
+# ---------------------------------------------------------------------------
+
+def _media_bases():
+    pix = multimodal.image_pixels(7, 13, 9)
+    bmp = multimodal.encode_bmp(pix)
+    samples = np.arange(-300, 300, 7, dtype=np.int16)
+    wav = multimodal.encode_wav(samples, 8000)
+    frames = np.stack([multimodal.image_pixels(i, 12, 6) for i in range(3)])
+    avi = multimodal.encode_avi(frames, 25)
+    return {
+        "bmp": (bmp, lambda b: multimodal.decode_bmp(b),
+                lambda got: np.array_equal(got, pix)),
+        "wav": (wav, lambda b: multimodal.decode_wav(b),
+                lambda got: got[0] == 8000 and np.array_equal(got[1],
+                                                              samples)),
+        "avi": (avi, lambda b: multimodal.decode_avi(b),
+                lambda got: got[0] == 25 and np.array_equal(got[1],
+                                                            frames)),
+    }
+
+
+_MEDIA = _media_bases()
+_OK_ERRORS = (ValueError, NotImplementedError, IndexError)
+
+
+def test_media_truncation_ladder_never_wrong():
+    for kind, (buf, dec, same) in _MEDIA.items():
+        for cut in range(0, len(buf), 13):
+            try:
+                got = dec(buf[:cut])
+            except _OK_ERRORS:
+                continue
+            # WAV nframes comes from the header; a truncated data
+            # chunk legitimately decodes to fewer samples via the
+            # stdlib reader — shorter-prefix results are acceptable
+            # for wav, never for the image codecs
+            if kind == "wav":
+                continue
+            assert same(got), f"{kind} truncated at {cut}: wrong data"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(kind=st.sampled_from(["bmp", "wav", "avi"]),
+           mode=st.sampled_from(["flip", "zero_run"]),
+           pos=st.floats(0.0, 1.0), val=st.integers(0, 255),
+           runlen=st.integers(1, 32))
+    def test_media_corruption_fuzz(kind, mode, pos, val, runlen):
+        buf, dec, same = _MEDIA[kind]
+        i = min(int(pos * len(buf)), len(buf) - 1)
+        if mode == "flip":
+            if buf[i] == val:
+                val ^= 0xFF
+            mutated = buf[:i] + bytes([val]) + buf[i + 1:]
+        else:
+            n = min(runlen, len(buf) - i)
+            mutated = buf[:i] + b"\x00" * n + buf[i + n:]
+        try:
+            got = dec(mutated)
+        except _OK_ERRORS:
+            return
+        if kind == "bmp":
+            # pixel-region damage decodes to a changed image — that is
+            # inherent to a checksum-less format; structure damage must
+            # never mis-shape the array
+            assert got.shape == (9, 13, 3)
+        elif kind == "wav":
+            rate, data = got
+            assert data.dtype == np.int16
+        else:
+            fps, frames = got
+            assert frames.shape[1:] == (6, 12, 3)
+except ImportError:  # pragma: no cover
+    pass
