@@ -2181,3 +2181,32 @@ def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("available").alias("available_tokens"),
                     F.col("alloc").alias("alloc_tokens"),
                     "rate_pct", "n_sampled", "achieved_tokens"))
+
+
+@register("x_stream_token_budget", None)
+def x_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-budget enforcement
+    (streaming/budget.py) driven over the bounded documents table —
+    no SQL oracle (rows-only check): first-fit admission is a
+    sequential fold over keyed state, not SQL-expressible. Semantics
+    pinned in tests/test_streaming.py against a driver-side reference
+    fold, including cross-batch state continuation and the
+    skip-then-fit case."""
+    from .session import scratch_dir
+    from .streaming.budget import token_budget_stream
+    from .tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = scratch_dir("stream_budget_")
+    docs.select("doc_id", "source", "text").write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string").parquet(d)
+    # budgets sized off the synthetic mixture: named sources tight,
+    # long tail loose — both accept and reject paths exercised
+    q = (token_budget_stream(stream, {"src0": 400, "src1": 800},
+                             default_budget=1000)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("x_stream_budget_out").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("x_stream_budget_out")

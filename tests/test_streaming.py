@@ -229,3 +229,65 @@ def test_stream_stream_join_matches_batch_pairs(spark, sf_dir, event_stream):
                         & (F.col("v_ts") <= F.col("ts"))).collect())
     assert stream_pairs == batch_pairs
     assert len(stream_pairs) > 0
+
+
+def test_token_budget_stream_cross_batch_first_fit(spark, tmp_path):
+    """Streaming budget enforcement: admission state survives batch
+    boundaries; an oversized doc is skipped but a later smaller one
+    still fits (first-fit); the accept set matches a driver-side
+    reference fold over the same doc_id order."""
+    from cube_builder_spark.streaming.budget import token_budget_stream
+
+    def text(n):
+        return " ".join(["w"] * n)
+
+    def write_batch(rows, name):
+        import glob
+        import shutil
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / "stage" / name))
+        (tmp_path / "in").mkdir(exist_ok=True)
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(tmp_path / "in" / f"{name}.parquet"))
+
+    budgets = {"a": 25, "b": 5}
+    # batch 1: a: 10 + 10 admitted (20); b: 3 admitted, 4 rejected
+    write_batch([(1, "a", text(10)), (2, "a", text(10)),
+                 (3, "b", text(3)), (4, "b", text(4))], "b1")
+    src = (spark.readStream
+           .schema("doc_id long, source string, text string")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(tmp_path / "in")))
+    q = (token_budget_stream(src, budgets, default_budget=100)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("budget_stream").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a has 5 left -> doc 5 (7 tokens) skipped, doc 6
+        # (5 tokens) STILL fits (first-fit); b is exhausted for 3+
+        # tokens but a 2-token doc fits
+        write_batch([(5, "a", text(7)), (6, "a", text(5)),
+                     (7, "b", text(3)), (8, "b", text(2))], "b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM budget_stream").collect()
+    finally:
+        q.stop()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(by_doc) == 8                  # every doc gets a verdict row
+    assert [by_doc[i].accepted for i in range(1, 9)] == \
+        [True, True, True, False, False, True, False, True]
+    assert by_doc[6].taken_after == 25       # source a exactly full
+    assert by_doc[8].taken_after == 5        # 3 + 2
+    # driver-side reference fold over the same order agrees
+    ref_taken = {"a": 0, "b": 0}
+    ref = {}
+    for doc_id, src_, n in [(1, "a", 10), (2, "a", 10), (3, "b", 3),
+                            (4, "b", 4), (5, "a", 7), (6, "a", 5),
+                            (7, "b", 3), (8, "b", 2)]:
+        ok = ref_taken[src_] + n <= budgets[src_]
+        if ok:
+            ref_taken[src_] += n
+        ref[doc_id] = ok
+    assert {d: r.accepted for d, r in by_doc.items()} == ref
