@@ -2210,3 +2210,42 @@ def x_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("x_stream_budget_out")
+
+
+@register("x_cluster_balanced_sample", f"""
+WITH {_IVF_SQL},
+ranked AS (
+  SELECT list_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY list_id ORDER BY vec_id)
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY list_id) AS BIGINT) AS n_in_cluster
+  FROM assign
+)
+SELECT list_id, vec_id, rnk, n_in_cluster
+FROM ranked WHERE rnk <= 10
+""")
+def x_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling — cap each embedding
+    cluster's contribution to the training set (the de-biasing
+    sampler: semantic near-monocultures like boilerplate clusters
+    can't dominate the mix; SemDeDup/DSIR-adjacent curation, Abbas et
+    al. 2023's cluster-then-prune shape). The clusters ARE the IVF
+    coarse-quantizer lists (similarity.ivf_assign — deterministic
+    seeded centroids, broadcast closure, assignment is a pure map),
+    so the diversity sampler reuses the exact machinery the ANN path
+    already grades; per-cluster selection is one window
+    (rank-by-vec_id <= m) — deterministic, re-shard-stable.
+
+    Scale shape: centroid table is bounded metadata; assignment adds
+    NO shuffle beyond the vector scan; the per-cluster window
+    shuffles on list_id (8-way here, n_lists-way at 100 TB — choose
+    n_lists ~ sqrt(n_vectors) and the window stays balanced)."""
+    from pyspark.sql import Window
+    assign = similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
+    win = Window.partitionBy("list_id").orderBy("vec_id")
+    cwin = Window.partitionBy("list_id")
+    return (assign.select("list_id", "vec_id")
+            .withColumn("rnk", F.row_number().over(win).cast("long"))
+            .withColumn("n_in_cluster",
+                        F.count(F.lit(1)).over(cwin).cast("long"))
+            .filter(F.col("rnk") <= 10))
