@@ -81,6 +81,16 @@ def parse_crs(spec) -> CRS:
             return CRS("longlat", a, e2)
         if code == 3857:
             return CRS("webmerc", 6378137.0, 0.0)
+        if code == 3413:        # NSIDC Sea Ice Polar Stereographic North
+            a, e2 = _ellps("WGS84")
+            return CRS("stere", a, e2, {
+                "lat_0": 90.0, "lat_ts": 70.0, "lon_0": -45.0,
+                "x_0": 0.0, "y_0": 0.0})
+        if code == 3031:        # Antarctic Polar Stereographic
+            a, e2 = _ellps("WGS84")
+            return CRS("stere", a, e2, {
+                "lat_0": -90.0, "lat_ts": -71.0, "lon_0": 0.0,
+                "x_0": 0.0, "y_0": 0.0})
         if 32601 <= code <= 32660 or 32701 <= code <= 32760:
             zone = code % 100
             south = code // 100 == 327
@@ -131,6 +141,23 @@ def parse_crs(spec) -> CRS:
             return CRS("sinu", R, 0.0, {
                 "lon_0": num.get("lon_0", 0.0),
                 "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)})
+        if proj == "stere":
+            # POLAR aspect only (lat_0 = ±90) — the polar-science
+            # grids (NSIDC 3413, Antarctic 3031); oblique
+            # stereographic still gates on rasterio like any other
+            # unsupported family.
+            lat0 = num.get("lat_0", 90.0)
+            if abs(abs(lat0) - 90.0) > 1e-9:
+                raise ValueError(
+                    "+proj=stere supports the polar aspect only "
+                    f"(lat_0=±90), got lat_0={lat0}")
+            p = {"lat_0": lat0, "lon_0": num.get("lon_0", 0.0),
+                 "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)}
+            if "lat_ts" in kv:
+                p["lat_ts"] = float(kv["lat_ts"])
+            else:
+                p["k_0"] = num.get("k_0", 1.0)
+            return CRS("stere", a, e2, p)
         raise ValueError(f"unsupported +proj={proj}")
     raise ValueError(f"cannot parse CRS {spec!r}")
 
@@ -275,6 +302,63 @@ def _aea_inv(crs, x, y):
     return np.degrees(lam), np.degrees(phi)
 
 
+# Polar stereographic (Snyder 21-33..21-41, ellipsoidal) --------------------
+
+def _stere_t(e, phi):
+    """Snyder 15-9: the isometric-latitude half-angle function."""
+    es = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) * ((1 + es) / (1 - es)) ** (e / 2)
+
+
+def _stere_rho_scale(crs):
+    """ρ = scale · t for the north-aspect core: either the standard-
+    parallel form (a·m_c/t_c, Snyder 21-34) or the k_0 form
+    (2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)), Snyder 21-33)."""
+    e = np.sqrt(crs.e2)
+    p = crs.params
+    if "lat_ts" in p:
+        phic = np.radians(abs(p["lat_ts"]))
+        mc = np.cos(phic) / np.sqrt(1 - crs.e2 * np.sin(phic) ** 2)
+        return crs.a * mc / _stere_t(e, phic)
+    k0 = p.get("k_0", 1.0)
+    return 2 * crs.a * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+
+def _stere_fwd(crs, lon, lat):
+    """Polar aspect: the south pole solves through the north-aspect
+    core with (φ, Δλ) negated and the axes flipped back — the proj
+    convention (south: x = ρ·sinΔλ, y = +ρ·cosΔλ)."""
+    p = crs.params
+    s = 1.0 if p["lat_0"] > 0 else -1.0
+    e = np.sqrt(crs.e2)
+    phi = s * np.radians(lat)
+    dlam = s * np.radians(lon - p["lon_0"])
+    rho = _stere_rho_scale(crs) * _stere_t(e, phi)
+    return (s * rho * np.sin(dlam) + p["x_0"],
+            s * -rho * np.cos(dlam) + p["y_0"])
+
+
+def _stere_inv(crs, x, y):
+    p = crs.params
+    s = 1.0 if p["lat_0"] > 0 else -1.0
+    e = np.sqrt(crs.e2)
+    xs = s * (np.asarray(x, float) - p["x_0"])
+    ys = s * (np.asarray(y, float) - p["y_0"])
+    rho = np.hypot(xs, ys)
+    t = rho / _stere_rho_scale(crs)
+    # Snyder 7-9 fixed-point for φ from t — 4 rounds reach float64
+    # resolution for |e| of any geodetic ellipsoid
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(4):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (e / 2))
+    dlam = np.arctan2(xs, -ys)
+    # at the pole (ρ=0) every λ maps to the pole — pin λ0
+    dlam = np.where(rho > 1e-12, dlam, 0.0)
+    return (np.degrees(np.radians(p["lon_0"]) + s * dlam),
+            np.degrees(s * phi))
+
+
 def forward(crs, lon, lat):
     """(lon, lat) degrees → projected (x, y). Vectorized."""
     crs = parse_crs(crs)
@@ -289,6 +373,8 @@ def forward(crs, lon, lat):
         return _tmerc_fwd(crs, lon, lat)
     if crs.proj == "aea":
         return _aea_fwd(crs, lon, lat)
+    if crs.proj == "stere":
+        return _stere_fwd(crs, lon, lat)
     if crs.proj == "sinu":
         # Snyder 30-1, 30-2: x = R(λ−λ0)cosφ, y = Rφ
         R, p = crs.a, crs.params
@@ -314,6 +400,8 @@ def inverse(crs, x, y):
         return _newton_refine(_tmerc_fwd, crs, x, y, lon, lat)
     if crs.proj == "aea":
         return _aea_inv(crs, x, y)
+    if crs.proj == "stere":
+        return _stere_inv(crs, x, y)
     if crs.proj == "sinu":
         # Snyder 30-6, 30-7: φ = y/R, λ = λ0 + x/(R cosφ); at the
         # poles cosφ → 0 and every λ maps to the same point — pin λ0
