@@ -2249,3 +2249,58 @@ def x_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_in_cluster",
                         F.count(F.lit(1)).over(cwin).cast("long"))
             .filter(F.col("rnk") <= 10))
+
+
+@register("x_snapshot_branch", """
+WITH ev AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 2 = 0),
+od AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id % 2 = 1 AND doc_id < 1000),
+merged AS (SELECT * FROM ev UNION ALL SELECT * FROM od)
+SELECT 'main_before' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ev
+UNION ALL
+SELECT 'branch_view', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
+UNION ALL
+SELECT 'main_after_merge', count(*), CAST(sum(n_chars) AS BIGINT)
+FROM merged
+""")
+def x_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/merge lifecycle of the snapshot store (round 8 —
+    sinks/snapshot.py refs.json, the Nessie/Iceberg named-ref
+    recipe): publish evens on main, branch, append the odd slice ON
+    THE BRANCH, prove main is isolated, then fast-forward merge and
+    prove main now carries both. The oracle recomputes each view from
+    the raw table, so a hash match proves branch isolation AND merge
+    visibility, not just row counts. Divergence rejection, expire
+    protection and vacuum safety are pinned in tests/test_snapshot.py."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore
+    from .tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"]) \
+        ["documents"].select("doc_id", F.col("n_chars").cast("long"))
+    root = scratch_dir("snap_branch_")
+    rows = []
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 2 == 0))
+        st.create_branch("rework")
+        st.write(docs.filter((F.col("doc_id") % 2 == 1)
+                             & (F.col("doc_id") < 1000)),
+                 branch="rework")
+        agg = lambda df: df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("s")).collect()[0]
+        mb = agg(st.read(spark))                      # branch invisible
+        bv = agg(st.read(spark, branch="rework"))
+        st.merge_branch("rework")
+        ma = agg(st.read(spark))                      # now visible
+        rows = [("main_before", mb.n, mb.s), ("branch_view", bv.n, bv.s),
+                ("main_after_merge", ma.n, ma.s)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long")

@@ -67,40 +67,147 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(version))  # atomic publish
         return version
 
+    # -- branch refs (Nessie/Iceberg-style named heads) ----------------
+    # The manifest log stays one global append-only sequence of commit
+    # ids; refs.json maps branch name -> head commit. Absent refs.json
+    # (pre-branch stores) resolves main to the latest commit, so every
+    # existing store keeps working unchanged.
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, _MANIFESTS, "refs.json")
+
+    def _read_refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+
+    def head(self, branch: str = "main") -> int | None:
+        refs = self._read_refs()
+        if branch in refs:
+            return refs[branch]
+        if branch == "main":
+            vs = self.versions()
+            return vs[-1] if vs else None
+        raise ValueError(f"unknown branch {branch!r}")
+
+    def branches(self) -> dict[str, int | None]:
+        refs = self._read_refs()
+        refs.setdefault("main", self.head("main"))
+        return refs
+
+    def create_branch(self, name: str,
+                      from_version: int | None = None) -> int | None:
+        """Point a new named ref at ``from_version`` (default: main's
+        head). Metadata-only — no data moves, instant at any scale
+        (the Nessie/Iceberg branch recipe)."""
+        if name == "main":
+            raise ValueError("main exists implicitly")
+        refs = self._read_refs()
+        if name in refs:
+            raise ValueError(f"branch {name!r} already exists")
+        head = self.head("main") if from_version is None else from_version
+        refs.setdefault("main", self.head("main"))
+        refs[name] = head
+        self._write_refs(refs)
+        return head
+
+    def _is_ancestor(self, anc: int | None, desc: int | None) -> bool:
+        """Walk desc's parent chain looking for anc. A None ancestor
+        (empty branch point) is an ancestor of everything; a chain
+        broken by expired manifests is treated as unprovable."""
+        if anc is None:
+            return True
+        v = desc
+        while v is not None:
+            if v == anc:
+                return True
+            try:
+                v = self._read_manifest(v).get("parent")
+            except OSError:
+                return False
+        return False
+
+    def merge_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head. Requires main's head
+        to be an ancestor of the branch head (no commits landed on
+        main since the branch point) — a diverged merge raises rather
+        than guessing a three-way data merge; rebase by re-running
+        the branch job on fresh main, the same discipline Nessie
+        enforces by default."""
+        refs = self._read_refs()
+        if name not in refs:
+            raise ValueError(f"unknown branch {name!r}")
+        b_head = refs[name]
+        m_head = self.head("main")
+        if not self._is_ancestor(m_head, b_head):
+            raise ValueError(
+                f"branch {name!r} (head v{b_head}) has diverged from "
+                f"main (head v{m_head}): fast-forward only")
+        refs["main"] = b_head
+        del refs[name]
+        self._write_refs(refs)
+        return b_head
+
+    def _advance(self, branch: str, version: int) -> None:
+        refs = self._read_refs()
+        if branch != "main" and branch not in refs:
+            raise ValueError(f"unknown branch {branch!r}")
+        refs.setdefault("main", None)
+        refs[branch] = version
+        if refs.get("main") is None and branch == "main":
+            refs["main"] = version
+        self._write_refs(refs)
+
     # -- write path ---------------------------------------------------
-    def write(self, df: DataFrame, mode: str = "append") -> int:
-        """Commit ``df`` as a new version. ``mode='append'`` adds its
-        files to the current view; ``'overwrite'`` replaces the view.
-        Data lands under a unique subdir first; the manifest commit is
-        the only publication point."""
+    def write(self, df: DataFrame, mode: str = "append",
+              branch: str = "main") -> int:
+        """Commit ``df`` as a new version on ``branch`` (default
+        main). ``mode='append'`` adds its files to the branch head's
+        view; ``'overwrite'`` replaces the view. Data lands under a
+        unique subdir first; the manifest commit is the only
+        publication point, and the ref advance after it is what makes
+        the commit visible on the branch."""
         sub = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("error").parquet(sub)
         new_files = sorted(
             os.path.join(sub, f) for f in os.listdir(sub)
             if f.endswith(".parquet") and not f.startswith("."))
-        vs = self.versions()
-        parent = vs[-1] if vs else None
+        parent = self.head(branch)
         base = self._read_manifest(parent)["files"] \
             if (parent is not None and mode == "append") else []
-        return self._commit(base + new_files, mode, parent)
+        v = self._commit(base + new_files, mode, parent)
+        self._advance(branch, v)
+        return v
 
     def rollback(self, to_version: int) -> int:
-        """Metadata-only revert: new version = ``to_version``'s file
-        list. Instant at any scale."""
+        """Metadata-only revert of MAIN: new version = ``to_version``'s
+        file list. Instant at any scale."""
         files = self._read_manifest(to_version)["files"]
-        return self._commit(files, f"rollback[{to_version}]",
-                            (self.versions() or [None])[-1])
+        v = self._commit(files, f"rollback[{to_version}]",
+                         self.head("main"))
+        self._advance("main", v)
+        return v
 
     # -- read path ----------------------------------------------------
     def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame:
-        """The table AS OF ``version`` (default latest). Empty-log or
-        empty-file-list versions are an error — there is nothing to
-        infer a schema from."""
+             version: int | None = None,
+             branch: str = "main") -> DataFrame:
+        """The table AS OF ``version`` (default: the branch's head).
+        Empty-log or empty-file-list versions are an error — there is
+        nothing to infer a schema from."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no snapshots at {self.root}")
-        v = vs[-1] if version is None else version
+        v = self.head(branch) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"branch {branch!r} has no commits")
         files = self._read_manifest(v)["files"]
         if not files:
             raise FileNotFoundError(f"version {v} is empty")
@@ -148,6 +255,11 @@ class SnapshotStore:
         are generated per-restart and restarts are unbounded."""
         vs = self.versions()
         dropped = vs[:-keep_last] if keep_last > 0 else vs
+        # a named ref's head must survive expiry — dropping it would
+        # orphan the branch (its manifest IS its file list); main's
+        # head is protected by the keep_last window itself
+        protected = set(self._read_refs().values())
+        dropped = [v for v in dropped if v not in protected]
         drop_set = set(dropped)
         ledger = self._read_ledger()
         changed = False
@@ -239,7 +351,7 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
     lists."""
     import pyarrow.parquet as pq
 
-    current = store.versions()[-1]
+    current = store.head("main")
     files = store._read_manifest(current)["files"]
     skeys = sorted(keys)
 
@@ -277,6 +389,7 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
             os.path.join(sub, f) for f in os.listdir(sub)
             if f.endswith(".parquet") and not f.startswith("."))
     version = store._commit(new_files, f"delete[{key_col}]", current)
+    store._advance("main", version)
     return version, len(touched)
 
 
@@ -381,8 +494,7 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
     new_files = sorted(
         os.path.join(sub, f) for f in os.listdir(sub)
         if f.endswith(".parquet") and not f.startswith("."))
-    vs = store.versions()
-    parent = vs[-1] if vs else None
+    parent = store.head("main")
     base = store._read_manifest(parent)["files"] \
         if (parent is not None and mode == "append") else []
     version = (store.versions() or [0])[-1] + 1
@@ -393,6 +505,7 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, store._manifest_path(version))
+    store._advance("main", version)
     return version
 
 

@@ -341,3 +341,68 @@ def test_active_run_id_zero_streams_logs_fallback(caplog):
                          logger="cube_builder_spark.sinks.snapshot"):
         assert _active_run_id(df) == "batch"
     assert any("run_id explicitly" in r.message for r in caplog.records)
+
+
+# Branch refs (round 8 — Nessie/Iceberg-style named heads over the
+# same manifest log) ---------------------------------------------------------
+
+def test_branch_isolation_and_fast_forward_merge(spark, tmp_path):
+    """A branch write is invisible on main until merged; merge is a
+    metadata-only fast-forward; the branch ref disappears after
+    merge."""
+    st = SnapshotStore(str(tmp_path / "t"))
+    st.write(_df(spark, 0, 3))                      # main v1
+    st.create_branch("rework")
+    st.write(_df(spark, 3, 6), branch="rework")     # v2 on rework
+    assert st.read(spark).count() == 3              # main untouched
+    assert st.read(spark, branch="rework").count() == 6
+    assert st.branches() == {"main": 1, "rework": 2}
+    v = st.merge_branch("rework")                   # fast-forward
+    assert v == 2
+    assert st.read(spark).count() == 6
+    assert "rework" not in st.branches()
+
+
+def test_branch_diverged_merge_rejected(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "t"))
+    st.write(_df(spark, 0, 3))                      # main v1
+    st.create_branch("rework")
+    st.write(_df(spark, 3, 6), branch="rework")     # v2 on branch
+    st.write(_df(spark, 6, 9))                      # v3 on main: diverged
+    with pytest.raises(ValueError, match="diverged"):
+        st.merge_branch("rework")
+    # both views still intact
+    assert st.read(spark).count() == 6              # v1 + v3
+    assert st.read(spark, branch="rework").count() == 6  # v1 + v2
+
+
+def test_branch_head_survives_expire_and_vacuum(spark, tmp_path):
+    """expire() must not drop a branch head's manifest, and vacuum()
+    must not reclaim its data files, no matter how far main moves
+    on."""
+    st = SnapshotStore(str(tmp_path / "t"))
+    st.write(_df(spark, 0, 3))                      # v1
+    st.create_branch("old")
+    st.write(_df(spark, 3, 6), branch="old")        # v2 = branch head
+    for i in range(4):                              # main v3..v6
+        st.write(_df(spark, 10 + i, 11 + i), mode="overwrite")
+    st.expire(keep_last=1)
+    st.vacuum()
+    assert 2 in st.versions()                       # head manifest kept
+    assert st.read(spark, branch="old").count() == 6  # data intact
+    # and the expired middle of main is really gone
+    assert 3 not in st.versions()
+
+
+def test_branch_unknown_and_duplicate_errors(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "t"))
+    st.write(_df(spark, 0, 3))
+    st.create_branch("b")
+    with pytest.raises(ValueError, match="already exists"):
+        st.create_branch("b")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.write(_df(spark, 0, 1), branch="nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.read(spark, branch="nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        st.merge_branch("nope")
