@@ -406,3 +406,88 @@ def test_branch_unknown_and_duplicate_errors(spark, tmp_path):
         st.read(spark, branch="nope")
     with pytest.raises(ValueError, match="unknown branch"):
         st.merge_branch("nope")
+
+
+# Model-based property test (round 8): random op sequences vs a pure
+# in-memory model of the store's visible state ------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("write"), st.integers(0, 7),
+                      st.sampled_from(["append", "overwrite"])),
+            st.tuples(st.just("branch_write"), st.integers(0, 7),
+                      st.just("append")),
+            st.tuples(st.just("create_branch"), st.integers(0, 0),
+                      st.just("")),
+            st.tuples(st.just("merge"), st.integers(0, 0), st.just("")),
+            st.tuples(st.just("rollback_first"), st.integers(0, 0),
+                      st.just("")),
+        ),
+        min_size=1, max_size=7)
+
+    @settings(max_examples=12, deadline=None)
+    @given(ops=_ops)
+    def test_store_matches_model_under_op_sequences(ops, spark, tmp_path_factory):
+        """Any sequence of write / branch-write / create-branch /
+        fast-forward-merge / rollback leaves main and the branch
+        showing EXACTLY what a trivial in-memory model predicts —
+        divergence rejections included."""
+        root = tmp_path_factory.mktemp("prop")
+        stq = SnapshotStore(str(root / "s"))
+        model = {"main": [], "b": None}          # visible id-batches
+        versions = {}                            # version -> main view
+        branch_base_is_main_head = [False]
+
+        def batch(i):
+            return list(range(i * 10, i * 10 + 3))
+
+        for op, i, mode in ops:
+            if op == "write":
+                if mode == "overwrite":
+                    model["main"] = [batch(i)]
+                else:
+                    model["main"] = model["main"] + [batch(i)]
+                v = stq.write(_df(spark, i * 10, i * 10 + 3), mode=mode)
+                versions[v] = list(model["main"])
+                branch_base_is_main_head[0] = False
+            elif op == "create_branch":
+                if model["b"] is None and model["main"]:
+                    stq.create_branch("b")
+                    model["b"] = list(model["main"])
+                    branch_base_is_main_head[0] = True
+            elif op == "branch_write":
+                if model["b"] is not None:
+                    stq.write(_df(spark, i * 10, i * 10 + 3), branch="b")
+                    model["b"] = model["b"] + [batch(i)]
+            elif op == "merge":
+                if model["b"] is not None:
+                    if branch_base_is_main_head[0]:
+                        stq.merge_branch("b")
+                        model["main"] = list(model["b"])
+                        model["b"] = None
+                    else:
+                        with pytest.raises(ValueError, match="diverged"):
+                            stq.merge_branch("b")
+                        # model unchanged; drop the stuck branch from
+                        # further play
+                        continue
+            elif op == "rollback_first":
+                if versions:
+                    v0 = min(versions)
+                    stq.rollback(v0)
+                    model["main"] = list(versions[v0])
+                    branch_base_is_main_head[0] = False
+
+        def flat(batches):
+            return sorted(x for b in batches for x in b)
+
+        if model["main"]:
+            assert _ids(stq.read(spark)) == flat(model["main"])
+        if model["b"] is not None:
+            assert _ids(stq.read(spark, branch="b")) == flat(model["b"])
+except ImportError:  # pragma: no cover
+    pass

@@ -347,3 +347,41 @@ def test_polar_stereographic_epsg_codes_and_sphere_form():
 def test_oblique_stereographic_rejected():
     with pytest.raises(ValueError, match="polar aspect"):
         parse_crs("+proj=stere +lat_0=52.15 +lon_0=5.38 +ellps=WGS84")
+
+
+def test_warp_scenes_onto_polar_grid(spark):
+    """Round 8 integration: a UTM-north scene warped onto an
+    EPSG:3413 (NSIDC polar stereographic) target tile through the
+    full warp_scenes path — every warped pixel's value must equal the
+    source pixel its center inverse-maps to (the same center-oracle
+    as the sinu/Albers cross-CRS tests). Proves the new family works
+    end-to-end in the C1 merge path, not just as point transforms."""
+    from cube_builder_spark.sinks.cog import write_geotiff_band
+
+    arr = (np.arange(1024, dtype=np.int32) % 3000).astype(np.int16) \
+        .reshape(32, 32)
+    # a scene up at ~79N in UTM zone 33N
+    west, north = 450000.0, 8800000.0
+    buf = write_geotiff_band(arr, pixel_size=(60.0, 60.0),
+                             origin=(west, north), nodata=-9999)
+    files = spark.createDataFrame(
+        [("s1", bytearray(buf))], "path string, content binary")
+
+    cx, cy = transform_points("EPSG:32633", "EPSG:3413",
+                              np.array([west + 16 * 60.0]),
+                              np.array([north - 16 * 60.0]))
+    tiles = [{"tile_id": 3, "west": float(cx[0]) - 480.0,
+              "north": float(cy[0]) + 480.0, "width": 16, "height": 16,
+              "res": 60.0}]
+    rows = warp_scenes(files, tiles, "EPSG:3413", "EPSG:32633").collect()
+    assert len(rows) > 200
+    src_tr = Affine.from_origin(west, north, 60.0, 60.0).invert()
+    for r in rows[:50]:
+        pr, pc = divmod(r.pixel_id, 16)
+        dx = tiles[0]["west"] + (pc + 0.5) * 60.0
+        dy = tiles[0]["north"] - (pr + 0.5) * 60.0
+        sx, sy = transform_points("EPSG:3413", "EPSG:32633",
+                                  np.array([dx]), np.array([dy]))
+        scol, srow = src_tr.apply(sx[0], sy[0])
+        want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
+        assert r.value == int(want)
