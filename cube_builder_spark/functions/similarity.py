@@ -756,3 +756,47 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                          qv, cb, m_sub, ks)
     return (scored.filter(F.col("vec_id") != query_vec_id)
             .orderBy(F.desc("adc_cosine"), "vec_id").limit(k))
+
+
+def mips_topk(embeddings: DataFrame, query_vec_id: int = 0,
+              k: int = 10) -> DataFrame:
+    """Maximum-inner-product top-k (un-normalized dot product — the
+    retrieval scoring for embeddings whose NORM carries signal, e.g.
+    DPR-style relevance or popularity-scaled item vectors, where
+    cosine's normalization throws that signal away). Same
+    broadcast-query / no-candidate-shuffle shape as
+    brute_force_topk; scores are exact int64 dot products of the
+    quantized vectors (no float reduction order in play at all)."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(quantize(F.col("embedding")).alias("qv")))
+    cand = (embeddings.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", quantize(F.col("embedding")).alias("ev")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    dot_q(F.col("ev"), F.col("qv")).cast("long")
+                    .alias("dot"))
+            .orderBy(F.desc("dot"), "vec_id").limit(k))
+
+
+def filtered_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                  k: int = 10, pred=None) -> DataFrame:
+    """Metadata-filtered exact cosine top-k — the 'filtered vector
+    search' every production vector store ships (only candidates
+    passing an attribute predicate compete). The predicate applies
+    BEFORE scoring, so Catalyst pushes it to the scan and the
+    dot-product work shrinks with the selectivity — pre-filtering,
+    not the post-filter-then-hope-k-survive shortcut, which at low
+    selectivity silently returns fewer than k."""
+    cand = embeddings.filter(F.col("vec_id") != query_vec_id)
+    if pred is not None:
+        cand = cand.filter(pred)
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(quantize(F.col("embedding")).alias("qv")))
+    cand = cand.select("vec_id", quantize(F.col("embedding")).alias("ev"))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    (dot_q(F.col("ev"), F.col("qv"))
+                     / (F.sqrt(dot_q(F.col("ev"), F.col("ev")))
+                        * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(k))

@@ -2304,3 +2304,36 @@ def x_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long")
+
+
+@register("a_ann_mips_topk", f"""
+WITH {_EV_SQL}
+SELECT eb.vec_id,
+       CAST(list_dot_product(ea.v, eb.v) AS BIGINT) AS dot
+FROM ev ea CROSS JOIN ev eb
+WHERE ea.vec_id = 0 AND eb.vec_id <> 0
+ORDER BY dot DESC, eb.vec_id LIMIT 10
+""")
+def a_ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (similarity.mips_topk):
+    un-normalized dot-product top-k for norm-carrying embeddings.
+    Exact int64 dots of the quantized vectors — no float reduction
+    order anywhere."""
+    return similarity.mips_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("a_ann_filtered_topk", f"""
+WITH {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM ev ea CROSS JOIN ev eb
+WHERE ea.vec_id = 0 AND eb.vec_id <> 0 AND eb.vec_id % 7 = 3
+ORDER BY cosine DESC, eb.vec_id LIMIT 10
+""")
+def a_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.filtered_topk):
+    only candidates passing the attribute predicate compete —
+    pre-filtering (predicate reaches the scan), never
+    post-filter-then-truncate."""
+    return similarity.filtered_topk(
+        _embs(spark, sf_dir), query_vec_id=0, k=10,
+        pred=F.col("vec_id") % 7 == 3)
