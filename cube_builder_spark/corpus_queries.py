@@ -1293,3 +1293,76 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.unpersist()
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, cnt long")
+
+
+@register("t_corpus_drift", """
+WITH tok AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM tok GROUP BY token
+),
+n AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+             CAST(sum(c_b) AS BIGINT) AS nb FROM c),
+d AS (
+  SELECT c.token, c.c_a, c.c_b,
+         abs(c.c_a * n.nb - c.c_b * n.na) AS drift_num
+  FROM c CROSS JOIN n
+)
+SELECT token, c_a, c_b, CAST(drift_num AS BIGINT) AS drift_num
+FROM (
+  SELECT token, c_a, c_b, drift_num FROM (
+    SELECT token, c_a, c_b, drift_num,
+           row_number() OVER (ORDER BY drift_num DESC, token) AS rn
+    FROM d) WHERE rn <= 20
+  UNION ALL
+  SELECT '__total__', n.na, n.nb,
+         (SELECT sum(drift_num) FROM d) FROM n
+)
+""")
+def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection between two snapshots (here the even /
+    odd doc_id halves stand in for version N and N+1): per-token
+    count deltas plus the overall unnormalized total-variation
+    numerator — the monitoring gate a continuously-ingesting corpus
+    needs before a silent source shift poisons a training mix.
+
+    Exactness: the drift statistic per token is |c_a*N_b - c_b*N_a| —
+    the exact integer numerator of |p_a - p_b| over the common
+    denominator N_a*N_b — so ranking, the top-20 cut and the total
+    are all engine-exact; no float division or libm log anywhere
+    (KL would hash-drift on ln). TVD itself = total/(2*N_a*N_b) if a
+    consumer wants the normalized score.
+
+    Scale shape: one token explode -> one conditional-sum groupBy
+    (map-side combine, vocab-bounded); the N_a/N_b scalars ride a
+    1-row cross join; top-20 is a single ordered limit."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    c = (tok.groupBy("token")
+         .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+              .cast("long").alias("c_a"),
+              F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+              .cast("long").alias("c_b")))
+    n = c.agg(F.sum("c_a").cast("long").alias("na"),
+              F.sum("c_b").cast("long").alias("nb"))
+    d = (c.crossJoin(F.broadcast(n))
+         .withColumn("drift_num",
+                     F.abs(F.col("c_a") * F.col("nb")
+                           - F.col("c_b") * F.col("na"))))
+    top = (d.orderBy(F.desc("drift_num"), "token").limit(20)
+           .select("token", "c_a", "c_b",
+                   F.col("drift_num").cast("long").alias("drift_num")))
+    total = (d.groupBy()
+             .agg(F.max("na").alias("c_a"), F.max("nb").alias("c_b"),
+                  F.sum("drift_num").cast("long").alias("drift_num"))
+             .select(F.lit("__total__").alias("token"),
+                     F.col("c_a").cast("long"), F.col("c_b").cast("long"),
+                     "drift_num"))
+    return top.unionByName(total)
