@@ -1889,3 +1889,52 @@ def c25_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("value").cast("long").alias("v_max"),
                  F.sum("value").cast("long").alias("v_sum"))
             .withColumn("v_mean", F.col("v_sum") * 1e0 / F.col("n_valid")))
+
+
+# C26 -------------------------------------------------------------------------
+
+@register("c26_blend_medoid", f"""
+WITH {{PIXELS}},
+clear AS (
+  SELECT tile_id, pixel_id, doy, value AS b1,
+         ((value + 10000) * 31 + doy * 97) % 20001 - 10000 AS b2
+  FROM pixels WHERE quality IN (4,5,6)
+),
+dist AS (
+  SELECT i.tile_id AS tile_id, i.pixel_id AS pixel_id, i.doy AS doy,
+         i.b1 AS b1,
+         sum(abs(i.b1 - j.b1) + abs(i.b2 - j.b2)) AS sd,
+         count(*) AS n_clear
+  FROM clear i JOIN clear j
+    ON i.tile_id = j.tile_id AND i.pixel_id = j.pixel_id
+  GROUP BY i.tile_id, i.pixel_id, i.doy, i.b1
+),
+pick AS (
+  SELECT tile_id, pixel_id,
+         min((sd * 32 + doy) * 20002 + (b1 + 10001)) AS pk,
+         any_value(n_clear) AS n_clear
+  FROM dist GROUP BY tile_id, pixel_id
+),
+allpix AS (SELECT DISTINCT tile_id, pixel_id FROM pixels)
+SELECT a.tile_id, a.pixel_id,
+       CAST(coalesce(p.pk % 20002 - 10001, {BAND_NODATA}) AS BIGINT) AS medoid_value,
+       CAST(coalesce((p.pk // 20002) % 32, -1) AS BIGINT) AS medoid_doy,
+       CAST(coalesce(p.n_clear, 0) AS BIGINT) AS n_clear
+FROM allpix a LEFT JOIN pick p
+  ON a.tile_id = p.tile_id AND a.pixel_id = p.pixel_id
+""".replace("{PIXELS}", PIXELS_SQL))
+def c26_blend_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: L1 MEDOID composite (Roberts et al. 2017 / Digital Earth
+    Australia's medoid product) — per pixel, the clear observation
+    minimizing the summed L1 distance to all other clear observations
+    in a 2-band space; ties break (doy, b1) ascending; pixels with no
+    clear observation report (nodata, -1, 0). Exact-integer distances
+    make the pick engine-independent.
+
+    The oracle is the textbook O(T²) SELF-JOIN (one row per ordered
+    clear pair, re-aggregated, packed-integer argmin); the Spark plan
+    is the at-scale shape — one groupBy collecting the bounded clear
+    stack, pairwise sums via higher-order array expressions inside
+    codegen, no second shuffle. A hash match proves the two plans
+    compute the same composite."""
+    return blend.blend_medoid(pixel_plane(spark, sf_dir))

@@ -411,3 +411,129 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_df: int = 2,
                  (F.max("pos") + (k - 1)).alias("span_end"),
                  F.count(F.lit(1)).alias("n_grams"))
             .drop("island"))
+
+
+def allpairs_jaccard(docs: DataFrame, k: int = 5, threshold: float = 0.5,
+                     text_col: str = "text") -> DataFrame:
+    """EXACT threshold Jaccard similarity self-join via prefix
+    filtering (AllPairs, Bayardo et al. WWW'07; prefix lemma as in
+    PPJoin, Xiao et al. WWW'08).
+
+    Unlike the LSH family (probabilistic recall, skew-capped buckets)
+    this returns EVERY pair of documents whose k-shingle-set Jaccard
+    is >= ``threshold`` — the contract a contamination audit or a
+    legal-compliance dedup needs. Losslessness: order each doc's
+    shingle set by ascending global document frequency (rarest
+    first); with prefix length |d| - ceil(tau*|d|) + 1, any pair with
+    J >= tau shares at least one PREFIX token under the common order
+    (prefix-filtering lemma), so joining on prefix tokens misses
+    nothing, and the exact verify discards false candidates.
+
+    Spark shape, stage by stage:
+      1. shingle sets (doc-partitioned, from ``shingles``);
+      2. token DF counts — one groupBy on the token (map-side
+         combined);
+      3. rarest-first order per doc — join tokens to DF counts (AQE
+         broadcasts the vocab-bounded count table when it fits,
+         plain hash join otherwise) + one groupBy(doc) sort_array;
+      4. prefix plane carries ONLY (doc_id, |d|) — never the shingle
+         array, which would be duplicated once per prefix token;
+      5. candidates from an in-array i<j expansion per prefix token
+         (doc_a < doc_b for free via sort_array), pre-pruned by the
+         exactness-preserving length bound min*100 >= tau*100*max
+         (J <= min/max), then a scalar distinct;
+      6. verify joins the candidate ids back to the set table twice
+         and keeps J >= tau.
+
+    At 100 TB: rarest-first ordering makes prefix-token groups small
+    on natural corpora (the frequent tokens sit at the ends of the
+    orderings, never in short prefixes); a pathological corpus of
+    near-identical docs degrades toward the output size itself, which
+    is O(pairs) by definition of an exact join — the scale remedies
+    (PPJoin positional upper bound, suffix filtering) tighten stage 5
+    without changing stages 1-4 or the verify contract."""
+    ti = int(round(threshold * 100))
+    if abs(ti / 100.0 - threshold) > 1e-12:
+        raise ValueError("threshold must be a multiple of 0.01")
+    sh = shingles(docs, text_col, k)
+    sets = (sh.select("doc_id", F.array_distinct("shingles").alias("s"))
+            .filter(F.size("s") > 0))
+    tok = sets.select("doc_id", F.size("s").alias("n"),
+                      F.explode("s").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    ordered = (tok.join(dfreq, "w")
+               .groupBy("doc_id", "n")
+               .agg(F.sort_array(F.collect_list(F.struct("dfreq", "w")))
+                    .alias("ord")))
+    plen = F.expr(f"n - ((n * {ti} + 99) div 100) + 1").cast("int")
+    prefix = (ordered
+              .select("doc_id", "n",
+                      F.explode(F.slice(F.col("ord"), F.lit(1), plen))
+                      .alias("pw"))
+              .select(F.col("pw.w").alias("w"),
+                      F.struct("doc_id", "n").alias("m")))
+    plane = (prefix.groupBy("w")
+             .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+             .filter(F.size("ms") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["doc_id"].alias("doc_a"),
+                               y["doc_id"].alias("doc_b"),
+                               x["n"].alias("na"), y["n"].alias("nb")))))
+    cand = (plane.select(F.explode(combos).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+            .filter(F.least("na", "nb") * 100 >= F.greatest("na", "nb") * ti)
+            .select("doc_a", "doc_b").dropDuplicates())
+    va = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    vb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (cand.join(va, "doc_a").join(vb, "doc_b")
+            .select("doc_a", "doc_b", inter.alias("c"),
+                    F.size("sa").alias("na"), F.size("sb").alias("nb"))
+            .select("doc_a", "doc_b",
+                    (F.col("c") * F.lit(1e0)
+                     / (F.col("na") + F.col("nb") - F.col("c")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def blocked_entity_pairs(df: DataFrame, id_col: str, name_col: str,
+                         block_cols: list, max_edit: int = 3,
+                         max_block: int | None = None) -> DataFrame:
+    """Entity resolution: blocking + bounded pairwise verify — the
+    record-linkage shape (Fellegi-Sunter blocking; Christen 2012)
+    applied Spark-first.
+
+    All-pairs name comparison is O(N²) and never runs at 100 TB; the
+    standard fix is to compare only within BLOCKS that any true match
+    must share (here: equality on ``block_cols``, e.g. a phonetic or
+    first-token key plus a structured attribute), then verify with an
+    edit-distance bound. One groupBy on the block key collects each
+    block, the i<j in-array expansion yields ordered candidate pairs
+    (sort_array on struct(id, name) orders by id), and levenshtein
+    runs JVM-side on the exploded scalars — no join, no UDF, one
+    shuffle. ``max_block`` optionally drops degenerate blocks (the
+    skew cap for dirty blocking keys — at 100 TB a block bigger than
+    a few thousand means the key is not discriminating and needs
+    another pass with a narrower key, not a bigger cluster)."""
+    m = F.struct(F.col(id_col).alias("id"), F.col(name_col).alias("nm"))
+    grouped = (df.select(*block_cols, m.alias("m"))
+               .groupBy(*block_cols)
+               .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    if max_block is not None:
+        grouped = grouped.filter(F.size("ms") <= max_block)
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               x["nm"].alias("nm_a"), y["nm"].alias("nm_b")))))
+    return (grouped.select(F.explode(combos).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"),
+                    F.levenshtein("p.nm_a", "p.nm_b").cast("long")
+                    .alias("edit_dist"))
+            .filter(F.col("edit_dist") <= max_edit))

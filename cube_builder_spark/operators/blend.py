@@ -185,4 +185,57 @@ def blend_all(pixels: DataFrame, efficacy: DataFrame | None = None,
     )
 
 
+def blend_medoid(pixels: DataFrame, band2=None, clear_values=None,
+                 nodata: int = BAND_NODATA,
+                 keys: tuple[str, ...] = ("tile_id", "pixel_id")) -> DataFrame:
+    """C26 (beyond-reference): multi-band MEDOID composite.
 
+    The medoid composite (Roberts, Mueller & McIntyre 2017, "High-
+    dimensional pixel composites from Earth observation time series";
+    the method behind Digital Earth Australia's annual geomedian/
+    medoid products) picks, per pixel, the OBSERVATION minimizing the
+    sum of distances to all other clear observations of that pixel —
+    unlike per-band median (C3) it returns a spectrally consistent
+    real observation, never a synthetic band mix. The reference's
+    blend family (processing.py:541-967) stops at LCF/MED; medoid is
+    the standard next composite a cube user asks for.
+
+    This implementation uses the L1 (Manhattan) norm over the band
+    vector so every distance and distance-sum is an exact integer —
+    bit-identical in any engine — with a deterministic lexicographic
+    (sum_dist, doy, b1) tie-break. ``band2`` is the second band column
+    (defaults to a deterministic derived band so the single-band test
+    plane exercises a genuinely 2-D medoid).
+
+    Spark shape: ONE partial-aggregated groupBy on the work-unit key
+    collects each pixel's bounded clear stack (≤ timeline depth T,
+    16 here, ~23-46/yr for real cubes) into an array, then the
+    O(T²) pairwise sums and the argmin run as higher-order array
+    expressions INSIDE whole-stage codegen — no self-join (which
+    would shuffle the plane twice and fan out T× before aggregating),
+    no window, no Python. At 100 TB the cost is the same single
+    pixel-key shuffle every other blend pays, plus bounded per-row
+    compute. The oracle states the same semantics as the textbook
+    O(T²) self-join — two independent plans, one hash."""
+    if band2 is None:
+        band2 = ((F.col("value") + 10000) * 31 + F.col("doy") * 97) % 20001 - 10000
+    is_clear = F.col("quality").isin(*(clear_values or CLEAR_VALUES))
+    obs = F.when(is_clear, F.struct(
+        F.col("value").cast("long").alias("b1"),
+        band2.cast("long").alias("b2"),
+        F.col("doy").cast("long").alias("doy")))
+    grouped = (
+        pixels.groupBy(*keys)
+        .agg(F.collect_list(obs).alias("arr"),
+             F.count(F.when(is_clear, F.lit(1))).alias("n_clear"))
+    )
+    best = F.array_min(F.expr(
+        "transform(arr, x -> struct("
+        "  aggregate(arr, 0L, (a, y) -> a + abs(x.b1 - y.b1) + abs(x.b2 - y.b2)) AS sd,"
+        "  x.doy AS doy, x.b1 AS b1))"))
+    return grouped.select(
+        *keys,
+        F.coalesce(best["b1"], F.lit(nodata)).cast("long").alias("medoid_value"),
+        F.coalesce(best["doy"], F.lit(-1)).cast("long").alias("medoid_doy"),
+        F.col("n_clear").cast("long").alias("n_clear"),
+    )

@@ -240,6 +240,69 @@ def d_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_df=_SPAN_MAX_DF)
 
 
+_AP_K = 5          # shingle width for the exact similarity join
+_AP_TAU = 0.5      # Jaccard threshold
+
+
+@register("d_allpairs_jaccard", f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_AP_K - 1}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+           AS s
+  FROM toks WHERE len(t) >= {_AP_K}
+),
+tok AS (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, c * 1e0 / (na + nb - c) AS jaccard
+FROM inter WHERE c * 1e0 / (na + nb - c) >= {_AP_TAU}
+""")
+def d_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold similarity self-join (AllPairs/PPJoin prefix
+    filtering) — every doc pair with 5-shingle Jaccard >= 0.5, no
+    LSH recall loss. The oracle is the brute-force token join over
+    ALL shared shingles; the Spark side generates candidates only
+    from rarest-first PREFIX tokens plus the length bound, then
+    verifies — two very different plans, one hash
+    (dedup.allpairs_jaccard for the lossless-prefix argument)."""
+    return dedup.allpairs_jaccard(_docs(spark, sf_dir), k=_AP_K,
+                                  threshold=_AP_TAU)
+
+
+@register("d_entity_resolution", """
+WITH b AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS w1
+  FROM part
+)
+SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
+FROM b a JOIN b c
+  ON a.w1 = c.w1 AND a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) <= 3
+""")
+def d_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part master: blocking on
+    (first name token, brand) then a levenshtein <= 3 verify —
+    record-linkage's blocking+verify shape (the all-pairs O(N²)
+    compare is replaced by bounded within-block compares; see
+    dedup.blocked_entity_pairs for the 100 TB posture). The oracle
+    is the equivalent self-join formulation; both engines share the
+    standard Levenshtein metric."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    blocked = part.select(
+        "p_partkey", "p_name", "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("w1"))
+    return dedup.blocked_entity_pairs(
+        blocked, id_col="p_partkey", name_col="p_name",
+        block_cols=["w1", "p_brand"], max_edit=3)
+
+
 # Unrolled min-label propagation steps (l1..l6): both engines run the
 # SAME fixed number of rounds, so the output is deterministic and
 # hash-comparable even on a not-yet-converged component (it isn't one:
@@ -2088,6 +2151,60 @@ def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "change string, doc_id long")
+
+
+@register("x_incremental_mv", """
+WITH v2 AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 'moved' ELSE source END AS source,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                   ELSE n_chars END AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM v2 GROUP BY source
+""")
+def x_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: publish v1, build
+    the per-source (count, sum) MV ONCE, overwrite with a v2 that
+    adds, drops, mutates AND moves rows between groups, then roll the
+    MV forward from the CDC diff alone (sinks/snapshot.incremental_mv
+    — delta-sized work, never a re-scan). The oracle recomputes the
+    same MV from scratch on v2's rules, so a hash match proves the
+    delta rules are EXACT, including the group-move double-delta and
+    zero-count group drop."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, incremental_mv, snapshot_diff
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_mv_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 != 0))          # v1
+        mv1 = (st.read(spark, 1).groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("n_chars").cast("long").alias("sum_chars")))
+        st.write(                                                # v2
+            docs.filter(F.col("doc_id") % 2 == 0)
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 7 == 0,
+                                   F.col("n_chars") + 5)
+                            .otherwise(F.col("n_chars")))
+                .withColumn("source",
+                            F.when(F.col("doc_id") % 11 == 0, F.lit("moved"))
+                            .otherwise(F.col("source"))),
+            mode="overwrite")
+        diff = snapshot_diff(st, spark, 1, 2, ["doc_id"],
+                             include_payload=True)
+        rows = incremental_mv(mv1, diff, "source",
+                              {"sum_chars": "n_chars"}).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_rows long, sum_chars long")
 
 
 @register("p_token_budget_mix", """

@@ -305,7 +305,8 @@ class SnapshotStore:
 
 def snapshot_diff(store: SnapshotStore, spark: SparkSession,
                   v_old: int, v_new: int,
-                  key_cols: list[str]) -> DataFrame:
+                  key_cols: list[str],
+                  include_payload: bool = False) -> DataFrame:
     """Semantic diff between two versions keyed by ``key_cols``:
     one row per added / removed / changed key (unchanged rows are
     filtered out — at scale the diff is delta-sized, not
@@ -331,8 +332,50 @@ def snapshot_diff(store: SnapshotStore, spark: SparkSession,
               .when(F.col("_o") != F.col("_n"), F.lit("changed")))
     keys = [F.coalesce(F.col(c), F.col(f"_k_{c}")).alias(c)
             for c in key_cols]
-    return (j.select(change.alias("change"), *keys)
+    payload = ([F.col("_o").alias("old"), F.col("_n").alias("new")]
+               if include_payload else [])
+    return (j.select(change.alias("change"), *keys, *payload)
             .filter(F.col("change").isNotNull()))
+
+
+def incremental_mv(mv_old: DataFrame, diff: DataFrame, group_col: str,
+                   sums: dict[str, str],
+                   count_col: str = "n_rows") -> DataFrame:
+    """Incrementally maintain a per-group (count, SUM...) materialized
+    aggregate from a payload-carrying CDC diff (``snapshot_diff(...,
+    include_payload=True)``) — the classic self-maintainable-aggregate
+    delta rules (Gupta & Mumick's materialized-view maintenance; the
+    mechanism behind Delta/Snowflake incremental MVs).
+
+    Each diff row contributes up to two signed deltas: the OLD side
+    (removed/changed) subtracts (count 1, old values) under the OLD
+    group, the NEW side (added/changed) adds under the NEW group — so
+    updates that MOVE a row between groups maintain both groups
+    correctly. The deltas union with the old MV rows and one groupBy
+    re-sums; groups whose count reaches zero drop, matching a full
+    recompute exactly (SUM/COUNT are exact integers, so incremental
+    and recomputed MVs are bit-identical, not approximately equal).
+
+    At 100 TB the point IS this shape: the work scales with the DELTA
+    (changed keys) plus the MV size (groups), never with the table.
+    ``sums`` maps MV column -> source column."""
+    o = (diff.filter(F.col("change").isin("removed", "changed"))
+         .select(F.col(f"old.{group_col}").alias(group_col),
+                 F.lit(-1).cast("long").alias(count_col),
+                 *[(-F.col(f"old.{src}")).cast("long").alias(dst)
+                   for dst, src in sums.items()]))
+    n = (diff.filter(F.col("change").isin("added", "changed"))
+         .select(F.col(f"new.{group_col}").alias(group_col),
+                 F.lit(1).cast("long").alias(count_col),
+                 *[F.col(f"new.{src}").cast("long").alias(dst)
+                   for dst, src in sums.items()]))
+    base = mv_old.select(group_col, F.col(count_col).cast("long"),
+                         *[F.col(dst).cast("long") for dst in sums])
+    return (base.unionByName(o).unionByName(n)
+            .groupBy(group_col)
+            .agg(F.sum(count_col).alias(count_col),
+                 *[F.sum(dst).alias(dst) for dst in sums])
+            .filter(F.col(count_col) > 0))
 
 
 def delete_keys(store: SnapshotStore, spark: SparkSession,

@@ -106,3 +106,38 @@ def test_observation_counts(pixels):
     assert out[2].totalob == 1 and out[2].clearob == 0   # q=255 on 15/1
     assert out[3].totalob == 1 and out[3].clearob == 0
     assert out[5].totalob == 2 and out[5].clearob == 2
+
+
+def test_blend_medoid_hand_computed(spark):
+    """C26 medoid on a hand-worked 3-observation stack.
+
+    One pixel, explicit band2, clear obs (b1, b2, doy):
+      A = (0, 0, 1), B = (10, 0, 2), C = (12, 4, 3)
+      sd(A) = (10+0) + (12+4) = 26
+      sd(B) = (10+0) + (2+4)  = 16   <- medoid
+      sd(C) = (12+4) + (2+4)  = 22
+    Plus a cloudy obs (excluded) and a second pixel with NO clear obs
+    (nodata fill) and a tie pixel (two identical obs -> earlier doy).
+    """
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.operators.blend import blend_medoid
+
+    rows = [
+        # tile, pixel, doy, quality, value(b1), b2
+        (0, 0, 1, 4, 0, 0),
+        (0, 0, 2, 5, 10, 0),
+        (0, 0, 3, 6, 12, 4),
+        (0, 0, 4, 9, 999, 999),   # not clear: excluded
+        (0, 1, 1, 2, 5, 5),       # pixel 1: never clear
+        (0, 2, 1, 4, 7, 7),       # pixel 2: exact tie -> doy 1 wins
+        (0, 2, 2, 4, 7, 7),
+    ]
+    px = spark.createDataFrame(
+        rows, "tile_id long, pixel_id long, doy long, quality long, "
+              "value long, b2 long")
+    out = {r.pixel_id: r for r in
+           blend_medoid(px, band2=F.col("b2")).collect()}
+    assert (out[0].medoid_value, out[0].medoid_doy, out[0].n_clear) == (10, 2, 3)
+    assert (out[1].medoid_value, out[1].medoid_doy, out[1].n_clear) == (-9999, -1, 0)
+    assert (out[2].medoid_value, out[2].medoid_doy, out[2].n_clear) == (7, 1, 2)

@@ -261,3 +261,75 @@ def test_cosine_pairs_exact_cap_boundary(spark):
     over = cosine_dup_pairs(emb(cap + 1), num_planes=4, threshold=0.9,
                             max_bucket=cap).collect()
     assert over == []
+
+
+# AllPairs exact similarity join ----------------------------------------------
+
+def _brute_jaccard_pairs(docs, k, tau):
+    """Reference brute force in plain Python: distinct k-gram shingle
+    sets, every pair, exact Jaccard."""
+    sets = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < k:
+            continue
+        s = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        if s:
+            sets[doc_id] = s
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= tau:
+                    out[(a, b)] = j
+    return out
+
+
+def test_allpairs_jaccard_lossless_vs_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: over a seeded random corpus
+    dense with near-dups (tiny vocab), allpairs_jaccard returns
+    exactly the brute-force pair set, values equal to the same
+    float64 division."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(4, 15))))
+            for i in range(60)]
+    for tau in (0.3, 0.5, 0.8):
+        want = _brute_jaccard_pairs(docs, k=2, tau=tau)
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in dedup.allpairs_jaccard(
+                   spark.createDataFrame(docs, "doc_id long, text string"),
+                   k=2, threshold=tau).collect()}
+        assert got.keys() == want.keys(), (
+            f"tau={tau}: missing={want.keys() - got.keys()} "
+            f"extra={got.keys() - want.keys()}")
+        for key in want:
+            assert got[key] == want[key]
+
+
+def test_blocked_entity_pairs_blocks_and_cap(spark):
+    """Blocking restricts compares to same-block rows; the edit bound
+    and max_block cap both apply."""
+    rows = [
+        (1, "alpha widget x", "b1"),
+        (2, "alpha widget y", "b1"),     # dist 1 from id 1
+        (3, "alpha gadget zz", "b1"),    # dist > 2 from both
+        (4, "alpha widget x", "b2"),     # other block: never compared
+        (5, "beta thing", "b1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, nm string, blk string")
+    df = df.withColumn("w1", F.split(F.col("nm"), " ").getItem(0))
+    got = sorted((r.id_a, r.id_b, r.edit_dist) for r in
+                 dedup.blocked_entity_pairs(
+                     df, "id", "nm", ["w1", "blk"], max_edit=2).collect())
+    assert got == [(1, 2, 1)]
+    # cap drops the whole oversized block
+    got_capped = dedup.blocked_entity_pairs(
+        df, "id", "nm", ["w1", "blk"], max_edit=2, max_block=2).collect()
+    assert got_capped == []
