@@ -37,6 +37,7 @@ HEADLINE = [
     "r6_groupby_collect_timeline",
     "r16_grouping_sets",
     "x_pagerank_trade",
+    "x_triangle_count",
     "r11_multiway_join",
     "c2_blend_lcf",
     "c3_blend_med",
@@ -50,6 +51,8 @@ HEADLINE = [
     "c25_zonal_stats",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
+    "d_allpairs_jaccard",
+    "m_image_dhash_dups",
     "d_embedding_cosine_dups",
     "d_simhash",
     "d_repeated_spans",

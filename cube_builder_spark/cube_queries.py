@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .operators import blend, indexes, masking, mosaic, rescale
 from .pixelplane import BAND_NODATA, N_DATES, PIXELS_SQL, pixel_plane
+from .functions.numeric import round_half_up_long
 from .tables import load_tables
 
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -258,7 +259,7 @@ def c10_post_process_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 8).alias("tile_id"),
         ((F.col("l_suppkey") + F.col("l_linenumber")) % 12).alias("quality"),
         F.when(F.col("l_quantity") < 3, F.lit(BAND_NODATA))
-         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .otherwise(round_half_up_long(F.col("l_extendedprice"), 100) % 20001 - 10000)
          .alias("b_red"),
         F.when(F.col("l_tax") > 0.07, F.lit(BAND_NODATA))
          .otherwise((F.col("l_partkey") * 11 + F.col("l_orderkey")) % 20001 - 10000)
@@ -437,7 +438,7 @@ def c12_rescale_landsat_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 rescale (image.py:611-662): Landsat C2 uint16 →
     0.0000275/-0.2 reflectance → 1/10000 scale, int16 dtype clamp."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    v = (F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 65535 + 1)
+    v = (round_half_up_long(F.col("l_extendedprice"), 100) % 65535 + 1)
     return li.select(
         "l_orderkey", "l_linenumber",
         rescale.rescale(v, multiplier=0.0000275, new_scale=0.0001,
@@ -453,7 +454,7 @@ FROM lineitem
 def c13_linear_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C13 linear_raster_scale (image.py:711-737): quicklook 0-255 map."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    v = (F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+    v = (round_half_up_long(F.col("l_extendedprice"), 100) % 20001 - 10000)
     return li.select("l_orderkey", "l_linenumber",
                      rescale.linear_scale(v, (0.0, 10000.0), (0.0, 255.0)).alias("scaled"))
 
@@ -497,7 +498,7 @@ def c14_band_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = li.select(
         "l_orderkey", "l_linenumber",
         F.when(F.col("l_quantity") < 3, F.lit(BAND_NODATA))
-         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .otherwise(round_half_up_long(F.col("l_extendedprice"), 100) % 20001 - 10000)
          .alias("B04"),
         F.when(F.col("l_tax") > 0.07, F.lit(BAND_NODATA))
          .otherwise((F.col("l_partkey") * 11 + F.col("l_orderkey")) % 20001 - 10000)
@@ -562,7 +563,7 @@ def c1_mosaic_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.lit("2020-01-01").cast("date"),
                    (F.col("l_orderkey") % 5).cast("int")).alias("date"),
         F.when(F.col("l_quantity") < 5, F.lit(BAND_NODATA))
-         .otherwise(F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000)
+         .otherwise(round_half_up_long(F.col("l_extendedprice"), 100) % 20001 - 10000)
          .alias("value"),
         (F.col("l_suppkey") % 3).alias("source_idx"),
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_up_long
+
 from .tables import load_tables
 
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -69,7 +71,7 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 (F.sum(round_half_up_long(F.col("value"), 100)) / 100.0)
                  .alias("total_value")))
 
 
@@ -85,7 +87,7 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 (F.sum(round_half_up_long(F.col("value"), 100)) / 100.0)
                  .alias("total_value")))
 
 
@@ -109,7 +111,7 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
                        "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 (F.sum(round_half_up_long(F.col("value"), 100)) / 100.0)
                  .alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n", "total_value"))
@@ -147,7 +149,7 @@ def e_user_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily running total (cumulative window over pre-agg)."""
     ev = _events(spark, sf_dir)
     daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
-             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c")))
+             .agg(F.sum(round_half_up_long(F.col("value"), 100)).alias("v_c")))
     w = (Window.partitionBy("user_id").orderBy("day")
          .rowsBetween(Window.unboundedPreceding, 0))
     return daily.select("user_id", "day",
@@ -284,6 +286,28 @@ def x_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("x_stateful_sessions")
+
+
+@register("x_stream_funnel", None)
+def x_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP funnel (view -> click -> purchase per user-day,
+    Flink-CEP/MATCH_RECOGNIZE shape) via applyInPandasWithState —
+    rows-only check (arbitrary stateful streaming is not
+    SQL-expressible); equality against the batch e_funnel's
+    completed-stage rows below the final watermark is pinned in
+    tests/test_streaming.py, including out-of-order delivery."""
+    from .session import scratch_dir
+    from .streaming.cep import funnel_stream
+    from .streaming.events import EVENT_SCHEMA
+
+    d = scratch_dir("stream_funnel_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    q = (funnel_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("x_stream_funnel_sink").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("x_stream_funnel_sink")
 
 
 @register("x_stream_dedup", """

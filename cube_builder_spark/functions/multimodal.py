@@ -149,14 +149,16 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     """Decode mono PCM-16 WAV -> (rate, int16 samples). Stdlib
-    ``wave`` failures (wave.Error/EOFError on corrupt payloads)
-    normalize to ValueError — one error contract across all three
-    codecs."""
+    ``wave`` failures (wave.Error/EOFError on corrupt payloads, plus
+    the bare RuntimeError ``chunk.seek`` raises when a corrupted
+    chunk size puts the data cursor out of bounds — found by the
+    round-8 corruption fuzz) normalize to ValueError — one error
+    contract across all three codecs."""
     try:
         with wave.open(io.BytesIO(buf), "rb") as wf:
             rate = wf.getframerate()
             data = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as e:
+    except (wave.Error, EOFError, RuntimeError) as e:
         raise ValueError(f"corrupt WAV payload: {e}") from e
     if len(data) % 2:
         data = data[:-1]                     # truncated final sample
@@ -431,3 +433,80 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         "doc_id", "media_type", "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
                   ).alias("frame_idx"))
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images.
+
+    Per image: integer-weighted grayscale (299R+587G+114B)//1000 over
+    the decoded channels, nearest-neighbor sample onto a 9x8 grid
+    (sx = c*w//9, sy = r*h//8 — pure integer index math, no
+    interpolation, so every engine derives identical grids), then one
+    bit per horizontal gradient (right > left) — 64 bits packed as
+    TWO 32-bit halves (h0 rows 0-3, h1 rows 4-7) so neither engine
+    ever shifts into a sign bit. Decode + hash run in Arrow batches
+    (the real-codec path a PIL/turbojpeg decoder would plug into);
+    everything downstream is JVM columnar."""
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media_type, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if media_type != "image/bmp":
+                    continue
+                arr = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                gray = (299 * arr[..., 0] + 587 * arr[..., 1]
+                        + 114 * arr[..., 2]) // 1000
+                g = gray[np.ix_((np.arange(8) * h) // 8,
+                                (np.arange(9) * w) // 9)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)   # (8, 8)
+                rowvals = (bits << np.arange(8)).sum(axis=1)
+                h0 = int((rowvals[:4] << (8 * np.arange(4))).sum())
+                h1 = int((rowvals[4:] << (8 * np.arange(4))).sum())
+                rows.append((int(doc_id), h0, h1))
+            yield pd.DataFrame(rows, columns=["doc_id", "h0", "h1"])
+
+    return media.mapInPandas(dh, "doc_id long, h0 long, h1 long")
+
+
+def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — LOSSLESS
+    banding: the 64-bit hash splits into 8 byte-bands, and any pair
+    within Hamming distance <= 7 must agree on at least one band
+    (pigeonhole), so the bucket join misses nothing at the default
+    threshold 6. Per-bucket in-array i<j expansion (doc_a < doc_b via
+    sort_array on struct) then an exact popcount verify — the Hamming
+    twin of the MinHash-LSH shape, same skew posture (band buckets are
+    256-ary on a near-uniform byte)."""
+    if max_hamming > 7:
+        raise ValueError("8 byte-bands are only lossless for hamming <= 7")
+    bands = []
+    for half, col in ((0, "h0"), (1, "h1")):
+        for i in range(4):
+            bands.append(F.concat(
+                F.lit(f"{half * 4 + i}:"),
+                (F.shiftright(F.col(col), 8 * i).bitwiseAND(F.lit(255)))
+                .cast("string")))
+    m = F.struct(F.col("doc_id").alias("id"), F.col("h0").alias("a0"),
+                 F.col("h1").alias("a1"))
+    plane = hashes.select(m.alias("m"), F.explode(F.array(*bands))
+                          .alias("bucket"))
+    grouped = (plane.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["id"].alias("doc_a"), y["id"].alias("doc_b"),
+                               x["a0"].alias("x0"), y["a0"].alias("y0"),
+                               x["a1"].alias("x1"), y["a1"].alias("y1")))))
+    ham = (F.bit_count(F.col("p.x0").bitwiseXOR(F.col("p.y0")))
+           + F.bit_count(F.col("p.x1").bitwiseXOR(F.col("p.y1"))))
+    return (grouped.select(F.explode(combos).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["doc_a", "doc_b"]))

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import dedup, similarity, text
+from .functions.numeric import round_half_up_long
 from .tables import load_tables
 
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -1441,6 +1442,55 @@ imgvals AS (
 )
 """
 
+@register("m_image_dhash_dups", f"""
+WITH {{IMG}},
+grid AS (
+  SELECT doc_id, w, h, g // 9 AS r, g % 9 AS c
+  FROM imgdocs, unnest(range(0, 72)) AS u(g)
+),
+gray AS (
+  SELECT doc_id, r, c,
+    (299 * ((doc_id*7 + ((c*w)//9)*13 + ((r*h)//8)*31) % 256)
+   + 587 * ((doc_id*7 + ((c*w)//9)*13 + ((r*h)//8)*31 + 97) % 256)
+   + 114 * ((doc_id*7 + ((c*w)//9)*13 + ((r*h)//8)*31 + 194) % 256)) // 1000 AS gv
+  FROM grid
+),
+bits AS (
+  SELECT a.doc_id AS doc_id, a.r AS r, a.c AS c,
+         CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r*8 + c) ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r-4)*8 + c) ELSE 0 END) AS BIGINT) AS h1
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6
+""".replace("{IMG}", """imgdocs AS (
+  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)"""))
+def m_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via perceptual difference-hash
+    over REAL decoded BMP payloads: decode -> integer grayscale ->
+    9x8 nearest-neighbor grid -> 64 gradient bits (two 32-bit
+    halves) -> lossless 8-byte-band bucket join -> exact popcount
+    verify (hamming <= 6). The oracle replays the grid/gray/bit
+    arithmetic symbolically and brute-forces ALL pairs; the Spark
+    side goes through the real codec bytes and the banded join — a
+    hash match proves codec, sampling, packing AND the pigeonhole
+    banding all at once (multimodal.image_dhash / dhash_dup_pairs)."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.dhash_dup_pairs(multimodal.image_dhash(media),
+                                      max_hamming=6)
+
+
 _AUD_RESAMPLE_SQL = """
 auddocs AS (
   SELECT doc_id, 50 + n_chars % 100 AS n
@@ -2020,6 +2070,91 @@ def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "n_docs long, sum_chars long, files_reduced boolean, "
         "second_pass_stable boolean")
+
+
+@register("x_partition_evolution", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type
+""")
+def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning + partition-spec EVOLUTION (Iceberg-style,
+    sinks/snapshot.PartitionedStore): half the events table is
+    committed under a day(ts) spec, the spec evolves to month(ts) —
+    pure metadata, no rewrite — and the other half lands under it;
+    a pruned read for a 10-day window then judges every file under
+    the spec it was written with and the exact predicate runs on the
+    survivors. The oracle recomputes the same window straight from
+    the raw table, so a hash match proves cross-spec pruning loses
+    nothing (file-skip effectiveness itself is pinned in
+    tests/test_snapshot.py)."""
+    import datetime
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import PartitionedStore, SnapshotStore
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"] \
+        .select("event_id", "ts", "event_type", "value")
+    root = scratch_dir("snap_spec_")
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 20)
+    try:
+        ps = PartitionedStore(SnapshotStore(root))
+        ps.set_partition_spec("day", "ts")
+        ps.write(ev.filter(F.col("event_id") % 2 == 0))
+        ps.set_partition_spec("month", "ts")
+        ps.write(ev.filter(F.col("event_id") % 2 == 1), mode="append")
+        pruned, _kept, _total = ps.read_pruned(spark, "ts", lo, hi)
+        rows = (pruned
+                .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(round_half_up_long(F.col("value"), 100))
+                     .alias("value_cents"))).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, value_cents long")
+
+
+@register("x_analyze_histogram", """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt AS bef,
+         sum(cnt) OVER () AS tot
+  FROM c
+)
+SELECT CAST((bef * 16) // tot AS BIGINT) AS bucket_id,
+       min(v) AS lo, max(v) AS hi,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS ndv
+FROM cum GROUP BY 1
+""")
+def x_analyze_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram over order totals (integer cents) — the
+    CBO selectivity statistic beside x_analyze_stats' scalar pass
+    (stats.equi_depth_histogram: value-count plane + one cumulative
+    window + int64 bucket assignment; the oracle replays the same
+    mass-partitioning arithmetic)."""
+    from .functions.numeric import round_half_up_long
+    from .stats import equi_depth_histogram
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    vals = orders.select(
+        round_half_up_long(F.col("o_totalprice"), 100).alias("price_c"))
+    return equi_depth_histogram(vals, "price_c", buckets=16)
 
 
 @register("x_analyze_stats", """

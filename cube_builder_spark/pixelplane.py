@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_up_long
 from .tables import load_tables
 
 BAND_NODATA = -9999
@@ -96,7 +97,7 @@ def pixel_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     quality = (F.col("l_suppkey") + F.col("l_linenumber")) % 12
-    raw_value = F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 20001 - 10000
+    raw_value = round_half_up_long(F.col("l_extendedprice"), 100) % 20001 - 10000
     value = (F.when(quality == 0, F.lit(BAND_NODATA))
              .when((F.col("l_quantity") < 3) & ~quality.isin(*CLEAR_VALUES),
                    F.lit(BAND_NODATA))

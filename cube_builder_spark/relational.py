@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import round_half_up_long
 from .tables import broadcast_if_small as _bc, load_tables
 
 # (name, spark_fn, oracle_sql) tuples collected by queries.py
@@ -31,8 +32,10 @@ def register(name: str, sql: str | None):
 
 
 def _cents(col):
-    """Exact integer cents of a 2-decimal-ish double (oracle-stable sums)."""
-    return F.round(col * 100, 0).cast("long")
+    """Exact integer cents of a 2-decimal-ish double (oracle-stable
+    sums) — double-only floor(v+0.5), not BigDecimal F.round (see
+    functions/numeric.round_half_up_long for the measurement)."""
+    return round_half_up_long(col, 100)
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("l_extendedprice")).alias("price_c"),
         _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price_c"),
         _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge_c"),
-        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("disc_bp"),
+        round_half_up_long(F.col("l_discount"), 10000).alias("disc_bp"),
     )
     return (
         l.groupBy("l_returnflag", "l_linestatus")
@@ -1788,3 +1791,127 @@ def r17_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c") * F.lit(1.0) / 100).alias("revenue"),
         (F.sum("rev_c").over(w).cast("long") * F.lit(1.0) / 100
          / F.count(F.lit(1)).over(w)).alias("moving_avg"))
+
+
+@register("x_triangle_count", """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (
+  SELECT pa, pb FROM (
+    SELECT pa, pb, count(DISTINCT ok) AS c FROM pairs GROUP BY pa, pb
+  ) WHERE c >= 2
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e
+  ) GROUP BY v
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+             JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS BIGINT)
+         AS n_triangles
+""")
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part CO-PURCHASE graph
+    (edge iff two parts share >= 2 orders) — the degree-orientation
+    algorithm (Suri & Vassilvitskii 2011's MR-friendly shape; what
+    GraphFrames/Spark's triangleCount implements).
+
+    Edge derivation is array-first: one groupBy(order) collects the
+    bounded item set (<= 7 parts/order), in-array i<j expansion emits
+    co-purchase pairs pre-ordered — no lineitem self-join, and the
+    support count is a plain count(*) because per-order pairs are
+    already distinct. The triangle phase orients every edge from the
+    (degree, id)-smaller endpoint to the larger, which caps any
+    node's out-degree at O(sqrt(m)) — wedge generation (out-edges
+    self-joined on their source) is therefore bounded even for hub
+    nodes, the classic skew-proofing that makes triangle counting
+    feasible at 100 TB; a closing join on (v, w) verifies each wedge.
+    Each triangle is counted exactly once (its (deg,id)-minimal
+    vertex owns it). The oracle is the direct triple self-join over
+    the same edge set."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    parts_per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
+             .alias("ps"))
+        .filter(F.size("ps") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    e = (parts_per_order.select(F.explode(combos).alias("p"))
+         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
+         .filter(F.col("c") >= 2).select("pa", "pb"))
+    deg = (e.select(F.col("pa").alias("v"))
+           .unionAll(e.select(F.col("pb").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("v").alias("pa"), F.col("d").alias("da")), "pa")
+          .join(deg.select(F.col("v").alias("pb"), F.col("d").alias("db")), "pb"))
+    fwd = F.struct(F.col("da").alias("d"), F.col("pa").alias("n")) \
+        < F.struct(F.col("db").alias("d"), F.col("pb").alias("n"))
+    out = ed.select(
+        F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"))
+    x, y = out.alias("x"), out.alias("y")
+    wedges = (x.join(y, (F.col("x.src") == F.col("y.src"))
+                     & (F.struct(F.col("x.ddst").alias("d"),
+                                 F.col("x.dst").alias("n"))
+                        < F.struct(F.col("y.ddst").alias("d"),
+                                   F.col("y.dst").alias("n"))))
+              .select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst")))
+    tri = wedges.join(out.select("src", "dst"), ["src", "dst"]) \
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    nn_ne = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"))
+    return nn_ne.crossJoin(F.broadcast(tri)) \
+        .select("n_nodes", "n_edges", "n_triangles")
+
+
+@register("r18_pareto_frontier", """
+SELECT a.p_partkey AS p_partkey, a.p_retailprice AS price, 
+       CAST(a.p_size AS BIGINT) AS psize
+FROM part a WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""")
+def r18_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier: minimize price, maximize size)
+    over the part master — Börzsönyi et al. 2001's skyline operator.
+
+    The oracle is the textbook O(n²) NOT-EXISTS dominance test; the
+    Spark plan is the sort-scan O(n log n) shape that survives scale:
+    one groupBy(price) keeps each price's best size (same-price
+    smaller rows are dominated by the strict-size rule), one window
+    cummax over the price ordering keeps a price only when its best
+    size STRICTLY beats every cheaper price's best (<= means some
+    cheaper part matches the size and dominates), then a join back
+    picks the surviving (price, size) rows — ties on both axes are
+    mutually non-dominating and all kept. The window runs over the
+    price-distinct frame (bounded by price NDV, not rows); at 100 TB
+    the same statistic distributes as a range-partitioned prefix
+    max."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    per_price = (part.groupBy(F.col("p_retailprice").alias("price"))
+                 .agg(F.max("p_size").alias("best_size")))
+    w = (Window.orderBy("price")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (per_price
+                .withColumn("prior_best", F.max("best_size").over(w))
+                .filter(F.col("prior_best").isNull()
+                        | (F.col("best_size") > F.col("prior_best")))
+                .select("price", "best_size"))
+    return (part.join(frontier,
+                      (F.col("p_retailprice") == F.col("price"))
+                      & (F.col("p_size") == F.col("best_size")))
+            .select("p_partkey", "price",
+                    F.col("p_size").cast("long").alias("psize")))

@@ -568,3 +568,161 @@ def optimize_zorder(store: SnapshotStore, spark: SparkSession,
     laid = layout(current, xcol, ycol, bits=bits,
                   npartitions=npartitions)
     return store.write(laid, mode="overwrite")
+
+
+# -- hidden partitioning + partition-spec evolution (Iceberg-style) ----------
+#
+# The store's partition layout is METADATA, not schema: writers declare a
+# transform over a data column (day(ts), month(ts), identity(k)); the
+# store derives each file's partition value at write time and records it
+# in a sidecar (path -> {spec_id, pv}), so readers never see a partition
+# column and never mention one in queries. Because the binding is
+# per-FILE, the spec can EVOLVE without rewriting history: old files
+# keep their old spec, new files use the new one, and a pruned read
+# evaluates every file under the spec it was written with — exactly the
+# Iceberg partition-spec-evolution contract the reference's fixed
+# directory layout (Item.assets paths) cannot express.
+
+_TRANSFORMS = ("day", "month", "identity")
+
+
+def _partition_expr(spec: dict):
+    col = F.col(spec["column"])
+    if spec["transform"] == "day":
+        return F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if spec["transform"] == "month":
+        return F.year(col) * 12 + F.month(col) - 1
+    if spec["transform"] == "identity":
+        return col.cast("long")
+    raise ValueError(f"unknown transform {spec['transform']!r}")
+
+
+def _pv_time_range(spec: dict, pv: int):
+    """[start, end) wall-time coverage of partition value ``pv`` —
+    the inverse the pruner needs. None = not a time transform."""
+    import datetime
+    if spec["transform"] == "day":
+        start = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=pv)
+        return start, start + datetime.timedelta(days=1)
+    if spec["transform"] == "month":
+        y, m = divmod(pv, 12)
+        nxt = (y + 1, 1) if m == 11 else (y, m + 2)
+        return (datetime.datetime(y, m + 1, 1),
+                datetime.datetime(nxt[0], nxt[1], 1))
+    return None
+
+
+class PartitionedStore:
+    """Hidden-partitioning facade over a SnapshotStore: same manifest
+    log, same versions/branches/time travel, plus a spec registry
+    (``_manifests/specs.json``) and a per-file partition sidecar
+    (``_manifests/filemeta.json``). Both sidecars are tiny metadata —
+    at 100 TB the file count, not the data, bounds them, and the
+    pruner's work is O(files), all driver-side, exactly like an
+    Iceberg manifest scan."""
+
+    def __init__(self, store: SnapshotStore):
+        self.store = store
+
+    # -- spec registry ------------------------------------------------
+    def _specs_path(self) -> str:
+        return os.path.join(self.store.root, _MANIFESTS, "specs.json")
+
+    def _read_specs(self) -> dict:
+        try:
+            with open(self._specs_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"current": None, "specs": {}}
+
+    def set_partition_spec(self, transform: str, column: str) -> int:
+        """Register (or re-activate) a spec; future writes use it.
+        Pure metadata — no files move. Returns the spec id."""
+        if transform not in _TRANSFORMS:
+            raise ValueError(f"unknown transform {transform!r}")
+        reg = self._read_specs()
+        for sid, spec in reg["specs"].items():
+            if spec == {"transform": transform, "column": column}:
+                reg["current"] = int(sid)
+                break
+        else:
+            sid = len(reg["specs"]) + 1
+            reg["specs"][str(sid)] = {"transform": transform,
+                                      "column": column}
+            reg["current"] = sid
+        with open(self._specs_path(), "w") as fh:
+            json.dump(reg, fh)
+        return int(reg["current"])
+
+    # -- file partition sidecar ---------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.store.root, _MANIFESTS, "filemeta.json")
+
+    def _read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    # -- write / read -------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append",
+              branch: str = "main") -> int:
+        """Commit ``df`` laid out by the CURRENT spec (one directory
+        per partition value, partition column hidden — derived, never
+        stored in the data files)."""
+        reg = self._read_specs()
+        if reg["current"] is None:
+            return self.store.write(df, mode=mode, branch=branch)
+        spec_id = reg["current"]
+        spec = reg["specs"][str(spec_id)]
+        sub = os.path.join(self.store.root, "data", uuid.uuid4().hex)
+        df.withColumn("_pv", _partition_expr(spec)) \
+            .write.mode("error").partitionBy("_pv").parquet(sub)
+        new_files, meta = [], self._read_meta()
+        for dp, _dirs, fs in os.walk(sub):
+            for f in fs:
+                if f.endswith(".parquet") and not f.startswith("."):
+                    path = os.path.join(dp, f)
+                    pv = int(os.path.basename(dp).split("=", 1)[1])
+                    new_files.append(path)
+                    meta[path] = {"spec_id": spec_id, "pv": pv}
+        with open(self._meta_path(), "w") as fh:
+            json.dump(meta, fh)
+        parent = self.store.head(branch)
+        base = self.store._read_manifest(parent)["files"] \
+            if (parent is not None and mode == "append") else []
+        v = self.store._commit(base + sorted(new_files), mode, parent)
+        self.store._advance(branch, v)
+        return v
+
+    def read_pruned(self, spark: SparkSession, column: str,
+                    lo, hi, version: int | None = None,
+                    branch: str = "main"):
+        """The table AS OF ``version`` restricted to files whose
+        partition can intersect ``lo <= column < hi`` — each file
+        judged under ITS OWN spec (evolution-safe); files with no
+        partition metadata or a different partition column are
+        conservatively kept. Returns (DataFrame, n_read, n_total);
+        the caller still applies the exact row predicate — pruning is
+        a file-skipping optimization, never a filter."""
+        v = self.store.head(branch) if version is None else version
+        files = self.store._read_manifest(v)["files"]
+        meta, reg = self._read_meta(), self._read_specs()
+        keep = []
+        for f in files:
+            m = meta.get(f)
+            if m is None:
+                keep.append(f)
+                continue
+            spec = reg["specs"][str(m["spec_id"])]
+            if spec["column"] != column:
+                keep.append(f)
+                continue
+            rng = _pv_time_range(spec, m["pv"])
+            if rng is None or (rng[0] < hi and lo < rng[1]):
+                keep.append(f)
+        if not keep:
+            raise FileNotFoundError(
+                f"no files overlap [{lo}, {hi}) at version {v}")
+        return spark.read.parquet(*keep), len(keep), len(files)

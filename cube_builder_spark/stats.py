@@ -167,3 +167,44 @@ def recommend_conf(total_input_bytes: int, total_cores: int = 32,
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
     }
+
+
+def equi_depth_histogram(df, column: str, buckets: int = 16):
+    """Equi-depth (equi-height) histogram — the optimizer statistic
+    behind Spark CBO's `spark.sql.statistics.histogram.enabled` and
+    every selectivity estimator that has to survive skew (an
+    equi-WIDTH histogram collapses under hot values; equal-mass
+    buckets keep per-bucket selectivity error bounded at 1/buckets).
+
+    Exact and engine-stable: one groupBy(value) → counts (map-side
+    combined, NDV-sized output), one cumulative window over the
+    value-ordered counts, then integer bucket assignment
+    ``(cum_before * buckets) // total`` — a distinct value belongs
+    wholly to the bucket its FIRST row falls in (values never split,
+    the real histogram contract), all in int64 so both engines place
+    every row identically. Per bucket: lo/hi bounds, row count, NDV.
+
+    Scale note: the window runs over the VALUE-COUNT table (NDV
+    rows), not the data; for NDV beyond one partition the same
+    statistic distributes as the classic two-pass prefix sum
+    (range-partition values, per-partition totals broadcast as
+    offsets). The reference keeps no optimizer stats at all — this
+    extends the ANALYZE plane (stats.analyze) the way Spark itself
+    would."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(column).alias("v")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("before"))
+    total = counts.agg(F.sum("cnt").alias("n_rows"))
+    return (cum.crossJoin(F.broadcast(total))
+            .select("v", "cnt",
+                    F.expr(f"(before * {int(buckets)}) div n_rows")
+                    .alias("bucket_id"))
+            .groupBy("bucket_id")
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                 F.sum("cnt").alias("n_rows"),
+                 F.count(F.lit(1)).alias("ndv")))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up_long
 from pyspark.sql import types as T
 
 EVENT_SCHEMA = T.StructType([
@@ -38,7 +40,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 (F.sum(round_half_up_long(F.col("value"), 100)) / 100.0)
                  .alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n", "total_value"))
@@ -51,7 +53,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 (F.sum(round_half_up_long(F.col("value"), 100)) / 100.0)
                  .alias("total_value"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events", "total_value"))

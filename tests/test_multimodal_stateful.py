@@ -247,3 +247,75 @@ try:
             assert frames.shape[1:] == (6, 12, 3)
 except ImportError:  # pragma: no cover
     pass
+
+
+# image dHash -----------------------------------------------------------------
+
+def _ref_dhash(pix: np.ndarray) -> tuple[int, int]:
+    """Independent reference dHash (loop form, no vectorization)."""
+    h, w = pix.shape[:2]
+    gray = [[(299 * int(pix[y][x][0]) + 587 * int(pix[y][x][1])
+              + 114 * int(pix[y][x][2])) // 1000
+             for x in range(w)] for y in range(h)]
+    g = [[gray[(r * h) // 8][(c * w) // 9] for c in range(9)]
+         for r in range(8)]
+    h0 = h1 = 0
+    for r in range(8):
+        for c in range(8):
+            bit = 1 if g[r][c + 1] > g[r][c] else 0
+            if r < 4:
+                h0 |= bit << (r * 8 + c)
+            else:
+                h1 |= bit << ((r - 4) * 8 + c)
+    return h0, h1
+
+
+def test_image_dhash_matches_reference(spark):
+    """image_dhash over real encoded BMP payloads equals a loop-form
+    reference implementation on the decoded pixels."""
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for doc_id in range(8):
+        w, h = int(rng.integers(4, 17)), int(rng.integers(3, 11))
+        pix = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rows.append((doc_id, "image/bmp", multimodal.encode_bmp(pix)))
+        want[doc_id] = _ref_dhash(pix)
+    rows.append((99, "audio/wav", b"not an image"))   # skipped
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary")
+    got = {r.doc_id: (r.h0, r.h1)
+           for r in multimodal.image_dhash(media).collect()}
+    assert got == want
+    assert all(0 <= v < 2 ** 32 for pair in got.values() for v in pair)
+
+
+def test_dhash_dup_pairs_lossless_banding(spark):
+    """The 8-byte-band bucket join must return EXACTLY the brute-force
+    hamming<=6 pair set (pigeonhole guarantees no misses; the verify
+    removes band-collision false positives)."""
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2 ** 32)), int(rng.integers(0, 2 ** 32))
+    hashes = []
+    for i in range(40):
+        h0, h1 = base
+        # flip a random number of bits so distances spread 0..64
+        for _ in range(int(rng.integers(0, 20))):
+            half = int(rng.integers(0, 2))
+            bit = 1 << int(rng.integers(0, 32))
+            if half == 0:
+                h0 ^= bit
+            else:
+                h1 ^= bit
+        hashes.append((i, h0, h1))
+    want = set()
+    for i, (ia, a0, a1) in enumerate(hashes):
+        for ib, b0, b1 in hashes[i + 1:]:
+            ham = bin((a0 ^ b0)).count("1") + bin((a1 ^ b1)).count("1")
+            if ham <= 6:
+                want.add((ia, ib, ham))
+    df = spark.createDataFrame(hashes, "doc_id long, h0 long, h1 long")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in multimodal.dhash_dup_pairs(df, max_hamming=6).collect()}
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError):
+        multimodal.dhash_dup_pairs(df, max_hamming=8)

@@ -563,3 +563,89 @@ def test_incremental_mv_matches_full_recompute_randomized(spark, tmp_path):
                              include_payload=True)
         mv = incremental_mv(mv, diff, "grp", {"sum_val": "val"})
         assert _rows(mv) == _rows(_mv(st.read(spark, v))), f"step {step}"
+
+
+# hidden partitioning + spec evolution ----------------------------------------
+
+def _ev(spark, ids_days):
+    """(id, ts, v) rows; ts = 2024-01-<day>."""
+    import datetime
+    return spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, d, 12, 0), i * 10)
+         for i, d in ids_days],
+        "id long, ts timestamp, v long")
+
+
+def test_partitioned_write_prunes_files(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (PartitionedStore,
+                                                   SnapshotStore)
+    import datetime
+
+    ps = PartitionedStore(SnapshotStore(str(tmp_path / "p")))
+    ps.set_partition_spec("day", "ts")
+    ps.write(_ev(spark, [(1, 1), (2, 2), (3, 10), (4, 20), (5, 28)]))
+    lo, hi = datetime.datetime(2024, 1, 9), datetime.datetime(2024, 1, 21)
+    df, kept, total = ps.read_pruned(spark, "ts", lo, hi)
+    assert kept < total            # day files outside the window skipped
+    got = sorted(r.id for r in
+                 df.filter((F.col("ts") >= F.lit(lo))
+                           & (F.col("ts") < F.lit(hi))).collect())
+    assert got == [3, 4]
+    # partition column is HIDDEN: not part of the schema read back
+    assert set(df.columns) == {"id", "ts", "v"}
+
+
+def test_spec_evolution_prunes_per_file_spec(spark, tmp_path):
+    """Old day-spec files keep pruning by day after the spec evolves
+    to month; month files prune by month; nothing is rewritten."""
+    from cube_builder_spark.sinks.snapshot import (PartitionedStore,
+                                                   SnapshotStore)
+    import datetime
+
+    st = SnapshotStore(str(tmp_path / "p"))
+    ps = PartitionedStore(st)
+    ps.set_partition_spec("day", "ts")
+    v1 = ps.write(_ev(spark, [(1, 1), (2, 15), (3, 28)]))
+    v1_files = set(st._read_manifest(v1)["files"])
+    ps.set_partition_spec("month", "ts")
+    v2 = ps.write(_ev(spark, [(4, 16), (5, 17)]), mode="append")
+    # evolution rewrote nothing: v1's files carry over verbatim
+    assert v1_files <= set(st._read_manifest(v2)["files"])
+
+    lo, hi = datetime.datetime(2024, 1, 14), datetime.datetime(2024, 1, 18)
+    df, kept, total = ps.read_pruned(spark, "ts", lo, hi)
+    # kept = day-15 file + the month-spec file(s); day 1 and 28 skipped
+    assert kept < total
+    got = sorted(r.id for r in
+                 df.filter((F.col("ts") >= F.lit(lo))
+                           & (F.col("ts") < F.lit(hi))).collect())
+    assert got == [2, 4, 5]
+    # a window in another month skips ALL files -> explicit error
+    with pytest.raises(FileNotFoundError):
+        ps.read_pruned(spark, "ts", datetime.datetime(2024, 3, 1),
+                       datetime.datetime(2024, 3, 2))
+
+
+def test_partition_spec_guards(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (PartitionedStore,
+                                                   SnapshotStore)
+    import datetime
+
+    ps = PartitionedStore(SnapshotStore(str(tmp_path / "p")))
+    with pytest.raises(ValueError):
+        ps.set_partition_spec("hour", "ts")
+    # no spec set -> falls through to the plain store write
+    v = ps.write(_ev(spark, [(1, 1)]))
+    assert v == 1
+    # files without partition metadata are conservatively READ
+    df, kept, total = ps.read_pruned(
+        spark, "ts", datetime.datetime(2024, 6, 1),
+        datetime.datetime(2024, 6, 2))
+    assert kept == total
+    # identity spec on another column: time predicate keeps the file
+    ps.set_partition_spec("identity", "id")
+    ps.write(_ev(spark, [(7, 3)]), mode="append")
+    df, kept, total = ps.read_pruned(
+        spark, "ts", datetime.datetime(2024, 1, 1),
+        datetime.datetime(2024, 2, 1))
+    assert kept == total

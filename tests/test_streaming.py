@@ -291,3 +291,114 @@ def test_token_budget_stream_cross_batch_first_fit(spark, tmp_path):
             ref_taken[src_] += n
         ref[doc_id] = ok
     assert {d: r.accepted for d, r in by_doc.items()} == ref
+
+
+# streaming CEP funnel --------------------------------------------------------
+
+def _batch_funnel_truth(spark, events_df, wm_cut):
+    """Batch recomputation of completed funnels with purchase below
+    the watermark cut: the streaming contract's ground truth."""
+    from pyspark.sql import Window
+    ev = (events_df.filter(F.col("event_type")
+                           .isin("view", "click", "purchase"))
+          .select("user_id",
+                  F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                  "event_type", "ts"))
+    w = Window.partitionBy("user_id", "day")
+    v = ev.withColumn("t_view", F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    c = v.withColumn("t_click", F.min(
+        F.when((F.col("event_type") == "click")
+               & (F.col("ts") > F.col("t_view")), F.col("ts"))).over(w))
+    p = c.withColumn("t_purchase", F.min(
+        F.when((F.col("event_type") == "purchase")
+               & (F.col("ts") > F.col("t_click")), F.col("ts"))).over(w))
+    return {(r.user_id, r.day): (r.t_view, r.t_click, r.t_purchase)
+            for r in (p.filter(F.col("t_purchase").isNotNull()
+                               & (F.col("t_purchase") < F.lit(wm_cut)))
+                      .select("user_id", "day", "t_view", "t_click",
+                              "t_purchase").distinct().collect())}
+
+
+def test_stream_funnel_matches_batch(spark, sf_dir):
+    """Single-batch drive over the bounded events table: emitted
+    conversions == batch funnel rows stable below the final
+    watermark."""
+    import datetime
+    import tempfile
+
+    from cube_builder_spark.streaming.cep import funnel_stream
+    from cube_builder_spark.streaming.events import EVENT_SCHEMA
+    from cube_builder_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="cep_funnel_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    q = (funnel_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("cep_sink").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.day): (r.view_ts, r.click_ts, r.purchase_ts)
+           for r in spark.table("cep_sink").collect()}
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_cut = max_ts - datetime.timedelta(hours=2)
+    want = _batch_funnel_truth(spark, ev, wm_cut)
+    assert got == want and len(want) > 0
+
+
+def test_stream_funnel_out_of_order_and_no_reemit(spark, tmp_path):
+    """The click arrives one BATCH before its view (out of order in
+    arrival time, in order in event time): the conversion must still
+    emit once the triple is watermark-stable, exactly once, and a
+    second later purchase must not re-emit."""
+    import datetime
+    import time
+
+    from cube_builder_spark.streaming.cep import funnel_stream
+
+    d = tmp_path / "src"
+    d.mkdir()
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, sch).coalesce(1) \
+            .write.mode("overwrite").parquet(str(d / name))
+
+    t0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(d) + "/*/"))
+    q = (funnel_stream(stream, watermark="10 minutes")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("cep_ooo").start())
+
+    # batch 1: the CLICK (event-time 10:05) and a purchase (10:08);
+    # watermark after this batch = 10:08 - 10min = 09:58
+    write_batch("b1", [(1, ts(5), 7, "click", 1.0, ""),
+                       (2, ts(8), 7, "purchase", 1.0, "")])
+    q.processAllAvailable()
+    # batch 2: the VIEW arrives one batch late in ARRIVAL order but
+    # its event time (10:00) is still >= the watermark, so it is
+    # admitted; a far event then pushes the watermark past the triple
+    write_batch("b2", [(3, ts(0), 7, "view", 1.0, ""),
+                       (4, ts(600), 99, "view", 1.0, "")])
+    q.processAllAvailable()
+    time.sleep(0.5)
+    q.processAllAvailable()
+    got = [(r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
+           for r in spark.table("cep_ooo").collect()]
+    assert got == [(7, ts(0), ts(5), ts(8))]
+    # batch 3: a second purchase for the same day (event time above
+    # the current watermark, so it is admitted): no re-emission
+    write_batch("b3", [(5, ts(630), 7, "purchase", 1.0, ""),
+                       (6, ts(1200), 99, "view", 1.0, "")])
+    q.processAllAvailable()
+    time.sleep(0.5)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table("cep_ooo").count() == 1
