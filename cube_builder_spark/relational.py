@@ -1915,3 +1915,94 @@ def r18_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("p_size") == F.col("best_size")))
             .select("p_partkey", "price",
                     F.col("p_size").cast("long").alias("psize")))
+
+
+_BFS_DEPTH = 3
+
+@register("x_bfs_reach", """
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (
+  SELECT pa, pb FROM (
+    SELECT pa, pb, count(DISTINCT ok) AS c FROM pairs GROUP BY pa, pb
+  ) WHERE c >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL SELECT pb, pa FROM e
+),
+seeds AS (SELECT p_partkey AS v FROM part WHERE p_size = 50),
+reach(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT g.dst, r.d + 1
+  FROM reach r JOIN edges g ON g.src = r.v
+  WHERE r.d < 3
+)
+SELECT v AS p_partkey, CAST(min(d) AS BIGINT) AS hops
+FROM reach GROUP BY v
+""")
+def x_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (min-hop distances, depth <= 3) over the part
+    CO-PURCHASE graph — the distributed frontier-expansion / Pregel
+    superstep shape (Malewicz et al. 2010), over a graph that SCALES
+    WITH THE DATA (unlike x_pagerank_trade's bounded nation graph,
+    which is correctly folded driver-side). Seeds are the size-50
+    parts; the answer is every part reachable within 3 hops with its
+    exact hop count.
+
+    The oracle is a genuine DuckDB ``WITH RECURSIVE`` CTE — UNION
+    (not UNION ALL) dedupes (v, d) states so the recursion terminates
+    at the depth bound, and min(d) collapses states to the BFS
+    distance. The Spark side is the textbook BSP loop: per superstep,
+    the frontier joins the edge list (co-partitioned on src — ONE
+    hash exchange per step), newly-seen vertices are anti-joined
+    against the visited set, and the new frontier is
+    localCheckpoint(eager)-ed — materializing each superstep is what
+    keeps the lineage LINEAR in depth (lazy chaining would re-derive
+    every prior frontier per step, the classic iterative-DataFrame
+    blowup; GraphFrames' Pregel checkpoints for exactly this reason).
+    At 100 TB the same loop holds: frontier and visited are vertex-
+    sized (bounded by |V|, not |E| or fact rows), the per-step join
+    shuffles only the live frontier, and hub skew is capped by the
+    support>=2 edge filter upstream (AQE skew-split covers the rest).
+    Edge derivation is the array-first shape shared with
+    x_triangle_count: per-order sorted item arrays, in-array i<j
+    expansion — no lineitem self-join (the oracle's self-join form is
+    the O(n^2)-per-order semantics it verifies against)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    parts_per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
+             .alias("ps"))
+        .filter(F.size("ps") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    e = (parts_per_order.select(F.explode(combos).alias("p"))
+         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
+         .filter(F.col("c") >= 2).select("pa", "pb"))
+    edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .unionAll(e.select(F.col("pb").alias("src"),
+                                F.col("pa").alias("dst")))
+             .localCheckpoint(eager=True))
+    frontier = (part.filter(F.col("p_size") == 50)
+                .select(F.col("p_partkey").alias("v"))
+                .localCheckpoint(eager=True))
+    reached = frontier.select("v", F.lit(0).alias("d"))
+    for depth in range(1, _BFS_DEPTH + 1):
+        nxt = (frontier.join(edges, frontier["v"] == edges["src"])
+               .select(F.col("dst").alias("v")).distinct()
+               .join(reached.select("v"), "v", "left_anti")
+               .localCheckpoint(eager=True))
+        reached = reached.unionByName(
+            nxt.select("v", F.lit(depth).alias("d")))
+        frontier = nxt
+    return reached.groupBy("v").agg(F.min("d").cast("long").alias("hops")) \
+        .select(F.col("v").alias("p_partkey"), "hops")
