@@ -66,8 +66,9 @@ def _ellps(name: str) -> tuple[float, float]:
 
 
 def parse_crs(spec) -> CRS:
-    """EPSG codes (4326, 3857, 326xx/327xx UTM) or a minimal proj4
-    string (+proj=utm/tmerc/aea/longlat/webmerc/sinu +ellps=...
+    """EPSG codes (4326, 3857, 326xx/327xx UTM, 3413/3031 polar
+    stereographic, 2154 Lambert-93) or a minimal proj4 string
+    (+proj=utm/tmerc/aea/lcc/longlat/webmerc/sinu/stere +ellps=...
     +lat_0=...). Sinusoidal is the MODIS spherical form (the reference
     emits '+proj=sinu +a=6371007.181 +b=6371007.181',
     grids.py:115-116); its radius comes from +R or +a."""
@@ -91,6 +92,11 @@ def parse_crs(spec) -> CRS:
             return CRS("stere", a, e2, {
                 "lat_0": -90.0, "lat_ts": -71.0, "lon_0": 0.0,
                 "x_0": 0.0, "y_0": 0.0})
+        if code == 2154:        # RGF93 / Lambert-93 (France national)
+            a, e2 = _ellps("GRS80")
+            return CRS("lcc", a, e2, {
+                "lat_0": 46.5, "lon_0": 3.0, "lat_1": 49.0, "lat_2": 44.0,
+                "x_0": 700000.0, "y_0": 6600000.0})
         if 32601 <= code <= 32660 or 32701 <= code <= 32760:
             zone = code % 100
             south = code // 100 == 327
@@ -127,6 +133,13 @@ def parse_crs(spec) -> CRS:
             return CRS("aea", a, e2, {
                 "lat_0": num.get("lat_0", 0.0), "lon_0": num.get("lon_0", 0.0),
                 "lat_1": num["lat_1"], "lat_2": num["lat_2"],
+                "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)})
+        if proj == "lcc":
+            # 2SP form (EPSG 9802); +lat_2 defaults to +lat_1 (proj
+            # convention), which degenerates to the tangent cone
+            return CRS("lcc", a, e2, {
+                "lat_0": num.get("lat_0", 0.0), "lon_0": num.get("lon_0", 0.0),
+                "lat_1": num["lat_1"], "lat_2": num.get("lat_2", num["lat_1"]),
                 "x_0": num.get("x_0", 0.0), "y_0": num.get("y_0", 0.0)})
         if proj == "sinu":
             # spherical sinusoidal (Snyder PP 1395 eq. 30-1/30-2) — the
@@ -359,6 +372,64 @@ def _stere_inv(crs, x, y):
             np.degrees(s * phi))
 
 
+# Lambert Conformal Conic, 2SP ellipsoidal (Snyder 14-1..14-4,
+# 15-1..15-11; EPSG method 9802) --------------------------------------------
+
+def _lcc_consts(crs):
+    """n (cone constant), F, ρ0 per Snyder 15-8/15-10/15-7a. Shares
+    the isometric-latitude half-angle t(φ) with polar stereographic
+    (_stere_t is Snyder 15-9 verbatim). Equal standard parallels
+    degenerate to the tangent cone: n = sin φ1 (Snyder p. 107)."""
+    e = np.sqrt(crs.e2)
+    p = crs.params
+    phi0 = np.radians(p["lat_0"])
+    phi1 = np.radians(p["lat_1"])
+    phi2 = np.radians(p["lat_2"])
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - crs.e2 * np.sin(phi) ** 2)
+
+    t0, t1, t2 = (_stere_t(e, phi0), _stere_t(e, phi1), _stere_t(e, phi2))
+    if abs(phi1 - phi2) > 1e-12:
+        n = (np.log(m(phi1)) - np.log(m(phi2))) / (np.log(t1) - np.log(t2))
+    else:
+        n = np.sin(phi1)
+    Fc = m(phi1) / (n * t1 ** n)
+    rho0 = crs.a * Fc * t0 ** n
+    return n, Fc, rho0
+
+
+def _lcc_fwd(crs, lon, lat):
+    p = crs.params
+    e = np.sqrt(crs.e2)
+    n, Fc, rho0 = _lcc_consts(crs)
+    t = _stere_t(e, np.radians(lat))
+    rho = crs.a * Fc * t ** n                       # Snyder 15-7
+    theta = n * np.radians(np.asarray(lon, float) - p["lon_0"])  # 14-4
+    return (rho * np.sin(theta) + p["x_0"],         # 14-1
+            rho0 - rho * np.cos(theta) + p["y_0"])  # 14-2
+
+
+def _lcc_inv(crs, x, y):
+    p = crs.params
+    e = np.sqrt(crs.e2)
+    n, Fc, rho0 = _lcc_consts(crs)
+    xs = np.asarray(x, float) - p["x_0"]
+    ys = rho0 - (np.asarray(y, float) - p["y_0"])
+    # sign(n) folds the south-aspect cone through the north core, the
+    # same trick as _aea_inv (Snyder 14-10/14-11 note)
+    rho = np.sign(n) * np.hypot(xs, ys)
+    theta = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
+    t = (rho / (crs.a * Fc)) ** (1.0 / n)           # 15-11
+    # Snyder 7-9 fixed-point for φ from t (shared with _stere_inv)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(4):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (e / 2))
+    lam = np.radians(p["lon_0"]) + theta / n        # 14-9
+    return np.degrees(lam), np.degrees(phi)
+
+
 def forward(crs, lon, lat):
     """(lon, lat) degrees → projected (x, y). Vectorized."""
     crs = parse_crs(crs)
@@ -373,6 +444,8 @@ def forward(crs, lon, lat):
         return _tmerc_fwd(crs, lon, lat)
     if crs.proj == "aea":
         return _aea_fwd(crs, lon, lat)
+    if crs.proj == "lcc":
+        return _lcc_fwd(crs, lon, lat)
     if crs.proj == "stere":
         return _stere_fwd(crs, lon, lat)
     if crs.proj == "sinu":
@@ -386,7 +459,27 @@ def forward(crs, lon, lat):
 
 
 def inverse(crs, x, y):
-    """Projected (x, y) → (lon, lat) degrees. Vectorized."""
+    """Projected (x, y) → (lon, lat) degrees. Vectorized.
+
+    Longitudes are normalized to [−180, 180): conic/azimuthal
+    λ = λ0 + θ/n assembly can land past the antimeridian when λ0 is
+    far from Greenwich (e.g. EPSG:3413's λ0 = −45 inverting a point
+    at 136°E), and the wrapped angle is the same meridian. An
+    in-range longitude (−180 included) passes through bit-exact;
+    longlat stays a strict identity."""
+    lon, lat = _inverse_core(crs, x, y)
+    if parse_crs(crs).proj != "longlat":
+        v = np.asarray(lon, float)
+        w = np.mod(v + 180.0, 360.0) - 180.0
+        # np.mod can round its result up to the modulus itself when
+        # the operand is a tiny negative (mod(-3e-14, 360) == 360.0
+        # at float64 spacing) — fold the escaped boundary back
+        w = np.where(w >= 180.0, w - 360.0, w)
+        lon = np.where((v >= -180.0) & (v < 180.0), v, w)
+    return lon, lat
+
+
+def _inverse_core(crs, x, y):
     crs = parse_crs(crs)
     x, y = np.asarray(x, float), np.asarray(y, float)
     if crs.proj == "longlat":
@@ -400,6 +493,8 @@ def inverse(crs, x, y):
         return _newton_refine(_tmerc_fwd, crs, x, y, lon, lat)
     if crs.proj == "aea":
         return _aea_inv(crs, x, y)
+    if crs.proj == "lcc":
+        return _lcc_inv(crs, x, y)
     if crs.proj == "stere":
         return _stere_inv(crs, x, y)
     if crs.proj == "sinu":

@@ -282,6 +282,9 @@ try:
             "+proj=sinu +lon_0=-54 +x_0=300 +y_0=-70 +R=6371007.181",
             "EPSG:3413", "EPSG:3031",
             "+proj=stere +lat_0=90 +lon_0=10 +k_0=0.994 +ellps=clrk66",
+            "EPSG:2154",
+            "+proj=lcc +lat_1=-10 +lat_2=-40 +lat_0=-25 +lon_0=135 "
+            "+x_0=100000 +ellps=clrk66",
         ]),
         lon=st.floats(-179.5, 179.5),
         lat=st.floats(-84.0, 84.0),
@@ -385,3 +388,50 @@ def test_warp_scenes_onto_polar_grid(spark):
         scol, srow = src_tr.apply(sx[0], sy[0])
         want = arr[int(round(srow - 0.5)), int(round(scol - 0.5))]
         assert r.value == int(want)
+
+
+# Lambert Conformal Conic (round 8, continued — 8th closed-form
+# family; the national-grid workhorse: Lambert-93, US state planes,
+# Canada LCC) ---------------------------------------------------------------
+
+def test_lcc_epsg_guidance_example():
+    """EPSG Guidance Note 7-2, Lambert Conic Conformal 2SP (method
+    9802) worked example: NAD27 / Texas South Central in US survey
+    feet (Clarke 1866: a = 20925832.16 ft, e2 = 0.00676866),
+    phi1 = 28°23', phi2 = 30°17', phiF = 27°50', lamF = 99°W,
+    EF = 2,000,000 ft. Point (96°W, 28°30'N) ->
+    E 2,963,503.91  N 254,759.80 (to the published 0.01 ft)."""
+    from cube_builder_spark.operators.warp import CRS
+    crs = CRS("lcc", 20925832.16, 0.00676866, {
+        "lat_0": 27 + 50 / 60, "lon_0": -99.0,
+        "lat_1": 28 + 23 / 60, "lat_2": 30 + 17 / 60,
+        "x_0": 2000000.0, "y_0": 0.0})
+    x, y = forward(crs, -96.0, 28.5)
+    assert abs(float(x) - 2963503.91) < 0.01
+    assert abs(float(y) - 254759.80) < 0.01
+    lon, lat = inverse(crs, x, y)
+    assert abs(float(lon) - (-96.0)) < 1e-9
+    assert abs(float(lat) - 28.5) < 1e-9
+
+
+def test_lcc_lambert93_and_degenerate_forms():
+    """EPSG:2154 (Lambert-93) projects its own grid origin
+    (3°E, 46.5°N) exactly onto (700000, 6600000) by construction;
+    equal standard parallels degenerate to the tangent cone
+    (n = sin phi1) and still round-trip; a south-aspect cone
+    (negative parallels -> n < 0) round-trips through the sign
+    folds."""
+    x, y = forward("EPSG:2154", 3.0, 46.5)
+    assert abs(float(x) - 700000.0) < 1e-6
+    assert abs(float(y) - 6600000.0) < 1e-6
+    tangent = "+proj=lcc +lat_1=40 +lat_0=40 +lon_0=-97 +ellps=GRS80"
+    p = parse_crs(tangent)
+    assert p.params["lat_2"] == p.params["lat_1"]
+    x, y = forward(tangent, -100.0, 35.0)
+    lon, lat = inverse(tangent, x, y)
+    assert abs(float(lon) + 100.0) < 1e-9 and abs(float(lat) - 35.0) < 1e-9
+    south = ("+proj=lcc +lat_1=-10 +lat_2=-40 +lat_0=-25 +lon_0=135 "
+             "+x_0=100000 +ellps=GRS80")
+    x, y = forward(south, 140.0, -30.0)
+    lon, lat = inverse(south, x, y)
+    assert abs(float(lon) - 140.0) < 1e-9 and abs(float(lat) + 30.0) < 1e-9
