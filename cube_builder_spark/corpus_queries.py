@@ -678,6 +678,118 @@ def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      est.alias("est_distinct"))
 
 
+@register("t_kmv_set_algebra", f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+hashed AS (
+  SELECT source, term,
+         CAST(('0x' || substr(md5('kmv|' || term), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, term) AS rn
+  FROM hashed
+),
+sk AS (SELECT DISTINCT source, h FROM ranked WHERE rn <= {_KMV_K}),
+uni AS (SELECT DISTINCT h FROM sk),
+uranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uni),
+uk AS (SELECT h FROM uranked WHERE rn <= {_KMV_K}),
+flags AS (
+  SELECT uk.h,
+         max(CASE WHEN s.source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = 'src1' THEN 1 ELSE 0 END) AS in_b
+  FROM uk JOIN sk s ON s.h = uk.h GROUP BY uk.h
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+             CAST(max(h) AS BIGINT) AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+      FROM flags),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter
+  FROM (SELECT term, count(DISTINCT source) AS n_src
+        FROM toks GROUP BY term)
+)
+SELECT m.k_used, m.kth_hash, m.n_both, ex.exact_union, ex.exact_inter,
+       CASE WHEN m.k_used < {_KMV_K} THEN CAST(ex.exact_union AS DOUBLE)
+            ELSE (m.k_used - 1) * 4294967296e0 / m.kth_hash
+       END AS est_union,
+       CASE WHEN m.k_used < {_KMV_K} THEN CAST(ex.exact_inter AS DOUBLE)
+            ELSE (m.n_both * 1e0 / m.k_used)
+                 * ((m.k_used - 1) * 4294967296e0 / m.kth_hash)
+       END AS est_inter
+FROM m, ex
+""")
+def t_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007, SIGMOD — "On
+    synopses for distinct-value estimation under multiset
+    operations"): merge src0's and src1's k-minimum-values sketches
+    into a union sketch (k smallest of the hash union) and estimate
+    |A ∪ B| from its kth value and |A ∩ B| from the Jaccard fraction
+    rho = |K ∩ S_A ∩ S_B| / k — the MERGEABILITY property that makes
+    sketches the right 100 TB answer: per-shard sketches combine
+    associatively into any set expression without re-reading data,
+    while exact distinct-counts of a union must re-shuffle
+    everything. Exact union/intersection counts ride along to
+    validate the estimates (a production rollup drops them).
+
+    Determinism: md5-derived 32-bit hashes (engine-identical draws),
+    integer ranks and counts end-to-end; the two estimates are each a
+    fixed parenthesized chain of IEEE double ops from integers, so
+    both engines produce bit-identical doubles. Scale shape: two
+    window-rank-capped sketches (spillable sort, never a per-group
+    buffer), then every set operation runs on <= 2k rows — broadcast
+    territory regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.filter(F.col("source").isin("src0", "src1"))
+            .select("source",
+                    F.explode(F.split("text", " ")).alias("term"))
+            .distinct())
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("term"))),
+                           1, 8), 16, 10).cast("long")
+    hashed = toks.select("source", "term", h.alias("h"))
+    wr = Window.partitionBy("source").orderBy("h", "term")
+    sk = (hashed.select("source", "h",
+                        F.row_number().over(wr).alias("rn"))
+          .filter(F.col("rn") <= _KMV_K)
+          .select("source", "h").distinct())
+    uk = (sk.select("h").distinct()
+          .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+          .filter(F.col("rn") <= _KMV_K).select("h"))
+    flags = (uk.join(sk, "h")
+             .groupBy("h")
+             .agg(F.max(F.when(F.col("source") == "src0", 1).otherwise(0))
+                  .alias("in_a"),
+                  F.max(F.when(F.col("source") == "src1", 1).otherwise(0))
+                  .alias("in_b")))
+    m = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"))
+    ex = (toks.groupBy("term")
+          .agg(F.count_distinct("source").alias("n_src"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_union"),
+               F.sum(F.when(F.col("n_src") == 2, 1).otherwise(0))
+               .cast("long").alias("exact_inter")))
+    est_union = (F.when(F.col("k_used") < _KMV_K,
+                        F.col("exact_union").cast("double"))
+                 .otherwise((F.col("k_used") - 1) * F.lit(4294967296.0)
+                            / F.col("kth_hash")))
+    est_inter = (F.when(F.col("k_used") < _KMV_K,
+                        F.col("exact_inter").cast("double"))
+                 .otherwise((F.col("n_both") * F.lit(1.0) / F.col("k_used"))
+                            * ((F.col("k_used") - 1) * F.lit(4294967296.0)
+                               / F.col("kth_hash"))))
+    return (m.crossJoin(ex)
+            .select("k_used", "kth_hash", "n_both", "exact_union",
+                    "exact_inter", est_union.alias("est_union"),
+                    est_inter.alias("est_inter")))
+
+
 @register("t_length_quantiles", """
 WITH counts AS (
   SELECT lang, n_chars, count(*) AS c
