@@ -2558,6 +2558,58 @@ def x_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "label string, n_docs long, sum_chars long")
 
 
+@register("x_metadata_agg", """
+WITH live AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE (doc_id % 3 <> 0 OR doc_id % 6 = 0) AND doc_id >= 20
+),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM live)
+SELECT 'doc_id' AS col_name, s.n_rows, CAST(0 AS BIGINT) AS n_nulls,
+       (SELECT min(doc_id) FROM live) AS min_val,
+       (SELECT max(doc_id) FROM live) AS max_val
+FROM s
+UNION ALL
+SELECT 'n_chars', s.n_rows, CAST(0 AS BIGINT),
+       (SELECT min(n_chars) FROM live),
+       (SELECT max(n_chars) FROM live)
+FROM s
+""")
+def x_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY aggregation over the snapshot store
+    (sinks/snapshot.metadata_stats): two appends build the live set,
+    a targeted delete rewrites only its stat-touched files, then
+    count(*) + min/max/null-count for (doc_id, n_chars) are resolved
+    ENTIRELY from parquet footers of the final manifest — zero data
+    bytes scanned. This is Iceberg's metadata-table / Delta's
+    count(*)-from-stats fast path: at 100 TB the answer is a
+    manifest-sized footer walk, not a table scan. The oracle
+    recomputes the same statistics from the raw table with the same
+    modular predicates, so a hash match proves the footer-derived
+    stats are EXACT across append + delete — i.e. the store's
+    immutable-file + rewrite-on-delete invariants really do keep
+    footers authoritative for the live rows."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, delete_keys, metadata_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_meta_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 != 0))
+        st.write(docs.filter((F.col("doc_id") % 3 == 0)
+                             & (F.col("doc_id") % 2 == 0)))
+        delete_keys(st, spark, list(range(20)), "doc_id")
+        rows = metadata_stats(st, spark, ["doc_id", "n_chars"]).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "col_name string, n_rows long, n_nulls long, "
+              "min_val long, max_val long")
+
+
 @register("a_ann_mips_topk", f"""
 WITH {_EV_SQL}
 SELECT eb.vec_id,

@@ -58,14 +58,33 @@ class SnapshotStore:
 
     def _commit(self, files: list[str], op: str,
                 parent: int | None) -> int:
+        import time
         version = (self.versions() or [0])[-1] + 1
         manifest = {"version": version, "op": op, "parent": parent,
-                    "files": sorted(files)}
+                    "ts": time.time(), "files": sorted(files)}
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path(version))  # atomic publish
         return version
+
+    def version_at(self, timestamp: float) -> int:
+        """Latest version committed at or before ``timestamp`` (unix
+        seconds) — Delta's ``timestampAsOf`` resolution rule. Commits
+        from pre-timestamp stores fall back to the manifest file's
+        mtime. Raises if ``timestamp`` predates the first commit."""
+        best = None
+        for v in self.versions():
+            m = self._read_manifest(v)
+            ts = m.get("ts")
+            if ts is None:
+                ts = os.path.getmtime(self._manifest_path(v))
+            if ts <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp} predates the first commit")
+        return best
 
     # -- branch refs (Nessie/Iceberg-style named heads) ----------------
     # The manifest log stays one global append-only sequence of commit
@@ -198,13 +217,20 @@ class SnapshotStore:
     # -- read path ----------------------------------------------------
     def read(self, spark: SparkSession,
              version: int | None = None,
-             branch: str = "main") -> DataFrame:
-        """The table AS OF ``version`` (default: the branch's head).
+             branch: str = "main",
+             timestamp: float | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: the branch's head),
+        or AS OF ``timestamp`` (unix seconds; resolved through
+        ``version_at`` — mutually exclusive with ``version``).
         Empty-log or empty-file-list versions are an error — there is
         nothing to infer a schema from."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no snapshots at {self.root}")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         v = self.head(branch) if version is None else version
         if v is None:
             raise FileNotFoundError(f"branch {branch!r} has no commits")
@@ -434,6 +460,70 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
     version = store._commit(new_files, f"delete[{key_col}]", current)
     store._advance("main", version)
     return version, len(touched)
+
+
+def metadata_stats(store: SnapshotStore, spark: SparkSession,
+                   columns: list[str],
+                   version: int | None = None) -> DataFrame:
+    """Metadata-ONLY aggregates — count(*) plus per-column
+    min/max/null-count resolved entirely from the parquet footers of
+    the manifest's file list, zero data bytes read. This is Iceberg's
+    metadata-table / Delta's count(*)-from-stats fast path: at 100 TB
+    a row count or a column range is a manifest-sized walk (one footer
+    fetch per file — already resident for any engine that plans
+    predicates), not a table scan. Correct BY CONSTRUCTION against
+    the store's own invariants: data files are immutable, deletes
+    rewrite the touched files, so footer stats always describe
+    exactly the live rows of the version.
+
+    Integer-statistic columns only (the exactness contract — parquet
+    string stats may be truncated); raises TypeError otherwise, and
+    ValueError when a footer lacks the needed statistics. Returns one
+    row per requested column: (column, n_rows, n_nulls, min_val,
+    max_val)."""
+    import pyarrow.parquet as pq
+
+    v = store.head("main") if version is None else version
+    files = store._read_manifest(v)["files"]
+    n_rows = 0
+    acc = {c: {"nulls": 0, "min": None, "max": None} for c in columns}
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        n_rows += meta.num_rows
+        idx = {}
+        for i in range(meta.num_columns):
+            name = meta.row_group(0).column(i).path_in_schema \
+                if meta.num_row_groups else None
+            if name in acc:
+                idx[name] = i
+        missing = [c for c in columns
+                   if c not in idx and meta.num_row_groups]
+        if missing:
+            raise ValueError(f"{path} lacks column(s) {missing}")
+        for rg in range(meta.num_row_groups):
+            for c, i in idx.items():
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or st.null_count is None:
+                    raise ValueError(f"{path} rg{rg} has no stats for {c}")
+                a = acc[c]
+                a["nulls"] += st.null_count
+                nvals = meta.row_group(rg).column(i).num_values
+                if nvals and not st.has_min_max:
+                    raise ValueError(f"{path} rg{rg} no min/max for {c}")
+                if nvals:
+                    if not isinstance(st.min, int):
+                        raise TypeError(
+                            f"{c}: integer-statistic columns only "
+                            f"(footer min is {type(st.min).__name__})")
+                    a["min"] = (st.min if a["min"] is None
+                                else min(a["min"], st.min))
+                    a["max"] = (st.max if a["max"] is None
+                                else max(a["max"], st.max))
+    rows = [(c, n_rows, acc[c]["nulls"], acc[c]["min"], acc[c]["max"])
+            for c in columns]
+    return spark.createDataFrame(
+        rows, "col_name string, n_rows long, n_nulls long, "
+              "min_val long, max_val long")
 
 
 def read_merged_schema(store: SnapshotStore, spark: SparkSession,

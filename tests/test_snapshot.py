@@ -649,3 +649,60 @@ def test_partition_spec_guards(spark, tmp_path):
         spark, "ts", datetime.datetime(2024, 1, 1),
         datetime.datetime(2024, 2, 1))
     assert kept == total
+
+
+# Timestamp time travel + metadata-only stats (round 8, continued) -----------
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """Delta's timestampAsOf rule: latest commit at-or-before the
+    timestamp; pre-first-commit timestamps are an error; a timestamp
+    after the last commit resolves to the head. Manifests without a
+    recorded ts (pre-timestamp stores) fall back to file mtime."""
+    import json
+    import time
+
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 5))
+    t_between = time.time()
+    time.sleep(0.05)
+    st.write(_df(spark, 5, 8))
+    assert st.version_at(t_between) == 1
+    assert st.version_at(time.time() + 100) == 2
+    assert _ids(st.read(spark, timestamp=t_between)) == list(range(5))
+    with pytest.raises(ValueError, match="predates"):
+        st.version_at(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        st.read(spark, version=1, timestamp=t_between)
+    # legacy manifest without ts -> mtime fallback still resolves
+    m = st._read_manifest(1)
+    del m["ts"]
+    with open(st._manifest_path(1), "w") as fh:
+        json.dump(m, fh)
+    assert st.version_at(time.time() + 100) == 2
+
+
+def test_metadata_stats_exact_across_append_and_delete(spark, tmp_path):
+    """Footer-only count/min/max/nulls equal a real scan after append
+    AND after a delete rewrite (immutable files keep footers
+    authoritative); non-integer stats columns are rejected."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys,
+                                                   metadata_stats)
+
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 50))
+    st.write(_df(spark, 50, 70))
+    delete_keys(st, spark, [0, 1, 2, 64], "id")
+
+    got = {r.col_name: r for r in
+           metadata_stats(st, spark, ["id"]).collect()}
+    live = st.read(spark)
+    want = live.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("id").alias("mn"),
+                    F.max("id").alias("mx")).collect()[0]
+    assert got["id"].n_rows == want.n == 66
+    assert got["id"].n_nulls == 0
+    assert got["id"].min_val == want.mn == 3
+    assert got["id"].max_val == want.mx == 69
+
+    with pytest.raises((TypeError, ValueError)):
+        metadata_stats(st, spark, ["missing_col"])
