@@ -85,6 +85,7 @@ HEADLINE = [
     "p_cube_build_e2e",
     "x_snapshot_time_travel",
     "x_snapshot_cdc",
+    "x_deletion_vectors",
     "x_compact_roundtrip",
     "p_hash_split_sample",
 ]

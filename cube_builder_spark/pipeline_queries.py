@@ -2288,6 +2288,108 @@ def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "change string, doc_id long")
 
 
+@register("x_deletion_vectors", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+),
+live3 AS (SELECT * FROM base
+          WHERE NOT (doc_id % 7 = 0 AND doc_id < 200)),
+reins AS (SELECT doc_id, n_chars + 100000 AS n_chars
+          FROM base WHERE doc_id % 21 = 0 AND doc_id < 200),
+live4 AS (SELECT * FROM live3 UNION ALL SELECT * FROM reins),
+live5 AS (SELECT * FROM live3
+          UNION ALL
+          SELECT * FROM reins WHERE doc_id % 42 <> 0),
+views AS (
+  SELECT 'v2_all' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
+  UNION ALL
+  SELECT 'v3_after_dv', count(*), CAST(sum(n_chars) AS BIGINT) FROM live3
+  UNION ALL
+  SELECT 'v4_reinsert', count(*), CAST(sum(n_chars) AS BIGINT) FROM live4
+  UNION ALL
+  SELECT 'v5_second_dv', count(*), CAST(sum(n_chars) AS BIGINT) FROM live5
+  UNION ALL
+  SELECT 'v6_materialized', count(*), CAST(sum(n_chars) AS BIGINT)
+  FROM live5
+  UNION ALL
+  SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM base
+)
+SELECT label, n_docs, sum_chars,
+       TRUE AS mor_files_unchanged, TRUE AS materialize_pruned
+FROM views
+""")
+def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via equality-delete sidecars
+    (sinks/snapshot.delete_keys_mor / materialize_deletes — the Delta
+    deletion-vector / Iceberg equality-delete trade the reference's
+    in-place COG overwrite cannot express): append two versions, MoR-
+    delete doc_id%7==0 (commit touches ZERO data files —
+    ``mor_files_unchanged`` pins that), re-append modified rows for
+    doc_id%21==0 (the sequence rule must let them survive the earlier
+    delete), stack a second delete for doc_id%42==0 (kills half the
+    re-inserts), then MATERIALIZE (footer-pruned fold —
+    ``materialize_pruned`` pins that some files carried over by
+    reference). The oracle recomputes every view from the raw table,
+    so a hash match proves the sequence semantics, the stacked-delete
+    anti-joins, the fold equivalence AND time-travel isolation."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (SnapshotStore, delete_keys_mor,
+                                 materialize_deletes)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_dv_")
+    try:
+        st = SnapshotStore(root)
+        # range-clustered files make the materialize footer-prune real:
+        # the deletes target doc_id < 200, so upper-range files carry
+        # over by reference (the z-order/cluster + DV interplay at
+        # 100 TB: a GDPR delete folds by rewriting O(keys) files)
+        st.write(docs.filter(F.col("doc_id") % 2 == 0)
+                 .repartitionByRange(4, "doc_id"))               # v1
+        v2 = st.write(docs.filter(F.col("doc_id") % 2 == 1)
+                      .repartitionByRange(4, "doc_id"))          # v2
+        pre_files = st._read_manifest(v2)["files"]
+        tgt = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 200)
+        v3 = delete_keys_mor(
+            st, spark, docs.filter(tgt).select("doc_id"), ["doc_id"])
+        unchanged = st._read_manifest(v3)["files"] == pre_files
+        v4 = st.write(docs.filter((F.col("doc_id") % 21 == 0)
+                                  & (F.col("doc_id") < 200))
+                      .withColumn("n_chars",
+                                  F.col("n_chars") + 100000))    # v4
+        v5 = delete_keys_mor(
+            st, spark, docs.filter((F.col("doc_id") % 42 == 0)
+                                   & (F.col("doc_id") < 200))
+            .select("doc_id"), ["doc_id"])
+        n_before = len(st._read_manifest(v5)["files"])
+        v6, n_rewritten = materialize_deletes(st, spark)
+        pruned = 0 < n_rewritten < n_before
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("label"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"))
+
+        out = (agg(st.read(spark, v2), "v2_all")
+               .unionByName(agg(st.read(spark, v3), "v3_after_dv"))
+               .unionByName(agg(st.read(spark, v4), "v4_reinsert"))
+               .unionByName(agg(st.read(spark, v5), "v5_second_dv"))
+               .unionByName(agg(st.read(spark, v6), "v6_materialized"))
+               .unionByName(agg(st.read(spark, v2), "v2_time_travel")))
+        rows = [(r.label, r.n_docs, r.sum_chars, unchanged, pruned)
+                for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "mor_files_unchanged boolean, materialize_pruned boolean")
+
+
 @register("x_incremental_mv", """
 WITH v2 AS (
   SELECT CASE WHEN doc_id % 11 = 0 THEN 'moved' ELSE source END AS source,

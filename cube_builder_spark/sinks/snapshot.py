@@ -57,11 +57,24 @@ class SnapshotStore:
             return json.load(fh)
 
     def _commit(self, files: list[str], op: str,
-                parent: int | None) -> int:
+                parent: int | None,
+                extra: dict | None = None) -> int:
         import time
         version = (self.versions() or [0])[-1] + 1
         manifest = {"version": version, "op": op, "parent": parent,
                     "ts": time.time(), "files": sorted(files)}
+        if extra:
+            manifest.update(extra)
+            # sequence-number back-fill: callers can't know the commit
+            # version up front, so None seqs mean "this commit"
+            fs = manifest.get("file_seq")
+            if fs is not None:
+                manifest["file_seq"] = {
+                    p: (version if s is None else s)
+                    for p, s in fs.items()}
+            for d in manifest.get("deletes") or []:
+                if d.get("seq") is None:
+                    d["seq"] = version
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -199,18 +212,30 @@ class SnapshotStore:
             os.path.join(sub, f) for f in os.listdir(sub)
             if f.endswith(".parquet") and not f.startswith("."))
         parent = self.head(branch)
-        base = self._read_manifest(parent)["files"] \
-            if (parent is not None and mode == "append") else []
-        v = self._commit(base + new_files, mode, parent)
+        pm = self._read_manifest(parent) \
+            if (parent is not None and mode == "append") else {}
+        base = pm.get("files", [])
+        # merge-on-read state: appends carry the parent's delete files
+        # and per-file sequence numbers forward (Iceberg: an equality
+        # delete applies only to data files with a STRICTLY OLDER
+        # sequence number, so this append's rows are untouched by
+        # existing deletes); overwrite resets both.
+        file_seq = dict(pm.get("file_seq") or {})
+        file_seq.update({p: None for p in new_files})
+        extra = {"file_seq": file_seq}
+        if pm.get("deletes"):
+            extra["deletes"] = [dict(d) for d in pm["deletes"]]
+        v = self._commit(base + new_files, mode, parent, extra=extra)
         self._advance(branch, v)
         return v
 
     def rollback(self, to_version: int) -> int:
         """Metadata-only revert of MAIN: new version = ``to_version``'s
         file list. Instant at any scale."""
-        files = self._read_manifest(to_version)["files"]
-        v = self._commit(files, f"rollback[{to_version}]",
-                         self.head("main"))
+        tm = self._read_manifest(to_version)
+        extra = {k: tm[k] for k in ("file_seq", "deletes") if k in tm}
+        v = self._commit(tm["files"], f"rollback[{to_version}]",
+                         self.head("main"), extra=extra or None)
         self._advance("main", v)
         return v
 
@@ -234,10 +259,51 @@ class SnapshotStore:
         v = self.head(branch) if version is None else version
         if v is None:
             raise FileNotFoundError(f"branch {branch!r} has no commits")
-        files = self._read_manifest(v)["files"]
+        m = self._read_manifest(v)
+        files = m["files"]
         if not files:
             raise FileNotFoundError(f"version {v} is empty")
-        return spark.read.parquet(*files)
+        deletes = m.get("deletes") or []
+        if not deletes:
+            return spark.read.parquet(*files)
+        return self._apply_deletes(spark, m)
+
+    def _apply_deletes(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Merge-on-read: a row in data file F (sequence s_F) is
+        suppressed iff some equality-delete file D with seq > s_F
+        matches its key — Iceberg's sequence rule, which is what makes
+        a re-insert AFTER a delete survive. Physical shape: one scan
+        per distinct data-file sequence (a lit tag, no shuffle), one
+        BROADCAST anti-join per distinct delete key-set (delete files
+        are key-only and delta-sized by contract — at 100 TB they
+        broadcast while the data plane streams through unshuffled)."""
+        file_seq = m.get("file_seq") or {}
+        by_seq: dict[int, list[str]] = {}
+        for p in m["files"]:
+            by_seq.setdefault(int(file_seq.get(p, 0)), []).append(p)
+        data = None
+        for s, paths in sorted(by_seq.items()):
+            part = spark.read.parquet(*paths).withColumn(
+                "_fseq", F.lit(s))
+            data = part if data is None else data.unionByName(part)
+        by_keys: dict[tuple, list] = {}
+        for d in m["deletes"]:
+            by_keys.setdefault(tuple(d["key_cols"]), []).append(d)
+        for key_cols, ds in sorted(by_keys.items()):
+            dels = None
+            for d in ds:
+                one = spark.read.parquet(*d["paths"]).select(
+                    *[F.col(c).alias(f"_d_{c}") for c in key_cols]
+                ).withColumn("_dseq", F.lit(int(d["seq"])))
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("_dseq") > F.col("_fseq")
+            for c in key_cols:
+                # null-safe NOT used on purpose: a NULL key never
+                # matches a delete (delete_keys' NULL-row safety rule)
+                cond = cond & (F.col(c) == F.col(f"_d_{c}"))
+            data = data.join(F.broadcast(dels), on=cond,
+                             how="left_anti")
+        return data.drop("_fseq")
 
     # -- maintenance --------------------------------------------------
     # -- stream idempotence ledger (sidecar, no file references) ------
@@ -312,7 +378,10 @@ class SnapshotStore:
         leftovers and expired-version files)."""
         referenced: set[str] = set()
         for v in self.versions():
-            referenced.update(self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            referenced.update(m["files"])
+            for d in m.get("deletes") or []:
+                referenced.update(d["paths"])
         removed = []
         droot = os.path.join(self.root, "data")
         for dirpath, _dirs, files in os.walk(droot, topdown=False):
@@ -421,7 +490,15 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
     import pyarrow.parquet as pq
 
     current = store.head("main")
-    files = store._read_manifest(current)["files"]
+    cm = store._read_manifest(current)
+    if cm.get("deletes"):
+        # a merge-on-write rewrite would re-sequence the touched files
+        # PAST the pending equality deletes, silently resurrecting
+        # their rows — fold the sidecars in first
+        raise ValueError(
+            "pending merge-on-read deletes: run materialize_deletes() "
+            "before a merge-on-write delete_keys()")
+    files = cm["files"]
     skeys = sorted(keys)
 
     def may_contain(path: str) -> bool:
@@ -462,6 +539,144 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
     return version, len(touched)
 
 
+def delete_keys_mor(store: SnapshotStore, spark: SparkSession,
+                    keys: DataFrame, key_cols: list[str],
+                    branch: str = "main") -> int:
+    """Merge-on-read DELETE (Iceberg equality-delete / Delta deletion-
+    vector analogue): commit a NEW version whose DATA FILE LIST IS
+    UNCHANGED — the delete is a small key-only parquet sidecar the
+    read path anti-joins away. Contrast `delete_keys`, which rewrites
+    the touched files at commit time (merge-on-write).
+
+    Why both exist: at 100 TB a GDPR delete of a few thousand keys
+    under merge-on-write rewrites every footer-matching file NOW —
+    minutes of I/O on the write path; merge-on-read commits in
+    milliseconds and defers the rewrite to `materialize_deletes` /
+    compaction, paying a broadcast anti-join per read until then.
+    That is exactly Delta's deletion-vector trade.
+
+    Sequence semantics: the delete's seq = this commit's version; it
+    suppresses matching keys only in data files with STRICTLY OLDER
+    seqs, so rows (re-)appended after the delete are untouched."""
+    head = store.head(branch)
+    if head is None:
+        raise FileNotFoundError(f"branch {branch!r} has no commits")
+    m = store._read_manifest(head)
+    sub = os.path.join(store.root, "data", uuid.uuid4().hex + "-del")
+    keys.select(*key_cols).dropDuplicates().write.mode(
+        "error").parquet(sub)
+    paths = sorted(os.path.join(sub, f) for f in os.listdir(sub)
+                   if f.endswith(".parquet") and not f.startswith("."))
+    deletes = [dict(d) for d in m.get("deletes") or []]
+    deletes.append({"paths": paths, "key_cols": list(key_cols),
+                    "seq": None})
+    extra = {"deletes": deletes}
+    if m.get("file_seq"):
+        extra["file_seq"] = m["file_seq"]
+    v = store._commit(m["files"], f"delete-mor[{','.join(key_cols)}]",
+                      head, extra=extra)
+    store._advance(branch, v)
+    return v
+
+
+def materialize_deletes(store: SnapshotStore, spark: SparkSession,
+                        max_pruning_keys: int = 100_000
+                        ) -> tuple[int, int]:
+    """Fold pending merge-on-read deletes into the data files (the
+    compaction half of the deletion-vector trade): rewrite ONLY the
+    files that can contain a deleted key — parquet footer min/max
+    pruning, same strategy as `delete_keys` — and commit a clean
+    manifest with no delete entries. Untouched files carry over BY
+    REFERENCE with their sequence numbers intact. Returns
+    (new_version, n_files_rewritten).
+
+    Pruning needs the key values driver-side; delete sidecars are
+    delta-sized by contract, but if they exceed ``max_pruning_keys``
+    the rewrite falls back to anti-joining every file (correct,
+    unpruned) instead of collecting unbounded state."""
+    import pyarrow.parquet as pq
+
+    head = store.head("main")
+    m = store._read_manifest(head)
+    deletes = m.get("deletes") or []
+    if not deletes:
+        return head, 0
+    file_seq = m.get("file_seq") or {}
+    max_dseq = {}      # key_cols tuple -> newest delete seq
+    for d in deletes:
+        kc = tuple(d["key_cols"])
+        max_dseq[kc] = max(max_dseq.get(kc, -1), int(d["seq"]))
+
+    # driver-side pruning keys, bounded
+    prunable: dict[tuple, list] | None = {}
+    single_key = [kc for kc in max_dseq if len(kc) == 1]
+    total = 0
+    for d in deletes:
+        kc = tuple(d["key_cols"])
+        if kc not in single_key:
+            prunable = None
+            break
+        vals = [r[0] for r in
+                spark.read.parquet(*d["paths"]).limit(
+                    max_pruning_keys + 1).collect()]
+        total += len(vals)
+        if total > max_pruning_keys:
+            prunable = None
+            break
+        prunable.setdefault(kc, []).extend(vals)
+
+    def may_contain(path: str, col: str, vals: list) -> bool:
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            return True
+        if meta.num_row_groups == 0:
+            return False        # zero rows — nothing to suppress
+        idx = next((i for i in range(meta.num_columns)
+                    if meta.row_group(0).column(i).path_in_schema
+                    == col), None)
+        if idx is None:
+            return True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if any(st.min <= k <= st.max
+                   for k in vals if k is not None):
+                return True
+        return False
+
+    touched = []
+    for p in m["files"]:
+        s = int(file_seq.get(p, 0))
+        applicable = [kc for kc, ds in max_dseq.items() if ds > s]
+        if not applicable:
+            continue
+        if prunable is None or any(
+                may_contain(p, kc[0], prunable[kc])
+                for kc in applicable):
+            touched.append(p)
+    kept = [p for p in m["files"] if p not in set(touched)]
+    new_files = list(kept)
+    new_seq = {p: file_seq.get(p, 0) for p in kept}
+    if touched:
+        # read ONLY the touched files through the MoR anti-join view
+        sub_m = dict(m, files=touched,
+                     file_seq={p: file_seq.get(p, 0) for p in touched})
+        clean = store._apply_deletes(spark, sub_m)
+        sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+        clean.write.mode("error").parquet(sub)
+        rewritten = sorted(
+            os.path.join(sub, f) for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith("."))
+        new_files += rewritten
+        new_seq.update({p: None for p in rewritten})
+    v = store._commit(new_files, "materialize-deletes", head,
+                      extra={"file_seq": new_seq})
+    store._advance("main", v)
+    return v, len(touched)
+
+
 def metadata_stats(store: SnapshotStore, spark: SparkSession,
                    columns: list[str],
                    version: int | None = None) -> DataFrame:
@@ -472,9 +687,12 @@ def metadata_stats(store: SnapshotStore, spark: SparkSession,
     a row count or a column range is a manifest-sized walk (one footer
     fetch per file — already resident for any engine that plans
     predicates), not a table scan. Correct BY CONSTRUCTION against
-    the store's own invariants: data files are immutable, deletes
-    rewrite the touched files, so footer stats always describe
-    exactly the live rows of the version.
+    the store's own invariants: data files are immutable and
+    merge-on-WRITE deletes rewrite the touched files, so footer stats
+    describe exactly the live rows of the version. Pending
+    merge-on-READ deletes break that premise (footers still count
+    suppressed rows), so such versions are rejected — materialize
+    first.
 
     Integer-statistic columns only (the exactness contract — parquet
     string stats may be truncated); raises TypeError otherwise, and
@@ -484,7 +702,12 @@ def metadata_stats(store: SnapshotStore, spark: SparkSession,
     import pyarrow.parquet as pq
 
     v = store.head("main") if version is None else version
-    files = store._read_manifest(v)["files"]
+    vm = store._read_manifest(v)
+    if vm.get("deletes"):
+        raise ValueError(
+            "version has pending merge-on-read deletes: footer stats "
+            "would overcount; run materialize_deletes() first")
+    files = vm["files"]
     n_rows = 0
     acc = {c: {"nulls": 0, "min": None, "max": None} for c in columns}
     for path in files:
@@ -628,12 +851,21 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
         os.path.join(sub, f) for f in os.listdir(sub)
         if f.endswith(".parquet") and not f.startswith("."))
     parent = store.head("main")
-    base = store._read_manifest(parent)["files"] \
-        if (parent is not None and mode == "append") else []
+    pm = store._read_manifest(parent) \
+        if (parent is not None and mode == "append") else {}
+    base = pm.get("files", [])
     version = (store.versions() or [0])[-1] + 1
     manifest = {"version": version, "op": f"stream[{batch_id}]",
                 "parent": parent, "batch_id": batch_id, "run_id": run_id,
                 "files": sorted(base + new_files)}
+    # carry merge-on-read state exactly as SnapshotStore.write does:
+    # this batch's files get seq = this version, so pending equality
+    # deletes (strictly older) never suppress freshly streamed rows
+    file_seq = dict(pm.get("file_seq") or {})
+    file_seq.update({p: version for p in new_files})
+    manifest["file_seq"] = file_seq
+    if pm.get("deletes"):
+        manifest["deletes"] = [dict(d) for d in pm["deletes"]]
     tmp = store._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -780,9 +1012,19 @@ class PartitionedStore:
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
         parent = self.store.head(branch)
-        base = self.store._read_manifest(parent)["files"] \
-            if (parent is not None and mode == "append") else []
-        v = self.store._commit(base + sorted(new_files), mode, parent)
+        pm = self.store._read_manifest(parent) \
+            if (parent is not None and mode == "append") else {}
+        base = pm.get("files", [])
+        # same merge-on-read carry as SnapshotStore.write: new files
+        # are sequenced at this commit, pending equality deletes ride
+        # along and never touch them
+        file_seq = dict(pm.get("file_seq") or {})
+        file_seq.update({f: None for f in new_files})
+        extra = {"file_seq": file_seq}
+        if pm.get("deletes"):
+            extra["deletes"] = [dict(d) for d in pm["deletes"]]
+        v = self.store._commit(base + sorted(new_files), mode, parent,
+                               extra=extra)
         self.store._advance(branch, v)
         return v
 
@@ -815,4 +1057,11 @@ class PartitionedStore:
         if not keep:
             raise FileNotFoundError(
                 f"no files overlap [{lo}, {hi}) at version {v}")
+        m = self.store._read_manifest(v)
+        if m.get("deletes"):
+            # merge-on-read composes with pruning: apply the equality
+            # deletes over the KEPT files only (a restricted manifest)
+            sub = dict(m, files=keep)
+            return (self.store._apply_deletes(spark, sub),
+                    len(keep), len(files))
         return spark.read.parquet(*keep), len(keep), len(files)

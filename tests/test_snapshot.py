@@ -706,3 +706,125 @@ def test_metadata_stats_exact_across_append_and_delete(spark, tmp_path):
 
     with pytest.raises((TypeError, ValueError)):
         metadata_stats(st, spark, ["missing_col"])
+
+
+# -- merge-on-read deletion vectors (equality-delete sidecars) ---------------
+
+
+def _mor_setup(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import delete_keys_mor
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10))
+    v2 = st.write(_df(spark, 10, 20))
+    v3 = delete_keys_mor(
+        st, spark, spark.range(0, 20, 7).select(F.col("id")), ["id"])
+    return st, v2, v3
+
+
+def test_mor_delete_touches_zero_data_files(spark, tmp_path):
+    """The whole point of the deletion-vector trade: the DELETE commit
+    moves no data — the file list is the parent's, byte for byte."""
+    st, v2, v3 = _mor_setup(spark, tmp_path)
+    assert st._read_manifest(v3)["files"] == st._read_manifest(v2)["files"]
+    assert _ids(st.read(spark)) == [k for k in range(20) if k % 7]
+    # time travel to the pre-delete version still sees everything
+    assert _ids(st.read(spark, v2)) == list(range(20))
+
+
+def test_mor_sequence_rule_reinsert_survives(spark, tmp_path):
+    """Iceberg sequence semantics: an equality delete applies only to
+    data files with a STRICTLY older sequence — a later re-insert of a
+    deleted key lives, and a later delete kills it again."""
+    from cube_builder_spark.sinks.snapshot import delete_keys_mor
+    st, _v2, _v3 = _mor_setup(spark, tmp_path)
+    st.write(spark.createDataFrame([(7, 777)], "id long, v long"))
+    assert 7 in _ids(st.read(spark))
+    delete_keys_mor(st, spark,
+                    spark.createDataFrame([(7,)], "id long"), ["id"])
+    got = _ids(st.read(spark))
+    assert 7 not in got and 0 not in got and 14 not in got
+
+
+def test_mor_null_key_rows_survive(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import delete_keys_mor
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(spark.createDataFrame([(1, 10), (None, 20), (2, 30)],
+                                   "id long, v long"))
+    delete_keys_mor(st, spark,
+                    spark.createDataFrame([(1,)], "id long"), ["id"])
+    rows = {(r.id, r.v) for r in st.read(spark).collect()}
+    assert rows == {(None, 20), (2, 30)}
+
+
+def test_materialize_deletes_prunes_and_preserves(spark, tmp_path):
+    """Folding the sidecars rewrites ONLY footer-matching files (the
+    delete targets id<5, so the upper-range file carries over by
+    reference), drops the delete entries, and changes no data."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys_mor,
+                                                   materialize_deletes)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10).repartitionByRange(2, "id"))
+    st.write(_df(spark, 10, 20).repartitionByRange(2, "id"))
+    delete_keys_mor(st, spark, spark.range(0, 5).select("id"), ["id"])
+    before = st._read_manifest(st.head("main"))
+    expected = _ids(st.read(spark))
+    v, n = materialize_deletes(st, spark)
+    m = st._read_manifest(v)
+    assert not m.get("deletes")
+    assert 0 < n < len(before["files"])
+    assert len(set(m["files"]) & set(before["files"])) > 0
+    assert _ids(st.read(spark, v)) == expected == list(range(5, 20))
+    # second pass is a no-op
+    v2, n2 = materialize_deletes(st, spark)
+    assert (v2, n2) == (v, 0)
+
+
+def test_mor_vacuum_keeps_delete_sidecars(spark, tmp_path):
+    """Delete sidecar files are manifest-referenced state: vacuum must
+    never reclaim one while a retained manifest needs it; after
+    materialize + expire they become garbage and go."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys_mor,
+                                                   materialize_deletes)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10))
+    delete_keys_mor(st, spark, spark.range(0, 3).select("id"), ["id"])
+    dpaths = st._read_manifest(st.head("main"))["deletes"][0]["paths"]
+    assert st.vacuum() == []
+    assert all(os.path.exists(p) for p in dpaths)
+    assert _ids(st.read(spark)) == list(range(3, 10))
+    materialize_deletes(st, spark)
+    st.expire(keep_last=1)
+    removed = st.vacuum()
+    assert set(dpaths) <= set(removed)
+    assert _ids(st.read(spark)) == list(range(3, 10))
+
+
+def test_mor_blocks_footer_dependent_paths(spark, tmp_path):
+    """metadata_stats and merge-on-write delete_keys both assume
+    footer stats describe live rows — pending MoR deletes break that,
+    so both must refuse rather than answer wrong."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys,
+                                                   delete_keys_mor,
+                                                   metadata_stats)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10))
+    delete_keys_mor(st, spark, spark.range(0, 3).select("id"), ["id"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        metadata_stats(st, spark, ["id"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        delete_keys(st, spark, [5], "id")
+
+
+def test_mor_stream_batch_carries_deletes(spark, tmp_path):
+    """A streamed append after a MoR delete keeps the pending delete
+    AND its own rows (fresh sequence) — the foreachBatch sink path."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys_mor,
+                                                   write_stream_batch)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10))
+    delete_keys_mor(st, spark, spark.range(0, 3).select("id"), ["id"])
+    write_stream_batch(st, spark.createDataFrame([(1, 111)],
+                                                 "id long, v long"),
+                       batch_id=0, run_id="r1")
+    got = _ids(st.read(spark))
+    assert got == [1] + list(range(3, 10))
