@@ -2006,3 +2006,37 @@ def x_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return reached.groupBy("v").agg(F.min("d").cast("long").alias("hops")) \
         .select(F.col("v").alias("p_partkey"), "hops")
+
+
+@register("x_spatial_radius_join", """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 37) % 10000 AS x,
+         (c_custkey * 91) % 10000 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 120 * 120
+""")
+def x_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs-within-radius spatial self-join (the Sedona/PostGIS
+    ST_DWithin distance-join shape, reference analogue: the tile
+    bbox-intersect plane, controller.py:518-538) over a deterministic
+    point cloud derived from the customer key. The oracle is the
+    brute-force O(n²) theta join; the Spark side is the fixed-grid
+    binning plan (functions/spatial.radius_self_join): cell side ==
+    radius, one side replicated to its 3x3 neighborhood, a two-key
+    EQUI-join on the cell, then the exact integer distance verify —
+    the pair space is local density x 9, never n². Every distance is
+    integer arithmetic, so the hash match is engine-exact."""
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    from .functions.spatial import radius_self_join
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 10000).alias("x"),
+        ((F.col("c_custkey") * 91) % 10000).alias("y"))
+    return radius_self_join(pts, radius=120)
