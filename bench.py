@@ -38,6 +38,7 @@ HEADLINE = [
     "r16_grouping_sets",
     "x_pagerank_trade",
     "x_triangle_count",
+    "x_spatial_radius_join",
     "r11_multiway_join",
     "c2_blend_lcf",
     "c3_blend_med",

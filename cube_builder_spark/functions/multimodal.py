@@ -510,3 +510,78 @@ def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
                     ham.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["doc_a", "doc_b"]))
+
+
+AUDIO_FP_FRAME = 10         # samples per energy frame
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded WAV payloads — the
+    energy-difference hash (the Haitsma-Kalker 2002 robust-hash shape,
+    time axis only: one bit per frame-to-frame energy increase; what
+    Shazam-class systems build from spectral peaks, reduced to the
+    dimension a codec-exact oracle can replay).
+
+    Per doc: PCM16 decode -> non-overlapping frames of
+    ``AUDIO_FP_FRAME`` samples (the trailing partial frame drops) ->
+    int64 energy sum(s^2) per frame -> bit f-1 set iff E_f > E_{f-1}
+    -> packed LSB-first into one BIGINT (<= 13 delta bits at this
+    plane's 50-149 samples). All-integer, so DuckDB derives the same
+    fingerprint symbolically. Returns (doc_id, fp, nb) with nb =
+    number of delta bits."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media_type, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if media_type != "audio/wav":
+                    continue
+                _rate, samples = decode_wav(bytes(payload))
+                nf = len(samples) // AUDIO_FP_FRAME
+                if nf < 2:
+                    continue
+                e = (samples[:nf * AUDIO_FP_FRAME].astype(np.int64)
+                     .reshape(nf, AUDIO_FP_FRAME) ** 2).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                val = int((bits << np.arange(nf - 1)).sum())
+                rows.append((int(doc_id), val, nf - 1))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp", "nb"])
+
+    return media.mapInPandas(fp, "doc_id long, fp long, nb int")
+
+
+def audio_dup_pairs(fps: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance —
+    LOSSLESS two-band pigeonhole: a pair within Hamming <= 1 agrees on
+    the low 7 bits or on the rest, so bucketing on each half (keyed
+    with nb — only equal-length fingerprints compare) misses nothing.
+    Same plan family as dhash_dup_pairs: bucket groupBy, in-array i<j
+    expansion (doc_a < doc_b via sort_array), exact bit_count verify,
+    cross-band dropDuplicates."""
+    if max_hamming > 1:
+        raise ValueError("two bands are only lossless for hamming <= 1")
+    bands = [
+        F.concat(F.lit("0:"), F.col("nb").cast("string"), F.lit(":"),
+                 F.col("fp").bitwiseAND(F.lit(127)).cast("string")),
+        F.concat(F.lit("1:"), F.col("nb").cast("string"), F.lit(":"),
+                 F.shiftright(F.col("fp"), 7).cast("string")),
+    ]
+    m = F.struct(F.col("doc_id").alias("id"), F.col("fp").alias("f"))
+    plane = fps.select(m.alias("m"), F.explode(F.array(*bands))
+                       .alias("bucket"))
+    grouped = (plane.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["id"].alias("doc_a"), y["id"].alias("doc_b"),
+                               x["f"].alias("fa"), y["f"].alias("fb")))))
+    ham = F.bit_count(F.col("p.fa").bitwiseXOR(F.col("p.fb")))
+    return (grouped.select(F.explode(combos).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["doc_a", "doc_b"]))

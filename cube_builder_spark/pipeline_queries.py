@@ -1491,6 +1491,56 @@ def m_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       max_hamming=6)
 
 
+@register("m_audio_fingerprint", """
+WITH fpdocs AS (
+  SELECT doc_id, 50 + n_chars % 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+fpsamp AS (
+  SELECT doc_id, n, unnest(range(0, (n // 10) * 10)) AS i FROM fpdocs
+),
+fpvals AS (
+  SELECT doc_id, i // 10 AS f,
+         CAST((doc_id * 31 + i * 17) % 2001 - 1000 AS BIGINT) AS s
+  FROM fpsamp
+),
+fpen AS (
+  SELECT doc_id, f, sum(s * s) AS e FROM fpvals GROUP BY doc_id, f
+),
+fpen2 AS (
+  SELECT doc_id, f, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+  FROM fpen
+),
+fps AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN pe IS NOT NULL AND e > pe
+                       THEN 1 << (f - 1) ELSE 0 END) AS BIGINT) AS fp,
+         CAST(max(f) AS INTEGER) AS nb
+  FROM fpen2 GROUP BY doc_id HAVING max(f) >= 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id AND a.nb = b.nb
+WHERE bit_count(xor(a.fp, b.fp)) <= 1
+""")
+def m_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-duplicate detection via the energy-difference
+    fingerprint (Haitsma-Kalker 2002) over REAL decoded WAV payloads:
+    PCM16 decode -> 10-sample frame energies (exact int64) -> one bit
+    per energy increase, packed LSB-first -> lossless two-band
+    pigeonhole bucket join -> exact popcount verify (hamming <= 1).
+    The oracle replays frame/energy/bit arithmetic symbolically and
+    brute-forces all pairs; the Spark side goes through the real
+    codec bytes and the banded join — a hash match proves decode,
+    framing, packing AND banding at once
+    (multimodal.audio_fingerprint / audio_dup_pairs)."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.audio_dup_pairs(
+        multimodal.audio_fingerprint(media), max_hamming=1)
+
+
 _AUD_RESAMPLE_SQL = """
 auddocs AS (
   SELECT doc_id, 50 + n_chars % 100 AS n

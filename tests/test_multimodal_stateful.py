@@ -319,3 +319,71 @@ def test_dhash_dup_pairs_lossless_banding(spark):
     assert got == want and len(want) > 0
     with pytest.raises(ValueError):
         multimodal.dhash_dup_pairs(df, max_hamming=8)
+
+
+# audio fingerprint ------------------------------------------------------------
+
+def _ref_audio_fp(samples) -> tuple[int, int]:
+    """Independent reference fingerprint (loop form)."""
+    nf = len(samples) // multimodal.AUDIO_FP_FRAME
+    es = []
+    for f in range(nf):
+        e = 0
+        for j in range(multimodal.AUDIO_FP_FRAME):
+            s = int(samples[f * multimodal.AUDIO_FP_FRAME + j])
+            e += s * s
+        es.append(e)
+    fp = 0
+    for f in range(1, nf):
+        if es[f] > es[f - 1]:
+            fp |= 1 << (f - 1)
+    return fp, nf - 1
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    """audio_fingerprint over real encoded WAV payloads equals a
+    loop-form reference on the raw samples; sub-2-frame docs and
+    non-audio rows are skipped."""
+    rng = np.random.default_rng(7)
+    rows, want = [], {}
+    for doc_id in range(8):
+        n = int(rng.integers(25, 150))
+        samples = rng.integers(-1000, 1001, n).astype(np.int16)
+        rows.append((doc_id, "audio/wav",
+                     multimodal.encode_wav(samples, multimodal.AUDIO_SRC_RATE)))
+        fp, nb = _ref_audio_fp(samples)
+        if nb >= 1:
+            want[doc_id] = (fp, nb)
+    rows.append((90, "audio/wav",
+                 multimodal.encode_wav(np.zeros(7, np.int16),
+                                       multimodal.AUDIO_SRC_RATE)))  # <2 frames
+    rows.append((99, "image/bmp", b"not audio"))                     # skipped
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary")
+    got = {r.doc_id: (r.fp, r.nb)
+           for r in multimodal.audio_fingerprint(media).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_audio_dup_pairs_lossless_banding(spark):
+    """The two-band bucket join must return EXACTLY the brute-force
+    hamming<=1 pair set among equal-length fingerprints."""
+    rng = np.random.default_rng(3)
+    fps = []
+    for i in range(60):
+        nb = int(rng.integers(4, 14))
+        base = int(rng.integers(0, 2)) * ((1 << nb) - 1) // 3
+        fp = base ^ (1 << int(rng.integers(0, nb)) if rng.integers(0, 2)
+                     else 0)
+        fps.append((i, fp & ((1 << nb) - 1), nb))
+    want = set()
+    for i, (ia, fa, na) in enumerate(fps):
+        for ib, fb, nb2 in fps[i + 1:]:
+            if na == nb2 and bin(fa ^ fb).count("1") <= 1:
+                want.add((ia, ib, bin(fa ^ fb).count("1")))
+    df = spark.createDataFrame(fps, "doc_id long, fp long, nb int")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in multimodal.audio_dup_pairs(df, max_hamming=1).collect()}
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError):
+        multimodal.audio_dup_pairs(df, max_hamming=2)
