@@ -2440,6 +2440,129 @@ def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
               "mor_files_unchanged boolean, materialize_pruned boolean")
 
 
+@register("x_bloom_index_lookup", """
+WITH keys AS (SELECT unnest([7, 123, 456, 1001, 1, 3]) AS k)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       TRUE AS bloom_skipped_files
+FROM documents d JOIN keys ON d.doc_id = keys.k
+""")
+def x_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index point lookups (sinks/snapshot.
+    build_bloom_index / bloom_point_read — Delta's bloom-filter-index
+    analogue): the documents table lands HASH-distributed on doc_id
+    (footer min/max useless — every file spans the whole key range,
+    the case where z-order/range pruning stops working), the index is
+    built in one tagged scan, and six point lookups each read only the
+    files whose mask accepts the key. ``bloom_skipped_files`` pins
+    that every lookup skipped at least one file; the oracle recomputes
+    the rows, proving no false negatives."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (SnapshotStore, bloom_point_read,
+                                 build_bloom_index)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_bl_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.repartition(8, "doc_id"))
+        build_bloom_index(st, spark, "doc_id")
+        rows, all_skipped = [], True
+        for key in (7, 123, 456, 1001, 1, 3):
+            df, n_read, n_total = bloom_point_read(st, spark,
+                                                   "doc_id", key)
+            all_skipped = all_skipped and (n_read < n_total)
+            rows.extend((r.doc_id, r.n_chars) for r in df.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, n, all_skipped) for d, n in rows],
+        "doc_id long, n_chars long, bloom_skipped_files boolean")
+
+
+@register("x_snapshot_merge", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+),
+upd AS (
+  SELECT doc_id, n_chars + 100000 AS n_chars
+  FROM base WHERE doc_id % 5 = 0 AND doc_id < 300
+),
+news AS (
+  SELECT doc_id + 1000000 AS doc_id, n_chars
+  FROM base WHERE doc_id % 50 = 0
+),
+merged AS (
+  SELECT * FROM base
+  WHERE NOT (doc_id % 5 = 0 AND doc_id < 300)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM news
+),
+views AS (
+  SELECT 'v2_all' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
+  UNION ALL
+  SELECT 'v3_merged', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
+  UNION ALL
+  SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM base
+)
+SELECT label, n_docs, sum_chars, TRUE AS merge_pruned FROM views
+""")
+def x_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE upsert as a snapshot commit
+    (sinks/snapshot.merge_upsert — Delta's MERGE strategy over the
+    manifest log): append two range-clustered versions, then one merge
+    batch mixing UPDATES (existing keys, mutated payload) and INSERTS
+    (brand-new keys); the footer-pruned rewrite touches only files
+    that can hold a matched key (``merge_pruned`` pins that some
+    carried over by reference), the whole merge is ONE atomic commit,
+    and time travel back to the pre-merge version is unchanged. The
+    oracle recomputes every view from the raw table."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, merge_upsert
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_mg_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 2 == 0)
+                 .repartitionByRange(4, "doc_id"))               # v1
+        v2 = st.write(docs.filter(F.col("doc_id") % 2 == 1)
+                      .repartitionByRange(4, "doc_id"))          # v2
+        upd = (docs.filter((F.col("doc_id") % 5 == 0)
+                           & (F.col("doc_id") < 300))
+               .withColumn("n_chars", F.col("n_chars") + 100000))
+        news = (docs.filter(F.col("doc_id") % 50 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        "n_chars"))
+        n_before = len(st._read_manifest(v2)["files"])
+        v3, n_rewritten = merge_upsert(st, spark,
+                                       upd.unionByName(news), "doc_id")
+        pruned = 0 < n_rewritten < n_before
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("label"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"))
+
+        out = (agg(st.read(spark, v2), "v2_all")
+               .unionByName(agg(st.read(spark, v3), "v3_merged"))
+               .unionByName(agg(st.read(spark, v2), "v2_time_travel")))
+        rows = [(r.label, r.n_docs, r.sum_chars, pruned)
+                for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "merge_pruned boolean")
+
+
 @register("x_incremental_mv", """
 WITH v2 AS (
   SELECT CASE WHEN doc_id % 11 = 0 THEN 'moved' ELSE source END AS source,
@@ -2492,6 +2615,68 @@ def x_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, n_rows long, sum_chars long")
+
+
+@register("x_incremental_mv_minmax", """
+WITH v2 AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 'moved' ELSE source END AS source,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                   ELSE n_chars END AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM v2 GROUP BY source
+""")
+def x_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance — the NON-self-
+    maintainable half of Gupta-Mumick (sinks/snapshot.
+    incremental_mv_minmax): publish v1, build the per-source
+    (count, min, max) MV once, overwrite with a v2 that adds, drops,
+    mutates and moves rows, then maintain the MV from the CDC diff
+    plus an EXACT recompute of only the dirty groups (those whose
+    removed values tied a stored extreme — deletes of interior values
+    roll forward delta-sized). The oracle recomputes the MV from
+    scratch on v2's rules, so a hash match proves the dirty-group
+    classification misses nothing and the clean-group least/greatest
+    merge is exact."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (SnapshotStore, incremental_mv_minmax,
+                                 snapshot_diff)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_mvx_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 != 0))          # v1
+        mv1 = (st.read(spark, 1).groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.min("n_chars").cast("long").alias("min_chars"),
+                    F.max("n_chars").cast("long").alias("max_chars")))
+        st.write(                                                # v2
+            docs.filter(F.col("doc_id") % 2 == 0)
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 7 == 0,
+                                   F.col("n_chars") + 5)
+                            .otherwise(F.col("n_chars")))
+                .withColumn("source",
+                            F.when(F.col("doc_id") % 11 == 0, F.lit("moved"))
+                            .otherwise(F.col("source"))),
+            mode="overwrite")
+        diff = snapshot_diff(st, spark, 1, 2, ["doc_id"],
+                             include_payload=True)
+        rows = incremental_mv_minmax(
+            mv1, diff, st.read(spark, 2), "source",
+            mins={"min_chars": "n_chars"},
+            maxs={"max_chars": "n_chars"}).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_rows long, min_chars long, max_chars long")
 
 
 @register("p_token_budget_mix", """

@@ -109,6 +109,19 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         # events.parquet stores TIMESTAMP(NANOS); read as long and convert
         # in tables.load_table (Spark has no native nanos timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Partition-aware union (Spark 4's zip-style UnionExec when all
+        # children share a hash partitioning) mis-plans NESTED unions
+        # whose children disagree on partition count: the inner union
+        # concatenates (3x8 partitions) while still advertising the
+        # children's partitioning, and the outer consumer zips 8-vs-24
+        # -> "Can't zip RDDs with unequal numbers of partitions"
+        # (reproduced by chaining incremental_mv_minmax cycles lazily;
+        # an explicit repartition after the union gets ELIDED as
+        # redundant against the advertised partitioning, so it cannot
+        # be defended against at the query level). The optimization
+        # only saves a re-shuffle of union output — our unions feed
+        # aggregates or tiny MV planes — so correctness wins.
+        .config("spark.sql.unionOutputPartitioning", "false")
         # numpy-kernel parity: x/0 -> NULL (not error), like the
         # reference's masked-array arithmetic; oracles use NULLIF.
         .config("spark.sql.ansi.enabled", "false")

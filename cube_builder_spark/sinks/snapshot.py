@@ -473,6 +473,330 @@ def incremental_mv(mv_old: DataFrame, diff: DataFrame, group_col: str,
             .filter(F.col(count_col) > 0))
 
 
+def build_bloom_index(store: SnapshotStore, spark: SparkSession,
+                      column: str, k: int = 3,
+                      mbits: int = 4096) -> str:
+    """Per-FILE Bloom index sidecar (Delta's bloom-filter-index
+    analogue): one pass over the current version computes, for every
+    data file, a small deterministic Bloom mask over ``column``
+    (functions/bloom's exact affine hashes), persisted as
+    ``_manifests/bloom_<column>.json``. Point lookups then skip files
+    whose mask rejects the key — the data-skipping statistic footer
+    min/max CANNOT provide on a hash-distributed (non-clustered)
+    column, which is exactly where z-order/range pruning stops
+    working.
+
+    Build shape: one distributed scan tagged with
+    ``_metadata.file_path``, explode of k positions, one
+    map-side-combined groupBy((file, word)) bit_or, then a bounded
+    collect of files x mbits/64 longs (64 longs per file at the
+    default — sidecar stays metadata-sized up to very large file
+    counts; past that, shard the sidecar like any manifest)."""
+    from ..functions.bloom import _bit_of, positions
+
+    head = store.head("main")
+    files = store._read_manifest(head)["files"]
+    df = (spark.read.parquet(*files)
+          .select(F.col(column).alias("_k"),
+                  F.col("_metadata.file_path").alias("_p")))
+    pos = df.select(
+        "_p", F.explode(F.array(*positions(F.col("_k"), k, mbits)))
+        .alias("pos"))
+    words = (pos.groupBy("_p",
+                         F.floor(F.col("pos") / 64).cast("int").alias("w"))
+             .agg(F.bit_or(_bit_of(F.col("pos"))).alias("bits"))
+             .collect())
+    import re as _re
+    masks: dict[str, list[int]] = {}
+    for r in words:
+        # _metadata.file_path is a URI (file:/x, file:///x) — normalize
+        # back to the manifest's plain os path
+        path = _re.sub(r"^file:/+", "/", r._p)
+        masks.setdefault(path, [0] * (mbits // 64))[int(r.w)] = int(r.bits)
+    sidecar = os.path.join(store.root, _MANIFESTS,
+                           f"bloom_{column}.json")
+    tmp = sidecar + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"column": column, "k": k, "mbits": mbits,
+                   "version": head, "masks": masks}, fh)
+    os.replace(tmp, sidecar)
+    return sidecar
+
+
+def _bloom_might_contain(value, mask: list[int], k: int,
+                         mbits: int) -> bool:
+    """Driver-side twin of functions/bloom.might_contain — same affine
+    positions, pure Python."""
+    from ..functions.bloom import _PRIMES, _REDUCER
+    folded = int(value) % _REDUCER
+    if folded < 0:
+        folded += _REDUCER
+    for j in range(k):
+        p = (folded * _PRIMES[j] + j) % mbits
+        if not (mask[p // 64] >> (p % 64)) & 1:
+            return False
+    return True
+
+
+def bloom_point_read(store: SnapshotStore, spark: SparkSession,
+                     column: str, value,
+                     version: int | None = None):
+    """Point lookup through the Bloom sidecar: files whose mask
+    rejects ``value`` are skipped WITHOUT opening them; files missing
+    from the sidecar (appended after the index build) are
+    conservatively read. Returns (DataFrame, n_read, n_total); the
+    exact equality filter still applies — skipping is an optimization,
+    never a filter. No false negatives by Bloom construction; false
+    positives cost one extra file read each."""
+    v = store.head("main") if version is None else version
+    files = store._read_manifest(v)["files"]
+    sidecar = os.path.join(store.root, _MANIFESTS,
+                           f"bloom_{column}.json")
+    try:
+        with open(sidecar) as fh:
+            idx = json.load(fh)
+    except OSError:
+        idx = {"masks": {}, "k": 3, "mbits": 4096}
+    masks = idx["masks"]
+    keep = [f for f in files
+            if f not in masks
+            or _bloom_might_contain(value, masks[f],
+                                    idx["k"], idx["mbits"])]
+    if not keep:
+        # every file rejected: provably no match — empty frame with
+        # the right schema (read one file's schema lazily, filter false)
+        return (spark.read.parquet(files[0]).filter(F.lit(False)),
+                0, len(files))
+    return (spark.read.parquet(*keep).filter(F.col(column) == F.lit(value)),
+            len(keep), len(files))
+
+
+def merge_upsert(store: SnapshotStore, spark: SparkSession,
+                 updates: DataFrame, key_col: str) -> tuple[int, int]:
+    """Copy-on-write MERGE (whenMatched update-all / whenNotMatched
+    insert-all, keyed on ``key_col``) as a snapshot commit — the
+    upsert-publish the reference's in-place COG overwrite approximates
+    without isolation (processing.py re-runs a period over the live
+    product; here readers keep their version until the merge commits).
+
+    Physical shape, Delta's MERGE strategy over plain parquet:
+      1. footer min/max pruning finds the files that CAN hold a
+         matched key — every other file carries over BY REFERENCE;
+      2. touched files rewrite with matched rows REMOVED (broadcast
+         anti-join against the update keys — the update set is
+         delta-sized by contract);
+      3. the full update batch appends as new files (updated rows +
+         brand-new rows land together);
+      4. one manifest commit makes all of it visible atomically.
+
+    Returns (new_version, n_files_rewritten). At 100 TB the rewrite
+    is O(files-holding-matched-keys) on a clustered table, the
+    anti-join broadcasts, and a crash anywhere before the manifest
+    write leaves only vacuumable orphans. NULL-key base rows never
+    match (anti-join null semantics) and are preserved. Refuses on
+    pending merge-on-read deletes for the same reason delete_keys
+    does: the rewrite would re-sequence touched files past them."""
+    import pyarrow.parquet as pq
+
+    head = store.head("main")
+    m = store._read_manifest(head)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending merge-on-read deletes: run materialize_deletes() "
+            "before merge_upsert()")
+    file_seq = m.get("file_seq") or {}
+    keys = updates.select(key_col).dropDuplicates()
+
+    # driver-side key values for footer pruning (same strategy as
+    # delete_keys): a MERGE batch is delta-sized by contract, so the
+    # key list collects; past the cap, fall back to the global
+    # [min, max] envelope — still correct, just coarser (a batch
+    # mixing low update keys with high insert keys overlaps
+    # everything under the envelope, which is exactly why the
+    # per-key test is the default)
+    max_pruning_keys = 100_000
+    kvals = [r[0] for r in keys.limit(max_pruning_keys + 1).collect()]
+    if len(kvals) > max_pruning_keys:
+        env = keys.agg(F.min(key_col), F.max(key_col)).collect()[0]
+        probe = [(env[0], env[1])] if env[0] is not None else []
+    else:
+        probe = [(v, v) for v in kvals if v is not None]
+
+    def may_match(path: str) -> bool:
+        if not probe:
+            return False        # all-NULL update keys match nothing
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            return True
+        if meta.num_row_groups == 0:
+            return False
+        idx = next((i for i in range(meta.num_columns)
+                    if meta.row_group(0).column(i).path_in_schema
+                    == key_col), None)
+        if idx is None:
+            return True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if any(st.min <= hi and lo <= st.max for lo, hi in probe):
+                return True
+        return False
+
+    touched = [f for f in m["files"] if may_match(f)]
+    kept = [f for f in m["files"] if f not in set(touched)]
+    new_files = list(kept)
+    new_seq = {p: file_seq.get(p, 0) for p in kept}
+    if touched:
+        sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+        (spark.read.parquet(*touched)
+         .join(F.broadcast(keys), key_col, "left_anti")
+         .write.mode("error").parquet(sub))
+        rewritten = sorted(
+            os.path.join(sub, f) for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith("."))
+        new_files += rewritten
+        new_seq.update({p: None for p in rewritten})
+    subu = os.path.join(store.root, "data", uuid.uuid4().hex)
+    updates.write.mode("error").parquet(subu)
+    upserted = sorted(
+        os.path.join(subu, f) for f in os.listdir(subu)
+        if f.endswith(".parquet") and not f.startswith("."))
+    new_files += upserted
+    new_seq.update({p: None for p in upserted})
+    v = store._commit(new_files, f"merge[{key_col}]", head,
+                      extra={"file_seq": new_seq})
+    store._advance("main", v)
+    return v, len(touched)
+
+
+def minmax_dirty_groups(mv_old: DataFrame, diff: DataFrame,
+                        group_col: str,
+                        mins: dict[str, str],
+                        maxs: dict[str, str]) -> DataFrame:
+    """Groups whose stored MIN/MAX may be invalidated by this diff:
+    a removed (or changed-away) row whose old value TIES the group's
+    stored extreme. Conservative — removing one of several tied rows
+    flags the group even though the extreme survives — which is the
+    correct trade: recomputing a falsely-flagged group is cheap and
+    exact, missing a truly-dirty one is silent corruption."""
+    old_side = (diff.filter(F.col("change").isin("removed", "changed"))
+                .select(F.col(f"old.{group_col}").alias(group_col),
+                        *[F.col(f"old.{src}").alias(f"_o_{dst}")
+                          for dst, src in {**mins, **maxs}.items()]))
+    j = old_side.join(mv_old, group_col)
+    cond = F.lit(False)
+    for dst in mins:
+        cond = cond | (F.col(f"_o_{dst}") <= F.col(dst))
+    for dst in maxs:
+        cond = cond | (F.col(f"_o_{dst}") >= F.col(dst))
+    return j.filter(cond).select(group_col).dropDuplicates()
+
+
+def incremental_mv_minmax(mv_old: DataFrame, diff: DataFrame,
+                          base_new: DataFrame, group_col: str,
+                          mins: dict[str, str], maxs: dict[str, str],
+                          count_col: str = "n_rows") -> DataFrame:
+    """Incrementally maintain a per-group (count, MIN..., MAX...) MV
+    from a payload-carrying CDC diff — the NON-self-maintainable half
+    of Gupta-Mumick view maintenance. SUM/COUNT roll forward from
+    deltas alone (`incremental_mv`); MIN/MAX only half do: an INSERT
+    merges with least()/greatest(), but a DELETE that removes the
+    stored extreme cannot be repaired from the delta — the new extreme
+    lives in rows the diff never mentions. The standard refinement
+    (what Snowflake/Materialize do under the hood) recomputes ONLY the
+    affected groups:
+
+    - clean existing groups: count += deltas, min = least(stored,
+      min(added values)), max = greatest(stored, max(added)) —
+      delta-sized work;
+    - DIRTY groups (a removed old value ties the stored extreme, per
+      `minmax_dirty_groups`): recomputed exactly from ``base_new``
+      restricted to those groups — a semi-joined scan, not a full
+      re-aggregation;
+    - brand-new groups: aggregated from the diff's added side alone;
+    - groups whose count reaches zero drop.
+
+    At 100 TB the work is O(diff + MV + rows-of-dirty-groups); a
+    workload where every delete hits a group extreme degenerates to
+    the full recompute it genuinely requires. Exact integers
+    throughout — incremental and recomputed MVs are bit-identical.
+    ``base_new`` MUST be the post-diff version's table (e.g.
+    ``store.read(spark, v_new)``)."""
+    vals = {**mins, **maxs}
+    dirty = minmax_dirty_groups(mv_old, diff, group_col, mins, maxs)
+
+    def agg_exprs():
+        return ([F.count(F.lit(1)).cast("long").alias(count_col)]
+                + [F.min(F.col(src)).cast("long").alias(dst)
+                   for dst, src in mins.items()]
+                + [F.max(F.col(src)).cast("long").alias(dst)
+                   for dst, src in maxs.items()])
+
+    # exact recompute of dirty groups from the new base (semi-join
+    # keeps the scan restricted; the groupBy only sees dirty rows)
+    recomputed = (base_new.join(dirty, group_col, "left_semi")
+                  .groupBy(group_col).agg(*agg_exprs()))
+
+    new_side = (diff.filter(F.col("change").isin("added", "changed"))
+                .select(F.col(f"new.{group_col}").alias(group_col),
+                        *[F.col(f"new.{src}").alias(src)
+                          for src in dict.fromkeys(vals.values())]))
+    added = new_side.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_add_n"),
+        *[F.min(F.col(src)).cast("long").alias(f"_add_min_{dst}")
+          for dst, src in mins.items()],
+        *[F.max(F.col(src)).cast("long").alias(f"_add_max_{dst}")
+          for dst, src in maxs.items()])
+    removed_n = (diff.filter(F.col("change").isin("removed", "changed"))
+                 .groupBy(F.col(f"old.{group_col}").alias(group_col))
+                 .agg(F.count(F.lit(1)).cast("long").alias("_rm_n")))
+
+    clean = (mv_old.join(dirty, group_col, "left_anti")
+             .join(added, group_col, "left")
+             .join(removed_n, group_col, "left")
+             .select(
+                 group_col,
+                 (F.col(count_col) + F.coalesce(F.col("_add_n"), F.lit(0))
+                  - F.coalesce(F.col("_rm_n"), F.lit(0)))
+                 .cast("long").alias(count_col),
+                 *[F.least(F.col(dst), F.col(f"_add_min_{dst}"))
+                   .cast("long").alias(dst) for dst in mins],
+                 *[F.greatest(F.col(dst), F.col(f"_add_max_{dst}"))
+                   .cast("long").alias(dst) for dst in maxs])
+             .filter(F.col(count_col) > 0))
+
+    # brand-new groups: in the added side, known to neither MV nor
+    # dirty set — their aggregates come from the diff alone
+    brand_new = (added.join(mv_old.select(group_col), group_col, "left_anti")
+                 .join(dirty, group_col, "left_anti")
+                 .select(group_col,
+                         F.col("_add_n").alias(count_col),
+                         *[F.col(f"_add_min_{dst}").alias(dst)
+                           for dst in mins],
+                         *[F.col(f"_add_max_{dst}").alias(dst)
+                           for dst in maxs]))
+    cols = [group_col, count_col, *mins, *maxs]
+    # The three branches are DISJOINT by group (clean excludes dirty;
+    # brand-new excludes both), so the closing aggregate is an
+    # identity — but it is load-bearing: returning the raw union
+    # exposes Spark's partition-preserving union execution to the
+    # NEXT maintenance cycle, where a nested union whose children
+    # disagree on partition count aborts with "Can't zip RDDs with
+    # unequal numbers of partitions" (observed 8 vs 3x8 on the
+    # randomized test; a plain repartition gets elided as redundant
+    # because the union ADVERTISES the children's hash partitioning).
+    # Ending in an aggregate — the same shape incremental_mv has —
+    # yields a single well-partitioned output. MV-sized, trivial.
+    return (clean.select(*cols)
+            .unionByName(recomputed.select(*cols))
+            .unionByName(brand_new.select(*cols))
+            .groupBy(group_col)
+            .agg(F.max(count_col).alias(count_col),
+                 *[F.max(dst).alias(dst) for dst in {**mins, **maxs}]))
+
+
 def delete_keys(store: SnapshotStore, spark: SparkSession,
                 keys: list, key_col: str) -> tuple[int, int]:
     """Targeted row deletion (the GDPR/right-to-erasure path): rewrite

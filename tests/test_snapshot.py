@@ -828,3 +828,207 @@ def test_mor_stream_batch_carries_deletes(spark, tmp_path):
                        batch_id=0, run_id="r1")
     got = _ids(st.read(spark))
     assert got == [1] + list(range(3, 10))
+
+
+# min/max incremental MV (non-self-maintainable half) -------------------------
+
+
+def _mvx(df):
+    return (df.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("val").cast("long").alias("min_val"),
+                 F.max("val").cast("long").alias("max_val")))
+
+
+def _rowsx(df):
+    return sorted((r.grp, r.n_rows, r.min_val, r.max_val)
+                  for r in df.collect())
+
+
+def test_minmax_mv_dirty_classification_is_bounded(spark, tmp_path):
+    """Interior deletes roll forward WITHOUT flagging the group; only
+    extreme-touching removals land in the dirty set."""
+    from cube_builder_spark.sinks.snapshot import (minmax_dirty_groups,
+                                                   snapshot_diff)
+    sch = "id long, grp string, val long"
+    st = SnapshotStore(str(tmp_path / "mvx"))
+    st.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+         (4, "b", 5), (5, "b", 7)], sch))
+    mv1 = _mvx(st.read(spark, 1))
+    # drop a's INTERIOR value (20) and b's MIN (5)
+    st.write(spark.createDataFrame(
+        [(1, "a", 10), (3, "a", 30), (5, "b", 7)], sch), mode="overwrite")
+    diff = snapshot_diff(st, spark, 1, 2, ["id"], include_payload=True)
+    dirty = {r.grp for r in minmax_dirty_groups(
+        mv1, diff, "grp", {"min_val": "val"}, {"max_val": "val"}).collect()}
+    assert dirty == {"b"}
+
+
+def test_minmax_mv_hand_worked(spark, tmp_path):
+    """Extreme-delete recompute, clean-group merge, group move, new
+    group, zero-count drop — one batch, checked against recompute."""
+    from cube_builder_spark.sinks.snapshot import (incremental_mv_minmax,
+                                                   snapshot_diff)
+    sch = "id long, grp string, val long"
+    st = SnapshotStore(str(tmp_path / "mvx"))
+    st.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "b", 9),
+         (5, "c", 1)], sch))
+    mv1 = _mvx(st.read(spark, 1))
+    st.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 15),          # a: max 20 -> mutated 15
+         (3, "d", 5), (4, "b", 9),            # b: min 5 moved to NEW grp d
+         (6, "b", 100)], sch),                # b: new max; c: dies
+        mode="overwrite")
+    diff = snapshot_diff(st, spark, 1, 2, ["id"], include_payload=True)
+    got = incremental_mv_minmax(mv1, diff, st.read(spark, 2), "grp",
+                                {"min_val": "val"}, {"max_val": "val"})
+    assert _rowsx(got) == _rowsx(_mvx(st.read(spark, 2)))
+    assert ("c",) not in {(g,) for g, *_ in _rowsx(got)}
+
+
+def test_minmax_mv_matches_full_recompute_randomized(spark, tmp_path):
+    """Seeded random edits: the maintained (count, min, max) MV must
+    equal the full recompute bit-exactly after every version step."""
+    import random
+
+    from cube_builder_spark.sinks.snapshot import (incremental_mv_minmax,
+                                                   snapshot_diff)
+
+    rng = random.Random(7)
+    sch = "id long, grp string, val long"
+    groups = ["g0", "g1", "g2", "g3"]
+    table = {i: (rng.choice(groups), rng.randrange(-50, 50))
+             for i in range(40)}
+    st = SnapshotStore(str(tmp_path / "mvxr"))
+    st.write(spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in table.items()], sch))
+    mv = _mvx(st.read(spark, 1))
+    for step in range(3):
+        for i in list(table):
+            r = rng.random()
+            if r < 0.2:
+                del table[i]
+            elif r < 0.4:
+                table[i] = (rng.choice(groups), table[i][1])
+            elif r < 0.6:
+                table[i] = (table[i][0], rng.randrange(-50, 50))
+        for _ in range(rng.randrange(0, 8)):
+            table[max(table, default=0) + 1] = (
+                rng.choice(groups), rng.randrange(-50, 50))
+        v = st.write(spark.createDataFrame(
+            [(i, g, val) for i, (g, val) in table.items()], sch),
+            mode="overwrite")
+        diff = snapshot_diff(st, spark, v - 1, v, ["id"],
+                             include_payload=True)
+        mv = incremental_mv_minmax(mv, diff, st.read(spark, v), "grp",
+                                   {"min_val": "val"}, {"max_val": "val"})
+        assert _rowsx(mv) == _rowsx(_mvx(st.read(spark, v))), f"step {step}"
+
+
+def test_mor_composes_with_hidden_partitioning(spark, tmp_path):
+    """A MoR delete over a hidden-partitioned store: the pruned read
+    must apply the equality deletes over the kept files."""
+    import datetime
+
+    from cube_builder_spark.sinks.snapshot import (PartitionedStore,
+                                                   SnapshotStore,
+                                                   delete_keys_mor)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    ps = PartitionedStore(st)
+    ps.set_partition_spec("day", "ts")
+    rows = [(i, datetime.datetime(2024, 1, 1 + (i % 10), 12, 0), i * 10)
+            for i in range(30)]
+    ps.write(spark.createDataFrame(rows, "id long, ts timestamp, v long"))
+    delete_keys_mor(st, spark, spark.range(0, 30, 3).select("id"), ["id"])
+    lo, hi = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 4)
+    df, n_read, n_total = ps.read_pruned(spark, "ts", lo, hi)
+    got = sorted(r.id for r in df.filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)).collect())
+    want = sorted(i for i in range(30)
+                  if i % 3 != 0 and 1 + (i % 10) in (1, 2, 3))
+    assert got == want
+    assert n_read < n_total
+
+
+# copy-on-write MERGE upsert ---------------------------------------------------
+
+
+def test_merge_upsert_updates_inserts_and_prunes(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   merge_upsert)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 20).repartitionByRange(4, "id"))
+    before = st._read_manifest(st.head("main"))["files"]
+    # update ids 0-2 (low range), insert ids 100-101
+    upd = spark.createDataFrame(
+        [(0, 999), (1, 998), (2, 997), (100, 500), (101, 501)],
+        "id long, v long")
+    v, n = merge_upsert(st, spark, upd, "id")
+    assert 0 < n < len(before)          # pruned: high-range files carry
+    assert len(set(st._read_manifest(v)["files"]) & set(before)) > 0
+    rows = {r.id: r.v for r in st.read(spark).collect()}
+    assert rows[0] == 999 and rows[2] == 997 and rows[100] == 500
+    assert rows[5] == 15 and len(rows) == 22
+    # pre-merge version unchanged
+    assert _ids(st.read(spark, 1)) == list(range(20))
+
+
+def test_merge_upsert_null_key_rows_survive(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   merge_upsert)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(spark.createDataFrame([(1, 10), (None, 20)], "id long, v long"))
+    merge_upsert(st, spark,
+                 spark.createDataFrame([(1, 99)], "id long, v long"), "id")
+    rows = {(r.id, r.v) for r in st.read(spark).collect()}
+    assert rows == {(1, 99), (None, 20)}
+
+
+def test_merge_upsert_refuses_pending_mor_deletes(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   delete_keys_mor,
+                                                   merge_upsert)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 10))
+    delete_keys_mor(st, spark, spark.range(0, 3).select("id"), ["id"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_upsert(st, spark,
+                     spark.createDataFrame([(5, 1)], "id long, v long"),
+                     "id")
+
+
+# per-file bloom index ---------------------------------------------------------
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   bloom_point_read,
+                                                   build_bloom_index)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 200).repartition(8, "id"))
+    build_bloom_index(st, spark, "id")
+    pruned_any = False
+    for key in (0, 17, 63, 199):
+        df, n_read, n_total = bloom_point_read(st, spark, "id", key)
+        rows = df.collect()
+        assert [(r.id, r.v) for r in rows] == [(key, key * 3)]
+        assert n_read <= n_total
+        pruned_any = pruned_any or n_read < n_total
+    assert pruned_any
+    # absent key: either provably absent (0 files) or FP reads -> 0 rows
+    df, n_read, n_total = bloom_point_read(st, spark, "id", 10**9)
+    assert df.count() == 0
+
+
+def test_bloom_index_post_build_appends_read_conservatively(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   bloom_point_read,
+                                                   build_bloom_index)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    st.write(_df(spark, 0, 50).repartition(4, "id"))
+    build_bloom_index(st, spark, "id")
+    st.write(_df(spark, 1000, 1001))       # appended AFTER the index
+    df, n_read, n_total = bloom_point_read(st, spark, "id", 1000)
+    assert [(r.id, r.v) for r in df.collect()] == [(1000, 3000)]
