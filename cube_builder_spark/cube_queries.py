@@ -1851,6 +1851,84 @@ def c24_temporal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (num * 1e0 / 35).alias("smoothed")))
 
 
+@register("c27_phenology", """
+WITH {PIXELS},
+v AS (
+  SELECT tile_id, pixel_id, doy, CAST(value AS BIGINT) AS value
+  FROM pixels WHERE value <> -9999
+),
+w AS (
+  SELECT tile_id, pixel_id, doy, value,
+         min(value) OVER px AS base_value,
+         max(value) OVER px AS peak_value
+  FROM v WINDOW px AS (PARTITION BY tile_id, pixel_id)
+)
+SELECT tile_id, pixel_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(any_value(base_value) AS BIGINT) AS base_value,
+       CAST(any_value(peak_value) AS BIGINT) AS peak_value,
+       CAST(min(CASE WHEN value = peak_value THEN doy END) AS BIGINT)
+         AS peak_doy,
+       CAST(min(CASE WHEN 5 * (value - base_value)
+                          >= peak_value - base_value THEN doy END)
+            AS BIGINT) AS sos_doy,
+       CAST(max(CASE WHEN 5 * (value - base_value)
+                          >= peak_value - base_value THEN doy END)
+            AS BIGINT) AS eos_doy,
+       CAST(max(CASE WHEN 5 * (value - base_value)
+                          >= peak_value - base_value THEN doy END)
+            - min(CASE WHEN 5 * (value - base_value)
+                            >= peak_value - base_value THEN doy END)
+            AS BIGINT) AS season_len
+FROM w GROUP BY tile_id, pixel_id
+HAVING count(*) >= 4 AND any_value(peak_value) > any_value(base_value)
+""".replace("{PIXELS}", PIXELS_SQL))
+def c27_phenology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: per-pixel phenology metrics — the TIMESAT season
+    descriptors (Jönsson & Eklundh 2004) the EO community runs on
+    exactly the composited stacks this engine builds (the reference
+    stops at compositing; C21-C24 trend/gap/anomaly/smoothing are the
+    other members of this post-composite family). Per pixel: base
+    (stack min), peak (max) with its first DOY, and the 20%-amplitude
+    season boundaries — SOS/EOS = first/last DOY where the value
+    clears base + 0.2x(peak-base), the standard TIMESAT threshold
+    rule. Pixels with fewer than 4 clear observations or zero
+    amplitude emit nothing (no season to describe).
+
+    Exactness: the 20% threshold is cross-multiplied to pure integers
+    (5x(value-base) >= peak-base) — no division anywhere, so row
+    membership and every metric are engine-exact.
+
+    Scale shape: one UNORDERED window over (tile, pixel) for
+    base/peak (whole-partition frame, no sort cost beyond the hash
+    partitioning every stack operator shares) and one groupBy on the
+    same key — Catalyst elides the second exchange. At 100 TB this is
+    a single pass over the plane."""
+    px = (pixel_plane(spark, sf_dir)
+          .filter(F.col("value") != BAND_NODATA)
+          .select("tile_id", "pixel_id", "doy",
+                  F.col("value").cast("long").alias("value")))
+    win = Window.partitionBy("tile_id", "pixel_id")
+    w = (px.withColumn("base_value", F.min("value").over(win))
+         .withColumn("peak_value", F.max("value").over(win)))
+    in_season = (5 * (F.col("value") - F.col("base_value"))
+                 >= F.col("peak_value") - F.col("base_value"))
+    return (w.groupBy("tile_id", "pixel_id")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.first("base_value").alias("base_value"),
+                 F.first("peak_value").alias("peak_value"),
+                 F.min(F.when(F.col("value") == F.col("peak_value"),
+                              F.col("doy"))).cast("long").alias("peak_doy"),
+                 F.min(F.when(in_season, F.col("doy")))
+                 .cast("long").alias("sos_doy"),
+                 F.max(F.when(in_season, F.col("doy")))
+                 .cast("long").alias("eos_doy"))
+            .withColumn("season_len",
+                        (F.col("eos_doy") - F.col("sos_doy")).cast("long"))
+            .filter((F.col("n_obs") >= 4)
+                    & (F.col("peak_value") > F.col("base_value"))))
+
+
 @register("c25_zonal_stats", f"""
 WITH {{PIXELS}},
 v AS (
