@@ -1630,6 +1630,49 @@ def m_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_video(media)
 
 
+@register("m_video_scene_cut", """
+WITH cutdocs AS (
+  SELECT doc_id, 1 + n_chars % 4 AS nf, 4 + n_chars % 9 AS w,
+         3 + n_chars % 6 AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+cutpx AS (
+  SELECT doc_id, nf, unnest(range(0, nf * h * w * 3)) AS i, w, h
+  FROM cutdocs
+),
+cutfs AS (
+  SELECT doc_id, nf, i // (h * w * 3) AS f,
+         CAST(sum((doc_id * 7 + (i // (h * w * 3)) * 53
+                   + ((i % (w * 3)) // 3) * 13
+                   + ((i % (h * w * 3)) // (w * 3)) * 31
+                   + (i % 3) * 97) % 256) AS BIGINT) AS fsum
+  FROM cutpx GROUP BY doc_id, nf, i // (h * w * 3)
+),
+cutd AS (
+  SELECT doc_id, nf, f,
+         abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f))
+           AS delta
+  FROM cutfs
+)
+SELECT doc_id, CAST(any_value(nf) AS INTEGER) AS n_frames,
+       CAST(count(CASE WHEN delta > 300 THEN 1 END) AS BIGINT) AS n_cuts,
+       CAST(max(delta) AS BIGINT) AS max_delta,
+       CAST(min(CASE WHEN delta > 300 THEN f END) AS BIGINT) AS first_cut
+FROM cutd GROUP BY doc_id
+""")
+def m_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded AVI payloads
+    (multimodal.video_scene_cuts): consecutive-frame channel-sum
+    differencing, cut iff |delta| > 300, reporting cut count, max
+    delta and first cut frame (NULL on single-frame or cut-free
+    docs). The oracle replays the generator arithmetic symbolically —
+    a hash match proves container decode, frame stacking and the
+    differencing at once."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.video_scene_cuts(media)
+
+
 @register("d_containment_pairs", f"""
 WITH {_SHINGLES_SQL},
 buckets AS (SELECT doc_id, h0 AS bucket FROM mh),

@@ -2040,3 +2040,49 @@ def x_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 37) % 10000).alias("x"),
         ((F.col("c_custkey") * 91) % 10000).alias("y"))
     return radius_self_join(pts, radius=120)
+
+
+# price bands for r19 — deliberately NON-uniform so the join is a real
+# interval containment, not a divisible binning
+_R19_BANDS = [(0, 500, "budget"), (500, 1100, "mid"),
+              (1100, 1400, "upper"), (1400, 1700, "premium"),
+              (1700, 100000, "luxury")]
+
+
+@register("r19_band_join", """
+WITH bands(lo, hi, band) AS (
+  VALUES (0, 500, 'budget'), (500, 1100, 'mid'),
+         (1100, 1400, 'upper'), (1400, 1700, 'premium'),
+         (1700, 100000, 'luxury')
+)
+SELECT b.band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""")
+def r19_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding (interval-dimension) join — the data-warehouse shape a
+    dimension of NON-uniform value ranges forces (price tiers, risk
+    bands, IP ranges). Spark has no native interval join; the correct
+    plan at any scale is a BroadcastNestedLoopJoin against the
+    range dimension: the dim is bounded metadata (here 5 rows), every
+    fact row tests its containment predicate broadcast-side with NO
+    shuffle of the fact table at all — at 100 TB the fact scan
+    streams through map-side, and the aggregate is the only exchange.
+    (A uniform-width band dim should instead derive an equi bin key —
+    that variant is the `e_interval_join` family; this one keeps the
+    general non-uniform contract.) Bands are half-open [lo, hi) so
+    boundary prices land uniquely; cents are exact integers."""
+    from .functions.numeric import round_half_up_long
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    bands = spark.createDataFrame(_R19_BANDS, "lo int, hi int, band string")
+    cond = ((F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")))
+    return (part.join(F.broadcast(bands), cond)
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(round_half_up_long(F.col("p_retailprice"), 100))
+                 .cast("long").alias("sum_price_cents")))
