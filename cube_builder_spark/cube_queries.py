@@ -2017,3 +2017,191 @@ def c26_blend_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, no second shuffle. A hash match proves the two plans
     compute the same composite."""
     return blend.blend_medoid(pixel_plane(spark, sf_dir))
+
+
+# C28-C30 — focal (neighborhood) operators + overview pyramid (round 8) -------
+# The reference's raster ops are all per-pixel/per-stack; the standard
+# neighborhood post-processing it leaves to GDAL (focal smoothing,
+# sieve/majority filtering of masks, gdaladdo overview pyramids — the
+# reference only emits pyramids inside COGs, image.py:309-331) lands
+# here as relational operators (operators/focal.py). The oracle is the
+# textbook coordinate-range SELF-JOIN; the Spark plan is the at-scale
+# scatter/partial-aggregate halo exchange. A hash match proves the two
+# formulations compute the same neighborhood statistics.
+
+_GRID_W = 32          # 512 pixels per tile laid out 16 rows x 32 cols
+_GRID_H = 16
+
+# One value per (tile, pixel): max over clear observations. Sparse by
+# construction (pixels with no clear obs are absent) — which is what
+# makes edge-aware focal semantics non-trivial.
+_COMP_SQL = f"""
+comp AS (
+  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x,
+         max(value) AS v
+  FROM pixels
+  WHERE quality IN (4,5,6) AND value <> {BAND_NODATA}
+  GROUP BY tile_id, pixel_id
+)
+"""
+
+
+def _comp_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _COMP_SQL: the composite cell plane (tile, y, x, v)."""
+    px = pixel_plane(spark, sf_dir)
+    return (px.filter(F.col("quality").isin(4, 5, 6)
+                      & (F.col("value") != BAND_NODATA))
+            .groupBy("tile_id", "pixel_id")
+            .agg(F.max("value").alias("v"))
+            .select("tile_id",
+                    F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
+                    (F.col("pixel_id") % _GRID_W).alias("x"),
+                    "v"))
+
+
+@register("c28_focal_stats", f"""
+WITH {{PIXELS}},
+{_COMP_SQL}
+SELECT p.tile_id AS tile_id, p.y * {_GRID_W} + p.x AS pixel_id,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       CAST(sum(q.v) AS BIGINT) AS sum_nbrs,
+       CAST(min(q.v) AS BIGINT) AS min_nbrs,
+       CAST(max(q.v) AS BIGINT) AS max_nbrs,
+       sum(q.v) * 1e0 / count(*) AS focal_mean
+FROM comp p JOIN comp q
+  ON p.tile_id = q.tile_id
+ AND q.y BETWEEN p.y - 1 AND p.y + 1
+ AND q.x BETWEEN p.x - 1 AND p.x + 1
+GROUP BY p.tile_id, p.y, p.x
+""".replace("{PIXELS}", PIXELS_SQL))
+def c28_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: 3x3 edge-aware focal box statistics over the clear-max
+    composite — count/sum/min/max/mean of the neighbors that EXIST
+    (image edges and nodata holes shrink the kernel, GDAL focal
+    semantics). Only existing cells are emitted as centers.
+
+    Scale shape: scatter (9 contribution rows per cell, collapsed by
+    map-side combine before the exchange) -> one groupBy on the
+    target cell -> join back on the aggregation key. The scatter IS
+    the halo exchange: block-interior contributions pre-reduce inside
+    their partition; only border rows cross. The oracle is the
+    coordinate-range self-join formulation of the same kernel."""
+    cells = _comp_cells(spark, sf_dir)
+    from .operators.focal import focal_box_stats
+    out = focal_box_stats(cells, radius=1, height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      "n_nbrs", "sum_nbrs", "min_nbrs", "max_nbrs",
+                      "focal_mean")
+
+
+@register("c29_focal_majority", f"""
+WITH {{PIXELS}},
+cls AS (
+  SELECT tile_id, pixel_id,
+         CASE WHEN quality IN (4,5,6) THEN 1
+              WHEN quality = 1 THEN 3
+              WHEN quality = 0 THEN 0
+              ELSE 2 END AS c
+  FROM pixels
+),
+tmode AS (
+  SELECT tile_id, pixel_id, 3 - (pk % 4) AS c
+  FROM (SELECT tile_id, pixel_id, max(cnt * 4 + (3 - c)) AS pk
+        FROM (SELECT tile_id, pixel_id, c, count(*) AS cnt
+              FROM cls GROUP BY tile_id, pixel_id, c)
+        GROUP BY tile_id, pixel_id)
+),
+cells AS (
+  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x, c
+  FROM tmode
+),
+nbr AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x, q.c AS c, count(*) AS cnt
+  FROM cells p JOIN cells q
+    ON p.tile_id = q.tile_id
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+  GROUP BY p.tile_id, p.y, p.x, q.c
+),
+pick AS (
+  SELECT tile_id, y, x, max(cnt * 4 + (3 - c)) AS pk,
+         sum(cnt) AS n_nbrs
+  FROM nbr GROUP BY tile_id, y, x
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(3 - pk % 4 AS BIGINT) AS maj_class,
+       CAST(pk // 4 AS BIGINT) AS maj_count,
+       CAST(n_nbrs AS BIGINT) AS n_nbrs
+FROM pick
+""".replace("{PIXELS}", PIXELS_SQL))
+def c29_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: 3x3 focal majority (sieve/mode filter) over the per-pixel
+    temporal-mode class of the quality mask — the standard
+    classification clean-up pass (isolated misclassified pixels take
+    their neighborhood's majority class). Classes: 0 nodata, 1 clear,
+    2 not-clear, 3 saturated; both the temporal mode and the focal
+    mode tie-break toward the SMALLER class via the packed-argmax
+    idiom (cnt*4 + (3-c) under MAX), so every aggregate is a codegen
+    HashAggregate — same trick as the mosaic kernel (mosaic.py).
+
+    Scale shape: scatter -> count per (cell, class) (the map-side-
+    combinable stage carries the volume) -> argmax over <=4 rows per
+    cell -> join back. Oracle: range self-join + the same packing."""
+    px = pixel_plane(spark, sf_dir)
+    c = (F.when(F.col("quality").isin(4, 5, 6), 1)
+         .when(F.col("quality") == 1, 3)
+         .when(F.col("quality") == 0, 0)
+         .otherwise(2))
+    per_class = (px.select("tile_id", "pixel_id", c.alias("c"))
+                 .groupBy("tile_id", "pixel_id", "c")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    tmode = (per_class
+             .groupBy("tile_id", "pixel_id")
+             .agg(F.max(F.col("cnt") * 4 + (F.lit(3) - F.col("c"))).alias("pk"))
+             .select("tile_id", "pixel_id",
+                     (F.lit(3) - F.col("pk") % 4).alias("c")))
+    cells = tmode.select(
+        "tile_id",
+        F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
+        (F.col("pixel_id") % _GRID_W).alias("x"), "c")
+    from .operators.focal import focal_majority
+    out = focal_majority(cells, n_classes=4, radius=1,
+                         height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      "maj_class", "maj_count", "n_nbrs")
+
+
+@register("c30_pyramid", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+l1 AS (
+  SELECT tile_id, y // 2 AS y, x // 2 AS x,
+         count(*) AS n, sum(v) AS s
+  FROM comp GROUP BY tile_id, y // 2, x // 2
+),
+l2 AS (
+  SELECT tile_id, y // 2 AS y, x // 2 AS x,
+         sum(n) AS n, sum(s) AS s
+  FROM l1 GROUP BY tile_id, y // 2, x // 2
+)
+SELECT CAST(1 AS BIGINT) AS level, tile_id, y AS cell_y, x AS cell_x,
+       CAST(n AS BIGINT) AS n_pixels, CAST(s AS BIGINT) AS sum_value,
+       s * 1e0 / n AS mean_value
+FROM l1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS level, tile_id, y, x,
+       CAST(n AS BIGINT), CAST(s AS BIGINT), s * 1e0 / n
+FROM l2
+""".replace("{PIXELS}", PIXELS_SQL))
+def c30_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: overview pyramid — 2x2 block-aggregate cascade over the
+    composite cell plane, levels 1 (8x16 cells/tile) and 2 (4x8).
+    The relational twin of gdaladdo / the COG overview IFDs the K1
+    writer emits (sinks/cog.py; reference image.py:309-331), with
+    exact integer (n, sum) carried so level L+1 derives from level L
+    — the O(N) cascade, not O(N*levels) rescans — and the mean is
+    one IEEE division per cell."""
+    from .operators.focal import pyramid_levels
+    return pyramid_levels(_comp_cells(spark, sf_dir), n_levels=2)

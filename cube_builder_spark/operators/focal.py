@@ -1,0 +1,168 @@
+"""Focal (neighborhood) raster operators over a relational cell plane.
+
+Beyond-reference surface in the C21–C27 family: the reference's raster
+ops are all per-pixel or per-stack (``processing.py`` blends,
+``image.py`` masks); the standard EO post-processing steps it leaves to
+GDAL/QGIS — focal box statistics (smoothing), focal majority (the
+sieve/mode filter applied to classification masks), and overview
+pyramids (``gdaladdo``; the reference only builds them inside COG files,
+``image.py:309-331``) — are implemented here as relational operators
+over a ``(tile_id, y, x, value)`` cell plane.
+
+Distributed shape — the halo-exchange problem. A 3×3 focal op needs
+each cell's 8 neighbors; when the plane is block-partitioned, border
+cells need data from adjacent partitions. The classic raster answer is
+to ship 1-pixel halos between workers. The relational answer used here
+is SCATTER: each cell emits one contribution row per neighborhood it
+belongs to (9 for a 3×3 kernel), and one groupBy on the *target* cell
+reduces them. Spark's map-side partial aggregation collapses the 9×
+fan-out within each partition before the exchange, so the shuffle
+carries ≈ one partially-reduced row per (target cell touched by the
+partition) — the interior of a block never leaves it pre-reduced, and
+only border contributions cross partitions. That IS the halo exchange,
+expressed declaratively so Catalyst/AQE plan it.
+
+Edge semantics are "valid-neighbors only": statistics divide by the
+count of neighbors that exist (image edges and nodata holes shrink the
+kernel), matching GDAL's ``-ot`` focal behavior rather than
+zero-padding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["focal_box_stats", "focal_majority", "pyramid_levels"]
+
+
+def _scatter(cells: DataFrame, radius: int, height: int | None,
+             width: int | None, payload: list[str]) -> DataFrame:
+    """Emit one row per (cell, neighborhood-it-contributes-to).
+
+    Returns columns ``tile_id, ty, tx, <payload...>`` where (ty, tx)
+    is the *center* of a neighborhood this cell belongs to. Bounds
+    clipping (when height/width given) drops contributions whose
+    target center is off-raster before they reach the shuffle.
+    """
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)])
+    out = (cells
+           .select("tile_id", "y", "x", *payload,
+                   F.explode(offsets).alias("o"))
+           .select(F.col("tile_id").alias("t_id"),
+                   (F.col("y") + F.col("o.dy")).alias("ty"),
+                   (F.col("x") + F.col("o.dx")).alias("tx"),
+                   *payload))
+    if height is not None:
+        out = out.filter((F.col("ty") >= 0) & (F.col("ty") < height))
+    if width is not None:
+        out = out.filter((F.col("tx") >= 0) & (F.col("tx") < width))
+    return out
+
+
+def focal_box_stats(cells: DataFrame, radius: int = 1,
+                    height: int | None = None,
+                    width: int | None = None) -> DataFrame:
+    """(2r+1)×(2r+1) edge-aware focal count/sum/min/max/mean.
+
+    ``cells``: one row per existing cell — ``tile_id, y, x, v``
+    (int64 v). Cells absent from the input (nodata holes, off-edge)
+    simply don't contribute, and only existing cells are emitted as
+    centers (inner join-back), so the output key set equals the input
+    key set.
+
+    Plan: scatter → groupBy(tile, ty, tx) with map-side combine →
+    join back on the aggregation key (co-partitioned — the join keys
+    equal the groupBy keys, so the agg side needs no new Exchange).
+    All integer arithmetic; the mean is one IEEE division.
+    """
+    agg = (_scatter(cells, radius, height, width, ["v"])
+           .groupBy("t_id", "ty", "tx")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+                F.sum("v").cast("long").alias("sum_nbrs"),
+                F.min("v").cast("long").alias("min_nbrs"),
+                F.max("v").cast("long").alias("max_nbrs")))
+    return (cells.join(agg, (F.col("tile_id") == F.col("t_id"))
+                       & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")))
+            .select("tile_id", "y", "x",
+                    "n_nbrs", "sum_nbrs", "min_nbrs", "max_nbrs",
+                    (F.col("sum_nbrs") * 1e0 / F.col("n_nbrs"))
+                    .alias("focal_mean")))
+
+
+def focal_majority(cells: DataFrame, n_classes: int, radius: int = 1,
+                   height: int | None = None,
+                   width: int | None = None) -> DataFrame:
+    """(2r+1)×(2r+1) focal majority (mode) of a small class code —
+    the sieve filter run on classification/quality masks.
+
+    ``cells``: ``tile_id, y, x, c`` with ``c`` ∈ [0, n_classes).
+    Ties break toward the SMALLER class code (deterministic): the
+    per-class count is packed as ``cnt * n_classes + (n_classes-1-c)``
+    and a plain MAX picks (count desc, class asc) — the same
+    packed-argmax idiom as the mosaic kernel (mosaic.py), so the
+    aggregate stays a codegen HashAggregate.
+
+    Two-stage reduction: scatter → count per (cell, class) — the
+    map-side-combinable part — then argmax over ≤ n_classes rows per
+    cell. At 100 TB the first groupBy carries the volume and combines
+    within partitions; the second reduces ≤ n_classes rows/cell.
+    """
+    per_class = (_scatter(cells, radius, height, width, ["c"])
+                 .groupBy("t_id", "ty", "tx", "c")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    packed = (F.col("cnt") * n_classes
+              + (F.lit(n_classes - 1) - F.col("c")))
+    pick = (per_class
+            .groupBy("t_id", "ty", "tx")
+            .agg(F.max(packed).alias("pk"),
+                 F.sum("cnt").cast("long").alias("n_nbrs")))
+    return (cells.join(pick, (F.col("tile_id") == F.col("t_id"))
+                       & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")))
+            .select("tile_id", "y", "x",
+                    (F.lit(n_classes - 1) - F.col("pk") % n_classes)
+                    .cast("long").alias("maj_class"),
+                    (F.col("pk") / n_classes).cast("long").alias("maj_count"),
+                    "n_nbrs"))
+
+
+def pyramid_levels(cells: DataFrame, n_levels: int = 2) -> DataFrame:
+    """Overview pyramid: 2×2 block-aggregate cascade over a cell plane
+    (``tile_id, y, x, v``), levels 1..n_levels.
+
+    Level L cell (Y, X) covers base cells (y, x) with y // 2**L == Y
+    and x // 2**L == X; emits exact int64 ``n_pixels``/``sum_value``
+    plus the IEEE mean. Built as a CASCADE — level L+1 aggregates
+    level L's (n, sum) pairs, not the base plane — so total work is
+    O(N · (1 + 1/4 + 1/16 + …)) = O(N), the gdaladdo recurrence.
+    Each level's groupBy key is a projection of the previous level's
+    key, so every stage is map-side combinable. (In production each
+    level is also WRITTEN before deriving the next — the reference
+    stores them as COG overview IFDs, image.py:309-331; here the
+    plans are tiny and recomputation is cheaper than a cache pin.)
+    """
+    level = (cells.groupBy(
+                "tile_id",
+                F.floor(F.col("y") / 2).cast("long").alias("y"),
+                F.floor(F.col("x") / 2).cast("long").alias("x"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pixels"),
+                  F.sum("v").cast("long").alias("sum_value")))
+    out = None
+    for lv in range(1, n_levels + 1):
+        tagged = level.select(
+            F.lit(lv).cast("long").alias("level"), "tile_id",
+            F.col("y").alias("cell_y"), F.col("x").alias("cell_x"),
+            "n_pixels", "sum_value",
+            (F.col("sum_value") * 1e0 / F.col("n_pixels")).alias("mean_value"))
+        out = tagged if out is None else out.unionByName(tagged)
+        if lv < n_levels:
+            level = (level.groupBy(
+                        "tile_id",
+                        F.floor(F.col("y") / 2).cast("long").alias("y"),
+                        F.floor(F.col("x") / 2).cast("long").alias("x"))
+                     .agg(F.sum("n_pixels").cast("long").alias("n_pixels"),
+                          F.sum("sum_value").cast("long").alias("sum_value")))
+    return out

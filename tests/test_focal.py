@@ -1,0 +1,108 @@
+"""Unit tests for the focal/neighborhood operators (operators/focal.py)
+on tiny hand-computed grids — edge shrink, nodata holes, majority
+tie-breaks, and the pyramid cascade's exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cube_builder_spark.operators.focal import (
+    focal_box_stats, focal_majority, pyramid_levels)
+
+
+def _cells(spark, rows, cols=("tile_id", "y", "x", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_focal_mean_full_grid_center_and_corner(spark):
+    # 3x3 dense grid, v = y*3 + x  (0..8)
+    rows = [(0, y, x, y * 3 + x) for y in range(3) for x in range(3)]
+    out = {(r.y, r.x): r for r in
+           focal_box_stats(_cells(spark, rows), radius=1,
+                           height=3, width=3).collect()}
+    c = out[(1, 1)]                       # center sees all 9
+    assert (c.n_nbrs, c.sum_nbrs) == (9, sum(range(9)))
+    assert c.focal_mean == 4.0
+    k = out[(0, 0)]                       # corner sees 4 (edge shrink)
+    assert (k.n_nbrs, k.sum_nbrs, k.min_nbrs, k.max_nbrs) == (4, 0 + 1 + 3 + 4, 0, 4)
+    e = out[(0, 1)]                       # edge sees 6
+    assert e.n_nbrs == 6
+
+
+def test_focal_mean_hole_shrinks_kernel_and_is_not_a_center(spark):
+    # 3x3 grid with the center cell MISSING (nodata hole)
+    rows = [(0, y, x, 10) for y in range(3) for x in range(3)
+            if (y, x) != (1, 1)]
+    out = {(r.y, r.x): r for r in
+           focal_box_stats(_cells(spark, rows), radius=1,
+                           height=3, width=3).collect()}
+    assert (1, 1) not in out              # only existing cells are centers
+    assert out[(0, 0)].n_nbrs == 3        # corner lost its diagonal nbr
+    assert out[(0, 1)].n_nbrs == 5        # edge lost the center
+    assert all(r.focal_mean == 10.0 for r in out.values())
+
+
+def test_focal_mean_tiles_do_not_leak(spark):
+    rows = [(t, 0, 0, 100 + t) for t in range(2)]
+    out = focal_box_stats(_cells(spark, rows), radius=1).collect()
+    assert sorted((r.tile_id, r.n_nbrs, r.sum_nbrs) for r in out) == \
+        [(0, 1, 100), (1, 1, 101)]
+
+
+def test_focal_majority_counts_and_tiebreak(spark):
+    # Row of 3 cells, classes [2, 1, 1]: center majority = 1 (count 2);
+    # left cell sees {2, 1} -> tie at 1 each -> SMALLER class wins (1).
+    rows = [(0, 0, 0, 2), (0, 0, 1, 1), (0, 0, 2, 1)]
+    out = {r.x: r for r in
+           focal_majority(_cells(spark, rows, ("tile_id", "y", "x", "c")),
+                          n_classes=4, radius=1, height=1, width=3).collect()}
+    assert (out[1].maj_class, out[1].maj_count, out[1].n_nbrs) == (1, 2, 3)
+    assert (out[0].maj_class, out[0].maj_count, out[0].n_nbrs) == (1, 1, 2)
+    assert (out[2].maj_class, out[2].maj_count, out[2].n_nbrs) == (1, 2, 2)
+
+
+def test_focal_majority_isolated_pixel_takes_neighborhood(spark):
+    # Classic sieve case: one class-3 pixel surrounded by class-1.
+    rows = [(0, y, x, 3 if (y, x) == (1, 1) else 1)
+            for y in range(3) for x in range(3)]
+    out = {(r.y, r.x): r for r in
+           focal_majority(_cells(spark, rows, ("tile_id", "y", "x", "c")),
+                          n_classes=4, radius=1, height=3, width=3).collect()}
+    assert out[(1, 1)].maj_class == 1     # the speckle is voted out
+    assert out[(1, 1)].maj_count == 8
+
+
+def test_pyramid_cascade_exact(spark):
+    # One tile, 4x4 grid, v = 1 everywhere except (0,0)=5.
+    rows = [(0, y, x, 5 if (y, x) == (0, 0) else 1)
+            for y in range(4) for x in range(4)]
+    out = pyramid_levels(_cells(spark, rows), n_levels=2).collect()
+    l1 = {(r.cell_y, r.cell_x): r for r in out if r.level == 1}
+    l2 = {(r.cell_y, r.cell_x): r for r in out if r.level == 2}
+    assert len(l1) == 4 and len(l2) == 1
+    assert (l1[(0, 0)].n_pixels, l1[(0, 0)].sum_value) == (4, 8)
+    assert l1[(0, 0)].mean_value == 2.0
+    assert (l1[(1, 1)].n_pixels, l1[(1, 1)].sum_value) == (4, 4)
+    assert (l2[(0, 0)].n_pixels, l2[(0, 0)].sum_value) == (16, 20)
+    assert l2[(0, 0)].mean_value == 1.25
+
+
+def test_pyramid_ragged_extent(spark):
+    # 3x1 strip: level-1 cells get ragged pixel counts (2 and 1), and
+    # level 2 aggregates the exact (n, sum) pairs, not re-scans.
+    rows = [(0, y, 0, y + 1) for y in range(3)]
+    out = pyramid_levels(_cells(spark, rows), n_levels=2).collect()
+    l1 = {r.cell_y: r for r in out if r.level == 1}
+    assert (l1[0].n_pixels, l1[0].sum_value) == (2, 3)
+    assert (l1[1].n_pixels, l1[1].sum_value) == (1, 3)
+    l2 = [r for r in out if r.level == 2]
+    assert len(l2) == 1 and l2[0].n_pixels == 3 and l2[0].sum_value == 6
+
+
+def test_focal_plan_is_hash_aggregate_no_cartesian(spark):
+    rows = [(0, y, x, y + x) for y in range(3) for x in range(3)]
+    df = focal_box_stats(_cells(spark, rows), radius=1, height=3, width=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan        # scatter reduce is map-side combinable
+    assert "SortAggregate" not in plan
