@@ -2205,3 +2205,53 @@ def c30_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division per cell."""
     from .operators.focal import pyramid_levels
     return pyramid_levels(_comp_cells(spark, sf_dir), n_levels=2)
+
+
+@register("c31_region_labels", f"""
+WITH RECURSIVE {{PIXELS}},
+{_COMP_SQL},
+nodes AS (
+  SELECT tile_id, y, x,
+         tile_id * {_GRID_H * _GRID_W} + y * {_GRID_W} + x AS g
+  FROM comp
+),
+e0 AS (
+  SELECT a.g AS src, b.g AS dst
+  FROM nodes a JOIN nodes b
+    ON (b.g = a.g + 1 AND a.x < {_GRID_W - 1})
+    OR (b.g = a.g + {_GRID_W} AND a.y < {_GRID_H - 1})
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(src, n) AS (
+  SELECT g, g FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.n
+),
+lab AS (SELECT src AS g, min(n) AS lbl FROM reach GROUP BY src),
+sz AS (SELECT lbl, count(*) AS region_size FROM lab GROUP BY lbl)
+SELECT n.tile_id AS tile_id, n.y * {_GRID_W} + n.x AS pixel_id,
+       CAST(l.lbl % {_GRID_H * _GRID_W} AS BIGINT) AS region_id,
+       CAST(s.region_size AS BIGINT) AS region_size
+FROM nodes n JOIN lab l ON n.g = l.g JOIN sz s ON l.lbl = s.lbl
+""".replace("{PIXELS}", PIXELS_SQL))
+def c31_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: raster region labeling — 4-connected components of the
+    clear-composite mask, each region labeled by its minimum packed
+    cell id and annotated with its size (the relational core of
+    GDAL polygonize + sieve; the reference delegates vectorization
+    to GDAL/PostGIS, image.py:665-708).
+
+    Spark side (operators/regions.py): min-label propagation with
+    pointer jumping, localCheckpoint per round, looped to a driver-
+    checked fixed point — O(log max-diameter) rounds of cell-id
+    equi-joins, the GraphX connected-components shape. The oracle is
+    a genuine recursive-CTE transitive closure (UNION-deduped) with
+    min() collapsing each cell's reachable set — converged labels on
+    both sides, so the hash match holds regardless of region shape
+    or round count."""
+    from .operators.regions import label_regions
+    out = label_regions(_comp_cells(spark, sf_dir).select("tile_id", "y", "x"),
+                        height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      "region_id", "region_size")

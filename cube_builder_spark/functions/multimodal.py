@@ -423,6 +423,43 @@ def decode_video(media: DataFrame) -> DataFrame:
                               "px_min int, px_max int"))
 
 
+def thumbnail_image(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: BMP payload -> pixel array -> area-average
+    (box-filter) downsample by ``factor`` with EXACT integer
+    arithmetic — each output pixel is ``floor(block_sum / block_n)``,
+    ragged right/bottom blocks average the 1..factor pixels that
+    exist. That is the thumbnail/pyramid kernel of a multimodal
+    training pipeline (and of the reference's quicklook scaling,
+    image.py), expressed so a SQL oracle can replay it bit-exact.
+
+    Batch shape: one ``np.add.reduceat`` per axis inside the Arrow
+    batch — a real decoder/resizer (PIL, turbojpeg) plugs into the
+    same mapInPandas signature unchanged."""
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = a.shape[0], a.shape[1]
+                ry = np.arange(0, h, factor)
+                rx = np.arange(0, w, factor)
+                sums = np.add.reduceat(
+                    np.add.reduceat(a, ry, axis=0), rx, axis=1)
+                cnt = np.outer(np.diff(np.append(ry, h)),
+                               np.diff(np.append(rx, w)))[:, :, None]
+                tv = sums // cnt
+                rows.append((int(doc_id), w, h, tv.shape[1], tv.shape[0],
+                             int(tv.sum()), int(tv.min()), int(tv.max())))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "t_width", "t_height",
+                                              "t_sum", "t_min", "t_max"])
+
+    return (media.filter(F.col("media_type").startswith("image/"))
+            .mapInPandas(thumb, "doc_id long, width int, height int, "
+                                "t_width int, t_height int, "
+                                "t_sum long, t_min int, t_max int"))
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling WITHOUT decode: one output row per sampled frame
     index, derived from the typed n_frames metadata — the explode stays

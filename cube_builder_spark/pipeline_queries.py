@@ -1577,6 +1577,39 @@ def m_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media)
 
 
+@register("m_image_thumbnail", f"""
+WITH {_IMG_DECODE_SQL},
+xyc AS (
+  SELECT doc_id, w, h, (i // 3) % w AS x, i // (3 * w) AS y, i % 3 AS c,
+         (doc_id * 7 + ((i // 3) % w) * 13 + (i // (3 * w)) * 31
+          + (i % 3) * 97) % 256 AS v
+  FROM imgpx
+),
+blocks AS (
+  SELECT doc_id, w, h, y // 2 AS oy, x // 2 AS ox, c,
+         sum(v) AS s, count(*) AS n
+  FROM xyc GROUP BY doc_id, w, h, y // 2, x // 2, c
+),
+tvals AS (SELECT doc_id, w, h, s // n AS tv FROM blocks)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST((w + 1) // 2 AS INTEGER) AS t_width,
+       CAST((h + 1) // 2 AS INTEGER) AS t_height,
+       CAST(sum(tv) AS BIGINT) AS t_sum,
+       CAST(min(tv) AS INTEGER) AS t_min,
+       CAST(max(tv) AS INTEGER) AS t_max
+FROM tvals GROUP BY doc_id, w, h
+""")
+def m_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize roundtrip: deterministic pixels -> stdlib BMP
+    encoder -> numpy decoder -> exact-integer 2x2 area-average
+    thumbnail (ragged edge blocks average what exists) -> per-doc
+    stats. The oracle replays the block arithmetic from the pixel
+    formula, so a hash match proves decode + resize end-to-end."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.thumbnail_image(media, factor=2)
+
+
 @register("m_resample_audio", f"""
 WITH {_AUD_RESAMPLE_SQL}
 SELECT doc_id, CAST(8000 AS INTEGER) AS src_rate,
