@@ -68,3 +68,28 @@ def test_region_id_is_tile_local_min(spark):
     out = _run(spark, [(2, 4, 7), (2, 4, 8)])
     assert out[(2, 4, 7)] == (4 * W + 7, 2)
     assert out[(2, 4, 8)] == (4 * W + 7, 2)
+
+
+def test_points_in_polygons_hand_geometry(spark):
+    """Hand-checked even-odd containment: unit square, concave
+    chevron, boundary determinism."""
+    from cube_builder_spark.relational import points_in_polygons
+    # polygon 0: square (0,0)-(10,0)-(10,10)-(0,10)
+    sq = [(0, 0, 0, 10, 0), (0, 10, 0, 10, 10),
+          (0, 10, 10, 0, 10), (0, 0, 10, 0, 0)]
+    # polygon 1: concave chevron (0,0)-(10,0)-(10,10)-(5,4)-(0,10)
+    ch = [(1, 0, 0, 10, 0), (1, 10, 0, 10, 10), (1, 10, 10, 5, 4),
+          (1, 5, 4, 0, 10), (1, 0, 10, 0, 0)]
+    edges = spark.createDataFrame(sq + ch, "k int, x1 int, y1 int, x2 int, y2 int")
+    pts = spark.createDataFrame(
+        [(1, 5, 5), (2, 15, 5), (3, 5, 15), (4, -1, 5),
+         (5, 5, 2),   # inside both (below the chevron notch)
+         (6, 5, 8)],  # inside square, in the chevron NOTCH (outside)
+        ["pid", "px", "py"])
+    inside = {(r.pid, r.k) for r in
+              points_in_polygons(pts, edges, id_col="pid").collect()}
+    assert (1, 0) in inside and (5, 0) in inside and (6, 0) in inside
+    assert all((p, 0) not in inside for p in (2, 3, 4))
+    assert (5, 1) in inside
+    assert (6, 1) not in inside          # concavity respected
+    assert (2, 1) not in inside and (3, 1) not in inside
