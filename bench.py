@@ -50,6 +50,8 @@ HEADLINE = [
     "c23_pixel_anomaly",
     "c24_temporal_smooth",
     "c25_zonal_stats",
+    "c28_focal_stats",
+    "x_point_in_polygon",
     "k1_cog_structure",
     "d_minhash_lsh_pairs",
     "d_allpairs_jaccard",
