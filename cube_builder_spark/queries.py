@@ -41,7 +41,13 @@ _PRIORITY = [
     # hash-checked locally and subsumed by the TPC-H sweep — freeing
     # two slots for the previously UNGRADED store components below)
     "r1_list_filter_like_order",
-    "r4_count_by_status", "r5_distinct_join", "r6_groupby_collect_timeline",
+    # r5_distinct_join rotated just past the window in round 8 (the
+    # other trivial R variant the round-7 review nominated — subsumed
+    # by the TPC-H sweep, still hash-checked locally); its slot went
+    # to c28_focal_stats so the round-8 focal/neighborhood family
+    # (C28-C31) earns a driver-graded row. c28 is the family's
+    # archetype: the scatter/halo-exchange shape all four share.
+    "r4_count_by_status", "r6_groupby_collect_timeline",
     # r7_json_explode rotated just past the window in round 8 (trivial
     # R variant fully subsumed by the TPC-H sweep, still hash-checked
     # by tests/test_queries_oracle); its slot went to c22_gap_fill so
@@ -73,6 +79,12 @@ _PRIORITY = [
     # IGNORE NULLS gap interpolation) and the likeliest to drift;
     # c21/c23 stay past-window, hash-checked locally.
     "c22_gap_fill",
+    # focal/neighborhood family (round 8, C28-C31): c28 is the graded
+    # archetype — edge-aware 3x3 box stats via the scatter/partial-agg
+    # halo exchange; c29 (majority), c30 (pyramid), c31 (region
+    # labeling, recursive-CTE oracle) sit past-window, hash-checked by
+    # tests/test_queries_oracle at both scales.
+    "c28_focal_stats",
     # sinks / publish (K1-K7)
     "k1_cog_structure", "k2_quicklook_png",
     "k45_publish_items",          # K4 + K5
