@@ -3054,3 +3054,54 @@ def a_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_topk(
         _embs(spark, sf_dir), query_vec_id=0, k=10,
         pred=F.col("vec_id") % 7 == 3)
+
+
+@register("p_semantic_decontaminate", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {_COS_AB} AS cosine
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_AB} >= 0.35
+),
+hits AS (
+  SELECT CASE WHEN va % 17 <> 0 THEN va ELSE vb END AS vec_id,
+         CASE WHEN va % 17 = 0 THEN va ELSE vb END AS bench_id,
+         cosine
+  FROM pairs
+  WHERE (va % 17 = 0) <> (vb % 17 = 0)
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       max(cosine) AS max_cosine
+FROM hits GROUP BY vec_id
+""")
+def p_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC sibling of
+    p_decontaminate's n-gram overlap gate: flag corpus vectors whose
+    cosine to ANY held-out benchmark vector (vec_id % 17 == 0 plays
+    the eval-set split) reaches the near-dup threshold, the screen
+    that catches paraphrased/reworded benchmark leakage n-grams miss
+    (the Phi/Llama report style of decontamination).
+
+    Composition: the same LSH-bucketed, skew-capped exact-cosine pair
+    machinery as d_embedding_cosine_dups (one bucket Exchange, Arrow
+    matmul, max_bucket=256 cap) with a benchmark-XOR classification on
+    the pair stream — corpus x corpus and bench x bench pairs drop,
+    and each contaminated id aggregates its hit count + worst cosine.
+    At 100 TB the benchmark side is tiny and rides the same buckets;
+    nothing new shuffles."""
+    from .functions import similarity
+    pairs = similarity.cosine_dup_pairs(_embs(spark, sf_dir),
+                                        num_planes=8, threshold=0.35,
+                                        max_bucket=256)
+    is_a = (F.col("vec_a") % 17 == 0)
+    is_b = (F.col("vec_b") % 17 == 0)
+    return (pairs.filter(is_a != is_b)
+            .select(F.when(~is_a, F.col("vec_a")).otherwise(F.col("vec_b"))
+                    .alias("vec_id"), "cosine")
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.max("cosine").alias("max_cosine")))
