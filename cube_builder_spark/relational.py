@@ -2190,3 +2190,39 @@ def x_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("k").alias("polygon_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_inside"),
                  F.sum("c_custkey").cast("long").alias("sum_custkey")))
+
+
+@register("r20_cube_aggregate", """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gset,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 1e0 / 100
+         AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def r20_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP GROUP BY CUBE — every subset of (status, priority) in ONE
+    aggregation pass: cells, both one-dimension margins, and the
+    grand total. Completes the grouping-construct surface next to
+    ROLLUP (r12) and heterogeneous GROUPING SETS (r16). Spark expands
+    the 4 sets before the exchange (map-side partial agg preserved,
+    one shuffled row per (set, group)); grouping() markers
+    disambiguate genuine NULL groups from margin rows, exactly as in
+    the oracle."""
+    from .functions.numeric import round_half_up_long
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (t["orders"]
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(round_half_up_long(F.col("o_totalprice"), 100))
+                  * F.lit(1.0) / 100).alias("total_value"),
+                 (F.grouping("o_orderstatus") * 2
+                  + F.grouping("o_orderpriority")).cast("long").alias("gset"))
+            .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL"))
+                    .alias("orderstatus"),
+                    F.coalesce(F.col("o_orderpriority"), F.lit("ALL"))
+                    .alias("orderpriority"),
+                    "gset", "n_orders", "total_value"))
