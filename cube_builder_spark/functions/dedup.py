@@ -32,7 +32,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id")))
 
 
-def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
+             kernel: str = "hof") -> DataFrame:
     """Word k-gram shingles per document.
 
     Repartitions on doc_id first: document tables arrive as few parquet
@@ -41,21 +42,44 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     runs on as many cores as there are input files. At 100 TB the same
     spread keeps explode skew bounded by doc length, not file layout.
 
-    Kernel: posexplode + a (k-1)-lead window + ordered re-collect.
-    The earlier higher-order-function form (transform over a sequence
-    with k element_at calls) ran INTERPRETED — no whole-stage codegen
-    for lambda bodies — at ~1.3 ms/doc; the lead-window form is pure
-    codegen and measured 12x faster on the sf0.1 documents table
-    (6.1s -> 0.52s warm, min-of-3, same machine/session). The window's
-    partitionBy(doc_id) reuses the repartition's hash layout, so the
-    sort is partition-local — NO second shuffle; the groupBy re-collect
-    reuses it too. (It also fixes a latent crash of the old form on
-    docs shorter than k tokens: sequence(1,0) yields [1,0] and
-    element_at(_, 0) throws — such docs now yield an empty array.)
+    Two kernels, chosen per consumer (round-8 re-measurement; the
+    round-8 "12x" lead-window claim did NOT reproduce under repeated
+    same-session A/B — the bare plane at sf0.1 is ~0.3s HOF vs ~0.45s
+    window warm, and cold the window form pays a large first-run tax):
+
+    - ``"hof"`` (default): one transform-over-sequence projection with
+      k element_at calls — no extra shuffle, no per-token explode.
+      Measured faster standalone AND through the fused LSH pipeline
+      (d_minhash_lsh_pairs end-to-end 1.06s vs 1.2-1.7s, same
+      session, 3 reps). ``greatest(size-k+1, 0)`` yields empty arrays
+      for docs shorter than k tokens.
+    - ``"window"``: posexplode + (k-1)-lead window + ordered
+      re-collect. The groupBy output carries accurate stats into AQE,
+      which flips allpairs_jaccard's downstream joins to the better
+      plan — 2.4-3.0s vs 7.2-7.9s end-to-end with the HOF plane (same
+      session, 3 reps; materializing the HOF plane to parquet did NOT
+      close the gap, so it is the plan shape, not re-evaluation).
+    Both produce element-identical arrays (differential-tested).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks_df = (df.repartition(par, "doc_id")
                .select("doc_id", tokens_col(F.col(text_col)).alias("_toks")))
+    if kernel == "hof":
+        tc = F.col("_toks")
+        # guard BEFORE building the sequence: sequence(1, 0) is the
+        # DESCENDING [1, 0] and element_at(_, 0) throws
+        # INVALID_INDEX_OF_ZERO — docs shorter than k tokens must
+        # yield an empty array, matching the window kernel
+        grams = F.when(
+            F.size(tc) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tc, i + j) for j in range(k)]))
+        ).otherwise(F.array().cast("array<string>"))
+        return toks_df.select("doc_id", grams.alias("shingles"))
+    if kernel != "window":
+        raise ValueError(f"unknown shingle kernel {kernel!r}")
     tokp = toks_df.select("doc_id", F.posexplode("_toks").alias("pos", "w"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     gram = F.concat_ws(
@@ -478,7 +502,10 @@ def allpairs_jaccard(docs: DataFrame, k: int = 5, threshold: float = 0.5,
     ti = int(round(threshold * 100))
     if abs(ti / 100.0 - threshold) > 1e-12:
         raise ValueError("threshold must be a multiple of 0.01")
-    sh = shingles(docs, text_col, k)
+    # window kernel here specifically: its groupBy stats steer AQE to
+    # the better downstream join plan — 2.4-3.0s vs 7.2-7.9s with the
+    # HOF plane (see shingles() docstring for the A/B)
+    sh = shingles(docs, text_col, k, kernel="window")
     sets = (sh.select("doc_id", F.array_distinct("shingles").alias("s"))
             .filter(F.size("s") > 0))
     tok = sets.select("doc_id", F.size("s").alias("n"),

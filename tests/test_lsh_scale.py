@@ -333,3 +333,22 @@ def test_blocked_entity_pairs_blocks_and_cap(spark):
     got_capped = dedup.blocked_entity_pairs(
         df, "id", "nm", ["w1", "blk"], max_edit=2, max_block=2).collect()
     assert got_capped == []
+
+
+def test_shingle_kernels_identical(spark):
+    """The HOF and window shingle kernels must produce element-identical
+    arrays — including docs shorter than k (empty array), duplicate
+    grams (order and multiplicity preserved), and k variation."""
+    from cube_builder_spark.functions import dedup
+    rows = [(1, "a b c d e"), (2, "a"), (3, ""), (4, "x y"),
+            (5, "a a a a"), (6, "w1 w2 w1 w2 w1"), (7, "a b c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (2, 3, 5):
+        hof = {r.doc_id: r.shingles for r in
+               dedup.shingles(docs, k=k, kernel="hof").collect()}
+        win = {r.doc_id: r.shingles for r in
+               dedup.shingles(docs, k=k, kernel="window").collect()}
+        assert hof == win, f"k={k}: {hof} != {win}"
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.shingles(docs, kernel="nope")
