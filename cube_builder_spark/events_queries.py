@@ -707,3 +707,54 @@ def e_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         (F.col("cnt") - F.lag("cnt", 1).over(wt)).cast("long")
         .alias("day_over_day"))
+
+
+@register("x_stream_stream_join", """
+WITH v AS (
+  SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id AS event_id, v.v_ts AS v_ts
+  FROM p JOIN v ON v.v_user = p.user_id
+   AND v.v_ts > p.ts - INTERVAL 1 HOUR AND v.v_ts <= p.ts
+)
+SELECT event_id, CAST(count(*) AS BIGINT) AS n_views,
+       min(v_ts) AS first_view, max(v_ts) AS last_view
+FROM j GROUP BY event_id
+""")
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join, driver-graded: the watermarked
+    view->purchase event-time join (streaming/events.py
+    stream_stream_view_purchase — both sides buffered in join state,
+    expired by watermark + the v_ts bound) driven over the bounded
+    events table to completion, then aggregated per purchase. The
+    oracle is the equivalent batch interval join, so a hash match
+    proves the streaming join emitted EXACTLY the batch pair set —
+    no duplicates from state re-emission, no pairs dropped at batch
+    boundaries. (tests/test_streaming.py:203 pins the same contract
+    pair-by-pair; this row makes it part of the graded surface.)"""
+    from .session import scratch_dir
+    from .streaming.events import stream_stream_view_purchase
+    from .tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    d = scratch_dir("ssj_events_")
+    (ev.select("event_id", "user_id", "event_type", "ts")
+     .write.mode("overwrite").parquet(d))
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(d)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (stream_stream_view_purchase(views, purchases)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("x_ssj_out").start())
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table("x_ssj_out")
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_views"),
+                 F.min("v_ts").alias("first_view"),
+                 F.max("v_ts").alias("last_view")))
