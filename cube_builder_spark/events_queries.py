@@ -758,3 +758,36 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_views"),
                  F.min("v_ts").alias("first_view"),
                  F.max("v_ts").alias("last_view")))
+
+
+@register("e_event_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def e_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences — the
+    behavioral transition matrix (view->click->purchase flows) a
+    product-analytics layer derives before funnel design; the order-1
+    chain the e_funnel family's fixed patterns are special cases of.
+
+    Determinism: ties on ts are broken by the unique event_id in BOTH
+    engines, so the lead() pairing is engine-exact. Scale shape: one
+    window over (user) — the same partitioning every sessionize query
+    uses — and one map-side-combinable groupBy on the 5x5-bounded
+    transition key space."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions")))
