@@ -3105,3 +3105,53 @@ def p_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
                  F.max("cosine").alias("max_cosine")))
+
+
+@register("x_schema_evolution", """
+WITH v1 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(length(text) % 100 AS BIGINT) AS quality
+  FROM documents WHERE doc_id % 2 = 1
+),
+unioned AS (
+  SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS quality FROM v1
+  UNION ALL SELECT doc_id, n_chars, quality FROM v2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(quality) AS BIGINT) AS n_with_quality,
+       CAST(sum(quality) AS BIGINT) AS sum_quality
+FROM unioned
+""")
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read, driver-graded: commit a generation
+    without the `quality` column, commit a second generation WITH it,
+    then read the live snapshot with the store's merged-schema read
+    (sinks/snapshot.read_merged_schema — mergeSchema scoped to the
+    manifest's file list, the Delta/Iceberg add-column semantics the
+    reference's fixed COG band set cannot express). Old-generation
+    rows surface NULL for the added column; the oracle recomputes the
+    union from the raw table, so the hash match proves both the
+    evolution semantics and that no generation was dropped or
+    double-read."""
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, read_merged_schema
+
+    docs = _docs(spark, sf_dir)
+    v1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+    v2 = (docs.filter(F.col("doc_id") % 2 == 1)
+          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                  (F.length("text") % 100).cast("long").alias("quality")))
+    st = SnapshotStore(scratch_dir("snap_evo_"))
+    st.write(v1)
+    st.write(v2)
+    return (read_merged_schema(st, spark)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.count("quality").cast("long").alias("n_with_quality"),
+                 F.sum("quality").cast("long").alias("sum_quality")))
