@@ -2255,3 +2255,74 @@ def c31_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("tile_id",
                       (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
                       "region_id", "region_size")
+
+
+@register("c32_texture_glcm", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+q AS (
+  SELECT tile_id, y, x,
+         least(greatest((v + 10000) // 2500, 0), 7) AS qv
+  FROM comp
+),
+pairs AS (
+  SELECT a.tile_id AS tile_id, a.qv AS qi, b.qv AS qj
+  FROM q a JOIN q b
+    ON a.tile_id = b.tile_id AND b.y = a.y AND b.x = a.x + 1
+),
+cm AS (
+  SELECT tile_id, qi, qj, count(*) AS n
+  FROM pairs GROUP BY tile_id, qi, qj
+)
+SELECT tile_id,
+       CAST(sum(n) AS BIGINT) AS n_pairs,
+       CAST(sum(n * (qi - qj) * (qi - qj)) AS BIGINT) AS contrast_num,
+       CAST(sum(n * n) AS BIGINT) AS energy_num,
+       CAST(sum(n * (840 // (1 + abs(qi - qj)))) AS BIGINT) AS hom_num840,
+       sum(n * (qi - qj) * (qi - qj)) * 1e0 / sum(n) AS contrast,
+       sum(n * (840 // (1 + abs(qi - qj)))) * 1e0 / (840 * sum(n))
+         AS homogeneity
+FROM cm GROUP BY tile_id
+""".replace("{PIXELS}", PIXELS_SQL))
+def c32_texture_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32: GLCM texture metrics (Haralick et al. 1973) over the
+    clear-max composite — horizontal-offset gray-level co-occurrence
+    counts at 8 quantization levels, reduced to per-tile contrast,
+    energy and homogeneity, the standard texture layer of EO land-
+    cover stacks (GDAL exposes it via r.texture/Orfeo, outside the
+    reference's pipeline like the rest of the C28+ family).
+
+    Exactness: quantization is integer floor-division with clamps;
+    contrast and energy numerators are exact int64; homogeneity's
+    1/(1+|i-j|) weights are cross-multiplied by 840 = lcm(1..8) so
+    the numerator is an exact integer too — each metric is ONE IEEE
+    division. Scale shape: the neighbor pairing is the region-edge
+    equi-join (co-partitioned on tile), the co-occurrence matrix is
+    a bounded (tile x 8 x 8) groupBy with map-side combine, and the
+    final rollup is tile-sized."""
+    cells = _comp_cells(spark, sf_dir)
+    qv = F.least(F.greatest(F.floor((F.col("v") + 10000) / 2500), F.lit(0)),
+                 F.lit(7))
+    q = cells.select("tile_id", "y", "x", qv.cast("long").alias("qv"))
+    a = q.select(F.col("tile_id").alias("t"), F.col("y").alias("ay"),
+                 F.col("x").alias("ax"), F.col("qv").alias("qi"))
+    b = q.select(F.col("tile_id").alias("t2"), F.col("y").alias("by"),
+                 F.col("x").alias("bx"), F.col("qv").alias("qj"))
+    pairs = a.join(b, (F.col("t") == F.col("t2"))
+                   & (F.col("by") == F.col("ay"))
+                   & (F.col("bx") == F.col("ax") + 1))
+    cm = (pairs.groupBy(F.col("t").alias("tile_id"), "qi", "qj")
+          .agg(F.count(F.lit(1)).alias("n")))
+    d2 = (F.col("qi") - F.col("qj")) * (F.col("qi") - F.col("qj"))
+    hom_w = (F.lit(840) / (F.lit(1) + F.abs(F.col("qi") - F.col("qj")))) \
+        .cast("long")
+    return (cm.groupBy("tile_id")
+            .agg(F.sum("n").cast("long").alias("n_pairs"),
+                 F.sum(F.col("n") * d2).cast("long").alias("contrast_num"),
+                 F.sum(F.col("n") * F.col("n")).cast("long")
+                 .alias("energy_num"),
+                 F.sum(F.col("n") * hom_w).cast("long").alias("hom_num840"),
+                 (F.sum(F.col("n") * d2) * 1e0 / F.sum("n"))
+                 .alias("contrast"),
+                 (F.sum(F.col("n") * hom_w) * 1e0 / (840 * F.sum("n")))
+                 .alias("homogeneity")))
