@@ -2326,3 +2326,40 @@ def c32_texture_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("contrast"),
                  (F.sum(F.col("n") * hom_w) * 1e0 / (840 * F.sum("n")))
                  .alias("homogeneity")))
+
+
+@register("c33_slope_gradients", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+grads AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x,
+         count(*) AS n,
+         sum((q.x - p.x) * (2 - abs(q.y - p.y)) * q.v) AS gx,
+         sum((q.y - p.y) * (2 - abs(q.x - p.x)) * q.v) AS gy
+  FROM comp p JOIN comp q
+    ON p.tile_id = q.tile_id
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+  GROUP BY p.tile_id, p.y, p.x
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       (gx * gx + gy * gy) * 1e0 / 64 AS slope_sq
+FROM grads WHERE n = 9
+""".replace("{PIXELS}", PIXELS_SQL))
+def c33_slope_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: Horn 3x3 slope gradients (the gdaldem-slope core, Horn
+    1981) over the clear-max composite: Sobel-weighted finite
+    differences with exact int64 numerators, slope magnitude squared
+    as the one IEEE division — atan stays presentation-side because
+    libm atan is not bit-portable across engines. Cells without a
+    complete 3x3 neighborhood (edges, nodata holes) are not emitted,
+    matching gdaldem. Same scatter/halo-exchange plan as C28; the
+    oracle is the coordinate-range self-join with CASE-free integer
+    weight expressions."""
+    from .operators.focal import focal_gradients
+    out = focal_gradients(_comp_cells(spark, sf_dir),
+                          height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      "gx", "gy", "slope_sq")

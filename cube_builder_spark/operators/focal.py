@@ -49,12 +49,15 @@ def _scatter(cells: DataFrame, radius: int, height: int | None,
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
         for dy in range(-radius, radius + 1)
         for dx in range(-radius, radius + 1)])
+    payload = [p for p in payload if p not in ("o_dy", "o_dx")]
     out = (cells
            .select("tile_id", "y", "x", *payload,
                    F.explode(offsets).alias("o"))
            .select(F.col("tile_id").alias("t_id"),
                    (F.col("y") + F.col("o.dy")).alias("ty"),
                    (F.col("x") + F.col("o.dx")).alias("tx"),
+                   F.col("o.dy").alias("o_dy"),
+                   F.col("o.dx").alias("o_dx"),
                    *payload))
     if height is not None:
         out = out.filter((F.col("ty") >= 0) & (F.col("ty") < height))
@@ -127,6 +130,39 @@ def focal_majority(cells: DataFrame, n_classes: int, radius: int = 1,
                     .cast("long").alias("maj_class"),
                     (F.col("pk") / n_classes).cast("long").alias("maj_count"),
                     "n_nbrs"))
+
+
+def focal_gradients(cells: DataFrame, height: int | None = None,
+                    width: int | None = None) -> DataFrame:
+    """Horn 3×3 gradient kernels (gdaldem slope's core, Horn 1981):
+    per cell with a COMPLETE 3×3 neighborhood, the Sobel-weighted
+    finite differences gx = Σ rx·(2−|ry|)·v and gy = Σ ry·(2−|rx|)·v
+    over neighbors at relative offset (ry, rx), plus
+    ``slope_sq = (gx² + gy²) / 64`` (cell size 1) — the slope
+    magnitude squared BEFORE the atan, so everything except one IEEE
+    division stays in exact int64 (libm atan is not bit-portable
+    across engines; callers apply it presentation-side).
+
+    Edge cells and cells bordering nodata holes are NOT emitted
+    (n < 9), matching gdaldem's edge behavior. Same scatter/partial-
+    aggregate halo exchange as focal_box_stats.
+    """
+    sc = _scatter(cells, 1, height, width, ["v"])
+    # source relative to the TARGET center is (-dy, -dx)
+    rx = -F.col("o_dx")
+    ry = -F.col("o_dy")
+    agg = (sc.groupBy("t_id", "ty", "tx")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((rx * (F.lit(2) - F.abs(ry))) * F.col("v"))
+                .cast("long").alias("gx"),
+                F.sum((ry * (F.lit(2) - F.abs(rx))) * F.col("v"))
+                .cast("long").alias("gy"))
+           .filter(F.col("n") == 9))
+    return (cells.join(agg, (F.col("tile_id") == F.col("t_id"))
+                       & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")))
+            .select("tile_id", "y", "x", "gx", "gy",
+                    ((F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"))
+                     * 1e0 / 64).alias("slope_sq")))
 
 
 def pyramid_levels(cells: DataFrame, n_levels: int = 2) -> DataFrame:

@@ -106,3 +106,30 @@ def test_focal_plan_is_hash_aggregate_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan        # scatter reduce is map-side combinable
     assert "SortAggregate" not in plan
+
+
+def test_focal_gradients_ramp_and_flat(spark):
+    from cube_builder_spark.operators.focal import focal_gradients
+    # 4x4: v = 10*x (pure x-ramp) -> gx = 8*10 = 80, gy = 0; only the
+    # four interior cells have complete neighborhoods
+    rows = [(0, y, x, 10 * x) for y in range(4) for x in range(4)]
+    out = {(r.y, r.x): r for r in focal_gradients(
+        spark.createDataFrame(rows, ["tile_id", "y", "x", "v"]),
+        height=4, width=4).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    for r in out.values():
+        assert (r.gx, r.gy) == (80, 0)
+        assert r.slope_sq == 80 * 80 / 64
+    # flat plane -> zero gradient
+    flat = [(0, y, x, 7) for y in range(3) for x in range(3)]
+    out2 = focal_gradients(
+        spark.createDataFrame(flat, ["tile_id", "y", "x", "v"]),
+        height=3, width=3).collect()
+    assert len(out2) == 1 and (out2[0].gx, out2[0].gy) == (0, 0)
+    # a nodata hole suppresses every cell whose kernel touches it
+    holed = [(0, y, x, 1) for y in range(4) for x in range(4)
+             if (y, x) != (1, 1)]
+    out3 = focal_gradients(
+        spark.createDataFrame(holed, ["tile_id", "y", "x", "v"]),
+        height=4, width=4).collect()
+    assert {(r.y, r.x) for r in out3} == set()
