@@ -791,3 +791,57 @@ def e_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("event_type").alias("from_type"),
                      F.col("next_type").alias("to_type"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_transitions")))
+
+
+@register("e_scd2_intervals", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+),
+versioned AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versioned
+""")
+def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each user's event stream
+    into validity intervals of their current state — consecutive
+    repeats merge, each change opens a version row with
+    [valid_from, valid_to) and the open row flags is_current. The
+    standard warehouse dimension-maintenance pattern (Kimball), here
+    derived in two windows over ONE user partitioning: a lag() change
+    detector and a lead() interval close; the change rows are a
+    filter, never a second shuffle. Deterministic under ts ties via
+    the unique event_id tie-break in BOTH windows (two change rows
+    can share a ts, so the interval-close ordering needs it too).
+
+    Scale shape: both windows partition on user_id, so the whole
+    derivation is one Exchange; at 100 TB this is the cheapest
+    correct SCD2 build (merge-into alternatives shuffle twice)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev.select("user_id", "event_type", "ts", "event_id",
+                         F.lag("event_type").over(w).alias("prev_type"))
+               .filter(F.col("prev_type").isNull()
+                       | (F.col("event_type") != F.col("prev_type")))
+               .select("user_id", "event_type",
+                       F.col("ts").alias("valid_from"), "event_id"))
+    # ts ties between two change rows would make a bare valid_from
+    # ordering engine-dependent; the unique event_id closes it
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (changes
+            .select("user_id", "event_type", "valid_from",
+                    F.lead("valid_from").over(w2).alias("valid_to"))
+            .withColumn("is_current", F.col("valid_to").isNull()))
