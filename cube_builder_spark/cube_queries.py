@@ -2363,3 +2363,40 @@ def c33_slope_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("tile_id",
                       (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
                       "gx", "gy", "slope_sq")
+
+
+@register("c34_focal_median", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+nbr AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x, q.v AS v
+  FROM comp p JOIN comp q
+    ON p.tile_id = q.tile_id
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+),
+ranked AS (
+  SELECT tile_id, y, x, v,
+         row_number() OVER (PARTITION BY tile_id, y, x ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY tile_id, y, x) AS n
+  FROM nbr
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(v AS BIGINT) AS median_v, CAST(n AS BIGINT) AS n_nbrs
+FROM ranked WHERE rn = (n + 1) // 2
+""".replace("{PIXELS}", PIXELS_SQL))
+def c34_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: 3x3 focal median over the clear-max composite — the
+    salt-and-pepper despeckle filter (the value-domain sibling of
+    C29's class-domain sieve). Deterministic lower-median rule
+    (element ceil(n/2) of the sorted existing neighbors) keeps even
+    counts integer-exact in both engines. Spark side collects the
+    <=9-bounded neighbor array per cell (sort_array + element_at in
+    codegen — no window sort over the scatter volume); the oracle is
+    the self-join + row_number formulation of the same rule."""
+    from .operators.focal import focal_median
+    out = focal_median(_comp_cells(spark, sf_dir), radius=1,
+                       height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      "median_v", "n_nbrs")

@@ -132,6 +132,29 @@ def focal_majority(cells: DataFrame, n_classes: int, radius: int = 1,
                     "n_nbrs"))
 
 
+def focal_median(cells: DataFrame, radius: int = 1,
+                 height: int | None = None,
+                 width: int | None = None) -> DataFrame:
+    """(2r+1)×(2r+1) focal MEDIAN — the salt-and-pepper despeckle
+    filter. Deterministic LOWER-median rule: element ⌈n/2⌉ of the
+    sorted existing-neighbor values (identical in both engines for
+    even counts, where a mean-of-middle-two definition would go
+    float). Values collect into a ≤(2r+1)²-bounded array per target
+    cell — sort_array + element_at inside codegen, no window sort
+    over the scatter volume. Same edge-aware existence semantics as
+    focal_box_stats."""
+    agg = (_scatter(cells, radius, height, width, ["v"])
+           .groupBy("t_id", "ty", "tx")
+           .agg(F.sort_array(F.collect_list("v")).alias("vs")))
+    n = F.size("vs")
+    return (cells.join(agg, (F.col("tile_id") == F.col("t_id"))
+                       & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")))
+            .select("tile_id", "y", "x",
+                    F.element_at("vs", ((n + 1) / 2).cast("int"))
+                    .cast("long").alias("median_v"),
+                    n.cast("long").alias("n_nbrs")))
+
+
 def focal_gradients(cells: DataFrame, height: int | None = None,
                     width: int | None = None) -> DataFrame:
     """Horn 3×3 gradient kernels (gdaldem slope's core, Horn 1981):

@@ -133,3 +133,22 @@ def test_focal_gradients_ramp_and_flat(spark):
         spark.createDataFrame(holed, ["tile_id", "y", "x", "v"]),
         height=4, width=4).collect()
     assert {(r.y, r.x) for r in out3} == set()
+
+
+def test_focal_median_despeckle_and_even_count(spark):
+    from cube_builder_spark.operators.focal import focal_median
+    # salt speckle: center=1000 surrounded by 10s -> median 10
+    rows = [(0, y, x, 1000 if (y, x) == (1, 1) else 10)
+            for y in range(3) for x in range(3)]
+    out = {(r.y, r.x): r for r in focal_median(
+        spark.createDataFrame(rows, ["tile_id", "y", "x", "v"]),
+        height=3, width=3).collect()}
+    assert (out[(1, 1)].median_v, out[(1, 1)].n_nbrs) == (10, 9)
+    # corner sees [10, 10, 10, 1000] -> lower median (2nd of 4) = 10
+    assert (out[(0, 0)].median_v, out[(0, 0)].n_nbrs) == (10, 4)
+    # even-count lower-median rule on distinct values: [1,2,3,4] -> 2
+    rows2 = [(0, 0, 0, 1), (0, 0, 1, 2), (0, 1, 0, 3), (0, 1, 1, 4)]
+    out2 = {(r.y, r.x): r.median_v for r in focal_median(
+        spark.createDataFrame(rows2, ["tile_id", "y", "x", "v"]),
+        height=2, width=2).collect()}
+    assert out2 == {(0, 0): 2, (0, 1): 2, (1, 0): 2, (1, 1): 2}
