@@ -1125,8 +1125,20 @@ _E2E_BLEND_1P_SQL = _E2E_BLEND_SQL.replace(
     """  VALUES ('2020-01-01_2020-01-08', DATE '2020-01-01', DATE '2020-01-08')""")
 assert _E2E_BLEND_1P_SQL != _E2E_BLEND_SQL
 
+# ...and to a 2-of-8 tile slice (round-9 verdict task 4): the reuse
+# semantics (IDT source, band-subset validation/pruning, merge-plane
+# substitution) are tile-count-independent exactly as they are
+# period-count-independent, and the blend cost scales with tiles. The
+# oracle is sliced identically, so the hash check stays full-value.
+_REUSE_TILES = 2
+_E2E_BLEND_1P_T2_SQL = _E2E_BLEND_1P_SQL.replace(
+    "JOIN periods per ON p.date BETWEEN per.ps AND per.pe",
+    "JOIN periods per ON p.date BETWEEN per.ps AND per.pe\n"
+    f"  WHERE p.tile_id < {_REUSE_TILES}")
+assert _E2E_BLEND_1P_T2_SQL != _E2E_BLEND_1P_SQL
 
-@register("x_cube_reuse", _E2E_BLEND_1P_SQL)
+
+@register("x_cube_reuse", _E2E_BLEND_1P_T2_SQL)
 def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-cube reuse (reference maestro.py:222-259, 359-394;
     tasks.py:111-117): cube A is an IDENTITY (IDT) cube — merges
@@ -1144,7 +1156,9 @@ def x_cube_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.build_cube import CubeJobConfig, build_cube
     from .session import scratch_dir
 
-    px = pixel_plane(spark, sf_dir)
+    # 2-of-8 tile slice, matching _E2E_BLEND_1P_T2_SQL: reuse
+    # semantics are tile-count-independent (verdict task 4 trim)
+    px = pixel_plane(spark, sf_dir).filter(F.col("tile_id") < _REUSE_TILES)
     common = ["tile_id", "pixel_id", "date", "doy", "source_idx"]
     b04 = px.select(*common, F.lit("B04").alias("band"),
                     F.col("value").cast("long").alias("value"))

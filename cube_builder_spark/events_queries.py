@@ -740,24 +740,42 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import stream_stream_view_purchase
     from .tables import load_tables
 
+    import shutil
+
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     d = scratch_dir("ssj_events_")
-    (ev.select("event_id", "user_id", "event_type", "ts")
-     .write.mode("overwrite").parquet(d))
-    schema = "event_id long, user_id long, event_type string, ts timestamp"
-    stream = spark.readStream.schema(schema).parquet(d)
-    views = stream.filter(F.col("event_type") == "view")
-    purchases = stream.filter(F.col("event_type") == "purchase")
-    q = (stream_stream_view_purchase(views, purchases)
-         .writeStream.outputMode("append")
-         .format("memory").queryName("x_ssj_out").start())
-    q.processAllAvailable()
-    q.stop()
-    return (spark.table("x_ssj_out")
-            .groupBy("event_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_views"),
-                 F.min("v_ts").alias("first_view"),
-                 F.max("v_ts").alias("last_view")))
+    # queryName derives from the run-unique scratch suffix: two
+    # concurrent invocations in one session get distinct memory sinks
+    # instead of colliding on a fixed name (round-9 ADVICE fix).
+    sink = "x_ssj_out_" + d.rstrip("/").rsplit("ssj_events_", 1)[-1]
+    try:
+        (ev.select("event_id", "user_id", "event_type", "ts")
+         .write.mode("overwrite").parquet(d))
+        schema = ("event_id long, user_id long, event_type string, "
+                  "ts timestamp")
+        stream = spark.readStream.schema(schema).parquet(d)
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        q = (stream_stream_view_purchase(views, purchases)
+             .writeStream.outputMode("append")
+             .format("memory").queryName(sink).start())
+        q.processAllAvailable()
+        q.stop()
+        # the memory sink's rows live in the driver; materialize the
+        # bounded aggregate before dropping the sink + scratch copy
+        out = (spark.table(sink)
+               .groupBy("event_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_views"),
+                    F.min("v_ts").alias("first_view"),
+                    F.max("v_ts").alias("last_view"))
+               .localCheckpoint(eager=True))
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 @register("e_event_transitions", """

@@ -400,20 +400,23 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_df: int = 2,
     Scale shape (no suffix array — pure relational):
     - one explode to (doc_id, pos, gram_hash) rows — positions ride
       along, so no second tokenization pass;
-    - document frequency per gram computed IN PLACE with two window
-      functions over one gh partitioning (a first-occurrence flag
-      under (gh ORDER BY doc_id, pos), summed over the whole gh
-      partition) — round 8 restructure: the original groupBy(gh) +
-      semi-join-back evaluated the explode+md5 gram plane TWICE and
-      shuffled it twice (the classic groupBy/join-back double-eval,
-      see q2/q15 history); the window form explodes once and
-      exchanges once. Measured min-of-3 warm at sf0.1, fresh
-      sessions: 3.0-3.5s -> 0.8-1.2s (~3.5x), identical 477 rows;
-    - ``max_df`` is the skew guard: a boilerplate gram present in
+    - document frequency per gram computed IN PLACE, single-eval (the
+      round-8 groupBy/join-back double-eval fix stands — that form
+      evaluated the explode+md5 gram plane twice, 3.0-3.5s ->
+      0.8-1.2s at sf0.1): occurrence rows first hash-combine on
+      (gh, doc_id) with partial collect_list(pos) — a boilerplate
+      gram's rows split across doc_id sub-keys, so no single task
+      absorbs them — then one window count over gh sees just ONE row
+      per (gram, doc), so the partition the skew guard exists for
+      holds df rows, not df x positions rows, BEFORE max_df drops it
+      (round-9 restructure: the r8 all-occurrence-rows window paid
+      the skewed sort before the guard applied; interleaved min-of-5
+      A/B at sf0.1: 0.746s -> 0.702s, identical 477 rows);
+    - ``max_df`` is the recall/cost trade for what remains: a gram in
       thousands of docs (headers, license text) would explode the hit
-      list quadratically at 100 TB — grams above the cap are dropped,
-      the standard recall/cost trade (same posture as the LSH bucket
-      cap);
+      list quadratically at 100 TB — grams above the cap are dropped
+      (same posture as the LSH bucket cap); its residual pre-guard
+      cost is one df-row window partition per such gram;
     - span merge is gaps-and-islands: one window per doc over the hit
       positions (overlap-or-adjacent iff pos - prev <= k), then a
       groupBy over (doc, island). The per-doc hit list is
@@ -437,14 +440,13 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_df: int = 2,
          .select("doc_id", F.explode(grams).alias("g"))
          .select("doc_id", F.col("g.pos").alias("pos"),
                  F.col("g.gh").alias("gh")))
-    wo = Window.partitionBy("gh").orderBy("doc_id", "pos")
-    wa = Window.partitionBy("gh")
-    first = F.when(F.lag("doc_id").over(wo).isNull()
-                   | (F.lag("doc_id").over(wo) != F.col("doc_id")),
-                   1).otherwise(0)
-    hits = (g.withColumn("dfc", F.sum(first).over(wa))
+    per = (g.groupBy("gh", "doc_id")
+           .agg(F.collect_list("pos").alias("ps")))
+    hits = (per
+            .withColumn("dfc", F.count(F.lit(1))
+                        .over(Window.partitionBy("gh")))
             .filter((F.col("dfc") >= min_df) & (F.col("dfc") <= max_df))
-            .select("doc_id", "pos"))
+            .select("doc_id", F.explode("ps").alias("pos")))
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)) \
            .otherwise(F.lit(1))

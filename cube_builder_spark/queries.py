@@ -52,7 +52,14 @@ _PRIORITY = [
     # R variant fully subsumed by the TPC-H sweep, still hash-checked
     # by tests/test_queries_oracle); its slot went to c22_gap_fill so
     # the C21-C23 temporal-analytics family earns a driver-graded row.
-    "r8_pagination", "r9_bbox_intersect", "r10_upsert",
+    # r10_upsert rotated just past the window in round 9 (subsumed by
+    # the TPC-H sweep + x_merge_into_parquet's MERGE INTO, still
+    # hash-checked by tests/test_queries_oracle); its slot went to
+    # x_deletion_vectors so the round-8 storage plane (MoR deletes:
+    # sequence-rule re-inserts + footer-pruned materialize,
+    # sinks/snapshot.py:866) earns a driver-graded row — the quintet's
+    # most intricate member with the most internal state to drift.
+    "r8_pagination", "r9_bbox_intersect",
     "r11_multiway_join",
     # sources (S4+S6 suite, S5/S7/S9/S12 archive round-trip, S8,
     # S10, S11, S13)
@@ -131,6 +138,10 @@ _PRIORITY = [
     # (data-preserving OPTIMIZE + idempotence)
     "x_snapshot_time_travel",
     "x_compact_roundtrip",
+    # round-8 storage plane, graded since round 9 (took r10_upsert's
+    # slot): merge-on-read deletion vectors — commit-sequence-ruled
+    # re-inserts, broadcast anti-join reads, footer-pruned materialize.
+    "x_deletion_vectors",
 ]
 
 
