@@ -2414,3 +2414,62 @@ def c34_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("tile_id",
                       (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
                       "median_v", "n_nbrs")
+
+
+@register("c35_change_matrix", f"""
+WITH {PIXELS_SQL},
+classed AS (
+  SELECT tile_id, pixel_id,
+         CASE WHEN doy <= {N_DATES // 2} THEN 1 ELSE 2 END AS half,
+         quality
+  FROM pixels
+),
+counts AS (
+  SELECT tile_id, pixel_id, half, quality, count(*) AS cnt
+  FROM classed GROUP BY tile_id, pixel_id, half, quality
+),
+modes AS (
+  SELECT tile_id, pixel_id,
+         max(CASE WHEN half = 1 THEN cnt * 16 + (15 - quality) END) AS p1,
+         max(CASE WHEN half = 2 THEN cnt * 16 + (15 - quality) END) AS p2
+  FROM counts GROUP BY tile_id, pixel_id
+)
+SELECT CAST(15 - (p1 % 16) AS BIGINT) AS from_class,
+       CAST(15 - (p2 % 16) AS BIGINT) AS to_class,
+       count(*) AS n_pixels
+FROM modes WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+GROUP BY from_class, to_class
+""")
+def c35_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: land-cover change (from-to transition) matrix — the classic
+    post-classification change detection product (the cross-tabulation
+    step of every LULC change study; the reference stops at per-period
+    composites and leaves change analysis to QGIS/SCP). Each pixel's
+    class per time-half is the temporal MODE of its quality class with
+    C29's deterministic packed-argmax tie-break (``cnt*16 + (15 -
+    class)``: higher count wins, then the SMALLER class — all exact
+    integers), and the matrix counts pixels per (from, to) pair.
+
+    Scale shape: three map-side-combinable groupBys on shrinking keys
+    — (tile, pixel, half, class) counts, then a conditional-aggregate
+    PIVOT to one row per (tile, pixel) (no self-join: the oracle's
+    two-half join is expressed as max(CASE) so the gram plane is
+    evaluated once, the q2/q15 groupBy/join-back lesson), then the
+    bounded 12x12 transition key. No window, no shuffle wider than
+    the pixel count."""
+    px = pixel_plane(spark, sf_dir)
+    half = F.when(F.col("doy") <= N_DATES // 2, 1).otherwise(2)
+    counts = (px.select("tile_id", "pixel_id", half.alias("half"),
+                        "quality")
+              .groupBy("tile_id", "pixel_id", "half", "quality")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    packed = F.col("cnt") * 16 + (15 - F.col("quality"))
+    modes = (counts
+             .groupBy("tile_id", "pixel_id")
+             .agg(F.max(F.when(F.col("half") == 1, packed)).alias("p1"),
+                  F.max(F.when(F.col("half") == 2, packed)).alias("p2"))
+             .filter(F.col("p1").isNotNull() & F.col("p2").isNotNull()))
+    return (modes
+            .groupBy((15 - F.col("p1") % 16).cast("long").alias("from_class"),
+                     (15 - F.col("p2") % 16).cast("long").alias("to_class"))
+            .agg(F.count(F.lit(1)).alias("n_pixels")))

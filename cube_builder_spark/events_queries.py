@@ -863,3 +863,84 @@ def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type", "valid_from",
                     F.lead("valid_from").over(w2).alias("valid_to"))
             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+@register("e_rfm_segmentation", """
+WITH p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT max(ts) AS mx FROM p),
+pu AS (
+  SELECT user_id,
+         CAST(datediff('day', max(ts), (SELECT mx FROM anchor)) AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+           AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+           AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+              AS BIGINT) AS m_score
+  FROM pu
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'promising'
+            ELSE 'hibernating' END AS segment
+FROM scored
+""")
+def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    quartile scores per purchasing user plus the classic segment
+    labels. Recency anchors on the newest purchase in the table (so
+    the query is re-run-stable), monetary is exact integer cents.
+
+    Determinism: every ntile orders by (metric, user_id), so quartile
+    boundaries land identically in both engines regardless of ties.
+
+    Scale shape: one filtered scan -> per-user partial aggregate;
+    the quartile windows are GLOBAL sorts over the per-user rows —
+    correct and exact here, and the honest way to state the operator;
+    at 100 TB the same query swaps ntile for percentile_approx-derived
+    bucket edges (sketch-mergeable, no global sort) at the cost of
+    approximate boundaries, the standard trade."""
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 round_half_up_long(F.col("value"), 100).alias("cents")))
+    anchor = p.agg(F.max("ts").alias("mx"))
+    pu = (p.groupBy("user_id")
+          .agg(F.max("ts").alias("last_p"),
+               F.count(F.lit(1)).alias("frequency"),
+               F.sum("cents").alias("monetary_cents"))
+          .crossJoin(anchor)
+          .select("user_id",
+                  F.datediff("mx", "last_p").cast("long")
+                  .alias("recency_days"),
+                  "frequency", "monetary_cents"))
+    r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
+    scored = pu.select("user_id", "recency_days", "frequency",
+                       "monetary_cents",
+                       r.cast("long").alias("r_score"),
+                       f.cast("long").alias("f_score"),
+                       m.cast("long").alias("m_score"))
+    seg = (F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
+                  "champion")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
+           .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2),
+                 "at_risk")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+                 "promising")
+           .otherwise("hibernating"))
+    return scored.withColumn("segment", seg)

@@ -3165,3 +3165,166 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("sum_chars"),
                  F.count("quality").cast("long").alias("n_with_quality"),
                  F.sum("quality").cast("long").alias("sum_quality")))
+
+
+@register("x_snapshot_expire_vacuum", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+c AS (SELECT * FROM base WHERE doc_id % 4 = 2),
+d AS (SELECT * FROM base WHERE doc_id % 4 = 3),
+v4 AS (SELECT * FROM c UNION ALL SELECT * FROM d),
+views AS (
+  SELECT 'v3_live' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM c
+  UNION ALL
+  SELECT 'v4_live', count(*), CAST(sum(n_chars) AS BIGINT) FROM v4
+  UNION ALL
+  SELECT 'v4_after_vacuum', count(*), CAST(sum(n_chars) AS BIGINT) FROM v4
+)
+SELECT label, n_docs, sum_chars,
+       TRUE AS expired_old, TRUE AS vacuum_reclaimed,
+       TRUE AS expired_unreadable
+FROM views
+""")
+def x_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention + orphan-file reclaim (sinks/snapshot.
+    SnapshotStore.expire / vacuum — Delta VACUUM / Iceberg
+    expire_snapshots): append v1, append v2, OVERWRITE v3 (c), append
+    v4 (d) — so v1/v2's data files are referenced by no retained
+    manifest once retention drops them — then ``expire(keep_last=2)``
+    and ``vacuum()``.
+
+    The graded row pins the full contract: (a) expire dropped exactly
+    [v1, v2]; (b) vacuum physically removed at least one file, and
+    ONLY unreferenced ones — proven by re-aggregating v4 AFTER the
+    vacuum and hash-matching it against the oracle's recomputation
+    (if vacuum deleted a live file, v4_after_vacuum's sum would
+    change or the read would fail); (c) reading an expired version
+    raises. Time travel within the retention window (v3) keeps
+    working."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    root = scratch_dir("snap_ev_")
+    try:
+        st = SnapshotStore(root)
+        v1 = st.write(docs.filter(F.col("doc_id") % 4 == 0))
+        v2 = st.write(docs.filter(F.col("doc_id") % 4 == 1))
+        v3 = st.write(docs.filter(F.col("doc_id") % 4 == 2),
+                      mode="overwrite")
+        v4 = st.write(docs.filter(F.col("doc_id") % 4 == 3))
+        dropped = st.expire(keep_last=2)
+        expired_old = dropped == [v1, v2]
+        removed = st.vacuum()
+        reclaimed = len(removed) > 0
+        try:
+            st.read(spark, v1)
+            unreadable = False
+        except (OSError, ValueError):
+            unreadable = True
+
+        def agg(df, label):
+            return df.agg(F.lit(label).alias("label"),
+                          F.count(F.lit(1)).alias("n_docs"),
+                          F.sum("n_chars").cast("long").alias("sum_chars"))
+
+        out = (agg(st.read(spark, v3), "v3_live")
+               .unionByName(agg(st.read(spark, v4), "v4_live"))
+               .unionByName(agg(st.read(spark, v4), "v4_after_vacuum")))
+        rows = [(r.label, r.n_docs, r.sum_chars,
+                 expired_old, reclaimed, unreadable)
+                for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "expired_old boolean, vacuum_reclaimed boolean, "
+              "expired_unreadable boolean")
+
+
+@register("x_wap_publish", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+seed AS (SELECT * FROM base WHERE doc_id % 3 = 0),
+good AS (SELECT * FROM base WHERE doc_id % 3 = 1),
+published AS (SELECT * FROM seed UNION ALL SELECT * FROM good)
+SELECT 'main_after_wap' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS audit_blocked_bad, TRUE AS staging_invisible
+FROM published
+""")
+def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Nessie WAP recipe over
+    sinks/snapshot branch refs): a batch lands on a STAGING branch,
+    an audit query runs against the branch head, and only a passing
+    audit fast-forwards main — a failing audit leaves main untouched
+    and the staged data invisible to readers.
+
+    Scenario: seed main; stage a GOOD batch on branch 'wap_good'
+    (audit: no NULL keys, no duplicate doc_id vs main) -> merge;
+    stage a BAD batch on 'wap_bad' (contains doc_ids already on
+    main = the duplicate-key audit fails) -> reject, branch head
+    discarded. The hash row proves main holds exactly seed+good;
+    ``staging_invisible`` pins that main's head NEVER saw the bad
+    batch (its aggregate is recomputed from main's final head, which
+    the oracle reproduces from raw data — any leak changes the
+    sum)."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    root = scratch_dir("snap_wap_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 == 0))          # seed
+
+        def audit_and_publish(batch, branch):
+            st.create_branch(branch)
+            st.write(batch, branch=branch)
+            head = st.head(branch)
+            staged = st.read(spark, head)
+            main_now = st.read(spark, st.head("main"))
+            bad = (staged.filter(F.col("doc_id").isNull()).count()
+                   + staged.join(main_now, "doc_id", "inner")
+                     .join(batch.select("doc_id"), "doc_id", "semi")
+                     .count())
+            if bad == 0:
+                st.merge_branch(branch)
+                return True
+            # reject: drop the staging ref; the staged commit becomes
+            # unreferenced metadata for expire/vacuum to reclaim
+            refs = st._read_refs()
+            del refs[branch]
+            st._write_refs(refs)
+            return False
+
+        ok_good = audit_and_publish(
+            docs.filter(F.col("doc_id") % 3 == 1), "wap_good")
+        ok_bad = audit_and_publish(
+            docs.filter(F.col("doc_id") % 6 == 0), "wap_bad")
+        main_head = st.head("main")
+        r = (st.read(spark, main_head)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("sum_chars"))
+             .collect()[0])
+        rows = [("main_after_wap", r.n_docs, r.sum_chars,
+                 ok_good and not ok_bad,
+                 "wap_bad" not in st.branches())]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "audit_blocked_bad boolean, staging_invisible boolean")
