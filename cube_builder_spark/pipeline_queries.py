@@ -3328,3 +3328,188 @@ def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long, "
               "audit_blocked_bad boolean, staging_invisible boolean")
+
+
+# HyperLogLog constants: m = 256 buckets (2 hex chars), 48-bit tails
+# (12 hex chars) so every register fits rho in [1, 49];
+# alpha_256 = 0.7213 / (1 + 1.079/256), and the estimate is
+# alpha * m^2 * 2^49 / sum(2^(49 - r)) — the numerator sum is computed
+# as an EXACT BIGINT (powers of two), so the one double division is
+# bit-deterministic in both engines.
+_HLL_EST_CONST = 2.6499581405668102e+19  # alpha_256 * 256^2 * 2^49
+
+
+@register("x_hll_distinct", f"""
+WITH h AS (
+  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem
+),
+rho AS (
+  SELECT substr(hx, 1, 2) AS bucket,
+         CASE WHEN length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) = 12
+              THEN 49
+              ELSE 4 * length(regexp_extract(substr(hx, 3, 12), '^0*', 0))
+                   + CASE substr(hx,
+                                 3 + length(regexp_extract(substr(hx, 3, 12),
+                                                           '^0*', 0)), 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1 END AS r
+  FROM h
+),
+regs AS (SELECT bucket, max(r) AS r FROM rho GROUP BY bucket),
+agg AS (
+  SELECT count(*) AS used,
+         CAST(sum(CAST(2 ** (49 - r) AS BIGINT)) AS BIGINT) AS num_used
+  FROM regs
+),
+exact AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+SELECT CAST(exact.n_exact AS BIGINT) AS n_exact,
+       CAST(agg.used AS BIGINT) AS n_buckets_used,
+       CAST(agg.num_used
+            + (256 - agg.used) * CAST(2 ** 49 AS BIGINT) AS BIGINT)
+         AS numerator,
+       {_HLL_EST_CONST!r} / (agg.num_used
+            + (256 - agg.used) * CAST(2 ** 49 AS BIGINT)) AS estimate
+FROM agg, exact
+""")
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, built from first principles
+    (Flajolet et al. 2007) rather than approx_count_distinct — because
+    the REGISTERS are the operator: at 100 TB the sketch is what you
+    store per partition/day and MERGE (register-wise max) instead of
+    re-shuffling raw keys, the same reason Spark exposes hll_sketch_agg.
+    md5 is the hash (identical hex in both engines), bucket = first 2
+    hex chars (m=256), rho = leading-zero count of the next 48 bits + 1
+    — derived purely from hex-string inspection (leading '0' chars + a
+    16-way nibble CASE), no log2/float anywhere. The harmonic-mean
+    denominator sum(2^(49-r)) is an exact BIGINT, so the single double
+    division is bit-deterministic and the oracle hash-matches the
+    ESTIMATE itself, not a tolerance.
+
+    Below 2.5m distinct keys the raw estimate sits in HLL's documented
+    small-range bias regime; the standard fallback is linear counting
+    m*ln(m/empty_buckets), whose ln is NOT bit-portable across engines
+    — so the query emits the LC sufficient statistic
+    (n_buckets_used) instead of applying it, and
+    tests/test_hll_quality.py validates the correction Python-side
+    plus the register-wise max MERGE associativity (the property that
+    makes the sketch the 100 TB answer).
+
+    Scale shape: one projection + a 256-group map-side-combined
+    groupBy — the shuffle carries at most 256 rows per task. The
+    exact count branch exists only to grade the sketch against truth
+    (tests pin the relative error); production reads the sketch alone.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    hx = F.md5(F.col("l_partkey").cast("string"))
+    tail = F.substring(hx, 3, 12)
+    lz = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = F.substring(tail, lz + 1, 1)
+    dz = (F.when(first == "1", 3)
+          .when(first.isin("2", "3"), 2)
+          .when(first.isin("4", "5", "6", "7"), 1)
+          .otherwise(0))
+    r = F.when(lz == 12, 49).otherwise(4 * lz + dz + 1)
+    regs = (li.select(F.substring(hx, 1, 2).alias("bucket"), r.alias("r"))
+            .groupBy("bucket").agg(F.max("r").alias("r")))
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), 49 - F.col("r")).cast("long"))
+        .alias("num_used"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+    numerator = (F.col("num_used")
+                 + (256 - F.col("used")) * F.lit(2 ** 49))
+    return (agg.crossJoin(exact)
+            .select(F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("used").cast("long").alias("n_buckets_used"),
+                    numerator.cast("long").alias("numerator"),
+                    (F.lit(_HLL_EST_CONST) / numerator).alias("estimate")))
+
+
+@register("x_data_quality_rules", """
+WITH o AS (SELECT * FROM orders), l AS (SELECT * FROM lineitem),
+rules AS (
+  SELECT 'orders_key_not_null' AS rule,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM o
+  UNION ALL
+  SELECT 'orders_key_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'orders_status_accepted',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
+  UNION ALL
+  SELECT 'lineitem_price_ge_qty',
+         CAST(sum(CASE WHEN l_extendedprice < l_quantity
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
+  UNION ALL
+  SELECT 'lineitem_orderkey_referential',
+         CAST((SELECT count(*) FROM l
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o))
+              AS BIGINT)
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM rules
+""")
+def x_data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule suite — the dbt-tests / Great
+    Expectations / Deequ contract checks a warehouse runs on every
+    load: not-null, uniqueness, accepted values, numeric ranges,
+    cross-field ordering, and referential integrity, each reported as
+    (rule, n_violations, passed).
+
+    Scale shape: the five single-table rules on each table FUSE into
+    ONE aggregate over one scan (conditional sums — Deequ's
+    'computed in a single pass' design); uniqueness rides the same
+    pass as count(*) - countDistinct; referential integrity is the
+    one genuine join — a LEFT ANTI on the key, countable
+    map-side-combined. No rule adds a second scan of its table."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o, li = t["orders"], t["lineitem"]
+    o_agg = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .alias("key_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("key_dup"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).alias("status_bad"))
+    l_agg = li.agg(
+        F.sum(F.when((F.col("l_quantity") < 1)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+        .alias("qty_bad"),
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 0.1), 1).otherwise(0))
+        .alias("disc_bad"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1)
+              .otherwise(0)).alias("price_bad"))
+    orphans = (li.select("l_orderkey")
+               .join(o.select("o_orderkey"),
+                     F.col("l_orderkey") == F.col("o_orderkey"),
+                     "left_anti")
+               .agg(F.count(F.lit(1)).alias("orphan")))
+    wide = o_agg.crossJoin(l_agg).crossJoin(orphans)
+    pairs = [("orders_key_not_null", "key_null"),
+             ("orders_key_unique", "key_dup"),
+             ("orders_status_accepted", "status_bad"),
+             ("lineitem_qty_range", "qty_bad"),
+             ("lineitem_discount_range", "disc_bad"),
+             ("lineitem_price_ge_qty", "price_bad"),
+             ("lineitem_orderkey_referential", "orphan")]
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(rule).alias("rule"),
+                 F.col(col).cast("long").alias("n_violations"))
+        for rule, col in pairs])).alias("x")
+    return (wide.select(stacked)
+            .select("x.rule", "x.n_violations",
+                    (F.col("x.n_violations") == 0).alias("passed")))
