@@ -2473,3 +2473,78 @@ def c35_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((15 - F.col("p1") % 16).cast("long").alias("from_class"),
                      (15 - F.col("p2") % 16).cast("long").alias("to_class"))
             .agg(F.count(F.lit(1)).alias("n_pixels")))
+
+
+_D8_EDGE_DY = ("CASE d.fdir WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN -1 "
+               "WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 8 THEN 1 ELSE 0 END")
+_D8_EDGE_DX = ("CASE d.fdir WHEN 1 THEN -1 WHEN 4 THEN -1 WHEN 6 THEN -1 "
+               "WHEN 3 THEN 1 WHEN 5 THEN 1 WHEN 8 THEN 1 ELSE 0 END")
+
+
+@register("c36_flow_routing", f"""
+WITH RECURSIVE {PIXELS_SQL},
+{_COMP_SQL},
+offs(dir, dy, dx, w) AS (
+  VALUES (1,-1,-1,1),(2,-1,0,2),(3,-1,1,1),(4,0,-1,2),
+         (5,0,1,2),(6,1,-1,1),(7,1,0,2),(8,1,1,1)
+),
+cand AS (
+  SELECT c.tile_id, c.y, c.x,
+         max(CASE WHEN n.v < c.v
+                  THEN ((c.v - n.v) * (c.v - n.v) * o.w) * 16
+                       + (8 - o.dir) END) AS pk
+  FROM comp c
+  CROSS JOIN offs o
+  LEFT JOIN comp n ON n.tile_id = c.tile_id
+                  AND n.y = c.y + o.dy AND n.x = c.x + o.dx
+  GROUP BY c.tile_id, c.y, c.x
+),
+dirs AS (
+  SELECT tile_id, y, x,
+         CASE WHEN pk IS NULL THEN 0 ELSE 8 - pk % 16 END AS fdir
+  FROM cand
+),
+edges AS (
+  SELECT d.tile_id, d.y, d.x,
+         d.y + {_D8_EDGE_DY} AS ny,
+         d.x + {_D8_EDGE_DX} AS nx
+  FROM dirs d WHERE d.fdir > 0
+),
+walk AS (
+  SELECT tile_id, y AS cy, x AS cx FROM dirs
+  UNION ALL
+  SELECT e.tile_id, e.ny, e.nx
+  FROM walk w JOIN edges e
+    ON e.tile_id = w.tile_id AND e.y = w.cy AND e.x = w.cx
+),
+acc AS (
+  SELECT tile_id, cy, cx, count(*) AS n FROM walk GROUP BY tile_id, cy, cx
+)
+SELECT d.tile_id AS tile_id, d.y * {_GRID_W} + d.x AS pixel_id,
+       CAST(d.fdir AS BIGINT) AS fdir, CAST(a.n AS BIGINT) AS acc
+FROM dirs d JOIN acc a
+  ON a.tile_id = d.tile_id AND a.cy = d.y AND a.cx = d.x
+""".replace("{PIXELS}", PIXELS_SQL))
+def c36_flow_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: D8 hydrological flow routing over the composite — flow
+    DIRECTION (O'Callaghan & Mark 1984 steepest descent; exact-integer
+    cross-multiplied squared-distance metric, packed-argmax tie-break)
+    plus flow ACCUMULATION (upstream contributing area — the statistic
+    stream networks are thresholded from; gdaldem/GRASS r.watershed
+    territory the reference never enters).
+
+    The flow graph is a functional forest over strictly-decreasing
+    values, so accumulation is exact: the Spark side advances an
+    anonymous-walker frontier (compressed to one row per cell per
+    round) along the out-edges until empty — the CCL-style driver-
+    checked fixed point — while the oracle replays the same walks
+    with a RECURSIVE CTE. A hash match proves direction metric,
+    tie-breaks, edge derivation AND every path length agree."""
+    from .operators.focal import flow_accumulation, flow_direction
+    dirs = flow_direction(_comp_cells(spark, sf_dir),
+                          height=_GRID_H, width=_GRID_W)
+    acc = flow_accumulation(dirs)
+    return (dirs.join(acc, ["tile_id", "y", "x"])
+            .select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    "fdir", "acc"))

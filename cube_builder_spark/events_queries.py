@@ -944,3 +944,80 @@ def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "promising")
            .otherwise("hibernating"))
     return scored.withColumn("segment", seg)
+
+
+@register("e_attribution_linear", """
+WITH v AS (
+  SELECT user_id AS v_user, ts AS v_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.purchase_id, p.cents, v.view_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY v.v_ts DESC, v.view_id DESC) AS rn,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n
+  FROM p JOIN v ON v.v_user = p.user_id
+   AND v.v_ts > p.ts - INTERVAL 1 HOUR AND v.v_ts <= p.ts
+)
+SELECT purchase_id, view_id,
+       CAST(cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END
+            AS BIGINT) AS attr_cents,
+       CAST(rn AS BIGINT) AS touch_rank,
+       CAST(n AS BIGINT) AS n_touches
+FROM pairs
+""")
+def e_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's revenue split
+    equally across the views that preceded it within the 1-hour
+    lookback (the marketing-analytics counterpart of e_asof_join's
+    last-touch model). The split is EXACT to the cent via the
+    largest-remainder rule: every touch gets floor(cents/n) and the
+    ``cents mod n`` most-recent touches get one extra cent, so the
+    per-purchase sum reconstructs the purchase value exactly —
+    conservation the oracle's hash enforces and
+    tests/test_queries_oracle's blanket gate re-proves at both scales.
+    Rank order (recency desc, event_id desc) is deterministic in both
+    engines.
+
+    Scale shape: the same (user, hour-bucket) binned interval join as
+    e_interval_join — each purchase meets at most two hours of the
+    user's views, never their whole history — then one ranking window
+    per purchase over the bounded pair set."""
+    ev = _events(spark, sf_dir)
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("view_id"),
+                     hour(F.col("ts")).alias("v_bucket")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     "ts", round_half_up_long(F.col("value"), 100)
+                     .alias("cents")))
+    pexp = purch.withColumn(
+        "jb", F.explode(F.array(hour(F.col("ts")),
+                                hour(F.col("ts")) - 1)))
+    pairs = (pexp.join(views, (F.col("v_user") == F.col("user_id"))
+                       & (F.col("v_bucket") == F.col("jb")))
+             .filter((F.col("v_ts") > F.col("ts")
+                      - F.expr("INTERVAL 1 HOUR"))
+                     & (F.col("v_ts") <= F.col("ts"))))
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("v_ts"),
+                                                  F.desc("view_id"))
+    wn = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id", "view_id", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    share = (F.floor(F.col("cents") / F.col("n"))
+             + F.when(F.col("rn") <= F.col("cents") % F.col("n"), 1)
+             .otherwise(0))
+    return ranked.select("purchase_id", "view_id",
+                         share.cast("long").alias("attr_cents"),
+                         F.col("rn").cast("long").alias("touch_rank"),
+                         F.col("n").cast("long").alias("n_touches"))

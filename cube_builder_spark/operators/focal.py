@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["focal_box_stats", "focal_majority", "focal_median",
-           "focal_gradients", "pyramid_levels"]
+           "focal_gradients", "pyramid_levels", "flow_direction",
+           "flow_accumulation"]
 
 
 def _scatter(cells: DataFrame, radius: int, height: int | None,
@@ -228,3 +229,132 @@ def pyramid_levels(cells: DataFrame, n_levels: int = 2) -> DataFrame:
                      .agg(F.sum("n_pixels").cast("long").alias("n_pixels"),
                           F.sum("sum_value").cast("long").alias("sum_value")))
     return out
+
+
+# D8 direction encoding: index 1..8 over the fixed (dy, dx) ring below;
+# 0 = sink (no strictly-lower neighbor). w = squared-distance weight
+# numerator: steepest descent maximizes drop/dist with dist in {1,√2},
+# and comparing drop_a²·db² vs drop_b²·da² keeps it exact-integer —
+# equivalently metric = drop² · w with w = 2 (orthogonal) / 1 (diagonal).
+D8_OFFSETS = [
+    (1, -1, -1, 1), (2, -1, 0, 2), (3, -1, 1, 1),
+    (4, 0, -1, 2), (5, 0, 1, 2),
+    (6, 1, -1, 1), (7, 1, 0, 2), (8, 1, 1, 1),
+]
+
+
+def flow_direction(cells: DataFrame, height: int | None = None,
+                   width: int | None = None) -> DataFrame:
+    """D8 steepest-descent flow direction (O'Callaghan & Mark 1984;
+    ``gdaldem``/hydrology's first routing step — another post-
+    processing stage the reference leaves outside its pipeline).
+
+    Per cell: among EXISTING strictly-lower 8-neighbors, pick the one
+    maximizing drop/distance. Exact integers throughout: the √2
+    diagonal distance is handled by cross-multiplied squares
+    (metric = drop²·w, w = 2 orthogonal / 1 diagonal), ties break
+    toward the smaller direction index via the packed-argmax idiom
+    (``metric·16 + (8 − dir)``). Cells with no lower existing
+    neighbor (pits, flats, nodata borders) get ``fdir = 0``.
+
+    Plan: ONE scatter + ONE map-side-combined groupBy — the center's
+    own (0,0) contribution rides the same shuffle as its neighbors,
+    so no join-back at all: the aggregate keeps the center value with
+    ``max(CASE center)`` and the ≤8 neighbor (dir, v) pairs in a
+    bounded collect_list, and the argmax is an in-array fold over ≤8
+    elements in codegen. Returns ``tile_id, y, x, v, fdir``.
+    """
+    sc = _scatter(cells, 1, height, width, ["v"])
+    is_center = (F.col("o_dy") == 0) & (F.col("o_dx") == 0)
+    # direction FROM the target TO this contributor is (-o_dy, -o_dx)
+    dir_idx = None
+    wgt = None
+    for d, dy, dx, w in D8_OFFSETS:
+        hit = (F.col("o_dy") == -dy) & (F.col("o_dx") == -dx)
+        dir_idx = F.when(hit, d) if dir_idx is None else dir_idx.when(hit, d)
+        wgt = F.when(hit, w) if wgt is None else wgt.when(hit, w)
+    agg = (sc.groupBy("t_id", "ty", "tx")
+           .agg(F.max(F.when(is_center, F.col("v"))).alias("vc"),
+                F.collect_list(
+                    F.when(~is_center,
+                           F.struct(dir_idx.cast("long").alias("d"),
+                                    wgt.cast("long").alias("w"),
+                                    F.col("v").alias("nv"))))
+                .alias("nbrs"))
+           .filter(F.col("vc").isNotNull()))
+    packed = F.array_max(F.transform(
+        F.filter("nbrs", lambda n: n["nv"] < F.col("vc")),
+        lambda n: ((F.col("vc") - n["nv"]) * (F.col("vc") - n["nv"])
+                   * n["w"] * 16 + (8 - n["d"]))))
+    return (agg
+            .withColumn("pk", packed)
+            .select(F.col("t_id").alias("tile_id"),
+                    F.col("ty").alias("y"), F.col("tx").alias("x"),
+                    F.col("vc").alias("v"),
+                    F.when(F.col("pk").isNull(), F.lit(0))
+                    .otherwise(8 - F.col("pk") % 16)
+                    .cast("long").alias("fdir")))
+
+
+def flow_accumulation(dirs: DataFrame, max_rounds: int = 600) -> DataFrame:
+    """D8 flow accumulation: for each cell, the number of cells whose
+    flow path (repeatedly following ``fdir``) passes through it,
+    including itself — the upstream contributing area, the statistic
+    stream-network extraction thresholds on.
+
+    The flow graph is a functional forest (one out-edge per non-sink
+    cell) over STRICTLY decreasing values, so it is acyclic and every
+    walk terminates. Implementation is an anonymous-walker fold: the
+    frontier holds (position, n_walkers) — compressed to at most one
+    row per cell per round, never one row per (source, position) pair
+    — each round advances it along the out-edges (an equi-join with
+    the functional edge set, 1:1 per walker row) and folds it into
+    the visit counts. Rounds are bounded by the longest descending
+    chain (terrain relief, not grid size; localCheckpoint per round
+    truncates lineage exactly like the CCL operator). Total joined
+    rows equal the sum of path lengths — the size of the information
+    the statistic needs — so the loop is output-optimal; a
+    pointer-doubling variant would reduce ROUNDS to log(L) but not
+    that total, at the cost of materializing 2^k-step jump tables.
+
+    Returns ``tile_id, y, x, acc``.
+    """
+    ddy = None
+    ddx = None
+    for d, dy, dx, _w in D8_OFFSETS:
+        ddy = F.when(F.col("fdir") == d, dy) if ddy is None \
+            else ddy.when(F.col("fdir") == d, dy)
+        ddx = F.when(F.col("fdir") == d, dx) if ddx is None \
+            else ddx.when(F.col("fdir") == d, dx)
+    edges = (dirs.filter(F.col("fdir") > 0)
+             .select("tile_id", "y", "x",
+                     (F.col("y") + ddy).alias("ny"),
+                     (F.col("x") + ddx).alias("nx"))
+             .localCheckpoint(eager=True))
+    acc_parts = [dirs.select("tile_id", "y", "x",
+                             F.lit(1).cast("long").alias("cnt"))]
+    frontier = (edges.groupBy("tile_id",
+                              F.col("ny").alias("y"),
+                              F.col("nx").alias("x"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .localCheckpoint(eager=True))
+    rounds = 0
+    while frontier.limit(1).count() > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"flow_accumulation exceeded {max_rounds} rounds — "
+                "cyclic fdir input?")
+        acc_parts.append(frontier)
+        frontier = (frontier
+                    .join(edges, ["tile_id", "y", "x"])
+                    .groupBy("tile_id",
+                             F.col("ny").alias("y"),
+                             F.col("nx").alias("x"))
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                    .localCheckpoint(eager=True))
+    out = acc_parts[0]
+    for part in acc_parts[1:]:
+        out = out.unionByName(part)
+    return (out.groupBy("tile_id", "y", "x")
+            .agg(F.sum("cnt").cast("long").alias("acc")))

@@ -1389,3 +1389,87 @@ class PartitionedStore:
             return (self.store._apply_deletes(spark, sub),
                     len(keep), len(files))
         return spark.read.parquet(*keep), len(keep), len(files)
+
+
+# -- CHECK constraints (round 9) ----------------------------------------------
+
+class ConstraintViolation(ValueError):
+    """A checked_write batch broke a table CHECK constraint."""
+
+    def __init__(self, name: str, expr: str, n_bad: int):
+        super().__init__(
+            f"CHECK constraint {name!r} ({expr}) violated by "
+            f"{n_bad} row(s); commit refused")
+        self.name = name
+        self.expr = expr
+        self.n_bad = n_bad
+
+
+def _constraints_path(store: SnapshotStore) -> str:
+    return os.path.join(store.root, "_constraints.json")
+
+
+def add_check_constraint(store: SnapshotStore, name: str,
+                         expr: str) -> None:
+    """Register a persisted CHECK constraint (the Delta ``ALTER TABLE
+    ADD CONSTRAINT ... CHECK`` analogue): ``expr`` is a SQL boolean
+    expression over the table's columns that every row of every
+    subsequent ``checked_write`` batch must satisfy. Stored in a tiny
+    metadata sidecar — pure metadata, no scan of existing data (like
+    Delta, the constraint governs FUTURE writes; validating history
+    is a separate audit query)."""
+    path = _constraints_path(store)
+    cons: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            cons = json.load(fh)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    cons[name] = expr
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, path)
+
+
+def check_constraints(store: SnapshotStore) -> dict[str, str]:
+    path = _constraints_path(store)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def checked_write(store: SnapshotStore, df: DataFrame,
+                  mode: str = "append", branch: str = "main") -> int:
+    """Commit ``df`` only if every registered CHECK constraint holds on
+    every row — the transactional enforcement Delta performs inside
+    the write txn: a violating batch changes NOTHING (no new version,
+    no orphan data files, head untouched).
+
+    Shape: all constraints fuse into ONE validation pass —
+    ``sum(CASE WHEN NOT c THEN 1)`` per constraint in a single
+    aggregate over the batch (the x_data_quality_rules fusion), so
+    enforcement costs one scan regardless of constraint count. The
+    scan happens BEFORE any file is written: at 100 TB an aborted
+    post-write cleanup is the expensive path (delete churn on object
+    stores), while re-scanning an accepted batch is cheap because the
+    write re-reads it immediately anyway.
+
+    NULL semantics are SQL-standard (and Delta's): a row violates only
+    when the expression is FALSE — an expression that evaluates to
+    NULL passes (guard with ``x IS NOT NULL AND ...`` to reject
+    NULLs explicitly)."""
+    cons = check_constraints(store)
+    if cons:
+        names = list(cons)
+        agg = df.agg(*[
+            F.sum(F.when(~F.expr(cons[n]), 1).otherwise(0))
+            .cast("long").alias(f"c{i}")
+            for i, n in enumerate(names)])
+        row = agg.collect()[0]
+        for i, n in enumerate(names):
+            bad = row[f"c{i}"] or 0
+            if bad > 0:
+                raise ConstraintViolation(n, cons[n], bad)
+    return store.write(df, mode=mode, branch=branch)

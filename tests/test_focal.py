@@ -152,3 +152,72 @@ def test_focal_median_despeckle_and_even_count(spark):
         spark.createDataFrame(rows2, ["tile_id", "y", "x", "v"]),
         height=2, width=2).collect()}
     assert out2 == {(0, 0): 2, (0, 1): 2, (1, 0): 2, (1, 1): 2}
+
+
+# D8 flow routing (round 9) ----------------------------------------------------
+
+def _cells_df(spark, rows):
+    return spark.createDataFrame(rows, "tile_id long, y long, x long, v long")
+
+
+def test_flow_direction_ramp_and_ties(spark):
+    """Hand-worked 3x3 ramp: values increase with x, so every cell
+    drains due west (dir 4); the west edge cells are sinks. A diagonal
+    tie case checks the cross-multiplied metric: drop 1 orthogonal
+    (metric 2) beats drop 1 diagonal (metric 1)."""
+    from cube_builder_spark.operators.focal import flow_direction
+    rows = [(0, y, x, x * 10) for y in range(3) for x in range(3)]
+    got = {(r.y, r.x): r.fdir for r in
+           flow_direction(_cells_df(spark, rows), 3, 3).collect()}
+    for y in range(3):
+        assert got[(y, 0)] == 0            # west edge: no lower neighbor
+        for x in (1, 2):
+            assert got[(y, x)] == 4        # due west
+
+    # center 5; west neighbor 4 (ortho drop 1, metric 2·1·16) vs
+    # north-west 4 (diag drop 1, metric 1·1·16): ortho wins -> dir 4
+    rows = [(0, 1, 1, 5), (0, 1, 0, 4), (0, 0, 0, 4)]
+    got = {(r.y, r.x): r.fdir for r in
+           flow_direction(_cells_df(spark, rows), 3, 3).collect()}
+    assert got[(1, 1)] == 4
+
+    # equal metric, different dirs: two diagonal drops of 1 -> the
+    # SMALLER direction index wins (1 = NW beats 8 = SE)
+    rows = [(0, 1, 1, 5), (0, 0, 0, 4), (0, 2, 2, 4)]
+    got = {(r.y, r.x): r.fdir for r in
+           flow_direction(_cells_df(spark, rows), 3, 3).collect()}
+    assert got[(1, 1)] == 1
+
+
+def test_flow_accumulation_funnel(spark):
+    """A 1-D descending chain v=30,20,10: acc = 1, 2, 3; adding a
+    second branch draining into the middle makes the outlet 4 and the
+    middle 3 (both branches + itself)."""
+    from cube_builder_spark.operators.focal import (flow_accumulation,
+                                                    flow_direction)
+    chain = [(0, 0, 0, 30), (0, 0, 1, 20), (0, 0, 2, 10)]
+    dirs = flow_direction(_cells_df(spark, chain), 1, 3)
+    got = {(r.y, r.x): r.acc for r in flow_accumulation(dirs).collect()}
+    assert got == {(0, 0): 1, (0, 1): 2, (0, 2): 3}
+
+    # second branch: (1,1)=25 sees (0,1)=20 due north (drop 5, metric
+    # 25·2=50) and (0,2)=10 diagonal NE (drop 15, metric 225·1=225) —
+    # the DIAGONAL wins despite its √2 distance, so it drains straight
+    # into the outlet and (0,1) keeps acc 2
+    branch = chain + [(0, 1, 1, 25)]
+    dirs = flow_direction(_cells_df(spark, branch), 2, 3)
+    d = {(r.y, r.x): r.fdir for r in dirs.collect()}
+    assert d[(1, 1)] == 3                   # NE diagonal
+    got = {(r.y, r.x): r.acc for r in flow_accumulation(dirs).collect()}
+    assert got[(0, 2)] == 4 and got[(0, 1)] == 2 and got[(1, 1)] == 1
+
+
+def test_flow_accumulation_all_sinks(spark):
+    """A flat plane (all equal values) has no flow: every cell fdir 0,
+    every acc 1, and the walker loop terminates after zero rounds."""
+    from cube_builder_spark.operators.focal import (flow_accumulation,
+                                                    flow_direction)
+    rows = [(0, y, x, 7) for y in range(2) for x in range(2)]
+    dirs = flow_direction(_cells_df(spark, rows), 2, 2)
+    assert {r.fdir for r in dirs.collect()} == {0}
+    assert {r.acc for r in flow_accumulation(dirs).collect()} == {1}

@@ -1032,3 +1032,68 @@ def test_bloom_index_post_build_appends_read_conservatively(spark, tmp_path):
     st.write(_df(spark, 1000, 1001))       # appended AFTER the index
     df, n_read, n_total = bloom_point_read(st, spark, "id", 1000)
     assert [(r.id, r.v) for r in df.collect()] == [(1000, 3000)]
+
+
+# CHECK constraints (round 9) --------------------------------------------------
+
+def test_check_constraints_enforcement(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (ConstraintViolation,
+                                                   SnapshotStore,
+                                                   add_check_constraint,
+                                                   check_constraints,
+                                                   checked_write)
+    import pytest as _pytest
+
+    st = SnapshotStore(str(tmp_path / "chk"))
+    add_check_constraint(st, "v_pos", "v > 0")
+    add_check_constraint(st, "k_small", "k < 100")
+    assert check_constraints(st) == {"v_pos": "v > 0", "k_small": "k < 100"}
+    with _pytest.raises(ValueError):
+        add_check_constraint(st, "v_pos", "v > 1")   # duplicate name
+
+    ok = spark.createDataFrame([(1, 5), (2, 7)], "k long, v long")
+    v1 = checked_write(st, ok)
+    assert st.read(spark, v1).count() == 2
+
+    # violating batch: exact violation count, named constraint, and
+    # NOTHING changed — head, manifest count, data files
+    bad = spark.createDataFrame([(3, -1), (4, 2), (5, 0)], "k long, v long")
+    import os
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(st.root, "data"))
+        for f in fn if f.endswith(".parquet"))
+    with _pytest.raises(ConstraintViolation) as ei:
+        checked_write(st, bad)
+    assert ei.value.name == "v_pos" and ei.value.n_bad == 2
+    assert st.head("main") == v1 and st.versions() == [v1]
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(st.root, "data"))
+        for f in fn if f.endswith(".parquet"))
+    assert files_after == files_before
+
+    # constraint ordering: first violated constraint in registration
+    # order raises even if a later one is also violated
+    both_bad = spark.createDataFrame([(500, -9)], "k long, v long")
+    with _pytest.raises(ConstraintViolation) as ei:
+        checked_write(st, both_bad)
+    assert ei.value.name == "v_pos"
+
+    # NULL passes (SQL-standard CHECK), explicit NOT NULL guard rejects
+    nulls = spark.createDataFrame([(6, None)], "k long, v long")
+    v2 = checked_write(st, nulls)
+    assert st.read(spark, v2).count() == 3
+    add_check_constraint(st, "v_not_null", "v IS NOT NULL AND v > 0")
+    with _pytest.raises(ConstraintViolation) as ei:
+        checked_write(st, spark.createDataFrame([(7, None)],
+                                                "k long, v long"))
+    assert ei.value.name == "v_not_null"
+
+
+def test_checked_write_without_constraints_is_plain_write(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   checked_write)
+    st = SnapshotStore(str(tmp_path / "nochk"))
+    v = checked_write(st, spark.createDataFrame([(1, -5)], "k long, v long"))
+    assert st.read(spark, v).count() == 1
