@@ -3607,3 +3607,93 @@ def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "label string, n_docs long, sum_chars long, "
               "violation_blocked boolean, no_orphan_files boolean, "
               "null_row_passes boolean")
+
+
+@register("x_scd2_dimension", """
+WITH dim0 AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey < 500
+),
+upd AS (
+  SELECT custkey,
+         CASE WHEN custkey % 5 = 0 THEN 'MOVED' ELSE segment END AS segment,
+         CASE WHEN custkey % 7 = 0 THEN bal_cents + 10000
+              ELSE bal_cents END AS bal_cents
+  FROM dim0
+),
+changed AS (
+  SELECT u.custkey FROM upd u JOIN dim0 d ON u.custkey = d.custkey
+  WHERE u.segment <> d.segment OR u.bal_cents <> d.bal_cents
+),
+hist AS (
+  -- unchanged keys: one open row from the initial load
+  SELECT d.custkey, d.segment, d.bal_cents,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM dim0 d WHERE d.custkey NOT IN (SELECT custkey FROM changed)
+  UNION ALL
+  -- changed keys: closed initial row + new current row
+  SELECT d.custkey, d.segment, d.bal_cents,
+         DATE '2024-01-01', DATE '2024-02-01', FALSE
+  FROM dim0 d WHERE d.custkey IN (SELECT custkey FROM changed)
+  UNION ALL
+  SELECT u.custkey, u.segment, u.bal_cents,
+         DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+  FROM upd u WHERE u.custkey IN (SELECT custkey FROM changed)
+)
+SELECT custkey, segment, bal_cents, valid_from, valid_to, is_current,
+       TRUE AS noop_was_noop
+FROM hist
+""")
+def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance on the snapshot store
+    (sinks/snapshot.scd2_merge): load a customer dimension, apply an
+    update batch where some segments move and some balances change —
+    changed keys get their current row CLOSED and a new current row
+    INSERTED in one atomic footer-pruned MERGE commit; unchanged keys
+    are no-ops. A second, fully-identical update batch must commit
+    NOTHING (``noop_was_noop`` pins head equality — SCD2 idempotence).
+    The oracle recomputes the exact expected history; the hash proves
+    closing dates, current flags, and no-op detection row-for-row."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, scd2_merge
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    dim0 = (cust.filter(F.col("c_custkey") < 500)
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                    round_half_up_long(F.col("c_acctbal"), 100)
+                    .alias("bal_cents")))
+    upd = dim0.select(
+        "custkey",
+        F.when(F.col("custkey") % 5 == 0, "MOVED")
+        .otherwise(F.col("segment")).alias("segment"),
+        F.when(F.col("custkey") % 7 == 0, F.col("bal_cents") + 10000)
+        .otherwise(F.col("bal_cents")).alias("bal_cents"))
+    root = scratch_dir("snap_scd2_")
+    try:
+        st = SnapshotStore(root)
+        init = (dim0
+                .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
+                .withColumn("valid_to", F.lit(None).cast("date"))
+                .withColumn("is_current", F.lit(True)))
+        st.write(init.withColumn(
+            "sk", F.concat_ws("|", F.col("custkey").cast("string"),
+                              F.col("valid_from").cast("string"))))
+        scd2_merge(st, spark, upd, "custkey",
+                   ["segment", "bal_cents"], "2024-02-01")
+        head_after = st.head("main")
+        # idempotence: replaying the same batch must be a full no-op
+        v2, nc, ni = scd2_merge(st, spark, upd, "custkey",
+                                ["segment", "bal_cents"], "2024-03-01")
+        noop = (v2 == head_after and nc == 0 and ni == 0)
+        out = (st.read(spark)
+               .select("custkey", "segment", "bal_cents", "valid_from",
+                       "valid_to", "is_current")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.withColumn("noop_was_noop", F.lit(noop))

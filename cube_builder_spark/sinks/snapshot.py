@@ -1473,3 +1473,73 @@ def checked_write(store: SnapshotStore, df: DataFrame,
             if bad > 0:
                 raise ConstraintViolation(n, cons[n], bad)
     return store.write(df, mode=mode, branch=branch)
+
+
+# -- SCD Type-2 dimension maintenance (round 9) -------------------------------
+
+def scd2_merge(store: SnapshotStore, spark: SparkSession,
+               updates: DataFrame, key_col: str, attr_cols: list[str],
+               effective: str) -> tuple[int, int, int]:
+    """Kimball SCD Type-2 dimension maintenance as ONE atomic store
+    commit — the warehouse ETL twin of events_queries' e_scd2_intervals
+    (which DERIVES intervals from a log; this APPLIES an update batch
+    to a stored dimension).
+
+    The dimension table carries ``{key} , {attrs...}, valid_from,
+    valid_to (NULL = current), is_current, sk`` where ``sk`` is the
+    surrogate ``key|valid_from``. For each update row (key + new
+    attribute values) effective at ``effective`` (a DATE string):
+
+    - a key whose CURRENT attributes all match is a NO-OP (the batch
+      row is dropped — standard SCD2 idempotence; a batch with no
+      effective change commits nothing and the head is untouched);
+    - otherwise the current row (if any) is CLOSED (valid_to set,
+      is_current false) and a NEW current row inserted.
+
+    Attribute comparison is NULL-safe (``eqNullSafe``). Physically the
+    closed+new rows flow through ``merge_upsert`` on ``sk`` — footer-
+    pruned copy-on-write, one manifest commit — so readers see the old
+    dimension until the whole batch lands. Returns
+    (version, n_closed, n_inserted); version is the pre-merge head
+    when the batch was a full no-op.
+
+    At 100 TB: the join against the dimension is update-batch-sized on
+    the probe side (broadcast candidate), the rewrite is
+    O(files-holding-changed-keys) on a key-clustered dimension, and
+    history rows are never rewritten — exactly Delta's recommended
+    SCD2 MERGE recipe."""
+    cur = (store.read(spark)
+           .filter(F.col("is_current"))
+           .select(F.col(key_col).alias("_k"),
+                   F.col("valid_from").alias("_vf"),
+                   *[F.col(c).alias(f"_a_{c}") for c in attr_cols]))
+    j = updates.join(cur, updates[key_col] == cur["_k"], "left")
+    same = None
+    for c in attr_cols:
+        eq = updates[c].eqNullSafe(F.col(f"_a_{c}"))
+        same = eq if same is None else (same & eq)
+    changed = j.filter(F.col("_k").isNull() | ~same)
+    eff = F.lit(effective).cast("date")
+    closed = (changed.filter(F.col("_k").isNotNull())
+              .select(F.col("_k").alias(key_col),
+                      *[F.col(f"_a_{c}").alias(c) for c in attr_cols],
+                      F.col("_vf").alias("valid_from"),
+                      eff.alias("valid_to"),
+                      F.lit(False).alias("is_current")))
+    inserted = (changed
+                .select(updates[key_col].alias(key_col),
+                        *[updates[c].alias(c) for c in attr_cols],
+                        eff.alias("valid_from"),
+                        F.lit(None).cast("date").alias("valid_to"),
+                        F.lit(True).alias("is_current")))
+    sk = F.concat_ws("|", F.col(key_col).cast("string"),
+                     F.col("valid_from").cast("string"))
+    batch = (closed.unionByName(inserted)
+             .withColumn("sk", sk)
+             .localCheckpoint(eager=True))
+    n_closed = batch.filter(~F.col("is_current")).count()
+    n_inserted = batch.filter(F.col("is_current")).count()
+    if n_closed == 0 and n_inserted == 0:
+        return store.head("main"), 0, 0
+    version, _n = merge_upsert(store, spark, batch, "sk")
+    return version, n_closed, n_inserted

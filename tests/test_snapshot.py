@@ -1097,3 +1097,55 @@ def test_checked_write_without_constraints_is_plain_write(spark, tmp_path):
     st = SnapshotStore(str(tmp_path / "nochk"))
     v = checked_write(st, spark.createDataFrame([(1, -5)], "k long, v long"))
     assert st.read(spark, v).count() == 1
+
+
+def test_scd2_merge_lifecycle(spark, tmp_path):
+    """SCD2 on the store: change closes + inserts; brand-new key
+    inserts without closing; no-op batch commits nothing; NULL-safe
+    attribute comparison treats NULL->NULL as unchanged."""
+    from pyspark.sql import functions as F
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    st = SnapshotStore(str(tmp_path / "scd2"))
+    init = spark.createDataFrame(
+        [(1, "A", None), (2, "B", 5)],
+        "k long, seg string, score long") \
+        .withColumn("valid_from", F.lit("2024-01-01").cast("date")) \
+        .withColumn("valid_to", F.lit(None).cast("date")) \
+        .withColumn("is_current", F.lit(True))
+    st.write(init.withColumn(
+        "sk", F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("valid_from").cast("string"))))
+
+    # k=1 unchanged (NULL score stays NULL -> NULL-safe no-op),
+    # k=2 seg changes, k=3 brand new
+    upd = spark.createDataFrame(
+        [(1, "A", None), (2, "C", 5), (3, "D", 9)],
+        "k long, seg string, score long")
+    v, nc, ni = scd2_merge(st, spark, upd, "k", ["seg", "score"],
+                           "2024-02-01")
+    assert (nc, ni) == (1, 2)
+    rows = {(r.k, str(r.valid_from)): (r.seg, r.score, str(r.valid_to),
+                                       r.is_current)
+            for r in st.read(spark, v).collect()}
+    assert rows[(1, "2024-01-01")] == ("A", None, "None", True)
+    assert rows[(2, "2024-01-01")] == ("B", 5, "2024-02-01", False)
+    assert rows[(2, "2024-02-01")] == ("C", 5, "None", True)
+    assert rows[(3, "2024-02-01")] == ("D", 9, "None", True)
+
+    # replay: full no-op, head untouched, no new version
+    v2, nc2, ni2 = scd2_merge(st, spark, upd, "k", ["seg", "score"],
+                              "2024-03-01")
+    assert (v2, nc2, ni2) == (v, 0, 0)
+    assert st.head("main") == v
+
+    # third change on k=2 stacks history (two closed + one current)
+    upd3 = spark.createDataFrame([(2, "E", 5)], "k long, seg string, score long")
+    v3, nc3, ni3 = scd2_merge(st, spark, upd3, "k", ["seg", "score"],
+                              "2024-04-01")
+    assert (nc3, ni3) == (1, 1)
+    k2 = sorted((str(r.valid_from), str(r.valid_to), r.seg, r.is_current)
+                for r in st.read(spark, v3).filter(F.col("k") == 2).collect())
+    assert k2 == [("2024-01-01", "2024-02-01", "B", False),
+                  ("2024-02-01", "2024-04-01", "C", False),
+                  ("2024-04-01", "None", "E", True)]
