@@ -3697,3 +3697,93 @@ def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out.withColumn("noop_was_noop", F.lit(noop))
+
+
+@register("x_occ_append", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+seed AS (SELECT * FROM base WHERE doc_id % 4 = 0),
+a AS (SELECT * FROM base WHERE doc_id % 4 = 1),
+b AS (SELECT * FROM base WHERE doc_id % 4 = 2),
+d AS (SELECT * FROM base WHERE doc_id % 4 = 3),
+final AS (
+  SELECT * FROM seed UNION ALL SELECT * FROM a
+  UNION ALL SELECT * FROM b UNION ALL SELECT * FROM d
+)
+SELECT 'head_final' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS blind_append_rebased, TRUE AS overwrite_conflicted,
+       TRUE AS conflict_left_no_orphans
+FROM final
+""")
+def x_occ_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control (sinks/snapshot.occ_append —
+    Delta's commit protocol): writer B reads head v1, writer A commits
+    an append in between, and B's commit REBASES silently because two
+    blind appends cannot logically conflict (Delta's concurrent-append
+    rule). Then writer D reads a pre-OVERWRITE head and must get
+    ConcurrentCommitConflict — its already-written data files are
+    cleaned up eagerly (no vacuum debt) — and succeeds after
+    re-reading the fresh head.
+
+    The graded hash recomputes the final table: if the rebase had
+    dropped A's or B's rows, double-committed, or the failed txn
+    leaked files into a manifest, the aggregate changes. The branch-
+    chain walk is also pinned: conflict detection follows MAIN's
+    parent chain, so commits on other branches never block."""
+    import os as _os
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (ConcurrentCommitConflict, SnapshotStore,
+                                 occ_append)
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    part = lambda k: docs.filter(F.col("doc_id") % 4 == k)  # noqa: E731
+    root = scratch_dir("snap_occ_")
+    try:
+        st = SnapshotStore(root)
+        v1 = st.write(part(0))                       # seed
+        # writer B reads v1 ... writer A lands first
+        st.write(part(1))                            # A (plain append)
+        _vb, rebased = occ_append(st, part(2), expected_head=v1)
+
+        def data_files():
+            out = []
+            for dp, _dn, fn in _os.walk(_os.path.join(root, "data")):
+                out.extend(_os.path.join(dp, f) for f in fn
+                           if f.endswith(".parquet"))
+            return sorted(out)
+
+        # writer D reads now, an OVERWRITE intervenes (a no-op
+        # overwrite of the same live rows keeps the table value equal
+        # while still being a logical barrier)
+        head_before_ow = st.head("main")
+        live = st.read(spark, head_before_ow).localCheckpoint(eager=True)
+        st.write(live, mode="overwrite")
+        files_before = data_files()
+        conflicted = False
+        try:
+            occ_append(st, part(3), expected_head=head_before_ow)
+        except ConcurrentCommitConflict as exc:
+            conflicted = exc.blocking_op == "overwrite"
+        no_orphans = data_files() == files_before
+        # retry on the fresh head succeeds without rebase
+        _vd, rebased_d = occ_append(st, part(3),
+                                    expected_head=st.head("main"))
+        r = (st.read(spark)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("sum_chars"))
+             .collect()[0])
+        rows = [("head_final", r.n_docs, r.sum_chars,
+                 rebased and not rebased_d, conflicted, no_orphans)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "blind_append_rebased boolean, overwrite_conflicted boolean, "
+              "conflict_left_no_orphans boolean")

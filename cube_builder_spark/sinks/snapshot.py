@@ -1543,3 +1543,83 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
         return store.head("main"), 0, 0
     version, _n = merge_upsert(store, spark, batch, "sk")
     return version, n_closed, n_inserted
+
+
+# -- Optimistic concurrency control (round 9) ---------------------------------
+
+class ConcurrentCommitConflict(RuntimeError):
+    """An occ_append found a LOGICALLY conflicting commit (overwrite /
+    delete / merge) between its read snapshot and the current head."""
+
+    def __init__(self, expected: int | None, head: int | None,
+                 blocking_op: str, blocking_version: int):
+        super().__init__(
+            f"commit read snapshot v{expected} but head is v{head}: "
+            f"v{blocking_version} ({blocking_op!r}) is not a blind "
+            "append — rebase impossible, re-run on the fresh head")
+        self.expected = expected
+        self.head = head
+        self.blocking_op = blocking_op
+        self.blocking_version = blocking_version
+
+
+def occ_append(store: SnapshotStore, df: DataFrame,
+               expected_head: int | None) -> tuple[int, bool]:
+    """APPEND with Delta's optimistic-concurrency commit protocol: the
+    writer declares the head it READ (``expected_head``); at commit
+    time, if the head moved, the intervening commits are checked for
+    LOGICAL conflicts —
+
+    - every intervening commit is a blind ``append`` → this append
+      cannot conflict with them (disjoint new files, no rows removed),
+      so it REBASES silently onto the current head (Delta: two
+      concurrent blind appends both succeed);
+    - any intervening overwrite / rollback / merge / MoR delete →
+      ``ConcurrentCommitConflict``; the caller re-reads and re-runs.
+      The data files written before the check are cleaned up eagerly
+      (no vacuum debt from a failed txn).
+
+    Returns (version, rebased). The check runs AFTER the data files
+    land (the slow part) and immediately before the manifest commit —
+    the same shrink-the-race-window ordering Delta uses; the manifest
+    rename is the single atomic publication point (single-process
+    atomicity here, matching the store's documented scope)."""
+    sub = os.path.join(store.root, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(sub)
+    new_files = sorted(
+        os.path.join(sub, f) for f in os.listdir(sub)
+        if f.endswith(".parquet") and not f.startswith("."))
+    head = store.head("main")
+    rebased = False
+    if head != expected_head:
+        # walk MAIN's parent chain from head back to the read snapshot
+        # — commits on other branches (e.g. WAP staging) are invisible
+        # to main readers and must not block a main append
+        v = head
+        chain = []
+        while v is not None and v != expected_head:
+            m = store._read_manifest(v)
+            chain.append((v, m.get("op", "")))
+            v = m.get("parent")
+        if v != expected_head:
+            import shutil
+            shutil.rmtree(sub, ignore_errors=True)
+            raise ConcurrentCommitConflict(
+                expected_head, head, "unrelated-history",
+                head if head is not None else -1)
+        for cv, op in chain:
+            if op != "append":
+                import shutil
+                shutil.rmtree(sub, ignore_errors=True)
+                raise ConcurrentCommitConflict(expected_head, head, op, cv)
+        rebased = True
+    pm = store._read_manifest(head) if head is not None else {}
+    base = pm.get("files", [])
+    file_seq = dict(pm.get("file_seq") or {})
+    file_seq.update({p: None for p in new_files})
+    extra = {"file_seq": file_seq}
+    if pm.get("deletes"):
+        extra["deletes"] = [dict(d) for d in pm["deletes"]]
+    v = store._commit(base + new_files, "append", head, extra=extra)
+    store._advance("main", v)
+    return v, rebased

@@ -1149,3 +1149,44 @@ def test_scd2_merge_lifecycle(spark, tmp_path):
     assert k2 == [("2024-01-01", "2024-02-01", "B", False),
                   ("2024-02-01", "2024-04-01", "C", False),
                   ("2024-04-01", "None", "E", True)]
+
+
+def test_occ_append_branch_commits_do_not_block(spark, tmp_path):
+    """Conflict detection walks MAIN's parent chain: an overwrite on a
+    STAGING branch between read and commit must not block a main
+    append (it is invisible to main readers)."""
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, occ_append
+
+    st = SnapshotStore(str(tmp_path / "occ"))
+    one = spark.createDataFrame([(1,)], "k long")
+    v1 = st.write(one)
+    st.create_branch("stage")
+    st.write(spark.createDataFrame([(9,)], "k long"),
+             mode="overwrite", branch="stage")        # branch overwrite
+    v2, rebased = occ_append(st, spark.createDataFrame([(2,)], "k long"),
+                             expected_head=v1)
+    assert not rebased and st.head("main") == v2
+    assert st.read(spark, v2).count() == 2
+
+
+def test_occ_append_rebase_and_conflict(spark, tmp_path):
+    """Blind-append interleave rebases; rollback (a non-append main
+    commit) conflicts; unrelated expected head conflicts."""
+    import pytest as _pytest
+    from cube_builder_spark.sinks.snapshot import (ConcurrentCommitConflict,
+                                                   SnapshotStore, occ_append)
+
+    st = SnapshotStore(str(tmp_path / "occ2"))
+    mk = lambda k: spark.createDataFrame([(k,)], "k long")  # noqa: E731
+    v1 = st.write(mk(1))
+    st.write(mk(2))                                   # interloper append
+    v3, rebased = occ_append(st, mk(3), expected_head=v1)
+    assert rebased and st.read(spark, v3).count() == 3
+
+    st.rollback(v1)                                   # non-append commit
+    with _pytest.raises(ConcurrentCommitConflict) as ei:
+        occ_append(st, mk(4), expected_head=v3)
+    assert "rollback" in ei.value.blocking_op
+    # failed txn left no data files that any manifest references —
+    # and vacuum reclaims the unreferenced ones it wrote before failing
+    assert st.read(spark).count() == 1                # rolled-back view
