@@ -1478,3 +1478,105 @@ def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("c_a").cast("long"), F.col("c_b").cast("long"),
                      "drift_num"))
     return top.unionByName(total)
+
+
+# --- deterministic mergeable quantile sketch (MRL) ---------------------------
+
+_QS_PCTS = [1, 10, 25, 50, 75, 90, 99]
+_QS_EPS_PCT = 5          # guaranteed-bound assert: rank error <= 5% of n
+
+
+@register("t_quantile_sketch", f"""
+WITH counts AS (
+  SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+cum AS (
+  SELECT n_chars,
+         CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum_c
+  FROM counts
+),
+pcts AS (SELECT unnest([{", ".join(map(str, _QS_PCTS))}]) AS pct)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       min(CASE WHEN cum_c * 100 >= p.pct * t.n THEN n_chars END)
+         AS exact_value,
+       TRUE AS sketch_within_eps
+FROM cum CROSS JOIN tot t CROSS JOIN pcts p
+GROUP BY p.pct, t.n
+""")
+def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (deterministic MRL compactors,
+    functions/quantile_sketch.py) graded against exact nearest-rank
+    truth: each partition builds a ~500-item summary in one pass
+    (Arrow-batched, deterministic — per-level compaction counters
+    replace KLL's coin flips), the per-partition summaries merge
+    associatively, and every queried percentile must land within the
+    sketch's rank-error bound of the exact answer.
+
+    The graded row carries BOTH: ``exact_value`` (recomputed by the
+    SQL oracle — the correctness anchor) and ``sketch_within_eps``
+    (TRUE iff the sketch answer's true rank, counted exactly in one
+    conditional-sum pass, is within {_QS_EPS_PCT}% of the target rank
+    — the bound the sketch guarantees at k=256). At 100 TB the
+    sketch path ships O(k·log n) values per partition instead of
+    re-shuffling rows — the same merge story as x_hll_distinct.
+
+    Determinism note: compaction depends on input order, so the plane
+    is pinned-count repartitioned by doc_id and sorted within
+    partitions — re-runs and re-shards then produce bit-identical
+    sketches (tests also pin merge-order independence of the BOUND,
+    not of the exact picked value, which is the honest contract)."""
+    import pandas as pd
+
+    from .functions.quantile_sketch import K_DEFAULT, MRLSketch
+
+    docs = _docs(spark, sf_dir)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plane = (docs.select("doc_id", F.col("n_chars").cast("long")
+                         .alias("v"))
+             .repartition(npart, "doc_id")
+             .sortWithinPartitions("doc_id"))
+
+    def sketch_partition(batches):
+        s = MRLSketch(K_DEFAULT)
+        for pdf in batches:
+            for v in pdf["v"]:
+                s.update(int(v))
+        if s.n:
+            yield pd.DataFrame(
+                {"n": [s.n] * len(s.items()),
+                 "level": [l for l, _v in s.items()],
+                 "value": [v for _l, v in s.items()]})
+
+    # gather per-partition summaries (~500 items each — the same
+    # driver gather Spark's own approxQuantile performs) and merge by
+    # re-compacting all items into one sketch
+    parts = plane.mapInPandas(
+        sketch_partition, "n long, level int, value long").toPandas()
+    items = [(int(r.level), int(r.value))
+             for r in parts.itertuples(index=False)]
+    # exact (value, count) table collects once: n_chars' value domain
+    # is small by construction, and it serves both the total n and the
+    # exact nearest-rank answers
+    vc = sorted((r.v, r.c) for r in plane.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+    n = sum(c for _v, c in vc)
+    sk = MRLSketch.from_items(K_DEFAULT, n, items)
+    answers = {p: sk.quantile(p / 100.0) for p in _QS_PCTS}
+    eps = (n * _QS_EPS_PCT) // 100
+    rows = []
+    for p in _QS_PCTS:
+        target = -(-p * n // 100)          # ceil(p*n/100): nearest rank
+        ans = answers[p]
+        lo = sum(c for v, c in vc if v < ans)
+        hi = sum(c for v, c in vc if v <= ans)
+        ok = (lo + 1 - eps) <= target <= (hi + eps)
+        cum, exact = 0, None
+        for v, c in vc:
+            cum += c
+            if cum * 100 >= p * n:
+                exact = v
+                break
+        rows.append((p, exact, ok))
+    return spark.createDataFrame(
+        rows, "pct long, exact_value long, sketch_within_eps boolean")
