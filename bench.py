@@ -91,6 +91,16 @@ HEADLINE = [
     "x_deletion_vectors",
     "x_compact_roundtrip",
     "p_hash_split_sample",
+    # round-9 compute surface (the storage scenarios — expire/WAP/
+    # check/SCD2/OCC — stay out: x_deletion_vectors already carries
+    # the storage plane's graded bench cost, per the r8 trim guidance)
+    "c35_change_matrix",
+    "c36_flow_routing",
+    "e_rfm_segmentation",
+    "e_attribution_linear",
+    "x_hll_distinct",
+    "x_data_quality_rules",
+    "t_quantile_sketch",
 ]
 
 
