@@ -116,11 +116,15 @@ def _round_files(pattern: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _previous_bench_queries() -> dict[str, float]:
-    """Per-query mins from the newest available record, PREFERRING
-    ``BENCH_DETAIL_r*.json`` (written by this script — always complete)
-    over the driver's ``BENCH_r*.json`` (whose 2 KB stdout-tail capture
-    truncated r8's map to ``parsed: null``). Empty dict when absent."""
+def _previous_bench_queries(sf) -> dict[str, float]:
+    """Per-query mins from the newest available record AT THE SAME
+    SCALE FACTOR, PREFERRING ``BENCH_DETAIL_r*.json`` (written by this
+    script — always complete) over the driver's ``BENCH_r*.json``
+    (whose 2 KB stdout-tail capture truncated r8's map to
+    ``parsed: null``). The sf match matters: a local sf0.01 probe must
+    not become the baseline a driver sf0.1 run diffs against. Records
+    without an sf field (pre-round-9) are assumed to be the driver's
+    0.1. Empty dict when absent."""
     candidates: list[tuple[int, int, str]] = []
     # rank detail files above driver records at the same round
     for rnd, path in _round_files("BENCH_DETAIL_r*.json"):
@@ -132,12 +136,14 @@ def _previous_bench_queries() -> dict[str, float]:
             with open(path) as fh:
                 rec = json.load(fh)
             if kind == 1:
-                qs = rec.get("queries") or {}
+                body = rec
             else:
-                qs = (rec.get("parsed") or {}).get("queries") or {}
+                body = rec.get("parsed") or {}
+            qs = body.get("queries") or {}
+            rec_sf = body.get("sf", 0.1)
         except (OSError, ValueError):
             continue
-        if qs:
+        if qs and rec_sf == sf:
             return {k: float(v) for k, v in qs.items()}
     return {}
 
@@ -200,7 +206,8 @@ def main():
     # for a round because only the totals were eyeballed. Printed
     # BEFORE the contract line so the 2 KB tail capture keeps the
     # contract JSON intact.
-    prev = _previous_bench_queries()
+    sf_val0 = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev = _previous_bench_queries(sf_val0)
     anchor_rec, movers = None, {}
     if prev:
         # Environment calibration (round-8): the r7 record ran on a
@@ -245,7 +252,11 @@ def main():
     # drift + detail pointer) so it ALWAYS parses; the tripwire's
     # baseline reads the detail file first (_previous_bench_queries).
     rnd = _current_round()
-    detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+    # non-driver scales get an sf-suffixed name that the baseline
+    # reader's _r(\d+).json$ filter ignores — a local sf0.01 probe
+    # never masquerades as the round's sf0.1 record
+    detail_name = (f"BENCH_DETAIL_r{rnd:02d}.json" if sf_val == 0.1
+                   else f"BENCH_DETAIL_r{rnd:02d}_sf{sf}.json")
     detail = {
         "metric": "headline_queries_total",
         "value": total,
