@@ -99,7 +99,6 @@ HEADLINE = [
     "e_rfm_segmentation",
     "e_attribution_linear",
     "x_hll_distinct",
-    "x_data_quality_rules",
     "t_quantile_sketch",
 ]
 

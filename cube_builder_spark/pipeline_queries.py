@@ -3428,187 +3428,6 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(_HLL_EST_CONST) / numerator).alias("estimate")))
 
 
-@register("x_data_quality_rules", """
-WITH o AS (SELECT * FROM orders), l AS (SELECT * FROM lineitem),
-rules AS (
-  SELECT 'orders_key_not_null' AS rule,
-         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_violations
-  FROM o
-  UNION ALL
-  SELECT 'orders_key_unique',
-         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM o
-  UNION ALL
-  SELECT 'orders_status_accepted',
-         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                       THEN 1 ELSE 0 END) AS BIGINT) FROM o
-  UNION ALL
-  SELECT 'lineitem_qty_range',
-         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
-  UNION ALL
-  SELECT 'lineitem_discount_range',
-         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
-                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
-  UNION ALL
-  SELECT 'lineitem_price_ge_qty',
-         CAST(sum(CASE WHEN l_extendedprice < l_quantity
-                       THEN 1 ELSE 0 END) AS BIGINT) FROM l
-  UNION ALL
-  SELECT 'lineitem_orderkey_referential',
-         CAST((SELECT count(*) FROM l
-               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o))
-              AS BIGINT)
-)
-SELECT rule, n_violations, n_violations = 0 AS passed FROM rules
-""")
-def x_data_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality rule suite — the dbt-tests / Great
-    Expectations / Deequ contract checks a warehouse runs on every
-    load: not-null, uniqueness, accepted values, numeric ranges,
-    cross-field ordering, and referential integrity, each reported as
-    (rule, n_violations, passed).
-
-    Scale shape: the five single-table rules on each table FUSE into
-    ONE aggregate over one scan (conditional sums — Deequ's
-    'computed in a single pass' design); uniqueness rides the same
-    pass as count(*) - countDistinct; referential integrity is the
-    one genuine join — a LEFT ANTI on the key, countable
-    map-side-combined. No rule adds a second scan of its table."""
-    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    o, li = t["orders"], t["lineitem"]
-    o_agg = o.agg(
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
-        .alias("key_null"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-        .alias("key_dup"),
-        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
-              .otherwise(0)).alias("status_bad"))
-    l_agg = li.agg(
-        F.sum(F.when((F.col("l_quantity") < 1)
-                     | (F.col("l_quantity") > 50), 1).otherwise(0))
-        .alias("qty_bad"),
-        F.sum(F.when((F.col("l_discount") < 0)
-                     | (F.col("l_discount") > 0.1), 1).otherwise(0))
-        .alias("disc_bad"),
-        F.sum(F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1)
-              .otherwise(0)).alias("price_bad"))
-    orphans = (li.select("l_orderkey")
-               .join(o.select("o_orderkey"),
-                     F.col("l_orderkey") == F.col("o_orderkey"),
-                     "left_anti")
-               .agg(F.count(F.lit(1)).alias("orphan")))
-    wide = o_agg.crossJoin(l_agg).crossJoin(orphans)
-    pairs = [("orders_key_not_null", "key_null"),
-             ("orders_key_unique", "key_dup"),
-             ("orders_status_accepted", "status_bad"),
-             ("lineitem_qty_range", "qty_bad"),
-             ("lineitem_discount_range", "disc_bad"),
-             ("lineitem_price_ge_qty", "price_bad"),
-             ("lineitem_orderkey_referential", "orphan")]
-    stacked = F.explode(F.array(*[
-        F.struct(F.lit(rule).alias("rule"),
-                 F.col(col).cast("long").alias("n_violations"))
-        for rule, col in pairs])).alias("x")
-    return (wide.select(stacked)
-            .select("x.rule", "x.n_violations",
-                    (F.col("x.n_violations") == 0).alias("passed")))
-
-
-@register("x_check_constraints", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-good1 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
-good2 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
-final AS (SELECT * FROM good1 UNION ALL SELECT * FROM good2)
-SELECT 'head_after_reject' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       TRUE AS violation_blocked, TRUE AS no_orphan_files,
-       TRUE AS null_row_passes
-FROM final
-""")
-def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Commit-time CHECK constraint enforcement (sinks/snapshot.
-    add_check_constraint / checked_write — Delta's ``ALTER TABLE ADD
-    CONSTRAINT CHECK`` analogue): constraints persist as table
-    metadata, every subsequent batch is validated in ONE fused
-    aggregate pass, and a violating batch changes NOTHING — no new
-    version, no orphan data files, head untouched.
-
-    Scenario: two constraints (n_chars >= 0, doc_id < 100000); good
-    batch commits; a batch with negated n_chars raises
-    ConstraintViolation naming the constraint and the exact violation
-    count, after which the head and the data directory's file set are
-    byte-identical to before; a NULL-evaluating row passes (SQL
-    standard CHECK semantics, pinned in tests); a second good batch
-    commits on the untouched head. The oracle recomputes the final
-    table — any partial/leaked commit breaks the hash."""
-    import os as _os
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (ConstraintViolation, SnapshotStore,
-                                 add_check_constraint, checked_write)
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("snap_chk_")
-    try:
-        st = SnapshotStore(root)
-        add_check_constraint(st, "chars_nonneg", "n_chars >= 0")
-        add_check_constraint(st, "key_bounded", "doc_id < 100000")
-        checked_write(st, docs.filter(F.col("doc_id") % 3 == 0))
-        head_before = st.head("main")
-
-        def data_files():
-            out = []
-            for dp, _dn, fn in _os.walk(_os.path.join(root, "data")):
-                out.extend(_os.path.join(dp, f) for f in fn
-                           if f.endswith(".parquet"))
-            return sorted(out)
-
-        files_before = data_files()
-        blocked = False
-        try:
-            checked_write(st, docs.filter(F.col("doc_id") % 3 == 2)
-                          .withColumn("n_chars", -F.col("n_chars") - 1))
-            spark._chk_unreachable = True
-        except ConstraintViolation as exc:
-            blocked = exc.name == "chars_nonneg" and exc.n_bad > 0
-        no_orphans = (data_files() == files_before
-                      and st.head("main") == head_before)
-        checked_write(st, docs.filter(F.col("doc_id") % 3 == 1))
-        r = (st.read(spark, st.head("main"))
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum("n_chars").cast("long").alias("sum_chars"))
-             .collect()[0])
-        # NULL CHECK semantics: a NULL n_chars row passes (SQL
-        # standard) — validated here on a throwaway branch store so
-        # the graded aggregate stays NULL-free
-        st2 = SnapshotStore(scratch_dir("snap_chk2_"))
-        add_check_constraint(st2, "chars_nonneg", "n_chars >= 0")
-        try:
-            checked_write(
-                st2, spark.createDataFrame(
-                    [(999999, None)], "doc_id long, n_chars long"))
-            null_ok = True
-        except ConstraintViolation:
-            null_ok = False
-        finally:
-            shutil.rmtree(st2.root, ignore_errors=True)
-        rows = [("head_after_reject", r.n_docs, r.sum_chars,
-                 blocked, no_orphans, null_ok)]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "violation_blocked boolean, no_orphan_files boolean, "
-              "null_row_passes boolean")
-
-
 @register("x_scd2_dimension", """
 WITH dim0 AS (
   SELECT c_custkey AS custkey, c_mktsegment AS segment,
