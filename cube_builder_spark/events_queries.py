@@ -1021,3 +1021,74 @@ def e_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                          share.cast("long").alias("attr_cents"),
                          F.col("rn").cast("long").alias("touch_rank"),
                          F.col("n").cast("long").alias("n_touches"))
+
+
+@register("e_ab_test", """
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+  FROM assign GROUP BY arm
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN c END) AS c0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN c END) AS c1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+       c0 * 1e0 / n0 AS rate_control, c1 * 1e0 / n1 AS rate_treat,
+       (n0 + n1) * (c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0)
+         > 4 * n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1)
+         AS significant_2sigma
+FROM wide
+""")
+def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test — the experimentation-
+    platform primitive: users hash into control/treatment arms
+    (user_id parity stands in for the assignment hash), per-arm
+    conversion = any purchase, and the pooled two-proportion z-test at
+    |z| > 2 is CROSS-MULTIPLIED into one integer inequality:
+
+        N·(c0·n1 − c1·n0)² > 4·n0·n1·C·(N−C)
+
+    (N = n0+n1, C = c0+c1) — algebraically z² > 4 with no float mean,
+    variance, or sqrt crossing engines (the e_volume_anomaly recipe).
+    int64-safe while c·n < ~3·10⁹; past that the same inequality runs
+    in DECIMAL(38,0)/HUGEINT unchanged.
+
+    Scale shape: one scan → per-user max (map-side combinable, the
+    cardinality drops to users) → a 2-row arm aggregate → a 1-row
+    conditional pivot. The z-test itself costs nothing."""
+    ev = _events(spark, sf_dir)
+    assign = (ev.groupBy("user_id")
+              .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)).alias("converted"))
+              .withColumn("arm", F.col("user_id") % 2))
+    arms = (assign.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("converted").alias("c")))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"))
+    n0, c0, n1, c1 = F.col("n0"), F.col("c0"), F.col("n1"), F.col("c1")
+    diff = c0 * n1 - c1 * n0
+    nn = n0 + n1
+    cc = c0 + c1
+    return wide.select(
+        n0.cast("long").alias("n_control"),
+        c0.cast("long").alias("conv_control"),
+        n1.cast("long").alias("n_treat"),
+        c1.cast("long").alias("conv_treat"),
+        (c0 * 1e0 / n0).alias("rate_control"),
+        (c1 * 1e0 / n1).alias("rate_treat"),
+        (nn * diff * diff > 4 * n0 * n1 * cc * (nn - cc))
+        .alias("significant_2sigma"))

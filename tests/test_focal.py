@@ -221,3 +221,61 @@ def test_flow_accumulation_all_sinks(spark):
     dirs = flow_direction(_cells_df(spark, rows), 2, 2)
     assert {r.fdir for r in dirs.collect()} == {0}
     assert {r.acc for r in flow_accumulation(dirs).collect()} == {1}
+
+
+def test_flow_routing_matches_python_reference_random_grids(spark):
+    """Differential: D8 direction + accumulation on random sparse
+    grids equals a loop-form Python reference (independent
+    implementation of the same spec)."""
+    import random
+
+    from cube_builder_spark.operators.focal import (D8_OFFSETS,
+                                                    flow_accumulation,
+                                                    flow_direction)
+
+    rng = random.Random(23)
+    for trial in range(3):
+        h, w = rng.randint(3, 7), rng.randint(3, 7)
+        cells = {}
+        for y in range(h):
+            for x in range(w):
+                if rng.random() < 0.8:          # sparse holes
+                    cells[(y, x)] = rng.randint(0, 20)
+        if not cells:
+            continue
+
+        # reference: direction
+        ref_dir = {}
+        for (y, x), v in cells.items():
+            best = None
+            for d, dy, dx, wgt in D8_OFFSETS:
+                nv = cells.get((y + dy, x + dx))
+                if nv is None or nv >= v:
+                    continue
+                metric = (v - nv) * (v - nv) * wgt * 16 + (8 - d)
+                if best is None or metric > best:
+                    best = metric
+            ref_dir[(y, x)] = 0 if best is None else 8 - best % 16
+
+        # reference: accumulation (walk every cell's path)
+        ref_acc = {k: 0 for k in cells}
+        off = {d: (dy, dx) for d, dy, dx, _w in D8_OFFSETS}
+        for start in cells:
+            cur = start
+            while True:
+                ref_acc[cur] += 1
+                d = ref_dir[cur]
+                if d == 0:
+                    break
+                dy, dx = off[d]
+                cur = (cur[0] + dy, cur[1] + dx)
+
+        df = spark.createDataFrame(
+            [(0, y, x, v) for (y, x), v in cells.items()],
+            "tile_id long, y long, x long, v long")
+        dirs = flow_direction(df, h, w)
+        got_dir = {(r.y, r.x): r.fdir for r in dirs.collect()}
+        assert got_dir == ref_dir, (trial, h, w)
+        got_acc = {(r.y, r.x): r.acc
+                   for r in flow_accumulation(dirs).collect()}
+        assert got_acc == ref_acc, (trial, h, w)
