@@ -2548,3 +2548,88 @@ def c36_flow_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tile_id",
                     (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
                     "fdir", "acc"))
+
+
+@register("c37_region_metrics", f"""
+WITH RECURSIVE {{PIXELS}},
+{_COMP_SQL},
+nodes AS (
+  SELECT tile_id, y, x,
+         tile_id * {_GRID_H * _GRID_W} + y * {_GRID_W} + x AS g
+  FROM comp
+),
+e0 AS (
+  SELECT a.g AS src, b.g AS dst
+  FROM nodes a JOIN nodes b
+    ON (b.g = a.g + 1 AND a.x < {_GRID_W - 1})
+    OR (b.g = a.g + {_GRID_W} AND a.y < {_GRID_H - 1})
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(src, n) AS (
+  SELECT g, g FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.n
+),
+lab AS (SELECT src AS g, min(n) AS lbl FROM reach GROUP BY src),
+deg AS (
+  SELECT n.g, count(e.dst) AS d4
+  FROM nodes n LEFT JOIN edges e ON e.src = n.g
+  GROUP BY n.g
+)
+SELECT n.tile_id AS tile_id,
+       CAST(l.lbl % {_GRID_H * _GRID_W} AS BIGINT) AS region_id,
+       count(*) AS area,
+       CAST(min(n.y) AS BIGINT) AS min_y, CAST(max(n.y) AS BIGINT) AS max_y,
+       CAST(min(n.x) AS BIGINT) AS min_x, CAST(max(n.x) AS BIGINT) AS max_x,
+       CAST(sum(4 - d.d4) AS BIGINT) AS perimeter,
+       CAST(sum(4 - d.d4) AS BIGINT) * CAST(sum(4 - d.d4) AS BIGINT)
+         * 1e0 / count(*) AS shape_index
+FROM nodes n JOIN lab l ON n.g = l.g JOIN deg d ON d.g = n.g
+GROUP BY n.tile_id, l.lbl
+""".replace("{PIXELS}", PIXELS_SQL))
+def c37_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: per-region patch metrics over the C31 connected components
+    — area, bounding box, PERIMETER, and the P²/A shape index: the
+    FRAGSTATS/landscape-ecology patch geometry a classification
+    product feeds into (the reference's vectorization ends at GDAL
+    polygonize; the metrics live downstream in QGIS/FRAGSTATS).
+
+    Perimeter needs no geometry: within a 4-connected labeling every
+    existing 4-neighbor of a mask cell shares its region, so each
+    cell contributes ``4 − deg4`` boundary sides and the region
+    perimeter is one sum. deg4 rides the same scatter/partial-agg
+    halo exchange as the focal family (4-offset scatter, count at the
+    target); everything is exact int64 except the one IEEE division
+    in the shape index.
+
+    Scale shape: label propagation (c31's pointer-jumped min-label) +
+    ONE 4-offset scatter groupBy + two shrinking aggregates; the
+    region groupBy reuses the label join's partitioning."""
+    from .operators.focal import _scatter
+    from .operators.regions import label_regions
+
+    mask = _comp_cells(spark, sf_dir).select("tile_id", "y", "x")
+    labels = label_regions(mask, height=_GRID_H, width=_GRID_W)
+    # 4-neighbor degree: scatter each cell to its 4 orthogonal
+    # neighbors, count arrivals at existing cells
+    sc = _scatter(mask.withColumn("v", F.lit(1)), 1, _GRID_H, _GRID_W,
+                  ["v"])
+    ortho = sc.filter((F.abs(F.col("o_dy")) + F.abs(F.col("o_dx"))) == 1)
+    deg = (ortho.groupBy("t_id", "ty", "tx")
+           .agg(F.count(F.lit(1)).alias("d4")))
+    cells = (labels.join(
+        deg, (F.col("tile_id") == F.col("t_id"))
+        & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")),
+        "left")
+        .select("tile_id", "y", "x", "region_id",
+                F.coalesce(F.col("d4"), F.lit(0)).alias("d4")))
+    per = F.sum(4 - F.col("d4")).cast("long")
+    return (cells.groupBy("tile_id", "region_id")
+            .agg(F.count(F.lit(1)).alias("area"),
+                 F.min("y").cast("long").alias("min_y"),
+                 F.max("y").cast("long").alias("max_y"),
+                 F.min("x").cast("long").alias("min_x"),
+                 F.max("x").cast("long").alias("max_x"),
+                 per.alias("perimeter"),
+                 (per * per * 1e0 / F.count(F.lit(1)))
+                 .alias("shape_index")))

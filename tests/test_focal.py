@@ -279,3 +279,34 @@ def test_flow_routing_matches_python_reference_random_grids(spark):
         got_acc = {(r.y, r.x): r.acc
                    for r in flow_accumulation(dirs).collect()}
         assert got_acc == ref_acc, (trial, h, w)
+
+
+def test_region_metrics_hand_worked(spark):
+    """2x2 square region: area 4, perimeter 8, shape_index 16;
+    isolated single cell: area 1, perimeter 4, shape_index 16;
+    L-shaped tromino: area 3, perimeter 8, shape_index 64/3."""
+    from cube_builder_spark.cube_queries import _GRID_H, _GRID_W
+    from cube_builder_spark.operators.focal import _scatter
+    from cube_builder_spark.operators.regions import label_regions
+    from pyspark.sql import functions as F
+
+    # square at (0..1, 0..1); lone cell at (5,5); L at (3,3),(4,3),(4,4)
+    pts = [(0, 0), (0, 1), (1, 0), (1, 1), (5, 5), (3, 3), (4, 3), (4, 4)]
+    mask = spark.createDataFrame([(0, y, x) for y, x in pts],
+                                 "tile_id long, y long, x long")
+    labels = label_regions(mask, height=_GRID_H, width=_GRID_W)
+    sc = _scatter(mask.withColumn("v", F.lit(1)), 1, _GRID_H, _GRID_W, ["v"])
+    ortho = sc.filter((F.abs(F.col("o_dy")) + F.abs(F.col("o_dx"))) == 1)
+    deg = ortho.groupBy("t_id", "ty", "tx").agg(F.count(F.lit(1)).alias("d4"))
+    cells = (labels.join(deg, (F.col("tile_id") == F.col("t_id"))
+                         & (F.col("y") == F.col("ty"))
+                         & (F.col("x") == F.col("tx")), "left")
+             .select("region_id",
+                     F.coalesce(F.col("d4"), F.lit(0)).alias("d4")))
+    per_region = {r.region_id: (r.area, r.perimeter) for r in
+                  cells.groupBy("region_id")
+                  .agg(F.count(F.lit(1)).alias("area"),
+                       F.sum(4 - F.col("d4")).alias("perimeter"))
+                  .collect()}
+    stats = sorted(per_region.values())
+    assert stats == [(1, 4), (3, 8), (4, 8)]
