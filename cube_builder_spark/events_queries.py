@@ -1092,3 +1092,58 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c1 * 1e0 / n1).alias("rate_treat"),
         (nn * diff * diff > 4 * n0 * n1 * cc * (nn - cc))
         .alias("significant_2sigma"))
+
+
+@register("e_pattern_match", """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+         AS n_view_to_purchase,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+         AS n_error_bursts,
+       CAST(len(regexp_extract_all(s, 's[^e]*p')) AS BIGINT)
+         AS n_signup_converts
+FROM seq
+""")
+def e_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE / Flink-CEP batch reduction: each user's ordered
+    events encode to a character string (v/c/p/s/e = first letter of
+    the event type, order pinned by (ts, event_id)), and patterns
+    become REGULAR EXPRESSIONS counted with non-overlapping
+    left-to-right scan semantics — identical in Java regex and RE2
+    for these backreference-free patterns, which is exactly the
+    fragment MATCH_RECOGNIZE's pattern language maps onto:
+
+    - ``vc*p``    view, any clicks, purchase (conversion paths)
+    - ``ee+``     2+ consecutive errors (incident bursts)
+    - ``s[^e]*p`` signup reaching purchase with no error between
+
+    This generalizes e_funnel's fixed triple to arbitrary regular
+    patterns with zero new operator machinery.
+
+    Scale shape: one groupBy(user) builds the encoded string (ordered
+    collect — the string is session-history-sized, the same bound
+    e_sessionize lives with), then the regex scans are row-local
+    codegen; no joins, no windows."""
+    ev = _events(spark, sf_dir)
+    enc = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda x: F.substring(x["event_type"], 1, 1)), "")
+    seq = ev.groupBy("user_id").agg(enc.alias("s"))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count("s", F.lit("vc*p")).cast("long")
+        .alias("n_view_to_purchase"),
+        F.regexp_count("s", F.lit("ee+")).cast("long")
+        .alias("n_error_bursts"),
+        F.regexp_count("s", F.lit("s[^e]*p")).cast("long")
+        .alias("n_signup_converts"))

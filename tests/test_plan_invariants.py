@@ -107,3 +107,22 @@ def test_no_forced_broadcast_of_linear_table(name, spark, sf_dir,
     assert not bad, (
         f"{name}: forced broadcast() of unfiltered linearly-scaling "
         f"table(s) {bad} — drop the hint or gate it on table size")
+
+
+def test_c35_change_matrix_single_exchange_after_plane(spark, sf_dir):
+    """The pixel plane's persisted (tile, pixel) clustering must keep
+    BOTH pre-matrix groupBys exchange-free: the executed plan may
+    contain exactly ONE Exchange above the InMemoryTableScan (the
+    final bounded 12x12 matrix shuffle). A second exchange means the
+    (t,p,half,q) or (t,p) aggregation stopped reusing the plane's
+    partitioning — the co-location this operator's 100 TB story
+    depends on."""
+    df = QUERIES["c35_change_matrix"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    above, below = plan.split("InMemoryTableScan", 1)[0], None
+    n_exchanges = above.count("Exchange")
+    assert n_exchanges == 1, (
+        f"expected exactly 1 Exchange above the persisted plane, "
+        f"found {n_exchanges}")
