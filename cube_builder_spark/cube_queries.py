@@ -2633,3 +2633,116 @@ def c37_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  per.alias("perimeter"),
                  (per * per * 1e0 / F.count(F.lit(1)))
                  .alias("shape_index")))
+
+
+# Cloud classes for the shadow projector: the SCL-like codes 8/9/10
+# (cloud medium/high probability, cirrus) of the synthetic plane.
+_SHADOW_CLOUD = (8, 9, 10)
+_SHADOW_LEN = 2                  # projected shadow length in cells
+
+
+@register("c38_cloud_shadow", f"""
+WITH {{PIXELS}},
+cells AS (
+  SELECT tile_id, doy, pixel_id // {_GRID_W} AS y,
+         pixel_id % {_GRID_W} AS x, quality
+  FROM pixels
+),
+sun AS (
+  -- per-scene sun direction: deterministic from the scene's doy
+  -- (8 azimuth sectors -> D8 unit offsets, shadow cast OPPOSITE)
+  SELECT DISTINCT tile_id, doy,
+         CASE doy % 8 WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+                      WHEN 3 THEN 0 WHEN 4 THEN 1 WHEN 5 THEN 1
+                      WHEN 6 THEN 1 ELSE 0 END AS sdy,
+         CASE doy % 8 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1
+                      WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 0
+                      WHEN 6 THEN -1 ELSE -1 END AS sdx
+  FROM cells
+),
+shadow AS (
+  SELECT DISTINCT c.tile_id, c.doy,
+         c.y + k.k * s.sdy AS y, c.x + k.k * s.sdx AS x
+  FROM cells c
+  JOIN sun s ON s.tile_id = c.tile_id AND s.doy = c.doy
+  CROSS JOIN (SELECT unnest([{{_SHADOW_KS}}]) AS k) k
+  WHERE c.quality IN {_SHADOW_CLOUD}
+),
+flagged AS (
+  SELECT c.tile_id, c.doy, c.quality,
+         sh.y IS NOT NULL AS shadowed
+  FROM cells c
+  LEFT JOIN shadow sh ON sh.tile_id = c.tile_id AND sh.doy = c.doy
+                     AND sh.y = c.y AND sh.x = c.x
+)
+SELECT tile_id, CAST(doy AS BIGINT) AS doy,
+       CAST(sum(CASE WHEN quality IN {_SHADOW_CLOUD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cloud,
+       CAST(sum(CASE WHEN shadowed AND quality IN (4, 5, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed_clear,
+       CAST(sum(CASE WHEN quality IN (4, 5, 6) AND NOT shadowed
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clear_kept
+FROM flagged GROUP BY tile_id, doy
+""".replace("{PIXELS}", PIXELS_SQL)
+   .replace("{_SHADOW_KS}", ", ".join(
+       str(k) for k in range(1, _SHADOW_LEN + 1))))
+def c38_cloud_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: geometric cloud-shadow projection — the Fmask/s2cloudless
+    shadow-matching step (Zhu & Woodcock 2012): each cloud pixel casts
+    a shadow along the anti-solar direction, and clear pixels hit by a
+    projection are demoted (they would otherwise contaminate the
+    composite as dark false-clear). The reference's masking stops at
+    the QA bit for shadow (masking.py); the GEOMETRIC projection —
+    what produces that bit upstream — is this operator.
+
+    Determinism: the sun direction is derived from the scene's doy (8
+    azimuth sectors mapped to unit offsets), the shadow is cast at
+    cell offsets k·(sdy, sdx) for k = 1..{_SHADOW_LEN}, all integer.
+    Per (tile, scene): cloud count, shadowed-clear count (the demoted
+    pixels), surviving clear count.
+
+    Scale shape: the scatter halo exchange again, with a per-SCENE
+    direction instead of a fixed kernel: cloud cells scatter
+    ≤{_SHADOW_LEN} projection rows, distinct-collapse on the target
+    cell, then one left join back to the scene plane and one
+    map-side-combined aggregate. The quadratic cloud×cell space never
+    materializes."""
+    px = pixel_plane(spark, sf_dir)
+    cells = px.select("tile_id", "doy",
+                      F.floor(F.col("pixel_id") / _GRID_W).cast("long")
+                      .alias("y"),
+                      (F.col("pixel_id") % _GRID_W).alias("x"),
+                      "quality")
+    m = F.col("doy") % 8
+    sdy = (F.when(m.isin(0, 1, 2), -1)
+           .when(m.isin(4, 5, 6), 1).otherwise(0))
+    sdx = (F.when(m.isin(2, 3, 4), 1)
+           .when(m.isin(6, 7, 0), -1).otherwise(0))
+    clouds = cells.filter(F.col("quality").isin(*_SHADOW_CLOUD))
+    ks = F.array(*[F.lit(k) for k in range(1, _SHADOW_LEN + 1)])
+    shadow = (clouds
+              .select("tile_id", "doy", "y", "x",
+                      F.explode(ks).alias("k"), sdy.alias("sdy"),
+                      sdx.alias("sdx"))
+              .select(F.col("tile_id").alias("t_id"),
+                      F.col("doy").alias("s_doy"),
+                      (F.col("y") + F.col("k") * F.col("sdy")).alias("sy"),
+                      (F.col("x") + F.col("k") * F.col("sdx")).alias("sx"))
+              .distinct())
+    flagged = (cells.join(
+        shadow,
+        (F.col("tile_id") == F.col("t_id"))
+        & (F.col("doy") == F.col("s_doy"))
+        & (F.col("y") == F.col("sy")) & (F.col("x") == F.col("sx")),
+        "left")
+        .select("tile_id", "doy", "quality",
+                F.col("sy").isNotNull().alias("shadowed")))
+    clear = F.col("quality").isin(4, 5, 6)
+    cloud = F.col("quality").isin(*_SHADOW_CLOUD)
+    return (flagged.groupBy("tile_id", F.col("doy").cast("long").alias("doy"))
+            .agg(F.sum(F.when(cloud, 1).otherwise(0)).cast("long")
+                 .alias("n_cloud"),
+                 F.sum(F.when(F.col("shadowed") & clear, 1).otherwise(0))
+                 .cast("long").alias("n_shadowed_clear"),
+                 F.sum(F.when(clear & ~F.col("shadowed"), 1).otherwise(0))
+                 .cast("long").alias("n_clear_kept")))
