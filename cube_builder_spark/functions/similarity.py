@@ -800,3 +800,69 @@ def filtered_topk(embeddings: DataFrame, query_vec_id: int = 0,
                         * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), "vec_id").limit(k))
+
+
+# -- SQ8 scalar quantization (round 9) ----------------------------------------
+
+def sq8_train(embeddings: DataFrame) -> tuple[list[int], list[int]]:
+    """Train per-dimension SQ8 ranges (faiss ScalarQuantizer QT_8bit):
+    (mins, spans) on the exact milli-int grid, spans floored at 1 so a
+    constant dimension encodes to code 0 instead of dividing by zero.
+    One posexplode + a 64-key map-side-combined groupBy; the 2×dim
+    ints collect to the driver (the codebook — same shape as PQ's)."""
+    dim = _embedding_dim(embeddings)
+    agg = (embeddings
+           .select(F.posexplode(quantize(F.col("embedding")))
+                   .alias("j", "v"))
+           .groupBy("j").agg(F.min("v").alias("mn"), F.max("v").alias("mx")))
+    rows = {r.j: (r.mn, r.mx) for r in agg.collect()}
+    mins = [int(rows[j][0]) for j in range(dim)]
+    spans = [max(1, int(rows[j][1]) - int(rows[j][0])) for j in range(dim)]
+    return mins, spans
+
+
+def sq8_codes(embeddings: DataFrame, mins: list[int],
+              spans: list[int]) -> DataFrame:
+    """Encode each vector to one uint8 code per dimension:
+    ``code_j = floor((v_j − mn_j)·255 / span_j)`` — exact (the double
+    intermediate stays < 2^53). 64 bytes/vector instead of 256 —
+    the 4× compression tier between raw and PQ."""
+    mins_arr = F.array(*[F.lit(m) for m in mins])
+    spans_arr = F.array(*[F.lit(s) for s in spans])
+    v = quantize(F.col("embedding"))
+    codes = F.zip_with(
+        F.zip_with(v, mins_arr, lambda x, m: x - m),
+        spans_arr,
+        lambda d, s: (d * 255 / s).cast("long"))
+    return embeddings.select("vec_id", codes.alias("codes"))
+
+
+def sq8_topk(embeddings: DataFrame, query_vec_id: int = 0,
+             k: int = 10) -> DataFrame:
+    """SQ8 asymmetric top-k: the raw query scores against RECONSTRUCTED
+    candidates — ``v̂_j·255 = mn_j·255 + code_j·span_j`` — by exact
+    int64 squared L2 distance (everything cross-multiplied by 255, so
+    no fraction ever appears; d² terms stay < 2^52·dim).
+
+    Scale shape: train is one tiny groupBy; encode + distance are pure
+    codegen array ops over the codes column (no shuffle); top-k is a
+    map-side TakeOrdered. The same plan as pq_adc_topk one compression
+    tier up."""
+    mins, spans = sq8_train(embeddings)
+    qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(quantize(F.col("embedding")).alias("qv"))
+            .collect())
+    q255 = [int(x) * 255 for x in qrow[0].qv]
+    q_arr = F.array(*[F.lit(x) for x in q255])
+    mins255_arr = F.array(*[F.lit(m * 255) for m in mins])
+    spans_arr = F.array(*[F.lit(s) for s in spans])
+    codes = sq8_codes(embeddings.filter(F.col("vec_id") != query_vec_id),
+                      mins, spans)
+    recon = F.zip_with(
+        F.zip_with(F.col("codes"), spans_arr, lambda c, s: c * s),
+        mins255_arr, lambda a, m: a + m)
+    diff = F.zip_with(q_arr, recon, lambda q, r: q - r)
+    d2 = F.aggregate(diff, F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    return (codes.select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id").limit(k))

@@ -3606,3 +3606,39 @@ def x_occ_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "label string, n_docs long, sum_chars long, "
               "blind_append_rebased boolean, overwrite_conflicted boolean, "
               "conflict_left_no_orphans boolean")
+
+
+@register("a_ann_sq8_topk", f"""
+WITH {_dims_sql()},
+stats AS (
+  SELECT dim, min(qval) AS mn,
+         greatest(1, max(qval) - min(qval)) AS sp
+  FROM dims GROUP BY dim
+),
+codes AS (
+  SELECT d.vec_id, d.dim,
+         (d.qval - s.mn) * 255 // s.sp AS code, s.mn, s.sp
+  FROM dims d JOIN stats s ON d.dim = s.dim
+  WHERE d.vec_id <> 0
+),
+q AS (SELECT dim, qval FROM dims WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id,
+         CAST(sum((q.qval * 255 - c.mn * 255 - c.code * c.sp)
+                  * (q.qval * 255 - c.mn * 255 - c.code * c.sp))
+              AS BIGINT) AS d2
+  FROM codes c JOIN q ON q.dim = c.dim
+  GROUP BY c.vec_id
+)
+SELECT vec_id, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
+""")
+def a_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization top-10 (functions/similarity.sq8_topk —
+    faiss ScalarQuantizer QT_8bit, the 4x-compression tier between raw
+    vectors and PQ): per-dimension trained [min, max] ranges, one
+    uint8 code per dim, asymmetric reconstructed-L2 scoring with every
+    fraction cross-multiplied by 255 so the distance is an exact int64
+    and the oracle hashes the DISTANCES, not a tolerance. The codes
+    column scan + in-array distance fold is pure codegen; top-k is a
+    map-side TakeOrdered (no shuffle of candidates)."""
+    return similarity.sq8_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)

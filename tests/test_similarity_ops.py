@@ -1,0 +1,36 @@
+
+
+def test_sq8_recall_and_exactness(spark, sf_dir):
+    """SQ8 reconstructed-L2 top-10 recovers the exact-L2 top-10 on the
+    fixture corpus (8-bit per-dim quantization loses almost nothing at
+    64 dims), and zero-span dimensions encode to code 0 without
+    dividing by zero."""
+    from pyspark.sql import functions as F
+    from cube_builder_spark.functions import similarity
+    from cube_builder_spark.tables import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    approx = {r.vec_id for r in similarity.sq8_topk(embs, 0, 10).collect()}
+    q = (embs.filter(F.col("vec_id") == 0)
+         .select(similarity.quantize(F.col("embedding")).alias("qv")))
+    cand = (embs.filter(F.col("vec_id") != 0)
+            .select("vec_id",
+                    similarity.quantize(F.col("embedding")).alias("ev")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    exact = {r.vec_id for r in
+             cand.crossJoin(F.broadcast(q)).select("vec_id", d2.alias("d2"))
+             .orderBy("d2", "vec_id").limit(10).collect()}
+    assert len(approx & exact) >= 9        # >= 0.9 recall, deterministic
+
+    # constant dimension: span clamps to 1, codes are 0, no crash
+    const = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    mins, spans = similarity.sq8_train(const)
+    assert spans[0] == 1 and mins[0] == 1000
+    codes = {r.vec_id: list(r.codes)
+             for r in similarity.sq8_codes(const, mins, spans).collect()}
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[4][1] == 255              # max value hits full code
