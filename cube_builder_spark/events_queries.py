@@ -1147,3 +1147,96 @@ def e_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_error_bursts"),
         F.regexp_count("s", F.lit("s[^e]*p")).cast("long")
         .alias("n_signup_converts"))
+
+
+@register("e_trajectory_hausdorff", """
+WITH pts AS (
+  SELECT user_id,
+         -- floor(), not //: epoch() is DOUBLE and DuckDB's // does
+         -- not floor doubles (the CAST would then ROUND up)
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+),
+eligible AS (
+  SELECT user_id FROM pts GROUP BY user_id HAVING count(*) >= 2
+),
+p AS (SELECT pts.* FROM pts JOIN eligible e ON pts.user_id = e.user_id),
+cross_d AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.x AS ax, a.y AS ay,
+         min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+           AS min_d2
+  FROM p a JOIN p b ON a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id, a.x, a.y
+),
+h_ab AS (
+  SELECT ua, ub, max(min_d2) AS h FROM cross_d GROUP BY ua, ub
+),
+cross_r AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, b.x AS bx, b.y AS by_,
+         min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+           AS min_d2
+  FROM p a JOIN p b ON a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id, b.x, b.y
+),
+h_ba AS (
+  SELECT ua, ub, max(min_d2) AS h FROM cross_r GROUP BY ua, ub
+),
+haus AS (
+  SELECT f.ua, f.ub, greatest(f.h, r.h) AS h2
+  FROM h_ab f JOIN h_ba r ON f.ua = r.ua AND f.ub = r.ub
+)
+SELECT ua AS user_a, ub AS user_b, CAST(h2 AS BIGINT) AS hausdorff_sq
+FROM haus ORDER BY h2, ua, ub LIMIT 20
+""")
+def e_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (the REPOSE/ICDE-2021 problem
+    shape, reduced to its exact core): each user's purchase history is
+    a 2-D trajectory in (minute-of-epoch, cents) space, and the top-20
+    most-similar pairs by symmetric HAUSDORFF distance — max over
+    points of the min point-to-point distance, both directions — are
+    returned with the distance as an exact int64 (squared; no sqrt
+    crosses engines).
+
+    Scale shape, stated honestly: this is the quadratic baseline —
+    point-set vs point-set over all user pairs, shaped as two
+    groupBys over one points×points join (per-(pair, point) min, then
+    per-pair max — both map-side-combinable, never a per-pair array
+    materialization). Production at 100 TB adds the paper's pruning
+    layer (reference-point tries / spatial banding, the same bounded-
+    bucket posture as the LSH joins) in FRONT of this exact verifier;
+    the verifier itself is what the oracle can prove, and is the
+    expensive half pruning exists to protect.
+
+    Ties: ORDER BY (h2, ua, ub) LIMIT 20 — deterministic in both
+    engines."""
+    ev = _events(spark, sf_dir)
+    pts = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id",
+                   F.floor(F.unix_timestamp("ts") / 60).cast("long")
+                   .alias("x"),
+                   round_half_up_long(F.col("value"), 100).alias("y")))
+    eligible = (pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= 2).select("user_id"))
+    p = pts.join(eligible, "user_id")
+    a = p.select(F.col("user_id").alias("ua"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = p.select(F.col("user_id").alias("ub"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    joined = a.join(b, F.col("ua") < F.col("ub"))
+    h_ab = (joined
+            .groupBy("ua", "ub", "ax", "ay")
+            .agg(F.min(d2).alias("min_d2"))
+            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_f")))
+    h_ba = (joined
+            .groupBy("ua", "ub", "bx", "by")
+            .agg(F.min(d2).alias("min_d2"))
+            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_r")))
+    return (h_ab.join(h_ba, ["ua", "ub"])
+            .select(F.col("ua").alias("user_a"),
+                    F.col("ub").alias("user_b"),
+                    F.greatest("h_f", "h_r").cast("long")
+                    .alias("hausdorff_sq"))
+            .orderBy("hausdorff_sq", "user_a", "user_b").limit(20))
