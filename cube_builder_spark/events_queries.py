@@ -1209,7 +1209,15 @@ def e_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive half pruning exists to protect.
 
     Ties: ORDER BY (h2, ua, ub) LIMIT 20 — deterministic in both
-    engines."""
+    engines.
+
+    Kernel choice (A/B-pinned, don't "fix"): a single-pass variant
+    that explodes each joined row into two (dir, anchor) rows to
+    evaluate the join once LOST the interleaved min-of-4 A/B
+    (2.31s vs 1.48s here) — the doubled pre-combine row volume and
+    the extra dir key cost more than the second join evaluation,
+    whose groupBys map-side-combine to (pair, point) groups well
+    below n². Re-run that A/B before restructuring."""
     ev = _events(spark, sf_dir)
     pts = (ev.filter(F.col("event_type") == "purchase")
            .select("user_id",
