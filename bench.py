@@ -96,6 +96,9 @@ HEADLINE = [
     # the storage plane's graded bench cost, per the r8 trim guidance)
     "c35_change_matrix",
     "c36_flow_routing",
+    "c39_hillshade",
+    "c40_cloud_distance",
+    "c41_pansharpen",
     "e_rfm_segmentation",
     "e_attribution_linear",
     "x_hll_distinct",

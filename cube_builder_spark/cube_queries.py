@@ -2746,3 +2746,204 @@ def c38_cloud_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_shadowed_clear"),
                  F.sum(F.when(clear & ~F.col("shadowed"), 1).otherwise(0))
                  .cast("long").alias("n_clear_kept")))
+
+
+@register("c39_hillshade", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+grads AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x,
+         count(*) AS n,
+         sum((q.x - p.x) * (2 - abs(q.y - p.y)) * q.v) AS gx,
+         sum((q.y - p.y) * (2 - abs(q.x - p.x)) * q.v) AS gy
+  FROM comp p JOIN comp q
+    ON p.tile_id = q.tile_id
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+  GROUP BY p.tile_id, p.y, p.x
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(8 - gx + gy AS BIGINT) AS shade_num,
+       (8 - gx + gy) / sqrt(64 + gx * gx + gy * gy) AS shade
+FROM grads WHERE n = 9
+""".replace("{PIXELS}", PIXELS_SQL))
+def c39_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39: Lambertian hillshade (the gdaldem-hillshade core) over the
+    clear-max composite — the relief-shading layer every EO viewer
+    draws under its cubes (the reference leaves it to gdaldem, like
+    the rest of the C28+ terrain family; its own pipeline stops at
+    the composite the DEM-style products derive from).
+
+    Formula: with Horn gradients p = gx/8, q = gy/8 (C33), surface
+    normal N = (-p, -q, 1) and UNNORMALIZED light vector L = (1,-1,1)
+    (NW-ish azimuth, ~35° altitude), the Lambertian intensity
+    N·L / |N| = (8 - gx + gy) / sqrt(64 + gx² + gy²); the constant
+    1/|L| = 1/√3 and the 0–255 display scaling stay presentation-side
+    so the cross-engine surface is exact-int64 ``shade_num`` plus ONE
+    correctly-rounded IEEE sqrt and ONE division (the same portability
+    discipline as C33, which keeps atan out for the same reason).
+
+    Scale shape: identical to C33 — the focal_gradients scatter/
+    partial-aggregate halo exchange, then per-row arithmetic; nothing
+    new crosses the shuffle."""
+    from .operators.focal import focal_gradients
+    g = focal_gradients(_comp_cells(spark, sf_dir),
+                        height=_GRID_H, width=_GRID_W)
+    num = (F.lit(8) - F.col("gx") + F.col("gy"))
+    den = F.sqrt(F.lit(64) + F.col("gx") * F.col("gx")
+                 + F.col("gy") * F.col("gy"))
+    return g.select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    "gx", "gy",
+                    num.cast("long").alias("shade_num"),
+                    (num / den).alias("shade"))
+
+
+@register("c40_cloud_distance", f"""
+WITH {{PIXELS}},
+cls AS (
+  SELECT tile_id, pixel_id,
+         CASE WHEN quality IN (4,5,6) THEN 1
+              WHEN quality = 1 THEN 3
+              WHEN quality = 0 THEN 0
+              ELSE 2 END AS c
+  FROM pixels
+),
+tmode AS (
+  SELECT tile_id, pixel_id, 3 - (pk % 4) AS c
+  FROM (SELECT tile_id, pixel_id, max(cnt * 4 + (3 - c)) AS pk
+        FROM (SELECT tile_id, pixel_id, c, count(*) AS cnt
+              FROM cls GROUP BY tile_id, pixel_id, c)
+        GROUP BY tile_id, pixel_id)
+),
+cells AS (
+  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x, c
+  FROM tmode
+),
+d AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x, p.c AS c,
+         min((q.y - p.y) * (q.y - p.y) + (q.x - p.x) * (q.x - p.x)) AS d2
+  FROM cells p LEFT JOIN cells q
+    ON q.tile_id = p.tile_id AND q.c = 2
+   AND q.y BETWEEN p.y - 3 AND p.y + 3
+   AND q.x BETWEEN p.x - 3 AND p.x + 3
+  GROUP BY p.tile_id, p.y, p.x, p.c
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(c AS BIGINT) AS cls,
+       CAST(coalesce(d2, 49) AS BIGINT) AS dist2_cloud,
+       CAST(coalesce(d2, 49) <= 4 AS BIGINT) AS in_buffer
+FROM d
+""".replace("{PIXELS}", PIXELS_SQL))
+def c40_cloud_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: bounded distance-to-cloud transform + cloud buffer — the
+    Fmask/s2cloudless cloud-DILATION step (Zhu & Woodcock 2012 §3.2:
+    clear pixels within a few cells of cloud are demoted, because
+    cloud edges leak radiance). The reference consumes already-dilated
+    QA bits (masking.py); this operator is the upstream geometry. Per
+    cell of the temporal-mode class plane (C29 semantics: 0 nodata,
+    1 clear, 2 not-clear, 3 saturated): squared Euclidean distance to
+    the nearest cloud-mode cell within Chebyshev radius 3 (sentinel 49
+    when none), and the ``in_buffer`` demotion flag (distance ≤ 2,
+    i.e. d² ≤ 4 — the standard 2-pixel buffer).
+
+    Scale shape: only CLOUD cells scatter (49 bounded contribution
+    rows each, min-combined map-side), one groupBy on the target cell,
+    one LEFT join back onto the plane (operators/focal.py
+    min_distance_transform) — never a range join over the grid. The
+    oracle is the coordinate-range LEFT self-join formulation."""
+    px = pixel_plane(spark, sf_dir)
+    c = (F.when(F.col("quality").isin(4, 5, 6), 1)
+         .when(F.col("quality") == 1, 3)
+         .when(F.col("quality") == 0, 0)
+         .otherwise(2))
+    per_class = (px.select("tile_id", "pixel_id", c.alias("c"))
+                 .groupBy("tile_id", "pixel_id", "c")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    cells = (per_class
+             .groupBy("tile_id", "pixel_id")
+             .agg(F.max(F.col("cnt") * 4 + (F.lit(3) - F.col("c"))).alias("pk"))
+             .select("tile_id",
+                     F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
+                     (F.col("pixel_id") % _GRID_W).alias("x"),
+                     (F.lit(3) - F.col("pk") % 4).alias("c"))
+             .withColumn("src", F.col("c") == 2))
+    from .operators.focal import min_distance_transform
+    out = min_distance_transform(cells, radius=3,
+                                 height=_GRID_H, width=_GRID_W)
+    return out.select("tile_id",
+                      (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                      F.col("c").cast("long").alias("cls"),
+                      F.col("dist2").alias("dist2_cloud"),
+                      (F.col("dist2") <= 4).cast("long").alias("in_buffer"))
+
+
+@register("c41_pansharpen", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+blocks AS (
+  SELECT tile_id, y // 2 AS y2, x // 2 AS x2,
+         count(*) AS nb, max(v) AS r, min(v) AS g,
+         sum(v) - max(v) - min(v) AS b
+  FROM comp GROUP BY tile_id, y // 2, x // 2
+)
+SELECT c.tile_id AS tile_id, c.y * {_GRID_W} + c.x AS pixel_id,
+       CAST(c.v AS BIGINT) AS pan,
+       CAST(k.r AS BIGINT) AS ms_r, CAST(k.g AS BIGINT) AS ms_g,
+       CAST(k.b AS BIGINT) AS ms_b,
+       3 * c.v * k.r * 1e0 / (k.r + k.g + k.b) AS sharp_r,
+       3 * c.v * k.g * 1e0 / (k.r + k.g + k.b) AS sharp_g,
+       3 * c.v * k.b * 1e0 / (k.r + k.g + k.b) AS sharp_b
+FROM comp c JOIN blocks k
+  ON k.tile_id = c.tile_id AND k.y2 = c.y // 2 AND k.x2 = c.x // 2
+WHERE k.nb = 4 AND k.r + k.g + k.b <> 0
+""".replace("{PIXELS}", PIXELS_SQL))
+def c41_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: Brovey-transform pansharpening — the multi-resolution band
+    fusion every Sentinel-2/Landsat stack needs (10 m pan-like band ×
+    20 m multispectral; the reference's grids carry exactly this 2:1
+    resolution split between band groups, but it resamples each band
+    independently and never fuses — fusion is the gdal_pansharpen step
+    downstream of it). The composite plane plays the high-res band;
+    the low-res multispectral triple per 2×2 block is derived
+    deterministically from the SAME plane (r = block max, g = block
+    min, b = the two middle values' sum), so the oracle re-derives it
+    exactly. Brovey: out_i = 3 · pan · ms_i / (r + g + b), the
+    intensity-ratio injection. Only COMPLETE 2×2 blocks with a nonzero
+    intensity sum are sharpened (partial blocks are the resample-edge
+    case C1b already covers).
+
+    Exactness: r/g/b and every numerator are exact int64 (|3·v·r| ≤
+    3e8); each output band is ONE IEEE division. Scale shape: the
+    block plane is a 4:1 map-side-combinable groupBy whose key
+    (tile, y//2, x//2) is a projection of the cell key — the join back
+    is co-partitioned, no second Exchange; at 1000 executors this is
+    the overview-level join, not a shuffle of the full-res plane."""
+    cells = _comp_cells(spark, sf_dir)
+    y2 = F.floor(F.col("y") / 2).cast("long")
+    x2 = F.floor(F.col("x") / 2).cast("long")
+    blocks = (cells
+              .groupBy("tile_id", y2.alias("y2"), x2.alias("x2"))
+              .agg(F.count(F.lit(1)).alias("nb"),
+                   F.max("v").alias("r"), F.min("v").alias("g"),
+                   (F.sum("v") - F.max("v") - F.min("v")).alias("b"))
+              .filter((F.col("nb") == 4)
+                      & (F.col("r") + F.col("g") + F.col("b") != 0))
+              .select(F.col("tile_id").alias("k_tid"), "y2", "x2",
+                      "r", "g", "b"))
+    den = F.col("r") + F.col("g") + F.col("b")
+    return (cells.join(blocks, (F.col("tile_id") == F.col("k_tid"))
+                       & (y2 == F.col("y2")) & (x2 == F.col("x2")))
+            .select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    F.col("v").cast("long").alias("pan"),
+                    F.col("r").cast("long").alias("ms_r"),
+                    F.col("g").cast("long").alias("ms_g"),
+                    F.col("b").cast("long").alias("ms_b"),
+                    (F.lit(3) * F.col("v") * F.col("r") * 1e0 / den)
+                    .alias("sharp_r"),
+                    (F.lit(3) * F.col("v") * F.col("g") * 1e0 / den)
+                    .alias("sharp_g"),
+                    (F.lit(3) * F.col("v") * F.col("b") * 1e0 / den)
+                    .alias("sharp_b")))

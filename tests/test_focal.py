@@ -310,3 +310,47 @@ def test_region_metrics_hand_worked(spark):
                   .collect()}
     stats = sorted(per_region.values())
     assert stats == [(1, 4), (3, 8), (4, 8)]
+
+
+def test_min_distance_transform_vs_bruteforce(spark):
+    # 8x8 grid, sources scattered deterministically; differential vs a
+    # python brute force INSIDE the radius, sentinel outside it.
+    from cube_builder_spark.operators.focal import min_distance_transform
+    H = W = 8
+    src = {(0, 0), (3, 5), (7, 2)}
+    rows = [(0, y, x, (y, x) in src) for y in range(H) for x in range(W)]
+    out = {(r.y, r.x): r.dist2 for r in min_distance_transform(
+        spark.createDataFrame(rows, ["tile_id", "y", "x", "src"]),
+        radius=2, height=H, width=W).collect()}
+    assert len(out) == H * W
+    for y in range(H):
+        for x in range(W):
+            best = min((abs(y - sy) ** 2 + abs(x - sx) ** 2
+                        for sy, sx in src
+                        if abs(y - sy) <= 2 and abs(x - sx) <= 2),
+                       default=None)
+            assert out[(y, x)] == (25 if best is None else best), (y, x)
+    for sy, sx in src:
+        assert out[(sy, sx)] == 0
+
+
+def test_min_distance_transform_tiles_do_not_leak(spark):
+    # A source in tile 0 must not shade tile 1's cells.
+    from cube_builder_spark.operators.focal import min_distance_transform
+    rows = [(0, 0, 0, True), (1, 0, 1, False)]
+    out = {(r.tile_id, r.y, r.x): r.dist2 for r in min_distance_transform(
+        spark.createDataFrame(rows, ["tile_id", "y", "x", "src"]),
+        radius=3).collect()}
+    assert out[(0, 0, 0)] == 0
+    assert out[(1, 0, 1)] == 49          # sentinel: no source in ITS tile
+
+
+def test_min_distance_transform_keeps_passenger_columns(spark):
+    from cube_builder_spark.operators.focal import min_distance_transform
+    rows = [(0, 0, 0, True, 7), (0, 0, 1, False, 9)]
+    out = min_distance_transform(
+        spark.createDataFrame(rows, ["tile_id", "y", "x", "src", "c"]),
+        radius=1, sentinel=99)
+    got = {(r.y, r.x): (r.c, r.dist2) for r in out.collect()}
+    assert got == {(0, 0): (7, 0), (0, 1): (9, 1)}
+    assert "src" not in out.columns
