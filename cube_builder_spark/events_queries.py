@@ -1248,3 +1248,75 @@ def e_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest("h_f", "h_r").cast("long")
                     .alias("hausdorff_sq"))
             .orderBy("hausdorff_sq", "user_a", "user_b").limit(20))
+
+
+@register("e_seasonal_profile", """
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CAST(round(value * 1) AS BIGINT) AS u
+  FROM events
+),
+prof AS (
+  SELECT event_type, dow, count(*) AS n,
+         CAST(sum(u) AS BIGINT) AS sum_units,
+         CAST(sum(u * u) AS BIGINT) AS sumsq_units
+  FROM base GROUP BY event_type, dow
+),
+tot AS (
+  SELECT event_type, dow, n, sum_units, sumsq_units,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot_n,
+         CAST(sum(sum_units) OVER (PARTITION BY event_type) AS BIGINT)
+           AS tot_sum
+  FROM prof
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n, sum_units, sumsq_units,
+       sum_units * 1e0 / n AS mean_units,
+       sumsq_units * 1e0 / n
+         - (sum_units * 1e0 / n) * (sum_units * 1e0 / n) AS var_units,
+       (sum_units * 1e0 / n) / NULLIF(tot_sum * 1e0 / tot_n, 0)
+         AS seasonal_index
+FROM tot
+""")
+def e_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type — the seasonality
+    decomposition every forecasting/anomaly layer starts from (the
+    multiplicative seasonal INDEX of classical decomposition: the
+    dow mean over the type's overall mean; indexes far from 1 mark
+    strong weekly cycles, and var_units feeds the residual-noise
+    denominator downstream detectors threshold on).
+
+    Cross-engine float discipline: n / sum / sum-of-squares are exact
+    int64 (values unit-rounded via the house half-up helper; dow from
+    integer epoch-day arithmetic, (days+4) % 7 with 1970-01-01 a
+    Thursday — no engine-specific dayofweek numbering); mean is ONE
+    IEEE division, variance is the E[X²]−E[X]² form written with the
+    IDENTICAL operation shape in both engines (never the n·sumsq−sum²
+    integer form, whose product overflows int64 at large n), and the
+    seasonal index divides the two means.
+
+    Scale shape: one map-side-combinable groupBy carries the volume;
+    the window runs over the types×7-bounded aggregate, not the
+    events."""
+    ev = _events(spark, sf_dir)
+    dow = (F.expr("unix_timestamp(ts) div 86400") + 4) % 7
+    u = round_half_up_long(F.col("value"), 1)
+    prof = (ev.select("event_type", dow.alias("dow"), u.alias("u"))
+            .groupBy("event_type", "dow")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("u").cast("long").alias("sum_units"),
+                 F.sum(F.col("u") * F.col("u")).cast("long")
+                 .alias("sumsq_units")))
+    w = Window.partitionBy("event_type")
+    mean = F.col("sum_units") * 1e0 / F.col("n")
+    tot_mean = F.col("tot_sum") * 1e0 / F.col("tot_n")
+    return (prof
+            .withColumn("tot_n", F.sum("n").over(w).cast("long"))
+            .withColumn("tot_sum", F.sum("sum_units").over(w).cast("long"))
+            .select("event_type", F.col("dow").cast("long").alias("dow"),
+                    "n", "sum_units", "sumsq_units",
+                    mean.alias("mean_units"),
+                    (F.col("sumsq_units") * 1e0 / F.col("n") - mean * mean)
+                    .alias("var_units"),
+                    (mean / F.when(tot_mean != 0, tot_mean))
+                    .alias("seasonal_index")))

@@ -276,6 +276,95 @@ def d_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=_AP_TAU)
 
 
+@register("d_lsh_recall_eval", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
+),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+cj AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM cpairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh
+         WHERE len(shingles) > 0),
+tok AS (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (SELECT doc_a, doc_b FROM inter
+          WHERE c * 1e0 / (na + nb - c) >= 5e-1),
+cagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN jaccard >= 5e-1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM cj
+),
+tagg AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+SELECT n_candidates, n_truth, n_hits,
+       n_hits * 1e0 / NULLIF(n_candidates, 0) AS precision_at_tau,
+       n_hits * 1e0 / NULLIF(n_truth, 0) AS recall
+FROM cagg, tagg
+""")
+def d_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision evaluation of the MinHash-LSH candidate
+    generator against EXACT ground truth — the measurement harness a
+    production dedup plane ships with (the ANN plane already has its
+    twin, a_ann_recall_eval): before trusting a probabilistic
+    detector at 100 TB you quantify what its banding misses.
+
+    Ground truth = every pair with exact 3-shingle-set Jaccard ≥ 0.5
+    from the LOSSLESS AllPairs prefix-filter join (dedup.
+    allpairs_jaccard — no LSH recall loss by construction);
+    candidates = the d_minhash_lsh_pairs generator (4 minhashes,
+    2 bands, skew cap). Since LSH candidates carry their exact
+    verified Jaccard, hits = candidates at ≥ τ need no join against
+    the truth set — three counts and two IEEE divisions:
+    recall = hits/truth (banding misses), precision = hits/candidates
+    (verify-stage waste).
+
+    Scale shape: composes two already-bounded subtrees (capped LSH
+    buckets; prefix-filtered AllPairs) into 1-row aggregates joined by
+    a broadcast crossJoin-of-one-row — the plan-asserted global-
+    aggregate pattern."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    cand = dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
+                                    max_bucket=_LSH_MAX_BUCKET)
+    truth = dedup.allpairs_jaccard(docs, k=3, threshold=0.5)
+    cagg = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("long")
+        .alias("n_hits"))
+    tagg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nhits = F.col("n_hits")
+    return (cagg.crossJoin(tagg)
+            .select("n_candidates", "n_truth", "n_hits",
+                    (nhits * 1e0 / F.when(F.col("n_candidates") != 0,
+                                          F.col("n_candidates")))
+                    .alias("precision_at_tau"),
+                    (nhits * 1e0 / F.when(F.col("n_truth") != 0,
+                                          F.col("n_truth")))
+                    .alias("recall")))
+
+
 @register("d_entity_resolution", """
 WITH b AS (
   SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS w1
