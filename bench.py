@@ -99,6 +99,7 @@ HEADLINE = [
     "c39_hillshade",
     "c40_cloud_distance",
     "c41_pansharpen",
+    "c42_bilinear_upsample",
     "e_rfm_segmentation",
     "e_attribution_linear",
     "x_hll_distinct",

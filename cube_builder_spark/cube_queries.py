@@ -2947,3 +2947,79 @@ def c41_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("sharp_g"),
                     (F.lit(3) * F.col("v") * F.col("b") * 1e0 / den)
                     .alias("sharp_b")))
+
+
+@register("c42_bilinear_upsample", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+coarse AS (
+  SELECT tile_id, y // 2 AS cy, x // 2 AS cx, sum(v) AS cv
+  FROM comp GROUP BY tile_id, y // 2, x // 2
+  HAVING count(*) = 4
+),
+offs(o, w) AS (VALUES (-1, 1), (0, 3), (1, 3), (2, 1)),
+sc AS (
+  SELECT c.tile_id AS tile_id,
+         2 * c.cy + oy.o AS y, 2 * c.cx + ox.o AS x,
+         oy.w * ox.w AS w, c.cv AS cv
+  FROM coarse c CROSS JOIN offs oy CROSS JOIN offs ox
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(sum(w * cv) AS BIGINT) AS up_num16,
+       sum(w * cv) * 1e0 / 16 AS up_value
+FROM sc
+WHERE y >= 0 AND y < {_GRID_H} AND x >= 0 AND x < {_GRID_W}
+GROUP BY tile_id, y, x
+HAVING sum(w) = 16
+""".replace("{PIXELS}", PIXELS_SQL))
+def c42_bilinear_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42: bilinear 2× upsampling — the ``gdalwarp -r bilinear``
+    resampling mode beside C1b's nearest (the reference resamples
+    nearest-only via rasterio, processing.py:303-316; bilinear is the
+    smooth alternative its 20 m→10 m Sentinel-2 band harmonization
+    would use, and the smooth counterpart of C41's block-replication
+    MS injection). The 2×-coarse plane is the complete-2×2-block sum
+    (C30/C41's discipline); each fine pixel center sits at coarse
+    coordinate (y−0.5)/2, so the two coarse neighbors per axis carry
+    exact weights {3/4, 1/4} and the 2-D kernel is {9,3,3,1}/16 —
+    carried as ×16 integers, with ONE IEEE division at the end.
+    Fine cells without full 4-neighbor support (grid edges, incomplete
+    blocks) are not emitted, the same edge rule as C33/gdaldem.
+
+    Scale shape: each coarse cell scatters 16 bounded contribution
+    rows (weight × value riding along), one map-side-combined groupBy
+    on the fine cell with the HAVING Σw = 16 support filter — the
+    focal-family halo exchange run in reverse (coarse→fine), never a
+    join of the fine grid against four shifted copies of the coarse
+    plane (which would evaluate the coarse subtree four times — the
+    q2/q15 double-eval trap)."""
+    cells = _comp_cells(spark, sf_dir)
+    coarse = (cells.groupBy(
+                  "tile_id",
+                  F.floor(F.col("y") / 2).cast("long").alias("cy"),
+                  F.floor(F.col("x") / 2).cast("long").alias("cx"))
+              .agg(F.count(F.lit(1)).alias("nb"), F.sum("v").alias("cv"))
+              .filter(F.col("nb") == 4))
+    offs = F.array(*[F.struct(F.lit(o).alias("o"), F.lit(w).alias("w"))
+                     for o, w in [(-1, 1), (0, 3), (1, 3), (2, 1)]])
+    sc = (coarse
+          .select("tile_id", "cy", "cx", "cv",
+                  F.explode(offs).alias("oy"))
+          .select("tile_id", "cy", "cx", "cv", "oy",
+                  F.explode(offs).alias("ox"))
+          .select("tile_id",
+                  (F.lit(2) * F.col("cy") + F.col("oy.o")).alias("y"),
+                  (F.lit(2) * F.col("cx") + F.col("ox.o")).alias("x"),
+                  (F.col("oy.w") * F.col("ox.w")).alias("w"),
+                  "cv")
+          .filter((F.col("y") >= 0) & (F.col("y") < _GRID_H)
+                  & (F.col("x") >= 0) & (F.col("x") < _GRID_W)))
+    return (sc.groupBy("tile_id", "y", "x")
+            .agg(F.sum(F.col("w") * F.col("cv")).cast("long")
+                 .alias("up_num16"),
+                 F.sum("w").alias("wsum"))
+            .filter(F.col("wsum") == 16)
+            .select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    "up_num16",
+                    (F.col("up_num16") * 1e0 / 16).alias("up_value")))
