@@ -138,3 +138,77 @@ def test_points_in_polygons_random_vs_python(spark):
     want = {(pid, k) for (pid, px, py) in pts for k in polys
             if _py_pip(px, py, polys[k])}
     assert have == want
+
+
+def test_min_distance_transform_random_vs_bruteforce(spark):
+    from cube_builder_spark.operators.focal import min_distance_transform
+    rnd = random.Random(43)
+    cells = [(t, y, x, rnd.random() < 0.12)
+             for (t, y, x) in _random_masks(61, 10)]
+    have = {(r.tile_id, r.y, r.x): r.dist2
+            for r in min_distance_transform(
+                spark.createDataFrame(cells, ["tile_id", "y", "x", "src"]),
+                radius=3, height=H, width=W).collect()}
+    vals = {(t, y, x): s for (t, y, x, s) in cells}
+    assert set(have) == set(vals)
+    for (t, y, x), _ in vals.items():
+        best = min(((y - sy) ** 2 + (x - sx) ** 2
+                    for (st, sy, sx), s in vals.items()
+                    if s and st == t
+                    and abs(y - sy) <= 3 and abs(x - sx) <= 3),
+                   default=49)
+        assert have[(t, y, x)] == best, (t, y, x)
+
+
+def _py_bilinear_16(vals):
+    """{(t,y,x): up_num16} for fine cells with full 4-neighbor coarse
+    support, from a coarse {(t,cy,cx): cv} plane (per-axis weights
+    {3,1}/4 around coarse coord (y-0.5)/2)."""
+    out = {}
+    tiles = {t for (t, _, _) in vals}
+    cymax = max((cy for (_, cy, _) in vals), default=-1)
+    cxmax = max((cx for (_, _, cx) in vals), default=-1)
+    for t in tiles:
+        for y in range(2 * (cymax + 2)):
+            for x in range(2 * (cxmax + 2)):
+                num, wsum = 0, 0
+                for (o_y, wy) in ((-1, 1), (0, 3), (1, 3), (2, 1)):
+                    for (o_x, wx) in ((-1, 1), (0, 3), (1, 3), (2, 1)):
+                        # coarse cell (cy, cx) contributes to fine
+                        # 2*cy+o, so fine y receives from cy=(y-o)/2
+                        if (y - o_y) % 2 or (x - o_x) % 2:
+                            continue
+                        c = (t, (y - o_y) // 2, (x - o_x) // 2)
+                        if c in vals:
+                            num += wy * wx * vals[c]
+                            wsum += wy * wx
+                if wsum == 16:
+                    out[(t, y, x)] = num
+    return out
+
+
+def test_bilinear_upsample_kernel_random_vs_python(spark):
+    # Exercises the c42 scatter kernel directly: random sparse coarse
+    # planes, fine values must match the python 4-neighbor fold.
+    from pyspark.sql import functions as F
+    rnd = random.Random(53)
+    coarse = [(t, y, x, rnd.randint(-100, 100))
+              for (t, y, x) in _random_masks(59, 8, density=0.6)]
+    vals = {(t, cy, cx): cv for (t, cy, cx, cv) in coarse}
+    cdf = spark.createDataFrame(coarse, ["tile_id", "cy", "cx", "cv"])
+    offs = F.array(*[F.struct(F.lit(o).alias("o"), F.lit(w).alias("w"))
+                     for o, w in [(-1, 1), (0, 3), (1, 3), (2, 1)]])
+    sc = (cdf.select("tile_id", "cy", "cx", "cv",
+                     F.explode(offs).alias("oy"))
+          .select("tile_id", "cy", "cx", "cv", "oy",
+                  F.explode(offs).alias("ox"))
+          .select("tile_id",
+                  (F.lit(2) * F.col("cy") + F.col("oy.o")).alias("y"),
+                  (F.lit(2) * F.col("cx") + F.col("ox.o")).alias("x"),
+                  (F.col("oy.w") * F.col("ox.w")).alias("w"), "cv"))
+    got = {(r.tile_id, r.y, r.x): r.up_num16
+           for r in (sc.groupBy("tile_id", "y", "x")
+                     .agg(F.sum(F.col("w") * F.col("cv")).alias("up_num16"),
+                          F.sum("w").alias("wsum"))
+                     .filter(F.col("wsum") == 16)).collect()}
+    assert got == _py_bilinear_16(vals)
