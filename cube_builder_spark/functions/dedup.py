@@ -352,6 +352,63 @@ def dup_clusters(pairs: DataFrame, iters: int = 6) -> DataFrame:
                          (F.col("doc_id") == F.col("lbl")).alias("is_canonical"))
 
 
+def label_propagation(pairs: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation COMMUNITIES (Raghavan et al.
+    2007; GraphFrames' labelPropagation) over an undirected pair
+    graph — the mode-label sibling of ``dup_clusters``' min-label
+    connected components: where CC answers "transitively linked at
+    all?", LPA's majority vote splits a noisy candidate graph (e.g.
+    UNthresholded LSH pairs) along its dense cores.
+
+    Determinism — the standard LPA pitfalls are pinned shut:
+    SYNCHRONOUS updates with a FIXED iteration count (no convergence
+    race), and the per-node vote is the packed-argmax
+    ``cnt·2³² + (2³²−1 − lbl)`` under MAX — highest neighbor-label
+    count wins, ties break toward the SMALLER label — so both engines
+    replay the identical deterministic automaton whether or not it
+    has converged. Labels must fit 32 bits (doc_ids here; assert-
+    guarded by the packing domain).
+
+    Scale shape: same as dup_clusters — per round one join of the
+    pair-graph edge list with the label table and two bounded
+    groupBys ((node, lbl) counts, then the ≤deg-bounded argmax), all
+    keyed on ids, broadcast-eligible for dup-graph-sized inputs; a
+    lineage cut per round stops the upstream pair detection from
+    re-evaluating 2^iters times. The edge list is built from ONE
+    evaluation of ``pairs`` (explode to both directions — two selects
+    would evaluate the LSH subtree twice before the checkpoint).
+
+    Returns ``doc_id, community, community_size`` for every doc with
+    at least one pair (isolated docs have no vote and keep trivial
+    singleton communities — emit-side callers can union them in).
+    """
+    both = F.explode(F.array(
+        F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+        F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))))
+    edges = (pairs.select(both.alias("e")).select("e.s", "e.d")
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")))
+    big = 1 << 32
+    for i in range(iters):
+        votes = (edges.join(labels.select(F.col("id").alias("d_id"),
+                                          F.col("lbl").alias("d_lbl")),
+                            F.col("d") == F.col("d_id"))
+                 .groupBy(F.col("s").alias("id"), F.col("d_lbl").alias("lbl"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        pk = F.col("cnt") * big + (F.lit(big - 1) - F.col("lbl"))
+        labels = (votes.groupBy("id").agg(F.max(pk).alias("pk"))
+                  .select("id",
+                          (F.lit(big - 1) - F.col("pk") % big).alias("lbl")))
+        if i % 2 == 1 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("lbl")
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("community"),
+                         F.count(F.lit(1)).over(w).cast("long")
+                         .alias("community_size"))
+
+
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage

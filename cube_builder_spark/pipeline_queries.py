@@ -365,6 +365,73 @@ def d_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall")))
 
 
+_LPA_STEP = """
+i{K} AS (
+  SELECT e.s AS id, l.lbl AS lbl, count(*) AS cnt
+  FROM edges e JOIN l{P} l ON e.d = l.id
+  GROUP BY e.s, l.lbl
+),
+l{K} AS (
+  SELECT id,
+         CAST(4294967295 - max(cnt * 4294967296 + (4294967295 - lbl))
+              % 4294967296 AS BIGINT) AS lbl
+  FROM i{K} GROUP BY id
+)"""
+
+
+@register("d_lpa_communities", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
+),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM cpairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM cpairs
+),
+l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+{_LPA_STEP.format(K=1, P=0)},
+{_LPA_STEP.format(K=2, P=1)},
+{_LPA_STEP.format(K=3, P=2)},
+{_LPA_STEP.format(K=4, P=3)}
+SELECT id AS doc_id, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l4
+""")
+def d_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007 —
+    GraphFrames' labelPropagation) over the UNTHRESHOLDED LSH
+    candidate graph: where d_dup_clusters' min-label connected
+    components answer "transitively linked at all?", LPA's
+    synchronous majority vote splits the noisy candidate graph along
+    its dense cores — the community layer of the graph family
+    (x_pagerank_trade / x_bfs_reach / x_triangle_count / CC).
+
+    Determinism: fixed 4 synchronous rounds; per-node vote is the
+    packed-argmax cnt·2³² + (2³²−1 − lbl) under MAX (count desc,
+    smaller label on ties) — both engines replay the identical
+    automaton, converged or not. The oracle unrolls the same 4 steps
+    as CTEs. Scale shape: dedup.label_propagation — one-eval exploded
+    edge list, per-round lineage cut, bounded groupBys keyed on ids."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    pairs = dedup.lsh_near_dup_pairs(
+        sh, bands=[["h0", "h1"], ["h2", "h3"]],
+        max_bucket=_LSH_MAX_BUCKET).select("doc_a", "doc_b")
+    return dedup.label_propagation(pairs, iters=4)
+
+
 @register("d_entity_resolution", """
 WITH b AS (
   SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS w1

@@ -352,3 +352,47 @@ def test_shingle_kernels_identical(spark):
     import pytest
     with pytest.raises(ValueError):
         dedup.shingles(docs, kernel="nope")
+
+
+def _py_lpa(pairs, iters):
+    """Reference automaton for dedup.label_propagation: synchronous
+    rounds, vote = (neighbor-label count desc, smaller label)."""
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        lbl = {n: min(sorted(set(lbl[m] for m in ns)),
+                      key=lambda c: (-[lbl[m] for m in ns].count(c), c))
+               for n, ns in nbrs.items()}
+    sizes = {}
+    for c in lbl.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return {n: (c, sizes[c]) for n, c in lbl.items()}
+
+
+def test_label_propagation_bridge_vs_python(spark):
+    """Two triangles joined by a bridge: CC sees ONE component; the
+    LPA majority vote must match the python automaton exactly."""
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    out = {r.doc_id: (r.community, r.community_size)
+           for r in dedup.label_propagation(
+               spark.createDataFrame(pairs, "doc_a long, doc_b long"),
+               iters=4).collect()}
+    assert out == _py_lpa(pairs, 4)
+
+
+def test_label_propagation_random_vs_python(spark):
+    import random
+    rnd = random.Random(67)
+    nodes = list(range(40))
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rnd.choice(nodes), rnd.choice(nodes))
+                                 for _ in range(120)) if a != b})
+    for iters in (1, 3, 4):
+        out = {r.doc_id: (r.community, r.community_size)
+               for r in dedup.label_propagation(
+                   spark.createDataFrame(pairs, "doc_a long, doc_b long"),
+                   iters=iters).collect()}
+        assert out == _py_lpa(pairs, iters), iters
