@@ -100,6 +100,7 @@ HEADLINE = [
     "c40_cloud_distance",
     "c41_pansharpen",
     "c42_bilinear_upsample",
+    "c43_terrain_indexes",
     "e_rfm_segmentation",
     "e_attribution_linear",
     "x_hll_distinct",

@@ -3023,3 +3023,73 @@ def c42_bilinear_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
                     "up_num16",
                     (F.col("up_num16") * 1e0 / 16).alias("up_value")))
+
+
+@register("c43_terrain_indexes", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+nbr AS (
+  SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x,
+         count(*) AS n,
+         max(CASE WHEN q.y = p.y AND q.x = p.x THEN q.v END) AS vc,
+         max(q.v) AS vmax, min(q.v) AS vmin,
+         CAST(sum(CASE WHEN q.y <> p.y OR q.x <> p.x THEN q.v END)
+              AS BIGINT) AS nbr_sum,
+         CAST(sum(CASE WHEN q.y <> p.y OR q.x <> p.x
+                       THEN abs(q.v - p.v) END) AS BIGINT) AS tri_num
+  FROM comp p JOIN comp q
+    ON p.tile_id = q.tile_id
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+  GROUP BY p.tile_id, p.y, p.x
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+       CAST(vmax - vmin AS BIGINT) AS roughness,
+       CAST(8 * vc - nbr_sum AS BIGINT) AS tpi_num8,
+       (8 * vc - nbr_sum) * 1e0 / 8 AS tpi,
+       tri_num, tri_num * 1e0 / 8 AS tri
+FROM nbr WHERE n = 9
+""".replace("{PIXELS}", PIXELS_SQL))
+def c43_terrain_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43: the remaining three gdaldem terrain modes over the
+    clear-max composite — ROUGHNESS (max−min of the 3×3 window, incl.
+    the center), TPI (topographic position index, Weiss 2001:
+    center − mean of the 8 neighbors — positive on ridges, negative
+    in valleys), and TRI (terrain ruggedness index, Riley et al.
+    1999 / Wilson et al. 2007: mean |neighbor − center|). With C33
+    slope and C39 hillshade this closes the gdaldem family (aspect is
+    atan2(gy, gx) over C33's exact gradients, presentation-side like
+    every libm call; color-relief is styling).
+
+    Exactness: roughness / tpi_num8 / tri_num are exact int64
+    (TPI's mean is cross-multiplied: 8·center − Σnbrs); tpi and tri
+    are each ONE IEEE division by the fixed 8. Full-3×3 cells only
+    (n = 9), the C33/gdaldem edge rule.
+
+    Scale shape: flow_direction's no-join-back kernel — ONE scatter
+    where the center's own (0,0) row rides the same shuffle as its
+    neighbors, ONE map-side-combined groupBy with max(CASE center) +
+    a ≤9-bounded collect_list, and the |v−vc| fold runs in-array in
+    codegen; the oracle is the coordinate-range self-join."""
+    from .operators.focal import _scatter
+    sc = _scatter(_comp_cells(spark, sf_dir), 1, _GRID_H, _GRID_W, ["v"])
+    is_c = (F.col("o_dy") == 0) & (F.col("o_dx") == 0)
+    agg = (sc.groupBy("t_id", "ty", "tx")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max(F.when(is_c, F.col("v"))).alias("vc"),
+                F.max("v").alias("vmax"), F.min("v").alias("vmin"),
+                F.collect_list(F.when(~is_c, F.col("v"))).alias("nbrs"))
+           .filter(F.col("n") == 9))
+    vc = F.col("vc")
+    nbr_sum = F.aggregate("nbrs", F.lit(0).cast("long"),
+                          lambda acc, x: acc + x)
+    tri_num = F.aggregate("nbrs", F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.abs(x - vc))
+    return (agg.select(
+        F.col("t_id").alias("tile_id"),
+        (F.col("ty") * _GRID_W + F.col("tx")).alias("pixel_id"),
+        (F.col("vmax") - F.col("vmin")).cast("long").alias("roughness"),
+        (F.lit(8) * vc - nbr_sum).cast("long").alias("tpi_num8"),
+        ((F.lit(8) * vc - nbr_sum) * 1e0 / 8).alias("tpi"),
+        tri_num.alias("tri_num"),
+        (tri_num * 1e0 / 8).alias("tri")))
