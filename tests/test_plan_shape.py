@@ -109,3 +109,33 @@ def test_pagerank_edge_derivation_projects_early(spark, sf_dir, queries):
     # the returned frame is a bounded local relation: no scan, no join
     plan = _physical(df)
     assert "Scan parquet" not in plan
+
+
+def test_c42_upsample_single_eval_no_selfjoin(spark, sf_dir, queries):
+    """C42's claim: the coarse plane scatters ONCE — never a join of
+    the fine grid against shifted copies of the coarse subtree. The
+    plan must contain NO join at all (explode + one groupBy), and no
+    window."""
+    plan = _physical(queries["c42_bilinear_upsample"](spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "BroadcastNestedLoopJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_c43_terrain_no_join_back(spark, sf_dir, queries):
+    """C43 uses flow_direction's no-join-back kernel: the center rides
+    the scatter shuffle (max(CASE center)), so the plan has no join
+    and no window — one scatter, one aggregate."""
+    plan = _physical(queries["c43_terrain_indexes"](spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "BroadcastNestedLoopJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_c40_distance_no_range_join(spark, sf_dir, queries):
+    """C40's distance transform must be scatter + equi-join-back —
+    a coordinate-RANGE join over the grid would plan a
+    BroadcastNestedLoopJoin (quadratic per tile at scale)."""
+    plan = _physical(queries["c40_cloud_distance"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
