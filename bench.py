@@ -101,6 +101,7 @@ HEADLINE = [
     "c41_pansharpen",
     "c42_bilinear_upsample",
     "c43_terrain_indexes",
+    "c44_bap_composite",
     "e_rfm_segmentation",
     "e_attribution_linear",
     "x_hll_distinct",

@@ -3093,3 +3093,105 @@ def c43_terrain_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(8) * vc - nbr_sum) * 1e0 / 8).alias("tpi"),
         tri_num.alias("tri_num"),
         (tri_num * 1e0 / 8).alias("tri")))
+
+
+@register("c44_bap_composite", f"""
+WITH {{PIXELS}},
+cells AS (
+  SELECT tile_id, doy, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x,
+         quality, value
+  FROM pixels
+),
+clouds AS (
+  SELECT tile_id, doy, y, x FROM cells
+  WHERE quality IN (2,3,7,8,9,10,11)
+),
+elig AS (
+  SELECT tile_id, doy, y, x, value FROM cells
+  WHERE quality IN (4,5,6) AND value <> {BAND_NODATA}
+),
+d AS (
+  SELECT e.tile_id AS tile_id, e.doy AS doy, e.y AS y, e.x AS x,
+         e.value AS value,
+         coalesce(min((c.y - e.y) * (c.y - e.y)
+                      + (c.x - e.x) * (c.x - e.x)), 9) AS d2c
+  FROM elig e LEFT JOIN clouds c
+    ON c.tile_id = e.tile_id AND c.doy = e.doy
+   AND c.y BETWEEN e.y - 2 AND e.y + 2
+   AND c.x BETWEEN e.x - 2 AND e.x + 2
+  GROUP BY e.tile_id, e.doy, e.y, e.x, e.value
+),
+pick AS (
+  SELECT tile_id, y * {_GRID_W} + x AS pixel_id,
+         max(((d2c * 32 + (16 - abs(doy - 8))) * 32 + (16 - doy)) * 65536
+             + (value + 10001)) AS pk
+  FROM d GROUP BY tile_id, y, x
+)
+SELECT tile_id, pixel_id,
+       CAST(pk % 65536 - 10001 AS BIGINT) AS bap_value,
+       CAST(16 - (pk // 65536) % 32 AS BIGINT) AS bap_doy,
+       CAST((pk // 65536) // 32 AS BIGINT) AS bap_score
+FROM pick
+""".replace("{PIXELS}", PIXELS_SQL))
+def c44_bap_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44: Best-Available-Pixel (BAP) scored compositing — Griffiths
+    et al. 2013 / White et al. 2014, the scored per-pixel selection
+    behind the NRCan/Landsat national composites. Where the
+    reference's compositors are rank rules (LCF first-clear, MED
+    median, C26 medoid), BAP SCORES every clear observation and picks
+    the maximum: score = 32·(squared distance to the nearest
+    same-scene cloud cell within radius 2, sentinel 9) + (16 −
+    |doy − 8|) — cloud adjacency dominates (cloud-edge radiance leak,
+    the C40 geometry applied per scene), target-DOY proximity breaks
+    ties, smaller doy then value disambiguate deterministically via
+    the packed argmax ((score·32 + (16−doy))·2¹⁶ + value+10001 under
+    MAX — one codegen HashAggregate, no window).
+
+    Scale shape: per-SCENE cloud cells scatter 25 bounded contribution
+    rows each keyed (tile, doy, y, x) — 16× C40's volume, still
+    min-combined map-side — one equi-join back onto the eligible
+    plane, then the argmax groupBy on (tile, pixel). The oracle is the
+    per-scene coordinate-range LEFT join + the same packing."""
+    px = pixel_plane(spark, sf_dir)
+    cells = px.select("tile_id", "doy",
+                      F.floor(F.col("pixel_id") / _GRID_W).cast("long")
+                      .alias("y"),
+                      (F.col("pixel_id") % _GRID_W).alias("x"),
+                      "quality", "value")
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in range(-2, 3) for dx in range(-2, 3)])
+    cloud_sc = (cells.filter(F.col("quality").isin(2, 3, 7, 8, 9, 10, 11))
+                .select("tile_id", "doy", "y", "x",
+                        F.explode(offsets).alias("o"))
+                .select(F.col("tile_id").alias("c_tid"),
+                        F.col("doy").alias("c_doy"),
+                        (F.col("y") + F.col("o.dy")).alias("ty"),
+                        (F.col("x") + F.col("o.dx")).alias("tx"),
+                        (F.col("o.dy") * F.col("o.dy")
+                         + F.col("o.dx") * F.col("o.dx")).alias("d2"))
+                .filter((F.col("ty") >= 0) & (F.col("ty") < _GRID_H)
+                        & (F.col("tx") >= 0) & (F.col("tx") < _GRID_W))
+                .groupBy("c_tid", "c_doy", "ty", "tx")
+                .agg(F.min("d2").alias("d2")))
+    elig = cells.filter(F.col("quality").isin(4, 5, 6)
+                        & (F.col("value") != BAND_NODATA))
+    d = (elig.join(cloud_sc, (F.col("tile_id") == F.col("c_tid"))
+                   & (F.col("doy") == F.col("c_doy"))
+                   & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")),
+                   "left")
+         .select("tile_id", "doy", "y", "x", "value",
+                 F.coalesce(F.col("d2"), F.lit(9)).alias("d2c")))
+    score = F.col("d2c") * 32 + (F.lit(16) - F.abs(F.col("doy") - 8))
+    pk_expr = ((score * 32 + (F.lit(16) - F.col("doy"))) * 65536
+               + (F.col("value") + 10001))
+    pick = (d.groupBy("tile_id", (F.col("y") * _GRID_W + F.col("x"))
+                      .alias("pixel_id"))
+            .agg(F.max(pk_expr).alias("pk")))
+    pk = F.col("pk")
+    return pick.select(
+        "tile_id", "pixel_id",
+        (pk % 65536 - 10001).cast("long").alias("bap_value"),
+        (F.lit(16) - F.expr("(pk div 65536) % 32")).cast("long")
+        .alias("bap_doy"),
+        F.expr("(pk div 65536) div 32").cast("long").alias("bap_score"))
