@@ -3798,3 +3798,75 @@ def a_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column scan + in-array distance fold is pure codegen; top-k is a
     map-side TakeOrdered (no shuffle of candidates)."""
     return similarity.sq8_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("x_stream_exactly_once", """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""")
+def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once STREAM → snapshot-store ingestion — the
+    Delta idempotent-writer recipe (txnAppId/txnVersion ≙ run_id/
+    batch_id) driven through a real Structured Streaming query, not
+    just the unit-tested ledger: the documents table streams in 3
+    file-source micro-batches (maxFilesPerTrigger=1), each committed
+    by ``foreachBatch`` → ``write_stream_batch`` under an explicit
+    run_id (the checkpoint-name convention — foreachBatch's cloned
+    session may not list the query, snapshot.py:1121). Two batches
+    are then RE-DELIVERED (the failure/restart case Structured
+    Streaming actually produces) and must be ledger-skipped — asserted
+    in-query — so the final table holds every document EXACTLY once
+    and the per-source aggregate hash-matches the raw table: the
+    oracle would catch both a double-count (replay committed) and a
+    drop (live batch skipped).
+
+    Scale shape: each micro-batch commit is one manifest write + one
+    parquet append; the replay check is a manifest-tail scan, never a
+    data read. The aggregate is batch-split-independent by
+    construction, which is what makes a streaming ingest
+    oracle-checkable at all."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, write_stream_batch
+    from .tables import load_tables
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+    src = scratch_dir("stream_eo_src_")
+    root = scratch_dir("stream_eo_store_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(src)
+        st = SnapshotStore(root)
+        run_id = "ckpt-eo-a"
+        stream = (spark.readStream
+                  .schema("doc_id long, source string, n_chars long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: write_stream_batch(
+                 st, b, i, run_id=run_id))
+             .option("checkpointLocation", src + "_ckpt")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        # failure-path replay: re-offer already-committed batch ids
+        # under the SAME run — the ledger must skip both (None), and
+        # a fresh-run commit after them must still land (found_run).
+        for replayed in (0, 2):
+            if write_stream_batch(st, docs.limit(3), replayed,
+                                  run_id=run_id) is not None:
+                raise AssertionError(
+                    f"replayed batch {replayed} was committed twice")
+        rows = (st.read(spark)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("sum_chars"))
+                .collect())
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, sum_chars long")
