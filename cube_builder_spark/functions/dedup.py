@@ -366,8 +366,8 @@ def label_propagation(pairs: DataFrame, iters: int = 4) -> DataFrame:
     ``cnt·2³² + (2³²−1 − lbl)`` under MAX — highest neighbor-label
     count wins, ties break toward the SMALLER label — so both engines
     replay the identical deterministic automaton whether or not it
-    has converged. Labels must fit 32 bits (doc_ids here; assert-
-    guarded by the packing domain).
+    has converged. Labels must fit 32 bits for the packing (doc_ids
+    here do; callers with wider id domains should densify first).
 
     Scale shape: same as dup_clusters — per round one join of the
     pair-graph edge list with the label table and two bounded
