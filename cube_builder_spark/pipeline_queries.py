@@ -3870,3 +3870,70 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, n_docs long, sum_chars long")
+
+
+@register("x_snapshot_rollback", """
+WITH a AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 0),
+b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 3 = 1),
+c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 3 = 2),
+ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+ac AS (SELECT * FROM a UNION ALL SELECT * FROM c)
+SELECT 'v2_before_rollback' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ab
+UNION ALL
+SELECT 'v3_rolled_back', count(*), CAST(sum(n_chars) AS BIGINT) FROM a
+UNION ALL
+SELECT 'v4_diverged', count(*), CAST(sum(n_chars) AS BIGINT) FROM ac
+UNION ALL
+SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM ab
+""")
+def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback + divergent-history lifecycle — the last snapshot-store
+    ref operation without an oracle row (time travel, CDC, branch,
+    expire/vacuum, WAP, OCC all have theirs; rollback was unit-only,
+    tests/test_snapshot.py:43): append A (v1) → append B (v2) →
+    ROLLBACK to v1 (v3, metadata-only — no file is touched) → append
+    C (v4). The final table must be A+C (the rolled-back B never
+    resurfaces), while time-traveling to v2 must STILL read A+B — a
+    rollback hides a version from the present without destroying
+    history, exactly Iceberg's rollback-to-snapshot semantics. The
+    oracle recomputes all four reads from the raw table's modular
+    slices, so a hash mismatch would expose either leak direction
+    (B in the present, or B lost from history).
+
+    Scale shape: rollback is one manifest write; every read is
+    manifest-resolved file pruning — nothing here scales with data
+    beyond the appends themselves."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    root = scratch_dir("snap_rb_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 == 0))          # v1 = A
+        st.write(docs.filter(F.col("doc_id") % 3 == 1))          # v2 = A+B
+        st.rollback(1)                                           # v3 ≙ v1
+        st.write(docs.filter(F.col("doc_id") % 3 == 2))          # v4 = A+C
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("label"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"))
+
+        out = (agg(st.read(spark, 2), "v2_before_rollback")
+               .unionByName(agg(st.read(spark, 3), "v3_rolled_back"))
+               .unionByName(agg(st.read(spark, 4), "v4_diverged"))
+               .unionByName(agg(st.read(spark, 2), "v2_time_travel")))
+        rows = out.collect()                  # materialize BEFORE rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long")
