@@ -1320,3 +1320,61 @@ def e_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("var_units"),
                     (mean / F.when(tot_mean != 0, tot_mean))
                     .alias("seasonal_index")))
+
+
+@register("x_dynamic_partition_pruning", """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 'conversion' ELSE 'engagement' END AS category
+  FROM events
+)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE d.category = 'conversion'
+GROUP BY e.event_type
+""")
+def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning through a star join — the Catalyst
+    runtime-pruning feature every 100 TB fact/dim join lives on
+    (Spark 3.0+, SPARK-11150), in the TPC-DS shape: the fact table is
+    HIVE-PARTITIONED by event_type, the filter sits on a DIM
+    attribute (category = 'conversion'), and the qualifying partition
+    KEYS exist only at runtime — static pushdown cannot carry a
+    dim-attribute predicate through the join onto the fact's
+    partition column. Catalyst broadcasts the filtered dim, plants a
+    dynamicpruningexpression in the fact scan's PartitionFilters, and
+    the scan never opens a non-qualifying partition's files. At
+    100 TB that is reading 2 partitions instead of all of them.
+
+    Plan-shape note (probed, not assumed): DPP's insertion requires a
+    LIKELY-SELECTIVE predicate on the dim side — attribute-vs-literal
+    qualifies; a column-vs-column ratio filter (cnt*5 >= total, the
+    first cut) never triggered the rule. The values are
+    oracle-checked here; the dynamicpruningexpression itself is
+    pinned environment-independently in tests/test_plan_shape.py.
+
+    The scratch partitioned copy stands in for what at scale IS the
+    table's layout — partitioned storage is DPP's precondition, not
+    overhead added by the query."""
+    from .session import defer_cleanup, scratch_dir
+
+    ev = _events(spark, sf_dir)
+    root = scratch_dir("dpp_fact_")
+    (ev.select("event_type", "value")
+     .write.mode("overwrite").partitionBy("event_type").parquet(root))
+    fact = spark.read.parquet(defer_cleanup(root, key="x_dpp_fact"))
+
+    dim = (ev.select("event_type").distinct()
+           .withColumn("category",
+                       F.when(F.col("event_type").isin("purchase", "signup"),
+                              "conversion").otherwise("engagement")))
+    sel = (dim.filter(F.col("category") == "conversion")
+           .select(F.col("event_type").alias("sel_type")))
+    return (fact.join(sel, fact["event_type"] == F.col("sel_type"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(round_half_up_long(F.col("value"), 100))
+                 .cast("long").alias("sum_cents")))

@@ -139,3 +139,12 @@ def test_c40_distance_no_range_join(spark, sf_dir, queries):
     plan = _physical(queries["c40_cloud_distance"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir, queries):
+    """x_dynamic_partition_pruning's contract: the hive-partitioned
+    fact scan must carry a dynamicpruningexpression PartitionFilter —
+    the runtime subquery that skips non-qualifying partitions' files
+    entirely. (Values are oracle-checked; this pins the mechanism.)"""
+    plan = _physical(queries["x_dynamic_partition_pruning"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
