@@ -1378,3 +1378,80 @@ def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(round_half_up_long(F.col("value"), 100))
                  .cast("long").alias("sum_cents")))
+
+
+@register("e_lagged_xcorr", """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nv,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+paired AS (
+  SELECT l.lag AS lag, a.nv AS x, b.np AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag
+)
+SELECT lag, count(*) AS n_days,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy,
+       (count(*) * sum(x * y) - sum(x) * sum(y)) * 1e0
+         / NULLIF(sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                  * sqrt(count(*) * sum(y * y) - sum(y) * sum(y)), 0)
+         AS pearson
+FROM paired GROUP BY lag
+""")
+def e_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between two event streams — the
+    signals question behind funnel latency ("do views LEAD purchases,
+    and by how many days?"): Pearson correlation of daily view volume
+    against purchase volume shifted by each lag in [-3, +3]; the
+    arg-max lag estimates the conversion delay, the backbone of
+    marketing-mix / causal-lag analysis.
+
+    Exactness: daily counts are exact int64, so every Pearson
+    component (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer — the
+    cross-multiplied n·Σxy − ΣxΣy form stays well inside int64 for
+    daily-count magnitudes (counts ~1e6/day at 100 TB → n·Σxy ~1e15)
+    — and the coefficient itself is correctly-rounded IEEE sqrt/
+    division with the IDENTICAL expression shape in both engines.
+
+    Scale shape: ONE map-side-combinable groupBy(day) carries the
+    event volume; the lag expansion (a 7-literal explode) and the
+    per-lag self-join run on the days×1 aggregate — bounded by the
+    calendar, not the data. The conditional-aggregate pivot computes
+    both series in one pass (the q2/q15 single-subtree lesson: never
+    two filtered groupBys joined back)."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.filter(F.col("event_type").isin("view", "purchase"))
+             .groupBy(F.expr("unix_timestamp(ts) div 86400")
+                      .cast("long").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).cast("long").alias("nv"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("np")))
+    lags = F.explode(F.array(*[F.lit(l) for l in range(-3, 4)]))
+    a = daily.select("day", "nv", lags.alias("lag"))
+    b = daily.select(F.col("day").alias("b_day"), "np")
+    paired = a.join(b, F.col("b_day") == F.col("day") + F.col("lag"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("nv"), F.sum("np")
+    sxy = F.sum(F.col("nv") * F.col("np"))
+    sxx = F.sum(F.col("nv") * F.col("nv"))
+    syy = F.sum(F.col("np") * F.col("np"))
+    den = (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return (paired.groupBy(F.col("lag").cast("long").alias("lag"))
+            .agg(n.alias("n_days"),
+                 sx.cast("long").alias("sx"), sy.cast("long").alias("sy"),
+                 sxy.cast("long").alias("sxy"),
+                 sxx.cast("long").alias("sxx"),
+                 syy.cast("long").alias("syy"),
+                 ((n * sxy - sx * sy) * 1e0
+                  / F.when(den != 0, den)).alias("pearson")))
