@@ -148,3 +148,41 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir, queries):
     entirely. (Values are oracle-checked; this pins the mechanism.)"""
     plan = _physical(queries["x_dynamic_partition_pruning"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_runtime_bloom_filter_injects_across_shuffle(spark, sf_dir):
+    """Catalyst's row-level runtime filtering (InjectRuntimeFilter,
+    SPARK-32268) — the sibling of x_dynamic_partition_pruning's
+    partition-level pruning: a selective dim predicate becomes a
+    bloom_filter_agg subquery and a might_contain condition on the
+    fact scan, filtering rows BEFORE the shuffle. Probed insertion
+    conditions (documented here because they're non-obvious): the
+    application side must actually contain a shuffle — a broadcast
+    join never gets the filter (it wouldn't pay) — and the
+    application-side scan must exceed
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold``
+    (default 10GB, lowered for fixture-scale data)."""
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.tables import load_tables
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+        big = t["lineitem"].select("l_orderkey", "l_quantity")
+        small = (t["orders"].filter(F.col("o_totalprice") > 400000)
+                 .select("o_orderkey"))
+        j = (big.join(small, big["l_orderkey"] == small["o_orderkey"])
+             .groupBy().count())
+        plan = _physical(j)
+        assert "might_contain" in plan.lower(), plan[:3000]
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
