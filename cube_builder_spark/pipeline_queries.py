@@ -3960,3 +3960,51 @@ def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long")
+
+
+@register("p_oversample_minority", """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+mx AS (SELECT max(n) AS mx FROM counts),
+factors AS (
+  SELECT lang, CAST(mx // n AS BIGINT) AS factor
+  FROM counts CROSS JOIN mx
+)
+SELECT d.doc_id AS doc_id, d.lang AS lang,
+       CAST(u.copy_idx AS BIGINT) AS copy_idx,
+       f.factor AS factor
+FROM documents d
+JOIN factors f ON d.lang = f.lang,
+     unnest(range(1, f.factor + 1)) AS u(copy_idx)
+""")
+def p_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling — the class-rebalancing step of a
+    training-data mix (the replication counterpart of
+    p_stratified_sample's downsampling): every document is replicated
+    ⌊max_class_count / its_class_count⌋ times, lifting each language
+    toward the majority class without dropping majority data. The
+    factor is DERIVED (a global max over per-class counts riding the
+    crossJoin-of-1-row-aggregate pattern), deterministic integer
+    floor-division in both engines, and each copy carries its
+    copy_idx so downstream shuffles/dedup see distinct rows.
+
+    Scale shape: the per-class count table is vocabulary-sized and
+    broadcast into the fact join; the explode fans each row out by
+    its bounded factor (≤ the class imbalance ratio) — no shuffle
+    grows beyond output size. Epoch-style alternatives (fractional
+    replication via hash-sampling the remainder) compose with
+    p_hash_split_sample; the exact-integer floor keeps the oracle
+    bit-for-bit."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    factors = (counts.crossJoin(mx)
+               .select("lang", F.expr("mx div n").cast("long")
+                       .alias("factor")))
+    return (docs.join(factors, "lang")
+            .select("doc_id", "lang", "factor",
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("factor")))
+                    .alias("copy_idx"))
+            .select("doc_id", "lang", "copy_idx", "factor"))
