@@ -687,3 +687,60 @@ def video_scene_cuts(media: DataFrame,
     return media.mapInPandas(
         cuts, "doc_id long, n_frames int, n_cuts long, "
               "max_delta long, first_cut long")
+
+
+AUDIO_VAD_THRESHOLD = 3_400_000   # ~mean frame energy of int16 noise
+
+
+def audio_vad(media: DataFrame, frame: int = AUDIO_FP_FRAME,
+              threshold: int = AUDIO_VAD_THRESHOLD) -> DataFrame:
+    """Voice-activity detection over REAL decoded WAV payloads — THE
+    speech-curation primitive (every ASR/TTS training pipeline gates
+    and segments audio on VAD before anything else; Sohn 1999 reduced
+    to its energy-gate core so a codec-exact oracle can replay it).
+
+    Per doc: PCM16 decode → non-overlapping ``frame``-sample windows
+    (trailing partial drops) → exact int64 energy Σs² per window →
+    ACTIVE iff energy > threshold → run-length segmentation of the
+    active mask. Returns per doc: n_frames, n_active, n_segments
+    (maximal active runs), longest_seg, first_active (frame index of
+    the first active run, −1 when silent throughout — a sentinel, not
+    NULL, so the Arrow column stays int64). All-integer: the oracle
+    derives identical values symbolically from the generator
+    arithmetic, proving container decode + framing + the gate + the
+    gaps-and-islands segmentation at once.
+
+    Scale shape: one Arrow-batched pass, no shuffle — each doc's
+    decision is local, the mapInPandas twin of the streaming VAD a
+    production pipeline runs at ingest."""
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media_type, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if media_type != "audio/wav":
+                    continue
+                _rate, samples = decode_wav(bytes(payload))
+                nf = len(samples) // frame
+                if nf < 1:
+                    continue
+                e = (samples[:nf * frame].astype(np.int64)
+                     .reshape(nf, frame) ** 2).sum(axis=1)
+                a = (e > threshold).astype(np.int8)
+                starts = np.flatnonzero(np.diff(np.concatenate(([0], a))) == 1)
+                if len(starts):
+                    ends = np.flatnonzero(
+                        np.diff(np.concatenate((a, [0]))) == -1)
+                    longest = int((ends - starts + 1).max())
+                    first = int(starts[0])
+                else:
+                    longest, first = 0, -1
+                rows.append((int(doc_id), int(nf), int(a.sum()),
+                             int(len(starts)), longest, first))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_active", "n_segments",
+                "longest_seg", "first_active"])
+
+    return media.mapInPandas(
+        vad, "doc_id long, n_frames long, n_active long, "
+             "n_segments long, longest_seg long, first_active long")

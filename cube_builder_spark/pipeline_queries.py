@@ -4008,3 +4008,57 @@ def p_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("factor")))
                     .alias("copy_idx"))
             .select("doc_id", "lang", "copy_idx", "factor"))
+
+
+@register("m_audio_vad", """
+WITH adocs AS (
+  SELECT doc_id, 50 + n_chars % 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT doc_id, unnest(range(0, (n // 10) * 10)) AS i FROM adocs
+),
+fe AS (
+  SELECT doc_id, i // 10 AS f,
+         sum(((doc_id * 31 + i * 17) % 2001 - 1000)
+             * ((doc_id * 31 + i * 17) % 2001 - 1000)) AS e
+  FROM px GROUP BY doc_id, i // 10
+),
+act AS (SELECT doc_id, f, e > 3400000 AS a FROM fe),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+  FROM act GROUP BY doc_id
+),
+isl AS (
+  SELECT doc_id, f,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+  FROM act WHERE a
+),
+segs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(seg_len) AS BIGINT) AS longest_seg,
+         CAST(min(f0) AS BIGINT) AS first_active
+  FROM (SELECT doc_id, g, count(*) AS seg_len, min(f) AS f0
+        FROM isl GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, b.n_frames, b.n_active,
+       coalesce(s.n_segments, 0) AS n_segments,
+       coalesce(s.longest_seg, 0) AS longest_seg,
+       coalesce(s.first_active, -1) AS first_active
+FROM base b LEFT JOIN segs s ON b.doc_id = s.doc_id
+""")
+def m_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the real-codec WAV plane
+    (functions/multimodal.audio_vad): energy-gated frames +
+    gaps-and-islands segmentation, the first step of every
+    speech-data curation pipeline. Spark decodes the REAL WAV
+    container executor-side in Arrow batches; the oracle replays the
+    sample generator symbolically and re-derives the segmentation
+    with a row_number island id — a hash match proves decode, exact
+    int64 frame energies, the gate, and the run-length logic at
+    once."""
+    from .functions import multimodal
+    media = multimodal.attach_real_media(_docs(spark, sf_dir))
+    return multimodal.audio_vad(media)

@@ -510,3 +510,33 @@ def test_thumbnail_zero_area_guard(spark):
         # the documented alternative contract ("raises cleanly")
         with pytest.raises(Exception):
             multimodal.decode_bmp(bytes(zero_w))
+
+
+def test_audio_vad_silent_loud_and_alternating(spark):
+    """VAD edge semantics: silence → zero segments and the −1
+    first_active sentinel; a loud clip → one wall-to-wall segment;
+    an alternating loud/quiet clip → one segment per loud burst."""
+    import numpy as np
+    from cube_builder_spark.functions import multimodal
+
+    frame = multimodal.AUDIO_FP_FRAME
+    silent = multimodal.encode_wav(np.zeros(frame * 5, np.int16), 8000)
+    loud = multimodal.encode_wav(np.full(frame * 4, 1000, np.int16), 8000)
+    alt = multimodal.encode_wav(
+        np.concatenate([np.full(frame, 1000, np.int16),
+                        np.zeros(frame, np.int16)] * 3), 8000)
+    media = spark.createDataFrame(
+        [(0, "audio/wav", silent), (1, "audio/wav", loud),
+         (2, "audio/wav", alt), (3, "image/bmp", b"ignored")],
+        "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in multimodal.audio_vad(media).collect()}
+    assert set(out) == {0, 1, 2}          # non-audio rows drop
+    s = out[0]
+    assert (s.n_frames, s.n_active, s.n_segments, s.longest_seg,
+            s.first_active) == (5, 0, 0, 0, -1)
+    l = out[1]
+    assert (l.n_frames, l.n_active, l.n_segments, l.longest_seg,
+            l.first_active) == (4, 4, 1, 4, 0)
+    a = out[2]
+    assert (a.n_frames, a.n_active, a.n_segments, a.longest_seg,
+            a.first_active) == (6, 3, 3, 1, 0)
