@@ -2073,6 +2073,52 @@ def _comp_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "v"))
 
 
+# Per-pixel temporal-mode CLASS plane (0 nodata, 1 clear, 2 not-clear,
+# 3 saturated; packed-argmax tie toward the smaller class) — shared by
+# C29 (focal majority) and C40 (cloud distance), SQL and Spark in
+# lockstep like _COMP_SQL/_comp_cells.
+_TMODE_SQL = f"""
+cls AS (
+  SELECT tile_id, pixel_id,
+         CASE WHEN quality IN (4,5,6) THEN 1
+              WHEN quality = 1 THEN 3
+              WHEN quality = 0 THEN 0
+              ELSE 2 END AS c
+  FROM pixels
+),
+tmode AS (
+  SELECT tile_id, pixel_id, 3 - (pk % 4) AS c
+  FROM (SELECT tile_id, pixel_id, max(cnt * 4 + (3 - c)) AS pk
+        FROM (SELECT tile_id, pixel_id, c, count(*) AS cnt
+              FROM cls GROUP BY tile_id, pixel_id, c)
+        GROUP BY tile_id, pixel_id)
+),
+cells AS (
+  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x, c
+  FROM tmode
+)
+"""
+
+
+def _tmode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TMODE_SQL: (tile_id, y, x, c)."""
+    px = pixel_plane(spark, sf_dir)
+    c = (F.when(F.col("quality").isin(4, 5, 6), 1)
+         .when(F.col("quality") == 1, 3)
+         .when(F.col("quality") == 0, 0)
+         .otherwise(2))
+    per_class = (px.select("tile_id", "pixel_id", c.alias("c"))
+                 .groupBy("tile_id", "pixel_id", "c")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_class
+            .groupBy("tile_id", "pixel_id")
+            .agg(F.max(F.col("cnt") * 4 + (F.lit(3) - F.col("c"))).alias("pk"))
+            .select("tile_id",
+                    F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
+                    (F.col("pixel_id") % _GRID_W).alias("x"),
+                    (F.lit(3) - F.col("pk") % 4).alias("c")))
+
+
 @register("c28_focal_stats", f"""
 WITH {{PIXELS}},
 {_COMP_SQL}
@@ -2111,25 +2157,7 @@ def c28_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("c29_focal_majority", f"""
 WITH {{PIXELS}},
-cls AS (
-  SELECT tile_id, pixel_id,
-         CASE WHEN quality IN (4,5,6) THEN 1
-              WHEN quality = 1 THEN 3
-              WHEN quality = 0 THEN 0
-              ELSE 2 END AS c
-  FROM pixels
-),
-tmode AS (
-  SELECT tile_id, pixel_id, 3 - (pk % 4) AS c
-  FROM (SELECT tile_id, pixel_id, max(cnt * 4 + (3 - c)) AS pk
-        FROM (SELECT tile_id, pixel_id, c, count(*) AS cnt
-              FROM cls GROUP BY tile_id, pixel_id, c)
-        GROUP BY tile_id, pixel_id)
-),
-cells AS (
-  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x, c
-  FROM tmode
-),
+{_TMODE_SQL},
 nbr AS (
   SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x, q.c AS c, count(*) AS cnt
   FROM cells p JOIN cells q
@@ -2162,23 +2190,7 @@ def c29_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scatter -> count per (cell, class) (the map-side-
     combinable stage carries the volume) -> argmax over <=4 rows per
     cell -> join back. Oracle: range self-join + the same packing."""
-    px = pixel_plane(spark, sf_dir)
-    c = (F.when(F.col("quality").isin(4, 5, 6), 1)
-         .when(F.col("quality") == 1, 3)
-         .when(F.col("quality") == 0, 0)
-         .otherwise(2))
-    per_class = (px.select("tile_id", "pixel_id", c.alias("c"))
-                 .groupBy("tile_id", "pixel_id", "c")
-                 .agg(F.count(F.lit(1)).alias("cnt")))
-    tmode = (per_class
-             .groupBy("tile_id", "pixel_id")
-             .agg(F.max(F.col("cnt") * 4 + (F.lit(3) - F.col("c"))).alias("pk"))
-             .select("tile_id", "pixel_id",
-                     (F.lit(3) - F.col("pk") % 4).alias("c")))
-    cells = tmode.select(
-        "tile_id",
-        F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
-        (F.col("pixel_id") % _GRID_W).alias("x"), "c")
+    cells = _tmode_cells(spark, sf_dir)
     from .operators.focal import focal_majority
     out = focal_majority(cells, n_classes=4, radius=1,
                          height=_GRID_H, width=_GRID_W)
@@ -2802,25 +2814,7 @@ def c39_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("c40_cloud_distance", f"""
 WITH {{PIXELS}},
-cls AS (
-  SELECT tile_id, pixel_id,
-         CASE WHEN quality IN (4,5,6) THEN 1
-              WHEN quality = 1 THEN 3
-              WHEN quality = 0 THEN 0
-              ELSE 2 END AS c
-  FROM pixels
-),
-tmode AS (
-  SELECT tile_id, pixel_id, 3 - (pk % 4) AS c
-  FROM (SELECT tile_id, pixel_id, max(cnt * 4 + (3 - c)) AS pk
-        FROM (SELECT tile_id, pixel_id, c, count(*) AS cnt
-              FROM cls GROUP BY tile_id, pixel_id, c)
-        GROUP BY tile_id, pixel_id)
-),
-cells AS (
-  SELECT tile_id, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x, c
-  FROM tmode
-),
+{_TMODE_SQL},
 d AS (
   SELECT p.tile_id AS tile_id, p.y AS y, p.x AS x, p.c AS c,
          min((q.y - p.y) * (q.y - p.y) + (q.x - p.x) * (q.x - p.x)) AS d2
@@ -2852,23 +2846,9 @@ def c40_cloud_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows each, min-combined map-side), one groupBy on the target cell,
     one LEFT join back onto the plane (operators/focal.py
     min_distance_transform) — never a range join over the grid. The
-    oracle is the coordinate-range LEFT self-join formulation."""
-    px = pixel_plane(spark, sf_dir)
-    c = (F.when(F.col("quality").isin(4, 5, 6), 1)
-         .when(F.col("quality") == 1, 3)
-         .when(F.col("quality") == 0, 0)
-         .otherwise(2))
-    per_class = (px.select("tile_id", "pixel_id", c.alias("c"))
-                 .groupBy("tile_id", "pixel_id", "c")
-                 .agg(F.count(F.lit(1)).alias("cnt")))
-    cells = (per_class
-             .groupBy("tile_id", "pixel_id")
-             .agg(F.max(F.col("cnt") * 4 + (F.lit(3) - F.col("c"))).alias("pk"))
-             .select("tile_id",
-                     F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
-                     (F.col("pixel_id") % _GRID_W).alias("x"),
-                     (F.lit(3) - F.col("pk") % 4).alias("c"))
-             .withColumn("src", F.col("c") == 2))
+    oracle is the coordinate-range LEFT self-join formulation over
+    the shared _TMODE_SQL plane (one definition for C29 and C40)."""
+    cells = _tmode_cells(spark, sf_dir).withColumn("src", F.col("c") == 2)
     from .operators.focal import min_distance_transform
     out = min_distance_transform(cells, radius=3,
                                  height=_GRID_H, width=_GRID_W)
@@ -3149,39 +3129,27 @@ def c44_bap_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-SCENE cloud cells scatter 25 bounded contribution
     rows each keyed (tile, doy, y, x) — 16× C40's volume, still
-    min-combined map-side — one equi-join back onto the eligible
-    plane, then the argmax groupBy on (tile, pixel). The oracle is the
-    per-scene coordinate-range LEFT join + the same packing."""
+    min-combined map-side — one equi-join back onto the scene plane,
+    then the argmax groupBy on (tile, pixel). The distance kernel IS
+    operators/focal.min_distance_transform (one definition with C40):
+    the per-scene plane rides it with the composite key
+    tile·N_DATES + (doy−1) standing in for the tile id. The oracle is
+    the per-scene coordinate-range LEFT join + the same packing."""
+    from .operators.focal import min_distance_transform
     px = pixel_plane(spark, sf_dir)
-    cells = px.select("tile_id", "doy",
-                      F.floor(F.col("pixel_id") / _GRID_W).cast("long")
-                      .alias("y"),
-                      (F.col("pixel_id") % _GRID_W).alias("x"),
-                      "quality", "value")
-    offsets = F.array(*[
-        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-        for dy in range(-2, 3) for dx in range(-2, 3)])
-    cloud_sc = (cells.filter(F.col("quality").isin(2, 3, 7, 8, 9, 10, 11))
-                .select("tile_id", "doy", "y", "x",
-                        F.explode(offsets).alias("o"))
-                .select(F.col("tile_id").alias("c_tid"),
-                        F.col("doy").alias("c_doy"),
-                        (F.col("y") + F.col("o.dy")).alias("ty"),
-                        (F.col("x") + F.col("o.dx")).alias("tx"),
-                        (F.col("o.dy") * F.col("o.dy")
-                         + F.col("o.dx") * F.col("o.dx")).alias("d2"))
-                .filter((F.col("ty") >= 0) & (F.col("ty") < _GRID_H)
-                        & (F.col("tx") >= 0) & (F.col("tx") < _GRID_W))
-                .groupBy("c_tid", "c_doy", "ty", "tx")
-                .agg(F.min("d2").alias("d2")))
-    elig = cells.filter(F.col("quality").isin(4, 5, 6)
-                        & (F.col("value") != BAND_NODATA))
-    d = (elig.join(cloud_sc, (F.col("tile_id") == F.col("c_tid"))
-                   & (F.col("doy") == F.col("c_doy"))
-                   & (F.col("y") == F.col("ty")) & (F.col("x") == F.col("tx")),
-                   "left")
-         .select("tile_id", "doy", "y", "x", "value",
-                 F.coalesce(F.col("d2"), F.lit(9)).alias("d2c")))
+    plane = px.select(
+        (F.col("tile_id") * N_DATES + F.col("doy") - 1).alias("tile_id"),
+        F.col("tile_id").alias("r_tile"), "doy",
+        F.floor(F.col("pixel_id") / _GRID_W).cast("long").alias("y"),
+        (F.col("pixel_id") % _GRID_W).alias("x"),
+        "quality", "value",
+        F.col("quality").isin(2, 3, 7, 8, 9, 10, 11).alias("src"))
+    d = (min_distance_transform(plane, radius=2, height=_GRID_H,
+                                width=_GRID_W, sentinel=9)
+         .filter(F.col("quality").isin(4, 5, 6)
+                 & (F.col("value") != BAND_NODATA))
+         .select(F.col("r_tile").alias("tile_id"), "doy", "y", "x",
+                 "value", F.col("dist2").alias("d2c")))
     score = F.col("d2c") * 32 + (F.lit(16) - F.abs(F.col("doy") - 8))
     pk_expr = ((score * 32 + (F.lit(16) - F.col("doy"))) * 65536
                + (F.col("value") + 10001))

@@ -323,11 +323,11 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 ),
 truth AS (SELECT doc_a, doc_b FROM inter
-          WHERE c * 1e0 / (na + nb - c) >= 5e-1),
+          WHERE c * 1e0 / (na + nb - c) >= {_AP_TAU}e0),
 cagg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-         CAST(sum(CASE WHEN jaccard >= 5e-1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits
+         CAST(sum(CASE WHEN jaccard >= {_AP_TAU}e0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
   FROM cj
 ),
 tagg AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
@@ -374,8 +374,8 @@ def d_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dedup.allpairs_jaccard(docs, k=_AP_K, threshold=_AP_TAU)
     cagg = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("long")
-        .alias("n_hits"))
+        F.sum(F.when(F.col("jaccard") >= _AP_TAU, 1).otherwise(0))
+        .cast("long").alias("n_hits"))
     tagg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nhits = F.col("n_hits")
     return (cagg.crossJoin(tagg)
@@ -3875,13 +3875,19 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         # failure-path replay: re-offer already-committed batch ids
-        # under the SAME run — the ledger must skip both (None), and
-        # a fresh-run commit after them must still land (found_run).
+        # under the SAME run — the ledger must skip both (None) —
+        # then prove a FRESH run's batch 0 still lands (comparing
+        # batch_id alone would wrongly skip restarted streams): the
+        # fresh commit carries an EMPTY batch so the exactly-once
+        # aggregate the oracle checks is unchanged.
         for replayed in (0, 2):
             if write_stream_batch(st, docs.limit(3), replayed,
                                   run_id=run_id) is not None:
                 raise AssertionError(
                     f"replayed batch {replayed} was committed twice")
+        if write_stream_batch(st, docs.limit(0), 0,
+                              run_id="ckpt-eo-b") is None:
+            raise AssertionError("fresh-run batch 0 was wrongly skipped")
         rows = (st.read(spark)
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
