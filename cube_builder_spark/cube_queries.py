@@ -3163,3 +3163,94 @@ def c44_bap_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(16) - F.expr("(pk div 65536) % 32")).cast("long")
         .alias("bap_doy"),
         F.expr("(pk div 65536) div 32").cast("long").alias("bap_score"))
+
+
+@register("c45_coregistration", f"""
+WITH {{PIXELS}},
+val AS (
+  SELECT tile_id, doy, pixel_id // {_GRID_W} AS y, pixel_id % {_GRID_W} AS x,
+         value AS v
+  FROM pixels WHERE value <> {BAND_NODATA}
+),
+shifts(idx, dy, dx) AS (
+  VALUES (0,-1,-1),(1,-1,0),(2,-1,1),(3,0,-1),(4,0,0),
+         (5,0,1),(6,1,-1),(7,1,0),(8,1,1)
+),
+xc AS (
+  SELECT a.tile_id AS tile_id, a.doy AS doy, s.idx AS idx,
+         sum(a.v * b.v) AS xcorr
+  FROM val a
+  CROSS JOIN shifts s
+  JOIN val b ON b.tile_id = a.tile_id AND b.doy = a.doy + 1
+            AND b.y = a.y + s.dy AND b.x = a.x + s.dx
+  GROUP BY a.tile_id, a.doy, s.idx
+),
+pick AS (
+  SELECT tile_id, doy,
+         max((xcorr + 60000000000) * 16 + (8 - idx)) AS pk
+  FROM xc GROUP BY tile_id, doy
+)
+SELECT tile_id, CAST(doy AS BIGINT) AS doy_a,
+       CAST((8 - pk % 16) // 3 - 1 AS BIGINT) AS best_dy,
+       CAST((8 - pk % 16) % 3 - 1 AS BIGINT) AS best_dx,
+       CAST(pk // 16 - 60000000000 AS BIGINT) AS best_xcorr
+FROM pick
+""".replace("{PIXELS}", PIXELS_SQL))
+def c45_coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: scene-to-scene coregistration check — integer
+    cross-correlation shift detection between consecutive scenes of a
+    tile (the QA step UPSTREAM of everything the reference builds: its
+    merge/blend stack assumes inputs are co-registered; AROSICS-class
+    tooling detects when they aren't). For each (tile, doy, doy+1)
+    scene pair, the shift (dy, dx) ∈ [−1,1]² maximizing the raw
+    cross-correlation Σ v_t(y,x)·v_{t+1}(y+dy, x+dx) over the
+    overlapping valid cells; a best shift ≠ (0,0) flags
+    misregistration. Ties break toward the smaller shift index (row-
+    major) via the signed packed argmax (xcorr offset to positive,
+    ·16 + (8−idx) under MAX — exact int64 throughout: |Σ v·v| ≤
+    512·10⁸ < the 6·10¹⁰ offset).
+
+    Scale shape: the 9-shift expansion is a bounded explode on the
+    left scene (map-side), the pairing is ONE equi-join on
+    (tile, doy+1, y+dy, x+dx) — never a range join — and both
+    aggregates are map-side-combinable (per-(pair, shift) sums, then
+    a ≤9-row argmax). At 100× this is the focal halo exchange with a
+    time axis."""
+    px = pixel_plane(spark, sf_dir)
+    val = (px.filter(F.col("value") != BAND_NODATA)
+           .select("tile_id", "doy",
+                   F.floor(F.col("pixel_id") / _GRID_W).cast("long")
+                   .alias("y"),
+                   (F.col("pixel_id") % _GRID_W).alias("x"),
+                   F.col("value").alias("v")))
+    shifts = F.array(*[
+        F.struct(F.lit((dy + 1) * 3 + (dx + 1)).alias("idx"),
+                 F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    a = (val.select("tile_id", "doy", "y", "x", "v",
+                    F.explode(shifts).alias("s"))
+         .select("tile_id", "doy", "v", F.col("s.idx").alias("idx"),
+                 (F.col("doy") + 1).alias("b_doy_k"),
+                 (F.col("y") + F.col("s.dy")).alias("b_y_k"),
+                 (F.col("x") + F.col("s.dx")).alias("b_x_k")))
+    b = val.select(F.col("tile_id").alias("b_tid"),
+                   F.col("doy").alias("b_doy"),
+                   F.col("y").alias("b_y"), F.col("x").alias("b_x"),
+                   F.col("v").alias("b_v"))
+    xc = (a.join(b, (F.col("tile_id") == F.col("b_tid"))
+                 & (F.col("b_doy_k") == F.col("b_doy"))
+                 & (F.col("b_y_k") == F.col("b_y"))
+                 & (F.col("b_x_k") == F.col("b_x")))
+          .groupBy("tile_id", "doy", "idx")
+          .agg(F.sum(F.col("v") * F.col("b_v")).alias("xcorr")))
+    pk_expr = ((F.col("xcorr") + F.lit(60000000000)) * 16
+               + (F.lit(8) - F.col("idx")))
+    pick = (xc.groupBy("tile_id", "doy")
+            .agg(F.max(pk_expr).alias("pk")))
+    idx = F.lit(8) - F.col("pk") % 16
+    return pick.select(
+        "tile_id", F.col("doy").cast("long").alias("doy_a"),
+        (F.floor(idx / 3) - 1).cast("long").alias("best_dy"),
+        (idx % 3 - 1).cast("long").alias("best_dx"),
+        (F.expr("pk div 16") - F.lit(60000000000)).cast("long")
+        .alias("best_xcorr"))
