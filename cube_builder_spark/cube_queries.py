@@ -3254,3 +3254,91 @@ def c45_coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (idx % 3 - 1).cast("long").alias("best_dx"),
         (F.expr("pk div 16") - F.lit(60000000000)).cast("long")
         .alias("best_xcorr"))
+
+
+@register("c46_break_detection", f"""
+WITH {{PIXELS}},
+ser AS (
+  SELECT tile_id, pixel_id, doy, value AS v,
+         row_number() OVER w AS k,
+         CAST(sum(value) OVER (PARTITION BY tile_id, pixel_id
+                               ORDER BY doy
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sk,
+         count(*) OVER (PARTITION BY tile_id, pixel_id) AS n,
+         CAST(sum(value) OVER (PARTITION BY tile_id, pixel_id)
+              AS BIGINT) AS stot
+  FROM pixels
+  WHERE quality IN (4,5,6) AND value <> {BAND_NODATA}
+  WINDOW w AS (PARTITION BY tile_id, pixel_id ORDER BY doy)
+),
+splits AS (
+  SELECT tile_id, pixel_id, doy, k, n,
+         sk * (n - k) - (stot - sk) * k AS dnum,
+         (sk * (n - k) - (stot - sk) * k)
+           * (sk * (n - k) - (stot - sk) * k) * 1e0 / (k * (n - k))
+           AS metric
+  FROM ser WHERE n >= 4 AND k < n
+),
+best AS (
+  SELECT tile_id, pixel_id, doy, k, n, dnum, metric,
+         row_number() OVER (PARTITION BY tile_id, pixel_id
+                            ORDER BY metric DESC, k) AS rn
+  FROM splits
+)
+SELECT tile_id, pixel_id, CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS BIGINT) AS break_k,
+       CAST(doy AS BIGINT) AS break_doy,
+       CAST(dnum AS BIGINT) AS shift_num, metric
+FROM best WHERE rn = 1
+""".replace("{PIXELS}", PIXELS_SQL))
+def c46_break_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46: temporal BREAK detection per pixel — the CUSUM/BFAST-lite
+    mean-shift change point (Verbesselt et al. 2010's core question:
+    WHEN did this pixel's regime change?), completing the time-series
+    family beside C21 trend, C23 anomaly and C27 phenology. Over each
+    pixel's clear-valid series (ordered by doy), the split k
+    maximizing the scaled squared mean shift
+    ``(S_k·(n−k) − (S_n−S_k)·k)² / (k·(n−k))`` — algebraically
+    k·(n−k)·n²·(mean_left − mean_right)², the two-sample CUSUM
+    statistic up to the constant n² — with ties to the EARLIEST k.
+    Series shorter than 4 clear obs are not emitted (no meaningful
+    split). ``shift_num`` stays exact int64 (|S·n| ≤ 16²·10⁴); the
+    metric is the one float (exact-int numerator, one multiply, one
+    division — identical shape both engines, and IEEE doubles order
+    identically under the rank window).
+
+    Scale shape: cumulative + total sums ride ONE pixel partitioning
+    (two frame variants of the same window — no self-join, no
+    per-split re-scan: the q2/q15 lesson applied to time series),
+    then a second window ranks the ≤15 splits per pixel. At 100 TB
+    both windows are pixel-partitioned and spill-safe."""
+    px = pixel_plane(spark, sf_dir)
+    ser = (px.filter(F.col("quality").isin(4, 5, 6)
+                     & (F.col("value") != BAND_NODATA))
+           .select("tile_id", "pixel_id", "doy", F.col("value").alias("v")))
+    w = Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
+    w_all = Window.partitionBy("tile_id", "pixel_id")
+    ser = (ser
+           .withColumn("k", F.row_number().over(w))
+           .withColumn("sk", F.sum("v").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+           .withColumn("n", F.count(F.lit(1)).over(w_all))
+           .withColumn("stot", F.sum("v").over(w_all).cast("long")))
+    dnum = (F.col("sk") * (F.col("n") - F.col("k"))
+            - (F.col("stot") - F.col("sk")) * F.col("k"))
+    splits = (ser.filter((F.col("n") >= 4) & (F.col("k") < F.col("n")))
+              .withColumn("dnum", dnum)
+              .withColumn("metric",
+                          F.col("dnum") * F.col("dnum") * 1e0
+                          / (F.col("k") * (F.col("n") - F.col("k")))))
+    w_rank = (Window.partitionBy("tile_id", "pixel_id")
+              .orderBy(F.col("metric").desc(), F.col("k")))
+    return (splits.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("tile_id", "pixel_id",
+                    F.col("n").cast("long").alias("n_obs"),
+                    F.col("k").cast("long").alias("break_k"),
+                    F.col("doy").cast("long").alias("break_doy"),
+                    F.col("dnum").cast("long").alias("shift_num"),
+                    "metric"))

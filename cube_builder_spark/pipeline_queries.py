@@ -4068,3 +4068,59 @@ def m_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import multimodal
     media = multimodal.attach_real_media(_docs(spark, sf_dir))
     return multimodal.audio_vad(media)
+
+
+@register("d_dedup_curve", f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_AP_K - 1}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4])) AS s
+  FROM toks WHERE len(t) >= {_AP_K}
+),
+tok AS (SELECT doc_id, unnest(s) AS w, len(s) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT c * 1e0 / (na + nb - c) AS j FROM inter
+  WHERE c * 1e0 / (na + nb - c) >= {_AP_TAU}e0
+),
+taus(tau) AS (VALUES (5e-1), (6e-1), (7e-1), (8e-1), (9e-1))
+SELECT tau,
+       CAST(count(CASE WHEN j >= tau THEN 1 END) AS BIGINT) AS n_pairs
+FROM taus LEFT JOIN jac ON TRUE
+GROUP BY tau
+""")
+def d_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve: exact near-dup PAIR counts at
+    each Jaccard threshold in {{0.5 .. 0.9}} — the measurement a
+    curation team reads before picking its dedup aggressiveness
+    (every 0.1 of threshold trades recall of templated boilerplate
+    against false-positive merges of genuinely distinct docs). Built
+    on the LOSSLESS AllPairs join at the floor threshold (d_allpairs'
+    exact configuration), so every point of the curve is exact, not
+    an LSH estimate; one pair scan serves all five thresholds via
+    conditional aggregation (never five re-joins).
+
+    Scale shape: the expensive half is the single prefix-filtered
+    AllPairs evaluation; the curve is ONE global conditional
+    aggregate (map-side-combined, one row) unpivoted to 5 — which
+    also keeps the 5-row shape on an EMPTY pair set (a groupBy-on-tau
+    form would emit zero rows there, diverging from the oracle's
+    tau-preserving LEFT JOIN)."""
+    pairs = dedup.allpairs_jaccard(_docs(spark, sf_dir), k=_AP_K,
+                                   threshold=_AP_TAU)
+    taus = (0.5, 0.6, 0.7, 0.8, 0.9)
+    agg = pairs.agg(*[
+        F.coalesce(F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias(f"n{i}")
+        for i, t in enumerate(taus)])
+    curve = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tau"), F.col(f"n{i}").alias("n_pairs"))
+        for i, t in enumerate(taus)]))
+    return agg.select(curve.alias("r")).select("r.tau", "r.n_pairs")
