@@ -4124,3 +4124,89 @@ def d_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(t).alias("tau"), F.col(f"n{i}").alias("n_pairs"))
         for i, t in enumerate(taus)]))
     return agg.select(curve.alias("r")).select("r.tau", "r.n_pairs")
+
+
+@register("x_cdc_replication", """
+WITH after AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id < 40 THEN CAST(n_chars AS BIGINT) + 1000
+              ELSE CAST(n_chars AS BIGINT) END AS n_chars
+  FROM documents
+  WHERE doc_id < 40 OR NOT (doc_id % 7 = 0 AND doc_id < 500)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM after GROUP BY source
+""")
+def x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication round-trip — the Debezium/Delta-CDF pattern
+    closing the storage plane's change-data story: x_snapshot_cdc
+    proves diffs are COMPUTED correctly; this proves they are
+    SUFFICIENT — a replica built only from the bootstrap snapshot plus
+    the per-version CDC feed must converge to the source, byte for
+    byte. Source evolves through the full op mix (append v2, targeted
+    DELETE v3, CoW MERGE v4 that both updates rows and re-inserts
+    previously deleted keys); each consecutive-version diff
+    (snapshot_diff, include_payload) is applied to the replica as
+    delete(removed) + merge_upsert(added ∪ changed, new payload).
+    The oracle recomputes the source's FINAL state from the raw table,
+    so it catches an incomplete feed (missing change), a wrong apply
+    order, and a non-idempotent payload alike; an in-query count
+    assert pins source/replica convergence directly.
+
+    Scale posture: the removed-key collect and the MERGE batch are
+    delta-sized by CDC's contract (the same bound delete_keys and
+    merge_upsert already document); diffs are one full-outer join per
+    version pair, delta-sized output."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (SnapshotStore, delete_keys, merge_upsert,
+                                 snapshot_diff)
+    from .tables import load_tables
+
+    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+    root_a = scratch_dir("cdc_src_")
+    root_b = scratch_dir("cdc_rep_")
+    try:
+        src = SnapshotStore(root_a)
+        rep = SnapshotStore(root_b)
+        src.write(docs.filter(F.col("doc_id") % 2 == 0))          # v1
+        rep.write(src.read(spark, 1))                             # bootstrap
+        src.write(docs.filter(F.col("doc_id") % 2 == 1))          # v2
+        delete_keys(src, spark, list(range(0, 500, 7)), "doc_id")  # v3
+        merge_upsert(src, spark,
+                     docs.filter(F.col("doc_id") < 40)
+                     .withColumn("n_chars", F.col("n_chars") + 1000),
+                     "doc_id")                                    # v4
+        for v in (2, 3, 4):
+            d = snapshot_diff(src, spark, v - 1, v, ["doc_id"],
+                              include_payload=True)
+            removed = [r.doc_id for r in
+                       d.filter(F.col("change") == "removed")
+                       .select("doc_id").collect()]   # delta-sized
+            if removed:
+                delete_keys(rep, spark, removed, "doc_id")
+            ups = (d.filter(F.col("change").isin("added", "changed"))
+                   .select("doc_id",
+                           F.col("new.source").alias("source"),
+                           F.col("new.n_chars").alias("n_chars")))
+            if ups.limit(1).count():
+                merge_upsert(rep, spark, ups, "doc_id")
+        n_src = src.read(spark).count()
+        n_rep = rep.read(spark).count()
+        if n_src != n_rep:
+            raise AssertionError(
+                f"replica diverged: source {n_src} rows vs replica {n_rep}")
+        rows = (rep.read(spark)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("sum_chars"))
+                .collect())
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, sum_chars long")
