@@ -103,6 +103,7 @@ HEADLINE = [
     "c43_terrain_indexes",
     "c44_bap_composite",
     "e_rfm_segmentation",
+    "e_rfm_segmentation_scalable",
     "e_attribution_linear",
     "x_hll_distinct",
     "t_quantile_sketch",

@@ -865,7 +865,7 @@ def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_current", F.col("valid_to").isNull()))
 
 
-@register("e_rfm_segmentation", """
+_RFM_SQL = """
 WITH p AS (
   SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
@@ -897,7 +897,41 @@ SELECT user_id, recency_days, frequency, monetary_cents,
             WHEN r_score <= 2 AND f_score >= 3 THEN 'promising'
             ELSE 'hibernating' END AS segment
 FROM scored
-""")
+"""
+
+
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared RFM per-user aggregate: one filtered scan ->
+    per-user (recency_days, frequency, monetary_cents)."""
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 round_half_up_long(F.col("value"), 100).alias("cents")))
+    anchor = p.agg(F.max("ts").alias("mx"))
+    return (p.groupBy("user_id")
+            .agg(F.max("ts").alias("last_p"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum("cents").alias("monetary_cents"))
+            .crossJoin(anchor)
+            .select("user_id",
+                    F.datediff("mx", "last_p").cast("long")
+                    .alias("recency_days"),
+                    "frequency", "monetary_cents"))
+
+
+def _rfm_segment():
+    # built lazily: module import must not require a SparkContext
+    return (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
+               "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+              "promising")
+        .otherwise("hibernating"))
+
+
+@register("e_rfm_segmentation", _RFM_SQL)
 def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation —
     quartile scores per purchasing user plus the classic segment
@@ -909,24 +943,10 @@ def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one filtered scan -> per-user partial aggregate;
     the quartile windows are GLOBAL sorts over the per-user rows —
-    correct and exact here, and the honest way to state the operator;
-    at 100 TB the same query swaps ntile for percentile_approx-derived
-    bucket edges (sketch-mergeable, no global sort) at the cost of
-    approximate boundaries, the standard trade."""
-    ev = _events(spark, sf_dir)
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select("user_id", "ts",
-                 round_half_up_long(F.col("value"), 100).alias("cents")))
-    anchor = p.agg(F.max("ts").alias("mx"))
-    pu = (p.groupBy("user_id")
-          .agg(F.max("ts").alias("last_p"),
-               F.count(F.lit(1)).alias("frequency"),
-               F.sum("cents").alias("monetary_cents"))
-          .crossJoin(anchor)
-          .select("user_id",
-                  F.datediff("mx", "last_p").cast("long")
-                  .alias("recency_days"),
-                  "frequency", "monetary_cents"))
+    exact, and the ORACLE TWIN for `e_rfm_segmentation_scalable`,
+    which computes the identical buckets with range-partitioned
+    distributed ranking instead (the 100 TB form)."""
+    pu = _rfm_per_user(spark, sf_dir)
     r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
     f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
     m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
@@ -935,15 +955,54 @@ def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        r.cast("long").alias("r_score"),
                        f.cast("long").alias("f_score"),
                        m.cast("long").alias("m_score"))
-    seg = (F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
-                  "champion")
-           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
-           .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2),
-                 "at_risk")
-           .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3),
-                 "promising")
-           .otherwise("hibernating"))
-    return scored.withColumn("segment", seg)
+    return scored.withColumn("segment", _rfm_segment())
+
+
+@register("e_rfm_segmentation_scalable", _RFM_SQL)
+def e_rfm_segmentation_scalable(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """RFM segmentation, 100 TB form — bit-identical to
+    `e_rfm_segmentation` (same DuckDB oracle text) but with ZERO
+    unpartitioned windows over data: each quartile score comes from
+    functions/ranking.exact_global_ntile — repartitionByRange (a
+    parallel sampled shuffle), a row_number window partitioned BY the
+    range partition, and broadcast cumulative per-partition offsets
+    (a <= shuffle-partitions metadata frame). Exact-integer DIV
+    arithmetic reproduces SQL ntile's uneven-bucket semantics, and
+    the (metric, user_id) total order makes the buckets deterministic
+    — so exact equality with the ntile twin is achievable and pinned
+    (tests/test_events_queries.py).
+
+    The per-user aggregate is materialized to scratch parquet once
+    (session.defer_cleanup house pattern): six downstream passes
+    (3 metrics x groupBy-plus-join-back) each re-read columnar bytes
+    instead of re-running the events scan."""
+    import os as _os
+
+    from .functions.ranking import exact_global_ntile
+    from .session import defer_cleanup, scratch_dir
+
+    root = scratch_dir("rfm_")
+    _rfm_per_user(spark, sf_dir).write.mode("overwrite").parquet(
+        _os.path.join(root, "pu"))
+    pu = spark.read.parquet(_os.path.join(
+        defer_cleanup(root, key="e_rfm_segmentation_scalable"), "pu"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    specs = [("r_score", [F.col("recency_days").asc(),
+                          F.col("user_id").asc()]),
+             ("f_score", [F.col("frequency").desc(),
+                          F.col("user_id").asc()]),
+             ("m_score", [F.col("monetary_cents").desc(),
+                          F.col("user_id").asc()])]
+    scored = pu
+    for out_col, order in specs:
+        part = (exact_global_ntile(pu, order, 4, n_part, out_col)
+                .select("user_id", out_col))
+        scored = scored.join(part, "user_id")
+    return (scored
+            .select("user_id", "recency_days", "frequency",
+                    "monetary_cents", "r_score", "f_score", "m_score")
+            .withColumn("segment", _rfm_segment()))
 
 
 @register("e_attribution_linear", """

@@ -1,0 +1,95 @@
+"""Distributed exact ranking — global row_number / ntile WITHOUT an
+unpartitioned window.
+
+``Window.orderBy(...)`` with no partitionBy funnels every row through
+ONE task: exact, but a single-partition sort that dies at scale. The
+classic distributed-exact alternative (TeraSort-style ranking):
+
+1. ``repartitionByRange(N, keys)`` — Spark samples the keys and
+   range-partitions, so partition ``i`` holds strictly smaller keys
+   (in sort order) than partition ``i+1``: a parallel shuffle, no
+   global funnel;
+2. per-partition row counts → cumulative offsets — a groupBy that
+   reduces to at most N rows (N = shuffle partitions), so the
+   cumulative window over it is metadata-scale, not data-scale;
+3. broadcast the offsets back onto the ranged rows: exact global
+   rank = partition offset + the partition-local row_number (a
+   window partitioned BY the range partition — fully parallel).
+
+The whole thing is ONE declarative plan: no driver-side collect, so
+there is no cross-job re-sampling hazard. The offsets groupBy does
+re-evaluate the input subtree (groupBy + join-back defeats
+ReuseExchange — see .claude/skills/verify gotchas), so callers should
+hand in a cheap-to-recompute frame (a scratch-parquet read or an
+already-aggregated input).
+
+Because the caller includes a unique tiebreaker in ``order`` the rank
+is total, so ntile buckets derived from (rank, n) are bit-identical
+to single-partition ``F.ntile`` — e_rfm_segmentation_scalable shares
+its DuckDB oracle with the exact-ntile twin, and
+tests/test_events_queries.py pins frame-level equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
+                rank_col: str = "_gr", total_col: str = "_n") -> DataFrame:
+    """Exact 1-based global row_number over a total order, plus the
+    total row count, with no single-partition stage over the data.
+
+    ``order`` must be a total order (include a unique tiebreaker).
+    Adds ``rank_col`` and ``total_col``; drops its internals.
+    """
+    ranged = (df.repartitionByRange(n_partitions, *order)
+              .withColumn("_rp", F.spark_partition_id()))
+    # ≤ n_partitions rows: the windows below are metadata-scale
+    pc = ranged.groupBy("_rp").agg(F.count(F.lit(1)).alias("_pc"))
+    w_prev = (Window.orderBy("_rp")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("_rp")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offs = pc.select(
+        "_rp",
+        F.coalesce(F.sum("_pc").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_pc").over(w_all).alias(total_col))
+    local = F.row_number().over(Window.partitionBy("_rp").orderBy(*order))
+    return (ranged.join(F.broadcast(offs), "_rp")
+            .withColumn(rank_col,
+                        (F.col("_off") + local).cast("long"))
+            .drop("_rp", "_off"))
+
+
+def ntile_expr(rank_col: str, total_col: str, n_tiles: int) -> Column:
+    """SQL ``ntile(n_tiles)`` bucket from an exact 1-based global rank
+    column and a total-count column, in EXACT integer arithmetic
+    (DIV / %, no doubles — float division can land one ulp under an
+    integer boundary and mis-bucket a row).
+
+    Standard semantics: the first ``n % k`` tiles hold ``n DIV k + 1``
+    rows, the rest one fewer. Pure map-side column arithmetic."""
+    k = int(n_tiles)
+    r, n = rank_col, total_col
+    base, rem = f"({n} DIV {k})", f"({n} % {k})"
+    big = f"({rem} * ({base} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {base} = 0 THEN {r} "
+        f"WHEN {r} <= {big} THEN ({r} + {base}) DIV ({base} + 1) "
+        f"ELSE {rem} + ({r} - {big} + {base} - 1) DIV {base} "
+        f"END AS BIGINT)")
+
+
+def exact_global_ntile(df: DataFrame, order: list[Column],
+                       n_tiles: int, n_partitions: int,
+                       out: str) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order)`` at scale: range
+    shuffle + per-partition window + broadcast offsets (see module
+    docstring). Adds column ``out``; drops the intermediates."""
+    ranked = global_rank(df, order, n_partitions)
+    return (ranked
+            .withColumn(out, ntile_expr("_gr", "_n", n_tiles))
+            .drop("_gr", "_n"))

@@ -3607,6 +3607,100 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(_HLL_EST_CONST) / numerator).alias("estimate")))
 
 
+@register("x_check_constraints", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+good1 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
+good2 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
+final AS (SELECT * FROM good1 UNION ALL SELECT * FROM good2)
+SELECT 'head_after_reject' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS violation_blocked, TRUE AS no_orphan_files,
+       TRUE AS null_row_passes
+FROM final
+""")
+def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraint enforcement (sinks/snapshot.
+    add_check_constraint / checked_write — Delta's ``ALTER TABLE ADD
+    CONSTRAINT CHECK`` analogue): constraints persist as table
+    metadata, every subsequent batch is validated in ONE fused
+    aggregate pass, and a violating batch changes NOTHING — no new
+    version, no orphan data files, head untouched.
+
+    Scenario: two constraints (n_chars >= 0, doc_id < 100000); good
+    batch commits; a batch with negated n_chars raises
+    ConstraintViolation naming the constraint and the exact violation
+    count, after which the head and the data directory's file set are
+    byte-identical to before; a NULL-evaluating row passes (SQL
+    standard CHECK semantics, pinned in tests); a second good batch
+    commits on the untouched head. The oracle recomputes the final
+    table — any partial/leaked commit breaks the hash."""
+    import os as _os
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (ConstraintViolation, SnapshotStore,
+                                 add_check_constraint, checked_write)
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    root = scratch_dir("snap_chk_")
+    try:
+        st = SnapshotStore(root)
+        add_check_constraint(st, "chars_nonneg", "n_chars >= 0")
+        add_check_constraint(st, "key_bounded", "doc_id < 100000")
+        checked_write(st, docs.filter(F.col("doc_id") % 3 == 0))
+        head_before = st.head("main")
+
+        def data_files():
+            out = []
+            for dp, _dn, fn in _os.walk(_os.path.join(root, "data")):
+                out.extend(_os.path.join(dp, f) for f in fn
+                           if f.endswith(".parquet"))
+            return sorted(out)
+
+        files_before = data_files()
+        blocked = False
+        try:
+            checked_write(st, docs.filter(F.col("doc_id") % 3 == 2)
+                          .withColumn("n_chars", -F.col("n_chars") - 1))
+            spark._chk_unreachable = True
+        except ConstraintViolation as exc:
+            blocked = exc.name == "chars_nonneg" and exc.n_bad > 0
+        no_orphans = (data_files() == files_before
+                      and st.head("main") == head_before)
+        checked_write(st, docs.filter(F.col("doc_id") % 3 == 1))
+        r = (st.read(spark, st.head("main"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("sum_chars"))
+             .collect()[0])
+        # NULL CHECK semantics: a NULL n_chars row passes (SQL
+        # standard) — validated here on a throwaway branch store so
+        # the graded aggregate stays NULL-free
+        st2 = SnapshotStore(scratch_dir("snap_chk2_"))
+        add_check_constraint(st2, "chars_nonneg", "n_chars >= 0")
+        try:
+            checked_write(
+                st2, spark.createDataFrame(
+                    [(999999, None)], "doc_id long, n_chars long"))
+            null_ok = True
+        except ConstraintViolation:
+            null_ok = False
+        finally:
+            shutil.rmtree(st2.root, ignore_errors=True)
+        rows = [("head_after_reject", r.n_docs, r.sum_chars,
+                 blocked, no_orphans, null_ok)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "violation_blocked boolean, no_orphan_files boolean, "
+              "null_row_passes boolean")
+
+
 @register("x_scd2_dimension", """
 WITH dim0 AS (
   SELECT c_custkey AS custkey, c_mktsegment AS segment,

@@ -1,0 +1,88 @@
+"""functions/ranking — distributed exact rank / ntile.
+
+Pins (a) global_rank == single-partition row_number on random data
+with ties broken by a unique key, (b) ntile_expr == F.ntile for every
+(n, k) shape incl. the uneven-bucket and n < k edges, (c) the RFM
+scalable twin equals the exact-ntile twin frame-for-frame, and (d)
+the scalable plan's data-bearing windows are partitioned (only the
+metadata offsets frame may sort globally)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cube_builder_spark.functions.ranking import (exact_global_ntile,
+                                                  global_rank, ntile_expr)
+
+
+def test_global_rank_matches_single_partition(spark):
+    rows = [(i, (i * 7919) % 101, (i * 104729) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, g long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r["id"]: r["_gr"]
+           for r in global_rank(df, order, 8).collect()}
+    want = {r["id"]: r["rk"] for r in df.select(
+        "id", F.row_number().over(Window.orderBy(*order)).alias("rk"))
+        .collect()}
+    assert got == want
+
+
+def test_ntile_expr_matches_sql_ntile(spark):
+    for n, k in [(1, 4), (3, 4), (4, 4), (5, 4), (103, 4), (100, 7),
+                 (2, 5), (6, 3)]:
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                   "r long")
+        got = (df.withColumn("_n", F.lit(n).cast("long"))
+               .select("r", ntile_expr("r", "_n", k).alias("t"))
+               .collect())
+        want = df.select(
+            "r", F.ntile(k).over(Window.orderBy("r")).cast("long")
+            .alias("t")).collect()
+        assert sorted((x["r"], x["t"]) for x in got) == \
+            sorted((x["r"], x["t"]) for x in want), (n, k)
+
+
+def test_exact_global_ntile_end_to_end(spark):
+    rows = [(i, (i * 31) % 17) for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {r["id"]: r["q"]
+           for r in exact_global_ntile(df, order, 4, 8, "q").collect()}
+    want = {r["id"]: r["q"] for r in df.select(
+        "id", F.ntile(4).over(Window.orderBy(*order)).cast("long")
+        .alias("q")).collect()}
+    assert got == want
+
+
+def test_rfm_scalable_equals_exact(spark, sf_dir):
+    from cube_builder_spark.events_queries import (
+        e_rfm_segmentation, e_rfm_segmentation_scalable)
+    cols = ["user_id", "recency_days", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score", "segment"]
+    exact = sorted(map(tuple, e_rfm_segmentation(spark, sf_dir)
+                       .select(*cols).collect()))
+    scal = sorted(map(tuple, e_rfm_segmentation_scalable(spark, sf_dir)
+                      .select(*cols).collect()))
+    assert exact == scal
+    assert len(exact) > 0
+
+
+def test_rfm_scalable_plan_has_no_global_data_window(spark, sf_dir):
+    """Every window over DATA must be partitioned by the range
+    partition id; the only unpartitioned windows allowed are the
+    cumulative-offset ones over the <= shuffle-partitions metadata
+    aggregate (input: a groupBy of _rp)."""
+    from cube_builder_spark.events_queries import e_rfm_segmentation_scalable
+    df = e_rfm_segmentation_scalable(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_data_windows = 0
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)",
+                         plan):
+        funcs, part = m.group(1), m.group(2)
+        if "row_number" in funcs:
+            n_data_windows += 1
+            assert "_rp" in part, f"unpartitioned data window: {funcs}"
+    assert n_data_windows == 3, plan
