@@ -1208,7 +1208,49 @@ def e_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_signup_converts"))
 
 
-@register("e_trajectory_hausdorff", """
+def _traj_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase trajectories as (user_id, x=minute, y=cents) point
+    sets, restricted to users with >= 2 points (shared by the exact
+    and pruned Hausdorff queries)."""
+    ev = _events(spark, sf_dir)
+    pts = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id",
+                   F.floor(F.unix_timestamp("ts") / 60).cast("long")
+                   .alias("x"),
+                   round_half_up_long(F.col("value"), 100).alias("y")))
+    eligible = (pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= 2).select("user_id"))
+    return pts.join(eligible, "user_id")
+
+
+def _haus_from_joined(joined: DataFrame) -> DataFrame:
+    """Exact symmetric squared Hausdorff per (ua, ub) from a joined
+    (ua, ub, ax, ay, bx, by) point-pair frame: per-(pair, point) min
+    then per-pair max, both directions, both map-side-combinable.
+
+    Kernel choice (A/B-pinned, don't "fix"): a single-pass variant
+    that explodes each joined row into two (dir, anchor) rows to
+    evaluate the join once LOST the interleaved min-of-4 A/B
+    (2.31s vs 1.48s) — the doubled pre-combine row volume and the
+    extra dir key cost more than the second join evaluation, whose
+    groupBys map-side-combine to (pair, point) groups well below n².
+    Re-run that A/B before restructuring."""
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    h_ab = (joined
+            .groupBy("ua", "ub", "ax", "ay")
+            .agg(F.min(d2).alias("min_d2"))
+            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_f")))
+    h_ba = (joined
+            .groupBy("ua", "ub", "bx", "by")
+            .agg(F.min(d2).alias("min_d2"))
+            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_r")))
+    return (h_ab.join(h_ba, ["ua", "ub"])
+            .select("ua", "ub",
+                    F.greatest("h_f", "h_r").cast("long").alias("h2")))
+
+
+_HAUS_SQL = """
 WITH pts AS (
   SELECT user_id,
          -- floor(), not //: epoch() is DOUBLE and DuckDB's // does
@@ -1247,7 +1289,10 @@ haus AS (
 )
 SELECT ua AS user_a, ub AS user_b, CAST(h2 AS BIGINT) AS hausdorff_sq
 FROM haus ORDER BY h2, ua, ub LIMIT 20
-""")
+"""
+
+
+@register("e_trajectory_hausdorff", _HAUS_SQL)
 def e_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory similarity search (the REPOSE/ICDE-2021 problem
     shape, reduced to its exact core): each user's purchase history is
@@ -1268,44 +1313,133 @@ def e_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive half pruning exists to protect.
 
     Ties: ORDER BY (h2, ua, ub) LIMIT 20 — deterministic in both
-    engines.
-
-    Kernel choice (A/B-pinned, don't "fix"): a single-pass variant
-    that explodes each joined row into two (dir, anchor) rows to
-    evaluate the join once LOST the interleaved min-of-4 A/B
-    (2.31s vs 1.48s here) — the doubled pre-combine row volume and
-    the extra dir key cost more than the second join evaluation,
-    whose groupBys map-side-combine to (pair, point) groups well
-    below n². Re-run that A/B before restructuring."""
-    ev = _events(spark, sf_dir)
-    pts = (ev.filter(F.col("event_type") == "purchase")
-           .select("user_id",
-                   F.floor(F.unix_timestamp("ts") / 60).cast("long")
-                   .alias("x"),
-                   round_half_up_long(F.col("value"), 100).alias("y")))
-    eligible = (pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") >= 2).select("user_id"))
-    p = pts.join(eligible, "user_id")
+    engines. Kernel A/B history: see _haus_from_joined."""
+    p = _traj_points(spark, sf_dir)
     a = p.select(F.col("user_id").alias("ua"), F.col("x").alias("ax"),
                  F.col("y").alias("ay"))
     b = p.select(F.col("user_id").alias("ub"), F.col("x").alias("bx"),
                  F.col("y").alias("by"))
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
     joined = a.join(b, F.col("ua") < F.col("ub"))
-    h_ab = (joined
-            .groupBy("ua", "ub", "ax", "ay")
-            .agg(F.min(d2).alias("min_d2"))
-            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_f")))
-    h_ba = (joined
-            .groupBy("ua", "ub", "bx", "by")
-            .agg(F.min(d2).alias("min_d2"))
-            .groupBy("ua", "ub").agg(F.max("min_d2").alias("h_r")))
-    return (h_ab.join(h_ba, ["ua", "ub"])
+    return (_haus_from_joined(joined)
             .select(F.col("ua").alias("user_a"),
                     F.col("ub").alias("user_b"),
-                    F.greatest("h_f", "h_r").cast("long")
-                    .alias("hausdorff_sq"))
+                    F.col("h2").alias("hausdorff_sq"))
+            .orderBy("hausdorff_sq", "user_a", "user_b").limit(20))
+
+
+@register("e_trajectory_hausdorff_pruned", _HAUS_SQL)
+def e_trajectory_hausdorff_pruned(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Trajectory Hausdorff top-20, 100 TB form — the SAME answer as
+    `e_trajectory_hausdorff` (same DuckDB oracle text) with a bounded
+    candidate generator in front of the exact verifier, replacing the
+    all-pairs points×points theta join (the REPOSE-style prune; cf.
+    the grid-binned posture of functions/spatial.py's radius join).
+
+    Provably lossless pruning:
+
+    1. SEED upper bound: the 21 eligible users with smallest
+       (max_x, user_id) are exactly verified against each other
+       (>= 210 pairs, a bounded subset); the 20th-smallest h² of any
+       SUBSET of pairs upper-bounds the true 20th-smallest T — so
+       every true top-20 pair has h² <= T_ub.
+    2. LOWER bound from per-user extremes: for the point a* of A
+       maximizing x, min_b d(a*, b) >= max_x(A) − max_x(B) when
+       positive; symmetrically in both directions and for all four
+       extremes, so h²(A,B) >= max(Δmax_x, Δmin_x, Δmax_y, Δmin_y)².
+       Any pair whose extreme gap exceeds sqrt(T_ub) cannot beat the
+       seed and is pruned WITHOUT touching its points.
+    3. Candidates: band users on floor(max_x / W), W = isqrt(T_ub)+1,
+       join each user's bucket against its 3-bucket ring (|Δmax_x| <=
+       sqrt(T_ub) implies adjacent buckets), post-filter with the full
+       four-extreme lower bound. The pair space is bucket-local over
+       the per-user SUMMARY table (5 ints/user), never over points.
+    4. Exact verify: the A/B-pinned two-groupBy kernel runs only on
+       candidate pairs (keyed hash joins on ua/ub — no BNLJ over
+       data; plan shape pinned in tests/test_hausdorff_pruned.py).
+
+    Top-20 equality with the unpruned twin is pinned in
+    tests/test_hausdorff_pruned.py and both queries hash-check
+    against the shared oracle at sf0.01 (150 eligible users — the
+    pruned path) and sf0.001 (< 21 users — the exact-fallback path).
+
+    Measured (sf0.1, local[32], interleaved min-of-3, identical 20
+    rows): exact 110.5s vs pruned 16.1s (6.9x) — 578k of 1,124k pairs
+    survive the prune, and the verify joins are keyed instead of BNLJ.
+    A refine round (exactly verify the 200 smallest-LB candidates,
+    re-threshold at their 20th-best h) was prototyped and cut only
+    578k->484k (T 52.4M->39.9M): on this corpus the top-20 distances
+    sit close to the bulk, so the extra driver sync isn't worth it —
+    revisit if the corpus develops tight clusters.
+
+    At a skewed 100 TB the max_x banding inherits the usual
+    hot-bucket caveat; the summary-table rows are 5 ints, so salting
+    the bucket key is cheap if a tenant concentrates last-purchase
+    times."""
+    import math
+
+    p = _traj_points(spark, sf_dir)
+    summ = (p.groupBy("user_id")
+            .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+    seed_ids = [r["user_id"] for r in
+                summ.orderBy("max_x", "user_id").limit(21)
+                .select("user_id").collect()]
+    empty = spark.createDataFrame(
+        [], "user_a long, user_b long, hausdorff_sq long")
+    if len(seed_ids) < 2:
+        return empty
+    sp = p.filter(F.col("user_id").isin(seed_ids))
+    sa = sp.select(F.col("user_id").alias("ua"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    sb = sp.select(F.col("user_id").alias("ub"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+    seed_h = _haus_from_joined(sa.join(sb, F.col("ua") < F.col("ub")))
+    if len(seed_ids) < 21:
+        # fewer than 21 eligible users: the seed IS the whole corpus,
+        # and with < 20 total pairs a T_ub prune could drop rows the
+        # under-full result must keep — return the exact kernel
+        return (seed_h
+                .select(F.col("ua").alias("user_a"),
+                        F.col("ub").alias("user_b"),
+                        F.col("h2").alias("hausdorff_sq"))
+                .orderBy("hausdorff_sq", "user_a", "user_b").limit(20))
+    seed_top = seed_h.orderBy("h2", "ua", "ub").limit(20).collect()
+    if not seed_top:
+        return empty
+    t_ub = max(r["h2"] for r in seed_top)
+    w = math.isqrt(t_ub) + 1
+    lhs = (summ.select(
+        F.col("user_id").alias("ua"), F.col("min_x").alias("a_min_x"),
+        F.col("max_x").alias("a_max_x"), F.col("min_y").alias("a_min_y"),
+        F.col("max_y").alias("a_max_y"))
+        .withColumn("bucket", F.explode(F.array(
+            F.floor(F.col("a_max_x") / w) - 1,
+            F.floor(F.col("a_max_x") / w),
+            F.floor(F.col("a_max_x") / w) + 1))))
+    rhs = (summ.select(
+        F.col("user_id").alias("ub"), F.col("min_x").alias("b_min_x"),
+        F.col("max_x").alias("b_max_x"), F.col("min_y").alias("b_min_y"),
+        F.col("max_y").alias("b_max_y"))
+        .withColumn("bucket", F.floor(F.col("b_max_x") / w)))
+    gap = F.greatest(
+        F.abs(F.col("a_max_x") - F.col("b_max_x")),
+        F.abs(F.col("a_min_x") - F.col("b_min_x")),
+        F.abs(F.col("a_max_y") - F.col("b_max_y")),
+        F.abs(F.col("a_min_y") - F.col("b_min_y")))
+    cand = (lhs.join(rhs, ["bucket"])
+            .filter(F.col("ua") < F.col("ub"))
+            .filter(gap * gap <= F.lit(t_ub))
+            .select("ua", "ub"))
+    a = p.select(F.col("user_id").alias("ua"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = p.select(F.col("user_id").alias("ub"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    joined = cand.join(a, "ua").join(b, "ub")
+    return (_haus_from_joined(joined)
+            .select(F.col("ua").alias("user_a"),
+                    F.col("ub").alias("user_b"),
+                    F.col("h2").alias("hausdorff_sq"))
             .orderBy("hausdorff_sq", "user_a", "user_b").limit(20))
 
 
