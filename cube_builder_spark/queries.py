@@ -60,14 +60,28 @@ _PRIORITY = [
     # sinks/snapshot.py:866) earns a driver-graded row — the quintet's
     # most intricate member with the most internal state to drift.
     "r8_pagination", "r9_bbox_intersect",
-    "r11_multiway_join",
+    # r11_multiway_join rotated just past the window in round 10
+    # (trivial variant fully subsumed by the TPC-H sweep's join trees,
+    # still hash-checked by tests/test_queries_oracle); its slot went
+    # to c36_flow_routing so the round-9 raster-analytics family
+    # (C35-C46) earns a driver-graded row via its most intricate
+    # member: iterative anonymous-walker flow accumulation with a
+    # recursive-CTE oracle and a driver-checked fixed point.
+    "c36_flow_routing",
     # sources (S4+S6 suite, S5/S7/S9/S12 archive round-trip, S8,
     # S10, S11, S13)
     "s46_ingest_suite",           # S4 scan classify + S6 URI dispatch
     "s_archive_roundtrip",        # S5 zip + S7 SAFE + S9 tgz + S12
     "s123_stac_adapt",            # S1 asset extraction + S3 SAFE rewrite
     "s8_baseline_offset", "s10_sceneid_parse", "s11_empty_fill",
-    "s13_remote_probe",
+    # s13_remote_probe rotated just past the window in round 10 (a
+    # deterministic reachability report, the window's least intricate
+    # row; still hash-checked by tests/test_queries_oracle); its slot
+    # went to x_snapshot_expire_vacuum so the round-9 storage septet
+    # earns a driver-graded row via the member with physical
+    # consequences: retention-expire + vacuum, where the post-vacuum
+    # hash proves reclaim deleted only unreachable files.
+    "x_snapshot_expire_vacuum",
     # raster compute plane (C1-C20)
     "c1_suite",                   # C1 mosaic half + warp half
     "c2_blend_lcf",
