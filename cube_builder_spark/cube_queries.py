@@ -1130,6 +1130,11 @@ assert _E2E_BLEND_1P_SQL != _E2E_BLEND_SQL
 # substitution) are tile-count-independent exactly as they are
 # period-count-independent, and the blend cost scales with tiles. The
 # oracle is sliced identically, so the hash check stays full-value.
+# Round-10 trim probe (verdict task 6): a 1-of-8 slice measured
+# 3.66s vs 3.94s min-of-4 interleaved at sf0.1 — only 7%, because the
+# cost is dominated by the two build_cube invocations' fixed overhead,
+# not tile data. Keeping 2 tiles preserves the last multi-tile
+# coverage (per-tile grouping inside the reuse merge plane) for 0.3s.
 _REUSE_TILES = 2
 _E2E_BLEND_1P_T2_SQL = _E2E_BLEND_1P_SQL.replace(
     "JOIN periods per ON p.date BETWEEN per.ps AND per.pe",

@@ -1459,7 +1459,17 @@ def checked_write(store: SnapshotStore, df: DataFrame,
     NULL semantics are SQL-standard (and Delta's): a row violates only
     when the expression is FALSE — an expression that evaluates to
     NULL passes (guard with ``x IS NOT NULL AND ...`` to reject
-    NULLs explicitly)."""
+    NULLs explicitly).
+
+    CONTRACT: ``df`` must be DETERMINISTIC. The validation aggregate
+    and the subsequent write each evaluate the plan once; a
+    nondeterministic batch (rand(), unseeded sampling, an unstable
+    LIMIT) could pass validation yet commit rows that were never
+    validated. Pre-materialize such a batch (write it to scratch
+    parquet, or use ``quality.publish_with_audit`` — its
+    write-audit-publish staging validates the EXACT files that get
+    committed, the right shape for nondeterministic or 100 TB
+    batches where a localCheckpoint pin is not an option)."""
     cons = check_constraints(store)
     if cons:
         names = list(cons)
@@ -1494,7 +1504,13 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
       row is dropped — standard SCD2 idempotence; a batch with no
       effective change commits nothing and the head is untouched);
     - otherwise the current row (if any) is CLOSED (valid_to set,
-      is_current false) and a NEW current row inserted.
+      is_current false) and a NEW current row inserted;
+    - EXCEPT when ``effective`` equals the current row's valid_from
+      (same-day correction / two batches with one effective date):
+      the change is applied IN PLACE — the current row is rewritten
+      with the new attributes under its existing sk, no zero-length
+      history row ("latest change on the same day wins"; a close +
+      insert would collide on sk = key|valid_from).
 
     Attribute comparison is NULL-safe (``eqNullSafe``). Physically the
     closed+new rows flow through ``merge_upsert`` on ``sk`` — footer-
@@ -1520,7 +1536,17 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
         same = eq if same is None else (same & eq)
     changed = j.filter(F.col("_k").isNull() | ~same)
     eff = F.lit(effective).cast("date")
-    closed = (changed.filter(F.col("_k").isNotNull())
+    # Same-day change (effective == the current row's valid_from —
+    # an intra-day correction or two batches applied with the same
+    # effective date): closing AND inserting would put TWO rows under
+    # one sk = key|valid_from in a single merge batch, silently losing
+    # one (round-9 advisor, medium). Instead the change is applied
+    # IN PLACE: the close row is suppressed, and the insert row's sk
+    # (key|effective == key|valid_from) matches the stored current
+    # row, so merge_upsert rewrites it with the new attributes —
+    # "latest change on the same day wins", no zero-length history row.
+    same_day = F.col("_k").isNotNull() & F.col("_vf").eqNullSafe(eff)
+    closed = (changed.filter(F.col("_k").isNotNull() & ~same_day)
               .select(F.col("_k").alias(key_col),
                       *[F.col(f"_a_{c}").alias(c) for c in attr_cols],
                       F.col("_vf").alias("valid_from"),
@@ -1597,10 +1623,21 @@ def occ_append(store: SnapshotStore, df: DataFrame,
         # to main readers and must not block a main append
         v = head
         chain = []
-        while v is not None and v != expected_head:
-            m = store._read_manifest(v)
-            chain.append((v, m.get("op", "")))
-            v = m.get("parent")
+        try:
+            while v is not None and v != expected_head:
+                m = store._read_manifest(v)
+                chain.append((v, m.get("op", "")))
+                v = m.get("parent")
+        except OSError:
+            # an intervening manifest was EXPIRED: conflict-freedom is
+            # unprovable, and the staged data subdir must not be left
+            # orphaned (round-9 advisor — the other two failure
+            # branches rmtree; this one didn't)
+            import shutil
+            shutil.rmtree(sub, ignore_errors=True)
+            raise ConcurrentCommitConflict(
+                expected_head, head, "unprovable-history",
+                head if head is not None else -1)
         if v != expected_head:
             import shutil
             shutil.rmtree(sub, ignore_errors=True)

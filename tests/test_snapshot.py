@@ -1151,6 +1151,45 @@ def test_scd2_merge_lifecycle(spark, tmp_path):
                   ("2024-04-01", "None", "E", True)]
 
 
+def test_scd2_merge_same_day_change_is_in_place(spark, tmp_path):
+    """effective == the current row's valid_from (same-day correction
+    / two batches with one effective date): the change must be applied
+    IN PLACE — one current row with the new attributes, no zero-length
+    history row, and neither the close row nor the insert row silently
+    lost to the sk collision (round-9 advisor, medium)."""
+    from pyspark.sql import functions as F
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    st = SnapshotStore(str(tmp_path / "scd2sd"))
+    init = spark.createDataFrame([(1, "A"), (2, "B")],
+                                 "k long, seg string") \
+        .withColumn("valid_from", F.lit("2024-01-05").cast("date")) \
+        .withColumn("valid_to", F.lit(None).cast("date")) \
+        .withColumn("is_current", F.lit(True))
+    st.write(init.withColumn(
+        "sk", F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("valid_from").cast("string"))))
+
+    # second batch, SAME effective date, k=1 changes
+    upd2 = spark.createDataFrame([(1, "A2")], "k long, seg string")
+    v2, nc2, ni2 = scd2_merge(st, spark, upd2, "k", ["seg"], "2024-01-05")
+    assert (nc2, ni2) == (0, 1)
+    rows = sorted((r.k, r.seg, str(r.valid_from), str(r.valid_to),
+                   r.is_current) for r in st.read(spark, v2).collect())
+    assert rows == [(1, "A2", "2024-01-05", "None", True),
+                    (2, "B", "2024-01-05", "None", True)]
+
+    # a LATER effective date still closes + inserts normally
+    upd3 = spark.createDataFrame([(1, "A3")], "k long, seg string")
+    v3, nc3, ni3 = scd2_merge(st, spark, upd3, "k", ["seg"], "2024-02-01")
+    assert (nc3, ni3) == (1, 1)
+    k1 = sorted((r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+                for r in st.read(spark, v3)
+                .filter(F.col("k") == 1).collect())
+    assert k1 == [("A2", "2024-01-05", "2024-02-01", False),
+                  ("A3", "2024-02-01", "None", True)]
+
+
 def test_occ_append_branch_commits_do_not_block(spark, tmp_path):
     """Conflict detection walks MAIN's parent chain: an overwrite on a
     STAGING branch between read and commit must not block a main
@@ -1190,3 +1229,37 @@ def test_occ_append_rebase_and_conflict(spark, tmp_path):
     # failed txn left no data files that any manifest references —
     # and vacuum reclaims the unreferenced ones it wrote before failing
     assert st.read(spark).count() == 1                # rolled-back view
+
+
+def test_occ_append_expired_chain_cleans_staged_files(spark, tmp_path):
+    """If an intervening manifest in the parent-chain walk was
+    EXPIRED, occ_append must raise ConcurrentCommitConflict
+    ('unprovable-history') AND remove the staged data subdir — the
+    round-9 advisor found this path orphaning files that the other
+    two failure branches clean up."""
+    import os
+
+    import pytest as _pytest
+    from cube_builder_spark.sinks.snapshot import (ConcurrentCommitConflict,
+                                                   SnapshotStore, occ_append)
+
+    st = SnapshotStore(str(tmp_path / "occ3"))
+    mk = lambda k: spark.createDataFrame([(k,)], "k long")  # noqa: E731
+    v1 = st.write(mk(1))
+    st.write(mk(2))
+    st.write(mk(3))
+    st.expire(keep_last=1)              # drops v1 and the middle commit
+
+    def data_files():
+        out = []
+        for dp, _dn, fn in os.walk(os.path.join(st.root, "data")):
+            out.extend(os.path.join(dp, f) for f in fn
+                       if f.endswith(".parquet"))
+        return sorted(out)
+
+    before = data_files()
+    with _pytest.raises(ConcurrentCommitConflict) as ei:
+        occ_append(st, mk(4), expected_head=v1)
+    assert ei.value.blocking_op == "unprovable-history"
+    assert data_files() == before       # staged subdir removed
+    assert st.read(spark).count() == 3  # head untouched
