@@ -4304,3 +4304,184 @@ def x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root_b, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, n_docs long, sum_chars long")
+
+
+@register("x_shallow_clone", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+t0 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
+t1 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
+t2 AS (SELECT * FROM base WHERE doc_id % 3 = 2),
+extra AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id >= 2000 AND doc_id < 2500
+),
+src_pre AS (
+  SELECT * FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
+  WHERE doc_id % 5 <> 0
+),
+src_final AS (SELECT * FROM src_pre UNION ALL SELECT * FROM extra),
+clone_final AS (SELECT * FROM src_pre UNION ALL SELECT * FROM t2)
+SELECT label, n_docs, sum_chars, zero_copy, src_intact
+FROM (
+  SELECT 'clone' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         TRUE AS zero_copy, TRUE AS src_intact FROM clone_final
+  UNION ALL
+  SELECT 'src', count(*), CAST(sum(n_chars) AS BIGINT), TRUE, TRUE
+  FROM src_final
+) ORDER BY label
+""")
+def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+    CLONE``; sinks/snapshot.shallow_clone) with independent evolution
+    on BOTH sides and the MoR sequence-number trap armed:
+
+    - source: two appends, then a merge-on-read delete of doc_id%5==0
+      (an equality-delete sidecar carried by the head manifest);
+    - CLONE at that head — a metadata-only commit whose file list
+      references the source's files (``zero_copy`` asserts the clone's
+      data dir holds ZERO parquet files right after cloning);
+    - the clone then APPENDS the %3==2 third, which RE-INSERTS keys
+      the carried delete matches: because the clone's first manifest
+      takes the source's head VERSION as its own, the appended files
+      get a strictly larger sequence and the carried equality-delete
+      must NOT hide them (a naive clone-starts-at-v1 numbering fails
+      exactly here, and the oracle catches it);
+    - the source independently appends a disjoint range; the oracle
+      recomputes both final tables, so any cross-contamination in
+      either direction hash-mismatches;
+    - ``src_intact`` asserts clone.vacuum() removed nothing and every
+      source-referenced file still exists (vacuum walks only the
+      clone's own data dir — Delta's shallow-clone vacuum rule,
+      structural here)."""
+    import os as _os
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, delete_keys_mor, shallow_clone
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+    base = docs.filter(F.col("doc_id") < 2000)
+    root_a = scratch_dir("clone_src_")
+    root_b = scratch_dir("clone_dst_")
+    try:
+        src = SnapshotStore(root_a)
+        src.write(base.filter(F.col("doc_id") % 3 == 0))
+        src.write(base.filter(F.col("doc_id") % 3 == 1))
+        delete_keys_mor(src, spark,
+                        base.filter((F.col("doc_id") % 5 == 0))
+                        .select("doc_id"), ["doc_id"])
+
+        clone = shallow_clone(src, root_b)
+        zero_copy = not any(
+            f.endswith(".parquet")
+            for _dp, _dn, fn in _os.walk(_os.path.join(root_b, "data"))
+            for f in fn)
+        src_head_before = src.head("main")
+
+        clone.write(base.filter(F.col("doc_id") % 3 == 2))
+        src.write(docs.filter((F.col("doc_id") >= 2000)
+                              & (F.col("doc_id") < 2500)))
+
+        removed = clone.vacuum()
+        src_files = src._read_manifest(src.head("main"))["files"]
+        src_intact = (removed == [] and src.head("main") != src_head_before
+                      and all(_os.path.exists(p) for p in src_files))
+
+        agg = lambda st: (st.read(spark)  # noqa: E731
+                          .agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("n_chars").cast("long").alias("s"))
+                          .collect()[0])
+        c, s = agg(clone), agg(src)
+        rows = [("clone", c["n"], c["s"], zero_copy, src_intact),
+                ("src", s["n"], s["s"], zero_copy, src_intact)]
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "zero_copy boolean, src_intact boolean")
+
+
+@register("x_timestamp_travel", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+),
+t0 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
+t1 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
+t2 AS (SELECT * FROM base WHERE doc_id % 3 = 2),
+v1 AS (SELECT * FROM t0),
+v2 AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1),
+v3 AS (SELECT * FROM t2)
+SELECT label, n_docs, sum_chars, pre_epoch_raises
+FROM (
+  SELECT 'at_1500' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         TRUE AS pre_epoch_raises FROM v1
+  UNION ALL
+  SELECT 'at_2000', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v2
+  UNION ALL
+  SELECT 'at_2500', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v2
+  UNION ALL
+  SELECT 'at_9999', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v3
+) ORDER BY label
+""")
+def x_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel BY TIMESTAMP (Delta ``timestampAsOf`` / Iceberg
+    ``FOR SYSTEM_TIME AS OF``; SnapshotStore.version_at): three
+    commits carry injected timestamps 1000/2000/3000 (the ``ts``
+    override on write — deterministic, no wall clock in the graded
+    values), and four probes pin the resolution rule 'latest version
+    committed AT OR BEFORE the timestamp':
+
+    - 1500 -> v1 (between commits resolves DOWN);
+    - 2000 -> v2 (exactly-at is inclusive);
+    - 2500 -> v2 (a later commit at 3000 is invisible);
+    - 9999 -> v3 (after the last commit resolves to the head — here an
+      OVERWRITE, so the aggregate proves the resolved version's FILE
+      LIST was swapped, not appended);
+    - a probe before the first commit must raise
+      (``pre_epoch_raises``).
+
+    The oracle recomputes each resolved version's table from raw
+    documents: an off-by-one in the resolution rule (strictly-before,
+    or nearest-commit rounding) changes a row's aggregate and
+    hash-mismatches."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    root = scratch_dir("tstravel_")
+    try:
+        st = SnapshotStore(root)
+        st.write(docs.filter(F.col("doc_id") % 3 == 0), ts=1000.0)
+        st.write(docs.filter(F.col("doc_id") % 3 == 1), ts=2000.0)
+        st.write(docs.filter(F.col("doc_id") % 3 == 2),
+                 mode="overwrite", ts=3000.0)
+        try:
+            st.version_at(999.0)
+            raises = False
+        except ValueError:
+            raises = True
+        rows = []
+        for label, probe in (("at_1500", 1500.0), ("at_2000", 2000.0),
+                             ("at_2500", 2500.0), ("at_9999", 9999.0)):
+            r = (st.read(spark, st.version_at(probe))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_chars").cast("long").alias("s"))
+                 .collect()[0])
+            rows.append((label, r["n"], r["s"], raises))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "pre_epoch_raises boolean")

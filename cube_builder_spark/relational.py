@@ -2226,3 +2226,159 @@ def r20_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("o_orderpriority"), F.lit("ALL"))
                     .alias("orderpriority"),
                     "gset", "n_orders", "total_value"))
+
+
+_R21_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS k,
+         CAST((c_custkey - c_custkey % 10) / 10 AS BIGINT) AS parent,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+tree AS (
+  SELECT k, bal_cents, CAST(0 AS BIGINT) AS depth
+  FROM nodes WHERE k < 10
+  UNION ALL
+  SELECT n.k, n.bal_cents, t.depth + 1
+  FROM nodes n JOIN tree t ON n.parent = t.k
+  WHERE n.k >= 10
+)
+SELECT depth, count(*) AS n_nodes,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+FROM tree GROUP BY depth ORDER BY depth
+"""
+
+
+@register("r21_recursive_hierarchy", _R21_SQL)
+def r21_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ``WITH RECURSIVE`` hierarchy traversal (Spark
+    4.x's recursive-CTE support, SPARK-24497) — THE ORACLE STRING
+    ITSELF runs verbatim through ``spark.sql`` (the r15 pattern: one
+    query text, two engines, identical hashes).
+
+    The hierarchy is a derived 10-ary tree over customer (parent(k) =
+    k DIV 10; keys are contiguous so every parent exists): the anchor
+    seeds the single-digit roots, the recursive step joins children to
+    the frontier, and the final aggregate rolls up per-depth node
+    counts, exact-cents balance sums, and key ranges. Recursion depth
+    is log10(|customer|) — each iteration is a JOIN of the full node
+    table against the previous frontier, i.e. the same bounded-round
+    iterative shape as LPA/flow-accumulation, but expressed in pure
+    SQL and planned by Catalyst's UnionLoop.
+
+    Exactness: (k - k % 10) / 10 is an exact integer before the
+    division in BOTH engines' double arithmetic, so the truncating
+    (Spark) vs rounding (DuckDB) CAST difference never bites; the
+    balance rollup is integer cents."""
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql(_R21_SQL)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unroll the synchronous k-core peel into CTE stages (the LPA /
+    c36 oracle pattern: both engines replay the identical automaton).
+
+    Every stage is ``AS MATERIALIZED``: e{r+1} references e{r} three
+    times (directly plus twice through n{r+1}), so DuckDB's default
+    CTE INLINING would expand e{rounds} into 3^rounds copies of the
+    lineitem self-join — materialization keeps the oracle linear in
+    rounds. (DuckDB-only syntax is fine here: this oracle never runs
+    through spark.sql.)"""
+    parts = [f"""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT pa, pb FROM (
+    SELECT pa, pb, count(DISTINCT ok) AS c FROM pairs GROUP BY pa, pb
+  ) WHERE c >= 2
+)"""]
+    for r in range(rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT pa AS v FROM e{r} UNION ALL SELECT pb AS v FROM e{r}
+  ) GROUP BY v
+)""")
+        if r < rounds:
+            parts.append(f""",
+n{r + 1} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e{r}.pa, e{r}.pb FROM e{r}
+  JOIN n{r + 1} a ON e{r}.pa = a.v JOIN n{r + 1} b ON e{r}.pb = b.v
+)""")
+    stats = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST((SELECT count(*) FROM d{r}) AS BIGINT) AS n_nodes,"
+        f" CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges,"
+        f" CAST((SELECT coalesce(max(d), 0) FROM d{r}) AS BIGINT)"
+        f" AS max_deg"
+        for r in range(rounds + 1))
+    parts.append("\n" + stats + "\nORDER BY round")
+    return "".join(parts)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+@register("x_kcore_parts", _kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def x_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983; the distributed synchronous
+    peel — Batagelj & Zaveršnik's algorithm as BSP rounds, what
+    GraphX/Gelly implement) over the part CO-PURCHASE graph
+    (x_triangle_count's edge set: two parts sharing >= 2 orders).
+
+    Each round computes live-edge degrees and removes EVERY node of
+    degree < k simultaneously (synchronous, so both engines replay the
+    identical automaton whether or not the peel has converged — the
+    LPA fixed-round discipline); an edge survives while both endpoints
+    do. Output: per-round (n_nodes, n_edges, max_deg) for rounds
+    0..{rounds} — the trajectory, not just the fixed point, so a
+    one-round drift in either engine hash-mismatches. At sf0.01 the
+    k=3 peel cascades 1892 -> 1295 -> 1154 -> 1104 -> 1078 live nodes.
+
+    Scale shape: the edge set derives array-first (bounded <= 7
+    parts/order in-array expansion, no lineitem self-join); each round
+    is one map-side-combinable degree aggregate plus two keyed
+    semi-joins, with an eager localCheckpoint per round cutting the
+    lineage (the LPA pattern). Rounds are a FIXED constant — at 100 TB
+    the peel runs log-depth rounds of output-shrinking joins, never a
+    per-node sequential loop. Per-round scalars come from 1-row
+    aggregates (bounded collect, house rule)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    parts_per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
+             .alias("ps"))
+        .filter(F.size("ps") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    e = (parts_per_order.select(F.explode(combos).alias("p"))
+         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
+         .filter(F.col("c") >= 2).select("pa", "pb")
+         .localCheckpoint(eager=True))
+    rows = []
+    for r in range(_KCORE_ROUNDS + 1):
+        deg = (e.select(F.col("pa").alias("v"))
+               .unionAll(e.select(F.col("pb").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+        stat = (deg.agg(F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.max("d"), F.lit(0)).alias("mx"))
+                .crossJoin(e.agg(F.count(F.lit(1)).alias("m")))
+                .collect()[0])
+        rows.append((r, stat["n"], stat["m"], stat["mx"]))
+        if r < _KCORE_ROUNDS:
+            alive = (deg.filter(F.col("d") >= _KCORE_K)
+                     .select("v").localCheckpoint(eager=True))
+            e = (e.join(alive.select(F.col("v").alias("pa")), "pa")
+                 .join(alive.select(F.col("v").alias("pb")), "pb")
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long, max_deg long")

@@ -58,11 +58,13 @@ class SnapshotStore:
 
     def _commit(self, files: list[str], op: str,
                 parent: int | None,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None,
+                ts: float | None = None) -> int:
         import time
         version = (self.versions() or [0])[-1] + 1
         manifest = {"version": version, "op": op, "parent": parent,
-                    "ts": time.time(), "files": sorted(files)}
+                    "ts": time.time() if ts is None else ts,
+                    "files": sorted(files)}
         if extra:
             manifest.update(extra)
             # sequence-number back-fill: callers can't know the commit
@@ -199,13 +201,18 @@ class SnapshotStore:
 
     # -- write path ---------------------------------------------------
     def write(self, df: DataFrame, mode: str = "append",
-              branch: str = "main") -> int:
+              branch: str = "main", ts: float | None = None) -> int:
         """Commit ``df`` as a new version on ``branch`` (default
         main). ``mode='append'`` adds its files to the branch head's
         view; ``'overwrite'`` replaces the view. Data lands under a
         unique subdir first; the manifest commit is the only
         publication point, and the ref advance after it is what makes
-        the commit visible on the branch."""
+        the commit visible on the branch.
+
+        ``ts`` overrides the manifest's commit timestamp (for
+        deterministic ``version_at`` / timestampAsOf scenarios —
+        tests and the x_timestamp_travel oracle query); default is
+        wall-clock."""
         sub = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("error").parquet(sub)
         new_files = sorted(
@@ -225,7 +232,8 @@ class SnapshotStore:
         extra = {"file_seq": file_seq}
         if pm.get("deletes"):
             extra["deletes"] = [dict(d) for d in pm["deletes"]]
-        v = self._commit(base + new_files, mode, parent, extra=extra)
+        v = self._commit(base + new_files, mode, parent, extra=extra,
+                         ts=ts)
         self._advance(branch, v)
         return v
 
@@ -1660,3 +1668,52 @@ def occ_append(store: SnapshotStore, df: DataFrame,
     v = store._commit(base + new_files, "append", head, extra=extra)
     store._advance("main", v)
     return v, rebased
+
+
+# -- Shallow clone (round 10) --------------------------------------------------
+
+def shallow_clone(src: SnapshotStore, dest_root: str,
+                  branch: str = "main") -> SnapshotStore:
+    """Delta ``CREATE TABLE ... SHALLOW CLONE`` (Iceberg: snapshot-ref
+    export): a NEW table whose first manifest REFERENCES the source's
+    current data files by (absolute) path — zero data bytes move, the
+    clone is a metadata-only O(1) commit at any table size.
+
+    Independence afterwards is structural:
+
+    - the clone's appends/overwrites/deletes land under ITS root and
+      never touch the source;
+    - the clone's ``vacuum()`` walks only ``dest_root/data``, so the
+      source's files are out of reach by construction (Delta's rule:
+      vacuum on a shallow clone never deletes source files);
+    - MoR seq-number semantics survive because the clone's first
+      manifest takes the SOURCE's head version number: every later
+      clone commit gets a strictly larger sequence than any carried
+      file_seq/delete seq, so carried equality-deletes keep applying
+      to exactly the files they applied to at clone time.
+
+    Shared caveat (same as Delta): expiring + vacuuming the SOURCE
+    breaks the clone's reads of still-referenced source files — the
+    clone pins nothing in the source's manifest log."""
+    import time
+
+    head = src.head(branch)
+    if head is None:
+        raise ValueError("cannot shallow-clone an empty store")
+    m = src._read_manifest(head)
+    dest = SnapshotStore(dest_root)
+    if dest.versions():
+        raise ValueError("shallow_clone target must be empty")
+    manifest = {"version": head, "op": "clone", "parent": None,
+                "ts": time.time(), "files": m["files"],
+                "cloned_from": src.root, "source_version": head}
+    if m.get("file_seq"):
+        manifest["file_seq"] = dict(m["file_seq"])
+    if m.get("deletes"):
+        manifest["deletes"] = [dict(d) for d in m["deletes"]]
+    tmp = dest._manifest_path(head) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, dest._manifest_path(head))
+    dest._advance("main", head)
+    return dest

@@ -1263,3 +1263,64 @@ def test_occ_append_expired_chain_cleans_staged_files(spark, tmp_path):
     assert ei.value.blocking_op == "unprovable-history"
     assert data_files() == before       # staged subdir removed
     assert st.read(spark).count() == 3  # head untouched
+
+
+def test_shallow_clone_zero_copy_and_independence(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   delete_keys,
+                                                   shallow_clone)
+    src = SnapshotStore(str(tmp_path / "csrc"))
+    src.write(_df(spark, 0, 10))
+    src.write(_df(spark, 10, 20))
+    clone = shallow_clone(src, str(tmp_path / "cdst"))
+    # clone head takes the SOURCE's version number (MoR seq safety)
+    assert clone.head("main") == src.head("main") == 2
+    # zero copy: no parquet landed under the clone's data dir
+    assert not any(f.endswith(".parquet")
+                   for _d, _s, fs in os.walk(str(tmp_path / "cdst" / "data"))
+                   for f in fs)
+    assert _ids(clone.read(spark)) == list(range(20))
+
+    # source evolution invisible to the clone
+    src.write(_df(spark, 20, 25))
+    assert _ids(clone.read(spark)) == list(range(20))
+    # clone CoW delete rewrites into the CLONE's root, source intact
+    v, _n = delete_keys(clone, spark, [3], "id")
+    assert _ids(clone.read(spark, v)) == [i for i in range(20) if i != 3]
+    assert _ids(src.read(spark)) == list(range(25))
+    # clone vacuum never reaches source files
+    assert clone.vacuum() == []
+    assert _ids(src.read(spark)) == list(range(25))
+
+
+def test_shallow_clone_guards(spark, tmp_path):
+    import pytest as _pytest
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, shallow_clone
+    empty = SnapshotStore(str(tmp_path / "ge"))
+    with _pytest.raises(ValueError):
+        shallow_clone(empty, str(tmp_path / "gd"))
+    src = SnapshotStore(str(tmp_path / "gs"))
+    src.write(_df(spark, 0, 3))
+    used = SnapshotStore(str(tmp_path / "gu"))
+    used.write(_df(spark, 5, 8))
+    with _pytest.raises(ValueError):
+        shallow_clone(src, str(tmp_path / "gu"))
+
+
+def test_shallow_clone_carried_mor_delete_vs_new_appends(spark, tmp_path):
+    """The carried equality-delete (seq = source head) must hide the
+    CLONED rows it matched but NOT rows the clone appends afterwards —
+    the naive clone-starts-at-v1 numbering fails this."""
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   delete_keys_mor,
+                                                   shallow_clone)
+    src = SnapshotStore(str(tmp_path / "msrc"))
+    src.write(_df(spark, 0, 10))
+    delete_keys_mor(src, spark,
+                    spark.createDataFrame([(2,), (4,)], "id long"), ["id"])
+    clone = shallow_clone(src, str(tmp_path / "mdst"))
+    assert _ids(clone.read(spark)) == [i for i in range(10)
+                                       if i not in (2, 4)]
+    clone.write(_df(spark, 2, 5))          # re-insert 2, 3, 4
+    assert _ids(clone.read(spark)) == sorted(
+        [i for i in range(10) if i not in (2, 4)] + [2, 3, 4])
