@@ -646,3 +646,35 @@ def blocked_entity_pairs(df: DataFrame, id_col: str, name_col: str,
                     F.levenshtein("p.nm_a", "p.nm_b").cast("long")
                     .alias("edit_dist"))
             .filter(F.col("edit_dist") <= max_edit))
+
+
+def deletion_neighborhood_pairs(df: DataFrame, col: str) -> DataFrame:
+    """LOSSLESS edit-distance-1 candidate join — the FastSS / SymSpell
+    deletion-neighborhood recipe (Bocek et al. 2007), the exact
+    counterpart to blocked_entity_pairs' heuristic blocking:
+
+    two strings have levenshtein == 1 iff they share a key in
+    {s} ∪ {s minus one char} — a substitution shares the both-deleted
+    variant, an indel shares (original of the shorter == variant of
+    the longer). Keys are Σ|s|+1 per string (LINEAR, never all-pairs),
+    the self-join is a plain equi-join on the key, and a JVM-side
+    levenshtein == 1 verify removes the ed-0 and ed-2 false candidates
+    (e.g. 'ab'/'ba' share variant 'a' at distance 2).
+
+    Input rows must be DISTINCT on ``col`` (the caller dedups first —
+    at scale the fuzzy join runs on the distinct key domain, not the
+    fact table). Returns ordered (a, b) pairs with a < b."""
+    s = F.col(col)
+    variants = F.array_union(
+        F.array(s),
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substr({col}, 1, i - 1), "
+            f"substr({col}, i + 1)))")))
+    keyed = df.select(s.alias("_s"), F.explode(variants).alias("_k"))
+    a = keyed.select(F.col("_s").alias("a"), "_k")
+    b = keyed.select(F.col("_s").alias("b"), "_k")
+    return (a.join(b, "_k")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct()
+            .filter(F.levenshtein("a", "b") == 1))

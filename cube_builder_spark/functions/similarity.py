@@ -866,3 +866,61 @@ def sq8_topk(embeddings: DataFrame, query_vec_id: int = 0,
                      lambda acc, x: acc + x * x)
     return (codes.select("vec_id", d2.alias("d2"))
             .orderBy("d2", "vec_id").limit(k))
+
+
+def bq_code(col):
+    """Binary quantization: pack each dimension's SIGN BIT (of the
+    milli-quantized value, >= 0 -> 1) into one int64 word — 64-dim
+    vectors compress 256 bytes -> 8 bytes, the 32x memory cut that
+    makes exhaustive candidate scans cheap (the modern vector-DB
+    'binary quantization + rescore' recipe, e.g. FAISS's
+    IndexBinaryFlat front-end).
+
+    The shift amount is a column (the dimension index), so the house
+    power-of-two array-literal + element_at pattern stands in for
+    shiftleft (which requires a literal shift — see functions/bloom)."""
+    # bit 63 as Long.MIN_VALUE: 1 << 63 overflows a signed lit, and
+    # sum-packing disjoint bits with -2^63 yields the correct two's-
+    # complement bit pattern (sum == bitwise OR on disjoint bits)
+    pow2 = F.array(*[F.lit(-(1 << 63) if i == 63 else 1 << i)
+                     .cast("long") for i in range(64)])
+    signed = F.transform(
+        quantize(col),
+        lambda x, i: F.when(x >= 0, F.element_at(pow2, i + F.lit(1)))
+        .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+
+
+def bq_refine_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                   k: int = 10, rerank: int = 50) -> DataFrame:
+    """Binary-quantized ANN: Hamming distance on the 8-byte sign codes
+    (bit_count of XOR — one JVM instruction per candidate) shortlists
+    ``rerank`` candidates, then the EXACT integer-cosine kernel
+    rescores the shortlist (pq_refine_topk's two-stage shape).
+
+    Scale: the Hamming scan reads 8 bytes/vector from a codes-only
+    projection (column pruning keeps the float arrays unread), the
+    shortlist is a bounded top-``rerank`` TakeOrdered, and only
+    ``rerank`` float vectors are ever touched. Ties break on vec_id at
+    both stages so both engines replay the identical shortlist."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(bq_code(F.col("embedding")).alias("qcode"),
+                 quantize(F.col("embedding")).alias("qv")))
+    codes = (embeddings.filter(F.col("vec_id") != query_vec_id)
+             .select("vec_id", bq_code(F.col("embedding")).alias("code")))
+    short = (codes.crossJoin(F.broadcast(q))
+             .select("vec_id",
+                     F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
+                     .cast("long").alias("hamming"))
+             .orderBy("hamming", "vec_id").limit(rerank))
+    cand = (embeddings
+            .select("vec_id", quantize(F.col("embedding")).alias("ev"))
+            .join(short, "vec_id"))
+    scored = (cand.crossJoin(F.broadcast(q.select("qv")))
+              .select("vec_id", "hamming",
+                      (dot_q(F.col("ev"), F.col("qv"))
+                       / (F.sqrt(dot_q(F.col("ev"), F.col("ev")))
+                          * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
+                      .alias("cosine")))
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)

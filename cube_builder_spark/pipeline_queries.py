@@ -4485,3 +4485,99 @@ def x_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long, "
               "pre_epoch_raises boolean")
+
+
+def _bq_codes_sql() -> str:
+    """Sign-bit packing per vec_id (needs dims). Bit 63 packs as
+    Long.MIN_VALUE so the signed-int64 bit pattern matches Spark's:
+    sum(rest) + (-2^63) == the two's-complement value with the top
+    bit set (bits are disjoint, so sum == bitwise OR)."""
+    p2 = " ".join(
+        f"WHEN {d} THEN {-(1 << 63) if d == 63 else (1 << d)}"
+        for d in range(64))
+    return f"""
+codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN qval >= 0
+                       THEN (CASE dim {p2} END) ELSE 0 END) AS BIGINT)
+           AS code
+  FROM dims GROUP BY vec_id
+)"""
+
+
+@register("a_ann_bq_topk", f"""
+WITH {_dims_sql()}, {_bq_codes_sql()}, {_EV_SQL},
+qc AS (SELECT code FROM codes WHERE vec_id = 0),
+short AS (
+  SELECT c.vec_id,
+         CAST(bit_count(xor(c.code, q.code)) AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN qc q WHERE c.vec_id <> 0
+  ORDER BY hamming, c.vec_id LIMIT 50
+),
+qv AS (SELECT v FROM ev WHERE vec_id = 0)
+SELECT s.vec_id, s.hamming,
+       list_dot_product(e.v, q.v)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.v, q.v))) AS cosine
+FROM short s JOIN ev e ON e.vec_id = s.vec_id CROSS JOIN qv q
+ORDER BY cosine DESC, s.vec_id LIMIT 10
+""")
+def a_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the vector-DB 'BQ + rescore' recipe;
+    FAISS IndexBinaryFlat front-end): each 64-dim vector compresses to
+    ONE int64 of sign bits (32x memory cut), the Hamming scan
+    (bit_count of XOR — one JVM instruction per candidate) shortlists
+    50, and the exact integer-cosine kernel rescores to the top-10.
+    Completes the quantization ladder beside PQ (a_ann_pq_refine_topk)
+    and SQ8: BQ is the cheapest code, the one exhaustively scannable
+    at 100 TB because the candidate scan reads 8 bytes/vector from a
+    codes-only projection (column pruning keeps the float arrays
+    unread until the 50-row rescore). Hamming and cosine stages both
+    tie-break on vec_id, so the two engines replay the identical
+    shortlist; bit 63 packs as Long.MIN_VALUE in both so the signed
+    bit patterns agree."""
+    return similarity.bq_refine_topk(_embs(spark, sf_dir),
+                                     query_vec_id=0, k=10, rerank=50)
+
+
+@register("d_fuzzy_join_ed1", """
+WITH nm AS (
+  SELECT p_name AS s, count(*) AS n_parts FROM part GROUP BY p_name
+)
+SELECT a.s AS name_a, b.s AS name_b,
+       CAST(a.n_parts AS BIGINT) AS n_parts_a,
+       CAST(b.n_parts AS BIGINT) AS n_parts_b
+FROM nm a JOIN nm b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+ORDER BY name_a, name_b
+""")
+def d_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join at edit distance EXACTLY 1 via the LOSSLESS
+    FastSS/SymSpell deletion-neighborhood (functions/dedup.
+    deletion_neighborhood_pairs): each distinct name emits itself plus
+    its |s| one-char-deletion variants, the candidate join is a plain
+    equi-join on the variant key (LINEAR key volume — never the
+    all-pairs theta join), and a JVM-side levenshtein verify drops the
+    ed-0/ed-2 false candidates. The ORACLE is the naive all-pairs
+    levenshtein join — a DIFFERENT algorithm, so a hash match proves
+    the neighborhood join loses no pair and invents none.
+
+    Runs on the DISTINCT name domain with per-name part counts joined
+    back on (the scale framing: fact-table rows fan back in by key
+    after the fuzzy match on the bounded key domain; exact-duplicate
+    pairs would otherwise grow quadratically with duplication).
+    Complements blocked_entity_pairs, whose phonetic/attribute
+    blocking is a recall HEURISTIC — this one is exact for its
+    radius."""
+    from .functions.dedup import deletion_neighborhood_pairs
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    nm = (part.groupBy(F.col("p_name").alias("s"))
+          .agg(F.count(F.lit(1)).alias("n_parts")))
+    pairs = deletion_neighborhood_pairs(nm.select("s"), "s")
+    na = nm.select(F.col("s").alias("a"), F.col("n_parts").alias("n_parts_a"))
+    nb = nm.select(F.col("s").alias("b"), F.col("n_parts").alias("n_parts_b"))
+    return (pairs.join(na, "a").join(nb, "b")
+            .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
+                    F.col("n_parts_a").cast("long").alias("n_parts_a"),
+                    F.col("n_parts_b").cast("long").alias("n_parts_b"))
+            .orderBy("name_a", "name_b"))

@@ -34,3 +34,34 @@ def test_sq8_recall_and_exactness(spark, sf_dir):
              for r in similarity.sq8_codes(const, mins, spans).collect()}
     assert all(c[0] == 0 for c in codes.values())
     assert codes[4][1] == 255              # max value hits full code
+
+
+def test_deletion_neighborhood_matches_naive_levenshtein(spark):
+    """FastSS deletion-neighborhood pairs == naive all-pairs
+    levenshtein==1 on a small-alphabet corpus engineered for variant
+    collisions (substitution / insertion / deletion / ed-2 decoys /
+    duplicates-after-distinct)."""
+    import itertools
+
+    from cube_builder_spark.functions.dedup import (
+        deletion_neighborhood_pairs)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    corpus = sorted({
+        "".join(c) for n in (1, 2, 3, 4)
+        for c in itertools.product("abc", repeat=n)} | {"", "abcd", "dcba"})
+    corpus = [c for c in corpus if c]          # empty string excluded
+    want = sorted((a, b) for a, b in itertools.combinations(corpus, 2)
+                  if lev(a, b) == 1)
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = sorted((r["a"], r["b"]) for r in
+                 deletion_neighborhood_pairs(df, "s").collect())
+    assert got == want and len(want) > 50
