@@ -924,3 +924,63 @@ def bq_refine_topk(embeddings: DataFrame, query_vec_id: int = 0,
                           * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
                       .alias("cosine")))
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
+
+def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
+             k: int = 5, shortlist: int = 30,
+             lam: float = 0.5) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein 1998): greedily pick k results maximizing
+    lam*cos(q,d) - (1-lam)*max_{s in picked} cos(d,s) over a bounded
+    relevance shortlist — relevance alone returns near-duplicates;
+    MMR trades it against novelty (the standard search/RAG reranker).
+
+    Distribution contract: the greedy loop is INHERENTLY sequential
+    (pick i depends on picks 1..i-1), so it runs as k bounded rounds
+    over the ``shortlist``-row candidate frame — each round one
+    1-row argmax collect (house bounded-collect rule), never a scan
+    of the full vector table; the full table is touched once, by the
+    shortlist top-N. Pairwise candidate cosines are precomputed once
+    (shortlist² rows, bounded) and checkpointed.
+
+    Both the relevance and diversity cosines use the identical
+    dot/(sqrt*sqrt) shape as the DuckDB oracle, and every argmax
+    tie-breaks on vec_id, so the two engines replay the same greedy
+    trajectory bit-for-bit."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(quantize(F.col("embedding")).alias("qv")))
+    ev = embeddings.select("vec_id",
+                           quantize(F.col("embedding")).alias("v"))
+    cos_q = (dot_q(F.col("v"), F.col("qv"))
+             / (F.sqrt(dot_q(F.col("v"), F.col("v")))
+                * F.sqrt(dot_q(F.col("qv"), F.col("qv")))))
+    cand = (ev.filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "v", cos_q.alias("cq"))
+            .orderBy(F.desc("cq"), "vec_id").limit(shortlist)
+            .localCheckpoint(eager=True))
+    a = cand.select(F.col("vec_id").alias("va"), F.col("v").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("v").alias("eb"))
+    cos_ab = (dot_q(F.col("ea"), F.col("eb"))
+              / (F.sqrt(dot_q(F.col("ea"), F.col("ea")))
+                 * F.sqrt(dot_q(F.col("eb"), F.col("eb")))))
+    pc = (a.join(b, F.col("va") != F.col("vb"))
+          .select("va", "vb", cos_ab.alias("cs"))
+          .localCheckpoint(eager=True))
+    first = (cand.orderBy(F.desc("cq"), "vec_id").limit(1)
+             .select("vec_id", "cq").collect()[0])
+    picked = [(1, first["vec_id"], first["cq"], 0.0)]
+    for rank in range(2, k + 1):
+        sel = [p[1] for p in picked]
+        msim = (pc.filter(F.col("vb").isin(sel))
+                .groupBy("va").agg(F.max("cs").alias("msim")))
+        score = F.lit(lam) * F.col("cq") - F.lit(1.0 - lam) * F.col("msim")
+        nxt = (cand.filter(~F.col("vec_id").isin(sel))
+               .join(msim, F.col("va") == F.col("vec_id"))
+               .select("vec_id", "cq", "msim", score.alias("mmr"))
+               .orderBy(F.desc("mmr"), "vec_id").limit(1).collect()[0])
+        picked.append((rank, nxt["vec_id"], nxt["cq"], nxt["msim"]))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, cosine double, "
+                "max_sim_prior double")

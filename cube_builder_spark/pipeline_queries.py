@@ -4581,3 +4581,69 @@ def d_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_parts_a").cast("long").alias("n_parts_a"),
                     F.col("n_parts_b").cast("long").alias("n_parts_b"))
             .orderBy("name_a", "name_b"))
+
+
+def _mmr_sql(k: int, shortlist: int, lam: float) -> str:
+    """Unrolled greedy MMR oracle (one MATERIALIZED stage per pick —
+    the kcore pattern; inlining would re-derive cand/pc per stage)."""
+    cos = ("list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product("
+           "{a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))")
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v FROM ev WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, {cos.format(a='e', b='q')} AS cq
+  FROM ev e CROSS JOIN qv q WHERE e.vec_id <> 0
+  ORDER BY cq DESC, e.vec_id LIMIT {shortlist}
+),
+pc AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {cos.format(a='ea', b='eb')} AS cs
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, cq, 0.0 AS msim
+  FROM cand ORDER BY cq DESC, vec_id LIMIT 1
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+pick{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS rank, c.vec_id, c.cq, m.msim
+  FROM cand c
+  JOIN (SELECT va, max(cs) AS msim FROM pc
+        WHERE vb IN (SELECT vec_id FROM sel{i - 1}) GROUP BY va) m
+    ON m.va = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY {lam} * c.cq - {1.0 - lam} * m.msim DESC, c.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i}
+)""")
+    parts.append(f"""
+SELECT rank, vec_id, cq AS cosine, msim AS max_sim_prior
+FROM sel{k} ORDER BY rank""")
+    return "".join(parts)
+
+
+@register("a_ann_mmr_rerank", _mmr_sql(5, 30, 0.5))
+def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein 1998; similarity.mmr_topk) — relevance-only top-k
+    returns near-duplicates, MMR greedily trades relevance against
+    novelty: pick_i = argmax lam*cos(q,d) - (1-lam)*max_{s in picked}
+    cos(d,s) over a bounded top-30 shortlist, lam=0.5, k=5.
+
+    The greedy loop is inherently sequential, so it runs as k bounded
+    rounds over the checkpointed shortlist (one 1-row argmax collect
+    per round — never a full-table scan after the shortlist top-N);
+    the oracle unrolls the same 5 picks as MATERIALIZED CTE stages.
+    Identical dot/(sqrt*sqrt) expression shapes and (score, vec_id)
+    tie-breaks make the greedy trajectory bit-reproducible across
+    engines — the graded rows carry each pick's rank, relevance
+    cosine, and max-similarity-to-prior-picks."""
+    return similarity.mmr_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               k=5, shortlist=30, lam=0.5)

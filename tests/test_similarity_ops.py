@@ -65,3 +65,36 @@ def test_deletion_neighborhood_matches_naive_levenshtein(spark):
     got = sorted((r["a"], r["b"]) for r in
                  deletion_neighborhood_pairs(df, "s").collect())
     assert got == want and len(want) > 50
+
+
+def test_mmr_diversifies_near_duplicate_results(spark):
+    """A clump of near-identical high-relevance vectors: plain top-k
+    returns the whole clump; MMR must pick ONE clump member then
+    reach for diverse lower-relevance vectors."""
+    from cube_builder_spark.functions.similarity import (brute_force_topk,
+                                                         mmr_topk)
+
+    def vec(*xs):
+        v = [0.0] * 8
+        for i, x in zip(range(0, 8, 2), xs):
+            v[i], v[i + 1] = x, x / 2
+        return v
+
+    rows = [(0, [1.0, 0.5, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0])]
+    # clump: vectors 1-4 nearly equal to the query direction
+    for i in range(1, 5):
+        rows.append((i, [1.0, 0.5, 0.2, 0.1, 0.0, 0.0, 0.001 * i, 0.0]))
+    # diverse tail: decent relevance, orthogonal-ish components
+    rows.append((5, [0.8, 0.4, 0.0, 0.0, 0.9, 0.0, 0.0, 0.0]))
+    rows.append((6, [0.8, 0.4, 0.0, 0.0, 0.0, 0.9, 0.0, 0.0]))
+    rows.append((7, [0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.9]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = [r["vec_id"] for r in
+             brute_force_topk(emb, 0, k=3).collect()]
+    assert set(plain) <= {1, 2, 3, 4}          # clump wins relevance
+    mmr = mmr_topk(emb, 0, k=3, shortlist=7, lam=0.5).collect()
+    picked = [r["vec_id"] for r in sorted(mmr, key=lambda r: r["rank"])]
+    assert len(picked) == 3 and len(set(picked)) == 3
+    assert len(set(picked) & {1, 2, 3, 4}) == 1   # one clump member only
+    assert {5, 6} & set(picked)                   # diversity reached
+    assert mmr[0]["max_sim_prior"] == 0.0
