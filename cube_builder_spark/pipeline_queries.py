@@ -4647,3 +4647,129 @@ def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, and max-similarity-to-prior-picks."""
     return similarity.mmr_topk(_embs(spark, sf_dir), query_vec_id=0,
                                k=5, shortlist=30, lam=0.5)
+
+
+@register("x_stream_late_data", """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 300
+)
+SELECT window_start, n, sum_chars FROM (
+  SELECT TIMESTAMP '2024-03-01 10:00:00' AS window_start,
+         count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM d WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT TIMESTAMP '2024-03-01 11:00:00', count(*),
+         CAST(sum(n_chars) AS BIGINT)
+  FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT TIMESTAMP '2024-03-01 12:00:00', count(*),
+         CAST(sum(n_chars) AS BIGINT)
+  FROM d WHERE (doc_id % 3 = 0 AND doc_id % 7 = 0)
+     OR (doc_id % 3 = 2 AND doc_id % 7 <> 0 AND doc_id % 2 <> 0)
+) ORDER BY window_start
+""")
+def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time WATERMARK semantics under a real Structured
+    Streaming run — the late-data contract every streaming engine is
+    judged on, pinned end-to-end (streams the documents table through
+    3 ordered file-source micro-batches with synthetic event times;
+    1-hour tumbling windows, 1-hour watermark, APPEND mode):
+
+    - batch 0 carries on-time 10:xx rows (window W10) plus 12:45
+      clock-advancer rows -> watermark becomes 11:45;
+    - batch 1 carries 11:30 rows: W11's end 12:00 > 11:45, so these
+      are LATE-BUT-ACCEPTED (an engine that filters on raw event time
+      < watermark instead of window state wrongly drops them); W10
+      (end 11:00 <= 11:45) is emitted and evicted at this batch;
+    - batch 2 carries 10:20 rows — W10 is gone, so these MUST be
+      DROPPED (numRowsDroppedByWatermark is where Spark counts them;
+      note the measured one-batch lag: the late filter applies the
+      watermark one batch AFTER eviction starts, so the drop row sits
+      two batches after the clock-advance, not one) — plus 12:50 rows
+      (join batch 0's 12:45 rows in W12) and 14:30 clock rows ->
+      final watermark 13:30 closes W11/W12; the 14:00 window's end
+      15:00 exceeds the final watermark so append mode must NEVER
+      emit it.
+
+    The oracle recomputes the three emitted windows from the raw
+    documents table: counting a dropped row, dropping an accepted
+    late row, or emitting the unclosed window all hash-mismatch.
+    Batch order is forced by file mtimes (maxFilesPerTrigger=1,
+    oldest-first file source); the flush of finalized windows rides
+    Spark's no-data micro-batch, which processAllAvailable waits
+    for."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    from .session import scratch_dir
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 300))
+    base = "2024-03-01 "
+    t = lambda hm: F.to_timestamp(  # noqa: E731
+        F.concat(F.lit(base), F.lit(hm)))
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.when(F.col("doc_id") % 7 == 0, t("12:45:00"))
+            .otherwise(F.to_timestamp(F.concat(
+                F.lit(base + "10:"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit(":00")))).alias("ts"),
+            "n_chars"),
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            t("11:30:00").alias("ts"), "n_chars"),
+        docs.filter(F.col("doc_id") % 3 == 2).select(
+            F.when(F.col("doc_id") % 7 == 0, t("14:30:00"))
+            .when(F.col("doc_id") % 2 == 0, t("10:20:00"))
+            .otherwise(t("12:50:00")).alias("ts"), "n_chars"),
+    ]
+    src = scratch_dir("stream_late_src_")
+    stage = scratch_dir("stream_late_stage_")
+    name = "late_" + _uuid.uuid4().hex[:10]
+    try:
+        for i, b in enumerate(batches):
+            sub = _os.path.join(stage, f"b{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = _glob.glob(_os.path.join(sub, "part-*.parquet"))[0]
+            dst = _os.path.join(src, f"b{i}.parquet")
+            shutil.copyfile(part, dst)
+            _os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        stream = (spark.readStream.schema("ts timestamp, n_chars long")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_chars").cast("long").alias("sum_chars"))
+               .select(F.col("w.start").alias("window_start"),
+                       "n", "sum_chars"))
+        q = (agg.writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", src + "_ckpt")
+             .start())
+        q.processAllAvailable()
+        n_dropped = sum(
+            st.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress for st in p["stateOperators"])
+        q.stop()
+        # the counter tallies POST-partial-aggregate rows (the 10:20
+        # input rows map-side-combine into one partial per partition
+        # before the state operator), so pin engagement, not the
+        # input-row count — the hash pins the exact row effect
+        if n_dropped < 1:
+            raise AssertionError(
+                "watermark drop path never engaged "
+                f"(numRowsDroppedByWatermark={n_dropped})")
+        rows = [(r["window_start"], r["n"], r["sum_chars"])
+                for r in spark.table(name).collect()]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    return (spark.createDataFrame(
+        rows, "window_start timestamp, n long, sum_chars long")
+        .orderBy("window_start"))
