@@ -34,12 +34,22 @@ from cube_builder_spark.session import get_spark
 # code regression. Nothing to revert.
 _NOISE_R9 = ("r10 A/B: code byte-identical across both r9 runs; "
              "fresh min-of-3 reproduces 'now' — cross-session drift")
+# Same verdict for the two r10 flags vs the r9 baseline: zero changed
+# lines on either code path this round (git diff d96ef65..HEAD over
+# blend.py / corpus_queries.py is empty) and an interleaved min-of-5
+# reproduces the flagged values (c3 0.123s, t_repetition 0.451s).
+# t_repetition_profile has swung 1.57 -> 0.30 -> 0.46 across sessions
+# with no code change — this host's documented noise band.
+_NOISE_R10 = ("r10 A/B: no code change on this path since r9; "
+              "interleaved min-of-5 reproduces 'now' — host drift")
 AB_VERDICTS = {
     "x_snapshot_cdc": _NOISE_R9,
     "c41_pansharpen": _NOISE_R9,
     "c42_bilinear_upsample": _NOISE_R9,
     "c43_terrain_indexes": _NOISE_R9,
     "e_rfm_segmentation": _NOISE_R9,
+    "c3_blend_med": _NOISE_R10,
+    "t_repetition_profile": _NOISE_R10,
 }
 
 HEADLINE = [

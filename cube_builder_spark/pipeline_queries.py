@@ -4773,3 +4773,87 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.createDataFrame(
         rows, "window_start timestamp, n long, sum_chars long")
         .orderBy("window_start"))
+
+
+@register("x_row_column_policy", """
+WITH c AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+analyst AS (
+  SELECT concat(substr(c_name, 1, 2), '***') AS c_name, c_mktsegment,
+         (bal_cents // 10000) * 100 AS bal_band
+  FROM c WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+),
+auditor AS (
+  SELECT (c_custkey * 2654435761) % 2147483647 AS pseudo_key,
+         c_mktsegment, bal_cents
+  FROM c
+)
+SELECT role, segment, n, n_distinct_names, sum_bal
+FROM (
+  SELECT 'analyst' AS role, c_mktsegment AS segment,
+         count(*) AS n,
+         CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_names,
+         CAST(sum(bal_band) AS BIGINT) AS sum_bal
+  FROM analyst GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'auditor', c_mktsegment, count(*),
+         CAST(count(DISTINCT pseudo_key) AS BIGINT),
+         CAST(sum(bal_cents) AS BIGINT)
+  FROM auditor GROUP BY c_mktsegment
+) ORDER BY role, segment
+""")
+def x_row_column_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking (security.apply_policy —
+    the Delta/Unity row-filter & column-mask feature as declarative
+    view rewriting): two roles see two governed views of customer,
+
+    - analyst: row filter to two segments; c_name masked to
+      prefix+'***' (count(DISTINCT) over the MASKED value proves the
+      mask collapses names — the oracle computes the same collapsed
+      cardinality); c_acctbal coarsened to $100 bands in exact integer
+      cents (Spark cast truncates, so the oracle uses // floor-div on
+      the nonneg cents);
+    - auditor: no row filter, but c_custkey pseudonymized by a
+      deterministic Knuth multiplicative hash mod 2^31-1 (int64-exact
+      in both engines) and balances left exact — the
+      full-rows/masked-identity profile.
+
+    Policy application is pure expression rewriting: the row filter
+    pushes down to the parquet scan and masks stay codegen
+    expressions, so the governed read costs exactly the ungoverned
+    read at 100 TB (no join, no shuffle, no UDF)."""
+    from .security import Policy, apply_policy
+
+    c = (load_tables(spark, sf_dir, ["customer"])["customer"]
+         .select("c_custkey", "c_name", "c_mktsegment",
+                 round_half_up_long(F.col("c_acctbal"), 100)
+                 .alias("bal_cents")))
+    analyst = apply_policy(c, Policy(
+        row_filter="c_mktsegment IN ('AUTOMOBILE', 'BUILDING')",
+        column_masks={
+            "c_name": "concat(substr(c_name, 1, 2), '***')",
+            "bal_cents": "(bal_cents div 10000) * 100",
+        }))
+    auditor = apply_policy(c, Policy(
+        column_masks={
+            "c_custkey": "(c_custkey * 2654435761) % 2147483647",
+            "c_name": "'***'",
+        }))
+    a = (analyst.groupBy(F.col("c_mktsegment").alias("segment"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("c_name").cast("long")
+              .alias("n_distinct_names"),
+              F.sum("bal_cents").cast("long").alias("sum_bal"))
+         .withColumn("role", F.lit("analyst")))
+    b = (auditor.groupBy(F.col("c_mktsegment").alias("segment"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("c_custkey").cast("long")
+              .alias("n_distinct_names"),
+              F.sum("bal_cents").cast("long").alias("sum_bal"))
+         .withColumn("role", F.lit("auditor")))
+    return (a.unionByName(b)
+            .select("role", "segment", "n", "n_distinct_names", "sum_bal")
+            .orderBy("role", "segment"))
