@@ -1648,3 +1648,62 @@ def e_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  syy.cast("long").alias("syy"),
                  ((n * sxy - sx * sy) * 1e0
                   / F.when(den != 0, den)).alias("pearson")))
+
+
+@register("e_ewma_daily", """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+),
+rec AS (
+  SELECT event_type, i, CAST(n AS DOUBLE) AS s FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, 0.25 * idx.n + 0.75 * rec.s
+  FROM rec JOIN idx ON idx.event_type = rec.event_type
+   AND idx.i = rec.i + 1
+),
+tail_i AS (SELECT event_type, max(i) AS mi FROM rec GROUP BY event_type)
+SELECT r.event_type, CAST(t.mi AS BIGINT) AS n_days, r.s AS ewma_last
+FROM rec r JOIN tail_i t
+  ON r.event_type = t.event_type AND r.i = t.mi
+ORDER BY r.event_type
+""")
+def e_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over per-type daily
+    volumes (the ops-metrics smoother: s_1 = x_1, s_t = alpha*x_t +
+    (1-alpha)*s_{t-1}, alpha = 0.25) — the sequential-recurrence
+    family member the window queries can't express with a frame.
+
+    Scale shape: the recurrence is sequential IN TIME but parallel
+    ACROSS series — one map-side-combinable daily aggregate, then each
+    series' fold runs inside its own task as a JVM F.aggregate over
+    the calendar-bounded day array (<= a few thousand elements at any
+    corpus size; series count scales out, series length doesn't).
+
+    Cross-engine float parity: both engines evaluate the identical
+    per-step shape 0.25*x + 0.75*acc (one int->double widen, two
+    multiplies, one add) in the identical day order — Spark as an
+    in-array left fold, DuckDB as the unrolled recursive CTE — so the
+    doubles are bit-identical; day boundaries come from the same
+    CAST-to-date in both."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    series = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("d", "n")))
+                   .alias("xs")))
+    ns = F.transform(F.col("xs"), lambda x: x["n"])
+    ewma = F.aggregate(
+        F.slice(ns, 2, F.greatest(F.size(ns) - 1, F.lit(0))),
+        F.element_at(ns, 1).cast("double"),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc)
+    return (series.select("event_type",
+                          F.size("xs").cast("long").alias("n_days"),
+                          ewma.alias("ewma_last"))
+            .orderBy("event_type"))
