@@ -32,6 +32,10 @@ from cube_builder_spark.session import get_spark
 # min-of-3 at sf0.1 reproduced the "now" values (0.785/0.405/0.438/
 # 0.501/0.325), so the deltas are cross-session host drift, not a
 # code regression. Nothing to revert.
+# Each verdict is scoped to the BASELINE ROUND it investigated: it
+# attaches to a movers entry only when the tripwire's baseline comes
+# from that round, so a genuine regression in a later round of the
+# same query is never mislabeled as already-investigated noise.
 _NOISE_R9 = ("r10 A/B: code byte-identical across both r9 runs; "
              "fresh min-of-3 reproduces 'now' — cross-session drift")
 # Same verdict for the two r10 flags vs the r9 baseline: zero changed
@@ -43,13 +47,13 @@ _NOISE_R9 = ("r10 A/B: code byte-identical across both r9 runs; "
 _NOISE_R10 = ("r10 A/B: no code change on this path since r9; "
               "interleaved min-of-5 reproduces 'now' — host drift")
 AB_VERDICTS = {
-    "x_snapshot_cdc": _NOISE_R9,
-    "c41_pansharpen": _NOISE_R9,
-    "c42_bilinear_upsample": _NOISE_R9,
-    "c43_terrain_indexes": _NOISE_R9,
-    "e_rfm_segmentation": _NOISE_R9,
-    "c3_blend_med": _NOISE_R10,
-    "t_repetition_profile": _NOISE_R10,
+    ("x_snapshot_cdc", 9): _NOISE_R9,
+    ("c41_pansharpen", 9): _NOISE_R9,
+    ("c42_bilinear_upsample", 9): _NOISE_R9,
+    ("c43_terrain_indexes", 9): _NOISE_R9,
+    ("e_rfm_segmentation", 9): _NOISE_R9,
+    ("c3_blend_med", 9): _NOISE_R10,
+    ("t_repetition_profile", 9): _NOISE_R10,
 }
 
 HEADLINE = [
@@ -153,7 +157,7 @@ def _round_files(pattern: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _previous_bench_queries(sf) -> dict[str, float]:
+def _previous_bench_queries(sf) -> tuple[dict[str, float], int | None]:
     """Per-query mins from the newest available record AT THE SAME
     SCALE FACTOR, PREFERRING ``BENCH_DETAIL_r*.json`` (written by this
     script — always complete) over the driver's ``BENCH_r*.json``
@@ -167,7 +171,11 @@ def _previous_bench_queries(sf) -> dict[str, float]:
     round's own detail file is overwritten by every in-round rerun,
     so using it would let small per-run regressions ratchet through a
     round unflagged (round-9 advisor finding) — the tripwire must diff
-    against the PRIOR round's settled baseline."""
+    against the PRIOR round's settled baseline.
+
+    Returns (per-query mins, baseline round) — the round scopes
+    AB_VERDICTS so an investigation verdict can never mislabel a
+    LATER round's genuine regression as already-investigated noise."""
     cur = _current_round()
     candidates: list[tuple[int, int, str]] = []
     # rank detail files above driver records at the same round
@@ -177,7 +185,7 @@ def _previous_bench_queries(sf) -> dict[str, float]:
     for rnd, path in _round_files("BENCH_r*.json"):
         if rnd < cur:
             candidates.append((rnd, 0, path))
-    for _, kind, path in sorted(candidates, reverse=True):
+    for rnd, kind, path in sorted(candidates, reverse=True):
         try:
             with open(path) as fh:
                 rec = json.load(fh)
@@ -190,8 +198,8 @@ def _previous_bench_queries(sf) -> dict[str, float]:
         except (OSError, ValueError):
             continue
         if qs and rec_sf == sf:
-            return {k: float(v) for k, v in qs.items()}
-    return {}
+            return {k: float(v) for k, v in qs.items()}, rnd
+    return {}, None
 
 
 def _current_round() -> int:
@@ -253,7 +261,7 @@ def main():
     # BEFORE the contract line so the 2 KB tail capture keeps the
     # contract JSON intact.
     sf_val0 = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev = _previous_bench_queries(sf_val0)
+    prev, prev_round = _previous_bench_queries(sf_val0)
     anchor_rec, movers = None, {}
     if prev:
         # Environment calibration (round-8): the r7 record ran on a
@@ -277,8 +285,8 @@ def main():
                 "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
                 "norm_pct": round(
                     100.0 * (t / (prev[n] * drift_c) - 1.0), 1),
-                **({"verdict": AB_VERDICTS[n]} if n in AB_VERDICTS
-                   else {})}
+                **({"verdict": AB_VERDICTS[(n, prev_round)]}
+                   if (n, prev_round) in AB_VERDICTS else {})}
             for n, t in timings.items()
             if n in prev and prev[n] > 0.05
             and t > prev[n] * drift_c * 1.25}

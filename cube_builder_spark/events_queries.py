@@ -971,7 +971,7 @@ def e_rfm_segmentation_scalable(spark: SparkSession,
     arithmetic reproduces SQL ntile's uneven-bucket semantics, and
     the (metric, user_id) total order makes the buckets deterministic
     — so exact equality with the ntile twin is achievable and pinned
-    (tests/test_events_queries.py).
+    (tests/test_ranking.py::test_rfm_scalable_equals_exact).
 
     The per-user aggregate is materialized to scratch parquet once
     (session.defer_cleanup house pattern): six downstream passes

@@ -27,7 +27,7 @@ Because the caller includes a unique tiebreaker in ``order`` the rank
 is total, so ntile buckets derived from (rank, n) are bit-identical
 to single-partition ``F.ntile`` — e_rfm_segmentation_scalable shares
 its DuckDB oracle with the exact-ntile twin, and
-tests/test_events_queries.py pins frame-level equality.
+tests/test_ranking.py pins frame-level equality.
 """
 
 from __future__ import annotations

@@ -967,9 +967,14 @@ def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
     pc = (a.join(b, F.col("va") != F.col("vb"))
           .select("va", "vb", cos_ab.alias("cs"))
           .localCheckpoint(eager=True))
+    spark = embeddings.sparkSession
+    schema = ("rank long, vec_id long, cosine double, "
+              "max_sim_prior double")
     first = (cand.orderBy(F.desc("cq"), "vec_id").limit(1)
-             .select("vec_id", "cq").collect()[0])
-    picked = [(1, first["vec_id"], first["cq"], 0.0)]
+             .select("vec_id", "cq").collect())
+    if not first:  # pool held only the query vector (or nothing)
+        return spark.createDataFrame([], schema)
+    picked = [(1, first[0]["vec_id"], first[0]["cq"], 0.0)]
     for rank in range(2, k + 1):
         sel = [p[1] for p in picked]
         msim = (pc.filter(F.col("vb").isin(sel))
@@ -978,9 +983,9 @@ def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
         nxt = (cand.filter(~F.col("vec_id").isin(sel))
                .join(msim, F.col("va") == F.col("vec_id"))
                .select("vec_id", "cq", "msim", score.alias("mmr"))
-               .orderBy(F.desc("mmr"), "vec_id").limit(1).collect()[0])
-        picked.append((rank, nxt["vec_id"], nxt["cq"], nxt["msim"]))
-    spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        picked, "rank long, vec_id long, cosine double, "
-                "max_sim_prior double")
+               .orderBy(F.desc("mmr"), "vec_id").limit(1).collect())
+        if not nxt:  # pool exhausted before k picks — return shorter
+            break
+        picked.append((rank, nxt[0]["vec_id"], nxt[0]["cq"],
+                       nxt[0]["msim"]))
+    return spark.createDataFrame(picked, schema)

@@ -1597,8 +1597,10 @@ def x_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, lang string, text string").parquet(d)
     q = (corpus_prep_stream(stream).writeStream.outputMode("append")
          .format("memory").queryName("x_stream_prep_out").start())
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table("x_stream_prep_out")
 
 
@@ -3061,8 +3063,10 @@ def x_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                              default_budget=1000)
          .writeStream.outputMode("append")
          .format("memory").queryName("x_stream_budget_out").start())
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table("x_stream_budget_out")
 
 
@@ -3655,22 +3659,17 @@ def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         checked_write(st, docs.filter(F.col("doc_id") % 3 == 0))
         head_before = st.head("main")
 
-        def data_files():
-            out = []
-            for dp, _dn, fn in _os.walk(_os.path.join(root, "data")):
-                out.extend(_os.path.join(dp, f) for f in fn
-                           if f.endswith(".parquet"))
-            return sorted(out)
-
-        files_before = data_files()
+        files_before = st.data_files()
         blocked = False
         try:
             checked_write(st, docs.filter(F.col("doc_id") % 3 == 2)
                           .withColumn("n_chars", -F.col("n_chars") - 1))
-            spark._chk_unreachable = True
+            # not caught below: ConstraintViolation is the only handler
+            raise AssertionError(
+                "violating batch committed — checked_write did not raise")
         except ConstraintViolation as exc:
             blocked = exc.name == "chars_nonneg" and exc.n_bad > 0
-        no_orphans = (data_files() == files_before
+        no_orphans = (st.data_files() == files_before
                       and st.head("main") == head_before)
         checked_write(st, docs.filter(F.col("doc_id") % 3 == 1))
         r = (st.read(spark, st.head("main"))
@@ -3844,26 +3843,19 @@ def x_occ_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.write(part(1))                            # A (plain append)
         _vb, rebased = occ_append(st, part(2), expected_head=v1)
 
-        def data_files():
-            out = []
-            for dp, _dn, fn in _os.walk(_os.path.join(root, "data")):
-                out.extend(_os.path.join(dp, f) for f in fn
-                           if f.endswith(".parquet"))
-            return sorted(out)
-
         # writer D reads now, an OVERWRITE intervenes (a no-op
         # overwrite of the same live rows keeps the table value equal
         # while still being a logical barrier)
         head_before_ow = st.head("main")
         live = st.read(spark, head_before_ow).localCheckpoint(eager=True)
         st.write(live, mode="overwrite")
-        files_before = data_files()
+        files_before = st.data_files()
         conflicted = False
         try:
             occ_append(st, part(3), expected_head=head_before_ow)
         except ConcurrentCommitConflict as exc:
             conflicted = exc.blocking_op == "overwrite"
-        no_orphans = data_files() == files_before
+        no_orphans = st.data_files() == files_before
         # retry on the fresh head succeeds without rebase
         _vd, rebased_d = occ_append(st, part(3),
                                     expected_head=st.head("main"))
@@ -3966,8 +3958,10 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                  st, b, i, run_id=run_id))
              .option("checkpointLocation", src + "_ckpt")
              .start())
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         # failure-path replay: re-offer already-committed batch ids
         # under the SAME run — the ledger must skip both (None) —
         # then prove a FRESH run's batch 0 still lands (comparing
@@ -4377,10 +4371,7 @@ def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .select("doc_id"), ["doc_id"])
 
         clone = shallow_clone(src, root_b)
-        zero_copy = not any(
-            f.endswith(".parquet")
-            for _dp, _dn, fn in _os.walk(_os.path.join(root_b, "data"))
-            for f in fn)
+        zero_copy = clone.data_files() == []
         src_head_before = src.head("main")
 
         clone.write(base.filter(F.col("doc_id") % 3 == 2))
@@ -4751,11 +4742,15 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
              .format("memory").queryName(name)
              .option("checkpointLocation", src + "_ckpt")
              .start())
-        q.processAllAvailable()
-        n_dropped = sum(
-            st.get("numRowsDroppedByWatermark", 0)
-            for p in q.recentProgress for st in p["stateOperators"])
-        q.stop()
+        try:
+            q.processAllAvailable()
+            n_dropped = sum(
+                st.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress for st in p["stateOperators"])
+        finally:
+            # stop BEFORE the outer finally deletes the source and
+            # checkpoint dirs out from under a still-active query
+            q.stop()
         # the counter tallies POST-partial-aggregate rows (the 10:20
         # input rows map-side-combine into one partial per partition
         # before the state operator), so pin engagement, not the
@@ -4814,8 +4809,11 @@ def x_row_column_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
       prefix+'***' (count(DISTINCT) over the MASKED value proves the
       mask collapses names — the oracle computes the same collapsed
       cardinality); c_acctbal coarsened to $100 bands in exact integer
-      cents (Spark cast truncates, so the oracle uses // floor-div on
-      the nonneg cents);
+      cents — ~8% of customers carry NEGATIVE balances, and parity
+      holds because Spark's `div` and DuckDB's `//` on integers BOTH
+      truncate toward zero (-55000 -> -5 in both; a floor-semantics
+      "fix" on either side would flip those rows' bands and break the
+      hash);
     - auditor: no row filter, but c_custkey pseudonymized by a
       deterministic Knuth multiplicative hash mod 2^31-1 (int64-exact
       in both engines) and balances left exact — the

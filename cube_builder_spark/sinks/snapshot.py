@@ -381,6 +381,17 @@ class SnapshotStore:
             os.remove(self._manifest_path(v))
         return dropped
 
+    def data_files(self) -> list[str]:
+        """Sorted physical parquet set under this store's data dir —
+        the 'what is actually on disk' probe the orphan/zero-copy
+        scenarios compare before and after an operation."""
+        out = []
+        for dirpath, _dirs, files in os.walk(os.path.join(self.root,
+                                                          "data")):
+            out.extend(os.path.join(dirpath, f) for f in files
+                       if f.endswith(".parquet") and not f.startswith("."))
+        return sorted(out)
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO retained manifest (crash
         leftovers and expired-version files)."""
@@ -1587,10 +1598,18 @@ class ConcurrentCommitConflict(RuntimeError):
 
     def __init__(self, expected: int | None, head: int | None,
                  blocking_op: str, blocking_version: int):
+        if blocking_op == "unprovable-history":
+            why = ("an intervening manifest was expired, so "
+                   "conflict-freedom cannot be proven")
+        elif blocking_op == "unrelated-history":
+            why = ("the read snapshot is not an ancestor of the "
+                   "current head")
+        else:
+            why = (f"v{blocking_version} ({blocking_op!r}) is not a "
+                   "blind append")
         super().__init__(
             f"commit read snapshot v{expected} but head is v{head}: "
-            f"v{blocking_version} ({blocking_op!r}) is not a blind "
-            "append — rebase impossible, re-run on the fresh head")
+            f"{why} — rebase impossible, re-run on the fresh head")
         self.expected = expected
         self.head = head
         self.blocking_op = blocking_op

@@ -98,3 +98,19 @@ def test_mmr_diversifies_near_duplicate_results(spark):
     assert len(set(picked) & {1, 2, 3, 4}) == 1   # one clump member only
     assert {5, 6} & set(picked)                   # diversity reached
     assert mmr[0]["max_sim_prior"] == 0.0
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    """Fewer candidates than k: mmr_topk returns a SHORTER result,
+    never an IndexError; query-only table returns empty."""
+    from cube_builder_spark.functions.similarity import mmr_topk
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = mmr_topk(emb, 0, k=5, shortlist=10).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [1, 2]
+    only_q = spark.createDataFrame([(0, [1.0, 0.0])],
+                                   "vec_id long, embedding array<double>")
+    assert mmr_topk(only_q, 0, k=3, shortlist=5).count() == 0
