@@ -1707,3 +1707,93 @@ def e_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.size("xs").cast("long").alias("n_days"),
                           ewma.alias("ewma_last"))
             .orderBy("event_type"))
+
+
+@register("e_holt_forecast", """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         count(*) OVER (PARTITION BY event_type) AS total
+  FROM daily
+),
+rec AS (
+  SELECT i1.event_type, CAST(2 AS BIGINT) AS i,
+         0.5 * i2.n + 0.5 * (CAST(i1.n AS DOUBLE) + (CAST(i2.n AS DOUBLE) - i1.n)) AS l,
+         CAST(i2.n AS DOUBLE) - i1.n AS b
+  FROM idx i1 JOIN idx i2
+    ON i2.event_type = i1.event_type AND i1.i = 1 AND i2.i = 2
+  UNION ALL
+  SELECT idx.event_type, idx.i,
+         0.5 * idx.n + 0.5 * (rec.l + rec.b),
+         0.25 * ((0.5 * idx.n + 0.5 * (rec.l + rec.b)) - rec.l)
+           + 0.75 * rec.b
+  FROM rec JOIN idx ON idx.event_type = rec.event_type
+   AND idx.i = rec.i + 1
+),
+fin AS (
+  SELECT r.event_type, r.l, r.b
+  FROM rec r JOIN (SELECT event_type, max(i) AS mi FROM rec
+                   GROUP BY event_type) t
+    ON r.event_type = t.event_type AND r.i = t.mi
+)
+SELECT f.event_type, CAST(x.total AS BIGINT) AS n_days,
+       f.l AS level_last, f.b AS trend_last,
+       f.l + 7 * f.b AS forecast_7d
+FROM fin f JOIN (SELECT DISTINCT event_type, total FROM idx) x
+  ON x.event_type = f.event_type
+ORDER BY f.event_type
+""")
+def e_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing + 7-day-ahead
+    forecast over per-type daily volumes (Holt 1957; the level+trend
+    recurrence: l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}; a=0.5, g=0.25;
+    initialization l_2 from the recurrence seeded by l_1 = x_1,
+    b_1 = x_2 - x_1; forecast = l_T + 7*b_T) — e_ewma_daily's
+    two-state sibling, the simplest trend-aware forecaster.
+
+    Scale shape: identical to e_ewma_daily — sequential in time,
+    parallel across series; each series folds a struct(level, trend)
+    accumulator inside its own task over the calendar-bounded day
+    array. Cross-engine float parity: every per-step expression is
+    written in the SAME shape and order in the Spark fold and the
+    oracle's recursive CTE (including computing the new level once
+    and reusing it in the trend update), so the doubles are
+    bit-identical."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    series = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("d", "n")))
+                   .alias("xs"))
+              .filter(F.size("xs") >= 2))
+    ns = F.transform(F.col("xs"), lambda x: x["n"])
+    x1 = F.element_at(ns, 1).cast("double")
+    x2 = F.element_at(ns, 2).cast("double")
+    # seed state after consuming x_2: l_1 = x_1, b_1 = x_2 - x_1, then
+    # one recurrence step on x_2 (matching the oracle's anchor row)
+    seed = F.struct(
+        (F.lit(0.5) * x2 + F.lit(0.5) * (x1 + (x2 - x1))).alias("l"),
+        (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = (F.lit(0.25) * (new_l - acc["l"])
+                 + F.lit(0.75) * acc["b"])
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fin = F.aggregate(
+        F.slice(ns, 3, F.greatest(F.size(ns) - 2, F.lit(0))),
+        seed, step)
+    return (series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        fin["l"].alias("level_last"),
+        fin["b"].alias("trend_last"),
+        (fin["l"] + F.lit(7) * fin["b"]).alias("forecast_7d"))
+        .orderBy("event_type"))
