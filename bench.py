@@ -142,6 +142,20 @@ HEADLINE = [
     "e_attribution_linear",
     "x_hll_distinct",
     "t_quantile_sketch",
+    # round-10 surface (storage scenarios — clone/timestamp-travel —
+    # stay out per the r8 trim guidance; x_stream_late_data stays out:
+    # e_stream_suite already carries the streaming bench cost and the
+    # 4-micro-batch harness is ~4.3s of fixed scenario overhead;
+    # e_trajectory_hausdorff_pruned stays out at 16s — its win is
+    # recorded as the 110.5 -> 16.1s interleaved A/B in its docstring)
+    "r21_recursive_hierarchy",
+    "x_kcore_parts",
+    "a_ann_bq_topk",
+    "a_ann_mmr_rerank",
+    "d_fuzzy_join_ed1",
+    "e_ewma_daily",
+    "e_holt_forecast",
+    "x_row_column_policy",
 ]
 
 
