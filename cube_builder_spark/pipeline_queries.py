@@ -4855,3 +4855,77 @@ def x_row_column_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.unionByName(b)
             .select("role", "segment", "n", "n_distinct_names", "sum_bal")
             .orderBy("role", "segment"))
+
+
+@register("x_incremental_scan", """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id < 2000
+)
+SELECT label, n_docs, sum_chars, non_append_raises, empty_range_empty
+FROM (
+  SELECT 'since_v1' AS label, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         TRUE AS non_append_raises, TRUE AS empty_range_empty
+  FROM base WHERE doc_id % 3 IN (1, 2)
+  UNION ALL
+  SELECT 'since_v2', count(*), CAST(sum(n_chars) AS BIGINT), TRUE, TRUE
+  FROM base WHERE doc_id % 3 = 2
+) ORDER BY label
+""")
+def x_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style INCREMENTAL (changes-since) scan
+    (sinks/snapshot.incremental_read): a consumer tails the table by
+    reading ONLY the files appended after its last-seen version —
+    resolved from manifests alone, so the catch-up cost is
+    O(new data), never a rescan of a 100 TB table.
+
+    Scenario: three appends (thirds of the sliced documents table);
+    the graded rows are the rows-appended-since v1 and since v2,
+    each oracle-recomputed from the raw table (a scan that leaks
+    base-version rows, misses an appended file, or double-reads
+    hash-mismatches). In-query asserts pin the guard rails: after an
+    OVERWRITE lands, incremental_read over the crossing range must
+    raise NonAppendInRange (file-level semantics are unsound across
+    rewrites — Iceberg raises identically; snapshot_diff is the
+    semantic fallback), and an empty range returns an empty
+    schema-stable frame."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import (NonAppendInRange, SnapshotStore,
+                                 incremental_read)
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .filter(F.col("doc_id") < 2000))
+    root = scratch_dir("incscan_")
+    try:
+        st = SnapshotStore(root)
+        v1 = st.write(docs.filter(F.col("doc_id") % 3 == 0))
+        v2 = st.write(docs.filter(F.col("doc_id") % 3 == 1))
+        v3 = st.write(docs.filter(F.col("doc_id") % 3 == 2))
+
+        def agg(df):
+            return (df.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("n_chars").cast("long").alias("s"))
+                    .collect()[0])
+
+        r1 = agg(incremental_read(st, spark, v1, v3))
+        r2 = agg(incremental_read(st, spark, v2))
+        empty_ok = incremental_read(st, spark, v3, v3).count() == 0
+        st.write(docs.filter(F.col("doc_id") % 3 == 0),
+                 mode="overwrite")
+        try:
+            incremental_read(st, spark, v3)
+            raise AssertionError(
+                "incremental scan crossed an overwrite without raising")
+        except NonAppendInRange:
+            raises = True
+        rows = [("since_v1", r1["n"], r1["s"], raises, empty_ok),
+                ("since_v2", r2["n"], r2["s"], raises, empty_ok)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, sum_chars long, "
+              "non_append_raises boolean, empty_range_empty boolean")

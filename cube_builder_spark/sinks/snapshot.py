@@ -1736,3 +1736,53 @@ def shallow_clone(src: SnapshotStore, dest_root: str,
     os.replace(tmp, dest._manifest_path(head))
     dest._advance("main", head)
     return dest
+
+
+# -- Incremental (changes-since) scan (round 10) -------------------------------
+
+class NonAppendInRange(RuntimeError):
+    """incremental_read found a non-append commit inside the range —
+    file-level incremental semantics are only sound across pure
+    appends (Iceberg's incremental scan raises the same way)."""
+
+
+def incremental_read(store: SnapshotStore, spark: SparkSession,
+                     v_from: int, v_to: int | None = None) -> DataFrame:
+    """Iceberg-style INCREMENTAL SCAN: the rows appended strictly
+    AFTER version ``v_from`` up to and including ``v_to`` (default:
+    main head), resolved at FILE level from the manifests alone — the
+    consumer tails a 100 TB table by reading only the new files,
+    never rescanning history.
+
+    Walks ``v_to``'s parent chain down to ``v_from`` and requires
+    every intervening commit to be an append (op 'append'; a clone
+    root is the chain's origin, never intervening): an overwrite /
+    rollback / merge / MoR delete inside the range rewrites or
+    retracts prior rows, so "the appended files" no longer equals
+    "the change" and the scan raises ``NonAppendInRange`` (callers
+    fall back to ``snapshot_diff``, the semantic CDC path). The
+    append-only walk also guarantees file lists are cumulative, so
+    the new-file set is exactly set(v_to.files) - set(v_from.files)
+    — metadata-only, no data touched until the returned lazy read."""
+    head = store.head("main") if v_to is None else v_to
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {store.root}")
+    v = head
+    while v is not None and v != v_from:
+        m = store._read_manifest(v)
+        if m.get("op") != "append":
+            raise NonAppendInRange(
+                f"v{v} is {m.get('op')!r}, not a blind append — "
+                "file-level incremental read unsound; use "
+                "snapshot_diff for semantic changes")
+        v = m.get("parent")
+    if v != v_from:
+        raise ValueError(
+            f"v{v_from} is not an ancestor of v{head} on main")
+    base = set(store._read_manifest(v_from)["files"])
+    new_files = [p for p in store._read_manifest(head)["files"]
+                 if p not in base]
+    if not new_files:
+        # schema-stable empty result from the head's schema
+        return store.read(spark, head).limit(0)
+    return spark.read.parquet(*new_files)

@@ -1324,3 +1324,29 @@ def test_shallow_clone_carried_mor_delete_vs_new_appends(spark, tmp_path):
     clone.write(_df(spark, 2, 5))          # re-insert 2, 3, 4
     assert _ids(clone.read(spark)) == sorted(
         [i for i in range(10) if i not in (2, 4)] + [2, 3, 4])
+
+
+def test_incremental_read_semantics(spark, tmp_path):
+    from cube_builder_spark.sinks.snapshot import (NonAppendInRange,
+                                                   SnapshotStore,
+                                                   incremental_read)
+    st = SnapshotStore(str(tmp_path / "inc"))
+    v1 = st.write(_df(spark, 0, 5))
+    v2 = st.write(_df(spark, 5, 8))
+    v3 = st.write(_df(spark, 8, 10))
+    assert _ids(incremental_read(st, spark, v1, v3)) == list(range(5, 10))
+    assert _ids(incremental_read(st, spark, v2)) == [8, 9]
+    # empty range: schema-stable empty frame
+    empty = incremental_read(st, spark, v3, v3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # non-ancestor range rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        incremental_read(st, spark, v3, v1)
+    # overwrite inside the range -> NonAppendInRange
+    st.write(_df(spark, 100, 103), mode="overwrite")
+    with _pytest.raises(NonAppendInRange):
+        incremental_read(st, spark, v2)
+    # but a fresh append AFTER the overwrite tails cleanly
+    v5 = st.write(_df(spark, 200, 202))
+    assert _ids(incremental_read(st, spark, 4, v5)) == [200, 201]
