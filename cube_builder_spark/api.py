@@ -52,12 +52,49 @@ class _CubeState:
 
 
 class CubeService:
-    """In-process twin of the reference's Flask app state."""
+    """In-process twin of the reference's Flask app state.
+
+    Cube definitions + parameters persist to ``workdir/catalog.json``
+    on every mutation and rehydrate on construction — the reference
+    keeps this state in its DB, which is what lets its CLI commands
+    (configure / show-parameters) operate across processes; a
+    fresh-process CLI here gets the same behavior from the JSON
+    catalog (cli.py)."""
 
     def __init__(self, workdir: str):
         self.workdir = workdir
         self.cubes: dict[str, _CubeState] = {}
         self.grids: dict[str, list[dict]] = {}
+        self._load_catalog()
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.workdir, "catalog.json")
+
+    def _save_catalog(self) -> None:
+        import json
+        from dataclasses import asdict
+        os.makedirs(self.workdir, exist_ok=True)
+        payload = {n: {"defn": asdict(st.defn),
+                       "parameters": st.parameters,
+                       "out_dir": st.out_dir}
+                   for n, st in self.cubes.items()}
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._catalog_path())
+
+    def _load_catalog(self) -> None:
+        import json
+        try:
+            with open(self._catalog_path()) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            return
+        for n, rec in payload.items():
+            self.cubes[n] = _CubeState(
+                defn=CubeDefinition(**rec["defn"]),
+                parameters=rec.get("parameters") or {},
+                out_dir=rec.get("out_dir"))
 
     # -- status ------------------------------------------------------
     def status(self) -> dict:
@@ -84,6 +121,7 @@ class CubeService:
         collections, bands = create_cube(defn)
         self.cubes[defn.name] = _CubeState(defn=defn,
                                            parameters=parameters or {})
+        self._save_catalog()
         return {"cubes": collections, "bands": len(bands)}
 
     def list_cubes(self, cube: str | None = None) -> list[dict] | dict:
@@ -103,11 +141,13 @@ class CubeService:
             st.parameters["title"] = title
         if public is not None:
             st.parameters["public"] = public
+        self._save_catalog()
         return {"message": "Updated cube", "cube": cube}
 
     def update_parameters(self, cube: str, **params) -> dict:
         """PUT /cubes/<id>/parameters (views.py:137-145)."""
         self._get(cube).parameters.update(params)
+        self._save_catalog()
         return {"code": 200, "updated": sorted(params)}
 
     def cube_meta(self, spark: SparkSession, cube: str) -> dict:
@@ -177,6 +217,7 @@ class CubeService:
                             composite=st.defn.composite_function,
                             **cfg_overrides)
         res = build_cube(spark, obs, st.out_dir, cfg)
+        self._save_catalog()   # out_dir persists for cross-process CLI
         return {"cube": cube, "out_dir": st.out_dir, **res}
 
     def complete_cube(self, spark: SparkSession, cube: str,
