@@ -4929,3 +4929,126 @@ def x_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long, "
               "non_append_raises boolean, empty_range_empty boolean")
+
+
+@register("x_hll_sliding_window", f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+),
+h AS (
+  SELECT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev
+),
+rho AS (
+  SELECT day, substr(hx, 1, 2) AS bucket,
+         CASE WHEN length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) = 12
+              THEN 49
+              ELSE 4 * length(regexp_extract(substr(hx, 3, 12), '^0*', 0))
+                   + CASE substr(hx,
+                                 3 + length(regexp_extract(substr(hx, 3, 12),
+                                                           '^0*', 0)), 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1 END AS r
+  FROM h
+),
+dregs AS (SELECT day, bucket, max(r) AS r FROM rho GROUP BY day, bucket),
+days AS (SELECT DISTINCT day FROM ev),
+fan AS (
+  SELECT u.wday, dregs.bucket, dregs.r
+  FROM dregs, unnest(range(dregs.day, dregs.day + 7)) AS u(wday)
+),
+merged AS (
+  SELECT f.wday AS day, f.bucket, max(f.r) AS r
+  FROM fan f JOIN days d ON d.day = f.wday
+  GROUP BY f.wday, f.bucket
+),
+agg AS (
+  SELECT day, count(*) AS used,
+         CAST(sum(CAST(2 ** (49 - r) AS BIGINT)) AS BIGINT) AS num_used
+  FROM merged GROUP BY day
+),
+efan AS (
+  SELECT u.wday, ev.user_id
+  FROM ev, unnest(range(ev.day, ev.day + 7)) AS u(wday)
+),
+exact AS (
+  SELECT e.wday AS day, count(DISTINCT e.user_id) AS n_exact
+  FROM efan e JOIN days d ON d.day = e.wday
+  GROUP BY e.wday
+)
+SELECT a.day, CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(a.used AS BIGINT) AS n_buckets_used,
+       CAST(a.num_used + (256 - a.used) * CAST(2 ** 49 AS BIGINT)
+            AS BIGINT) AS numerator,
+       {_HLL_EST_CONST!r} / (a.num_used
+            + (256 - a.used) * CAST(2 ** 49 AS BIGINT)) AS estimate
+FROM agg a JOIN exact x ON x.day = a.day
+ORDER BY a.day
+""")
+def x_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimates from MERGED daily HLL
+    sketches — the query that makes x_hll_distinct's mergeability
+    claim operational: per-day registers (a 256-int sketch per day)
+    are the stored pre-aggregate, and every day's trailing-window
+    estimate comes from a register-wise MAX over the last 7 sketches
+    — at 100 TB the raw events are read ONCE (the day they land) and
+    every window thereafter is sketch-merge work over 256-row
+    objects, the Druid/ClickHouse materialized-sketch recipe.
+
+    Shape: the window merge is an explode of each (day, bucket, r)
+    register into the <= 7 trailing window-days it serves, then a
+    map-side-combinable groupBy(window_day, bucket) MAX — an
+    equi-shuffle of sketch rows (256/day), never a theta join and
+    never re-touching events; a semi-join against observed days trims
+    phantom trailing windows. Register derivation, the exact-integer
+    harmonic numerator, and the single bit-deterministic double
+    division are x_hll_distinct's, verbatim; the exact per-window
+    truth rides the same explode on raw (day, user) pairs purely for
+    grading. Each output row pins (n_exact, used, numerator,
+    estimate) per day, so a one-register drift in any window
+    hash-mismatches."""
+    ev = (load_tables(spark, sf_dir, ["events"])["events"]
+          .select(F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+                  .alias("day"), "user_id"))
+    hx = F.md5(F.col("user_id").cast("string"))
+    tail = F.substring(hx, 3, 12)
+    lz = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = F.substring(tail, lz + 1, 1)
+    dz = (F.when(first == "1", 3)
+          .when(first.isin("2", "3"), 2)
+          .when(first.isin("4", "5", "6", "7"), 1)
+          .otherwise(0))
+    r = F.when(lz == 12, 49).otherwise(4 * lz + dz + 1)
+    dregs = (ev.select("day", F.substring(hx, 1, 2).alias("bucket"),
+                       r.alias("r"))
+             .groupBy("day", "bucket").agg(F.max("r").alias("r")))
+    days = ev.select("day").distinct()
+    wdays = F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+    merged = (dregs.select(wdays.alias("wday"), "bucket", "r")
+              .join(days.select(F.col("day").alias("wday")), "wday")
+              .groupBy("wday", "bucket").agg(F.max("r").alias("r")))
+    # shiftleft needs a LITERAL shift (house gotcha): index a 2^k
+    # array literal by (49 - r) instead — r in 1..49 keeps it in range
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(49)])
+    agg = (merged
+           .groupBy("wday")
+           .agg(F.count(F.lit(1)).alias("used"),
+                F.sum(F.element_at(pow2, (F.lit(49) - F.col("r"))
+                                   .cast("int") + 1))
+                .alias("num_used")))
+    exact = (ev.select(wdays.alias("wday"), "user_id")
+             .join(days.select(F.col("day").alias("wday")), "wday")
+             .groupBy("wday")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    numerator = (F.col("num_used")
+                 + (256 - F.col("used")) * F.lit(2 ** 49))
+    return (agg.join(exact, "wday")
+            .select(F.col("wday").alias("day"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("used").cast("long").alias("n_buckets_used"),
+                    numerator.cast("long").alias("numerator"),
+                    (F.lit(_HLL_EST_CONST) / numerator).alias("estimate"))
+            .orderBy("day"))
