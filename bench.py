@@ -156,6 +156,7 @@ HEADLINE = [
     "e_ewma_daily",
     "e_holt_forecast",
     "x_row_column_policy",
+    "x_hll_sliding_window",
 ]
 
 

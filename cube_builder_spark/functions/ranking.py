@@ -19,7 +19,8 @@ classic distributed-exact alternative (TeraSort-style ranking):
 The whole thing is ONE declarative plan: no driver-side collect, so
 there is no cross-job re-sampling hazard. The offsets groupBy does
 re-evaluate the input subtree (groupBy + join-back defeats
-ReuseExchange — see .claude/skills/verify gotchas), so callers should
+ReuseExchange — a measured Spark behavior: column pruning and
+differing partial aggregates defeat exchange reuse), so callers should
 hand in a cheap-to-recompute frame (a scratch-parquet read or an
 already-aggregated input).
 
