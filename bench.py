@@ -54,6 +54,12 @@ AB_VERDICTS = {
     ("e_rfm_segmentation", 9): _NOISE_R9,
     ("c3_blend_med", 9): _NOISE_R10,
     ("t_repetition_profile", 9): _NOISE_R10,
+    # end-of-round flags, same verdict: untouched code, interleaved
+    # min-of-5 reproduces 'now' (r6 0.262s vs prev 0.201; d_simhash
+    # 0.649s vs prev 0.495) while flag identity rotated across three
+    # same-session runs — steal-wave noise, nothing to revert
+    ("r6_groupby_collect_timeline", 9): _NOISE_R10,
+    ("d_simhash", 9): _NOISE_R10,
 }
 
 HEADLINE = [
