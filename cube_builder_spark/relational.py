@@ -2386,3 +2386,101 @@ def x_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=True))
     return spark.createDataFrame(
         rows, "round long, n_nodes long, n_edges long, max_deg long")
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled fixed-round Bellman-Ford oracle (MATERIALIZED stages —
+    d{r+1} references d{r} twice, so inlining would go exponential;
+    the kcore/_mmr oracle discipline)."""
+    parts = ["""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (
+  SELECT pa, pb, CAST(10 - least(c, 5) AS BIGINT) AS w FROM (
+    SELECT pa, pb, count(DISTINCT ok) AS c FROM pairs GROUP BY pa, pb
+  ) WHERE c >= 2
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, w FROM e
+  UNION ALL SELECT pb, pa, w FROM e
+),
+d0 AS MATERIALIZED (
+  SELECT p_partkey AS v, CAST(0 AS BIGINT) AS d
+  FROM part WHERE p_size = 50
+)"""]
+    for r in range(rounds):
+        parts.append(f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM d{r}
+    UNION ALL
+    SELECT g.dst AS v, x.d + g.w AS d
+    FROM d{r} x JOIN edges g ON g.src = x.v
+  ) GROUP BY v
+)""")
+    parts.append(f"""
+SELECT v AS p_partkey, CAST(d AS BIGINT) AS dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+_SSSP_ROUNDS = 4
+
+
+@register("x_sssp_parts", _sssp_sql(_SSSP_ROUNDS))
+def x_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source-set shortest paths — fixed-round
+    Bellman-Ford relaxation (the Pregel/GraphX SSSP shape) over the
+    part co-purchase graph, completing the graph family beside
+    PageRank / BFS / triangles / CC / LPA / k-core with its WEIGHTED
+    member: edge weight 10 - min(support, 5) (stronger co-purchase =
+    cheaper hop, exact integers), seeds = the size-50 parts at
+    distance 0.
+
+    Exactly 4 synchronous relaxation rounds (the LPA fixed-round
+    discipline: both engines replay the identical automaton whether
+    or not it has converged), so the result is by definition the
+    cheapest path using at most 4 edges. Each round is one keyed
+    frontier-edge join + a map-side-combinable min — the same
+    one-exchange-per-superstep shape as x_bfs_reach, with an eager
+    localCheckpoint per round keeping lineage linear in rounds. The
+    oracle unrolls the rounds as MATERIALIZED stages (d_{r+1}
+    references d_r twice — inlining would re-derive the edge set
+    exponentially)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    parts_per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
+             .alias("ps"))
+        .filter(F.size("ps") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    e = (parts_per_order.select(F.explode(combos).alias("p"))
+         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
+         .filter(F.col("c") >= 2)
+         .select("pa", "pb",
+                 (F.lit(10) - F.least(F.col("c"), F.lit(5)))
+                 .cast("long").alias("w")))
+    edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                      "w")
+             .unionByName(e.select(F.col("pb").alias("src"),
+                                   F.col("pa").alias("dst"), "w"))
+             .localCheckpoint(eager=True))
+    dist = (part.filter(F.col("p_size") == 50)
+            .select(F.col("p_partkey").alias("v"),
+                    F.lit(0).cast("long").alias("d")))
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (dist.join(edges, dist["v"] == edges["src"])
+                   .select(F.col("dst").alias("v"),
+                           (F.col("d") + F.col("w")).alias("d")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("v").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=True))
+    return dist.select(F.col("v").alias("p_partkey"),
+                       F.col("d").cast("long").alias("dist"))
