@@ -34,13 +34,15 @@ from .timeline import timeline_rows
 # Also the `load-data` CLI seed (reference cli.py:37-63): the three
 # CompositeFunction rows the reference inserts into its DB. Here they
 # are static values behind GET /composite-functions — nothing to seed.
+# Kept byte-equal to the reference's seed rows so GET
+# /composite-functions and the load-data CLI agree on one record set
+# (cli.py imports this constant — single source of truth).
 COMPOSITE_FUNCTIONS = [
-    {"name": "Identity", "alias": "IDT", "description":
-     "publish merges as-is, no temporal compositing"},
-    {"name": "Least Cloud Cover First", "alias": "LCF", "description":
-     "best-pixel stack ordered by scene efficacy"},
-    {"name": "Median", "alias": "MED", "description":
-     "per-pixel median of clear observations"},
+    {"name": "Median", "alias": "MED",
+     "description": "Median by pixels"},
+    {"name": "Least Cloud Cover First", "alias": "LCF",
+     "description": "Best pixel"},
+    {"name": "Identity", "alias": "IDT", "description": ""},
 ]
 
 
@@ -71,13 +73,24 @@ class CubeService:
         return os.path.join(self.workdir, "catalog.json")
 
     def _save_catalog(self) -> None:
+        """Persist at CUBE granularity: entries already on disk that
+        this process doesn't hold are kept, so two processes working
+        on DIFFERENT cubes never clobber each other (a CLI configure
+        beside a live service). Writers to the SAME cube are
+        last-writer-wins — the store's single-writer-per-table
+        assumption, stated here too."""
         import json
         from dataclasses import asdict
         os.makedirs(self.workdir, exist_ok=True)
-        payload = {n: {"defn": asdict(st.defn),
-                       "parameters": st.parameters,
-                       "out_dir": st.out_dir}
-                   for n, st in self.cubes.items()}
+        try:
+            with open(self._catalog_path()) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            payload = {}
+        payload.update({n: {"defn": asdict(st.defn),
+                            "parameters": st.parameters,
+                            "out_dir": st.out_dir}
+                        for n, st in self.cubes.items()})
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -88,7 +101,18 @@ class CubeService:
         try:
             with open(self._catalog_path()) as fh:
                 payload = json.load(fh)
-        except (OSError, ValueError):
+        except OSError:
+            return
+        except ValueError:
+            # corrupt catalog: move it aside so the next save can
+            # never silently overwrite (and destroy) the evidence —
+            # the operator restores or inspects catalog.json.corrupt
+            import warnings
+            corrupt = self._catalog_path() + ".corrupt"
+            os.replace(self._catalog_path(), corrupt)
+            warnings.warn(
+                f"catalog.json was unreadable; moved to {corrupt} and "
+                "starting empty", RuntimeWarning, stacklevel=2)
             return
         for n, rec in payload.items():
             self.cubes[n] = _CubeState(

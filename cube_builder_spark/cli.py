@@ -22,16 +22,13 @@ from __future__ import annotations
 import argparse
 import json
 
+from .api import COMPOSITE_FUNCTIONS
+
 #: The `load-data` seed (reference cli.py:37-63): CompositeFunction
-#: rows plus the application Processor record.
+#: rows (shared with GET /composite-functions — one source of truth)
+#: plus the application Processor record.
 LOAD_DATA_RECORDS = {
-    "composite_functions": [
-        {"name": "Median", "alias": "MED",
-         "description": "Median by pixels"},
-        {"name": "Least Cloud Cover First", "alias": "LCF",
-         "description": "Best pixel"},
-        {"name": "Identity", "alias": "IDT", "description": ""},
-    ],
+    "composite_functions": COMPOSITE_FUNCTIONS,
     "processor": {
         "name": "cube_builder_spark",
         "facility": "",
@@ -82,6 +79,10 @@ def _service(workdir: str):
 
 def _cmd_configure(args) -> int:
     svc = _service(args.workdir)
+    bad = [kv for kv in (args.set or []) if "=" not in kv]
+    if bad:
+        build_parser().error(
+            f"--set expects KEY=VALUE, got: {', '.join(bad)}")
     params = dict(kv.split("=", 1) for kv in (args.set or []))
     out = svc.update_parameters(args.datacube, **params)
     print(json.dumps(out, indent=2, default=str))

@@ -5039,7 +5039,11 @@ def x_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.element_at(pow2, (F.lit(49) - F.col("r"))
                                    .cast("int") + 1))
                 .alias("num_used")))
-    exact = (ev.select(wdays.alias("wday"), "user_id")
+    # dedup (day, user) BEFORE the 7x explode: countDistinct is
+    # unchanged, and the fan-out shuffles one row per (day, user)
+    # instead of one per raw event
+    exact = (ev.select("day", "user_id").distinct()
+             .select(wdays.alias("wday"), "user_id")
              .join(days.select(F.col("day").alias("wday")), "wday")
              .groupBy("wday")
              .agg(F.countDistinct("user_id").alias("n_exact")))

@@ -1199,8 +1199,8 @@ def write_stream_batch(store: SnapshotStore, df: DataFrame,
     base = pm.get("files", [])
     version = (store.versions() or [0])[-1] + 1
     manifest = {"version": version, "op": f"stream[{batch_id}]",
-                "parent": parent, "batch_id": batch_id, "run_id": run_id,
-                "files": sorted(base + new_files)}
+                "mode": mode, "parent": parent, "batch_id": batch_id,
+                "run_id": run_id, "files": sorted(base + new_files)}
     # carry merge-on-read state exactly as SnapshotStore.write does:
     # this batch's files get seq = this version, so pending equality
     # deletes (strictly older) never suppress freshly streamed rows
@@ -1764,21 +1764,37 @@ def incremental_read(store: SnapshotStore, spark: SparkSession,
     append-only walk also guarantees file lists are cumulative, so
     the new-file set is exactly set(v_to.files) - set(v_from.files)
     — metadata-only, no data touched until the returned lazy read."""
+    def _is_blind_append(m: dict) -> bool:
+        # the streaming sink's append-mode commits are cumulative
+        # blind appends too (write_stream_batch: files = parent's +
+        # new, MoR state carried forward unchanged); mode is recorded
+        # in the manifest since round 10 and defaults to append — no
+        # earlier caller ever streamed an overwrite
+        op = m.get("op", "")
+        return op == "append" or (op.startswith("stream[")
+                                  and m.get("mode", "append") == "append")
+
     head = store.head("main") if v_to is None else v_to
     if head is None:
         raise FileNotFoundError(f"no snapshots at {store.root}")
+    # walk first, classify after: a non-ancestor v_from must raise
+    # ValueError even when a non-append sits below head (the advice
+    # 'fall back to snapshot_diff' would be wrong for that caller)
     v = head
+    chain: list[tuple[int, dict]] = []
     while v is not None and v != v_from:
         m = store._read_manifest(v)
-        if m.get("op") != "append":
-            raise NonAppendInRange(
-                f"v{v} is {m.get('op')!r}, not a blind append — "
-                "file-level incremental read unsound; use "
-                "snapshot_diff for semantic changes")
+        chain.append((v, m))
         v = m.get("parent")
     if v != v_from:
         raise ValueError(
             f"v{v_from} is not an ancestor of v{head} on main")
+    for cv, m in chain:
+        if not _is_blind_append(m):
+            raise NonAppendInRange(
+                f"v{cv} is {m.get('op')!r}, not a blind append — "
+                "file-level incremental read unsound; use "
+                "snapshot_diff for semantic changes")
     base = set(store._read_manifest(v_from)["files"])
     new_files = [p for p in store._read_manifest(head)["files"]
                  if p not in base]

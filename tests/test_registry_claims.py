@@ -99,7 +99,9 @@ def test_claimed_registry_counts_match():
     for fname in ("SURVEY.md", "README.md"):
         with open(os.path.join(REPO, fname)) as fh:
             text = fh.read()
-        for m in re.finditer(r"(\d+) registered queries", text):
+        # \s+ — a line break between the number and the phrase must
+        # not let a stale count evade the guard (round-10 review)
+        for m in re.finditer(r"(\d+)\s+registered queries", text):
             assert int(m.group(1)) == n, (
                 f"{fname} claims {m.group(1)} registered queries; "
                 f"registry has {n}"

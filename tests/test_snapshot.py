@@ -1350,3 +1350,24 @@ def test_incremental_read_semantics(spark, tmp_path):
     # but a fresh append AFTER the overwrite tails cleanly
     v5 = st.write(_df(spark, 200, 202))
     assert _ids(incremental_read(st, spark, 4, v5)) == [200, 201]
+
+
+def test_incremental_read_tails_stream_commits(spark, tmp_path):
+    """Append-mode streaming-sink commits are blind cumulative appends
+    and must be tailable (round-10 review: op 'stream[n]' was wrongly
+    rejected); a non-ancestor v_from raises ValueError even with a
+    non-append below head (classification order)."""
+    import pytest as _pytest
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   incremental_read,
+                                                   write_stream_batch)
+    st = SnapshotStore(str(tmp_path / "incs"))
+    v1 = st.write(_df(spark, 0, 5))
+    write_stream_batch(st, _df(spark, 5, 8), 0, run_id="r")
+    write_stream_batch(st, _df(spark, 8, 10), 1, run_id="r")
+    assert _ids(incremental_read(st, spark, v1)) == list(range(5, 10))
+    # classification order: bogus v_from -> ValueError, not
+    # NonAppendInRange, even after an overwrite lands below head
+    st.write(_df(spark, 100, 102), mode="overwrite")
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        incremental_read(st, spark, 999)
