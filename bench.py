@@ -60,6 +60,19 @@ AB_VERDICTS = {
     # same-session runs — steal-wave noise, nothing to revert
     ("r6_groupby_collect_timeline", 9): _NOISE_R10,
     ("d_simhash", 9): _NOISE_R10,
+    # r11 A/B of the one dangling r10 flag (+0.04s absolute): c23's
+    # code path is byte-identical d96ef65..HEAD (the only cube_queries
+    # diff since r9 is a comment block on x_cube_reuse), and a fresh
+    # interleaved min-of-5 at sf0.1 spread 0.244..1.22s while the q1
+    # anchor swung 0.38..1.63s in the same loop — this host's
+    # steal-wave noise band dwarfs the flagged delta. Nothing to
+    # revert; scoped to BOTH baselines the identical code spans.
+    ("c23_pixel_anomaly", 9): (
+        "r11 A/B: code byte-identical since r9; interleaved min-of-5 "
+        "spread 0.24-1.22s with anchor swinging 4x — host drift"),
+    ("c23_pixel_anomaly", 10): (
+        "r11 A/B: code byte-identical since r9; interleaved min-of-5 "
+        "spread 0.24-1.22s with anchor swinging 4x — host drift"),
 }
 
 HEADLINE = [
@@ -165,6 +178,19 @@ HEADLINE = [
     "x_hll_sliding_window",
 ]
 
+# Scale-scoped additions (round 11): queries whose sf0.1 cost would
+# distort the 91-query headline total but that still need a bench row
+# a tripwire can diff. e_trajectory_hausdorff_pruned costs 16.1s at
+# sf0.1 (itself a measured 6.9x win over the 110.5s exact twin — the
+# interleaved A/B in its docstring), so it is benched in the sf0.01
+# sidecar: the detail file is sf-keyed and _previous_bench_queries
+# only baselines same-sf records, so a regression of the prune
+# front-end (whose silent failure mode is "falls back to near-exact
+# cost") flags on the next sf0.01 run instead of going undetected.
+EXTRA_BY_SF = {
+    0.01: ["e_trajectory_hausdorff_pruned"],
+}
+
 
 def _round_files(pattern: str) -> list[tuple[int, str]]:
     import glob
@@ -238,7 +264,11 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     queries = all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    try:
+        extra = EXTRA_BY_SF.get(float(sf), [])
+    except ValueError:
+        extra = []
+    names = [n for n in HEADLINE + extra if n in queries]
     # warm the JVM + parquet footers once so timings measure the queries
     queries[names[0]](spark, sf_dir).collect()
     # ...and spawn the Python UDF workers + Arrow channels (otherwise the

@@ -56,7 +56,8 @@ class _CubeState:
 class CubeService:
     """In-process twin of the reference's Flask app state.
 
-    Cube definitions + parameters persist to ``workdir/catalog.json``
+    Cube definitions + parameters persist one-file-per-cube under
+    ``workdir/catalog/``
     on every mutation and rehydrate on construction — the reference
     keeps this state in its DB, which is what lets its CLI commands
     (configure / show-parameters) operate across processes; a
@@ -69,51 +70,79 @@ class CubeService:
         self.grids: dict[str, list[dict]] = {}
         self._load_catalog()
 
-    def _catalog_path(self) -> str:
+    def _catalog_dir(self) -> str:
+        return os.path.join(self.workdir, "catalog")
+
+    def _legacy_path(self) -> str:
+        # pre-round-11 single-file layout, read-only for migration
         return os.path.join(self.workdir, "catalog.json")
 
-    def _save_catalog(self) -> None:
-        """Persist at CUBE granularity: entries already on disk that
-        this process doesn't hold are kept, so two processes working
-        on DIFFERENT cubes never clobber each other (a CLI configure
-        beside a live service). Writers to the SAME cube are
-        last-writer-wins — the store's single-writer-per-table
-        assumption, stated here too."""
+    def _cube_path(self, name: str) -> str:
+        # percent-encode so ANY cube name maps to exactly one safe
+        # flat filename (no traversal, no collision between e.g.
+        # "a/b" and "a_b")
+        from urllib.parse import quote
+        return os.path.join(self._catalog_dir(),
+                            quote(name, safe="") + ".json")
+
+    def _save_cube(self, name: str) -> None:
+        """Persist ONE cube to its own ``workdir/catalog/<name>.json``
+        (atomic tmp + os.replace). One file per cube is what makes
+        the concurrency claim TRUE across processes: two writers of
+        DIFFERENT cubes touch different files, so neither can drop
+        the other's entry (the round-10 single-file read-merge-replace
+        could — B's replace erased an A-save that landed between B's
+        read and write). Writers to the SAME cube remain
+        last-writer-wins at file granularity — the store's
+        single-writer-per-table assumption."""
         import json
         from dataclasses import asdict
-        os.makedirs(self.workdir, exist_ok=True)
-        try:
-            with open(self._catalog_path()) as fh:
-                payload = json.load(fh)
-        except (OSError, ValueError):
-            payload = {}
-        payload.update({n: {"defn": asdict(st.defn),
-                            "parameters": st.parameters,
-                            "out_dir": st.out_dir}
-                        for n, st in self.cubes.items()})
-        tmp = self._catalog_path() + ".tmp"
+        st = self.cubes[name]
+        os.makedirs(self._catalog_dir(), exist_ok=True)
+        path = self._cube_path(name)
+        tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, self._catalog_path())
+            json.dump({"defn": asdict(st.defn),
+                       "parameters": st.parameters,
+                       "out_dir": st.out_dir}, fh)
+        os.replace(tmp, path)
 
     def _load_catalog(self) -> None:
+        """Rehydrate from ``workdir/catalog/*.json`` (one file per
+        cube), migrating any pre-round-11 single-file
+        ``workdir/catalog.json`` entries that don't already have a
+        per-cube file. A corrupt file is moved aside (never silently
+        overwritten) and skipped."""
+        import glob
         import json
-        try:
-            with open(self._catalog_path()) as fh:
-                payload = json.load(fh)
-        except OSError:
-            return
-        except ValueError:
-            # corrupt catalog: move it aside so the next save can
-            # never silently overwrite (and destroy) the evidence —
-            # the operator restores or inspects catalog.json.corrupt
-            import warnings
-            corrupt = self._catalog_path() + ".corrupt"
-            os.replace(self._catalog_path(), corrupt)
-            warnings.warn(
-                f"catalog.json was unreadable; moved to {corrupt} and "
-                "starting empty", RuntimeWarning, stacklevel=2)
-            return
+        import warnings
+        from urllib.parse import unquote
+
+        def _read(path: str) -> dict | None:
+            try:
+                with open(path) as fh:
+                    return json.load(fh)
+            except OSError:
+                return None
+            except ValueError:
+                corrupt = path + ".corrupt"
+                os.replace(path, corrupt)
+                warnings.warn(
+                    f"{os.path.basename(path)} was unreadable; moved "
+                    f"to {corrupt} and skipped", RuntimeWarning,
+                    stacklevel=3)
+                return None
+
+        payload: dict[str, dict] = {}
+        legacy = _read(self._legacy_path())
+        if isinstance(legacy, dict):
+            payload.update(legacy)
+        for path in sorted(glob.glob(
+                os.path.join(self._catalog_dir(), "*.json"))):
+            rec = _read(path)
+            if rec is not None:
+                name = unquote(os.path.basename(path)[:-len(".json")])
+                payload[name] = rec
         for n, rec in payload.items():
             self.cubes[n] = _CubeState(
                 defn=CubeDefinition(**rec["defn"]),
@@ -145,7 +174,7 @@ class CubeService:
         collections, bands = create_cube(defn)
         self.cubes[defn.name] = _CubeState(defn=defn,
                                            parameters=parameters or {})
-        self._save_catalog()
+        self._save_cube(defn.name)
         return {"cubes": collections, "bands": len(bands)}
 
     def list_cubes(self, cube: str | None = None) -> list[dict] | dict:
@@ -165,13 +194,13 @@ class CubeService:
             st.parameters["title"] = title
         if public is not None:
             st.parameters["public"] = public
-        self._save_catalog()
+        self._save_cube(cube)
         return {"message": "Updated cube", "cube": cube}
 
     def update_parameters(self, cube: str, **params) -> dict:
         """PUT /cubes/<id>/parameters (views.py:137-145)."""
         self._get(cube).parameters.update(params)
-        self._save_catalog()
+        self._save_cube(cube)
         return {"code": 200, "updated": sorted(params)}
 
     def cube_meta(self, spark: SparkSession, cube: str) -> dict:
@@ -241,7 +270,7 @@ class CubeService:
                             composite=st.defn.composite_function,
                             **cfg_overrides)
         res = build_cube(spark, obs, st.out_dir, cfg)
-        self._save_catalog()   # out_dir persists for cross-process CLI
+        self._save_cube(cube)  # out_dir persists for cross-process CLI
         return {"cube": cube, "out_dir": st.out_dir, **res}
 
     def complete_cube(self, spark: SparkSession, cube: str,

@@ -81,7 +81,11 @@ def _cmd_configure(args) -> int:
     svc = _service(args.workdir)
     bad = [kv for kv in (args.set or []) if "=" not in kv]
     if bad:
-        build_parser().error(
+        # args.parser is the `configure` subparser (set_defaults in
+        # build_parser), so the usage line shown is the subcommand
+        # the user actually invoked — a freshly built top-level
+        # parser would print the program's usage instead (r10 ADVICE)
+        args.parser.error(
             f"--set expects KEY=VALUE, got: {', '.join(bad)}")
     params = dict(kv.split("=", 1) for kv in (args.set or []))
     out = svc.update_parameters(args.datacube, **params)
@@ -130,7 +134,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("datacube")
     p.add_argument("--workdir", required=True)
     p.add_argument("--set", action="append", metavar="KEY=VALUE")
-    p.set_defaults(fn=_cmd_configure)
+    p.set_defaults(fn=_cmd_configure, parser=p)
 
     p = sub.add_parser("show-parameters",
                        help="display a cube's parameters")

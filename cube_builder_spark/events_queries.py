@@ -1366,6 +1366,11 @@ def e_trajectory_hausdorff_pruned(spark: SparkSession,
     Measured (sf0.1, local[32], interleaved min-of-3, identical 20
     rows): exact 110.5s vs pruned 16.1s (6.9x) — 578k of 1,124k pairs
     survive the prune, and the verify joins are keyed instead of BNLJ.
+    The 16.1s keeps this query OUT of the 91-query sf0.1 headline
+    set; tripwire coverage of the prune front-end comes from the
+    sf0.01 SIDECAR instead (bench.py EXTRA_BY_SF — the detail file is
+    sf-keyed, so a regression toward the exact twin's cost profile
+    flags on the next sf0.01 bench run, round-11 punch #2).
     A refine round (exactly verify the 200 smallest-LB candidates,
     re-threshold at their 20th-best h) was prototyped and cut only
     578k->484k (T 52.4M->39.9M): on this corpus the top-20 distances

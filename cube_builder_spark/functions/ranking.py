@@ -16,13 +16,28 @@ classic distributed-exact alternative (TeraSort-style ranking):
    rank = partition offset + the partition-local row_number (a
    window partitioned BY the range partition — fully parallel).
 
-The whole thing is ONE declarative plan: no driver-side collect, so
-there is no cross-job re-sampling hazard. The offsets groupBy does
-re-evaluate the input subtree (groupBy + join-back defeats
-ReuseExchange — a measured Spark behavior: column pruning and
-differing partial aggregates defeat exchange reuse), so callers should
-hand in a cheap-to-recompute frame (a scratch-parquet read or an
-already-aggregated input).
+The ranged frame is materialized ONCE (eager ``localCheckpoint``)
+before either branch derives from it. This is correctness, not just
+cost: groupBy + join-back defeats ReuseExchange (measured — column
+pruning and differing partial aggregates make the exchanges
+non-identical), and each independent evaluation of a
+``repartitionByRange`` builds its OWN RangePartitioner whose
+reservoir sample depends on the RDD id. Once input partitions exceed
+``spark.sql.execution.rangeExchange.sampleSizePerPartition`` the two
+evaluations can pick DIFFERENT range bounds — broadcast offsets that
+describe a different partitioning than the one that labeled the
+rows, i.e. duplicated/missing global ranks (round-10 ADVICE).
+Checkpointing pins one physical partitioning that both branches
+read, so the sampling happens exactly once by construction;
+tests/test_ranking.py asserts the returned plan contains NO range
+exchange (it ran pre-checkpoint) and exactly one checkpoint scan.
+
+Scale note: ``localCheckpoint`` stores the ranged blocks on executor
+local storage and cuts lineage — cheap (no dfs round-trip), but not
+resilient to executor loss mid-job. For multi-hour jobs on
+preemptible executors, write the input to scratch parquet first (as
+``e_rfm_segmentation_scalable`` does) so a lost block replays from
+storage instead of failing the job.
 
 Because the caller includes a unique tiebreaker in ``order`` the rank
 is total, so ntile buckets derived from (rank, n) are bit-identical
@@ -46,7 +61,12 @@ def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
     Adds ``rank_col`` and ``total_col``; drops its internals.
     """
     ranged = (df.repartitionByRange(n_partitions, *order)
-              .withColumn("_rp", F.spark_partition_id()))
+              .withColumn("_rp", F.spark_partition_id())
+              # one physical evaluation of the range shuffle — both
+              # the offsets aggregate and the join side read these
+              # blocks, so the sampled range bounds (and hence _rp)
+              # cannot diverge between branches (module docstring)
+              .localCheckpoint(eager=True))
     # ≤ n_partitions rows: the windows below are metadata-scale
     pc = ranged.groupBy("_rp").agg(F.count(F.lit(1)).alias("_pc"))
     w_prev = (Window.orderBy("_rp")

@@ -73,7 +73,21 @@ _PRIORITY = [
     "s46_ingest_suite",           # S4 scan classify + S6 URI dispatch
     "s_archive_roundtrip",        # S5 zip + S7 SAFE + S9 tgz + S12
     "s123_stac_adapt",            # S1 asset extraction + S3 SAFE rewrite
-    "s8_baseline_offset", "s10_sceneid_parse", "s11_empty_fill",
+    # s8_baseline_offset and s11_empty_fill rotated just past the
+    # window in round 11: both are simple single-operator rows long
+    # subsumed by graded suites (the dense fill inside c1_suite /
+    # p_cube_build_e2e's mosaic path; the rescale path inside
+    # c12c13_rescale, which shares operators/rescale.py with the
+    # baseline offset), still hash-checked by tests/test_queries_oracle.
+    # Their slots give the round-10 surface its driver-graded rows:
+    # e_trajectory_hausdorff_pruned (below, events plane) — the
+    # round's most intricate machinery (lossless seed-bound /
+    # four-extreme-gap / banded-candidate prune in front of the exact
+    # Hausdorff kernel, sharing the exact twin's oracle) — and
+    # x_shallow_clone (below, storage plane) — the MoR
+    # carried-delete sequence trap, the storage plane's subtlest
+    # semantics.
+    "s10_sceneid_parse",
     # s13_remote_probe rotated just past the window in round 10 (a
     # deterministic reachability report, the window's least intricate
     # row; still hash-checked by tests/test_queries_oracle); its slot
@@ -140,6 +154,11 @@ _PRIORITY = [
     "m_multimodal_suite",         # metadata + frame sampling
     # events plane
     "e_sessionize",
+    # round-10 surface, graded since round 11 (took s11_empty_fill's
+    # slot): the provably-lossless Hausdorff prune — seed upper
+    # bound, four-extreme lower bound, banded candidates, exact
+    # verify — sharing its oracle with the exact twin.
+    "e_trajectory_hausdorff_pruned",
     "e_stream_suite",             # tumbling + top-k + running
     # stateful streaming exact-dedup: the single-batch ledger IS
     # SQL-expressible, so this spends the last graded slot on a
@@ -156,6 +175,11 @@ _PRIORITY = [
     # slot): merge-on-read deletion vectors — commit-sequence-ruled
     # re-inserts, broadcast anti-join reads, footer-pruned materialize.
     "x_deletion_vectors",
+    # round-10 storage plane, graded since round 11 (took
+    # s8_baseline_offset's slot): metadata-only shallow clone with
+    # the carried-equality-delete sequence trap armed — zero-copy
+    # asserted in-query, independent evolution both ways.
+    "x_shallow_clone",
 ]
 
 
@@ -167,7 +191,20 @@ def _registries():
 
 
 def _ordered():
-    entries = {name: (fn, sql) for name, fn, sql in _registries()}
+    entries: dict[str, tuple] = {}
+    for name, fn, sql in _registries():
+        # A second @register with an existing name would otherwise
+        # last-win silently — at 286 entries across 6 module
+        # registries this is the one silent-drop shape the
+        # SURVEY-claims guard cannot catch (both claims still
+        # resolve). Fail loud at aggregation time instead.
+        if name in entries:
+            raise ValueError(
+                f"duplicate query name {name!r} across module "
+                "registries — every registered query must have a "
+                "unique name (the later registration would silently "
+                "shadow the earlier one)")
+        entries[name] = (fn, sql)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     for name in sorted(entries, key=lambda n: (rank.get(n, len(rank)),
                                                list(entries).index(n))):

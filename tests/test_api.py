@@ -100,3 +100,59 @@ def test_build_items_status_complete(spark, sf_dir, svc):
     assert merges and merges[0].status == "done"
     tasks = svc.tasks(spark)
     assert tasks and tasks[0]["cube"] == "S2-16D"
+
+
+def test_concurrent_different_cube_saves_never_clobber(tmp_path):
+    """Round-10 ADVICE: the single-file read-merge-replace allowed an
+    interleaving where writer B (read before A's replace landed)
+    dropped A's cube. One-file-per-cube makes the claim structural:
+    two services over the SAME workdir, each creating a DIFFERENT
+    cube with an interleaved save order, must both survive a fresh
+    rehydrate — plus legacy single-file catalogs still migrate."""
+    import dataclasses
+    import json
+    import os
+
+    wd = str(tmp_path / "shared")
+    svc_a = CubeService(wd)
+    svc_b = CubeService(wd)   # both rehydrated BEFORE either save
+    defn_a = _defn()
+    defn_b = dataclasses.replace(_defn(), name="LC8-16D")
+    # interleave: B's in-memory state predates A's save; under the
+    # old format B's later save would replace the whole file and
+    # drop A's entry
+    svc_a.create_cube(defn_a)
+    svc_b.create_cube(defn_b)
+    names = {c["name"] for c in CubeService(wd).list_cubes()}
+    assert names == {"S2-16D", "LC8-16D"}
+    # per-cube files on disk, no monolith
+    assert sorted(os.listdir(os.path.join(wd, "catalog"))) == \
+        ["LC8-16D.json", "S2-16D.json"]
+
+    # legacy migration: a pre-round-11 catalog.json rehydrates too
+    legacy = {"OLD-CUBE": {"defn": dataclasses.asdict(
+        dataclasses.replace(_defn(), name="OLD-CUBE")),
+        "parameters": {"p": 1}, "out_dir": None}}
+    with open(os.path.join(wd, "catalog.json"), "w") as fh:
+        json.dump(legacy, fh)
+    svc = CubeService(wd)
+    assert {c["name"] for c in svc.list_cubes()} == \
+        {"S2-16D", "LC8-16D", "OLD-CUBE"}
+    # a per-cube file wins over a stale legacy entry of the same name
+    svc.update_cube("OLD-CUBE", title="migrated")
+    assert CubeService(wd).list_cubes("OLD-CUBE")[
+        "parameters"]["title"] == "migrated"
+
+
+def test_corrupt_cube_file_moved_aside(tmp_path):
+    import os
+    wd = str(tmp_path / "c")
+    svc = CubeService(wd)
+    svc.create_cube(_defn())
+    path = os.path.join(wd, "catalog", "S2-16D.json")
+    with open(path, "w") as fh:
+        fh.write("{not json")
+    with pytest.warns(RuntimeWarning, match="unreadable"):
+        svc2 = CubeService(wd)
+    assert svc2.list_cubes() == []
+    assert os.path.exists(path + ".corrupt")

@@ -57,6 +57,25 @@ def test_exact_global_ntile_end_to_end(spark):
     assert got == want
 
 
+def test_global_rank_single_range_exchange(spark):
+    """Round-10 ADVICE: the offsets aggregate and the join side must
+    NOT each re-evaluate the repartitionByRange subtree — independent
+    evaluations re-sample range bounds (reservoir seed depends on the
+    RDD id) and can label rows with a partitioning the broadcast
+    offsets don't describe. global_rank materializes the ranged frame
+    once (eager localCheckpoint), so the returned plan contains ZERO
+    range exchanges (the one shuffle ran pre-checkpoint) and both
+    branches scan the same checkpointed RDD."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7919 % 101).alias("v"))
+    out = global_rank(df, [F.col("v").asc(), F.col("id").asc()], 8)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in phys.lower(), phys
+    assert "REPARTITION_BY" not in phys, phys
+    scans = re.findall(r"Scan ExistingRDD", phys)
+    assert len(scans) >= 2, phys  # both branches read the checkpoint
+
+
 def test_rfm_scalable_equals_exact(spark, sf_dir):
     from cube_builder_spark.events_queries import (
         e_rfm_segmentation, e_rfm_segmentation_scalable)

@@ -1371,3 +1371,90 @@ def test_incremental_read_tails_stream_commits(spark, tmp_path):
     st.write(_df(spark, 100, 102), mode="overwrite")
     with _pytest.raises(ValueError, match="not an ancestor"):
         incremental_read(st, spark, 999)
+
+
+def test_scd2_same_day_correction_then_later_change(spark, tmp_path):
+    """Round-11 hardening (verdict punch #6): the SAME key takes a
+    same-day correction (batch 2, in-place under the existing sk) AND
+    a later-day change (batch 3, close + insert) in successive
+    batches — the surrogate-key collision class must stay closed
+    across the whole sequence, with history exactly: one row closed
+    at the later date carrying the CORRECTED attributes, one new
+    current row."""
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    st = SnapshotStore(str(tmp_path / "scd2mb"))
+    init = spark.createDataFrame([(1, "A", 10)],
+                                 "k long, seg string, score long") \
+        .withColumn("valid_from", F.lit("2024-03-01").cast("date")) \
+        .withColumn("valid_to", F.lit(None).cast("date")) \
+        .withColumn("is_current", F.lit(True))
+    st.write(init.withColumn(
+        "sk", F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("valid_from").cast("string"))))
+
+    # batch 2: same-day correction — in place, no history row
+    v2, nc2, ni2 = scd2_merge(
+        st, spark,
+        spark.createDataFrame([(1, "A-fix", 11)],
+                              "k long, seg string, score long"),
+        "k", ["seg", "score"], "2024-03-01")
+    assert (nc2, ni2) == (0, 1)
+
+    # batch 3: later-day change — closes the CORRECTED row
+    v3, nc3, ni3 = scd2_merge(
+        st, spark,
+        spark.createDataFrame([(1, "B", 20)],
+                              "k long, seg string, score long"),
+        "k", ["seg", "score"], "2024-03-15")
+    assert (nc3, ni3) == (1, 1)
+    rows = sorted((r.k, r.seg, r.score, str(r.valid_from),
+                   str(r.valid_to), r.is_current)
+                  for r in st.read(spark, v3).collect())
+    assert rows == [
+        (1, "A-fix", 11, "2024-03-01", "2024-03-15", False),
+        (1, "B", 20, "2024-03-15", "None", True)]
+
+    # batch 4: same-day correction of the NEW current row still works
+    v4, nc4, ni4 = scd2_merge(
+        st, spark,
+        spark.createDataFrame([(1, "B-fix", 21)],
+                              "k long, seg string, score long"),
+        "k", ["seg", "score"], "2024-03-15")
+    assert (nc4, ni4) == (0, 1)
+    rows = sorted((r.k, r.seg, r.score, str(r.valid_from),
+                   str(r.valid_to), r.is_current)
+                  for r in st.read(spark, v4).collect())
+    assert rows == [
+        (1, "A-fix", 11, "2024-03-01", "2024-03-15", False),
+        (1, "B-fix", 21, "2024-03-15", "None", True)]
+
+
+def test_scd2_rejects_same_batch_duplicate_keys(spark, tmp_path):
+    """A batch with the same key twice would collide on one surrogate
+    key (both rows land -> two current rows for one key). It must be
+    rejected atomically: ValueError, nothing committed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    st = SnapshotStore(str(tmp_path / "scd2dup"))
+    init = spark.createDataFrame([(1, "A")], "k long, seg string") \
+        .withColumn("valid_from", F.lit("2024-03-01").cast("date")) \
+        .withColumn("valid_to", F.lit(None).cast("date")) \
+        .withColumn("is_current", F.lit(True))
+    st.write(init.withColumn(
+        "sk", F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("valid_from").cast("string"))))
+    head = st.head("main")
+
+    dup = spark.createDataFrame([(1, "X"), (1, "Y"), (2, "Z")],
+                                "k long, seg string")
+    with pytest.raises(ValueError, match="duplicate k values"):
+        scd2_merge(st, spark, dup, "k", ["seg"], "2024-03-10")
+    assert st.head("main") == head  # nothing committed
+    rows = [(r.k, r.seg) for r in st.read(spark).collect()]
+    assert rows == [(1, "A")]
