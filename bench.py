@@ -192,13 +192,20 @@ EXTRA_BY_SF = {
 }
 
 
-def _round_files(pattern: str) -> list[tuple[int, str]]:
+def _round_files(pattern: str, sf_suffixed: bool = False) -> list[tuple[int, str]]:
+    """``sf_suffixed=False`` matches only the driver-scale records
+    (``..._rN.json``); ``True`` matches only the sf-suffixed sidecars
+    (``..._rN_sfX.json``). They are kept separate so a local probe
+    can never masquerade as the round's sf0.1 record — sidecars are
+    only consulted by the tripwire when the CURRENT run's sf matches
+    theirs (the sf-field check in _previous_bench_queries)."""
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
+    rx = r"_r(\d+)_sf[\d.]+\.json$" if sf_suffixed else r"_r(\d+)\.json$"
     out = []
     for p in glob.glob(os.path.join(here, pattern)):
-        m = re.search(r"_r(\d+)\.json$", p)
+        m = re.search(rx, p)
         if m:
             out.append((int(m.group(1)), p))
     return sorted(out)
@@ -225,8 +232,16 @@ def _previous_bench_queries(sf) -> tuple[dict[str, float], int | None]:
     LATER round's genuine regression as already-investigated noise."""
     cur = _current_round()
     candidates: list[tuple[int, int, str]] = []
-    # rank detail files above driver records at the same round
+    # rank detail files above driver records at the same round; the
+    # sf-suffixed sidecars join the pool (round 11) because a
+    # non-driver-scale run would otherwise NEVER find a baseline —
+    # the sf-field match below still guarantees a sidecar can only
+    # baseline a run at ITS OWN scale.
     for rnd, path in _round_files("BENCH_DETAIL_r*.json"):
+        if rnd < cur:
+            candidates.append((rnd, 1, path))
+    for rnd, path in _round_files("BENCH_DETAIL_r*_sf*.json",
+                                  sf_suffixed=True):
         if rnd < cur:
             candidates.append((rnd, 1, path))
     for rnd, path in _round_files("BENCH_r*.json"):

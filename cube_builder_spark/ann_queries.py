@@ -1,0 +1,587 @@
+"""Similarity-search (ANN) query registry — split out of
+pipeline_queries.py in round 11 (the module had grown to 5k LoC):
+brute-force / LSH / multiprobe / IVF / PQ / IVF-PQ / refine / MIPS /
+filtered / SQ8 / BQ top-k, recall eval, MMR rerank, embedding dup
+clusters. Shared SQL fragments (quantized dims, LSH plane buckets,
+IVF centroids, PQ codebooks) stay in pipeline_queries and are
+imported — one direction, no cycle. Query names unchanged; the
+graded window is pinned by queries._PRIORITY either way."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from .functions import dedup
+from .functions import similarity
+from .pipeline_queries import (  # shared SQL fragments/helpers
+    _BATCH_TOPK_SQL, _CLUSTER_ITERS, _COS_AB, _EV_SQL, _IVF_BATCH_SQL, _IVF_SQL, _IVF_TAIL, _PQ_SQL, _PQ_TAIL, _QUANT_SQL, _bq_codes_sql, _bucket_sql, _dims_sql, _embs, _label_steps_sql, _mmr_sql)
+
+REGISTRY: list[tuple[str, object, str | None]] = []
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append((name, fn, sql))
+        return fn
+    return deco
+
+
+@register("a_ann_bruteforce_topk", f"""
+WITH {_QUANT_SQL}
+SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
+FROM dots
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def a_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vector 0 (exact baseline;
+    integer-quantized for cross-engine bit parity)."""
+    return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("a_ann_lsh_buckets", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}
+SELECT bucket, count(*) AS n_vectors
+FROM bkt GROUP BY bucket
+""")
+def a_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN scale path:
+    bucket = partition key of the vector store)."""
+    return (similarity.lsh_buckets(_embs(spark, sf_dir), num_planes=8)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register("a_ann_lsh_topk", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
+JOIN ev ea ON ea.vec_id = qa.vec_id
+JOIN ev eb ON eb.vec_id = ba.vec_id
+WHERE qa.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query path: probe only the query vector's LSH bucket, exact
+    cosine inside the bucket (bucket = partition key at scale)."""
+    return similarity.lsh_topk_in_bucket(_embs(spark, sf_dir),
+                                         query_vec_id=0, num_planes=8, k=5)
+
+
+@register("a_ann_ivf_assign", f"""
+WITH {_IVF_SQL}
+SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id
+""")
+def a_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment histogram (list_id = the
+    inverted-list partition key of the vector store)."""
+    return (similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
+            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register("a_ann_ivf_topk", f"""
+WITH {_IVF_SQL}, {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
+JOIN ev ea ON ea.vec_id = qa.vec_id
+JOIN ev eb ON eb.vec_id = ba.vec_id
+WHERE qa.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search, nprobe=1: exact cosine over the query's inverted
+    list only."""
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               n_lists=8, k=5)
+
+
+@register("a_ann_batch_topk", f"""
+WITH {_BATCH_TOPK_SQL}
+SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
+""")
+def a_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact ANN: cosine top-3 for EVERY vector of the query
+    block (vec_id % 50 = 0) in one corpus pass — broadcast query
+    matrix, Arrow-batched matmul, per-batch partial top-k, exact
+    window merge (similarity.batch_topk)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    return similarity.batch_topk(cands, queries, k=3)
+
+
+@register("a_ann_recall_eval", f"""
+WITH {_IVF_SQL}, {_EV_SQL}, {_BATCH_TOPK_SQL}, {_IVF_BATCH_SQL},
+qs AS (SELECT DISTINCT q_vec_id FROM branked),
+hits AS (
+  SELECT q.q_vec_id, CAST(count(s.vec_id) AS BIGINT) AS n_hits
+  FROM qs q
+  LEFT JOIN branked b ON b.q_vec_id = q.q_vec_id AND b.rank <= 5
+  LEFT JOIN ivfs s ON s.q_vec_id = b.q_vec_id AND s.vec_id = b.vec_id
+                   AND s.rn <= 5
+  GROUP BY q.q_vec_id
+)
+SELECT q_vec_id, n_hits, n_hits / 5.0 AS recall FROM hits
+""")
+def a_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality-evaluation harness: recall@5 of IVF(nprobe=1)
+    against exact search, per query of the query block (vec_id % 50
+    = 0) — the measurement loop that justifies an nprobe setting
+    before deploying the approximate path.
+
+    Exact side = batch_topk (broadcast query matrix, Arrow matmul);
+    approx side = ivf_batch_topk (one corpus assignment pass, probes
+    joined on list_id); recall_at_k joins the two k-bounded result
+    sets — tiny regardless of corpus size."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    exact = similarity.batch_topk(cands, queries, k=5)
+    approx = similarity.ivf_batch_topk(embs, queries, n_lists=8, k=5)
+    return similarity.recall_at_k(approx, exact, k=5)
+
+
+@register("a_ann_ivf_topk_nprobe2", f"""
+WITH {_IVF_SQL}, {_EV_SQL},
+qscored AS (
+  SELECT s.g,
+         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
+                            s.g) AS rn
+  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
+),
+qlists AS (SELECT g FROM qscored WHERE rn <= 2)
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM assign ba JOIN qlists q ON ba.list_id = q.g
+JOIN ev eb ON eb.vec_id = ba.vec_id
+JOIN ev ea ON ea.vec_id = 0
+WHERE ba.vec_id <> 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: exact cosine over the members of the
+    query's two closest inverted lists — the recall/cost knob one
+    notch up (candidate recall strictly dominates nprobe=1)."""
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               n_lists=8, k=5, nprobe=2)
+
+
+@register("a_ann_ivf_lloyd", f"""
+WITH {_IVF_SQL},
+cent2 AS (
+  SELECT a.list_id AS g, d.dim, sum(d.qval) AS c
+  FROM assign a JOIN dims d ON d.vec_id = a.vec_id
+  GROUP BY a.list_id, d.dim
+),
+sizes AS (SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id)
+SELECT s.list_id, s.n_vectors, CAST(sum(c2.c * c2.c) AS BIGINT) AS cnorm2
+FROM sizes s JOIN cent2 c2 ON c2.g = s.list_id
+GROUP BY s.list_id, s.n_vectors
+""")
+def a_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-k-means (Lloyd) refinement of the IVF quantizer:
+    per surviving list, the member count under the refined assignment
+    and the exact integer norm^2 of the recomputed centroid — the SQL
+    oracle replays the whole broadcast-assign-recompute iteration."""
+    emb = _embs(spark, sf_dir)
+    by0 = similarity.collect_centroids(emb, n_lists=8)
+    assign = similarity.ivf_assign(emb, n_lists=8, centroids=by0)
+    sizes = (assign.groupBy("list_id")
+             .agg(F.count(F.lit(1)).alias("n_vectors")))
+    by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
+    cn2 = [(g, sum(v * v for v in dims.values()))
+           for g, dims in sorted(by1.items())]
+    norms = spark.createDataFrame(cn2, "list_id long, cnorm2 long")
+    return sizes.join(F.broadcast(norms), "list_id")
+
+
+@register("a_ann_pq_topk", f"""
+WITH {_PQ_SQL},
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+)
+SELECT a.vec_id,
+       CASE WHEN a.rr = 0 THEN -1e308
+            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
+FROM adc a, qq q
+WHERE a.vec_id <> 0
+ORDER BY adc_cosine DESC, a.vec_id
+LIMIT 10
+""")
+def a_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10: vectors compressed to 4 codes
+    (8 sub-centroids per 16-dim subspace), query scored against each
+    vector's RECONSTRUCTION via two M×ks lookup tables baked into the
+    plan as array literals — the scan reads only the codes column
+    (whole-stage codegen, no join, no shuffle; top-k is a map-side
+    TakeOrdered). The compressed representation is the 100 TB vector
+    store: ~M bytes/vector instead of 4·D."""
+    return similarity.pq_adc_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                  m_sub=4, ks=8, k=10)
+
+
+@register("a_ann_pq_refine_topk", f"""
+WITH {_PQ_SQL},
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+),
+short AS (
+  SELECT a.vec_id
+  FROM adc a, qq q
+  WHERE a.vec_id <> 0
+  ORDER BY (CASE WHEN a.rr = 0 THEN -1e308
+                 ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END) DESC,
+           a.vec_id
+  LIMIT 50
+),{_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM short s
+JOIN ev eb ON eb.vec_id = s.vec_id
+JOIN ev ea ON ea.vec_id = 0
+ORDER BY cosine DESC, eb.vec_id
+LIMIT 10
+""")
+def a_ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact rerank (the FAISS refine step): the
+    codes-only ADC scan nominates 50 candidates; only those read
+    their full vectors for the exact cosine top-10."""
+    return similarity.pq_refine_topk(_embs(spark, sf_dir),
+                                     query_vec_id=0, m_sub=4, ks=8,
+                                     shortlist=50, k=10)
+
+
+@register("a_hard_negatives", """
+WITH evl AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS q_vec_id, label AS qlabel, v AS qv
+       FROM evl WHERE vec_id % 50 = 0),
+cand AS (SELECT vec_id, label, v FROM evl WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT q.q_vec_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM qs q JOIN cand c ON c.label <> q.qlabel
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def a_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 nearest corpus vectors with a DIFFERENT label (the
+    negatives the model most confuses). One Arrow-batched corpus pass
+    with the positive-label mask applied before the partial top-k;
+    the oracle replays it as a label-mismatch join + window."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    cands = embs.filter(F.col("vec_id") % 50 != 0)
+    return similarity.hard_negatives(cands, queries, k=5)
+
+
+@register("a_ann_topk_suite", f"""
+SELECT 'brute' AS variant, vec_id, cosine FROM (
+  WITH {_QUANT_SQL}
+  SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
+  FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT 'lsh', vec_id, cosine FROM (
+  WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
+  SELECT eb.vec_id, {_COS_AB} AS cosine
+  FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
+  JOIN ev ea ON ea.vec_id = qa.vec_id
+  JOIN ev eb ON eb.vec_id = ba.vec_id
+  WHERE qa.vec_id = 0
+  ORDER BY cosine DESC, eb.vec_id LIMIT 5
+)
+UNION ALL
+SELECT 'ivf', vec_id, cosine FROM (
+  WITH {_IVF_SQL}, {_EV_SQL}
+  SELECT eb.vec_id, {_COS_AB} AS cosine
+  FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
+  JOIN ev ea ON ea.vec_id = qa.vec_id
+  JOIN ev eb ON eb.vec_id = ba.vec_id
+  WHERE qa.vec_id = 0
+  ORDER BY cosine DESC, eb.vec_id LIMIT 5
+)
+UNION ALL
+SELECT 'batch:' || q_vec_id || ':' || rank, vec_id, cosine FROM (
+  WITH {_BATCH_TOPK_SQL}
+  SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
+)
+""")
+def a_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search suite: exact brute-force cosine top-10 (the
+    baseline) + LSH bucket-probe top-5 + IVF nprobe=1 top-5 + batch
+    top-3 for a whole query block in one corpus pass, one graded row
+    for the whole ANN family."""
+    brute = a_ann_bruteforce_topk(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "vec_id", "cosine")
+    lsh = a_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "vec_id", "cosine")
+    ivf = a_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "vec_id", "cosine")
+    batch = a_ann_batch_topk(spark, sf_dir).select(
+        F.concat(F.lit("batch:"), F.col("q_vec_id"),
+                 F.lit(":"), F.col("rank")).alias("variant"),
+        "vec_id", "cosine")
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(batch)
+
+
+@register("a_ann_lsh_multiprobe", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+probes AS (
+  SELECT bucket FROM qb
+  UNION
+  SELECT xor(q.bucket, CAST(1 << j.j AS BIGINT)) AS bucket
+  FROM qb q CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+)
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM bkt ba
+JOIN probes p ON ba.bucket = p.bucket
+JOIN ev eb ON eb.vec_id = ba.vec_id
+JOIN ev ea ON ea.vec_id = 0
+WHERE ba.vec_id <> 0
+ORDER BY cosine DESC, eb.vec_id LIMIT 5
+""")
+def a_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: the query's bucket plus all 8 buckets
+    one flipped sign bit away — the recall lever that needs no extra
+    hash tables; probes are a bounded driver-side IN list over the
+    bucket partition key."""
+    return similarity.lsh_multiprobe_topk(_embs(spark, sf_dir),
+                                          query_vec_id=0, num_planes=8, k=5)
+
+
+@register("a_ann_ivfpq_topk", f"""
+WITH {_dims_sql()}, {_IVF_TAIL}, {_PQ_TAIL},
+qsc AS (
+  SELECT s.g,
+         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
+                            s.g) AS rn
+  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
+),
+qlists AS (SELECT g FROM qsc WHERE rn <= 2),
+cands AS (
+  SELECT a.vec_id FROM assign a
+  JOIN qlists q ON a.list_id = q.g
+  WHERE a.vec_id <> 0
+),
+qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
+qlut AS (
+  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
+  FROM dims dq JOIN cb ON cb.dim = dq.dim
+  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
+),
+adc AS (
+  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
+  FROM encode e
+  JOIN cands c ON c.vec_id = e.vec_id
+  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
+  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
+  GROUP BY e.vec_id
+)
+SELECT a.vec_id,
+       CASE WHEN a.rr = 0 THEN -1e308
+            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
+FROM adc a, qq q
+ORDER BY adc_cosine DESC, a.vec_id
+LIMIT 10
+""")
+def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 (nprobe=2): coarse quantizer prunes to two
+    inverted lists, survivors scored from PQ codes via ADC lookups —
+    the FAISS-style index shape where a query reads nprobe/n_lists of
+    the corpus at ~M bytes per vector."""
+    return similarity.ivfpq_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                 n_lists=8, nprobe=2, m_sub=4, ks=8, k=10)
+
+
+@register("a_embedding_dup_clusters", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_AB} >= 0.35
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
+{_label_steps_sql(_CLUSTER_ITERS)}
+SELECT doc_id AS vec_id, lbl AS canonical_id, doc_id = lbl AS is_canonical
+FROM l{_CLUSTER_ITERS}
+""")
+def a_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: the skew-capped embedding-cosine
+    pairs feed the same min-label connected-component
+    canonicalization the text path uses — keep one vector per
+    semantic cluster, not per pair (pairwise drop over-deletes on
+    chains). Oracle replays bucket cap, exact cosine gate, and the
+    fixed label rounds."""
+    pairs = (similarity.cosine_dup_pairs(_embs(spark, sf_dir),
+                                         num_planes=8, threshold=0.35,
+                                         max_bucket=256)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    return (dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
+            .select(F.col("doc_id").alias("vec_id"),
+                    "canonical_id", "is_canonical"))
+
+
+@register("a_ann_mips_topk", f"""
+WITH {_EV_SQL}
+SELECT eb.vec_id,
+       CAST(list_dot_product(ea.v, eb.v) AS BIGINT) AS dot
+FROM ev ea CROSS JOIN ev eb
+WHERE ea.vec_id = 0 AND eb.vec_id <> 0
+ORDER BY dot DESC, eb.vec_id LIMIT 10
+""")
+def a_ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (similarity.mips_topk):
+    un-normalized dot-product top-k for norm-carrying embeddings.
+    Exact int64 dots of the quantized vectors — no float reduction
+    order anywhere."""
+    return similarity.mips_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("a_ann_filtered_topk", f"""
+WITH {_EV_SQL}
+SELECT eb.vec_id, {_COS_AB} AS cosine
+FROM ev ea CROSS JOIN ev eb
+WHERE ea.vec_id = 0 AND eb.vec_id <> 0 AND eb.vec_id % 7 = 3
+ORDER BY cosine DESC, eb.vec_id LIMIT 10
+""")
+def a_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.filtered_topk):
+    only candidates passing the attribute predicate compete —
+    pre-filtering (predicate reaches the scan), never
+    post-filter-then-truncate."""
+    return similarity.filtered_topk(
+        _embs(spark, sf_dir), query_vec_id=0, k=10,
+        pred=F.col("vec_id") % 7 == 3)
+
+
+@register("a_ann_sq8_topk", f"""
+WITH {_dims_sql()},
+stats AS (
+  SELECT dim, min(qval) AS mn,
+         greatest(1, max(qval) - min(qval)) AS sp
+  FROM dims GROUP BY dim
+),
+codes AS (
+  SELECT d.vec_id, d.dim,
+         (d.qval - s.mn) * 255 // s.sp AS code, s.mn, s.sp
+  FROM dims d JOIN stats s ON d.dim = s.dim
+  WHERE d.vec_id <> 0
+),
+q AS (SELECT dim, qval FROM dims WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id,
+         CAST(sum((q.qval * 255 - c.mn * 255 - c.code * c.sp)
+                  * (q.qval * 255 - c.mn * 255 - c.code * c.sp))
+              AS BIGINT) AS d2
+  FROM codes c JOIN q ON q.dim = c.dim
+  GROUP BY c.vec_id
+)
+SELECT vec_id, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
+""")
+def a_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization top-10 (functions/similarity.sq8_topk —
+    faiss ScalarQuantizer QT_8bit, the 4x-compression tier between raw
+    vectors and PQ): per-dimension trained [min, max] ranges, one
+    uint8 code per dim, asymmetric reconstructed-L2 scoring with every
+    fraction cross-multiplied by 255 so the distance is an exact int64
+    and the oracle hashes the DISTANCES, not a tolerance. The codes
+    column scan + in-array distance fold is pure codegen; top-k is a
+    map-side TakeOrdered (no shuffle of candidates)."""
+    return similarity.sq8_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@register("a_ann_bq_topk", f"""
+WITH {_dims_sql()}, {_bq_codes_sql()}, {_EV_SQL},
+qc AS (SELECT code FROM codes WHERE vec_id = 0),
+short AS (
+  SELECT c.vec_id,
+         CAST(bit_count(xor(c.code, q.code)) AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN qc q WHERE c.vec_id <> 0
+  ORDER BY hamming, c.vec_id LIMIT 50
+),
+qv AS (SELECT v FROM ev WHERE vec_id = 0)
+SELECT s.vec_id, s.hamming,
+       list_dot_product(e.v, q.v)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.v, q.v))) AS cosine
+FROM short s JOIN ev e ON e.vec_id = s.vec_id CROSS JOIN qv q
+ORDER BY cosine DESC, s.vec_id LIMIT 10
+""")
+def a_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the vector-DB 'BQ + rescore' recipe;
+    FAISS IndexBinaryFlat front-end): each 64-dim vector compresses to
+    ONE int64 of sign bits (32x memory cut), the Hamming scan
+    (bit_count of XOR — one JVM instruction per candidate) shortlists
+    50, and the exact integer-cosine kernel rescores to the top-10.
+    Completes the quantization ladder beside PQ (a_ann_pq_refine_topk)
+    and SQ8: BQ is the cheapest code, the one exhaustively scannable
+    at 100 TB because the candidate scan reads 8 bytes/vector from a
+    codes-only projection (column pruning keeps the float arrays
+    unread until the 50-row rescore). Hamming and cosine stages both
+    tie-break on vec_id, so the two engines replay the identical
+    shortlist; bit 63 packs as Long.MIN_VALUE in both so the signed
+    bit patterns agree."""
+    return similarity.bq_refine_topk(_embs(spark, sf_dir),
+                                     query_vec_id=0, k=10, rerank=50)
+
+
+@register("a_ann_mmr_rerank", _mmr_sql(5, 30, 0.5))
+def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein 1998; similarity.mmr_topk) — relevance-only top-k
+    returns near-duplicates, MMR greedily trades relevance against
+    novelty: pick_i = argmax lam*cos(q,d) - (1-lam)*max_{s in picked}
+    cos(d,s) over a bounded top-30 shortlist, lam=0.5, k=5.
+
+    The greedy loop is inherently sequential, so it runs as k bounded
+    rounds over the checkpointed shortlist (one 1-row argmax collect
+    per round — never a full-table scan after the shortlist top-N);
+    the oracle unrolls the same 5 picks as MATERIALIZED CTE stages.
+    Identical dot/(sqrt*sqrt) expression shapes and (score, vec_id)
+    tie-breaks make the greedy trajectory bit-reproducible across
+    engines — the graded rows carry each pick's rank, relevance
+    cosine, and max-similarity-to-prior-picks."""
+    return similarity.mmr_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               k=5, shortlist=30, lam=0.5)

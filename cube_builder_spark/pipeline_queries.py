@@ -638,17 +638,6 @@ dots AS (
 )
 """
 
-@register("a_ann_bruteforce_topk", f"""
-WITH {_QUANT_SQL}
-SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
-FROM dots
-ORDER BY cosine DESC, vec_id LIMIT 10
-""")
-def a_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 against vector 0 (exact baseline;
-    integer-quantized for cross-engine bit parity)."""
-    return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
-
 
 def _dims_sql() -> str:
     """Per-dimension quantized view (fixture embeddings are 64-dim;
@@ -685,34 +674,6 @@ ev AS (
 
 _COS_AB = ("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
            " * sqrt(list_dot_product(eb.v, eb.v)))")
-
-
-@register("a_ann_lsh_buckets", f"""
-WITH {_dims_sql()}, {_bucket_sql(8)}
-SELECT bucket, count(*) AS n_vectors
-FROM bkt GROUP BY bucket
-""")
-def a_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket histogram (the ANN scale path:
-    bucket = partition key of the vector store)."""
-    return (similarity.lsh_buckets(_embs(spark, sf_dir), num_planes=8)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")))
-
-
-@register("a_ann_lsh_topk", f"""
-WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
-JOIN ev ea ON ea.vec_id = qa.vec_id
-JOIN ev eb ON eb.vec_id = ba.vec_id
-WHERE qa.vec_id = 0
-ORDER BY cosine DESC, eb.vec_id LIMIT 5
-""")
-def a_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN query path: probe only the query vector's LSH bucket, exact
-    cosine inside the bucket (bucket = partition key at scale)."""
-    return similarity.lsh_topk_in_bucket(_embs(spark, sf_dir),
-                                         query_vec_id=0, num_planes=8, k=5)
 
 
 @register("d_embedding_cosine_dups", f"""
@@ -753,33 +714,6 @@ assign AS (
 )"""
 
 
-@register("a_ann_ivf_assign", f"""
-WITH {_IVF_SQL}
-SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id
-""")
-def a_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer assignment histogram (list_id = the
-    inverted-list partition key of the vector store)."""
-    return (similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
-            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors")))
-
-
-@register("a_ann_ivf_topk", f"""
-WITH {_IVF_SQL}, {_EV_SQL}
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
-JOIN ev ea ON ea.vec_id = qa.vec_id
-JOIN ev eb ON eb.vec_id = ba.vec_id
-WHERE qa.vec_id = 0
-ORDER BY cosine DESC, eb.vec_id LIMIT 5
-""")
-def a_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search, nprobe=1: exact cosine over the query's inverted
-    list only."""
-    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
-                               n_lists=8, k=5)
-
-
 _BATCH_TOPK_SQL = """
 bq AS (
   SELECT vec_id AS q_vec_id,
@@ -805,20 +739,6 @@ branked AS (
 )
 """
 
-@register("a_ann_batch_topk", f"""
-WITH {_BATCH_TOPK_SQL}
-SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
-""")
-def a_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch exact ANN: cosine top-3 for EVERY vector of the query
-    block (vec_id % 50 = 0) in one corpus pass — broadcast query
-    matrix, Arrow-batched matmul, per-batch partial top-k, exact
-    window merge (similarity.batch_topk)."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.filter(F.col("vec_id") % 50 == 0)
-    cands = embs.filter(F.col("vec_id") % 50 != 0)
-    return similarity.batch_topk(cands, queries, k=3)
-
 
 _IVF_BATCH_SQL = """
 ivfc AS (
@@ -839,89 +759,6 @@ ivfs AS (
   JOIN ev eq ON eq.vec_id = i.q_vec_id
 )
 """
-
-@register("a_ann_recall_eval", f"""
-WITH {_IVF_SQL}, {_EV_SQL}, {_BATCH_TOPK_SQL}, {_IVF_BATCH_SQL},
-qs AS (SELECT DISTINCT q_vec_id FROM branked),
-hits AS (
-  SELECT q.q_vec_id, CAST(count(s.vec_id) AS BIGINT) AS n_hits
-  FROM qs q
-  LEFT JOIN branked b ON b.q_vec_id = q.q_vec_id AND b.rank <= 5
-  LEFT JOIN ivfs s ON s.q_vec_id = b.q_vec_id AND s.vec_id = b.vec_id
-                   AND s.rn <= 5
-  GROUP BY q.q_vec_id
-)
-SELECT q_vec_id, n_hits, n_hits / 5.0 AS recall FROM hits
-""")
-def a_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality-evaluation harness: recall@5 of IVF(nprobe=1)
-    against exact search, per query of the query block (vec_id % 50
-    = 0) — the measurement loop that justifies an nprobe setting
-    before deploying the approximate path.
-
-    Exact side = batch_topk (broadcast query matrix, Arrow matmul);
-    approx side = ivf_batch_topk (one corpus assignment pass, probes
-    joined on list_id); recall_at_k joins the two k-bounded result
-    sets — tiny regardless of corpus size."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.filter(F.col("vec_id") % 50 == 0)
-    cands = embs.filter(F.col("vec_id") % 50 != 0)
-    exact = similarity.batch_topk(cands, queries, k=5)
-    approx = similarity.ivf_batch_topk(embs, queries, n_lists=8, k=5)
-    return similarity.recall_at_k(approx, exact, k=5)
-
-
-@register("a_ann_ivf_topk_nprobe2", f"""
-WITH {_IVF_SQL}, {_EV_SQL},
-qscored AS (
-  SELECT s.g,
-         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
-                            s.g) AS rn
-  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
-),
-qlists AS (SELECT g FROM qscored WHERE rn <= 2)
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM assign ba JOIN qlists q ON ba.list_id = q.g
-JOIN ev eb ON eb.vec_id = ba.vec_id
-JOIN ev ea ON ea.vec_id = 0
-WHERE ba.vec_id <> 0
-ORDER BY cosine DESC, eb.vec_id LIMIT 5
-""")
-def a_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search with nprobe=2: exact cosine over the members of the
-    query's two closest inverted lists — the recall/cost knob one
-    notch up (candidate recall strictly dominates nprobe=1)."""
-    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
-                               n_lists=8, k=5, nprobe=2)
-
-
-@register("a_ann_ivf_lloyd", f"""
-WITH {_IVF_SQL},
-cent2 AS (
-  SELECT a.list_id AS g, d.dim, sum(d.qval) AS c
-  FROM assign a JOIN dims d ON d.vec_id = a.vec_id
-  GROUP BY a.list_id, d.dim
-),
-sizes AS (SELECT list_id, count(*) AS n_vectors FROM assign GROUP BY list_id)
-SELECT s.list_id, s.n_vectors, CAST(sum(c2.c * c2.c) AS BIGINT) AS cnorm2
-FROM sizes s JOIN cent2 c2 ON c2.g = s.list_id
-GROUP BY s.list_id, s.n_vectors
-""")
-def a_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One spherical-k-means (Lloyd) refinement of the IVF quantizer:
-    per surviving list, the member count under the refined assignment
-    and the exact integer norm^2 of the recomputed centroid — the SQL
-    oracle replays the whole broadcast-assign-recompute iteration."""
-    emb = _embs(spark, sf_dir)
-    by0 = similarity.collect_centroids(emb, n_lists=8)
-    assign = similarity.ivf_assign(emb, n_lists=8, centroids=by0)
-    sizes = (assign.groupBy("list_id")
-             .agg(F.count(F.lit(1)).alias("n_vectors")))
-    by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
-    cn2 = [(g, sum(v * v for v in dims.values()))
-           for g, dims in sorted(by1.items())]
-    norms = spark.createDataFrame(cn2, "list_id long, cnorm2 long")
-    return sizes.join(F.broadcast(norms), "list_id")
 
 
 _PQ_SQL = f"""
@@ -945,119 +782,6 @@ encode AS (
     FROM sub_scores s JOIN cbn n ON n.m = s.m AND n.g = s.g)
   WHERE rn = 1
 )"""
-
-
-@register("a_ann_pq_topk", f"""
-WITH {_PQ_SQL},
-qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
-qlut AS (
-  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
-  FROM dims dq JOIN cb ON cb.dim = dq.dim
-  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
-),
-adc AS (
-  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
-  FROM encode e
-  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
-  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
-  GROUP BY e.vec_id
-)
-SELECT a.vec_id,
-       CASE WHEN a.rr = 0 THEN -1e308
-            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
-FROM adc a, qq q
-WHERE a.vec_id <> 0
-ORDER BY adc_cosine DESC, a.vec_id
-LIMIT 10
-""")
-def a_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-10: vectors compressed to 4 codes
-    (8 sub-centroids per 16-dim subspace), query scored against each
-    vector's RECONSTRUCTION via two M×ks lookup tables baked into the
-    plan as array literals — the scan reads only the codes column
-    (whole-stage codegen, no join, no shuffle; top-k is a map-side
-    TakeOrdered). The compressed representation is the 100 TB vector
-    store: ~M bytes/vector instead of 4·D."""
-    return similarity.pq_adc_topk(_embs(spark, sf_dir), query_vec_id=0,
-                                  m_sub=4, ks=8, k=10)
-
-
-@register("a_ann_pq_refine_topk", f"""
-WITH {_PQ_SQL},
-qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
-qlut AS (
-  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
-  FROM dims dq JOIN cb ON cb.dim = dq.dim
-  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
-),
-adc AS (
-  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
-  FROM encode e
-  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
-  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
-  GROUP BY e.vec_id
-),
-short AS (
-  SELECT a.vec_id
-  FROM adc a, qq q
-  WHERE a.vec_id <> 0
-  ORDER BY (CASE WHEN a.rr = 0 THEN -1e308
-                 ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END) DESC,
-           a.vec_id
-  LIMIT 50
-),{_EV_SQL}
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM short s
-JOIN ev eb ON eb.vec_id = s.vec_id
-JOIN ev ea ON ea.vec_id = 0
-ORDER BY cosine DESC, eb.vec_id
-LIMIT 10
-""")
-def a_ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ shortlist + exact rerank (the FAISS refine step): the
-    codes-only ADC scan nominates 50 candidates; only those read
-    their full vectors for the exact cosine top-10."""
-    return similarity.pq_refine_topk(_embs(spark, sf_dir),
-                                     query_vec_id=0, m_sub=4, ks=8,
-                                     shortlist=50, k=10)
-
-
-@register("a_hard_negatives", """
-WITH evl AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
-  FROM embeddings
-),
-qs AS (SELECT vec_id AS q_vec_id, label AS qlabel, v AS qv
-       FROM evl WHERE vec_id % 50 = 0),
-cand AS (SELECT vec_id, label, v FROM evl WHERE vec_id % 50 <> 0),
-scored AS (
-  SELECT q.q_vec_id, c.vec_id,
-         list_dot_product(c.v, q.qv)
-           / (sqrt(list_dot_product(c.v, c.v))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
-  FROM qs q JOIN cand c ON c.label <> q.qlabel
-),
-ranked AS (
-  SELECT q_vec_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY q_vec_id
-                            ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 5
-""")
-def a_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query
-    vector, the 5 nearest corpus vectors with a DIFFERENT label (the
-    negatives the model most confuses). One Arrow-batched corpus pass
-    with the positive-label mask applied before the partial top-k;
-    the oracle replays it as a label-mismatch join + window."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.filter(F.col("vec_id") % 50 == 0)
-    cands = embs.filter(F.col("vec_id") % 50 != 0)
-    return similarity.hard_negatives(cands, queries, k=5)
 
 
 # Multimodal ------------------------------------------------------------------
@@ -1134,55 +858,6 @@ def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merged graded suites --------------------------------------------------------
 # One graded row per family inside the driver's 50-query window; the
 # individual queries above stay registered past it for local runs.
-
-@register("a_ann_topk_suite", f"""
-SELECT 'brute' AS variant, vec_id, cosine FROM (
-  WITH {_QUANT_SQL}
-  SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
-  FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
-)
-UNION ALL
-SELECT 'lsh', vec_id, cosine FROM (
-  WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL}
-  SELECT eb.vec_id, {_COS_AB} AS cosine
-  FROM bkt qa JOIN bkt ba ON ba.bucket = qa.bucket AND ba.vec_id <> 0
-  JOIN ev ea ON ea.vec_id = qa.vec_id
-  JOIN ev eb ON eb.vec_id = ba.vec_id
-  WHERE qa.vec_id = 0
-  ORDER BY cosine DESC, eb.vec_id LIMIT 5
-)
-UNION ALL
-SELECT 'ivf', vec_id, cosine FROM (
-  WITH {_IVF_SQL}, {_EV_SQL}
-  SELECT eb.vec_id, {_COS_AB} AS cosine
-  FROM assign qa JOIN assign ba ON ba.list_id = qa.list_id AND ba.vec_id <> 0
-  JOIN ev ea ON ea.vec_id = qa.vec_id
-  JOIN ev eb ON eb.vec_id = ba.vec_id
-  WHERE qa.vec_id = 0
-  ORDER BY cosine DESC, eb.vec_id LIMIT 5
-)
-UNION ALL
-SELECT 'batch:' || q_vec_id || ':' || rank, vec_id, cosine FROM (
-  WITH {_BATCH_TOPK_SQL}
-  SELECT q_vec_id, vec_id, cosine, rank FROM branked WHERE rank <= 3
-)
-""")
-def a_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity-search suite: exact brute-force cosine top-10 (the
-    baseline) + LSH bucket-probe top-5 + IVF nprobe=1 top-5 + batch
-    top-3 for a whole query block in one corpus pass, one graded row
-    for the whole ANN family."""
-    brute = a_ann_bruteforce_topk(spark, sf_dir).select(
-        F.lit("brute").alias("variant"), "vec_id", "cosine")
-    lsh = a_ann_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("variant"), "vec_id", "cosine")
-    ivf = a_ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("variant"), "vec_id", "cosine")
-    batch = a_ann_batch_topk(spark, sf_dir).select(
-        F.concat(F.lit("batch:"), F.col("q_vec_id"),
-                 F.lit(":"), F.col("rank")).alias("variant"),
-        "vec_id", "cosine")
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(batch)
 
 
 @register("t_doc_profile", rf"""
@@ -1522,88 +1197,6 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "content_hash", split.alias("split")))
 
 
-@register("x_incremental_near_dup", f"""
-WITH {_SHINGLES_SQL},
-buckets AS (
-  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
-  UNION ALL
-  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
-),
-bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
-capped AS (
-  SELECT b.doc_id, b.bucket FROM buckets b
-  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-jac AS (
-  SELECT p.doc_a, p.doc_b,
-         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
-           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
-  FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.doc_a
-  JOIN sh sb ON sb.doc_id = p.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 8e-1
-""")
-def x_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dedup against a persisted LSH signature index
-    (streaming/neardup.py): arriving batches compare only against the
-    index buckets they touch — never corpus×corpus. Driven here as one
-    batch into a fresh index, which by construction equals the
-    one-shot LSH run, so the incremental machinery hash-checks against
-    the same oracle; multi-batch folding (new×history pairs, index
-    append, bucket pruning) is covered by tests/test_streaming.py."""
-    import shutil
-
-    from .session import scratch_dir
-    from .streaming.neardup import update_near_dup_index
-
-    docs = _docs(spark, sf_dir)
-    d = scratch_dir("neardup_idx_")
-    try:
-        return update_near_dup_index(
-            spark, docs, d, max_bucket=_LSH_MAX_BUCKET, threshold=0.8)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-@register("x_stream_corpus_prep", f"""
-WITH {_GATES_SQL}
-SELECT content_hash, doc_id, lang, predicted, n_tokens, quality,
-       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
-       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical,
-       CAST(row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) - 1
-            AS BIGINT) AS n_seen_before
-FROM gated
-""")
-def x_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming corpus curation (streaming/corpus.py): stateless
-    gates + stateful cross-batch exact-dedup ledger, driven over the
-    bounded documents table. Single-batch the ledger is
-    SQL-expressible (gates + row_number per hash), so this custom
-    stateful operator hash-checks like x_stream_dedup; cross-batch
-    canonical persistence is covered by tests/test_streaming.py."""
-    from .session import scratch_dir
-    from .streaming.corpus import corpus_prep_stream
-    from .tables import load_tables
-
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    d = scratch_dir("stream_prep_")
-    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(
-        "doc_id long, lang string, text string").parquet(d)
-    q = (corpus_prep_stream(stream).writeStream.outputMode("append")
-         .format("memory").queryName("x_stream_prep_out").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("x_stream_prep_out")
-
-
 # Real-codec roundtrip: BMP / WAV encode->decode verified by replaying
 # the deterministic content arithmetic in SQL -------------------------------
 
@@ -1937,76 +1530,6 @@ _IVF_TAIL = "cent AS" + _IVF_SQL.split("cent AS", 1)[1]
 _PQ_TAIL = "cb AS" + _PQ_SQL.split("cb AS", 1)[1]
 
 
-@register("a_ann_lsh_multiprobe", f"""
-WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
-qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
-probes AS (
-  SELECT bucket FROM qb
-  UNION
-  SELECT xor(q.bucket, CAST(1 << j.j AS BIGINT)) AS bucket
-  FROM qb q CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
-)
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM bkt ba
-JOIN probes p ON ba.bucket = p.bucket
-JOIN ev eb ON eb.vec_id = ba.vec_id
-JOIN ev ea ON ea.vec_id = 0
-WHERE ba.vec_id <> 0
-ORDER BY cosine DESC, eb.vec_id LIMIT 5
-""")
-def a_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-5: the query's bucket plus all 8 buckets
-    one flipped sign bit away — the recall lever that needs no extra
-    hash tables; probes are a bounded driver-side IN list over the
-    bucket partition key."""
-    return similarity.lsh_multiprobe_topk(_embs(spark, sf_dir),
-                                          query_vec_id=0, num_planes=8, k=5)
-
-
-@register("a_ann_ivfpq_topk", f"""
-WITH {_dims_sql()}, {_IVF_TAIL}, {_PQ_TAIL},
-qsc AS (
-  SELECT s.g,
-         row_number() OVER (ORDER BY s.dot / (sqrt(s.vv) * sqrt(n.cc)) DESC,
-                            s.g) AS rn
-  FROM scored s JOIN cnorm n USING (g) WHERE s.vec_id = 0
-),
-qlists AS (SELECT g FROM qsc WHERE rn <= 2),
-cands AS (
-  SELECT a.vec_id FROM assign a
-  JOIN qlists q ON a.list_id = q.g
-  WHERE a.vec_id <> 0
-),
-qq AS (SELECT sum(qval * qval) AS vv FROM dims WHERE vec_id = 0),
-qlut AS (
-  SELECT cb.m, cb.g, sum(dq.qval * cb.c) AS qd
-  FROM dims dq JOIN cb ON cb.dim = dq.dim
-  WHERE dq.vec_id = 0 GROUP BY cb.m, cb.g
-),
-adc AS (
-  SELECT e.vec_id, sum(ql.qd) AS num, sum(cn.cc) AS rr
-  FROM encode e
-  JOIN cands c ON c.vec_id = e.vec_id
-  JOIN qlut ql ON ql.m = e.m AND ql.g = e.code
-  JOIN cbn cn ON cn.m = e.m AND cn.g = e.code
-  GROUP BY e.vec_id
-)
-SELECT a.vec_id,
-       CASE WHEN a.rr = 0 THEN -1e308
-            ELSE a.num / (sqrt(q.vv) * sqrt(a.rr)) END AS adc_cosine
-FROM adc a, qq q
-ORDER BY adc_cosine DESC, a.vec_id
-LIMIT 10
-""")
-def a_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-10 (nprobe=2): coarse quantizer prunes to two
-    inverted lists, survivors scored from PQ codes via ADC lookups —
-    the FAISS-style index shape where a query reads nprobe/n_lists of
-    the corpus at ~M bytes per vector."""
-    return similarity.ivfpq_topk(_embs(spark, sf_dir), query_vec_id=0,
-                                 n_lists=8, nprobe=2, m_sub=4, ks=8, k=10)
-
-
 @register("s_archive_roundtrip", """
 WITH bt AS (
   SELECT d.doc_id,
@@ -2267,168 +1790,6 @@ def p_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_sampled")))
 
 
-@register("x_snapshot_time_travel", """
-WITH ev AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-            FROM documents WHERE doc_id % 2 = 0),
-od AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-       FROM documents WHERE doc_id % 2 = 1),
-allv AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
-after_del AS (SELECT * FROM allv
-              WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000))
-SELECT 'v1_even' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ev
-UNION ALL
-SELECT 'v2_all', count(*), CAST(sum(n_chars) AS BIGINT) FROM allv
-UNION ALL
-SELECT 'v3_after_delete', count(*), CAST(sum(n_chars) AS BIGINT)
-FROM after_del
-UNION ALL
-SELECT 'v1_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM ev
-""")
-def x_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded snapshot-store lifecycle (sinks/snapshot.py — previously
-    unit-only): append two versions, delete a key set (stat-pruned
-    file rewrite), then read each version INCLUDING time-traveling
-    back to v1 after later commits exist. The oracle recomputes every
-    version's aggregate from the raw table and the same modular
-    rules, so a hash match proves manifest isolation: later commits
-    and deletes never leak into an earlier version's read."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, delete_keys
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-    root = scratch_dir("snap_q_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 2 == 0))          # v1
-        st.write(docs.filter(F.col("doc_id") % 2 == 1))          # v2
-        # bounded key list: the delete targets are enumerable ids
-        keys = list(range(0, 1000, 10))
-        delete_keys(st, spark, keys, "doc_id")                   # v3
-
-        def agg(df, label):
-            return df.agg(
-                F.lit(label).alias("label"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").cast("long").alias("sum_chars"))
-
-        out = (agg(st.read(spark, 1), "v1_even")
-               .unionByName(agg(st.read(spark, 2), "v2_all"))
-               .unionByName(agg(st.read(spark, 3), "v3_after_delete"))
-               .unionByName(agg(st.read(spark, 1), "v1_time_travel")))
-        rows = out.collect()                  # materialize BEFORE rmtree
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long")
-
-
-@register("x_compact_roundtrip", """
-SELECT count(*) AS n_docs,
-       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
-       TRUE AS files_reduced,
-       TRUE AS second_pass_stable
-FROM documents
-""")
-def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded small-file compaction (sinks/compact.py — previously
-    unit-only): write the documents table deliberately fragmented
-    (16 tiny files per partition), compact, and verify (a) the data
-    aggregate is byte-identical to the source, (b) the file count
-    actually dropped, (c) an immediate second compaction pass changes
-    nothing (idempotence — and with the round-5 fix, never clobbers a
-    prior run's surviving outputs)."""
-    import os as _os
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.compact import compact
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
-        (F.col("doc_id") % 4).alias("grp"))
-    root = scratch_dir("compact_q_")
-    try:
-        (docs.repartition(16)
-         .write.mode("overwrite").partitionBy("grp").parquet(root))
-
-        def n_files():
-            return sum(
-                1 for dp, _d, fs in _os.walk(root) for f in fs
-                if f.endswith(".parquet") and not f.startswith("."))
-
-        before = n_files()
-        compact(spark, root, target_bytes=1 << 30)
-        after = n_files()
-        plans2 = compact(spark, root, target_bytes=1 << 30)
-        stable = (len(plans2) == 0) and (n_files() == after)
-        row = (spark.read.parquet(root)
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("n_chars").cast("long").alias("sum_chars"))
-               .collect()[0])
-        result = [(int(row.n_docs), int(row.sum_chars),
-                   bool(after < before), bool(stable))]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        result,
-        "n_docs long, sum_chars long, files_reduced boolean, "
-        "second_pass_stable boolean")
-
-
-@register("x_partition_evolution", """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS value_cents
-FROM events
-WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
-GROUP BY event_type
-""")
-def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hidden partitioning + partition-spec EVOLUTION (Iceberg-style,
-    sinks/snapshot.PartitionedStore): half the events table is
-    committed under a day(ts) spec, the spec evolves to month(ts) —
-    pure metadata, no rewrite — and the other half lands under it;
-    a pruned read for a 10-day window then judges every file under
-    the spec it was written with and the exact predicate runs on the
-    survivors. The oracle recomputes the same window straight from
-    the raw table, so a hash match proves cross-spec pruning loses
-    nothing (file-skip effectiveness itself is pinned in
-    tests/test_snapshot.py)."""
-    import datetime
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import PartitionedStore, SnapshotStore
-
-    ev = load_tables(spark, sf_dir, ["events"])["events"] \
-        .select("event_id", "ts", "event_type", "value")
-    root = scratch_dir("snap_spec_")
-    lo = datetime.datetime(2024, 1, 10)
-    hi = datetime.datetime(2024, 1, 20)
-    try:
-        ps = PartitionedStore(SnapshotStore(root))
-        ps.set_partition_spec("day", "ts")
-        ps.write(ev.filter(F.col("event_id") % 2 == 0))
-        ps.set_partition_spec("month", "ts")
-        ps.write(ev.filter(F.col("event_id") % 2 == 1), mode="append")
-        pruned, _kept, _total = ps.read_pruned(spark, "ts", lo, hi)
-        rows = (pruned
-                .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
-                .groupBy("event_type")
-                .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(round_half_up_long(F.col("value"), 100))
-                     .alias("value_cents"))).collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "event_type string, n_events long, value_cents long")
-
-
 @register("x_analyze_histogram", """
 WITH c AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
@@ -2506,207 +1867,6 @@ def x_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               "min_v long, max_v long, ndv long")
 
 
-@register("a_embedding_dup_clusters", f"""
-WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
-bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
-pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
-  JOIN ev ea ON ea.vec_id = a.vec_id
-  JOIN ev eb ON eb.vec_id = b.vec_id
-  WHERE {_COS_AB} >= 0.35
-),
-edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM pairs
-),
-l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
-{_label_steps_sql(_CLUSTER_ITERS)}
-SELECT doc_id AS vec_id, lbl AS canonical_id, doc_id = lbl AS is_canonical
-FROM l{_CLUSTER_ITERS}
-""")
-def a_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic duplicate CLUSTERS: the skew-capped embedding-cosine
-    pairs feed the same min-label connected-component
-    canonicalization the text path uses — keep one vector per
-    semantic cluster, not per pair (pairwise drop over-deletes on
-    chains). Oracle replays bucket cap, exact cosine gate, and the
-    fixed label rounds."""
-    pairs = (similarity.cosine_dup_pairs(_embs(spark, sf_dir),
-                                         num_planes=8, threshold=0.35,
-                                         max_bucket=256)
-             .select(F.col("vec_a").alias("doc_a"),
-                     F.col("vec_b").alias("doc_b")))
-    return (dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
-            .select(F.col("doc_id").alias("vec_id"),
-                    "canonical_id", "is_canonical"))
-
-
-@register("x_snapshot_cdc", """
-WITH v1 AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 3 <> 0
-),
-v2 AS (
-  SELECT doc_id,
-         CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
-                   ELSE n_chars END AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 2 = 0
-)
-SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
-            WHEN b.doc_id IS NULL THEN 'removed'
-            ELSE 'changed' END AS change,
-       coalesce(a.doc_id, b.doc_id) AS doc_id
-FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id
-WHERE a.doc_id IS NULL OR b.doc_id IS NULL
-   OR a.n_chars <> b.n_chars
-""")
-def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded change-data-feed (sinks/snapshot.snapshot_diff —
-    previously unit-only): publish v1, overwrite with a v2 that drops,
-    adds AND mutates rows, then diff the two snapshot versions. The
-    oracle recomputes added/removed/changed from the same modular
-    rules, so a hash match proves the version reads feeding the diff
-    are isolated AND the one-full-outer-join classification is exact
-    (the reprocessing-review tool: 'what did version N+1 change?')."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, snapshot_diff
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-    root = scratch_dir("snap_cdc_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 3 != 0))          # v1
-        st.write(                                                # v2
-            docs.filter(F.col("doc_id") % 2 == 0)
-                .withColumn("n_chars",
-                            F.when(F.col("doc_id") % 7 == 0,
-                                   F.col("n_chars") + 5)
-                            .otherwise(F.col("n_chars"))),
-            mode="overwrite")
-        rows = snapshot_diff(st, spark, 1, 2, ["doc_id"]).collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "change string, doc_id long")
-
-
-@register("x_deletion_vectors", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-live3 AS (SELECT * FROM base
-          WHERE NOT (doc_id % 7 = 0 AND doc_id < 200)),
-reins AS (SELECT doc_id, n_chars + 100000 AS n_chars
-          FROM base WHERE doc_id % 21 = 0 AND doc_id < 200),
-live4 AS (SELECT * FROM live3 UNION ALL SELECT * FROM reins),
-live5 AS (SELECT * FROM live3
-          UNION ALL
-          SELECT * FROM reins WHERE doc_id % 42 <> 0),
-views AS (
-  SELECT 'v2_all' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
-  UNION ALL
-  SELECT 'v3_after_dv', count(*), CAST(sum(n_chars) AS BIGINT) FROM live3
-  UNION ALL
-  SELECT 'v4_reinsert', count(*), CAST(sum(n_chars) AS BIGINT) FROM live4
-  UNION ALL
-  SELECT 'v5_second_dv', count(*), CAST(sum(n_chars) AS BIGINT) FROM live5
-  UNION ALL
-  SELECT 'v6_materialized', count(*), CAST(sum(n_chars) AS BIGINT)
-  FROM live5
-  UNION ALL
-  SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM base
-)
-SELECT label, n_docs, sum_chars,
-       TRUE AS mor_files_unchanged, TRUE AS materialize_pruned
-FROM views
-""")
-def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read DELETE via equality-delete sidecars
-    (sinks/snapshot.delete_keys_mor / materialize_deletes — the Delta
-    deletion-vector / Iceberg equality-delete trade the reference's
-    in-place COG overwrite cannot express): append two versions, MoR-
-    delete doc_id%7==0 (commit touches ZERO data files —
-    ``mor_files_unchanged`` pins that), re-append modified rows for
-    doc_id%21==0 (the sequence rule must let them survive the earlier
-    delete), stack a second delete for doc_id%42==0 (kills half the
-    re-inserts), then MATERIALIZE (footer-pruned fold —
-    ``materialize_pruned`` pins that some files carried over by
-    reference). The oracle recomputes every view from the raw table,
-    so a hash match proves the sequence semantics, the stacked-delete
-    anti-joins, the fold equivalence AND time-travel isolation.
-
-    Graded-cost trim (round-9 verdict task 4): the scenario runs on
-    the doc_id < 2000 slice — every semantic it grades (deletes hit
-    doc_id < 200, range-clustered upper files carry over un-rewritten,
-    sequence-rule re-inserts, stacked DVs, fold) is unchanged, and the
-    oracle slices identically so the hash check stays full-value. The
-    cost left is the 7 commits + 6 snapshot reads themselves, which IS
-    the operator being graded."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (SnapshotStore, delete_keys_mor,
-                                 materialize_deletes)
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")) \
-        .filter(F.col("doc_id") < 2000)
-    root = scratch_dir("snap_dv_")
-    try:
-        st = SnapshotStore(root)
-        # range-clustered files make the materialize footer-prune real:
-        # the deletes target doc_id < 200, so upper-range files carry
-        # over by reference (the z-order/cluster + DV interplay at
-        # 100 TB: a GDPR delete folds by rewriting O(keys) files)
-        st.write(docs.filter(F.col("doc_id") % 2 == 0)
-                 .repartitionByRange(4, "doc_id"))               # v1
-        v2 = st.write(docs.filter(F.col("doc_id") % 2 == 1)
-                      .repartitionByRange(4, "doc_id"))          # v2
-        pre_files = st._read_manifest(v2)["files"]
-        tgt = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 200)
-        v3 = delete_keys_mor(
-            st, spark, docs.filter(tgt).select("doc_id"), ["doc_id"])
-        unchanged = st._read_manifest(v3)["files"] == pre_files
-        v4 = st.write(docs.filter((F.col("doc_id") % 21 == 0)
-                                  & (F.col("doc_id") < 200))
-                      .withColumn("n_chars",
-                                  F.col("n_chars") + 100000))    # v4
-        v5 = delete_keys_mor(
-            st, spark, docs.filter((F.col("doc_id") % 42 == 0)
-                                   & (F.col("doc_id") < 200))
-            .select("doc_id"), ["doc_id"])
-        n_before = len(st._read_manifest(v5)["files"])
-        v6, n_rewritten = materialize_deletes(st, spark)
-        pruned = 0 < n_rewritten < n_before
-
-        def agg(df, label):
-            return df.agg(
-                F.lit(label).alias("label"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").cast("long").alias("sum_chars"))
-
-        out = (agg(st.read(spark, v2), "v2_all")
-               .unionByName(agg(st.read(spark, v3), "v3_after_dv"))
-               .unionByName(agg(st.read(spark, v4), "v4_reinsert"))
-               .unionByName(agg(st.read(spark, v5), "v5_second_dv"))
-               .unionByName(agg(st.read(spark, v6), "v6_materialized"))
-               .unionByName(agg(st.read(spark, v2), "v2_time_travel")))
-        rows = [(r.label, r.n_docs, r.sum_chars, unchanged, pruned)
-                for r in out.collect()]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "mor_files_unchanged boolean, materialize_pruned boolean")
-
-
 @register("x_bloom_index_lookup", """
 WITH keys AS (SELECT unnest([7, 123, 456, 1001, 1, 3]) AS k)
 SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
@@ -2747,87 +1907,6 @@ def x_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d, n, all_skipped) for d, n in rows],
         "doc_id long, n_chars long, bloom_skipped_files boolean")
-
-
-@register("x_snapshot_merge", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-),
-upd AS (
-  SELECT doc_id, n_chars + 100000 AS n_chars
-  FROM base WHERE doc_id % 5 = 0 AND doc_id < 300
-),
-news AS (
-  SELECT doc_id + 1000000 AS doc_id, n_chars
-  FROM base WHERE doc_id % 50 = 0
-),
-merged AS (
-  SELECT * FROM base
-  WHERE NOT (doc_id % 5 = 0 AND doc_id < 300)
-  UNION ALL SELECT * FROM upd
-  UNION ALL SELECT * FROM news
-),
-views AS (
-  SELECT 'v2_all' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
-  UNION ALL
-  SELECT 'v3_merged', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
-  UNION ALL
-  SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM base
-)
-SELECT label, n_docs, sum_chars, TRUE AS merge_pruned FROM views
-""")
-def x_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-on-write MERGE upsert as a snapshot commit
-    (sinks/snapshot.merge_upsert — Delta's MERGE strategy over the
-    manifest log): append two range-clustered versions, then one merge
-    batch mixing UPDATES (existing keys, mutated payload) and INSERTS
-    (brand-new keys); the footer-pruned rewrite touches only files
-    that can hold a matched key (``merge_pruned`` pins that some
-    carried over by reference), the whole merge is ONE atomic commit,
-    and time travel back to the pre-merge version is unchanged. The
-    oracle recomputes every view from the raw table."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, merge_upsert
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-    root = scratch_dir("snap_mg_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 2 == 0)
-                 .repartitionByRange(4, "doc_id"))               # v1
-        v2 = st.write(docs.filter(F.col("doc_id") % 2 == 1)
-                      .repartitionByRange(4, "doc_id"))          # v2
-        upd = (docs.filter((F.col("doc_id") % 5 == 0)
-                           & (F.col("doc_id") < 300))
-               .withColumn("n_chars", F.col("n_chars") + 100000))
-        news = (docs.filter(F.col("doc_id") % 50 == 0)
-                .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                        "n_chars"))
-        n_before = len(st._read_manifest(v2)["files"])
-        v3, n_rewritten = merge_upsert(st, spark,
-                                       upd.unionByName(news), "doc_id")
-        pruned = 0 < n_rewritten < n_before
-
-        def agg(df, label):
-            return df.agg(
-                F.lit(label).alias("label"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").cast("long").alias("sum_chars"))
-
-        out = (agg(st.read(spark, v2), "v2_all")
-               .unionByName(agg(st.read(spark, v3), "v3_merged"))
-               .unionByName(agg(st.read(spark, v2), "v2_time_travel")))
-        rows = [(r.label, r.n_docs, r.sum_chars, pruned)
-                for r in out.collect()]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "merge_pruned boolean")
 
 
 @register("x_incremental_mv", """
@@ -3039,37 +2118,6 @@ def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rate_pct", "n_sampled", "achieved_tokens"))
 
 
-@register("x_stream_token_budget", None)
-def x_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming per-source token-budget enforcement
-    (streaming/budget.py) driven over the bounded documents table —
-    no SQL oracle (rows-only check): first-fit admission is a
-    sequential fold over keyed state, not SQL-expressible. Semantics
-    pinned in tests/test_streaming.py against a driver-side reference
-    fold, including cross-batch state continuation and the
-    skip-then-fit case."""
-    from .session import scratch_dir
-    from .streaming.budget import token_budget_stream
-    from .tables import load_tables
-
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    d = scratch_dir("stream_budget_")
-    docs.select("doc_id", "source", "text").write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(
-        "doc_id long, source string, text string").parquet(d)
-    # budgets sized off the synthetic mixture: named sources tight,
-    # long tail loose — both accept and reject paths exercised
-    q = (token_budget_stream(stream, {"src0": 400, "src1": 800},
-                             default_budget=1000)
-         .writeStream.outputMode("append")
-         .format("memory").queryName("x_stream_budget_out").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("x_stream_budget_out")
-
-
 @register("x_cluster_balanced_sample", f"""
 WITH {_IVF_SQL},
 ranked AS (
@@ -3107,146 +2155,6 @@ def x_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_in_cluster",
                         F.count(F.lit(1)).over(cwin).cast("long"))
             .filter(F.col("rnk") <= 10))
-
-
-@register("x_snapshot_branch", """
-WITH ev AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-            FROM documents WHERE doc_id % 2 = 0),
-od AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-       FROM documents WHERE doc_id % 2 = 1 AND doc_id < 1000),
-merged AS (SELECT * FROM ev UNION ALL SELECT * FROM od)
-SELECT 'main_before' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ev
-UNION ALL
-SELECT 'branch_view', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
-UNION ALL
-SELECT 'main_after_merge', count(*), CAST(sum(n_chars) AS BIGINT)
-FROM merged
-""")
-def x_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Branch/merge lifecycle of the snapshot store (round 8 —
-    sinks/snapshot.py refs.json, the Nessie/Iceberg named-ref
-    recipe): publish evens on main, branch, append the odd slice ON
-    THE BRANCH, prove main is isolated, then fast-forward merge and
-    prove main now carries both. The oracle recomputes each view from
-    the raw table, so a hash match proves branch isolation AND merge
-    visibility, not just row counts. Divergence rejection, expire
-    protection and vacuum safety are pinned in tests/test_snapshot.py."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore
-    from .tables import load_tables
-
-    docs = load_tables(spark, sf_dir, ["documents"]) \
-        ["documents"].select("doc_id", F.col("n_chars").cast("long"))
-    root = scratch_dir("snap_branch_")
-    rows = []
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 2 == 0))
-        st.create_branch("rework")
-        st.write(docs.filter((F.col("doc_id") % 2 == 1)
-                             & (F.col("doc_id") < 1000)),
-                 branch="rework")
-        agg = lambda df: df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").cast("long").alias("s")).collect()[0]
-        mb = agg(st.read(spark))                      # branch invisible
-        bv = agg(st.read(spark, branch="rework"))
-        st.merge_branch("rework")
-        ma = agg(st.read(spark))                      # now visible
-        rows = [("main_before", mb.n, mb.s), ("branch_view", bv.n, bv.s),
-                ("main_after_merge", ma.n, ma.s)]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long")
-
-
-@register("x_metadata_agg", """
-WITH live AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE (doc_id % 3 <> 0 OR doc_id % 6 = 0) AND doc_id >= 20
-),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM live)
-SELECT 'doc_id' AS col_name, s.n_rows, CAST(0 AS BIGINT) AS n_nulls,
-       (SELECT min(doc_id) FROM live) AS min_val,
-       (SELECT max(doc_id) FROM live) AS max_val
-FROM s
-UNION ALL
-SELECT 'n_chars', s.n_rows, CAST(0 AS BIGINT),
-       (SELECT min(n_chars) FROM live),
-       (SELECT max(n_chars) FROM live)
-FROM s
-""")
-def x_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-ONLY aggregation over the snapshot store
-    (sinks/snapshot.metadata_stats): two appends build the live set,
-    a targeted delete rewrites only its stat-touched files, then
-    count(*) + min/max/null-count for (doc_id, n_chars) are resolved
-    ENTIRELY from parquet footers of the final manifest — zero data
-    bytes scanned. This is Iceberg's metadata-table / Delta's
-    count(*)-from-stats fast path: at 100 TB the answer is a
-    manifest-sized footer walk, not a table scan. The oracle
-    recomputes the same statistics from the raw table with the same
-    modular predicates, so a hash match proves the footer-derived
-    stats are EXACT across append + delete — i.e. the store's
-    immutable-file + rewrite-on-delete invariants really do keep
-    footers authoritative for the live rows."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, delete_keys, metadata_stats
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-    root = scratch_dir("snap_meta_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 3 != 0))
-        st.write(docs.filter((F.col("doc_id") % 3 == 0)
-                             & (F.col("doc_id") % 2 == 0)))
-        delete_keys(st, spark, list(range(20)), "doc_id")
-        rows = metadata_stats(st, spark, ["doc_id", "n_chars"]).collect()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "col_name string, n_rows long, n_nulls long, "
-              "min_val long, max_val long")
-
-
-@register("a_ann_mips_topk", f"""
-WITH {_EV_SQL}
-SELECT eb.vec_id,
-       CAST(list_dot_product(ea.v, eb.v) AS BIGINT) AS dot
-FROM ev ea CROSS JOIN ev eb
-WHERE ea.vec_id = 0 AND eb.vec_id <> 0
-ORDER BY dot DESC, eb.vec_id LIMIT 10
-""")
-def a_ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum-inner-product retrieval (similarity.mips_topk):
-    un-normalized dot-product top-k for norm-carrying embeddings.
-    Exact int64 dots of the quantized vectors — no float reduction
-    order anywhere."""
-    return similarity.mips_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
-
-
-@register("a_ann_filtered_topk", f"""
-WITH {_EV_SQL}
-SELECT eb.vec_id, {_COS_AB} AS cosine
-FROM ev ea CROSS JOIN ev eb
-WHERE ea.vec_id = 0 AND eb.vec_id <> 0 AND eb.vec_id % 7 = 3
-ORDER BY cosine DESC, eb.vec_id LIMIT 10
-""")
-def a_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-filtered vector search (similarity.filtered_topk):
-    only candidates passing the attribute predicate compete —
-    pre-filtering (predicate reaches the scan), never
-    post-filter-then-truncate."""
-    return similarity.filtered_topk(
-        _embs(spark, sf_dir), query_vec_id=0, k=10,
-        pred=F.col("vec_id") % 7 == 3)
 
 
 @register("p_semantic_decontaminate", f"""
@@ -3298,219 +2206,6 @@ def p_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
                  F.max("cosine").alias("max_cosine")))
-
-
-@register("x_schema_evolution", """
-WITH v1 AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 2 = 0
-),
-v2 AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-         CAST(length(text) % 100 AS BIGINT) AS quality
-  FROM documents WHERE doc_id % 2 = 1
-),
-unioned AS (
-  SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS quality FROM v1
-  UNION ALL SELECT doc_id, n_chars, quality FROM v2
-)
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       CAST(count(quality) AS BIGINT) AS n_with_quality,
-       CAST(sum(quality) AS BIGINT) AS sum_quality
-FROM unioned
-""")
-def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on read, driver-graded: commit a generation
-    without the `quality` column, commit a second generation WITH it,
-    then read the live snapshot with the store's merged-schema read
-    (sinks/snapshot.read_merged_schema — mergeSchema scoped to the
-    manifest's file list, the Delta/Iceberg add-column semantics the
-    reference's fixed COG band set cannot express). Old-generation
-    rows surface NULL for the added column; the oracle recomputes the
-    union from the raw table, so the hash match proves both the
-    evolution semantics and that no generation was dropped or
-    double-read."""
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, read_merged_schema
-
-    docs = _docs(spark, sf_dir)
-    v1 = (docs.filter(F.col("doc_id") % 2 == 0)
-          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
-    v2 = (docs.filter(F.col("doc_id") % 2 == 1)
-          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
-                  (F.length("text") % 100).cast("long").alias("quality")))
-    st = SnapshotStore(scratch_dir("snap_evo_"))
-    st.write(v1)
-    st.write(v2)
-    return (read_merged_schema(st, spark)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("sum_chars"),
-                 F.count("quality").cast("long").alias("n_with_quality"),
-                 F.sum("quality").cast("long").alias("sum_quality")))
-
-
-@register("x_snapshot_expire_vacuum", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-c AS (SELECT * FROM base WHERE doc_id % 4 = 2),
-d AS (SELECT * FROM base WHERE doc_id % 4 = 3),
-v4 AS (SELECT * FROM c UNION ALL SELECT * FROM d),
-views AS (
-  SELECT 'v3_live' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM c
-  UNION ALL
-  SELECT 'v4_live', count(*), CAST(sum(n_chars) AS BIGINT) FROM v4
-  UNION ALL
-  SELECT 'v4_after_vacuum', count(*), CAST(sum(n_chars) AS BIGINT) FROM v4
-)
-SELECT label, n_docs, sum_chars,
-       TRUE AS expired_old, TRUE AS vacuum_reclaimed,
-       TRUE AS expired_unreadable
-FROM views
-""")
-def x_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot retention + orphan-file reclaim (sinks/snapshot.
-    SnapshotStore.expire / vacuum — Delta VACUUM / Iceberg
-    expire_snapshots): append v1, append v2, OVERWRITE v3 (c), append
-    v4 (d) — so v1/v2's data files are referenced by no retained
-    manifest once retention drops them — then ``expire(keep_last=2)``
-    and ``vacuum()``.
-
-    The graded row pins the full contract: (a) expire dropped exactly
-    [v1, v2]; (b) vacuum physically removed at least one file, and
-    ONLY unreferenced ones — proven by re-aggregating v4 AFTER the
-    vacuum and hash-matching it against the oracle's recomputation
-    (if vacuum deleted a live file, v4_after_vacuum's sum would
-    change or the read would fail); (c) reading an expired version
-    raises. Time travel within the retention window (v3) keeps
-    working."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("snap_ev_")
-    try:
-        st = SnapshotStore(root)
-        v1 = st.write(docs.filter(F.col("doc_id") % 4 == 0))
-        v2 = st.write(docs.filter(F.col("doc_id") % 4 == 1))
-        v3 = st.write(docs.filter(F.col("doc_id") % 4 == 2),
-                      mode="overwrite")
-        v4 = st.write(docs.filter(F.col("doc_id") % 4 == 3))
-        dropped = st.expire(keep_last=2)
-        expired_old = dropped == [v1, v2]
-        removed = st.vacuum()
-        reclaimed = len(removed) > 0
-        try:
-            st.read(spark, v1)
-            unreadable = False
-        except (OSError, ValueError):
-            unreadable = True
-
-        def agg(df, label):
-            return df.agg(F.lit(label).alias("label"),
-                          F.count(F.lit(1)).alias("n_docs"),
-                          F.sum("n_chars").cast("long").alias("sum_chars"))
-
-        out = (agg(st.read(spark, v3), "v3_live")
-               .unionByName(agg(st.read(spark, v4), "v4_live"))
-               .unionByName(agg(st.read(spark, v4), "v4_after_vacuum")))
-        rows = [(r.label, r.n_docs, r.sum_chars,
-                 expired_old, reclaimed, unreadable)
-                for r in out.collect()]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "expired_old boolean, vacuum_reclaimed boolean, "
-              "expired_unreadable boolean")
-
-
-@register("x_wap_publish", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-seed AS (SELECT * FROM base WHERE doc_id % 3 = 0),
-good AS (SELECT * FROM base WHERE doc_id % 3 = 1),
-published AS (SELECT * FROM seed UNION ALL SELECT * FROM good)
-SELECT 'main_after_wap' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       TRUE AS audit_blocked_bad, TRUE AS staging_invisible
-FROM published
-""")
-def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-Audit-Publish (the Iceberg/Nessie WAP recipe over
-    sinks/snapshot branch refs): a batch lands on a STAGING branch,
-    an audit query runs against the branch head, and only a passing
-    audit fast-forwards main — a failing audit leaves main untouched
-    and the staged data invisible to readers.
-
-    Scenario: seed main; stage a GOOD batch on branch 'wap_good'
-    (audit: no NULL keys, no duplicate doc_id vs main) -> merge;
-    stage a BAD batch on 'wap_bad' (contains doc_ids already on
-    main = the duplicate-key audit fails) -> reject, branch head
-    discarded. The hash row proves main holds exactly seed+good;
-    ``staging_invisible`` pins that main's head NEVER saw the bad
-    batch (its aggregate is recomputed from main's final head, which
-    the oracle reproduces from raw data — any leak changes the
-    sum)."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("snap_wap_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 3 == 0))          # seed
-
-        def audit_and_publish(batch, branch):
-            st.create_branch(branch)
-            st.write(batch, branch=branch)
-            head = st.head(branch)
-            staged = st.read(spark, head)
-            main_now = st.read(spark, st.head("main"))
-            bad = (staged.filter(F.col("doc_id").isNull()).count()
-                   + staged.join(main_now, "doc_id", "inner")
-                     .join(batch.select("doc_id"), "doc_id", "semi")
-                     .count())
-            if bad == 0:
-                st.merge_branch(branch)
-                return True
-            # reject: drop the staging ref; the staged commit becomes
-            # unreferenced metadata for expire/vacuum to reclaim
-            refs = st._read_refs()
-            del refs[branch]
-            st._write_refs(refs)
-            return False
-
-        ok_good = audit_and_publish(
-            docs.filter(F.col("doc_id") % 3 == 1), "wap_good")
-        ok_bad = audit_and_publish(
-            docs.filter(F.col("doc_id") % 6 == 0), "wap_bad")
-        main_head = st.head("main")
-        r = (st.read(spark, main_head)
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum("n_chars").cast("long").alias("sum_chars"))
-             .collect()[0])
-        rows = [("main_after_wap", r.n_docs, r.sum_chars,
-                 ok_good and not ok_bad,
-                 "wap_bad" not in st.branches())]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "audit_blocked_bad boolean, staging_invisible boolean")
 
 
 # HyperLogLog constants: m = 256 buckets (2 hex chars), 48-bit tails
@@ -3609,451 +2304,6 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("used").cast("long").alias("n_buckets_used"),
                     numerator.cast("long").alias("numerator"),
                     (F.lit(_HLL_EST_CONST) / numerator).alias("estimate")))
-
-
-@register("x_check_constraints", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-good1 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
-good2 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
-final AS (SELECT * FROM good1 UNION ALL SELECT * FROM good2)
-SELECT 'head_after_reject' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       TRUE AS violation_blocked, TRUE AS no_orphan_files,
-       TRUE AS null_row_passes
-FROM final
-""")
-def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Commit-time CHECK constraint enforcement (sinks/snapshot.
-    add_check_constraint / checked_write — Delta's ``ALTER TABLE ADD
-    CONSTRAINT CHECK`` analogue): constraints persist as table
-    metadata, every subsequent batch is validated in ONE fused
-    aggregate pass, and a violating batch changes NOTHING — no new
-    version, no orphan data files, head untouched.
-
-    Scenario: two constraints (n_chars >= 0, doc_id < 100000); good
-    batch commits; a batch with negated n_chars raises
-    ConstraintViolation naming the constraint and the exact violation
-    count, after which the head and the data directory's file set are
-    byte-identical to before; a NULL-evaluating row passes (SQL
-    standard CHECK semantics, pinned in tests); a second good batch
-    commits on the untouched head. The oracle recomputes the final
-    table — any partial/leaked commit breaks the hash."""
-    import os as _os
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (ConstraintViolation, SnapshotStore,
-                                 add_check_constraint, checked_write)
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("snap_chk_")
-    try:
-        st = SnapshotStore(root)
-        add_check_constraint(st, "chars_nonneg", "n_chars >= 0")
-        add_check_constraint(st, "key_bounded", "doc_id < 100000")
-        checked_write(st, docs.filter(F.col("doc_id") % 3 == 0))
-        head_before = st.head("main")
-
-        files_before = st.data_files()
-        blocked = False
-        try:
-            checked_write(st, docs.filter(F.col("doc_id") % 3 == 2)
-                          .withColumn("n_chars", -F.col("n_chars") - 1))
-            # not caught below: ConstraintViolation is the only handler
-            raise AssertionError(
-                "violating batch committed — checked_write did not raise")
-        except ConstraintViolation as exc:
-            blocked = exc.name == "chars_nonneg" and exc.n_bad > 0
-        no_orphans = (st.data_files() == files_before
-                      and st.head("main") == head_before)
-        checked_write(st, docs.filter(F.col("doc_id") % 3 == 1))
-        r = (st.read(spark, st.head("main"))
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum("n_chars").cast("long").alias("sum_chars"))
-             .collect()[0])
-        # NULL CHECK semantics: a NULL n_chars row passes (SQL
-        # standard) — validated here on a throwaway branch store so
-        # the graded aggregate stays NULL-free
-        st2 = SnapshotStore(scratch_dir("snap_chk2_"))
-        add_check_constraint(st2, "chars_nonneg", "n_chars >= 0")
-        try:
-            checked_write(
-                st2, spark.createDataFrame(
-                    [(999999, None)], "doc_id long, n_chars long"))
-            null_ok = True
-        except ConstraintViolation:
-            null_ok = False
-        finally:
-            shutil.rmtree(st2.root, ignore_errors=True)
-        rows = [("head_after_reject", r.n_docs, r.sum_chars,
-                 blocked, no_orphans, null_ok)]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "violation_blocked boolean, no_orphan_files boolean, "
-              "null_row_passes boolean")
-
-
-@register("x_scd2_dimension", """
-WITH dim0 AS (
-  SELECT c_custkey AS custkey, c_mktsegment AS segment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-  FROM customer WHERE c_custkey < 500
-),
-upd AS (
-  SELECT custkey,
-         CASE WHEN custkey % 5 = 0 THEN 'MOVED' ELSE segment END AS segment,
-         CASE WHEN custkey % 7 = 0 THEN bal_cents + 10000
-              ELSE bal_cents END AS bal_cents
-  FROM dim0
-),
-changed AS (
-  SELECT u.custkey FROM upd u JOIN dim0 d ON u.custkey = d.custkey
-  WHERE u.segment <> d.segment OR u.bal_cents <> d.bal_cents
-),
-hist AS (
-  -- unchanged keys: one open row from the initial load
-  SELECT d.custkey, d.segment, d.bal_cents,
-         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-         TRUE AS is_current
-  FROM dim0 d WHERE d.custkey NOT IN (SELECT custkey FROM changed)
-  UNION ALL
-  -- changed keys: closed initial row + new current row
-  SELECT d.custkey, d.segment, d.bal_cents,
-         DATE '2024-01-01', DATE '2024-02-01', FALSE
-  FROM dim0 d WHERE d.custkey IN (SELECT custkey FROM changed)
-  UNION ALL
-  SELECT u.custkey, u.segment, u.bal_cents,
-         DATE '2024-02-01', CAST(NULL AS DATE), TRUE
-  FROM upd u WHERE u.custkey IN (SELECT custkey FROM changed)
-)
-SELECT custkey, segment, bal_cents, valid_from, valid_to, is_current,
-       TRUE AS noop_was_noop
-FROM hist
-""")
-def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension maintenance on the snapshot store
-    (sinks/snapshot.scd2_merge): load a customer dimension, apply an
-    update batch where some segments move and some balances change —
-    changed keys get their current row CLOSED and a new current row
-    INSERTED in one atomic footer-pruned MERGE commit; unchanged keys
-    are no-ops. A second, fully-identical update batch must commit
-    NOTHING (``noop_was_noop`` pins head equality — SCD2 idempotence).
-    The oracle recomputes the exact expected history; the hash proves
-    closing dates, current flags, and no-op detection row-for-row."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, scd2_merge
-
-    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
-    dim0 = (cust.filter(F.col("c_custkey") < 500)
-            .select(F.col("c_custkey").alias("custkey"),
-                    F.col("c_mktsegment").alias("segment"),
-                    round_half_up_long(F.col("c_acctbal"), 100)
-                    .alias("bal_cents")))
-    upd = dim0.select(
-        "custkey",
-        F.when(F.col("custkey") % 5 == 0, "MOVED")
-        .otherwise(F.col("segment")).alias("segment"),
-        F.when(F.col("custkey") % 7 == 0, F.col("bal_cents") + 10000)
-        .otherwise(F.col("bal_cents")).alias("bal_cents"))
-    root = scratch_dir("snap_scd2_")
-    try:
-        st = SnapshotStore(root)
-        init = (dim0
-                .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
-                .withColumn("valid_to", F.lit(None).cast("date"))
-                .withColumn("is_current", F.lit(True)))
-        st.write(init.withColumn(
-            "sk", F.concat_ws("|", F.col("custkey").cast("string"),
-                              F.col("valid_from").cast("string"))))
-        scd2_merge(st, spark, upd, "custkey",
-                   ["segment", "bal_cents"], "2024-02-01")
-        head_after = st.head("main")
-        # idempotence: replaying the same batch must be a full no-op
-        v2, nc, ni = scd2_merge(st, spark, upd, "custkey",
-                                ["segment", "bal_cents"], "2024-03-01")
-        noop = (v2 == head_after and nc == 0 and ni == 0)
-        out = (st.read(spark)
-               .select("custkey", "segment", "bal_cents", "valid_from",
-                       "valid_to", "is_current")
-               .localCheckpoint(eager=True))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.withColumn("noop_was_noop", F.lit(noop))
-
-
-@register("x_occ_append", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-seed AS (SELECT * FROM base WHERE doc_id % 4 = 0),
-a AS (SELECT * FROM base WHERE doc_id % 4 = 1),
-b AS (SELECT * FROM base WHERE doc_id % 4 = 2),
-d AS (SELECT * FROM base WHERE doc_id % 4 = 3),
-final AS (
-  SELECT * FROM seed UNION ALL SELECT * FROM a
-  UNION ALL SELECT * FROM b UNION ALL SELECT * FROM d
-)
-SELECT 'head_final' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       TRUE AS blind_append_rebased, TRUE AS overwrite_conflicted,
-       TRUE AS conflict_left_no_orphans
-FROM final
-""")
-def x_occ_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Optimistic concurrency control (sinks/snapshot.occ_append —
-    Delta's commit protocol): writer B reads head v1, writer A commits
-    an append in between, and B's commit REBASES silently because two
-    blind appends cannot logically conflict (Delta's concurrent-append
-    rule). Then writer D reads a pre-OVERWRITE head and must get
-    ConcurrentCommitConflict — its already-written data files are
-    cleaned up eagerly (no vacuum debt) — and succeeds after
-    re-reading the fresh head.
-
-    The graded hash recomputes the final table: if the rebase had
-    dropped A's or B's rows, double-committed, or the failed txn
-    leaked files into a manifest, the aggregate changes. The branch-
-    chain walk is also pinned: conflict detection follows MAIN's
-    parent chain, so commits on other branches never block."""
-    import os as _os
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (ConcurrentCommitConflict, SnapshotStore,
-                                 occ_append)
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    part = lambda k: docs.filter(F.col("doc_id") % 4 == k)  # noqa: E731
-    root = scratch_dir("snap_occ_")
-    try:
-        st = SnapshotStore(root)
-        v1 = st.write(part(0))                       # seed
-        # writer B reads v1 ... writer A lands first
-        st.write(part(1))                            # A (plain append)
-        _vb, rebased = occ_append(st, part(2), expected_head=v1)
-
-        # writer D reads now, an OVERWRITE intervenes (a no-op
-        # overwrite of the same live rows keeps the table value equal
-        # while still being a logical barrier)
-        head_before_ow = st.head("main")
-        live = st.read(spark, head_before_ow).localCheckpoint(eager=True)
-        st.write(live, mode="overwrite")
-        files_before = st.data_files()
-        conflicted = False
-        try:
-            occ_append(st, part(3), expected_head=head_before_ow)
-        except ConcurrentCommitConflict as exc:
-            conflicted = exc.blocking_op == "overwrite"
-        no_orphans = st.data_files() == files_before
-        # retry on the fresh head succeeds without rebase
-        _vd, rebased_d = occ_append(st, part(3),
-                                    expected_head=st.head("main"))
-        r = (st.read(spark)
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum("n_chars").cast("long").alias("sum_chars"))
-             .collect()[0])
-        rows = [("head_final", r.n_docs, r.sum_chars,
-                 rebased and not rebased_d, conflicted, no_orphans)]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "blind_append_rebased boolean, overwrite_conflicted boolean, "
-              "conflict_left_no_orphans boolean")
-
-
-@register("a_ann_sq8_topk", f"""
-WITH {_dims_sql()},
-stats AS (
-  SELECT dim, min(qval) AS mn,
-         greatest(1, max(qval) - min(qval)) AS sp
-  FROM dims GROUP BY dim
-),
-codes AS (
-  SELECT d.vec_id, d.dim,
-         (d.qval - s.mn) * 255 // s.sp AS code, s.mn, s.sp
-  FROM dims d JOIN stats s ON d.dim = s.dim
-  WHERE d.vec_id <> 0
-),
-q AS (SELECT dim, qval FROM dims WHERE vec_id = 0),
-scored AS (
-  SELECT c.vec_id,
-         CAST(sum((q.qval * 255 - c.mn * 255 - c.code * c.sp)
-                  * (q.qval * 255 - c.mn * 255 - c.code * c.sp))
-              AS BIGINT) AS d2
-  FROM codes c JOIN q ON q.dim = c.dim
-  GROUP BY c.vec_id
-)
-SELECT vec_id, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
-""")
-def a_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 scalar-quantization top-10 (functions/similarity.sq8_topk —
-    faiss ScalarQuantizer QT_8bit, the 4x-compression tier between raw
-    vectors and PQ): per-dimension trained [min, max] ranges, one
-    uint8 code per dim, asymmetric reconstructed-L2 scoring with every
-    fraction cross-multiplied by 255 so the distance is an exact int64
-    and the oracle hashes the DISTANCES, not a tolerance. The codes
-    column scan + in-array distance fold is pure codegen; top-k is a
-    map-side TakeOrdered (no shuffle of candidates)."""
-    return similarity.sq8_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
-
-
-@register("x_stream_exactly_once", """
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY source
-""")
-def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end exactly-once STREAM → snapshot-store ingestion — the
-    Delta idempotent-writer recipe (txnAppId/txnVersion ≙ run_id/
-    batch_id) driven through a real Structured Streaming query, not
-    just the unit-tested ledger: the documents table streams in 3
-    file-source micro-batches (maxFilesPerTrigger=1), each committed
-    by ``foreachBatch`` → ``write_stream_batch`` under an explicit
-    run_id (the checkpoint-name convention — foreachBatch's cloned
-    session may not list the query, snapshot.py:1121). Two batches
-    are then RE-DELIVERED (the failure/restart case Structured
-    Streaming actually produces) and must be ledger-skipped — asserted
-    in-query — so the final table holds every document EXACTLY once
-    and the per-source aggregate hash-matches the raw table: the
-    oracle would catch both a double-count (replay committed) and a
-    drop (live batch skipped).
-
-    Scale shape: each micro-batch commit is one manifest write + one
-    parquet append; the replay check is a manifest-tail scan, never a
-    data read. The aggregate is batch-split-independent by
-    construction, which is what makes a streaming ingest
-    oracle-checkable at all."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, write_stream_batch
-    from .tables import load_tables
-
-    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
-            .select("doc_id", "source",
-                    F.col("n_chars").cast("long").alias("n_chars")))
-    src = scratch_dir("stream_eo_src_")
-    root = scratch_dir("stream_eo_store_")
-    try:
-        docs.repartition(3).write.mode("overwrite").parquet(src)
-        st = SnapshotStore(root)
-        run_id = "ckpt-eo-a"
-        stream = (spark.readStream
-                  .schema("doc_id long, source string, n_chars long")
-                  .option("maxFilesPerTrigger", 1).parquet(src))
-        q = (stream.writeStream
-             .foreachBatch(lambda b, i: write_stream_batch(
-                 st, b, i, run_id=run_id))
-             .option("checkpointLocation", src + "_ckpt")
-             .start())
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        # failure-path replay: re-offer already-committed batch ids
-        # under the SAME run — the ledger must skip both (None) —
-        # then prove a FRESH run's batch 0 still lands (comparing
-        # batch_id alone would wrongly skip restarted streams): the
-        # fresh commit carries an EMPTY batch so the exactly-once
-        # aggregate the oracle checks is unchanged.
-        for replayed in (0, 2):
-            if write_stream_batch(st, docs.limit(3), replayed,
-                                  run_id=run_id) is not None:
-                raise AssertionError(
-                    f"replayed batch {replayed} was committed twice")
-        if write_stream_batch(st, docs.limit(0), 0,
-                              run_id="ckpt-eo-b") is None:
-            raise AssertionError("fresh-run batch 0 was wrongly skipped")
-        rows = (st.read(spark)
-                .groupBy("source")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                     F.sum("n_chars").cast("long").alias("sum_chars"))
-                .collect())
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(src + "_ckpt", ignore_errors=True)
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "source string, n_docs long, sum_chars long")
-
-
-@register("x_snapshot_rollback", """
-WITH a AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-           FROM documents WHERE doc_id % 3 = 0),
-b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-      FROM documents WHERE doc_id % 3 = 1),
-c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-      FROM documents WHERE doc_id % 3 = 2),
-ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
-ac AS (SELECT * FROM a UNION ALL SELECT * FROM c)
-SELECT 'v2_before_rollback' AS label, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ab
-UNION ALL
-SELECT 'v3_rolled_back', count(*), CAST(sum(n_chars) AS BIGINT) FROM a
-UNION ALL
-SELECT 'v4_diverged', count(*), CAST(sum(n_chars) AS BIGINT) FROM ac
-UNION ALL
-SELECT 'v2_time_travel', count(*), CAST(sum(n_chars) AS BIGINT) FROM ab
-""")
-def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollback + divergent-history lifecycle — the last snapshot-store
-    ref operation without an oracle row (time travel, CDC, branch,
-    expire/vacuum, WAP, OCC all have theirs; rollback was unit-only,
-    tests/test_snapshot.py:43): append A (v1) → append B (v2) →
-    ROLLBACK to v1 (v3, metadata-only — no file is touched) → append
-    C (v4). The final table must be A+C (the rolled-back B never
-    resurfaces), while time-traveling to v2 must STILL read A+B — a
-    rollback hides a version from the present without destroying
-    history, exactly Iceberg's rollback-to-snapshot semantics. The
-    oracle recomputes all four reads from the raw table's modular
-    slices, so a hash mismatch would expose either leak direction
-    (B in the present, or B lost from history).
-
-    Scale shape: rollback is one manifest write; every read is
-    manifest-resolved file pruning — nothing here scales with data
-    beyond the appends themselves."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-    root = scratch_dir("snap_rb_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 3 == 0))          # v1 = A
-        st.write(docs.filter(F.col("doc_id") % 3 == 1))          # v2 = A+B
-        st.rollback(1)                                           # v3 ≙ v1
-        st.write(docs.filter(F.col("doc_id") % 3 == 2))          # v4 = A+C
-
-        def agg(df, label):
-            return df.agg(
-                F.lit(label).alias("label"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").cast("long").alias("sum_chars"))
-
-        out = (agg(st.read(spark, 2), "v2_before_rollback")
-               .unionByName(agg(st.read(spark, 3), "v3_rolled_back"))
-               .unionByName(agg(st.read(spark, 4), "v4_diverged"))
-               .unionByName(agg(st.read(spark, 2), "v2_time_travel")))
-        rows = out.collect()                  # materialize BEFORE rmtree
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long")
 
 
 @register("p_oversample_minority", """
@@ -4214,270 +2464,6 @@ def d_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(curve.alias("r")).select("r.tau", "r.n_pairs")
 
 
-@register("x_cdc_replication", """
-WITH after AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id < 40 THEN CAST(n_chars AS BIGINT) + 1000
-              ELSE CAST(n_chars AS BIGINT) END AS n_chars
-  FROM documents
-  WHERE doc_id < 40 OR NOT (doc_id % 7 = 0 AND doc_id < 500)
-)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM after GROUP BY source
-""")
-def x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC replication round-trip — the Debezium/Delta-CDF pattern
-    closing the storage plane's change-data story: x_snapshot_cdc
-    proves diffs are COMPUTED correctly; this proves they are
-    SUFFICIENT — a replica built only from the bootstrap snapshot plus
-    the per-version CDC feed must converge to the source, byte for
-    byte. Source evolves through the full op mix (append v2, targeted
-    DELETE v3, CoW MERGE v4 that both updates rows and re-inserts
-    previously deleted keys); each consecutive-version diff
-    (snapshot_diff, include_payload) is applied to the replica as
-    delete(removed) + merge_upsert(added ∪ changed, new payload).
-    The oracle recomputes the source's FINAL state from the raw table,
-    so it catches an incomplete feed (missing change), a wrong apply
-    order, and a non-idempotent payload alike; an in-query count
-    assert pins source/replica convergence directly.
-
-    Scale posture: the removed-key collect and the MERGE batch are
-    delta-sized by CDC's contract (the same bound delete_keys and
-    merge_upsert already document); diffs are one full-outer join per
-    version pair, delta-sized output."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (SnapshotStore, delete_keys, merge_upsert,
-                                 snapshot_diff)
-    from .tables import load_tables
-
-    docs = (load_tables(spark, sf_dir, ["documents"])["documents"]
-            .select("doc_id", "source",
-                    F.col("n_chars").cast("long").alias("n_chars")))
-    root_a = scratch_dir("cdc_src_")
-    root_b = scratch_dir("cdc_rep_")
-    try:
-        src = SnapshotStore(root_a)
-        rep = SnapshotStore(root_b)
-        src.write(docs.filter(F.col("doc_id") % 2 == 0))          # v1
-        rep.write(src.read(spark, 1))                             # bootstrap
-        src.write(docs.filter(F.col("doc_id") % 2 == 1))          # v2
-        delete_keys(src, spark, list(range(0, 500, 7)), "doc_id")  # v3
-        merge_upsert(src, spark,
-                     docs.filter(F.col("doc_id") < 40)
-                     .withColumn("n_chars", F.col("n_chars") + 1000),
-                     "doc_id")                                    # v4
-        for v in (2, 3, 4):
-            d = snapshot_diff(src, spark, v - 1, v, ["doc_id"],
-                              include_payload=True)
-            removed = [r.doc_id for r in
-                       d.filter(F.col("change") == "removed")
-                       .select("doc_id").collect()]   # delta-sized
-            if removed:
-                delete_keys(rep, spark, removed, "doc_id")
-            ups = (d.filter(F.col("change").isin("added", "changed"))
-                   .select("doc_id",
-                           F.col("new.source").alias("source"),
-                           F.col("new.n_chars").alias("n_chars")))
-            if ups.limit(1).count():
-                merge_upsert(rep, spark, ups, "doc_id")
-        n_src = src.read(spark).count()
-        n_rep = rep.read(spark).count()
-        if n_src != n_rep:
-            raise AssertionError(
-                f"replica diverged: source {n_src} rows vs replica {n_rep}")
-        rows = (rep.read(spark)
-                .groupBy("source")
-                .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.sum("n_chars").cast("long").alias("sum_chars"))
-                .collect())
-    finally:
-        shutil.rmtree(root_a, ignore_errors=True)
-        shutil.rmtree(root_b, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "source string, n_docs long, sum_chars long")
-
-
-@register("x_shallow_clone", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-t0 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
-t1 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
-t2 AS (SELECT * FROM base WHERE doc_id % 3 = 2),
-extra AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id >= 2000 AND doc_id < 2500
-),
-src_pre AS (
-  SELECT * FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
-  WHERE doc_id % 5 <> 0
-),
-src_final AS (SELECT * FROM src_pre UNION ALL SELECT * FROM extra),
-clone_final AS (SELECT * FROM src_pre UNION ALL SELECT * FROM t2)
-SELECT label, n_docs, sum_chars, zero_copy, src_intact
-FROM (
-  SELECT 'clone' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         TRUE AS zero_copy, TRUE AS src_intact FROM clone_final
-  UNION ALL
-  SELECT 'src', count(*), CAST(sum(n_chars) AS BIGINT), TRUE, TRUE
-  FROM src_final
-) ORDER BY label
-""")
-def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
-    CLONE``; sinks/snapshot.shallow_clone) with independent evolution
-    on BOTH sides and the MoR sequence-number trap armed:
-
-    - source: two appends, then a merge-on-read delete of doc_id%5==0
-      (an equality-delete sidecar carried by the head manifest);
-    - CLONE at that head — a metadata-only commit whose file list
-      references the source's files (``zero_copy`` asserts the clone's
-      data dir holds ZERO parquet files right after cloning);
-    - the clone then APPENDS the %3==2 third, which RE-INSERTS keys
-      the carried delete matches: because the clone's first manifest
-      takes the source's head VERSION as its own, the appended files
-      get a strictly larger sequence and the carried equality-delete
-      must NOT hide them (a naive clone-starts-at-v1 numbering fails
-      exactly here, and the oracle catches it);
-    - the source independently appends a disjoint range; the oracle
-      recomputes both final tables, so any cross-contamination in
-      either direction hash-mismatches;
-    - ``src_intact`` asserts clone.vacuum() removed nothing and every
-      source-referenced file still exists (vacuum walks only the
-      clone's own data dir — Delta's shallow-clone vacuum rule,
-      structural here)."""
-    import os as _os
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore, delete_keys_mor, shallow_clone
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
-    base = docs.filter(F.col("doc_id") < 2000)
-    root_a = scratch_dir("clone_src_")
-    root_b = scratch_dir("clone_dst_")
-    try:
-        src = SnapshotStore(root_a)
-        src.write(base.filter(F.col("doc_id") % 3 == 0))
-        src.write(base.filter(F.col("doc_id") % 3 == 1))
-        delete_keys_mor(src, spark,
-                        base.filter((F.col("doc_id") % 5 == 0))
-                        .select("doc_id"), ["doc_id"])
-
-        clone = shallow_clone(src, root_b)
-        zero_copy = clone.data_files() == []
-        src_head_before = src.head("main")
-
-        clone.write(base.filter(F.col("doc_id") % 3 == 2))
-        src.write(docs.filter((F.col("doc_id") >= 2000)
-                              & (F.col("doc_id") < 2500)))
-
-        removed = clone.vacuum()
-        src_files = src._read_manifest(src.head("main"))["files"]
-        src_intact = (removed == [] and src.head("main") != src_head_before
-                      and all(_os.path.exists(p) for p in src_files))
-
-        agg = lambda st: (st.read(spark)  # noqa: E731
-                          .agg(F.count(F.lit(1)).alias("n"),
-                               F.sum("n_chars").cast("long").alias("s"))
-                          .collect()[0])
-        c, s = agg(clone), agg(src)
-        rows = [("clone", c["n"], c["s"], zero_copy, src_intact),
-                ("src", s["n"], s["s"], zero_copy, src_intact)]
-    finally:
-        shutil.rmtree(root_a, ignore_errors=True)
-        shutil.rmtree(root_b, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "zero_copy boolean, src_intact boolean")
-
-
-@register("x_timestamp_travel", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-),
-t0 AS (SELECT * FROM base WHERE doc_id % 3 = 0),
-t1 AS (SELECT * FROM base WHERE doc_id % 3 = 1),
-t2 AS (SELECT * FROM base WHERE doc_id % 3 = 2),
-v1 AS (SELECT * FROM t0),
-v2 AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1),
-v3 AS (SELECT * FROM t2)
-SELECT label, n_docs, sum_chars, pre_epoch_raises
-FROM (
-  SELECT 'at_1500' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         TRUE AS pre_epoch_raises FROM v1
-  UNION ALL
-  SELECT 'at_2000', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v2
-  UNION ALL
-  SELECT 'at_2500', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v2
-  UNION ALL
-  SELECT 'at_9999', count(*), CAST(sum(n_chars) AS BIGINT), TRUE FROM v3
-) ORDER BY label
-""")
-def x_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel BY TIMESTAMP (Delta ``timestampAsOf`` / Iceberg
-    ``FOR SYSTEM_TIME AS OF``; SnapshotStore.version_at): three
-    commits carry injected timestamps 1000/2000/3000 (the ``ts``
-    override on write — deterministic, no wall clock in the graded
-    values), and four probes pin the resolution rule 'latest version
-    committed AT OR BEFORE the timestamp':
-
-    - 1500 -> v1 (between commits resolves DOWN);
-    - 2000 -> v2 (exactly-at is inclusive);
-    - 2500 -> v2 (a later commit at 3000 is invisible);
-    - 9999 -> v3 (after the last commit resolves to the head — here an
-      OVERWRITE, so the aggregate proves the resolved version's FILE
-      LIST was swapped, not appended);
-    - a probe before the first commit must raise
-      (``pre_epoch_raises``).
-
-    The oracle recomputes each resolved version's table from raw
-    documents: an off-by-one in the resolution rule (strictly-before,
-    or nearest-commit rounding) changes a row's aggregate and
-    hash-mismatches."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import SnapshotStore
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("tstravel_")
-    try:
-        st = SnapshotStore(root)
-        st.write(docs.filter(F.col("doc_id") % 3 == 0), ts=1000.0)
-        st.write(docs.filter(F.col("doc_id") % 3 == 1), ts=2000.0)
-        st.write(docs.filter(F.col("doc_id") % 3 == 2),
-                 mode="overwrite", ts=3000.0)
-        try:
-            st.version_at(999.0)
-            raises = False
-        except ValueError:
-            raises = True
-        rows = []
-        for label, probe in (("at_1500", 1500.0), ("at_2000", 2000.0),
-                             ("at_2500", 2500.0), ("at_9999", 9999.0)):
-            r = (st.read(spark, st.version_at(probe))
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("n_chars").cast("long").alias("s"))
-                 .collect()[0])
-            rows.append((label, r["n"], r["s"], raises))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "pre_epoch_raises boolean")
-
-
 def _bq_codes_sql() -> str:
     """Sign-bit packing per vec_id (needs dims). Bit 63 packs as
     Long.MIN_VALUE so the signed-int64 bit pattern matches Spark's:
@@ -4494,41 +2480,6 @@ codes AS (
            AS code
   FROM dims GROUP BY vec_id
 )"""
-
-
-@register("a_ann_bq_topk", f"""
-WITH {_dims_sql()}, {_bq_codes_sql()}, {_EV_SQL},
-qc AS (SELECT code FROM codes WHERE vec_id = 0),
-short AS (
-  SELECT c.vec_id,
-         CAST(bit_count(xor(c.code, q.code)) AS BIGINT) AS hamming
-  FROM codes c CROSS JOIN qc q WHERE c.vec_id <> 0
-  ORDER BY hamming, c.vec_id LIMIT 50
-),
-qv AS (SELECT v FROM ev WHERE vec_id = 0)
-SELECT s.vec_id, s.hamming,
-       list_dot_product(e.v, q.v)
-         / (sqrt(list_dot_product(e.v, e.v))
-            * sqrt(list_dot_product(q.v, q.v))) AS cosine
-FROM short s JOIN ev e ON e.vec_id = s.vec_id CROSS JOIN qv q
-ORDER BY cosine DESC, s.vec_id LIMIT 10
-""")
-def a_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-quantization ANN (the vector-DB 'BQ + rescore' recipe;
-    FAISS IndexBinaryFlat front-end): each 64-dim vector compresses to
-    ONE int64 of sign bits (32x memory cut), the Hamming scan
-    (bit_count of XOR — one JVM instruction per candidate) shortlists
-    50, and the exact integer-cosine kernel rescores to the top-10.
-    Completes the quantization ladder beside PQ (a_ann_pq_refine_topk)
-    and SQ8: BQ is the cheapest code, the one exhaustively scannable
-    at 100 TB because the candidate scan reads 8 bytes/vector from a
-    codes-only projection (column pruning keeps the float arrays
-    unread until the 50-row rescore). Hamming and cosine stages both
-    tie-break on vec_id, so the two engines replay the identical
-    shortlist; bit 63 packs as Long.MIN_VALUE in both so the signed
-    bit patterns agree."""
-    return similarity.bq_refine_topk(_embs(spark, sf_dir),
-                                     query_vec_id=0, k=10, rerank=50)
 
 
 @register("d_fuzzy_join_ed1", """
@@ -4618,317 +2569,6 @@ sel{i} AS MATERIALIZED (
 SELECT rank, vec_id, cq AS cosine, msim AS max_sim_prior
 FROM sel{k} ORDER BY rank""")
     return "".join(parts)
-
-
-@register("a_ann_mmr_rerank", _mmr_sql(5, 30, 0.5))
-def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal Marginal Relevance diversified rerank (Carbonell &
-    Goldstein 1998; similarity.mmr_topk) — relevance-only top-k
-    returns near-duplicates, MMR greedily trades relevance against
-    novelty: pick_i = argmax lam*cos(q,d) - (1-lam)*max_{s in picked}
-    cos(d,s) over a bounded top-30 shortlist, lam=0.5, k=5.
-
-    The greedy loop is inherently sequential, so it runs as k bounded
-    rounds over the checkpointed shortlist (one 1-row argmax collect
-    per round — never a full-table scan after the shortlist top-N);
-    the oracle unrolls the same 5 picks as MATERIALIZED CTE stages.
-    Identical dot/(sqrt*sqrt) expression shapes and (score, vec_id)
-    tie-breaks make the greedy trajectory bit-reproducible across
-    engines — the graded rows carry each pick's rank, relevance
-    cosine, and max-similarity-to-prior-picks."""
-    return similarity.mmr_topk(_embs(spark, sf_dir), query_vec_id=0,
-                               k=5, shortlist=30, lam=0.5)
-
-
-@register("x_stream_late_data", """
-WITH d AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 300
-)
-SELECT window_start, n, sum_chars FROM (
-  SELECT TIMESTAMP '2024-03-01 10:00:00' AS window_start,
-         count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-  FROM d WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
-  UNION ALL
-  SELECT TIMESTAMP '2024-03-01 11:00:00', count(*),
-         CAST(sum(n_chars) AS BIGINT)
-  FROM d WHERE doc_id % 3 = 1
-  UNION ALL
-  SELECT TIMESTAMP '2024-03-01 12:00:00', count(*),
-         CAST(sum(n_chars) AS BIGINT)
-  FROM d WHERE (doc_id % 3 = 0 AND doc_id % 7 = 0)
-     OR (doc_id % 3 = 2 AND doc_id % 7 <> 0 AND doc_id % 2 <> 0)
-) ORDER BY window_start
-""")
-def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time WATERMARK semantics under a real Structured
-    Streaming run — the late-data contract every streaming engine is
-    judged on, pinned end-to-end (streams the documents table through
-    3 ordered file-source micro-batches with synthetic event times;
-    1-hour tumbling windows, 1-hour watermark, APPEND mode):
-
-    - batch 0 carries on-time 10:xx rows (window W10) plus 12:45
-      clock-advancer rows -> watermark becomes 11:45;
-    - batch 1 carries 11:30 rows: W11's end 12:00 > 11:45, so these
-      are LATE-BUT-ACCEPTED (an engine that filters on raw event time
-      < watermark instead of window state wrongly drops them); W10
-      (end 11:00 <= 11:45) is emitted and evicted at this batch;
-    - batch 2 carries 10:20 rows — W10 is gone, so these MUST be
-      DROPPED (numRowsDroppedByWatermark is where Spark counts them;
-      note the measured one-batch lag: the late filter applies the
-      watermark one batch AFTER eviction starts, so the drop row sits
-      two batches after the clock-advance, not one) — plus 12:50 rows
-      (join batch 0's 12:45 rows in W12) and 14:30 clock rows ->
-      final watermark 13:30 closes W11/W12; the 14:00 window's end
-      15:00 exceeds the final watermark so append mode must NEVER
-      emit it.
-
-    The oracle recomputes the three emitted windows from the raw
-    documents table: counting a dropped row, dropping an accepted
-    late row, or emitting the unclosed window all hash-mismatch.
-    Batch order is forced by file mtimes (maxFilesPerTrigger=1,
-    oldest-first file source); the flush of finalized windows rides
-    Spark's no-data micro-batch, which processAllAvailable waits
-    for."""
-    import glob as _glob
-    import os as _os
-    import shutil
-    import uuid as _uuid
-
-    from .session import scratch_dir
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 300))
-    base = "2024-03-01 "
-    t = lambda hm: F.to_timestamp(  # noqa: E731
-        F.concat(F.lit(base), F.lit(hm)))
-    batches = [
-        docs.filter(F.col("doc_id") % 3 == 0).select(
-            F.when(F.col("doc_id") % 7 == 0, t("12:45:00"))
-            .otherwise(F.to_timestamp(F.concat(
-                F.lit(base + "10:"),
-                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
-                F.lit(":00")))).alias("ts"),
-            "n_chars"),
-        docs.filter(F.col("doc_id") % 3 == 1).select(
-            t("11:30:00").alias("ts"), "n_chars"),
-        docs.filter(F.col("doc_id") % 3 == 2).select(
-            F.when(F.col("doc_id") % 7 == 0, t("14:30:00"))
-            .when(F.col("doc_id") % 2 == 0, t("10:20:00"))
-            .otherwise(t("12:50:00")).alias("ts"), "n_chars"),
-    ]
-    src = scratch_dir("stream_late_src_")
-    stage = scratch_dir("stream_late_stage_")
-    name = "late_" + _uuid.uuid4().hex[:10]
-    try:
-        for i, b in enumerate(batches):
-            sub = _os.path.join(stage, f"b{i}")
-            b.coalesce(1).write.mode("overwrite").parquet(sub)
-            part = _glob.glob(_os.path.join(sub, "part-*.parquet"))[0]
-            dst = _os.path.join(src, f"b{i}.parquet")
-            shutil.copyfile(part, dst)
-            _os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-        stream = (spark.readStream.schema("ts timestamp, n_chars long")
-                  .option("maxFilesPerTrigger", 1)
-                  .option("latestFirst", "false").parquet(src))
-        agg = (stream.withWatermark("ts", "1 hour")
-               .groupBy(F.window("ts", "1 hour").alias("w"))
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("n_chars").cast("long").alias("sum_chars"))
-               .select(F.col("w.start").alias("window_start"),
-                       "n", "sum_chars"))
-        q = (agg.writeStream.outputMode("append")
-             .format("memory").queryName(name)
-             .option("checkpointLocation", src + "_ckpt")
-             .start())
-        try:
-            q.processAllAvailable()
-            n_dropped = sum(
-                st.get("numRowsDroppedByWatermark", 0)
-                for p in q.recentProgress for st in p["stateOperators"])
-        finally:
-            # stop BEFORE the outer finally deletes the source and
-            # checkpoint dirs out from under a still-active query
-            q.stop()
-        # the counter tallies POST-partial-aggregate rows (the 10:20
-        # input rows map-side-combine into one partial per partition
-        # before the state operator), so pin engagement, not the
-        # input-row count — the hash pins the exact row effect
-        if n_dropped < 1:
-            raise AssertionError(
-                "watermark drop path never engaged "
-                f"(numRowsDroppedByWatermark={n_dropped})")
-        rows = [(r["window_start"], r["n"], r["sum_chars"])
-                for r in spark.table(name).collect()]
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(src + "_ckpt", ignore_errors=True)
-    return (spark.createDataFrame(
-        rows, "window_start timestamp, n long, sum_chars long")
-        .orderBy("window_start"))
-
-
-@register("x_row_column_policy", """
-WITH c AS (
-  SELECT c_custkey, c_name, c_mktsegment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-  FROM customer
-),
-analyst AS (
-  SELECT concat(substr(c_name, 1, 2), '***') AS c_name, c_mktsegment,
-         (bal_cents // 10000) * 100 AS bal_band
-  FROM c WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
-),
-auditor AS (
-  SELECT (c_custkey * 2654435761) % 2147483647 AS pseudo_key,
-         c_mktsegment, bal_cents
-  FROM c
-)
-SELECT role, segment, n, n_distinct_names, sum_bal
-FROM (
-  SELECT 'analyst' AS role, c_mktsegment AS segment,
-         count(*) AS n,
-         CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_names,
-         CAST(sum(bal_band) AS BIGINT) AS sum_bal
-  FROM analyst GROUP BY c_mktsegment
-  UNION ALL
-  SELECT 'auditor', c_mktsegment, count(*),
-         CAST(count(DISTINCT pseudo_key) AS BIGINT),
-         CAST(sum(bal_cents) AS BIGINT)
-  FROM auditor GROUP BY c_mktsegment
-) ORDER BY role, segment
-""")
-def x_row_column_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level security + column masking (security.apply_policy —
-    the Delta/Unity row-filter & column-mask feature as declarative
-    view rewriting): two roles see two governed views of customer,
-
-    - analyst: row filter to two segments; c_name masked to
-      prefix+'***' (count(DISTINCT) over the MASKED value proves the
-      mask collapses names — the oracle computes the same collapsed
-      cardinality); c_acctbal coarsened to $100 bands in exact integer
-      cents — ~8% of customers carry NEGATIVE balances, and parity
-      holds because Spark's `div` and DuckDB's `//` on integers BOTH
-      truncate toward zero (-55000 -> -5 in both; a floor-semantics
-      "fix" on either side would flip those rows' bands and break the
-      hash);
-    - auditor: no row filter, but c_custkey pseudonymized by a
-      deterministic Knuth multiplicative hash mod 2^31-1 (int64-exact
-      in both engines) and balances left exact — the
-      full-rows/masked-identity profile.
-
-    Policy application is pure expression rewriting: the row filter
-    pushes down to the parquet scan and masks stay codegen
-    expressions, so the governed read costs exactly the ungoverned
-    read at 100 TB (no join, no shuffle, no UDF)."""
-    from .security import Policy, apply_policy
-
-    c = (load_tables(spark, sf_dir, ["customer"])["customer"]
-         .select("c_custkey", "c_name", "c_mktsegment",
-                 round_half_up_long(F.col("c_acctbal"), 100)
-                 .alias("bal_cents")))
-    analyst = apply_policy(c, Policy(
-        row_filter="c_mktsegment IN ('AUTOMOBILE', 'BUILDING')",
-        column_masks={
-            "c_name": "concat(substr(c_name, 1, 2), '***')",
-            "bal_cents": "(bal_cents div 10000) * 100",
-        }))
-    auditor = apply_policy(c, Policy(
-        column_masks={
-            "c_custkey": "(c_custkey * 2654435761) % 2147483647",
-            "c_name": "'***'",
-        }))
-    a = (analyst.groupBy(F.col("c_mktsegment").alias("segment"))
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.countDistinct("c_name").cast("long")
-              .alias("n_distinct_names"),
-              F.sum("bal_cents").cast("long").alias("sum_bal"))
-         .withColumn("role", F.lit("analyst")))
-    b = (auditor.groupBy(F.col("c_mktsegment").alias("segment"))
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.countDistinct("c_custkey").cast("long")
-              .alias("n_distinct_names"),
-              F.sum("bal_cents").cast("long").alias("sum_bal"))
-         .withColumn("role", F.lit("auditor")))
-    return (a.unionByName(b)
-            .select("role", "segment", "n", "n_distinct_names", "sum_bal")
-            .orderBy("role", "segment"))
-
-
-@register("x_incremental_scan", """
-WITH base AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
-  WHERE doc_id < 2000
-)
-SELECT label, n_docs, sum_chars, non_append_raises, empty_range_empty
-FROM (
-  SELECT 'since_v1' AS label, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         TRUE AS non_append_raises, TRUE AS empty_range_empty
-  FROM base WHERE doc_id % 3 IN (1, 2)
-  UNION ALL
-  SELECT 'since_v2', count(*), CAST(sum(n_chars) AS BIGINT), TRUE, TRUE
-  FROM base WHERE doc_id % 3 = 2
-) ORDER BY label
-""")
-def x_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg-style INCREMENTAL (changes-since) scan
-    (sinks/snapshot.incremental_read): a consumer tails the table by
-    reading ONLY the files appended after its last-seen version —
-    resolved from manifests alone, so the catch-up cost is
-    O(new data), never a rescan of a 100 TB table.
-
-    Scenario: three appends (thirds of the sliced documents table);
-    the graded rows are the rows-appended-since v1 and since v2,
-    each oracle-recomputed from the raw table (a scan that leaks
-    base-version rows, misses an appended file, or double-reads
-    hash-mismatches). In-query asserts pin the guard rails: after an
-    OVERWRITE lands, incremental_read over the crossing range must
-    raise NonAppendInRange (file-level semantics are unsound across
-    rewrites — Iceberg raises identically; snapshot_diff is the
-    semantic fallback), and an empty range returns an empty
-    schema-stable frame."""
-    import shutil
-
-    from .session import scratch_dir
-    from .sinks.snapshot import (NonAppendInRange, SnapshotStore,
-                                 incremental_read)
-
-    docs = (_docs(spark, sf_dir)
-            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-            .filter(F.col("doc_id") < 2000))
-    root = scratch_dir("incscan_")
-    try:
-        st = SnapshotStore(root)
-        v1 = st.write(docs.filter(F.col("doc_id") % 3 == 0))
-        v2 = st.write(docs.filter(F.col("doc_id") % 3 == 1))
-        v3 = st.write(docs.filter(F.col("doc_id") % 3 == 2))
-
-        def agg(df):
-            return (df.agg(F.count(F.lit(1)).alias("n"),
-                           F.sum("n_chars").cast("long").alias("s"))
-                    .collect()[0])
-
-        r1 = agg(incremental_read(st, spark, v1, v3))
-        r2 = agg(incremental_read(st, spark, v2))
-        empty_ok = incremental_read(st, spark, v3, v3).count() == 0
-        st.write(docs.filter(F.col("doc_id") % 3 == 0),
-                 mode="overwrite")
-        try:
-            incremental_read(st, spark, v3)
-            raise AssertionError(
-                "incremental scan crossed an overwrite without raising")
-        except NonAppendInRange:
-            raises = True
-        rows = [("since_v1", r1["n"], r1["s"], raises, empty_ok),
-                ("since_v2", r2["n"], r2["s"], raises, empty_ok)]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "label string, n_docs long, sum_chars long, "
-              "non_append_raises boolean, empty_range_empty boolean")
 
 
 @register("x_hll_sliding_window", f"""

@@ -22,6 +22,14 @@ def test_live_registry_has_no_duplicates():
     assert len(names) > 250
 
 
+def test_graded_window_is_exactly_priority():
+    """The driver hash-checks the FIRST 50 registry entries; after the
+    round-11 module split (pipeline -> ann/storage/stream) only the
+    ungraded past-window ordering may shift. The window itself must
+    equal _PRIORITY name-for-name, in order."""
+    assert list(queries.all_queries())[:50] == queries._PRIORITY
+
+
 def test_duplicate_registration_raises(monkeypatch):
     """Registering a colliding name in ANY module registry must raise
     at aggregation time, not shadow the earlier entry."""

@@ -84,7 +84,7 @@ def test_lloyd_refine_improves_objective(spark, sf_dir):
 
 
 def test_recall_eval_bounds_and_self_recall(spark, sf_dir):
-    from cube_builder_spark.pipeline_queries import a_ann_recall_eval
+    from cube_builder_spark.ann_queries import a_ann_recall_eval
     from cube_builder_spark.tables import load_tables
 
     out = a_ann_recall_eval(spark, sf_dir).collect()
