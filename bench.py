@@ -73,6 +73,18 @@ AB_VERDICTS = {
     ("c23_pixel_anomaly", 10): (
         "r11 A/B: code byte-identical since r9; interleaved min-of-5 "
         "spread 0.24-1.22s with anchor swinging 4x — host drift"),
+    # Pre-annotated INTENTIONAL change (round 11): global_rank now
+    # materializes its range shuffle once (eager localCheckpoint) to
+    # close the re-sample divergence hazard (r10 ADVICE medium).
+    # Interleaved A/B at sf0.1 (min-of-4, two passes): pre-fix
+    # 1.20-1.65s vs fixed 1.49-1.80s — ~0.3s absolute for the three
+    # per-metric checkpoints; the remaining delta vs r10's 0.77s
+    # record is host drift (the PRE-FIX code also reads 1.2-1.6s in
+    # this session). Correctness over 0.3s: keep.
+    ("e_rfm_segmentation_scalable", 10): (
+        "r11: intentional — global_rank one-time range-shuffle "
+        "materialization (re-sample hazard fix, ADVICE r10); A/B "
+        "pre-fix 1.20 vs fixed 1.49 min at sf0.1, rest is host drift"),
 }
 
 HEADLINE = [
@@ -176,6 +188,11 @@ HEADLINE = [
     "e_holt_forecast",
     "x_row_column_policy",
     "x_hll_sliding_window",
+    # round-11 surface
+    "p_global_shuffle",
+    "t_perplexity_buckets",
+    "a_hybrid_search_rrf",
+    "e_cusum_changepoint",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from .functions import dedup
 from .functions import similarity
 from .pipeline_queries import (  # shared SQL fragments/helpers
-    _BATCH_TOPK_SQL, _CLUSTER_ITERS, _COS_AB, _EV_SQL, _IVF_BATCH_SQL, _IVF_SQL, _IVF_TAIL, _PQ_SQL, _PQ_TAIL, _QUANT_SQL, _bq_codes_sql, _bucket_sql, _dims_sql, _embs, _label_steps_sql, _mmr_sql)
+    _BATCH_TOPK_SQL, _CLUSTER_ITERS, _COS_AB, _EV_SQL, _IVF_BATCH_SQL,
+    _IVF_SQL, _IVF_TAIL, _PQ_SQL, _PQ_TAIL, _QUANT_SQL, _bq_codes_sql,
+    _bucket_sql, _dims_sql, _docs, _embs, _label_steps_sql, _mmr_sql)
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -585,3 +587,109 @@ def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, and max-similarity-to-prior-picks."""
     return similarity.mmr_topk(_embs(spark, sf_dir), query_vec_id=0,
                                k=5, shortlist=30, lam=0.5)
+
+
+@register("a_hybrid_search_rrf", f"""
+WITH {_QUANT_SQL},
+vtop AS (
+  SELECT vec_id, rank_vec FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY dab / (sqrt(daa) * sqrt(dbb))
+                              DESC, vec_id) AS rank_vec
+    FROM dots
+  ) WHERE rank_vec <= 50
+),
+dtok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' ')))
+         AS w
+  FROM documents
+),
+qterms AS (SELECT w FROM dtok WHERE doc_id = 0),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dtok GROUP BY w),
+lex AS (
+  SELECT d.doc_id,
+         CAST(sum(1000000 // df.df) AS BIGINT) AS score
+  FROM dtok d
+  JOIN qterms USING (w) JOIN df USING (w)
+  WHERE d.doc_id <> 0
+  GROUP BY d.doc_id
+),
+ltop AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+    FROM lex
+  ) WHERE rank_lex <= 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         CAST(COALESCE(1000000000 // (60 + rank_lex), 0)
+              + COALESCE(1000000000 // (60 + rank_vec), 0) AS BIGINT)
+           AS rrf_score,
+         CAST(rank_lex AS BIGINT) AS rank_lex,
+         CAST(rank_vec AS BIGINT) AS rank_vec
+  FROM ltop l FULL JOIN vtop v ON v.vec_id = l.doc_id
+)
+SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""")
+def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — lexical + vector candidate lists fused by
+    Reciprocal Rank Fusion (Cormack et al. 2009, the fusion every
+    production retrieval stack ships: Elasticsearch/OpenSearch/Vespa
+    hybrid mode). Query = document 0 (its tokens) and vector 0 (its
+    embedding, doc_id- and vec_id-aligned in the test corpus).
+
+    Lexical half: candidate docs sharing a query term, scored by an
+    exact-integer idf surrogate sum(1000000 DIV df(w)) over shared
+    DISTINCT terms (rarer term => bigger contribution); integer sums
+    are reduction-order-free, so the lexical ranking is engine-exact.
+    Vector half: the quantized brute-force cosine ranking
+    (a_ann_bruteforce_topk's int64-dot construction). Both lists cap
+    at 50; RRF fuses with the standard k=60 as exact integers
+    1e9 DIV (60 + rank), a doc missing from one list contributing 0.
+
+    Scale shape: the query's term set is one document's vocabulary
+    (broadcast); df(w) is a vocab-bounded map-side-combinable
+    aggregate; both top-50s are TakeOrderedAndProject (distributed
+    partial top-k — NO unpartitioned window over data; the
+    row_number windows below run over the collected <= 50-row
+    frames); the fuse is a 50x50 full outer join of two metadata
+    frames. At 100 TB the lexical side swaps in the inverted index
+    (t_inverted_index) and the vector side the IVF path — the fusion
+    stays this exact shape."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    dtok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    dfreq = dtok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dtok.filter(F.col("doc_id") == 0).select("w")
+    lex = (dtok.filter(F.col("doc_id") != 0)
+           .join(F.broadcast(qterms), "w")
+           .join(dfreq, "w")
+           .groupBy("doc_id")
+           .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
+                .alias("score")))
+    # orderBy + limit => TakeOrderedAndProject (partial per-partition
+    # top-k, never a global sort); the rank window then runs over the
+    # <= 50 surviving rows only
+    ltop = (lex.orderBy(F.desc("score"), "doc_id").limit(50)
+            .withColumn("rank_lex", F.row_number().over(
+                Window.orderBy(F.desc("score"), "doc_id")))
+            .select("doc_id", "rank_lex"))
+    vtop = (similarity.brute_force_topk(_embs(spark, sf_dir),
+                                        query_vec_id=0, k=50)
+            .withColumn("rank_vec", F.row_number().over(
+                Window.orderBy(F.desc("cosine"), "vec_id")))
+            .select(F.col("vec_id").alias("doc_id"), "rank_vec"))
+    fused = (ltop.join(vtop, "doc_id", "full")
+             .select(
+                 "doc_id",
+                 (F.coalesce(F.expr("1000000000 DIV (60 + rank_lex)"),
+                             F.lit(0))
+                  + F.coalesce(F.expr("1000000000 DIV (60 + rank_vec)"),
+                               F.lit(0))).cast("long").alias("rrf_score"),
+                 F.col("rank_lex").cast("long").alias("rank_lex"),
+                 F.col("rank_vec").cast("long").alias("rank_vec")))
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

@@ -964,7 +964,9 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("c"), "w1", "w2").limit(30))
 
 
-@register("t_lm_doc_likelihood", """
+# shared with t_perplexity_buckets (round 11), which re-ranks this
+# query's exact-integer per-doc scores into CCNet buckets
+_LM_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
           FROM (SELECT unnest(t) AS w FROM toks)),
@@ -987,7 +989,10 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(s) AS BIGINT) AS score_sum,
        CAST(sum(s) AS BIGINT) * 1e0 / count(*) / 1e6 AS mean_p
 FROM scored GROUP BY doc_id
-""")
+"""
+
+
+@register("t_lm_doc_likelihood", _LM_SQL)
 def t_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM likelihood — the CCNet-style LM quality
     gate (train an n-gram LM on the corpus, score each document by
@@ -1031,6 +1036,51 @@ def t_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s").cast("long").alias("score_sum"))
             .withColumn("mean_p", F.col("score_sum") * 1.0
                         / F.col("n_bigrams") / 1e6))
+
+
+@register("t_perplexity_buckets", f"""
+WITH base AS ({_LM_SQL}),
+b AS (
+  SELECT doc_id, n_bigrams, score_sum,
+         ntile(3) OVER (ORDER BY score_sum * 1e0 / n_bigrams DESC,
+                        doc_id) AS bucket_id
+  FROM base
+)
+SELECT doc_id, n_bigrams, score_sum, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b
+""")
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020):
+    rank every document by LM predictability and cut the corpus into
+    terciles — 'head' trains first / weighs most, 'tail' is the
+    low-quality candidate pool. Scores are t_lm_doc_likelihood's
+    exact-integer (score_sum, n_bigrams) pairs; the ordering key is
+    the single IEEE division score_sum/n_bigrams (identical op shape
+    in both engines), tie-broken by doc_id so the order is total and
+    the tercile cut is engine-exact.
+
+    The tercile itself comes from functions/ranking.exact_global_ntile
+    — the round-11-hardened distributed-exact primitive (range
+    shuffle materialized once, broadcast offsets, integer-DIV ntile
+    arithmetic): zero unpartitioned windows over data, while the
+    oracle uses the naive global ``ntile(3) OVER (ORDER BY ...)``.
+    Docs with < 2 tokens carry no bigrams and are out of scope, as in
+    the base query."""
+    from .functions.ranking import exact_global_ntile
+
+    base = t_lm_doc_likelihood(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "score_sum")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [(F.col("score_sum") * F.lit(1.0) / F.col("n_bigrams")).desc(),
+             F.col("doc_id").asc()]
+    bucketed = exact_global_ntile(base, order, 3, n_part, "bucket_id")
+    return bucketed.select(
+        "doc_id", "n_bigrams", "score_sum", "bucket_id",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail").alias("bucket"))
 
 
 @register("p_source_overlap", f"""

@@ -1885,3 +1885,78 @@ def e_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum("cents").cast("long").alias("sum_cents"))
             .orderBy("context"))
+
+
+@register("e_cusum_changepoint", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+),
+c AS (
+  SELECT event_type, day, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+),
+s AS (
+  SELECT event_type, day, cnt, t, n_days,
+         n_days * cum - t * total AS dev
+  FROM c WHERE t < n_days
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(dev) DESC, day) AS rn
+  FROM s
+)
+SELECT event_type, day AS changepoint_day, t AS t_index, n_days,
+       CAST(dev AS BIGINT) AS dev, CAST(abs(dev) AS BIGINT) AS abs_dev
+FROM ranked WHERE rn = 1
+""")
+def e_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimation per event type (Page 1954
+    / the Hinkley mean-shift estimator): the split day maximizing the
+    centered cumulative-sum deviation |S_t| where
+    S_t = cumsum_t - (t/T) * total — the day the series' mean most
+    plausibly shifted. The statistic is cross-multiplied into pure
+    int64 (dev = T*cumsum_t - t*total, abs-max tie-broken by earliest
+    day), so both engines rank bit-identically — the same
+    no-float-crosses-engines discipline as e_volume_anomaly's z-test.
+
+    The last index t = T is excluded (S_T = 0 identically — a
+    degenerate 'split after everything').
+
+    Scale shape: all windows run over the (type, day) PRE-AGGREGATED
+    frame (calendar-bounded, partitioned by type), never the raw
+    events; the argmax is a rank-1 filter on that same tiny frame."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.select("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .cast("long").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt"),
+        F.sum("cnt").over(w_ord).cast("long").alias("cum"),
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("cnt").over(w_all).cast("long").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"))
+    s = (c.filter(F.col("t") < F.col("n_days"))
+         .withColumn("dev", F.col("n_days") * F.col("cum")
+                     - F.col("t") * F.col("total")))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev")).desc(), F.col("day").asc())
+    return (s.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("day").alias("changepoint_day"),
+                    F.col("t").alias("t_index"), "n_days",
+                    F.col("dev").cast("long").alias("dev"),
+                    F.abs(F.col("dev")).cast("long").alias("abs_dev")))

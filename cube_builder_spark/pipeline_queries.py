@@ -1790,6 +1790,61 @@ def p_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_sampled")))
 
 
+@register("p_global_shuffle", """
+WITH k AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+  FROM k
+)
+SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(pos AS BIGINT) AS pos,
+       CAST((pos - 1) % 8 AS BIGINT) AS shard_id,
+       CAST((pos - 1) // 8 + 1 AS BIGINT) AS pos_in_shard
+FROM r
+""")
+def p_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT global shuffle + round-robin sharding —
+    the write-order step of a training-data pipeline (docs must reach
+    the trainer in a reproducible pseudo-random order, sharded so
+    every shard is a uniform sample; an engine-RNG ``orderBy(rand())``
+    is neither reproducible across reruns nor across engines).
+
+    The permutation is a Knuth multiplicative hash
+    ``(doc_id * 2654435761) mod 2^32`` — a BIJECTION on [0, 2^32)
+    (odd multiplier), so it is a true permutation, exact in int64 in
+    both engines. The global position comes from
+    functions/ranking.global_rank — the round-11-hardened primitive
+    (range shuffle materialized ONCE, broadcast offsets, window
+    partitioned by the range partition): no unpartitioned window over
+    data, unlike the naive ``row_number() OVER (ORDER BY key)`` the
+    oracle uses. Round-robin ``pos mod n_shards`` keeps every shard a
+    uniform slice of the permutation (contiguous DIV sharding would
+    correlate shard and key range).
+
+    At 100 TB: one sampled range shuffle + metadata-scale offsets —
+    the TeraSort shape; shard files then write out partitioned by
+    shard_id with no further movement."""
+    from .functions.ranking import global_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = global_rank(
+        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        n_part, rank_col="pos").drop("_n")
+    return ranked.select(
+        "doc_id", F.col("shuffle_key").cast("long").alias("shuffle_key"),
+        "pos",
+        F.expr("(pos - 1) % 8").cast("long").alias("shard_id"),
+        F.expr("(pos - 1) DIV 8 + 1").cast("long").alias("pos_in_shard"))
+
+
 @register("x_analyze_histogram", """
 WITH c AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,

@@ -1,0 +1,98 @@
+"""Round-11 surface: deterministic global shuffle, CCNet perplexity
+terciles, hybrid lexical+vector RRF retrieval. Value-level hashes are
+covered by tests/test_queries_oracle; these pin the semantic
+invariants the hash alone doesn't explain."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def test_global_shuffle_is_a_balanced_permutation(spark, sf_dir):
+    from cube_builder_spark.pipeline_queries import p_global_shuffle
+
+    rows = p_global_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    # exact permutation: positions are 1..n with no gaps or dups
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    # round-robin sharding: shard sizes differ by at most 1
+    sizes = Counter(r.shard_id for r in rows)
+    assert set(sizes) == set(range(min(8, n)))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the permutation actually shuffles: key order != doc_id order
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    assert by_pos != sorted(by_pos)
+    # reproducible: a second run lands every doc at the same position
+    again = {r.doc_id: r.pos for r in p_global_shuffle(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.pos for r in rows)
+
+
+def test_perplexity_buckets_are_ordered_terciles(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_perplexity_buckets
+
+    rows = t_perplexity_buckets(spark, sf_dir).collect()
+    assert rows
+    sizes = Counter(r.bucket for r in rows)
+    assert set(sizes) == {"head", "middle", "tail"}
+    # ntile balance: tercile sizes differ by at most 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # ordering contract: every head doc is at least as predictable
+    # (mean bigram probability) as every tail doc
+    mean = {r.doc_id: r.score_sum / r.n_bigrams for r in rows}
+    worst_head = min(mean[r.doc_id] for r in rows if r.bucket == "head")
+    best_tail = max(mean[r.doc_id] for r in rows if r.bucket == "tail")
+    assert worst_head >= best_tail
+
+
+def test_hybrid_rrf_rewards_presence_in_both_lists(spark, sf_dir):
+    from cube_builder_spark.ann_queries import a_hybrid_search_rrf
+
+    rows = a_hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    # output is rank-sorted by fused score
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # RRF contract: a doc present in BOTH lists carries both rank
+    # contributions; its score must exceed either single contribution
+    for r in rows:
+        if r.rank_lex is not None and r.rank_vec is not None:
+            assert r.rrf_score > 10**9 // (60 + r.rank_lex)
+            assert r.rrf_score > 10**9 // (60 + r.rank_vec)
+        else:
+            # single-list docs carry exactly one contribution
+            rank = r.rank_lex if r.rank_lex is not None else r.rank_vec
+            assert r.rrf_score == 10**9 // (60 + rank)
+    # the query doc itself is excluded from both candidate lists
+    assert all(r.doc_id != 0 for r in rows)
+
+
+def test_cusum_finds_the_planted_mean_shift(spark, monkeypatch):
+    """The oracle proves engine parity, not statistical correctness —
+    plant a known mean shift and assert CUSUM localizes it: 10 days
+    at 5 events/day, then 10 days at 50/day => the max-|S| split must
+    land exactly on the last low-rate day."""
+    import datetime
+
+    import cube_builder_spark.events_queries as eq
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        rate = 5 if d < 10 else 50
+        for i in range(rate):
+            eid += 1
+            rows.append((eid, "click",
+                         datetime.datetime(2024, 1, 1 + d, 12, 0, i % 60)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp")
+    monkeypatch.setattr(eq, "_events", lambda s, d: ev)
+    out = eq.e_cusum_changepoint(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    # day index of 2024-01-10 (the last 5/day day) since epoch
+    expect = (datetime.date(2024, 1, 10) - datetime.date(1970, 1, 1)).days
+    assert r.changepoint_day == expect
+    assert r.t_index == 10 and r.n_days == 20
+    # dev sign: cumsum below the global trend before an upward shift
+    assert r.dev < 0 and r.abs_dev == -r.dev
