@@ -109,10 +109,15 @@ class CubeService:
 
     def _load_catalog(self) -> None:
         """Rehydrate from ``workdir/catalog/*.json`` (one file per
-        cube), migrating any pre-round-11 single-file
-        ``workdir/catalog.json`` entries that don't already have a
-        per-cube file. A corrupt file is moved aside (never silently
-        overwritten) and skipped."""
+        cube). A pre-round-11 single-file ``workdir/catalog.json`` is
+        MIGRATED for real on first load: every legacy entry without a
+        per-cube file gets one written (per-cube files win over stale
+        legacy entries of the same name), then the legacy file is
+        retired to ``catalog.json.migrated`` — so the single file
+        never stays silently load-bearing (an operator deleting it
+        after seeing the new layout must not lose cubes). A corrupt
+        file is moved aside (never silently overwritten) and
+        skipped."""
         import glob
         import json
         import warnings
@@ -148,6 +153,22 @@ class CubeService:
                 defn=CubeDefinition(**rec["defn"]),
                 parameters=rec.get("parameters") or {},
                 out_dir=rec.get("out_dir"))
+        if isinstance(legacy, dict):
+            # finish the migration: persist every legacy entry as a
+            # per-cube file (same atomic write as a save; entries that
+            # already had a per-cube file rewrite with the WINNING
+            # per-cube content since self.cubes holds that), then
+            # retire the legacy file. Two processes racing here write
+            # identical per-file content; the loser of the final
+            # rename just finds the file already moved.
+            for n in legacy:
+                if n in self.cubes:
+                    self._save_cube(n)
+            try:
+                os.replace(self._legacy_path(),
+                           self._legacy_path() + ".migrated")
+            except OSError:
+                pass
 
     # -- status ------------------------------------------------------
     def status(self) -> dict:

@@ -1552,13 +1552,15 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
     O(files-holding-changed-keys) on a key-clustered dimension, and
     history rows are never rewritten — exactly Delta's recommended
     SCD2 MERGE recipe."""
+    # probe 4 so "exactly 3 duplicated keys" and "more than 3" render
+    # differently (only the first 3 are named)
     dup = (updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > 1).limit(3).collect())
+           .filter(F.col("_n") > 1).limit(4).collect())
     if dup:
-        keys = ", ".join(str(r[key_col]) for r in dup)
+        keys = ", ".join(str(r[key_col]) for r in dup[:3])
         raise ValueError(
             f"scd2_merge: update batch carries duplicate {key_col} "
-            f"values ({keys}{', …' if len(dup) == 3 else ''}) — both "
+            f"values ({keys}{', …' if len(dup) > 3 else ''}) — both "
             "rows would collide on one surrogate key; deduplicate to "
             "one row per key (last-per-key) and re-submit")
     cur = (store.read(spark)

@@ -129,7 +129,8 @@ def test_concurrent_different_cube_saves_never_clobber(tmp_path):
     assert sorted(os.listdir(os.path.join(wd, "catalog"))) == \
         ["LC8-16D.json", "S2-16D.json"]
 
-    # legacy migration: a pre-round-11 catalog.json rehydrates too
+    # legacy migration: a pre-round-11 catalog.json rehydrates AND is
+    # migrated for real — per-cube files written, single file retired
     legacy = {"OLD-CUBE": {"defn": dataclasses.asdict(
         dataclasses.replace(_defn(), name="OLD-CUBE")),
         "parameters": {"p": 1}, "out_dir": None}}
@@ -138,7 +139,18 @@ def test_concurrent_different_cube_saves_never_clobber(tmp_path):
     svc = CubeService(wd)
     assert {c["name"] for c in svc.list_cubes()} == \
         {"S2-16D", "LC8-16D", "OLD-CUBE"}
+    assert os.path.exists(os.path.join(wd, "catalog", "OLD-CUBE.json"))
+    assert not os.path.exists(os.path.join(wd, "catalog.json"))
+    assert os.path.exists(os.path.join(wd, "catalog.json.migrated"))
+    # deletion-safety: the retired legacy file is no longer
+    # load-bearing — every cube survives a fresh rehydrate without it
+    os.remove(os.path.join(wd, "catalog.json.migrated"))
+    assert {c["name"] for c in CubeService(wd).list_cubes()} == \
+        {"S2-16D", "LC8-16D", "OLD-CUBE"}
     # a per-cube file wins over a stale legacy entry of the same name
+    with open(os.path.join(wd, "catalog.json"), "w") as fh:
+        json.dump(legacy, fh)   # stale legacy reappears (old backup)
+    svc = CubeService(wd)
     svc.update_cube("OLD-CUBE", title="migrated")
     assert CubeService(wd).list_cubes("OLD-CUBE")[
         "parameters"]["title"] == "migrated"
