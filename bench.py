@@ -220,6 +220,7 @@ HEADLINE = [
     "t_perplexity_buckets",
     "a_hybrid_search_rrf",
     "e_cusum_changepoint",
+    "e_kaplan_meier",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

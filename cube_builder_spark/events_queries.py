@@ -1960,3 +1960,82 @@ def e_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("t").alias("t_index"), "n_days",
                     F.col("dev").cast("long").alias("dev"),
                     F.abs(F.col("dev")).cast("long").alias("abs_dev")))
+
+
+@register("e_kaplan_meier", """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              AS BIGINT) AS first_day,
+         CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              AS BIGINT) AS last_day
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT CAST(max(last_day) AS BIGINT) AS m FROM per_user),
+obs AS (
+  SELECT u.user_id, u.last_day - u.first_day AS duration,
+         u.last_day <= h.m - 8 AS churned
+  FROM per_user u CROSS JOIN horizon h
+),
+agg AS (
+  SELECT duration,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_churned,
+         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_censored,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM obs GROUP BY duration
+),
+risk AS (
+  SELECT duration, d_churned, c_censored,
+         CAST(sum(n_total) OVER (ORDER BY duration DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_at_risk
+  FROM agg
+)
+SELECT duration, n_at_risk, d_churned, c_censored
+FROM risk WHERE d_churned > 0
+""")
+def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival-table inputs for user lifetime (Kaplan &
+    Meier 1958 — the retention-curve estimator product analytics
+    reads churn from): per user, lifetime = last-activity day minus
+    first-activity day; a user whose last activity is more than 8
+    days before the corpus horizon is an OBSERVED churn, anyone still
+    active near the horizon is right-CENSORED at their last day. The
+    output is the estimator's exact-integer event table — for every
+    duration with at least one churn: n_at_risk (users with lifetime
+    >= t, censored included until they drop out — the KM property),
+    d_churned, c_censored. The survival product S(t) = prod(1 - d/n)
+    is left to the caller: a cross-engine float PRODUCT is
+    reduction-order-unstable, while this table is hash-exact and
+    sufficient (same discipline as e_ab_test's integerized z-test).
+
+    Scale shape: one map-side-combinable per-user aggregate over
+    events, a 1-row broadcast horizon, a duration-bounded groupBy,
+    and the at-risk window over the AGGREGATED duration frame
+    (calendar-bounded rows, never users)."""
+    ev = _events(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    per_user = (ev.select("user_id", day.alias("day"))
+                .groupBy("user_id")
+                .agg(F.min("day").alias("first_day"),
+                     F.max("day").alias("last_day")))
+    horizon = per_user.agg(F.max("last_day").alias("m"))
+    obs = (per_user.crossJoin(F.broadcast(horizon))
+           .select((F.col("last_day") - F.col("first_day"))
+                   .alias("duration"),
+                   (F.col("last_day") <= F.col("m") - 8).alias("churned")))
+    agg = (obs.groupBy("duration")
+           .agg(F.sum(F.when(F.col("churned"), 1).otherwise(0))
+                .cast("long").alias("d_churned"),
+                F.sum(F.when(F.col("churned"), 0).otherwise(1))
+                .cast("long").alias("c_censored"),
+                F.count(F.lit(1)).cast("long").alias("n_total")))
+    w = (Window.orderBy(F.desc("duration"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = agg.select(
+        "duration", "d_churned", "c_censored",
+        F.sum("n_total").over(w).cast("long").alias("n_at_risk"))
+    return (risk.filter(F.col("d_churned") > 0)
+            .select("duration", "n_at_risk", "d_churned", "c_censored"))

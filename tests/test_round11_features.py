@@ -96,3 +96,39 @@ def test_cusum_finds_the_planted_mean_shift(spark, monkeypatch):
     assert r.t_index == 10 and r.n_days == 20
     # dev sign: cumsum below the global trend before an upward shift
     assert r.dev < 0 and r.abs_dev == -r.dev
+
+
+def test_kaplan_meier_planted_cohort(spark, monkeypatch):
+    """Plant a cohort with known lifetimes and censoring: 3 users
+    churn at duration 2, 1 at duration 5, 2 still active near the
+    horizon (censored, duration 3). KM rows appear only at churn
+    durations; n_at_risk counts censored users until they drop out."""
+    import datetime
+
+    import cube_builder_spark.events_queries as eq
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # horizon anchor: one long-lived user whose last day IS the max
+    # (duration 30, censored)
+    spans = [(0, 2), (0, 2), (0, 2),      # churn at t=2
+             (0, 5),                      # churn at t=5
+             (27, 30), (27, 30),          # active near horizon: t=3
+             (0, 30)]                     # anchor, t=30, censored
+    for uid, (a, b) in enumerate(spans):
+        for d in (a, b):
+            eid += 1
+            rows.append((eid, uid, "click",
+                         base + datetime.timedelta(days=d)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    monkeypatch.setattr(eq, "_events", lambda s, d: ev)
+    out = {r.duration: r for r in eq.e_kaplan_meier(spark, "x").collect()}
+    # churn durations only (3 and 30 are censored-only -> no row)
+    assert set(out) == {2, 5}
+    # at t=2: everyone (7 users) still at risk, 3 churn
+    assert out[2].n_at_risk == 7 and out[2].d_churned == 3
+    assert out[2].c_censored == 0
+    # at t=5: the 3 churned-at-2 and the censored-at-3 pair are gone
+    assert out[5].n_at_risk == 2 and out[5].d_churned == 1
