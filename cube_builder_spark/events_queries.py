@@ -30,6 +30,23 @@ def _events(spark, sf_dir):
     return load_tables(spark, sf_dir, ["events"])["events"]
 
 
+def _epoch_day():
+    """Days since 1970-01-01 of ``ts`` as a long — the shared integer
+    day key (exact in both engines; mirrors the oracles'
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))."""
+    return F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+
+
+def _daily_counts(ev):
+    """(event_type, day, cnt) per-type daily volumes — the
+    pre-aggregated calendar-bounded frame the windowed time-series
+    queries (moving avg, anomaly, rank functions, CUSUM) all run
+    over instead of the raw stream."""
+    return (ev.select("event_type", _epoch_day().alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 SESSION_GAP_SEC = 1800
 
 
@@ -431,11 +448,7 @@ def e_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw stream. avg is the exact integer frame sum divided by
     present days (both engines bit-identical)."""
     ev = _events(spark, sf_dir)
-    daily = (ev.select("event_type",
-                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                       .cast("long").alias("day"))
-             .groupBy("event_type", "day")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    daily = _daily_counts(ev)
     w = (Window.partitionBy("event_type").orderBy("day")
          .rangeBetween(-6, 0))
     return daily.select(
@@ -529,11 +542,7 @@ def e_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same as e_moving_avg — the window runs over
     pre-aggregated (type, day) counts, never the raw stream."""
     ev = _events(spark, sf_dir)
-    daily = (ev.select("event_type",
-                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                       .cast("long").alias("day"))
-             .groupBy("event_type", "day")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    daily = _daily_counts(ev)
     w = (Window.partitionBy("event_type").orderBy("day")
          .rangeBetween(-13, -1))
     win = daily.select(
@@ -693,11 +702,7 @@ def e_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; percent_rank/cume_dist are exact rational doubles
     of integer ranks, bit-identical across engines."""
     ev = _events(spark, sf_dir)
-    daily = (ev.select("event_type",
-                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                       .cast("long").alias("day"))
-             .groupBy("event_type", "day")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    daily = _daily_counts(ev)
     w = Window.partitionBy("event_type").orderBy("cnt", "day")
     wt = Window.partitionBy("event_type").orderBy("day")
     return daily.select(
@@ -1936,11 +1941,7 @@ def e_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (calendar-bounded, partitioned by type), never the raw
     events; the argmax is a rank-1 filter on that same tiny frame."""
     ev = _events(spark, sf_dir)
-    daily = (ev.select("event_type",
-                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                       .cast("long").alias("day"))
-             .groupBy("event_type", "day")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    daily = _daily_counts(ev)
     w_ord = Window.partitionBy("event_type").orderBy("day")
     w_all = Window.partitionBy("event_type")
     c = daily.select(
@@ -2016,8 +2017,7 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the at-risk window over the AGGREGATED duration frame
     (calendar-bounded rows, never users)."""
     ev = _events(spark, sf_dir)
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
-    per_user = (ev.select("user_id", day.alias("day"))
+    per_user = (ev.select("user_id", _epoch_day().alias("day"))
                 .groupBy("user_id")
                 .agg(F.min("day").alias("first_day"),
                      F.max("day").alias("last_day")))

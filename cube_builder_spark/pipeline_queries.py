@@ -1837,7 +1837,7 @@ def p_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = global_rank(
         keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
-        n_part, rank_col="pos").drop("_n")
+        n_part, rank_col="pos")
     return ranked.select(
         "doc_id", F.col("shuffle_key").cast("long").alias("shuffle_key"),
         "pos",
