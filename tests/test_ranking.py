@@ -105,3 +105,33 @@ def test_rfm_scalable_plan_has_no_global_data_window(spark, sf_dir):
             n_data_windows += 1
             assert "_rp" in part, f"unpartitioned data window: {funcs}"
     assert n_data_windows == 3, plan
+
+
+def test_global_rank_hypothesis_fuzz(spark):
+    """Randomized differential: global_rank over arbitrary int pairs
+    (heavy ties included) must equal the single-partition
+    row_number, for assorted partition counts including n_partitions
+    > n_rows and 1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=-5, max_value=5),
+                      min_size=1, max_size=60),
+        n_parts=st.sampled_from([1, 3, 8, 64]),
+    )
+    def check(vals, n_parts):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        order = [F.col("v").desc(), F.col("id").asc()]
+        got = {r["id"]: (r["_gr"], r["_n"])
+               for r in global_rank(df, order, n_parts).collect()}
+        want = {r["id"]: r["rk"] for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rk"))
+            .collect()}
+        n = len(vals)
+        assert {k: v[0] for k, v in got.items()} == want
+        assert all(v[1] == n for v in got.values())
+
+    check()
