@@ -186,3 +186,38 @@ def test_runtime_bloom_filter_injects_across_shuffle(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_global_shuffle_no_global_sort_or_range_exchange(
+        spark, sf_dir, queries):
+    """p_global_shuffle's rank must come from the checkpointed range
+    shuffle (TeraSort shape): the final plan carries NO range
+    exchange (it ran pre-checkpoint, once) and NO unpartitioned
+    global Sort over data — the only windows run partitioned by the
+    range-partition label or over the metadata offsets frame."""
+    plan = _physical(queries["p_global_shuffle"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert "Scan ExistingRDD" in plan   # both branches read the ckpt
+
+
+def test_hybrid_rrf_partial_topk_not_global_window(spark, sf_dir, queries):
+    """Both candidate lists must come from TakeOrderedAndProject
+    (distributed partial top-k) — a global row_number window over the
+    scored corpus would funnel it through one task."""
+    plan = _physical(queries["a_hybrid_search_rrf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the rank windows run AFTER the top-50 truncation; the full
+    # candidate frames never meet a global sort
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_cusum_windows_partitioned_by_type(spark, sf_dir, queries):
+    """Every window in the CUSUM plan partitions by event_type — the
+    statistic runs over the pre-aggregated daily frame, and nothing
+    sorts globally except the final tiny output."""
+    import re
+
+    df = queries["e_cusum_changepoint"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt):
+        assert "event_type" in m.group(2), m.group(0)
