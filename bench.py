@@ -221,6 +221,7 @@ HEADLINE = [
     "a_hybrid_search_rrf",
     "e_cusum_changepoint",
     "e_kaplan_meier",
+    "e_frequent_paths",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

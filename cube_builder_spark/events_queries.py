@@ -2039,3 +2039,60 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_total").over(w).cast("long").alias("n_at_risk"))
     return (risk.filter(F.col("d_churned") > 0)
             .select("duration", "n_at_risk", "d_churned", "c_censored"))
+
+
+@register("e_frequent_paths", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT user_id, event_type AS t1, t2, t3
+  FROM seq WHERE t3 IS NOT NULL
+),
+agg AS (
+  SELECT t1, t2, t3,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM paths GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, n_occurrences, n_users
+FROM agg
+ORDER BY n_users DESC, n_occurrences DESC, t1, t2, t3
+LIMIT 20
+""")
+def e_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioral paths — the contiguous-sequence
+    support counting at the core of sequential-pattern mining
+    (PrefixSpan / SPADE's unit step, Pei et al. 2001), one order up
+    from e_event_transitions' pair matrix: every consecutive
+    (t1, t2, t3) triple per user, ranked by user support then raw
+    occurrences. Support = DISTINCT users (the pattern-mining
+    definition — a loop by one power user must not dominate), with
+    occurrence count alongside.
+
+    Determinism: ts ties break on the unique event_id in both
+    engines, so the lead() triples are engine-exact; the top-20 order
+    is total via the (support, occurrences, t1, t2, t3) key.
+
+    Scale shape: ONE (user)-partitioned window serves both leads, the
+    triple key space is |types|^3-bounded (125 here) so the groupBy
+    is map-side combinable, count(DISTINCT user_id) expands to the
+    standard two-phase partial aggregate on the (triple, user) key,
+    and the top-20 is a TakeOrdered over the bounded aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (ev.select("user_id",
+                       F.col("event_type").alias("t1"),
+                       F.lead("event_type", 1).over(w).alias("t2"),
+                       F.lead("event_type", 2).over(w).alias("t3"))
+             .filter(F.col("t3").isNotNull()))
+    agg = (paths.groupBy("t1", "t2", "t3")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.countDistinct("user_id").cast("long").alias("n_users")))
+    return (agg.orderBy(F.desc("n_users"), F.desc("n_occurrences"),
+                        "t1", "t2", "t3")
+            .limit(20))
