@@ -222,6 +222,7 @@ HEADLINE = [
     "e_cusum_changepoint",
     "e_kaplan_meier",
     "e_frequent_paths",
+    "p_shard_manifest",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -2751,3 +2751,71 @@ def x_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     numerator.cast("long").alias("numerator"),
                     (F.lit(_HLL_EST_CONST) / numerator).alias("estimate"))
             .orderBy("day"))
+
+
+@register("p_shard_manifest", """
+WITH k AS (
+  SELECT doc_id, text, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+  FROM k
+),
+assigned AS (
+  SELECT (pos - 1) % 8 AS shard_id, pos, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM r
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned GROUP BY shard_id
+""")
+def p_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard MANIFEST — the artifact a data pipeline hands
+    to the trainer alongside the shard files: per shard of the
+    deterministic global shuffle (p_global_shuffle's permutation +
+    round-robin assignment), the doc count, whitespace-token count,
+    byte size, permutation-position range, and doc-id extremes. The
+    trainer uses it to size epochs/batches and to audit that every
+    shard is a uniform slice (balanced n_docs, interleaved positions)
+    — WebDataset/MosaicML-style shard index semantics, computed in
+    the same job that decides the assignment so index and data can
+    never drift.
+
+    Scale shape: the shuffle is the TeraSort range exchange
+    (functions/ranking.global_rank, materialized once); the manifest
+    itself is one map-side-combinable groupBy on the 8-value shard
+    key. UTF-8 byte length via octet_length/BLOB cast on both
+    engines."""
+    from .functions.ranking import global_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = global_rank(
+        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        n_part, rank_col="pos")
+    assigned = ranked.select(
+        F.expr("(pos - 1) % 8").cast("long").alias("shard_id"),
+        "pos", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"))
+    return (assigned.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum("n_bytes").cast("long").alias("n_bytes"),
+                 F.min("pos").cast("long").alias("first_pos"),
+                 F.max("pos").cast("long").alias("last_pos"),
+                 F.min("doc_id").cast("long").alias("min_doc_id"),
+                 F.max("doc_id").cast("long").alias("max_doc_id")))
