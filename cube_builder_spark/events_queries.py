@@ -2001,7 +2001,7 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival-table inputs for user lifetime (Kaplan &
     Meier 1958 — the retention-curve estimator product analytics
     reads churn from): per user, lifetime = last-activity day minus
-    first-activity day; a user whose last activity is more than 8
+    first-activity day; a user whose last activity is at least 8
     days before the corpus horizon is an OBSERVED churn, anyone still
     active near the horizon is right-CENSORED at their last day. The
     output is the estimator's exact-integer event table — for every
@@ -2013,7 +2013,10 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient (same discipline as e_ab_test's integerized z-test).
 
     Scale shape: one map-side-combinable per-user aggregate over
-    events, a 1-row broadcast horizon, a duration-bounded groupBy,
+    events plus one ts-pruned max scan for the horizon (computing the
+    horizon FROM the per-user frame would re-evaluate that aggregate
+    — see the in-code note), a 1-row broadcast horizon, a
+    duration-bounded groupBy,
     and the at-risk window over the AGGREGATED duration frame
     (calendar-bounded rows, never users)."""
     ev = _events(spark, sf_dir)
@@ -2021,7 +2024,14 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("day").alias("first_day"),
                      F.max("day").alias("last_day")))
-    horizon = per_user.agg(F.max("last_day").alias("m"))
+    # the horizon is the global max day — computed straight off the
+    # events scan (pruned to ts only) rather than via per_user.agg,
+    # which would re-evaluate the per-user aggregate subtree (column
+    # pruning makes the two exchanges non-identical, so ReuseExchange
+    # does not fire — the measured behavior functions/ranking.py
+    # documents)
+    horizon = ev.select(_epoch_day().alias("day")).agg(
+        F.max("day").alias("m"))
     obs = (per_user.crossJoin(F.broadcast(horizon))
            .select((F.col("last_day") - F.col("first_day"))
                    .alias("duration"),

@@ -1790,6 +1790,32 @@ def p_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_sampled")))
 
 
+_SHUFFLE_MULT = 2654435761   # Knuth multiplicative; odd => bijection mod 2^32
+_SHUFFLE_MOD = 4294967296    # 2^32
+_N_SHARDS = 8
+
+
+def _shuffle_positions(spark, sf_dir, cols=("doc_id",)):
+    """Deterministic global permutation over documents — the shared
+    front-end of p_global_shuffle and p_shard_manifest (one source of
+    truth for the multiplier/modulus/shard count, so the manifest can
+    never describe a different permutation than the shuffle emits):
+    Knuth key + functions/ranking.global_rank position (TeraSort
+    range-shuffle shape). Returns the selected ``cols`` plus
+    ``shuffle_key`` and the 1-based ``pos``."""
+    from .functions.ranking import global_rank
+
+    docs = _docs(spark, sf_dir).select(*cols)
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.pmod(F.col("doc_id") * F.lit(_SHUFFLE_MULT),
+               F.lit(_SHUFFLE_MOD)))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return global_rank(
+        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        n_part, rank_col="pos")
+
+
 @register("p_global_shuffle", """
 WITH k AS (
   SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
@@ -1828,21 +1854,13 @@ def p_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one sampled range shuffle + metadata-scale offsets —
     the TeraSort shape; shard files then write out partitioned by
     shard_id with no further movement."""
-    from .functions.ranking import global_rank
-
-    docs = _docs(spark, sf_dir).select("doc_id")
-    keyed = docs.withColumn(
-        "shuffle_key",
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = global_rank(
-        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
-        n_part, rank_col="pos")
+    ranked = _shuffle_positions(spark, sf_dir)
     return ranked.select(
         "doc_id", F.col("shuffle_key").cast("long").alias("shuffle_key"),
         "pos",
-        F.expr("(pos - 1) % 8").cast("long").alias("shard_id"),
-        F.expr("(pos - 1) DIV 8 + 1").cast("long").alias("pos_in_shard"))
+        F.expr(f"(pos - 1) % {_N_SHARDS}").cast("long").alias("shard_id"),
+        F.expr(f"(pos - 1) DIV {_N_SHARDS} + 1").cast("long")
+        .alias("pos_in_shard"))
 
 
 @register("x_analyze_histogram", """
@@ -2796,18 +2814,9 @@ def p_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is one map-side-combinable groupBy on the 8-value shard
     key. UTF-8 byte length via octet_length/BLOB cast on both
     engines."""
-    from .functions.ranking import global_rank
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    keyed = docs.withColumn(
-        "shuffle_key",
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = global_rank(
-        keyed, [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
-        n_part, rank_col="pos")
+    ranked = _shuffle_positions(spark, sf_dir, cols=("doc_id", "text"))
     assigned = ranked.select(
-        F.expr("(pos - 1) % 8").cast("long").alias("shard_id"),
+        F.expr(f"(pos - 1) % {_N_SHARDS}").cast("long").alias("shard_id"),
         "pos", "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.octet_length("text").cast("long").alias("n_bytes"))

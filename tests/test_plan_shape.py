@@ -219,5 +219,11 @@ def test_cusum_windows_partitioned_by_type(spark, sf_dir, queries):
 
     df = queries["e_cusum_changepoint"](spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt):
+    matches = list(re.finditer(
+        r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt))
+    # vacuous-pass guard: the plan carries the cum/t windows and the
+    # argmax rank window — if the rendering changes and the regex
+    # stops matching, fail loudly instead of green-lighting anything
+    assert len(matches) >= 2, opt
+    for m in matches:
         assert "event_type" in m.group(2), m.group(0)

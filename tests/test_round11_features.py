@@ -132,3 +132,75 @@ def test_kaplan_meier_planted_cohort(spark, monkeypatch):
     assert out[2].c_censored == 0
     # at t=5: the 3 churned-at-2 and the censored-at-3 pair are gone
     assert out[5].n_at_risk == 2 and out[5].d_churned == 1
+
+
+def test_frequent_paths_planted_support_semantics(spark, monkeypatch):
+    """Planted cohort pinning the two semantics the oracle hash can't
+    explain: triples OVERLAP (a,b,c,d yields two), and support counts
+    DISTINCT users so one power user's loop cannot dominate."""
+    import datetime
+
+    import cube_builder_spark.events_queries as eq
+
+    base = datetime.datetime(2024, 2, 1)
+    rows, eid = [], 0
+    seqs = {1: ["view", "click", "purchase", "view"],
+            2: ["view", "click", "purchase"],
+            # power user looping one pattern 3x: occurrences win,
+            # support must not
+            3: ["refund", "cart", "refund", "cart", "refund", "cart",
+                "refund", "cart"]}
+    for uid, types in seqs.items():
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append((eid, uid, t, base + datetime.timedelta(minutes=i)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    monkeypatch.setattr(eq, "_events", lambda s, d: ev)
+    out = [((r.t1, r.t2, r.t3), r.n_occurrences, r.n_users)
+           for r in eq.e_frequent_paths(spark, "x").collect()]
+    paths = dict((p, (o, u)) for p, o, u in out)
+    # overlap: user 1's 4 events yield BOTH triples
+    assert paths[("view", "click", "purchase")] == (2, 2)
+    assert paths[("click", "purchase", "view")] == (1, 1)
+    # the power user's 3x loop: high occurrences, support 1
+    assert paths[("refund", "cart", "refund")] == (3, 1)
+    # support-first ranking: the 2-user path outranks every 1-user
+    # path despite fewer occurrences
+    assert out[0][0] == ("view", "click", "purchase")
+
+
+def test_shard_manifest_planted_balance_and_totals(spark, monkeypatch):
+    """Planted corpus: the manifest must tile the permutation exactly
+    — shard sizes within 1, totals reconstruct the corpus, first_pos
+    equals the round-robin phase, and token/byte sums match a python
+    recomputation of the same Knuth permutation."""
+    import cube_builder_spark.pipeline_queries as pq
+
+    n = 20
+    texts = {i: ("tok " * (i % 5 + 1)).strip() for i in range(n)}
+    docs = spark.createDataFrame(
+        [(i, texts[i]) for i in range(n)], "doc_id long, text string")
+    monkeypatch.setattr(pq, "_docs", lambda s, d: docs)
+    out = {r.shard_id: r for r in pq.p_shard_manifest(spark, "x").collect()}
+
+    # python replication of the permutation + round-robin assignment
+    order = sorted(range(n), key=lambda i: ((i * 2654435761) % 2**32, i))
+    shards = {}
+    for pos0, doc in enumerate(order):
+        shards.setdefault(pos0 % 8, []).append((pos0 + 1, doc))
+    assert set(out) == set(shards)
+    for s, members in shards.items():
+        r = out[s]
+        assert r.n_docs == len(members)
+        assert r.first_pos == members[0][0] == s + 1
+        assert r.last_pos == members[-1][0]
+        assert r.n_tokens == sum(len(texts[d].split(" "))
+                                 for _p, d in members)
+        assert r.n_bytes == sum(len(texts[d].encode()) for _p, d in members)
+        assert r.min_doc_id == min(d for _p, d in members)
+        assert r.max_doc_id == max(d for _p, d in members)
+    sizes = [out[s].n_docs for s in out]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == n
