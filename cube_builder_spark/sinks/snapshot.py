@@ -1531,7 +1531,12 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
       history row ("latest change on the same day wins"; a close +
       insert would collide on sk = key|valid_from).
 
-    A batch carrying the SAME key twice is REJECTED (ValueError)
+    A RETRO-DATED batch (effective before a changed key's current
+    valid_from) is REJECTED before anything commits: it would close
+    the current row with a negative validity interval and corrupt the
+    history every point-in-time join reads — retroactive corrections
+    are a history SPLICE, not a merge. Likewise a batch carrying the
+    SAME key twice is REJECTED (ValueError)
     before anything commits: both rows would flow to one
     sk = key|effective and merge_upsert would land both — two
     "current" rows for one key, the surrogate-key collision class the
@@ -1584,6 +1589,25 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
     # (key|effective == key|valid_from) matches the stored current
     # row, so merge_upsert rewrites it with the new attributes —
     # "latest change on the same day wins", no zero-length history row.
+    # Retro-dated updates are REJECTED before anything commits: an
+    # effective date BEFORE the key's current valid_from would close
+    # the current row with valid_to < valid_from (a negative validity
+    # interval) and insert an out-of-order "current" — corrupted
+    # history that every downstream point-in-time join then reads.
+    # Correcting history retroactively is a SPLICE operation (rewrite
+    # the affected key's whole interval chain), not a merge; reject
+    # loudly so the caller reaches for the right tool.
+    retro = (changed.filter(F.col("_k").isNotNull() & (eff < F.col("_vf")))
+             .select(F.col("_k"), F.col("_vf")).limit(4).collect())
+    if retro:
+        keys = ", ".join(f"{r['_k']} (current since {r['_vf']})"
+                         for r in retro[:3])
+        raise ValueError(
+            f"scd2_merge: effective date {effective} precedes the "
+            f"current valid_from for {key_col} {keys}"
+            f"{', …' if len(retro) > 3 else ''} — a retro-dated batch "
+            "would create a negative validity interval; splice history "
+            "explicitly instead of merging out of order")
     same_day = F.col("_k").isNotNull() & F.col("_vf").eqNullSafe(eff)
     closed = (changed.filter(F.col("_k").isNotNull() & ~same_day)
               .select(F.col("_k").alias(key_col),

@@ -1458,3 +1458,100 @@ def test_scd2_rejects_same_batch_duplicate_keys(spark, tmp_path):
     assert st.head("main") == head  # nothing committed
     rows = [(r.k, r.seg) for r in st.read(spark).collect()]
     assert rows == [(1, "A")]
+
+
+def test_scd2_randomized_vs_reference_model(spark, tmp_path):
+    """Randomized differential: apply seeded random batch sequences
+    (non-decreasing effective dates — the documented contract) to
+    scd2_merge AND to a plain-python SCD2 reference model; the full
+    stored dimension must equal the model after every batch. Covers
+    arbitrary interleavings of no-op / same-day correction /
+    later-day change / brand-new key that the hand-written cases
+    can't enumerate."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    def run_seed(seed: int) -> None:
+        rng = random.Random(seed)
+        st = SnapshotStore(str(tmp_path / f"scd2rand{seed}"))
+        init = spark.createDataFrame(
+            [(k, f"s{k}", k * 10) for k in range(3)],
+            "k long, seg string, score long") \
+            .withColumn("valid_from", F.lit("2024-01-01").cast("date")) \
+            .withColumn("valid_to", F.lit(None).cast("date")) \
+            .withColumn("is_current", F.lit(True))
+        st.write(init.withColumn(
+            "sk", F.concat_ws("|", F.col("k").cast("string"),
+                              F.col("valid_from").cast("string"))))
+        # reference model: key -> list of [seg, score, vf, vt, cur]
+        model = {k: [[f"s{k}", k * 10, "2024-01-01", None, True]]
+                 for k in range(3)}
+        day = datetime.date(2024, 1, 1)
+        for _batch in range(4):
+            day += datetime.timedelta(days=rng.randint(0, 5))
+            eff = day.isoformat()
+            keys = rng.sample(range(6), rng.randint(1, 4))
+            rows = [(k, rng.choice(["a", "b", f"s{k}"]),
+                     rng.randint(0, 3) * 10) for k in keys]
+            upd = spark.createDataFrame(rows, "k long, seg string, score long")
+            scd2_merge(st, spark, upd, "k", ["seg", "score"], eff)
+            for k, seg, score in rows:
+                hist = model.setdefault(k, [])
+                cur = next((r for r in hist if r[4]), None)
+                if cur is None:
+                    hist.append([seg, score, eff, None, True])
+                elif (cur[0], cur[1]) == (seg, score):
+                    pass                       # no-op
+                elif cur[2] == eff:
+                    cur[0], cur[1] = seg, score   # same-day in place
+                else:
+                    cur[3], cur[4] = eff, False   # close
+                    hist.append([seg, score, eff, None, True])
+            got = sorted(
+                (r.k, r.seg, r.score, str(r.valid_from),
+                 str(r.valid_to), r.is_current)
+                for r in st.read(spark).collect())
+            want = sorted(
+                (k, seg, score, vf, str(vt) if vt else "None", cur)
+                for k, hist in model.items()
+                for seg, score, vf, vt, cur in hist)
+            assert got == want, (seed, _batch, eff)
+
+    for seed in (7, 23, 91):
+        run_seed(seed)
+
+
+def test_scd2_rejects_retro_dated_batch(spark, tmp_path):
+    """An effective date BEFORE a changed key's current valid_from
+    must be rejected atomically (it would mint a negative validity
+    interval); a retro batch touching only UNCHANGED keys is a no-op,
+    not an error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, scd2_merge
+
+    st = SnapshotStore(str(tmp_path / "scd2retro"))
+    init = spark.createDataFrame([(1, "A")], "k long, seg string") \
+        .withColumn("valid_from", F.lit("2024-03-10").cast("date")) \
+        .withColumn("valid_to", F.lit(None).cast("date")) \
+        .withColumn("is_current", F.lit(True))
+    st.write(init.withColumn(
+        "sk", F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("valid_from").cast("string"))))
+    head = st.head("main")
+
+    retro = spark.createDataFrame([(1, "B")], "k long, seg string")
+    with pytest.raises(ValueError, match="precedes the current valid_from"):
+        scd2_merge(st, spark, retro, "k", ["seg"], "2024-03-01")
+    assert st.head("main") == head
+
+    # same retro date but attributes UNCHANGED: filtered as a no-op
+    # before the retro check, nothing commits, no error
+    noop = spark.createDataFrame([(1, "A")], "k long, seg string")
+    v, nc, ni = scd2_merge(st, spark, noop, "k", ["seg"], "2024-03-01")
+    assert (v, nc, ni) == (head, 0, 0)
