@@ -608,6 +608,15 @@ def merge_upsert(store: SnapshotStore, spark: SparkSession,
          brand-new rows land together);
       4. one manifest commit makes all of it visible atomically.
 
+    A batch carrying the same non-NULL key twice is REJECTED before
+    anything commits: the key is the store's row IDENTITY (delete_keys
+    / scd2_merge / CDC replication all key on it), and since step 3
+    appends the WHOLE batch, both rows would land — two live rows for
+    one identity, the silent corruption Delta's MERGE reports as
+    "multiple source rows matched". Deduplicate upstream
+    (last-per-key) and re-submit; NULL-key rows are exempt (they
+    never match and insert independently, SQL MERGE semantics).
+
     Returns (new_version, n_files_rewritten). At 100 TB the rewrite
     is O(files-holding-matched-keys) on a clustered table, the
     anti-join broadcasts, and a crash anywhere before the manifest
@@ -616,6 +625,18 @@ def merge_upsert(store: SnapshotStore, spark: SparkSession,
     pending merge-on-read deletes for the same reason delete_keys
     does: the rewrite would re-sequence touched files past them."""
     import pyarrow.parquet as pq
+
+    dup = (updates.filter(F.col(key_col).isNotNull())
+           .groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(4).collect())
+    if dup:
+        keys = ", ".join(str(r[key_col]) for r in dup[:3])
+        raise ValueError(
+            f"merge_upsert: update batch carries duplicate {key_col} "
+            f"values ({keys}{', …' if len(dup) > 3 else ''}) — the "
+            "whole batch appends, so both rows would survive as two "
+            "live rows for one identity; deduplicate to one row per "
+            "key (last-per-key) and re-submit")
 
     head = store.head("main")
     m = store._read_manifest(head)

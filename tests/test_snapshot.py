@@ -1555,3 +1555,33 @@ def test_scd2_rejects_retro_dated_batch(spark, tmp_path):
     noop = spark.createDataFrame([(1, "A")], "k long, seg string")
     v, nc, ni = scd2_merge(st, spark, noop, "k", ["seg"], "2024-03-01")
     assert (v, nc, ni) == (head, 0, 0)
+
+
+def test_merge_upsert_rejects_duplicate_keys_allows_nulls(spark, tmp_path):
+    """The merge key is the store's row identity: a batch with the
+    same non-NULL key twice must be rejected atomically (both rows
+    would append -> two live rows for one identity), while multiple
+    NULL-key rows are independent inserts (SQL MERGE semantics)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, merge_upsert
+
+    st = SnapshotStore(str(tmp_path / "mu_dup"))
+    st.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+    head = st.head("main")
+
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate k values"):
+        merge_upsert(st, spark, dup, "k")
+    assert st.head("main") == head  # nothing committed
+
+    nulls = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (3, "c")], "k long, v string")
+    v, _n = merge_upsert(st, spark, nulls, "k")
+    rows = sorted((r.k, r.v) for r in st.read(spark, v).collect()
+                  if r.k is not None)
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    n_null = sum(1 for r in st.read(spark, v).collect() if r.k is None)
+    assert n_null == 2
