@@ -63,6 +63,27 @@ def merge_into_parquet(spark: SparkSession, target_path: str,
     whole table is rewritten — fine for small dimension tables, wrong
     for fact tables (partition them).
     """
+    # Duplicate non-NULL merge keys in the source are rejected before
+    # anything is written: the full-outer join would emit one row per
+    # (target, source-dup) pair — two live rows for one identity,
+    # Delta's "multiple source rows matched" corruption (same guard
+    # and rationale as sinks/snapshot.merge_upsert). NULL keys never
+    # match under the USING join and insert independently.
+    nn = source
+    for k in keys:
+        nn = nn.filter(F.col(k).isNotNull())
+    dup = (nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(4).collect())
+    if dup:
+        shown = ", ".join(
+            "(" + ", ".join(str(r[k]) for k in keys) + ")"
+            for r in dup[:3])
+        raise ValueError(
+            f"merge_into_parquet: source carries duplicate key tuples "
+            f"({shown}{', …' if len(dup) > 3 else ''}) over {keys} — "
+            "deduplicate to one row per key (last-per-key) and "
+            "re-submit")
+
     if not os.path.exists(target_path):
         writer = source.write.mode("overwrite")
         if partition_cols:

@@ -75,3 +75,26 @@ def test_merge_is_idempotent(spark, tmp_path):
     for _ in range(3):
         merge_into_parquet(spark, path, df, ["region", "k"], ["region"])
     assert _rows(spark, path) == [("a", 1, "x", 1), ("b", 2, "y", 2)]
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """Duplicate non-NULL key tuples in the source must be rejected
+    before any write (the full-outer join would emit one row per
+    duplicate -> two live rows for one identity); nothing on disk
+    changes."""
+    import pytest
+
+    path = str(tmp_path / "dup_tbl")
+    target = spark.createDataFrame([("r1", 1, "a")],
+                                   "region string, k long, v string")
+    merge_into_parquet(spark, path, target, keys=["region", "k"],
+                       partition_cols=["region"])
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    dup = spark.createDataFrame([("r1", 1, "x"), ("r1", 1, "y")],
+                                "region string, k long, v string")
+    with pytest.raises(ValueError, match="duplicate key tuples"):
+        merge_into_parquet(spark, path, dup, keys=["region", "k"],
+                           partition_cols=["region"])
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
