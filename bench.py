@@ -113,6 +113,34 @@ AB_VERDICTS = {
         "reproduces 'now'; non-uniform steal wave (anchor concurrently "
         "faster than baseline) — host drift"),
 }
+# Backfilled adjudication (round 12, verdict r11 #6) of the 14 flags
+# the driver's FINAL r11 run left dangling — that run landed AFTER the
+# round's last commit (committed record 73.7s @ drift 1.27 vs the
+# driver's 101.9s @ drift 1.558, the noisiest end-of-round host on
+# record), so no verdict could have been in-file. r12 evidence, per
+# the established discipline: every flagged function is AST-IDENTICAL
+# to the r10 commit b72cbdc (ast.dump compare, re-run this session
+# across the module split — stream/storage/ann queries resolved to
+# their r10 pipeline_queries.py home), and the judge's independent
+# quieter-host interleaved A/B of the five worst (p_token_budget_mix
+# 0.71s, e_stream_suite 1.63s, m_image_dhash_dups 1.41s,
+# m_media_metadata 0.53s, p_sequence_pack 0.26s vs 1.60/2.57/2.94/
+# 1.41/0.66 flagged) settles them at the r10-record noise band; an
+# r12 interleaved spot-check of the remainder reads the same (see
+# _R11_TAIL below). Verdict for all 14: host drift at anchor-drift
+# 1.558 with per-core-bursty steal the single scan-bound anchor
+# under-corrects — exactly the instrument gap the round-12
+# multi-family anchors close. Nothing to revert.
+_R11_TAIL = ("r12 backfill: AST-identical to r10 b72cbdc; r11 final "
+             "run at record-noisiest drift 1.558; quiet-host A/B "
+             "(judge + r12 spot-check) reads r10-band — host drift")
+AB_VERDICTS.update({
+    (q, 10): _R11_TAIL for q in [
+        "c24_temporal_smooth", "m_image_dhash_dups", "p_decontaminate",
+        "p_sequence_pack", "p_token_budget_mix", "m_media_metadata",
+        "e_stream_suite", "x_snapshot_cdc", "e_rfm_segmentation",
+        "a_ann_mmr_rerank", "e_ewma_daily", "e_holt_forecast",
+        "x_row_column_policy", "x_hll_sliding_window"]})
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -223,6 +251,8 @@ HEADLINE = [
     "e_kaplan_meier",
     "e_frequent_paths",
     "p_shard_manifest",
+    # round-12 surface
+    "a_hybrid_rrf_scalable",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would
@@ -377,37 +407,82 @@ def main():
     prev, prev_round = _previous_bench_queries(sf_val0)
     anchor_rec, movers = None, {}
     if prev:
-        # Environment calibration (round-8): the r7 record ran on a
-        # loaded machine and the raw tripwire flagged 10+ queries that
-        # controlled re-timing showed flat. Anchor queries are stable,
-        # cheap plans that haven't changed in rounds — the median of
-        # their round-over-round ratios estimates the HOST drift, and
-        # each mover's pct is re-stated net of it. Drift is clamped at
-        # >= 1 so calibration can only EXCUSE load, never amplify a
-        # regression (a uniform code speedup would otherwise inflate
-        # normalized pcts of untouched queries).
-        anchors = ["q1_pricing_summary", "q6_forecast_revenue",
-                   "r6_groupby_collect_timeline"]
-        ratios = sorted(
-            timings[a] / prev[a] for a in anchors
-            if a in timings and a in prev and prev[a] > 0.02)
-        drift = ratios[len(ratios) // 2] if ratios else 1.0
+        # Environment calibration (round-8, rebuilt round-12): the r7
+        # record ran on a loaded machine and the raw tripwire flagged
+        # 10+ queries that controlled re-timing showed flat; rounds
+        # 9-11 then showed the SINGLE-family anchor median
+        # under-corrects because this host's steal waves are
+        # per-core-BURSTY, not uniform — a scan-bound 3-partition
+        # anchor rides out a wave that multiplies a 32-way fan-out
+        # query, so every noisy end-of-round run produced a 15-flag
+        # storm needing hand adjudication (r11 verdict #2). Anchors
+        # now span the three plan families whose host sensitivity
+        # differs: scan-bound whole-stage-codegen, shuffle-bound
+        # exchange-heavy, and Python-worker/Arrow fan-out. Per-family
+        # drift = median of that family's anchor ratios; the applied
+        # (flag-gating) drift stays the conservative ALL-anchor median
+        # — clamped >= 1 so calibration can only EXCUSE load, never
+        # amplify a regression — but each flag now carries its
+        # per-family normalized pct and an `excused_by` list naming
+        # every family whose drift explains the delta (<= the 25%
+        # threshold). AST-identical host noise is machine-dismissible:
+        # a flag with a non-empty excused_by needs no hand A/B unless
+        # the query's code actually changed.
+        families = {
+            "scan": ["q1_pricing_summary", "q6_forecast_revenue"],
+            "shuffle": ["q18_large_orders",
+                        "r6_groupby_collect_timeline"],
+            "udf": ["m_media_metadata", "k1_cog_structure"],
+        }
+        fam_drift: dict[str, float] = {}
+        all_ratios = []
+        for fam, anchors in families.items():
+            rs = sorted(
+                timings[a] / prev[a] for a in anchors
+                if a in timings and a in prev and prev[a] > 0.02)
+            if rs:
+                fam_drift[fam] = rs[len(rs) // 2]
+                all_ratios.extend(rs)
+        all_ratios.sort()
+        drift = (all_ratios[len(all_ratios) // 2]
+                 if all_ratios else 1.0)
         drift_c = max(1.0, drift)
-        movers = {
-            n: {"prev": prev[n], "now": round(t, 3),
+
+        def _flag(n, t):
+            fam_norm = {
+                fam: round(100.0 * (t / (prev[n] * max(1.0, fd))
+                                    - 1.0), 1)
+                for fam, fd in fam_drift.items()}
+            return {
+                "prev": prev[n], "now": round(t, 3),
                 "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
                 "norm_pct": round(
                     100.0 * (t / (prev[n] * drift_c) - 1.0), 1),
+                "fam_norm_pct": fam_norm,
+                "excused_by": sorted(
+                    f for f, p in fam_norm.items() if p <= 25.0),
                 **({"verdict": AB_VERDICTS[(n, prev_round)]}
                    if (n, prev_round) in AB_VERDICTS else {})}
+
+        movers = {
+            n: _flag(n, t)
             for n, t in timings.items()
             if n in prev and prev[n] > 0.05
             and t > prev[n] * drift_c * 1.25}
+        n_unexcused = sum(1 for m in movers.values()
+                          if not m["excused_by"]
+                          and "verdict" not in m)
         anchor_rec = {
             "anchors": {a: {"prev": prev.get(a), "now": timings.get(a)}
-                        for a in anchors},
+                        for fam in families.values() for a in fam},
+            "family_drift": {f: round(d, 3)
+                             for f, d in fam_drift.items()},
+            "spread": ([round(all_ratios[0], 3),
+                        round(all_ratios[-1], 3)]
+                       if all_ratios else None),
             "drift": round(drift, 3),
-            "applied": round(drift_c, 3)}
+            "applied": round(drift_c, 3),
+            "n_unexcused": n_unexcused}
         print("ANCHOR_DRIFT " + json.dumps(anchor_rec, separators=(",", ":")))
         print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))
     sys.stdout.flush()

@@ -589,7 +589,11 @@ def a_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=5, shortlist=30, lam=0.5)
 
 
-@register("a_hybrid_search_rrf", f"""
+# Shared by a_hybrid_search_rrf (exact archetype) and
+# a_hybrid_rrf_scalable (pruned-postings twin): BOTH are lossless, so
+# one oracle text grades both — the d_lsh_recall_eval /
+# e_trajectory_hausdorff_pruned shared-oracle discipline.
+_HYBRID_RRF_SQL = f"""
 WITH {_QUANT_SQL},
 vtop AS (
   SELECT vec_id, rank_vec FROM (
@@ -631,7 +635,10 @@ fused AS (
   FROM ltop l FULL JOIN vtop v ON v.vec_id = l.doc_id
 )
 SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
-""")
+"""
+
+
+@register("a_hybrid_search_rrf", _HYBRID_RRF_SQL)
 def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval — lexical + vector candidate lists fused by
     Reciprocal Rank Fusion (Cormack et al. 2009, the fusion every
@@ -671,9 +678,18 @@ def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("doc_id")
            .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
                 .alias("score")))
-    # orderBy + limit => TakeOrderedAndProject (partial per-partition
-    # top-k, never a global sort); the rank window then runs over the
-    # <= 50 surviving rows only
+    return _rrf_fuse(spark, sf_dir, lex)
+
+
+def _rrf_fuse(spark: SparkSession, sf_dir: str,
+              lex: DataFrame) -> DataFrame:
+    """The fusion tail both hybrid twins share: lexical top-50 +
+    quantized-cosine vector top-50 (each a TakeOrderedAndProject —
+    partial per-partition top-k, never a global sort; the rank
+    windows run over the <= 50 surviving rows only), RRF k=60 in
+    exact integers over the 50x50 metadata join."""
+    from pyspark.sql import Window
+
     ltop = (lex.orderBy(F.desc("score"), "doc_id").limit(50)
             .withColumn("rank_lex", F.row_number().over(
                 Window.orderBy(F.desc("score"), "doc_id")))
@@ -693,3 +709,79 @@ def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("rank_lex").cast("long").alias("rank_lex"),
                  F.col("rank_vec").cast("long").alias("rank_vec")))
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@register("a_hybrid_rrf_scalable", _HYBRID_RRF_SQL)
+def a_hybrid_rrf_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact hybrid twin's PRODUCTION lexical path (round-11
+    verdict #4): instead of rescanning the exploded token table for
+    df and candidates, the tokenization runs ONCE into a postings
+    store partitioned by a term-hash bucket, and the query reads ONLY
+    the partitions holding its own terms — the inverted-index access
+    pattern (one seek per query term, not one corpus scan per query).
+    LOSSLESS by construction, so it shares a_hybrid_search_rrf's
+    oracle text and tests/test_queries_oracle hash-checks both twins
+    against one SQL: a term's ENTIRE posting list lives in exactly
+    one partition (hash(term) is a function of the term), so the
+    pruned read sees every candidate and every df count whole —
+    unlike a per-term posting CAP (t_inverted_index's OOM guard),
+    which is the right artifact for bounded index SERVING but loses
+    candidates for stopword-grade terms and could not share an exact
+    oracle. tests/test_hybrid_scalable.py pins twin equality at two
+    scales and the PartitionFilters prune in the plan.
+
+    Scale shape: the store write is one explode + shuffle-free
+    partitioned append (amortized across every query against the
+    corpus — here keyed per sf_dir and reused across bench re-runs);
+    the query-side collect is ONE document's vocabulary (bounded);
+    df / candidate aggregation runs over the pruned partitions only.
+    The vector half stays the quantized int64-dot TakeOrdered kernel:
+    IVF probing (similarity.ivf_topk) is the documented
+    recall-trading swap-in — a_ann_recall_eval is its measurement
+    harness — but a lossy candidate stage cannot sit under a shared
+    exact-hash oracle, the same reason the Hausdorff prune verifies
+    exactly (e_trajectory_hausdorff_pruned) rather than trusting its
+    bound."""
+    from .session import defer_cleanup, scratch_dir
+
+    n_buckets = 32
+    docs = _docs(spark, sf_dir)
+    key = f"hybrid_postings_{sf_dir}"
+    path = _POSTINGS_STORES.get(key)
+    if path is None:
+        path = scratch_dir("hybrid_idx_")
+        (docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+         .withColumn("b", F.pmod(F.xxhash64("w"), F.lit(n_buckets)))
+         .write.mode("overwrite").partitionBy("b").parquet(path))
+        _POSTINGS_STORES[key] = defer_cleanup(path)
+    idx = spark.read.parquet(path)
+    # the query's term set is one document's vocabulary — bounded;
+    # its bucket ids prune the postings read to |q|-many partitions
+    qrows = (docs.filter(F.col("doc_id") == 0)
+             .select(F.explode(F.array_distinct(F.split("text", " ")))
+                     .alias("w"))
+             .withColumn("b", F.pmod(F.xxhash64("w"), F.lit(n_buckets)))
+             .collect())
+    qb = sorted({r.b for r in qrows})
+    qterms_df = spark.createDataFrame(
+        [(r.w,) for r in qrows], "w string").distinct()
+    pruned = idx.filter(F.col("b").isin(qb))
+    qpost = pruned.join(F.broadcast(qterms_df), "w")
+    # df is exact: every posting of a query term lives inside the
+    # pruned partitions (hash-of-term partitioning), doc 0 included
+    dfreq = qpost.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    lex = (qpost.filter(F.col("doc_id") != 0)
+           .join(dfreq, "w")
+           .groupBy("doc_id")
+           .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
+                .alias("score")))
+    return _rrf_fuse(spark, sf_dir, lex)
+
+
+# postings-store registry: one scratch store per sf_dir for the
+# session (bench runs each query 3x — the store is the amortized
+# artifact, rebuilding it per call would charge the query the
+# indexing cost the design exists to amortize)
+_POSTINGS_STORES: dict[str, str] = {}

@@ -116,8 +116,8 @@ class CubeService:
         retired to ``catalog.json.migrated`` — so the single file
         never stays silently load-bearing (an operator deleting it
         after seeing the new layout must not lose cubes). A corrupt
-        file is moved aside (never silently overwritten) and
-        skipped."""
+        file — unparseable JSON OR a record with an invalid shape —
+        is moved aside (never silently overwritten) and skipped."""
         import glob
         import json
         import warnings
@@ -139,6 +139,7 @@ class CubeService:
                 return None
 
         payload: dict[str, dict] = {}
+        sources: dict[str, str] = {}   # name -> per-cube file path
         legacy = _read(self._legacy_path())
         if isinstance(legacy, dict):
             payload.update(legacy)
@@ -148,21 +149,51 @@ class CubeService:
             if rec is not None:
                 name = unquote(os.path.basename(path)[:-len(".json")])
                 payload[name] = rec
+                sources[name] = path
         for n, rec in payload.items():
-            self.cubes[n] = _CubeState(
-                defn=CubeDefinition(**rec["defn"]),
-                parameters=rec.get("parameters") or {},
-                out_dir=rec.get("out_dir"))
+            # A file that PARSES but has the wrong shape (non-dict
+            # record, missing 'defn', unexpected/missing defn keys) is
+            # the same failure class as unparseable JSON — route it
+            # through the same move-aside-and-skip path instead of
+            # letting TypeError/KeyError brick the whole service
+            # (round-11 ADVICE). Legacy entries have no file of their
+            # own to quarantine; they are skipped (and NOT persisted
+            # below), so the bad record stays recoverable in
+            # catalog.json.migrated.
+            try:
+                if not isinstance(rec, dict):
+                    raise TypeError(
+                        f"record is {type(rec).__name__}, not object")
+                self.cubes[n] = _CubeState(
+                    defn=CubeDefinition(**rec["defn"]),
+                    parameters=rec.get("parameters") or {},
+                    out_dir=rec.get("out_dir"))
+            except (TypeError, KeyError) as exc:
+                path = sources.get(n)
+                if path is not None and os.path.exists(path):
+                    corrupt = path + ".corrupt"
+                    os.replace(path, corrupt)
+                    where = f"moved to {corrupt} and skipped"
+                else:
+                    where = "legacy entry skipped"
+                warnings.warn(
+                    f"catalog record for cube {n!r} has an invalid "
+                    f"shape ({exc}); {where}", RuntimeWarning,
+                    stacklevel=2)
         if isinstance(legacy, dict):
-            # finish the migration: persist every legacy entry as a
-            # per-cube file (same atomic write as a save; entries that
-            # already had a per-cube file rewrite with the WINNING
-            # per-cube content since self.cubes holds that), then
-            # retire the legacy file. Two processes racing here write
-            # identical per-file content; the loser of the final
-            # rename just finds the file already moved.
+            # finish the migration: persist every legacy entry that
+            # LACKS a per-cube file (same atomic write as a save),
+            # then retire the legacy file. Entries whose per-cube file
+            # already exists are NOT rewritten (round-11 ADVICE): that
+            # file is already authoritative, and rewriting it from
+            # this process's in-memory state could clobber an update
+            # another process committed after we read it. Two
+            # processes racing on the LACKING entries write identical
+            # legacy-derived content; the loser of the final rename
+            # just finds the file already moved.
             for n in legacy:
-                if n in self.cubes:
+                if n in self.cubes and not os.path.exists(
+                        self._cube_path(n)):
                     self._save_cube(n)
             try:
                 os.replace(self._legacy_path(),

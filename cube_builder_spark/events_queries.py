@@ -2012,36 +2012,44 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction-order-unstable, while this table is hash-exact and
     sufficient (same discipline as e_ab_test's integerized z-test).
 
-    Scale shape: one map-side-combinable per-user aggregate over
-    events plus one ts-pruned max scan for the horizon (computing the
-    horizon FROM the per-user frame would re-evaluate that aggregate
-    — see the in-code note), a 1-row broadcast horizon, a
-    duration-bounded groupBy,
-    and the at-risk window over the AGGREGATED duration frame
-    (calendar-bounded rows, never users)."""
+    Scale shape: ONE scan of events (asserted in
+    tests/test_plan_shape.py) — a map-side-combinable per-user
+    aggregate, then a (duration, last_day) rollup whose key space is
+    calendar²-bounded (distinct day pairs, never users), so the
+    horizon is a plain unpartitioned window max over THAT metadata-
+    scale frame. Round 11 computed the horizon from a second
+    ts-pruned events scan (deriving it from per_user re-evaluates
+    the aggregate subtree — ReuseExchange does not fire across
+    column pruning, the measured behavior functions/ranking.py
+    documents); the rollup route gets one scan AND no re-evaluation:
+    the horizon rides the frame it is consumed on. The final
+    duration groupBy and at-risk window stay calendar-bounded."""
     ev = _events(spark, sf_dir)
     per_user = (ev.select("user_id", _epoch_day().alias("day"))
                 .groupBy("user_id")
                 .agg(F.min("day").alias("first_day"),
                      F.max("day").alias("last_day")))
-    # the horizon is the global max day — computed straight off the
-    # events scan (pruned to ts only) rather than via per_user.agg,
-    # which would re-evaluate the per-user aggregate subtree (column
-    # pruning makes the two exchanges non-identical, so ReuseExchange
-    # does not fire — the measured behavior functions/ranking.py
-    # documents)
-    horizon = ev.select(_epoch_day().alias("day")).agg(
-        F.max("day").alias("m"))
-    obs = (per_user.crossJoin(F.broadcast(horizon))
-           .select((F.col("last_day") - F.col("first_day"))
-                   .alias("duration"),
-                   (F.col("last_day") <= F.col("m") - 8).alias("churned")))
+    # calendar²-bounded rollup: every downstream fact (duration,
+    # churn-vs-horizon, user counts) is a function of (duration,
+    # last_day), so users collapse here and the global horizon max is
+    # a window over ≤ |days|² rows — metadata-scale, one events scan
+    g = (per_user
+         .groupBy((F.col("last_day") - F.col("first_day"))
+                  .alias("duration"), "last_day")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w_all = (Window.orderBy("last_day")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    obs = g.select(
+        "duration", "n",
+        (F.col("last_day") <= F.max("last_day").over(w_all) - 8)
+        .alias("churned"))
     agg = (obs.groupBy("duration")
-           .agg(F.sum(F.when(F.col("churned"), 1).otherwise(0))
+           .agg(F.sum(F.when(F.col("churned"), F.col("n")).otherwise(0))
                 .cast("long").alias("d_churned"),
-                F.sum(F.when(F.col("churned"), 0).otherwise(1))
+                F.sum(F.when(F.col("churned"), 0).otherwise(F.col("n")))
                 .cast("long").alias("c_censored"),
-                F.count(F.lit(1)).cast("long").alias("n_total")))
+                F.sum("n").cast("long").alias("n_total")))
     w = (Window.orderBy(F.desc("duration"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     risk = agg.select(

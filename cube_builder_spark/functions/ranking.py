@@ -43,9 +43,15 @@ checkpoint's lineage cut and plan-assertable shape win the tie.
 Scale note: ``localCheckpoint`` stores the ranged blocks on executor
 local storage and cuts lineage — cheap (no dfs round-trip), but not
 resilient to executor loss mid-job. For multi-hour jobs on
-preemptible executors, write the input to scratch parquet first (as
-``e_rfm_segmentation_scalable`` does) so a lost block replays from
-storage instead of failing the job.
+preemptible executors pass ``durable=True`` (round-11 verdict #3):
+the ranged frame is materialized to scratch parquet instead (the
+e_rfm scalable pattern), so a lost block replays from storage rather
+than failing the job the engine routed its shuffle/ntile/manifest
+work through. Both paths return identical frames
+(tests/test_ranking.py pins it) because the partition label ``_rp``
+is computed BEFORE the materialization and persists as a data
+column — the read-back does not need to reproduce the physical
+partitioning, only carry its label.
 
 Because the caller includes a unique tiebreaker in ``order`` the rank
 is total, so ntile buckets derived from (rank, n) are bit-identical
@@ -61,20 +67,49 @@ from pyspark.sql import functions as F
 
 
 def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
-                rank_col: str = "_gr", total_col: str = "_n") -> DataFrame:
+                rank_col: str = "_gr", total_col: str = "_n",
+                durable: bool = False,
+                scratch_path: str | None = None) -> DataFrame:
     """Exact 1-based global row_number over a total order, plus the
     total row count, with no single-partition stage over the data.
 
     ``order`` must be a total order (include a unique tiebreaker).
     Adds ``rank_col`` and ``total_col``; drops its internals.
-    """
+
+    ``durable=False`` (default) materializes the range shuffle via an
+    eager ``localCheckpoint`` — executor-local blocks, no dfs
+    round-trip, the right cost for interactive/short jobs.
+    ``durable=True`` writes the ranged frame to parquet instead —
+    ``scratch_path`` if given (a durable cluster path on real
+    deployments), else a session scratch dir removed at interpreter
+    exit — so executor loss on long preemptible jobs replays from
+    storage instead of failing the job (module docstring). Either
+    way there is exactly ONE physical evaluation of the range
+    shuffle, which is the correctness property: the offsets
+    aggregate and the join side must read the SAME sampled range
+    bounds (and hence the same ``_rp`` labels)."""
     ranged = (df.repartitionByRange(n_partitions, *order)
-              .withColumn("_rp", F.spark_partition_id())
-              # one physical evaluation of the range shuffle — both
-              # the offsets aggregate and the join side read these
-              # blocks, so the sampled range bounds (and hence _rp)
-              # cannot diverge between branches (module docstring)
-              .localCheckpoint(eager=True))
+              # _rp is computed here, pre-materialization, and rides
+              # along as a data column — both materialization routes
+              # below preserve it byte-for-byte
+              .withColumn("_rp", F.spark_partition_id()))
+    if durable:
+        from ..session import defer_cleanup, scratch_dir
+        path = scratch_path
+        if path is None:
+            # unique per call (no shared key): one query may hold
+            # several concurrent global_rank frames (e_rfm's three
+            # metric ntiles), so a keyed purge would delete a scratch
+            # a still-live sibling frame reads
+            path = defer_cleanup(scratch_dir("grank_"))
+        ranged.write.mode("overwrite").parquet(path)
+        ranged = df.sparkSession.read.parquet(path)
+    else:
+        # one physical evaluation of the range shuffle — both
+        # the offsets aggregate and the join side read these
+        # blocks, so the sampled range bounds (and hence _rp)
+        # cannot diverge between branches (module docstring)
+        ranged = ranged.localCheckpoint(eager=True)
     # ≤ n_partitions rows: the windows below are metadata-scale
     pc = ranged.groupBy("_rp").agg(F.count(F.lit(1)).alias("_pc"))
     w_prev = (Window.orderBy("_rp")
@@ -114,11 +149,14 @@ def ntile_expr(rank_col: str, total_col: str, n_tiles: int) -> Column:
 
 def exact_global_ntile(df: DataFrame, order: list[Column],
                        n_tiles: int, n_partitions: int,
-                       out: str) -> DataFrame:
+                       out: str, durable: bool = False,
+                       scratch_path: str | None = None) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (ORDER BY order)`` at scale: range
     shuffle + per-partition window + broadcast offsets (see module
-    docstring). Adds column ``out``; drops the intermediates."""
-    ranked = global_rank(df, order, n_partitions)
+    docstring; ``durable`` passes through to ``global_rank``). Adds
+    column ``out``; drops the intermediates."""
+    ranked = global_rank(df, order, n_partitions,
+                         durable=durable, scratch_path=scratch_path)
     return (ranked
             .withColumn(out, ntile_expr("_gr", "_n", n_tiles))
             .drop("_gr", "_n"))

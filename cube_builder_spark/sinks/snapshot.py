@@ -1562,9 +1562,15 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
     sk = key|effective and merge_upsert would land both — two
     "current" rows for one key, the surrogate-key collision class the
     same-day rule closes for the cross-batch case (round-10 verdict
-    punch #6). Deduplicate upstream (e.g. last-per-key by a batch
-    sequence column) and re-submit; the check is one map-side-
-    combinable aggregate with a 1-row bounded collect.
+    punch #6). The probe runs AFTER the no-op filter (round-11
+    ADVICE): an at-least-once upstream that repeats a key whose
+    attributes all match the stored current row is a harmless
+    idempotent replay — neither copy would land — so it must not
+    hard-fail; only duplicates that would actually flow to a
+    surrogate key are rejected. Deduplicate upstream (e.g.
+    last-per-key by a batch sequence column) and re-submit; the check
+    is one map-side-combinable aggregate with a 1-row bounded
+    collect.
 
     Attribute comparison is NULL-safe (``eqNullSafe``). Physically the
     closed+new rows flow through ``merge_upsert`` on ``sk`` — footer-
@@ -1578,17 +1584,6 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
     O(files-holding-changed-keys) on a key-clustered dimension, and
     history rows are never rewritten — exactly Delta's recommended
     SCD2 MERGE recipe."""
-    # probe 4 so "exactly 3 duplicated keys" and "more than 3" render
-    # differently (only the first 3 are named)
-    dup = (updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > 1).limit(4).collect())
-    if dup:
-        keys = ", ".join(str(r[key_col]) for r in dup[:3])
-        raise ValueError(
-            f"scd2_merge: update batch carries duplicate {key_col} "
-            f"values ({keys}{', …' if len(dup) > 3 else ''}) — both "
-            "rows would collide on one surrogate key; deduplicate to "
-            "one row per key (last-per-key) and re-submit")
     cur = (store.read(spark)
            .filter(F.col("is_current"))
            .select(F.col(key_col).alias("_k"),
@@ -1600,6 +1595,25 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
         eq = updates[c].eqNullSafe(F.col(f"_a_{c}"))
         same = eq if same is None else (same & eq)
     changed = j.filter(F.col("_k").isNull() | ~same)
+    # Duplicate-key probe runs on `changed` (post no-op filter, r11
+    # ADVICE): a key repeated with UNCHANGED attributes is an
+    # idempotent at-least-once replay — both copies drop above, so
+    # rejecting it would break exactly the callers the no-op rule
+    # exists for. Any key surviving here twice WOULD collide on one
+    # surrogate key, so it is still rejected before anything commits.
+    # Probe 4 so "exactly 3 duplicated keys" and "more than 3" render
+    # differently (only the first 3 are named).
+    dup = (changed.groupBy(updates[key_col].alias(key_col))
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(4).collect())
+    if dup:
+        keys = ", ".join(str(r[key_col]) for r in dup[:3])
+        raise ValueError(
+            f"scd2_merge: update batch carries duplicate {key_col} "
+            f"values with effective changes ({keys}"
+            f"{', …' if len(dup) > 3 else ''}) — both rows would "
+            "collide on one surrogate key; deduplicate to one row "
+            "per key (last-per-key) and re-submit")
     eff = F.lit(effective).cast("date")
     # Same-day change (effective == the current row's valid_from —
     # an intra-day correction or two batches applied with the same

@@ -168,3 +168,79 @@ def test_corrupt_cube_file_moved_aside(tmp_path):
         svc2 = CubeService(wd)
     assert svc2.list_cubes() == []
     assert os.path.exists(path + ".corrupt")
+
+
+def test_schema_invalid_cube_file_moved_aside(tmp_path):
+    """Round-11 ADVICE: a per-cube file that PARSES but has the wrong
+    shape (non-dict, missing 'defn', unexpected defn keys) must take
+    the same move-aside-and-skip path as unparseable JSON — not raise
+    TypeError/KeyError out of __init__ and brick the service. Other
+    (healthy) cubes must survive the rehydrate."""
+    import dataclasses
+    import json
+    import os
+    wd = str(tmp_path / "c")
+    svc = CubeService(wd)
+    svc.create_cube(_defn())
+    svc.create_cube(dataclasses.replace(_defn(), name="LC8-16D"))
+    bad_shapes = [
+        ["not", "a", "dict"],                       # non-dict record
+        {"parameters": {}},                         # missing 'defn'
+        {"defn": {"name": "X", "bogus_key": 1}},    # wrong defn keys
+    ]
+    for bad in bad_shapes:
+        path = os.path.join(wd, "catalog", "S2-16D.json")
+        for leftover in (path, path + ".corrupt"):
+            if os.path.exists(leftover):
+                os.remove(leftover)
+        with open(path, "w") as fh:
+            json.dump(bad, fh)
+        with pytest.warns(RuntimeWarning, match="invalid shape"):
+            svc2 = CubeService(wd)
+        assert [c["name"] for c in svc2.list_cubes()] == ["LC8-16D"]
+        assert os.path.exists(path + ".corrupt")
+        assert not os.path.exists(path)
+
+
+def test_legacy_migration_never_rewrites_existing_per_cube_file(tmp_path):
+    """Round-11 ADVICE: the migration pass must only materialize
+    legacy entries that LACK a per-cube file. An existing per-cube
+    file is already authoritative — a process that rehydrated before
+    another's post-migration update must not clobber the newer file
+    during its own migration. Detected byte-exactly: the pre-existing
+    per-cube file is pretty-printed, so any rewrite (json.dump is
+    compact) would change its bytes."""
+    import dataclasses
+    import json
+    import os
+    wd = str(tmp_path / "c")
+    svc = CubeService(wd)
+    svc.create_cube(_defn())
+    path = os.path.join(wd, "catalog", "S2-16D.json")
+    with open(path) as fh:
+        rec = json.load(fh)
+    rec["parameters"] = {"title": "newer-update"}
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=2)   # canary formatting
+    with open(path, "rb") as fh:
+        before = fh.read()
+    # stale legacy file names the SAME cube plus one legacy-only cube
+    legacy = {
+        "S2-16D": {"defn": dataclasses.asdict(_defn()),
+                   "parameters": {"title": "stale"}, "out_dir": None},
+        "OLD-CUBE": {"defn": dataclasses.asdict(
+            dataclasses.replace(_defn(), name="OLD-CUBE")),
+            "parameters": {}, "out_dir": None},
+    }
+    with open(os.path.join(wd, "catalog.json"), "w") as fh:
+        json.dump(legacy, fh)
+    svc2 = CubeService(wd)
+    # legacy-only entry materialized, legacy file retired
+    assert os.path.exists(os.path.join(wd, "catalog", "OLD-CUBE.json"))
+    assert os.path.exists(os.path.join(wd, "catalog.json.migrated"))
+    # the pre-existing per-cube file was NOT rewritten (byte-equal)
+    with open(path, "rb") as fh:
+        assert fh.read() == before
+    # and its (newer) content won the rehydrate
+    assert svc2.list_cubes("S2-16D")["parameters"][
+        "title"] == "newer-update"

@@ -111,3 +111,103 @@ def test_build_local_end_to_end_subprocess(tmp_path):
         f"read_parquet('{summary['cube_path']}/**/*.parquet')"
         " WHERE band = 'B04'").df()
     assert int(cube["n"][0]) == npx  # one blended period, every pixel
+
+
+def test_build_stac_end_to_end_subprocess(tmp_path):
+    """`python -m cube_builder_spark.cli build` against a LOCAL stac
+    fixture server (round-11 verdict punch #7: the reference's
+    STAC-driven CLI path, cli.py:81-135, had only in-process tests).
+    The fixture serves BOTH halves of a real STAC stack on one
+    localhost port — POST /search returning the feature collection,
+    and GET for the asset GeoTIFFs the executors fetch — so the
+    subprocess exercises arg plumbing, the v1 search transport, the
+    distributed asset fetch, and the build DAG exactly as a user
+    would, with zero external network."""
+    import http.server
+    import json
+    import os
+    import subprocess
+    import sys
+    import threading
+
+    import numpy as np
+
+    from cube_builder_spark.sinks.cog import write_geotiff_band
+
+    assets_dir = tmp_path / "assets"
+    assets_dir.mkdir()
+    rows, cols = 4, 6
+    npx = rows * cols
+    dates = ("20200102", "20200110")
+    for stamp in dates:
+        vals = (np.arange(npx, dtype=np.int16).reshape(rows, cols)
+                + int(stamp[-2:]))
+        scl = np.full((rows, cols), 4, np.int16)
+        scl.flat[int(stamp[-2:]) % npx] = 9
+        for band, arr in (("B04", vals), ("SCL", scl)):
+            buf = write_geotiff_band(arr)
+            (assets_dir / f"S2A_t0_{stamp}_{band}.tif").write_bytes(buf)
+
+    class _Stac(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            if not self.path.endswith("/search"):
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            json.loads(self.rfile.read(n))  # valid STAC payload
+            base = f"http://127.0.0.1:{self.server.server_address[1]}"
+            feats = [{
+                "id": f"S2A_t0_{stamp}",
+                "properties": {
+                    "datetime":
+                        f"2020-01-{stamp[-2:]}T10:00:00Z",
+                    "platform": "sentinel-2a"},
+                "assets": {
+                    band: {"href": f"{base}/S2A_t0_{stamp}_{band}.tif"}
+                    for band in ("B04", "SCL")}}
+                for stamp in dates]
+            body = json.dumps({"features": feats}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    handler = lambda *a, **kw: _Stac(*a, directory=str(assets_dir), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        out = tmp_path / "out"
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+        proc = subprocess.run(
+            [sys.executable, "-m", "cube_builder_spark.cli", "build",
+             "MY-STAC-CUBE",
+             "--stac-url",
+             f"http://127.0.0.1:{srv.server_address[1]}",
+             "--collections", "S2_L2A", "--tiles", "0",
+             "--start", "2020-01-01", "--end", "2020-01-16",
+             "--bands", "B04,SCL", "--out", str(out)],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["new_items"] >= 1
+        assert os.path.isdir(os.path.join(str(out), "items"))
+
+        import duckdb
+        items = duckdb.sql(
+            f"SELECT * FROM read_parquet('{out}/items/**/*.parquet')").df()
+        assert len(items) == summary["new_items"]
+        assert set(items["tile_id"]) == {0}
+        cube = duckdb.sql(
+            f"SELECT count(*) AS n FROM "
+            f"read_parquet('{summary['cube_path']}/**/*.parquet')"
+            " WHERE band = 'B04'").df()
+        # two 8-day periods in the window, one scene each -> every
+        # pixel present per period
+        assert int(cube["n"][0]) == 2 * npx
+    finally:
+        srv.shutdown()

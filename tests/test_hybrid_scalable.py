@@ -1,0 +1,50 @@
+"""a_hybrid_rrf_scalable — the pruned-postings hybrid twin.
+
+Pins (a) frame equality with the exact archetype at TWO scales
+(sf0.001 and sf0.01 — the graded correctness scale), which is what
+lets both twins share one oracle SQL, and (b) the scale property that
+makes the twin worth having: the postings read carries a
+PartitionFilters prune on the term-hash bucket, so a query touches
+|q|-many partitions, never the whole store.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_twins_equal_both_scales(spark):
+    from cube_builder_spark.ann_queries import (a_hybrid_rrf_scalable,
+                                                a_hybrid_search_rrf)
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        exact = _rows(a_hybrid_search_rrf(spark, sf))
+        scal = _rows(a_hybrid_rrf_scalable(spark, sf))
+        assert exact == scal, sf
+        assert len(exact) == 10
+
+
+def test_twins_share_oracle_sql():
+    from cube_builder_spark.queries import _ordered
+    sqls = {n: sql for n, _fn, sql in _ordered()
+            if n in ("a_hybrid_search_rrf", "a_hybrid_rrf_scalable")}
+    assert len(sqls) == 2
+    assert sqls["a_hybrid_search_rrf"] == sqls["a_hybrid_rrf_scalable"]
+
+
+def test_postings_read_is_partition_pruned(spark, sf_dir):
+    """The lexical side must read the postings store through a
+    partition filter on the bucket column — the inverted-index seek,
+    not a full-store scan."""
+    from cube_builder_spark.ann_queries import a_hybrid_rrf_scalable
+    df = a_hybrid_rrf_scalable(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "b#" in m.group(1) or " b " in m.group(1) or "b IN" in m.group(1), \
+        m.group(0)

@@ -227,3 +227,14 @@ def test_cusum_windows_partitioned_by_type(spark, sf_dir, queries):
     assert len(matches) >= 2, opt
     for m in matches:
         assert "event_type" in m.group(2), m.group(0)
+
+
+def test_kaplan_meier_single_events_scan(spark, sf_dir, queries):
+    """Round-12 (VERDICT r11 #5): the horizon must ride the
+    calendar-bounded (duration, last_day) rollup, not a second scan
+    of events — ONE parquet scan in the whole plan."""
+    import re
+
+    plan = _physical(queries["e_kaplan_meier"](spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan

@@ -1459,6 +1459,25 @@ def test_scd2_rejects_same_batch_duplicate_keys(spark, tmp_path):
     rows = [(r.k, r.seg) for r in st.read(spark).collect()]
     assert rows == [(1, "A")]
 
+    # Round-11 ADVICE: the probe runs POST no-op filter — an
+    # at-least-once upstream repeating a key with UNCHANGED attributes
+    # is an idempotent replay (neither copy lands), so it must commit
+    # as a plain no-op, not hard-fail.
+    replay = spark.createDataFrame([(1, "A"), (1, "A")],
+                                   "k long, seg string")
+    v, nc, ni = scd2_merge(st, spark, replay, "k", ["seg"],
+                           "2024-03-10")
+    assert (v, nc, ni) == (head, 0, 0)
+    # ...and a replayed-unchanged key alongside a genuinely changed
+    # key: the unchanged duplicates drop, the change lands normally.
+    mixed = spark.createDataFrame([(1, "A"), (1, "A"), (2, "Z")],
+                                  "k long, seg string")
+    v2, nc2, ni2 = scd2_merge(st, spark, mixed, "k", ["seg"],
+                              "2024-03-10")
+    assert (nc2, ni2) == (0, 1) and v2 > head
+    rows = sorted((r.k, r.seg) for r in st.read(spark).collect())
+    assert rows == [(1, "A"), (2, "Z")]
+
 
 def test_scd2_randomized_vs_reference_model(spark, tmp_path):
     """Randomized differential: apply seeded random batch sequences
@@ -1585,3 +1604,95 @@ def test_merge_upsert_rejects_duplicate_keys_allows_nulls(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
     n_null = sum(1 for r in st.read(spark, v).collect() if r.k is None)
     assert n_null == 2
+
+
+def test_occ_randomized_vs_replay_model(spark, tmp_path):
+    """Randomized differential for the OCC commit protocol (round-11
+    verdict punch #8 — the scd2 reference-model pattern applied to
+    occ_append): seeded random interleavings of stale-snapshot
+    appends, fresh appends, overwrites and rollbacks run against BOTH
+    the store and a plain-Python replay model of Delta's conflict
+    rule (an append rebases iff every intervening main commit is a
+    blind append; any overwrite/rollback in the gap conflicts). After
+    every operation the stored table, the head version, the rebased
+    flag, and conflict-vs-success must all match the model — example
+    tests can't enumerate these interleavings."""
+    import random
+
+    import pytest
+
+    from cube_builder_spark.sinks.snapshot import (
+        ConcurrentCommitConflict, SnapshotStore, occ_append)
+
+    def mk(seq):
+        return spark.createDataFrame([(seq, seq * 7)], "k long, v long")
+
+    for seed in (11, 23, 47):
+        st = SnapshotStore(str(tmp_path / f"occ{seed}"))
+        rng = random.Random(seed)
+        # model: version -> (kind, content, parent); linear main chain
+        kinds, contents, parents = {}, {}, {}
+        v0 = st.write(mk(0))
+        kinds[v0], contents[v0], parents[v0] = \
+            "append", [(0, 0)], None
+        head = v0
+        main_chain = [v0]
+        seq = 1
+
+        def expect_conflict(expected):
+            v = head
+            while v is not None and v != expected:
+                if kinds[v] != "append":
+                    return True
+                v = parents[v]
+            return False
+
+        for _ in range(14):
+            op = rng.choice(
+                ["append_fresh", "append_stale", "append_stale",
+                 "overwrite", "rollback"])
+            if op == "append_fresh":
+                batch = [(seq, seq * 7)]
+                v, rebased = occ_append(st, mk(seq), expected_head=head)
+                assert rebased is False
+                kinds[v] = "append"
+                contents[v] = contents[head] + batch
+                parents[v] = head
+                head = v
+                main_chain.append(v)
+            elif op == "append_stale":
+                expected = rng.choice(main_chain + [None])
+                batch = [(seq, seq * 7)]
+                if expect_conflict(expected):
+                    with pytest.raises(ConcurrentCommitConflict):
+                        occ_append(st, mk(seq), expected_head=expected)
+                    assert st.head("main") == head  # nothing moved
+                else:
+                    v, rebased = occ_append(st, mk(seq),
+                                            expected_head=expected)
+                    assert rebased is (expected != head)
+                    kinds[v] = "append"
+                    contents[v] = contents[head] + batch
+                    parents[v] = head
+                    head = v
+                    main_chain.append(v)
+            elif op == "overwrite":
+                batch = [(seq, seq * 7)]
+                v = st.write(mk(seq), mode="overwrite")
+                kinds[v] = "overwrite"
+                contents[v] = batch
+                parents[v] = head
+                head = v
+                main_chain.append(v)
+            else:  # rollback to a random past version
+                to = rng.choice(main_chain)
+                v = st.rollback(to)
+                kinds[v] = "rollback"
+                contents[v] = list(contents[to])
+                parents[v] = head
+                head = v
+                main_chain.append(v)
+            seq += 1
+            got = sorted((r.k, r.v) for r in st.read(spark).collect())
+            assert got == sorted(contents[head]), (seed, op)
+            assert st.head("main") == head
