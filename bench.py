@@ -253,6 +253,10 @@ HEADLINE = [
     "p_shard_manifest",
     # round-12 surface
     "a_hybrid_rrf_scalable",
+    "e_range_frame_spend",
+    "e_peak_concurrency",
+    "e_lorenz_gini",
+    "t_cooccurrence_pmi",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

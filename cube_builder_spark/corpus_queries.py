@@ -1630,3 +1630,88 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((p, exact, ok))
     return spark.createDataFrame(
         rows, "pct long, exact_value long, sketch_within_eps boolean")
+
+
+@register("t_cooccurrence_pmi", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+top AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 100
+),
+pairs AS (
+  SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c_ab
+  FROM tok a
+  JOIN top ta ON ta.w = a.w
+  JOIN tok b ON b.doc_id = a.doc_id AND a.w < b.w
+  JOIN top tb ON tb.w = b.w
+  GROUP BY a.w, b.w
+),
+scored AS (
+  SELECT p.wa, p.wb, p.c_ab, ta.c AS c_a, tb.c AS c_b,
+         CAST(1000000 * p.c_ab * nd.n_docs // (ta.c * tb.c) AS BIGINT)
+           AS pmi_micro
+  FROM pairs p
+  JOIN top ta ON ta.w = p.wa
+  JOIN top tb ON tb.w = p.wb
+  CROSS JOIN nd
+  WHERE p.c_ab >= 5
+)
+SELECT wa, wb, c_ab, c_a, c_b, pmi_micro
+FROM scored ORDER BY pmi_micro DESC, wa, wb LIMIT 50
+""")
+def t_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction — top document-level co-occurring term
+    pairs by pointwise mutual information (Church & Hanks 1990, the
+    statistic keyword/phrase miners rank "strongly associated" pairs
+    by). PMI = log(P(a,b)/(P(a)P(b))); log is monotone, so ranking by
+    the EXACT INTEGER ratio 1e6*c_ab*N DIV (c_a*c_b) gives the PMI
+    order with zero float accumulation — the fraction ships alongside
+    the raw counts. Restricted to the top-100 frequent terms (the
+    vocabulary slice where document-level co-occurrence is
+    meaningful) with a min-support of 5.
+
+    Scale shape: term counts are one map-side-combinable aggregate;
+    the top-100 is a TakeOrderedAndProject (never a global sort); the
+    pair space is generated per document from its <= 100 surviving
+    terms via the in-array i<j expansion (the capped_plane_pairs
+    shape — one groupBy(doc_id), no self-join shuffle), so a document
+    contributes at most C(100,2) pairs and the pair aggregate's key
+    space is bounded at 4950 regardless of corpus size. Overflow
+    note: 1e6*c_ab*N stays in int64 up to N~3e6 docs; beyond that
+    scale drop the 1e6 and compare fractions cross-multiplied."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "w").limit(100)
+    # tokens of surviving terms, term count carried along; sorted
+    # in-array i<j expansion => wa < wb with no self-join
+    ta = tok.join(F.broadcast(top), "w")
+    grouped = ta.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("w", "c"))).alias("ms"))
+    combos = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x["w"].alias("wa"), y["w"].alias("wb"),
+                               x["c"].alias("c_a"), y["c"].alias("c_b")))))
+    pairs = (grouped.select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"),
+                  F.first("p.c_a").alias("c_a"),
+                  F.first("p.c_b").alias("c_b"))
+             .filter(F.col("c_ab") >= 5))
+    scored = (pairs.crossJoin(F.broadcast(n_docs))
+              .select("wa", "wb", "c_ab", "c_a", "c_b",
+                      F.expr("CAST(1000000 * c_ab * n_docs DIV "
+                             "(c_a * c_b) AS BIGINT)")
+                      .alias("pmi_micro")))
+    return scored.orderBy(F.desc("pmi_micro"), "wa", "wb").limit(50)

@@ -2114,3 +2114,186 @@ def e_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.orderBy(F.desc("n_users"), F.desc("n_occurrences"),
                         "t1", "t2", "t3")
             .limit(20))
+
+
+@register("e_range_frame_spend", """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS spend_30d_cents
+FROM o
+""")
+def e_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames — the VALUE-based frame bound the rest of
+    the window surface doesn't exercise (r17's moving average is a
+    ROWS frame; a RANGE frame widens and narrows with the data: a
+    customer with three orders in one week and none for a month gets
+    a 3-order trailing window, then a 1-order one). Per order: the
+    customer's trailing-30-day spend in exact cents, peers (same-day
+    orders) included per SQL RANGE semantics in both engines.
+
+    Scale shape: one window partitioned by o_custkey ordered by the
+    integer day key — the partitioned-sort shape every engine
+    distributes; no global sort, no join. Exact-cents integers make
+    the running sums reduction-order-free."""
+    od = load_tables(spark, sf_dir, ["orders"])["orders"]
+    day = F.datediff(F.to_date("o_orderdate"),
+                     F.lit("1970-01-01")).cast("long")
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-29, Window.currentRow))
+    return (od.select("o_orderkey", "o_custkey", day.alias("day"),
+                      round_half_up_long(F.col("o_totalprice"))
+                      .alias("cents"))
+            .select("o_orderkey", "o_custkey", "day",
+                    F.sum("cents").over(w).cast("long")
+                    .alias("spend_30d_cents")))
+
+
+@register("e_peak_concurrency", """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS m
+  FROM events
+),
+pu AS (SELECT user_id, day, min(m) AS m0, max(m) AS m1
+       FROM e GROUP BY user_id, day),
+deltas AS (
+  SELECT day, m0 AS minute, 1 AS delta FROM pu
+  UNION ALL
+  SELECT day, m1 + 1 AS minute, -1 AS delta FROM pu
+),
+md AS (SELECT day, minute, CAST(sum(delta) AS BIGINT) AS d
+       FROM deltas GROUP BY day, minute),
+run AS (
+  SELECT day, minute,
+         sum(d) OVER (PARTITION BY day ORDER BY minute
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM md
+),
+nu AS (SELECT day, CAST(count(*) AS BIGINT) AS n_users
+       FROM pu GROUP BY day)
+SELECT r.day, CAST(max(r.conc) AS BIGINT) AS peak_users,
+       CAST(any_value(u.n_users) AS BIGINT) AS n_users
+FROM run r JOIN nu u ON u.day = r.day
+GROUP BY r.day
+""")
+def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per day — the sweep-line interval
+    operator (capacity planning's load-duration curve): each user's
+    active interval that day is [first event minute, last event
+    minute]; +1/-1 boundary deltas, a running sum over the minute
+    axis, and the day's maximum is the peak concurrency. Minute
+    resolution is the semantic contract, not an approximation — and
+    it is what makes the shape scale-honest.
+
+    Scale shape: the interval extraction is one map-side-combinable
+    (user, day) aggregate; boundary deltas collapse to a (day,
+    minute) frame of at most 1441 rows per day (calendar-bounded), so
+    the running-sum window partitioned by day never sees user-scale
+    cardinality. At 100 TB the only data-scale stage is the first
+    groupBy — everything after runs over calendar-bounded metadata."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "user_id", _epoch_day().alias("day"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("m"))
+    pu = (e.groupBy("user_id", "day")
+          .agg(F.min("m").alias("m0"), F.max("m").alias("m1")))
+    deltas = (pu.select("day", F.col("m0").alias("minute"),
+                        F.lit(1).alias("delta"))
+              .unionByName(pu.select(
+                  "day", (F.col("m1") + 1).alias("minute"),
+                  F.lit(-1).alias("delta"))))
+    md = (deltas.groupBy("day", "minute")
+          .agg(F.sum("delta").cast("long").alias("d")))
+    w = (Window.partitionBy("day").orderBy("minute")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = md.select("day", F.sum("d").over(w).alias("conc"))
+    nu = pu.groupBy("day").agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_users"))
+    return (run.groupBy("day")
+            .agg(F.max("conc").cast("long").alias("peak_users"))
+            .join(nu, "day")
+            .select("day", "peak_users", "n_users"))
+
+
+@register("e_lorenz_gini", """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT o_custkey, spend,
+         CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT)
+           AS decile
+  FROM pc
+),
+g AS (
+  SELECT CAST(sum(i * spend) AS BIGINT) AS s_ix,
+         CAST(sum(spend) AS BIGINT) AS s_x,
+         CAST(max(n) AS BIGINT) AS n
+  FROM rk
+),
+d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(spend) AS BIGINT) AS decile_spend_cents
+  FROM rk GROUP BY decile
+)
+SELECT d.decile, d.n_customers, d.decile_spend_cents,
+       CAST(2 * g.s_ix - (g.n + 1) * g.s_x AS BIGINT) AS gini_num,
+       CAST(g.n * g.s_x AS BIGINT) AS gini_den
+FROM d CROSS JOIN g
+""")
+def e_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration — Lorenz deciles + the EXACT Gini
+    coefficient as an integer fraction (the inequality measure
+    marketing/abuse teams read customer concentration from). With
+    customers sorted ascending by spend and ranked 1..n, Gini =
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — every term an exact
+    cents integer, so the coefficient ships as (gini_num, gini_den)
+    and never touches reduction-order-unstable float accumulation.
+
+    Scale shape: rides functions/ranking.global_rank (the round-11
+    hardened TeraSort primitive — range shuffle materialized once,
+    broadcast offsets, no unpartitioned data window; pass
+    durable=True on preemptible clusters) for both the exact rank i
+    and the ntile(10) decile; the decile rollup and the three Gini
+    sums are map-side-combinable aggregates over the ranked frame,
+    fused by a 10-row x 1-row broadcast cross join."""
+    from .functions.ranking import global_rank, ntile_expr
+
+    od = load_tables(spark, sf_dir, ["orders"])["orders"]
+    pc = (od.groupBy("o_custkey")
+          .agg(F.sum(round_half_up_long(F.col("o_totalprice")))
+               .cast("long").alias("spend")))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rk = (global_rank(pc, [F.col("spend").asc(),
+                           F.col("o_custkey").asc()], n_part,
+                      rank_col="i", total_col="n")
+          .withColumn("decile", ntile_expr("i", "n", 10)))
+    g = rk.agg((F.sum(F.col("i") * F.col("spend"))).cast("long")
+               .alias("s_ix"),
+               F.sum("spend").cast("long").alias("s_x"),
+               F.max("n").cast("long").alias("n"))
+    d = (rk.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+              F.sum("spend").cast("long").alias("decile_spend_cents")))
+    return (d.crossJoin(F.broadcast(g))
+            .select("decile", "n_customers", "decile_spend_cents",
+                    (2 * F.col("s_ix") - (F.col("n") + 1) * F.col("s_x"))
+                    .cast("long").alias("gini_num"),
+                    (F.col("n") * F.col("s_x")).cast("long")
+                    .alias("gini_den")))

@@ -238,3 +238,59 @@ def test_kaplan_meier_single_events_scan(spark, sf_dir, queries):
     plan = _physical(queries["e_kaplan_meier"](spark, sf_dir))
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) == 1, plan
+
+
+def test_range_frame_window_partitioned_by_customer(spark, sf_dir,
+                                                    queries):
+    """The RANGE frame must run partitioned by o_custkey — a global
+    value-ordered window would funnel all orders through one task."""
+    import re
+
+    df = queries["e_range_frame_spend"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    matches = list(re.finditer(
+        r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt))
+    assert matches, opt
+    for m in matches:
+        assert "o_custkey" in m.group(2), m.group(0)
+
+
+def test_peak_concurrency_windows_partitioned_by_day(spark, sf_dir,
+                                                     queries):
+    """The sweep-line running sum must run over the calendar-bounded
+    (day, minute) frame, partitioned by day."""
+    import re
+
+    df = queries["e_peak_concurrency"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    matches = list(re.finditer(
+        r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt))
+    assert matches, opt
+    for m in matches:
+        assert "day" in m.group(2), m.group(0)
+
+
+def test_lorenz_gini_no_range_exchange_no_global_data_window(
+        spark, sf_dir, queries):
+    """e_lorenz_gini rides global_rank: the final plan carries no
+    range exchange (materialized once, pre-checkpoint) and every
+    row_number window is partitioned by the range-partition label."""
+    import re
+
+    df = queries["e_lorenz_gini"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    phys = phys.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" not in phys.lower(), phys
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt):
+        if "row_number" in m.group(1):
+            assert "_rp" in m.group(2), m.group(0)
+
+
+def test_cooccurrence_topk_is_take_ordered(spark, sf_dir, queries):
+    """Both the top-100 vocabulary cut and the final top-50 must be
+    TakeOrderedAndProject (distributed partial top-k), and the pair
+    expansion must not introduce a CartesianProduct."""
+    plan = _physical(queries["t_cooccurrence_pmi"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
