@@ -125,9 +125,15 @@ AB_VERDICTS = {
 # quieter-host interleaved A/B of the five worst (p_token_budget_mix
 # 0.71s, e_stream_suite 1.63s, m_image_dhash_dups 1.41s,
 # m_media_metadata 0.53s, p_sequence_pack 0.26s vs 1.60/2.57/2.94/
-# 1.41/0.66 flagged) settles them at the r10-record noise band; an
-# r12 interleaved spot-check of the remainder reads the same (see
-# _R11_TAIL below). Verdict for all 14: host drift at anchor-drift
+# 1.41/0.66 flagged) settles them at the r10-record noise band; the
+# r12 interleaved min-of-4 spot-check of the remaining NINE reads the
+# same signature — q1 anchor 0.91x (FASTER than its r10 record) while
+# the nine AST-identical queries settle at 1.4-2.2x r10
+# (c24 0.60s, p_decontaminate 1.02, x_snapshot_cdc 0.89, e_rfm 0.48,
+# a_ann_mmr 1.47, e_ewma 0.34, e_holt 0.37, x_row_column 0.43,
+# x_hll_sliding 0.93), i.e. below their flagged values and wholly
+# unexplained by the scan-bound anchor. Verdict for all 14: host
+# drift at anchor-drift
 # 1.558 with per-core-bursty steal the single scan-bound anchor
 # under-corrects — exactly the instrument gap the round-12
 # multi-family anchors close. Nothing to revert.
