@@ -870,6 +870,13 @@ def delete_keys(store: SnapshotStore, spark: SparkSession,
             meta = pq.ParquetFile(path).metadata
         except Exception:
             return True
+        if meta.num_row_groups == 0:
+            # a zero-row-group file (a filtered rewrite that emptied a
+            # partition, an empty append) holds no rows at all — it
+            # cannot contain a deleted key, and probing row_group(0)
+            # for the column index would raise IndexError (found by
+            # the round-12 delete-plane randomized differential)
+            return False
         idx = None
         for i in range(meta.num_columns):
             if meta.row_group(0).column(i).path_in_schema == key_col:

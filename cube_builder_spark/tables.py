@@ -101,6 +101,8 @@ def slice_bytes(sf_dir: str, name: str, column: str,
     try:
         for path in _parquet_files(sf_dir, name):
             md = pq.ParquetFile(path).metadata
+            if md.num_row_groups == 0:
+                continue    # zero-row-group file: no bytes, no stats
             col_idx = None
             for i in range(md.num_columns):
                 if md.row_group(0).column(i).path_in_schema == column:

@@ -1696,3 +1696,81 @@ def test_occ_randomized_vs_replay_model(spark, tmp_path):
             got = sorted((r.k, r.v) for r in st.read(spark).collect())
             assert got == sorted(contents[head]), (seed, op)
             assert st.head("main") == head
+
+
+def test_delete_plane_randomized_vs_replay_model(spark, tmp_path):
+    """Randomized differential for the DELETE plane — the scd2/OCC
+    reference-model pattern applied to merge-on-read vs merge-on-write
+    deletes: seeded random interleavings of append / overwrite /
+    delete_keys_mor / materialize_deletes / delete_keys run against a
+    plain-Python multiset model. The model applies a MoR delete to
+    the rows PRESENT AT DELETE TIME only (the Iceberg sequence rule:
+    later re-appends of a deleted key must survive), overwrite clears
+    pending sidecars, and merge-on-write delete_keys must refuse to
+    run over pending MoR deletes (the re-sequencing resurrection
+    trap). After every op the stored table equals the model, and a
+    time-travel read of a random historical version equals the
+    model's snapshot of it."""
+    import random
+
+    import pytest
+
+    from cube_builder_spark.sinks.snapshot import (
+        SnapshotStore, delete_keys, delete_keys_mor, materialize_deletes)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    for seed in (5, 17, 31):
+        st = SnapshotStore(str(tmp_path / f"del{seed}"))
+        rng = random.Random(seed)
+        content = [(k, k * 10) for k in range(4)]
+        v = st.write(mk(content))
+        hist = {v: list(content)}
+        pending = False
+        seq = 100
+        for _ in range(12):
+            op = rng.choice(["append", "overwrite", "delete_mor",
+                             "delete_mor", "materialize", "delete_cow"])
+            if op == "append":
+                batch = [(rng.randrange(8), seq * 10)]
+                v = st.write(mk(batch))
+                content = content + batch
+            elif op == "overwrite":
+                batch = [(rng.randrange(8), seq * 10 + 1)]
+                v = st.write(mk(batch), mode="overwrite")
+                content = list(batch)
+                pending = False
+            elif op == "delete_mor":
+                keys = [rng.randrange(8) for _ in range(2)]
+                v = delete_keys_mor(st, spark, mk([(k, 0) for k in keys])
+                                    .select("k"), ["k"])
+                content = [r for r in content if r[0] not in keys]
+                pending = True
+            elif op == "materialize":
+                v, _n = materialize_deletes(st, spark)
+                pending = False
+            else:  # delete_cow
+                keys = [rng.randrange(8)]
+                if pending:
+                    with pytest.raises(ValueError,
+                                       match="materialize_deletes"):
+                        delete_keys(st, spark, keys, "k")
+                    got = sorted((r.k, r.v)
+                                 for r in st.read(spark).collect())
+                    assert got == sorted(content), (seed, "cow-blocked")
+                    continue
+                v, _n = delete_keys(st, spark, keys, "k")
+                content = [r for r in content if r[0] not in keys]
+            seq += 1
+            hist[v] = list(content)
+            got = sorted((r.k, r.v) for r in st.read(spark).collect())
+            assert got == sorted(content), (seed, op)
+            # time-travel spot-check: a random historical version
+            # still reads exactly its model snapshot
+            tv = rng.choice(list(hist))
+            want = hist[tv]
+            if want:
+                got_tv = sorted((r.k, r.v)
+                                for r in st.read(spark, tv).collect())
+                assert got_tv == sorted(want), (seed, op, tv)
