@@ -263,6 +263,7 @@ HEADLINE = [
     "e_peak_concurrency",
     "e_lorenz_gini",
     "t_cooccurrence_pmi",
+    "e_did_analysis",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -2297,3 +2297,104 @@ def e_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("gini_num"),
                     (F.col("n") * F.col("s_x")).cast("long")
                     .alias("gini_den")))
+
+
+@register("e_did_analysis", """
+WITH daily AS (
+  SELECT user_id % 2 AS arm,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id % 2,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+),
+sp AS (
+  SELECT arm, day, cnt,
+         min(day) OVER () AS mind, max(day) OVER () AS maxd,
+         (min(day) OVER () + max(day) OVER () + 1) // 2 AS mid
+  FROM daily
+),
+cells AS (
+  SELECT arm, day >= mid AS post, CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(any_value(mid - mind) AS BIGINT) AS d_pre,
+         CAST(any_value(maxd - mid + 1) AS BIGINT) AS d_post
+  FROM sp GROUP BY arm, day >= mid
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 AND NOT post THEN total END) AS c_pre,
+         max(CASE WHEN arm = 0 AND post THEN total END) AS c_post,
+         max(CASE WHEN arm = 1 AND NOT post THEN total END) AS t_pre,
+         max(CASE WHEN arm = 1 AND post THEN total END) AS t_post,
+         max(d_pre) AS d_pre, max(d_post) AS d_post
+  FROM cells
+)
+SELECT CAST(d_pre AS BIGINT) AS n_pre_days,
+       CAST(d_post AS BIGINT) AS n_post_days,
+       CAST(c_pre AS BIGINT) AS ctl_pre, CAST(c_post AS BIGINT) AS ctl_post,
+       CAST(t_pre AS BIGINT) AS trt_pre, CAST(t_post AS BIGINT) AS trt_post,
+       CAST((t_post - c_post) * d_pre - (t_pre - c_pre) * d_post
+            AS BIGINT) AS did_num,
+       CAST(d_pre * d_post AS BIGINT) AS did_den,
+       ((t_post - c_post) * d_pre - (t_pre - c_pre) * d_post) * 1e0
+         / (d_pre * d_post) AS did_daily
+FROM wide
+""")
+def e_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator
+    (Card & Krueger 1994's workhorse) that completes the
+    experimentation suite beside e_ab_test's randomized z-test: arms
+    from the user_id parity assignment, the pre/post cut at the
+    corpus midpoint day, outcome = daily purchase volume. DiD =
+    (treat_post_rate - treat_pre_rate) - (control_post_rate -
+    control_pre_rate), shipped as the exact integer fraction
+    (did_num, did_den) over calendar-day denominators — the single
+    IEEE division ships alongside, never accumulates.
+
+    Scale shape: the only data-scale stage is the filtered (arm, day)
+    purchase rollup (map-side combinable, calendar x 2 keys); the
+    midpoint derives from a window over THAT bounded frame (the
+    e_kaplan_meier single-scan rollup trick — no second events scan,
+    no broadcast-join of a scalar), and the cell pivot is a 4-row
+    aggregate."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy((F.col("user_id") % 2).alias("arm"),
+                      _epoch_day().alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w_all = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    sp = daily.select(
+        "arm", "day", "cnt",
+        F.min("day").over(w_all).alias("mind"),
+        F.max("day").over(w_all).alias("maxd"),
+        ((F.min("day").over(w_all) + F.max("day").over(w_all) + 1)
+         / 2).cast("long").alias("mid"))
+    cells = (sp.groupBy("arm", (F.col("day") >= F.col("mid"))
+                        .alias("post"))
+             .agg(F.sum("cnt").cast("long").alias("total"),
+                  F.max(F.col("mid") - F.col("mind")).cast("long")
+                  .alias("d_pre"),
+                  F.max(F.col("maxd") - F.col("mid") + 1).cast("long")
+                  .alias("d_post")))
+    def cell(a, p):
+        return F.max(F.when((F.col("arm") == a) &
+                            (F.col("post") == p), F.col("total")))
+    wide = cells.agg(
+        cell(0, False).alias("c_pre"), cell(0, True).alias("c_post"),
+        cell(1, False).alias("t_pre"), cell(1, True).alias("t_post"),
+        F.max("d_pre").alias("d_pre"), F.max("d_post").alias("d_post"))
+    num = ((F.col("t_post") - F.col("c_post")) * F.col("d_pre")
+           - (F.col("t_pre") - F.col("c_pre")) * F.col("d_post"))
+    den = F.col("d_pre") * F.col("d_post")
+    return wide.select(
+        F.col("d_pre").cast("long").alias("n_pre_days"),
+        F.col("d_post").cast("long").alias("n_post_days"),
+        F.col("c_pre").cast("long").alias("ctl_pre"),
+        F.col("c_post").cast("long").alias("ctl_post"),
+        F.col("t_pre").cast("long").alias("trt_pre"),
+        F.col("t_post").cast("long").alias("trt_post"),
+        num.cast("long").alias("did_num"),
+        den.cast("long").alias("did_den"),
+        (num * 1e0 / den).alias("did_daily"))
