@@ -1,0 +1,138 @@
+"""Round-12 surface: RANGE-frame spend, sweep-line peak concurrency,
+Lorenz/Gini, PMI collocations, difference-in-differences. Value-level
+hashes are covered by tests/test_queries_oracle; these pin the
+semantic invariants — several against full plain-Python recomputation
+at sf0.001 — that the hash alone doesn't explain."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def test_range_frame_spend_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_range_frame_spend
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.o_orderkey: (r.o_custkey, r.day, r.spend_30d_cents)
+           for r in e_range_frame_spend(spark, sf_dir).collect()}
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"].collect()
+    by_cust = defaultdict(list)
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    for r in orders:
+        day = (r.o_orderdate.date() - epoch).days
+        cents = int(r.o_totalprice * 100 + 0.5)
+        by_cust[r.o_custkey].append((day, cents, r.o_orderkey))
+    for cust, rows in by_cust.items():
+        for day, _c, key in rows:
+            want = sum(c for d, c, _k in rows if day - 29 <= d <= day)
+            assert got[key] == (cust, day, want), key
+
+
+def test_peak_concurrency_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_peak_concurrency
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.day: (r.peak_users, r.n_users)
+           for r in e_peak_concurrency(spark, sf_dir).collect()}
+    assert got
+    ev = load_tables(spark, sf_dir, ["events"]).get("events")
+    rows = ev.collect()
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    spans = {}
+    for r in rows:
+        day = (r.ts.date() - epoch).days
+        m = r.ts.hour * 60 + r.ts.minute
+        k = (r.user_id, day)
+        lo, hi = spans.get(k, (m, m))
+        spans[k] = (min(lo, m), max(hi, m))
+    want = {}
+    per_day = defaultdict(list)
+    for (u, day), (lo, hi) in spans.items():
+        per_day[day].append((lo, hi))
+    for day, ivs in per_day.items():
+        deltas = defaultdict(int)
+        for lo, hi in ivs:
+            deltas[lo] += 1
+            deltas[hi + 1] -= 1
+        run, peak = 0, 0
+        for m in sorted(deltas):
+            run += deltas[m]
+            peak = max(peak, run)
+        want[day] = (peak, len(ivs))
+    assert got == want
+    # sanity on the invariant itself: concurrency never exceeds the
+    # day's distinct users, and someone is always concurrent
+    assert all(1 <= p <= n for p, n in got.values())
+
+
+def test_lorenz_gini_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_lorenz_gini
+    from cube_builder_spark.tables import load_tables
+
+    rows = e_lorenz_gini(spark, sf_dir).collect()
+    assert {r.decile for r in rows} == set(range(1, 11))
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"].collect()
+    spend = defaultdict(int)
+    for r in orders:
+        spend[r.o_custkey] += int(r.o_totalprice * 100 + 0.5)
+    ordered = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    s_ix = sum((i + 1) * x for i, (_k, x) in enumerate(ordered))
+    s_x = sum(x for _k, x in ordered)
+    want_num, want_den = 2 * s_ix - (n + 1) * s_x, n * s_x
+    for r in rows:
+        assert (r.gini_num, r.gini_den) == (want_num, want_den)
+    assert 0 <= want_num <= want_den
+    assert sum(r.n_customers for r in rows) == n
+    # ascending sort: decile spend totals per customer rise with the
+    # decile index (strong inequality need not hold per-total, but
+    # the per-customer mean must be nondecreasing)
+    means = [r.decile_spend_cents / r.n_customers
+             for r in sorted(rows, key=lambda r: r.decile)]
+    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
+
+
+def test_cooccurrence_pmi_score_and_ordering(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_cooccurrence_pmi
+    from cube_builder_spark.tables import load_tables
+
+    rows = t_cooccurrence_pmi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_docs = docs.count()
+    for r in rows:
+        assert r.wa < r.wb
+        assert r.c_ab <= min(r.c_a, r.c_b)
+        assert r.pmi_micro == 1000000 * r.c_ab * n_docs // (r.c_a * r.c_b)
+    scores = [r.pmi_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_did_analysis_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_did_analysis
+    from cube_builder_spark.tables import load_tables
+
+    [r] = e_did_analysis(spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    days = defaultdict(int)
+    for e in ev:
+        if e.event_type == "purchase":
+            days[(e.user_id % 2, (e.ts.date() - epoch).days)] += 1
+    all_days = [d for (_a, d) in days]
+    mind, maxd = min(all_days), max(all_days)
+    mid = (mind + maxd + 1) // 2
+    cell = defaultdict(int)
+    for (a, d), c in days.items():
+        cell[(a, d >= mid)] += c
+    d_pre, d_post = mid - mind, maxd - mid + 1
+    num = ((cell[(1, True)] - cell[(0, True)]) * d_pre
+           - (cell[(1, False)] - cell[(0, False)]) * d_post)
+    assert (r.n_pre_days, r.n_post_days) == (d_pre, d_post)
+    assert (r.ctl_pre, r.ctl_post) == (cell[(0, False)], cell[(0, True)])
+    assert (r.trt_pre, r.trt_post) == (cell[(1, False)], cell[(1, True)])
+    assert (r.did_num, r.did_den) == (num, d_pre * d_post)
+    assert abs(r.did_daily - num / (d_pre * d_post)) < 1e-12
