@@ -681,21 +681,25 @@ def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_fuse(spark, sf_dir, lex)
 
 
-def _rrf_fuse(spark: SparkSession, sf_dir: str,
-              lex: DataFrame) -> DataFrame:
+def _rrf_fuse(spark: SparkSession, sf_dir: str, lex: DataFrame,
+              vector_topk: DataFrame | None = None) -> DataFrame:
     """The fusion tail both hybrid twins share: lexical top-50 +
     quantized-cosine vector top-50 (each a TakeOrderedAndProject —
     partial per-partition top-k, never a global sort; the rank
     windows run over the <= 50 surviving rows only), RRF k=60 in
-    exact integers over the 50x50 metadata join."""
+    exact integers over the 50x50 metadata join. ``vector_topk``
+    overrides the vector candidate frame (must carry vec_id + cosine
+    for <= 50 rows) — the IVF swap-in's entry point."""
     from pyspark.sql import Window
 
     ltop = (lex.orderBy(F.desc("score"), "doc_id").limit(50)
             .withColumn("rank_lex", F.row_number().over(
                 Window.orderBy(F.desc("score"), "doc_id")))
             .select("doc_id", "rank_lex"))
-    vtop = (similarity.brute_force_topk(_embs(spark, sf_dir),
-                                        query_vec_id=0, k=50)
+    if vector_topk is None:
+        vector_topk = similarity.brute_force_topk(
+            _embs(spark, sf_dir), query_vec_id=0, k=50)
+    vtop = (vector_topk
             .withColumn("rank_vec", F.row_number().over(
                 Window.orderBy(F.desc("cosine"), "vec_id")))
             .select(F.col("vec_id").alias("doc_id"), "rank_vec"))
@@ -742,6 +746,12 @@ def a_hybrid_rrf_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-hash oracle, the same reason the Hausdorff prune verifies
     exactly (e_trajectory_hausdorff_pruned) rather than trusting its
     bound."""
+    return _rrf_fuse(spark, sf_dir, _scalable_lex(spark, sf_dir))
+
+
+def _scalable_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned-postings lexical candidate frame (doc_id, score) —
+    see a_hybrid_rrf_scalable's docstring for the store design."""
     from .session import defer_cleanup, scratch_dir
 
     n_buckets = 32
@@ -772,12 +782,30 @@ def a_hybrid_rrf_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df is exact: every posting of a query term lives inside the
     # pruned partitions (hash-of-term partitioning), doc 0 included
     dfreq = qpost.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    lex = (qpost.filter(F.col("doc_id") != 0)
-           .join(dfreq, "w")
-           .groupBy("doc_id")
-           .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
-                .alias("score")))
-    return _rrf_fuse(spark, sf_dir, lex)
+    return (qpost.filter(F.col("doc_id") != 0)
+            .join(dfreq, "w")
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
+                 .alias("score")))
+
+
+def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str,
+                   n_lists: int = 8, nprobe: int = 2) -> DataFrame:
+    """The FULL production hybrid shape — pruned-postings lexical side
+    + IVF-probed vector side — as a parameterized function rather
+    than a registered query: IVF with nprobe < n_lists is a
+    RECALL-TRADING approximation (candidates outside the probed lists
+    are lost), so it cannot sit under the twins' shared exact-hash
+    oracle; a_ann_recall_eval is its measurement harness. With
+    nprobe = n_lists the probe set covers every inverted list and the
+    result degenerates to the exact twin — tests/test_hybrid_scalable
+    pins that equality, which is what verifies this wiring without
+    blessing the lossy setting as exact."""
+    vec = (similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0,
+                               n_lists=n_lists, k=50, nprobe=nprobe)
+           .select("vec_id", "cosine"))
+    return _rrf_fuse(spark, sf_dir, _scalable_lex(spark, sf_dir),
+                     vector_topk=vec)
 
 
 # postings-store registry: one scratch store per sf_dir for the

@@ -48,3 +48,27 @@ def test_postings_read_is_partition_pruned(spark, sf_dir):
     assert m is not None, plan
     assert "b#" in m.group(1) or " b " in m.group(1) or "b IN" in m.group(1), \
         m.group(0)
+
+
+def test_ivf_vector_side_full_probe_equals_exact(spark, sf_dir):
+    """hybrid_rrf_ivf with nprobe = n_lists probes every inverted
+    list, so the vector candidates — and hence the fused output —
+    must equal the exact twin exactly. This pins the IVF wiring
+    without blessing a lossy nprobe as exact."""
+    from cube_builder_spark.ann_queries import (a_hybrid_search_rrf,
+                                                hybrid_rrf_ivf)
+    exact = _rows(a_hybrid_search_rrf(spark, sf_dir))
+    full = _rows(hybrid_rrf_ivf(spark, sf_dir, n_lists=8, nprobe=8))
+    assert exact == full
+
+
+def test_ivf_vector_side_lossy_probe_is_well_formed(spark, sf_dir):
+    from cube_builder_spark.ann_queries import hybrid_rrf_ivf
+    rows = hybrid_rrf_ivf(spark, sf_dir, n_lists=8, nprobe=1).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the lexical half is exact either way: every row with a lexical
+    # rank carries a positive contribution
+    for r in rows:
+        assert r.rrf_score > 0
