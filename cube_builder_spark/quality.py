@@ -125,7 +125,18 @@ def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
 
     The checks run on the staged parquet (one extra read of the new
     files only), not the input plan — what was audited is exactly
-    what readers will see."""
+    what readers will see.
+
+    The commit follows ``store.write``'s full discipline (round-12
+    fix): parent = MAIN'S HEAD (not the globally-latest version — on
+    a store with branch refs that could chain the publish onto a
+    staging branch), the main ref ADVANCES to the new version (the
+    round-12 differential session found the old no-advance commit
+    left the audited batch invisible on main and silently orphaned by
+    the next write, which forked from the stale head), and the
+    parent's pending merge-on-read delete sidecars + per-file
+    sequence numbers carry forward on append (dropping them would
+    resurrect deleted rows)."""
     import os
     import uuid
 
@@ -142,8 +153,16 @@ def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
     new_files = sorted(
         os.path.join(sub, f) for f in os.listdir(sub)
         if f.endswith(".parquet") and not f.startswith("."))
-    vs = store.versions()
-    parent = vs[-1] if vs else None
-    base = store._read_manifest(parent)["files"] \
-        if (parent is not None and mode == "append") else []
-    return store._commit(base + new_files, f"wap-{mode}", parent)
+    parent = store.head("main")
+    pm = store._read_manifest(parent) \
+        if (parent is not None and mode == "append") else {}
+    base = pm.get("files", [])
+    file_seq = dict(pm.get("file_seq") or {})
+    file_seq.update({p: None for p in new_files})
+    extra = {"file_seq": file_seq}
+    if pm.get("deletes"):
+        extra["deletes"] = [dict(d) for d in pm["deletes"]]
+    v = store._commit(base + new_files, f"wap-{mode}", parent,
+                      extra=extra)
+    store._advance("main", v)
+    return v

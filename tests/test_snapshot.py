@@ -172,6 +172,61 @@ def test_publish_with_audit_blocks_bad_data(spark, tmp_path):
     assert sorted(r.k for r in st.read(spark).collect()) == [1, 2]
 
 
+def test_publish_with_audit_advances_main_and_chains(spark, tmp_path):
+    """Round-12 fix: on a store whose main ref exists (any prior
+    write creates one), publish_with_audit's commit previously did
+    NOT advance main — the audited batch was invisible to readers and
+    the next write forked from the stale head, silently orphaning it.
+    It must behave exactly like write(): visible immediately, and the
+    next commit chains on top of it."""
+    from cube_builder_spark.quality import TableChecks, publish_with_audit
+
+    st = SnapshotStore(str(tmp_path / "wapchain"))
+    v1 = st.write(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    checks = TableChecks(df=None, not_null=["k"])
+    v2 = publish_with_audit(
+        st, spark.createDataFrame([(2, 6.0)], "k long, v double"),
+        checks, "t")
+    assert st.head("main") == v2
+    assert sorted(r.k for r in st.read(spark).collect()) == [1, 2]
+    v3 = st.write(spark.createDataFrame([(3, 7.0)], "k long, v double"))
+    assert st._read_manifest(v3).get("parent") == v2
+    assert sorted(r.k for r in st.read(spark).collect()) == [1, 2, 3]
+    # and it must chain from MAIN's head, not the globally-latest
+    # version: a staging-branch commit with a higher version number
+    # must not become the publish's parent
+    st.create_branch("stage")
+    st.write(spark.createDataFrame([(99, 0.0)], "k long, v double"),
+             branch="stage")
+    v5 = publish_with_audit(
+        st, spark.createDataFrame([(4, 8.0)], "k long, v double"),
+        checks, "t")
+    assert st._read_manifest(v5).get("parent") == v3
+    assert sorted(r.k for r in st.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_publish_with_audit_carries_pending_mor_deletes(spark, tmp_path):
+    """A WAP append over pending merge-on-read deletes must carry the
+    delete sidecars (and per-file sequence numbers) forward — the old
+    commit dropped them, resurrecting every deleted row."""
+    from cube_builder_spark.quality import TableChecks, publish_with_audit
+    from cube_builder_spark.sinks.snapshot import delete_keys_mor
+
+    st = SnapshotStore(str(tmp_path / "wapmor"))
+    st.write(spark.createDataFrame([(1, 5.0), (2, 6.0)],
+                                   "k long, v double"))
+    delete_keys_mor(st, spark,
+                    spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert sorted(r.k for r in st.read(spark).collect()) == [2]
+    checks = TableChecks(df=None, not_null=["k"])
+    publish_with_audit(
+        st, spark.createDataFrame([(3, 7.0)], "k long, v double"),
+        checks, "t")
+    # deleted key stays deleted; the new row (appended AFTER the
+    # delete) is untouched by the sidecar per the sequence rule
+    assert sorted(r.k for r in st.read(spark).collect()) == [2, 3]
+
+
 def test_optimize_zorder_clusters_current_version(spark, tmp_path):
     from cube_builder_spark.functions.zorder import z_value
     from cube_builder_spark.sinks.snapshot import optimize_zorder
