@@ -445,18 +445,27 @@ def main():
                         "r6_groupby_collect_timeline"],
             "udf": ["m_media_metadata", "k1_cog_structure"],
         }
+
+        def _median(xs: list[float]) -> float:
+            # TRUE median (round-12 review): xs[len//2] on the
+            # 2-anchor families picked the MAX of the pair, inflating
+            # fam_drift and letting one bursty anchor auto-excuse a
+            # genuine regression in its family
+            xs = sorted(xs)
+            mid = len(xs) // 2
+            return (xs[mid] if len(xs) % 2
+                    else (xs[mid - 1] + xs[mid]) / 2.0)
+
         fam_drift: dict[str, float] = {}
         all_ratios = []
         for fam, anchors in families.items():
-            rs = sorted(
-                timings[a] / prev[a] for a in anchors
-                if a in timings and a in prev and prev[a] > 0.02)
+            rs = [timings[a] / prev[a] for a in anchors
+                  if a in timings and a in prev and prev[a] > 0.02]
             if rs:
-                fam_drift[fam] = rs[len(rs) // 2]
+                fam_drift[fam] = _median(rs)
                 all_ratios.extend(rs)
         all_ratios.sort()
-        drift = (all_ratios[len(all_ratios) // 2]
-                 if all_ratios else 1.0)
+        drift = _median(all_ratios) if all_ratios else 1.0
         drift_c = max(1.0, drift)
 
         def _flag(n, t):

@@ -123,6 +123,17 @@ class CubeService:
         import warnings
         from urllib.parse import unquote
 
+        def _quarantine(path: str) -> str:
+            # never overwrite earlier quarantined evidence: a second
+            # quarantine of the same file picks the next free suffix
+            corrupt = path + ".corrupt"
+            i = 2
+            while os.path.exists(corrupt):
+                corrupt = f"{path}.corrupt-{i}"
+                i += 1
+            os.replace(path, corrupt)
+            return corrupt
+
         def _read(path: str) -> dict | None:
             try:
                 with open(path) as fh:
@@ -130,8 +141,7 @@ class CubeService:
             except OSError:
                 return None
             except ValueError:
-                corrupt = path + ".corrupt"
-                os.replace(path, corrupt)
+                corrupt = _quarantine(path)
                 warnings.warn(
                     f"{os.path.basename(path)} was unreadable; moved "
                     f"to {corrupt} and skipped", RuntimeWarning,
@@ -150,36 +160,54 @@ class CubeService:
                 name = unquote(os.path.basename(path)[:-len(".json")])
                 payload[name] = rec
                 sources[name] = path
+        def _construct(rec: dict) -> _CubeState:
+            if not isinstance(rec, dict):
+                raise TypeError(
+                    f"record is {type(rec).__name__}, not object")
+            return _CubeState(
+                defn=CubeDefinition(**rec["defn"]),
+                parameters=rec.get("parameters") or {},
+                out_dir=rec.get("out_dir"))
+
         for n, rec in payload.items():
             # A file that PARSES but has the wrong shape (non-dict
             # record, missing 'defn', unexpected/missing defn keys) is
             # the same failure class as unparseable JSON — route it
             # through the same move-aside-and-skip path instead of
             # letting TypeError/KeyError brick the whole service
-            # (round-11 ADVICE). Legacy entries have no file of their
-            # own to quarantine; they are skipped (and NOT persisted
-            # below), so the bad record stays recoverable in
-            # catalog.json.migrated.
+            # (round-11 ADVICE). Parity with the unparseable path also
+            # means the LEGACY record gets a chance once the per-cube
+            # file is quarantined (round-12 review: _read's
+            # ValueError path lets the legacy entry win, so this path
+            # must too — otherwise a shape-invalid file masking a
+            # valid legacy record would lose the cube forever, since
+            # the migration below only persists names in self.cubes).
+            # A legacy entry that is ITSELF invalid is skipped and
+            # stays recoverable in catalog.json.migrated.
             try:
-                if not isinstance(rec, dict):
-                    raise TypeError(
-                        f"record is {type(rec).__name__}, not object")
-                self.cubes[n] = _CubeState(
-                    defn=CubeDefinition(**rec["defn"]),
-                    parameters=rec.get("parameters") or {},
-                    out_dir=rec.get("out_dir"))
+                self.cubes[n] = _construct(rec)
+                continue
             except (TypeError, KeyError) as exc:
                 path = sources.get(n)
                 if path is not None and os.path.exists(path):
-                    corrupt = path + ".corrupt"
-                    os.replace(path, corrupt)
-                    where = f"moved to {corrupt} and skipped"
+                    corrupt = _quarantine(path)
+                    where = f"moved to {corrupt}"
                 else:
                     where = "legacy entry skipped"
                 warnings.warn(
                     f"catalog record for cube {n!r} has an invalid "
                     f"shape ({exc}); {where}", RuntimeWarning,
                     stacklevel=2)
+            legacy_rec = (legacy.get(n)
+                          if isinstance(legacy, dict) else None)
+            if legacy_rec is not None and legacy_rec is not rec:
+                try:
+                    self.cubes[n] = _construct(legacy_rec)
+                    warnings.warn(
+                        f"cube {n!r} recovered from the legacy "
+                        "catalog record", RuntimeWarning, stacklevel=2)
+                except (TypeError, KeyError):
+                    pass
         if isinstance(legacy, dict):
             # finish the migration: persist every legacy entry that
             # LACKS a per-cube file (same atomic write as a save),

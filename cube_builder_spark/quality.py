@@ -153,16 +153,4 @@ def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
     new_files = sorted(
         os.path.join(sub, f) for f in os.listdir(sub)
         if f.endswith(".parquet") and not f.startswith("."))
-    parent = store.head("main")
-    pm = store._read_manifest(parent) \
-        if (parent is not None and mode == "append") else {}
-    base = pm.get("files", [])
-    file_seq = dict(pm.get("file_seq") or {})
-    file_seq.update({p: None for p in new_files})
-    extra = {"file_seq": file_seq}
-    if pm.get("deletes"):
-        extra["deletes"] = [dict(d) for d in pm["deletes"]]
-    v = store._commit(base + new_files, f"wap-{mode}", parent,
-                      extra=extra)
-    store._advance("main", v)
-    return v
+    return store.commit_staged(new_files, f"wap-{mode}", mode=mode)

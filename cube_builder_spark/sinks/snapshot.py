@@ -218,22 +218,37 @@ class SnapshotStore:
         new_files = sorted(
             os.path.join(sub, f) for f in os.listdir(sub)
             if f.endswith(".parquet") and not f.startswith("."))
+        return self.commit_staged(new_files, mode, mode=mode,
+                                  branch=branch, ts=ts)
+
+    def commit_staged(self, new_files: list[str], op: str,
+                      mode: str = "append", branch: str = "main",
+                      ts: float | None = None) -> int:
+        """THE append/overwrite commit tail, shared by every staged-
+        files writer (write, PartitionedStore.write, quality.
+        publish_with_audit): parent = the branch head, merge-on-read
+        state carried forward on append (Iceberg: an equality delete
+        applies only to data files with a STRICTLY OLDER sequence
+        number, so this append's rows are untouched by existing
+        deletes; overwrite resets both), manifest commit, ref
+        advance. One implementation on purpose — round 12 found a
+        hand-rolled copy of this block in publish_with_audit that had
+        drifted (no ref advance, no delete carry) and silently
+        orphaned audited batches; a single helper makes the next rule
+        change land everywhere at once. occ_append stays separate:
+        its parent comes from the conflict-checked rebase, not the
+        current head."""
         parent = self.head(branch)
         pm = self._read_manifest(parent) \
             if (parent is not None and mode == "append") else {}
         base = pm.get("files", [])
-        # merge-on-read state: appends carry the parent's delete files
-        # and per-file sequence numbers forward (Iceberg: an equality
-        # delete applies only to data files with a STRICTLY OLDER
-        # sequence number, so this append's rows are untouched by
-        # existing deletes); overwrite resets both.
         file_seq = dict(pm.get("file_seq") or {})
         file_seq.update({p: None for p in new_files})
         extra = {"file_seq": file_seq}
         if pm.get("deletes"):
             extra["deletes"] = [dict(d) for d in pm["deletes"]]
-        v = self._commit(base + new_files, mode, parent, extra=extra,
-                         ts=ts)
+        v = self._commit(base + list(new_files), op, parent,
+                         extra=extra, ts=ts)
         self._advance(branch, v)
         return v
 
@@ -1382,22 +1397,10 @@ class PartitionedStore:
                     meta[path] = {"spec_id": spec_id, "pv": pv}
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
-        parent = self.store.head(branch)
-        pm = self.store._read_manifest(parent) \
-            if (parent is not None and mode == "append") else {}
-        base = pm.get("files", [])
-        # same merge-on-read carry as SnapshotStore.write: new files
-        # are sequenced at this commit, pending equality deletes ride
-        # along and never touch them
-        file_seq = dict(pm.get("file_seq") or {})
-        file_seq.update({f: None for f in new_files})
-        extra = {"file_seq": file_seq}
-        if pm.get("deletes"):
-            extra["deletes"] = [dict(d) for d in pm["deletes"]]
-        v = self.store._commit(base + sorted(new_files), mode, parent,
-                               extra=extra)
-        self.store._advance(branch, v)
-        return v
+        # same merge-on-read carry as SnapshotStore.write — the one
+        # shared commit tail (commit_staged)
+        return self.store.commit_staged(sorted(new_files), mode,
+                                        mode=mode, branch=branch)
 
     def read_pruned(self, spark: SparkSession, column: str,
                     lo, hi, version: int | None = None,
@@ -1569,15 +1572,16 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
     sk = key|effective and merge_upsert would land both — two
     "current" rows for one key, the surrogate-key collision class the
     same-day rule closes for the cross-batch case (round-10 verdict
-    punch #6). The probe runs AFTER the no-op filter (round-11
-    ADVICE): an at-least-once upstream that repeats a key whose
-    attributes all match the stored current row is a harmless
-    idempotent replay — neither copy would land — so it must not
-    hard-fail; only duplicates that would actually flow to a
-    surrogate key are rejected. Deduplicate upstream (e.g.
-    last-per-key by a batch sequence column) and re-submit; the check
-    is one map-side-combinable aggregate with a 1-row bounded
-    collect.
+    punch #6). The probe is no-op-aware (round-11 ADVICE, tightened
+    round 12): an at-least-once upstream that repeats a key whose
+    copies ALL match the stored current row is a harmless idempotent
+    replay — nothing would land — so it must not hard-fail; a
+    duplicated key with ANY surviving copy is rejected, including the
+    changed+unchanged mix, whose net intent (last-wins no-op vs
+    first-wins change) an unordered batch cannot express.
+    Deduplicate upstream (e.g. last-per-key by a batch sequence
+    column) and re-submit; the check is one map-side-combinable
+    aggregate with a 1-row bounded collect.
 
     Attribute comparison is NULL-safe (``eqNullSafe``). Physically the
     closed+new rows flow through ``merge_upsert`` on ``sk`` — footer-
@@ -1602,25 +1606,33 @@ def scd2_merge(store: SnapshotStore, spark: SparkSession,
         eq = updates[c].eqNullSafe(F.col(f"_a_{c}"))
         same = eq if same is None else (same & eq)
     changed = j.filter(F.col("_k").isNull() | ~same)
-    # Duplicate-key probe runs on `changed` (post no-op filter, r11
-    # ADVICE): a key repeated with UNCHANGED attributes is an
-    # idempotent at-least-once replay — both copies drop above, so
-    # rejecting it would break exactly the callers the no-op rule
-    # exists for. Any key surviving here twice WOULD collide on one
-    # surrogate key, so it is still rejected before anything commits.
-    # Probe 4 so "exactly 3 duplicated keys" and "more than 3" render
-    # differently (only the first 3 are named).
-    dup = (changed.groupBy(updates[key_col].alias(key_col))
-           .agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > 1).limit(4).collect())
+    # Duplicate-key probe (r11 ADVICE, tightened by the r12 review):
+    # a key repeated where EVERY copy matches the stored current row
+    # is an idempotent at-least-once replay — all copies drop in the
+    # no-op filter above, nothing would land, so rejecting it would
+    # break exactly the callers the no-op rule exists for. But any
+    # RAW-batch duplicate key with at least one SURVIVING copy is
+    # ambiguous — two changed copies would collide on one surrogate
+    # key, and a changed+unchanged mix hides an ordering intent
+    # (last-wins would be a net no-op; first-wins a change) this
+    # merge cannot see — so both shapes are rejected before anything
+    # commits. Probe 4 so "exactly 3 duplicated keys" and "more than
+    # 3" render differently (only the first 3 are named).
+    dup_raw = (updates.groupBy(F.col(key_col).alias("_dk"))
+               .agg(F.count(F.lit(1)).alias("_nraw"))
+               .filter(F.col("_nraw") > 1).select("_dk"))
+    dup = (changed.select(updates[key_col].alias("_ck"))
+           .join(dup_raw, F.col("_ck") == F.col("_dk"))
+           .select(F.col("_dk").alias(key_col))
+           .distinct().limit(4).collect())
     if dup:
         keys = ", ".join(str(r[key_col]) for r in dup[:3])
         raise ValueError(
             f"scd2_merge: update batch carries duplicate {key_col} "
-            f"values with effective changes ({keys}"
-            f"{', …' if len(dup) > 3 else ''}) — both rows would "
-            "collide on one surrogate key; deduplicate to one row "
-            "per key (last-per-key) and re-submit")
+            f"values with at least one effective change ({keys}"
+            f"{', …' if len(dup) > 3 else ''}) — colliding or "
+            "order-ambiguous on one surrogate key; deduplicate to "
+            "one row per key (last-per-key) and re-submit")
     eff = F.lit(effective).cast("date")
     # Same-day change (effective == the current row's valid_from —
     # an intra-day correction or two batches applied with the same

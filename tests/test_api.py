@@ -244,3 +244,54 @@ def test_legacy_migration_never_rewrites_existing_per_cube_file(tmp_path):
     # and its (newer) content won the rehydrate
     assert svc2.list_cubes("S2-16D")["parameters"][
         "title"] == "newer-update"
+
+
+def test_shape_invalid_file_recovers_from_valid_legacy_record(tmp_path):
+    """Round-12 review: parity between the two corruption classes —
+    when a shape-invalid per-cube file masks a VALID legacy catalog
+    entry, the cube must be recovered from the legacy record (as the
+    unparseable-JSON path already did), re-persisted, and survive
+    future restarts."""
+    import dataclasses
+    import json
+    import os
+    wd = str(tmp_path / "c")
+    os.makedirs(os.path.join(wd, "catalog"))
+    legacy = {"S2-16D": {"defn": dataclasses.asdict(_defn()),
+                         "parameters": {"p": 1}, "out_dir": None}}
+    with open(os.path.join(wd, "catalog.json"), "w") as fh:
+        json.dump(legacy, fh)
+    path = os.path.join(wd, "catalog", "S2-16D.json")
+    with open(path, "w") as fh:
+        json.dump(["wrong", "shape"], fh)
+    with pytest.warns(RuntimeWarning, match="recovered from the legacy"):
+        svc = CubeService(wd)
+    assert [c["name"] for c in svc.list_cubes()] == ["S2-16D"]
+    assert svc.list_cubes("S2-16D")["parameters"]["p"] == 1
+    assert os.path.exists(path + ".corrupt")
+    # re-persisted from the recovered record: survives a restart with
+    # the legacy file retired
+    assert os.path.exists(path)
+    assert [c["name"] for c in CubeService(wd).list_cubes()] == ["S2-16D"]
+
+
+def test_quarantine_never_overwrites_prior_corrupt_file(tmp_path):
+    """A second quarantine of the same path must pick a fresh suffix
+    — earlier quarantined evidence is never destroyed."""
+    import os
+    wd = str(tmp_path / "c")
+    svc = CubeService(wd)
+    svc.create_cube(_defn())
+    path = os.path.join(wd, "catalog", "S2-16D.json")
+    with open(path, "w") as fh:
+        fh.write("{first bad")
+    with pytest.warns(RuntimeWarning):
+        CubeService(wd)
+    with open(path, "w") as fh:
+        fh.write("{second bad")
+    with pytest.warns(RuntimeWarning):
+        CubeService(wd)
+    with open(path + ".corrupt") as fh:
+        assert fh.read() == "{first bad"
+    with open(path + ".corrupt-2") as fh:
+        assert fh.read() == "{second bad"

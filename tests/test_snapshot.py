@@ -1524,7 +1524,7 @@ def test_scd2_rejects_same_batch_duplicate_keys(spark, tmp_path):
                            "2024-03-10")
     assert (v, nc, ni) == (head, 0, 0)
     # ...and a replayed-unchanged key alongside a genuinely changed
-    # key: the unchanged duplicates drop, the change lands normally.
+    # OTHER key: the unchanged duplicates drop, the change lands.
     mixed = spark.createDataFrame([(1, "A"), (1, "A"), (2, "Z")],
                                   "k long, seg string")
     v2, nc2, ni2 = scd2_merge(st, spark, mixed, "k", ["seg"],
@@ -1532,6 +1532,16 @@ def test_scd2_rejects_same_batch_duplicate_keys(spark, tmp_path):
     assert (nc2, ni2) == (0, 1) and v2 > head
     rows = sorted((r.k, r.seg) for r in st.read(spark).collect())
     assert rows == [(1, "A"), (2, "Z")]
+    # BUT a duplicated key mixing one changed and one unchanged copy
+    # is ambiguous (last-wins would be a net no-op, first-wins a
+    # change — an unordered batch can't say which) and must be
+    # rejected with nothing committed (round-12 review).
+    head2 = st.head("main")
+    ambiguous = spark.createDataFrame([(1, "B"), (1, "A")],
+                                      "k long, seg string")
+    with pytest.raises(ValueError, match="duplicate k values"):
+        scd2_merge(st, spark, ambiguous, "k", ["seg"], "2024-03-12")
+    assert st.head("main") == head2
 
 
 def test_scd2_randomized_vs_reference_model(spark, tmp_path):
