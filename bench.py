@@ -264,6 +264,7 @@ HEADLINE = [
     "e_lorenz_gini",
     "t_cooccurrence_pmi",
     "e_did_analysis",
+    "c47_morans_i",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

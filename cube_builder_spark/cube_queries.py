@@ -3347,3 +3347,95 @@ def c46_break_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doy").cast("long").alias("break_doy"),
                     F.col("dnum").cast("long").alias("shift_num"),
                     "metric"))
+
+
+@register("c47_morans_i", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+st AS (
+  SELECT tile_id, y, x, v,
+         count(*) OVER (PARTITION BY tile_id) AS n,
+         sum(v) OVER (PARTITION BY tile_id) AS s
+  FROM comp
+),
+z AS (SELECT tile_id, y, x, n, n * v - s AS zc FROM st),
+pairs AS (
+  SELECT a.tile_id, a.n AS n, a.zc AS za, b.zc AS zb
+  FROM z a JOIN z b ON a.tile_id = b.tile_id
+   AND ((a.y = b.y AND abs(a.x - b.x) = 1) OR
+        (a.x = b.x AND abs(a.y - b.y) = 1))
+),
+agg AS (
+  SELECT tile_id, CAST(any_value(n) AS BIGINT) AS n_cells,
+         CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(sum(za * zb) AS BIGINT) AS cross_zc
+  FROM pairs GROUP BY tile_id
+),
+sq AS (SELECT tile_id, CAST(sum(zc * zc) AS BIGINT) AS ss_zc
+       FROM z GROUP BY tile_id)
+SELECT a.tile_id, a.n_cells, a.w_pairs, a.cross_zc, q.ss_zc,
+       (a.cross_zc * 1e0 / q.ss_zc) * a.n_cells / a.w_pairs AS morans_i
+FROM agg a JOIN sq q ON q.tile_id = a.tile_id
+WHERE q.ss_zc > 0
+""".replace("{PIXELS}", PIXELS_SQL))
+def c47_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: global Moran's I per tile — THE spatial-autocorrelation
+    statistic (Moran 1950; the first question asked of any map:
+    "is this pattern clustered, random, or dispersed?") over the
+    clear-max composite with rook (4-neighbor) contiguity, nodata
+    holes shrinking the adjacency exactly as they shrink c28's
+    kernel. I = (n/W) * Σ_adj z_i z_j / Σ z_i² with z centered at the
+    tile mean; computed with zc_i = n*v_i - S (the mean cleared of
+    fractions — the n² factors cancel in the ratio), so cross_zc,
+    ss_zc, n, W are all exact int64 and the ONLY float is the final
+    (cross/ss)*n/W, identical op shape in both engines. Tiles with a
+    constant composite (ss = 0, I undefined) are excluded.
+
+    Scale shape: the centering stats come from a tile-partitioned
+    window (tile-bounded, ≤ 512 cells); adjacency is the c28
+    scatter — each cell emits 4 shifted copies and an EQUI-join on
+    (tile, y, x) finds the neighbors that exist (no range join, no
+    BNLJ; off-grid shifts simply never match); both reductions are
+    map-side-combinable groupBys keyed by tile. int64 headroom:
+    |zc| ≤ 2nV ≈ 10^7, a pair product ≤ 10^14, ≤ 2·10^3 directed
+    pairs per tile → Σ ≤ 2·10^17; the n/W factor stays OUT of the
+    integer path (it would push n·Σ past 2^63) and rides the float
+    ratio instead."""
+    return morans_i_cells(_comp_cells(spark, sf_dir))
+
+
+def morans_i_cells(cells: DataFrame) -> DataFrame:
+    """Moran's I over any (tile_id, y, x, v) cell frame — the kernel
+    c47_morans_i wires to the composite plane; tests run it on
+    planted checkerboard/gradient patterns whose sign is known."""
+    w = Window.partitionBy("tile_id")
+    z = (cells.select(
+        "tile_id", "y", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        (F.count(F.lit(1)).over(w) * F.col("v")
+         - F.sum("v").over(w)).alias("zc")))
+    shifted = None
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        part = z.select("tile_id", (F.col("y") + dy).alias("y"),
+                        (F.col("x") + dx).alias("x"),
+                        F.col("zc").alias("z_src"))
+        shifted = part if shifted is None else shifted.unionByName(part)
+    pairs = shifted.join(
+        z.select("tile_id", "y", "x", "n",
+                 F.col("zc").alias("z_tgt")),
+        ["tile_id", "y", "x"])
+    agg = (pairs.groupBy("tile_id")
+           .agg(F.max("n").cast("long").alias("n_cells"),
+                F.count(F.lit(1)).cast("long").alias("w_pairs"),
+                F.sum(F.col("z_src") * F.col("z_tgt")).cast("long")
+                .alias("cross_zc")))
+    sq = (z.groupBy("tile_id")
+          .agg(F.sum(F.col("zc") * F.col("zc")).cast("long")
+               .alias("ss_zc")))
+    return (agg.join(sq, "tile_id")
+            .filter(F.col("ss_zc") > 0)
+            .select("tile_id", "n_cells", "w_pairs", "cross_zc",
+                    "ss_zc",
+                    (F.col("cross_zc") * 1e0 / F.col("ss_zc")
+                     * F.col("n_cells") / F.col("w_pairs"))
+                    .alias("morans_i")))

@@ -136,3 +136,41 @@ def test_did_analysis_matches_python_recompute(spark, sf_dir):
     assert (r.trt_pre, r.trt_post) == (cell[(1, False)], cell[(1, True)])
     assert (r.did_num, r.did_den) == (num, d_pre * d_post)
     assert abs(r.did_daily - num / (d_pre * d_post)) < 1e-12
+
+
+def test_morans_i_signs_on_planted_patterns(spark):
+    """Moran's I ground truth: a checkerboard is maximally dispersed
+    (strongly negative I), a linear gradient is clustered (positive
+    I), and both match a full plain-Python recompute of the rook
+    statistic."""
+    from cube_builder_spark.cube_queries import morans_i_cells
+
+    def cells(fn, tile):
+        return [(tile, y, x, fn(y, x)) for y in range(8)
+                for x in range(8)]
+
+    rows = (cells(lambda y, x: 100 if (x + y) % 2 else -100, 0)
+            + cells(lambda y, x: 50 * x + 7 * y, 1))
+    df = spark.createDataFrame(rows, "tile_id long, y long, x long, v long")
+    got = {r.tile_id: r for r in morans_i_cells(df).collect()}
+    assert got[0].morans_i < -0.9          # checkerboard: dispersed
+    assert got[1].morans_i > 0.5           # gradient: clustered
+
+    # exact python recompute of num/den for both tiles
+    for tile in (0, 1):
+        vs = {(y, x): v for t, y, x, v in rows if t == tile}
+        n = len(vs)
+        s = sum(vs.values())
+        zc = {k: n * v - s for k, v in vs.items()}
+        cross = w_pairs = 0
+        for (y, x), z in zc.items():
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                nb = zc.get((y + dy, x + dx))
+                if nb is not None:
+                    cross += z * nb
+                    w_pairs += 1
+        ss = sum(z * z for z in zc.values())
+        r = got[tile]
+        assert (r.n_cells, r.w_pairs, r.cross_zc, r.ss_zc) == \
+            (n, w_pairs, cross, ss)
+        assert abs(r.morans_i - (cross / ss) * n / w_pairs) < 1e-12
