@@ -265,6 +265,7 @@ HEADLINE = [
     "t_cooccurrence_pmi",
     "e_did_analysis",
     "c47_morans_i",
+    "c48_hotspots_gi",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

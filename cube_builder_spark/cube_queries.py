@@ -3439,3 +3439,88 @@ def morans_i_cells(cells: DataFrame) -> DataFrame:
                     (F.col("cross_zc") * 1e0 / F.col("ss_zc")
                      * F.col("n_cells") / F.col("w_pairs"))
                     .alias("morans_i")))
+
+
+@register("c48_hotspots_gi", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+st AS (
+  SELECT tile_id, y, x, v,
+         count(*) OVER (PARTITION BY tile_id) AS n,
+         sum(v) OVER (PARTITION BY tile_id) AS s,
+         sum(v * v) OVER (PARTITION BY tile_id) AS ssq
+  FROM comp
+),
+nbr AS (
+  SELECT a.tile_id, a.y, a.x, a.n, a.s, a.ssq,
+         CAST(count(*) AS BIGINT) AS wi,
+         CAST(sum(b.v) AS BIGINT) AS sum_nbr
+  FROM st a JOIN st b ON a.tile_id = b.tile_id
+   AND ((a.y = b.y AND abs(a.x - b.x) <= 1) OR
+        (a.x = b.x AND abs(a.y - b.y) = 1))
+  GROUP BY a.tile_id, a.y, a.x, a.n, a.s, a.ssq
+)
+SELECT tile_id, y * {_GRID_W} + x AS pixel_id, wi, sum_nbr,
+       CAST(n * sum_nbr - wi * s AS BIGINT) AS gi_num,
+       (n * sum_nbr - wi * s) * 1e0
+         / sqrt((n * ssq - s * s) * 1e0 * (n * wi - wi * wi) / (n - 1))
+         AS gi_z
+FROM nbr
+WHERE n > 1 AND n * ssq > s * s AND wi < n
+""".replace("{PIXELS}", PIXELS_SQL))
+def c48_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: Getis-Ord Gi* hotspot scores (Getis & Ord 1992; ArcGIS
+    "Hot Spot Analysis") — the LOCAL sibling of c47's global Moran's
+    I: per cell, how far the rook-neighborhood-plus-self sum sits
+    above or below what the tile mean predicts, in standard
+    deviations. Algebra cleared of fractions: with W_i = |N_i ∪ i|,
+    Gi* = (n·Σ_nbr − W_i·S) / sqrt((n·ssq − S²)·(n·W_i − W_i²)/(n−1))
+    — every inner term an exact int64 (gi_num ships exactly), and the
+    float tail (one multiply, one divide-by-(n−1), one sqrt, one
+    divide) has identical op shape in both engines. Degenerate cells
+    are excluded: constant tiles (n·ssq = S²), single-cell tiles, and
+    the W_i = n case where the neighborhood is the whole tile and the
+    variance factor collapses to 0.
+
+    Scale shape: identical to c47 — tile-partitioned windows for the
+    centering moments (tile-bounded), the 5-copy scatter + equi-join
+    for the neighborhood (self + 4 rook shifts; off-grid shifts never
+    match), one map-side-combinable groupBy per cell. int64 headroom:
+    n·ssq ≤ 2.6e13 and (n·ssq−S²)·(n·W_i−W_i²) ≤ ~7e16 at the 512-
+    cell tile — two orders under 2^63; bigger tiles promote the
+    variance product to double (same op shape) before multiplying."""
+    return getis_ord_cells(_comp_cells(spark, sf_dir))
+
+
+def getis_ord_cells(cells: DataFrame) -> DataFrame:
+    """Gi* over any (tile_id, y, x, v) cell frame — the kernel
+    c48_hotspots_gi wires to the composite plane; tests run it on a
+    planted hot cluster whose center must score the highest z."""
+    w = Window.partitionBy("tile_id")
+    st = cells.select(
+        "tile_id", "y", "x", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("ssq"))
+    shifted = None
+    for dy, dx in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)):
+        part = st.select("tile_id", (F.col("y") + dy).alias("y"),
+                         (F.col("x") + dx).alias("x"),
+                         F.col("v").alias("v_src"))
+        shifted = part if shifted is None else shifted.unionByName(part)
+    nbr = (shifted.join(st.select("tile_id", "y", "x", "n", "s", "ssq"),
+                        ["tile_id", "y", "x"])
+           .groupBy("tile_id", "y", "x", "n", "s", "ssq")
+           .agg(F.count(F.lit(1)).cast("long").alias("wi"),
+                F.sum("v_src").cast("long").alias("sum_nbr")))
+    n, s, ssq, wi = (F.col(c) for c in ("n", "s", "ssq", "wi"))
+    num = n * F.col("sum_nbr") - wi * s
+    return (nbr.filter((n > 1) & (n * ssq > s * s) & (wi < n))
+            .select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    "wi", "sum_nbr",
+                    num.cast("long").alias("gi_num"),
+                    (num * 1e0
+                     / F.sqrt((n * ssq - s * s) * 1e0
+                              * (n * wi - wi * wi) / (n - 1)))
+                    .alias("gi_z")))

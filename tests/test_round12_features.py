@@ -174,3 +174,40 @@ def test_morans_i_signs_on_planted_patterns(spark):
         assert (r.n_cells, r.w_pairs, r.cross_zc, r.ss_zc) == \
             (n, w_pairs, cross, ss)
         assert abs(r.morans_i - (cross / ss) * n / w_pairs) < 1e-12
+
+
+def test_getis_ord_hot_cluster_scores_highest(spark):
+    """Gi* ground truth: on a flat tile with one 3x3 hot cluster, the
+    cluster center (whole neighborhood hot) must carry the maximum
+    z-score, far-field cells sit below it, and every row matches a
+    plain-Python recompute of the statistic."""
+    import math
+
+    from cube_builder_spark.cube_queries import getis_ord_cells
+
+    hot = {(3, 3), (3, 4), (3, 5), (4, 3), (4, 4), (4, 5),
+           (5, 3), (5, 4), (5, 5)}
+    rows = [(0, y, x, 1000 if (y, x) in hot else 10)
+            for y in range(10) for x in range(10)]
+    df = spark.createDataFrame(rows, "tile_id long, y long, x long, v long")
+    got = {r.pixel_id: r for r in getis_ord_cells(df).collect()}
+    W = 32  # _GRID_W pixel_id packing
+    center = got[4 * W + 4]
+    assert center.gi_z == max(r.gi_z for r in got.values())
+    assert center.gi_z > 2.0
+    assert got[0 * W + 0].gi_z < 0  # far corner: below the mean
+
+    vs = {(y, x): v for _t, y, x, v in rows}
+    n, s = len(vs), sum(vs.values())
+    ssq = sum(v * v for v in vs.values())
+    for (y, x), _v in vs.items():
+        nb = [(y + dy, x + dx) for dy, dx in
+              ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))]
+        present = [k for k in nb if k in vs]
+        wi, snb = len(present), sum(vs[k] for k in present)
+        num = n * snb - wi * s
+        z = num / math.sqrt((n * ssq - s * s) * 1.0
+                            * (n * wi - wi * wi) / (n - 1))
+        r = got[y * W + x]
+        assert (r.wi, r.sum_nbr, r.gi_num) == (wi, snb, num)
+        assert abs(r.gi_z - z) < 1e-9
