@@ -364,6 +364,104 @@ def _current_round() -> int:
     return (max(r for r, _ in recs) + 1) if recs else 1
 
 
+
+
+def drift_report(timings: dict, prev: dict, prev_round):
+    """Multi-family anchor calibration + regression flags — extracted
+    from main() in round 12 so the instrument itself is unit-testable
+    (tests/test_bench_drift.py): given this run's per-query mins and
+    the baseline round's, returns (anchor_rec, movers). See the
+    inline commentary for the model."""
+    if not prev:
+        return None, {}
+    # Environment calibration (round-8, rebuilt round-12): the r7
+    # record ran on a loaded machine and the raw tripwire flagged
+    # 10+ queries that controlled re-timing showed flat; rounds
+    # 9-11 then showed the SINGLE-family anchor median
+    # under-corrects because this host's steal waves are
+    # per-core-BURSTY, not uniform — a scan-bound 3-partition
+    # anchor rides out a wave that multiplies a 32-way fan-out
+    # query, so every noisy end-of-round run produced a 15-flag
+    # storm needing hand adjudication (r11 verdict #2). Anchors
+    # now span the three plan families whose host sensitivity
+    # differs: scan-bound whole-stage-codegen, shuffle-bound
+    # exchange-heavy, and Python-worker/Arrow fan-out. Per-family
+    # drift = median of that family's anchor ratios; the applied
+    # (flag-gating) drift stays the conservative ALL-anchor median
+    # — clamped >= 1 so calibration can only EXCUSE load, never
+    # amplify a regression — but each flag now carries its
+    # per-family normalized pct and an `excused_by` list naming
+    # every family whose drift explains the delta (<= the 25%
+    # threshold). AST-identical host noise is machine-dismissible:
+    # a flag with a non-empty excused_by needs no hand A/B unless
+    # the query's code actually changed.
+    families = {
+        "scan": ["q1_pricing_summary", "q6_forecast_revenue"],
+        "shuffle": ["q18_large_orders",
+                    "r6_groupby_collect_timeline"],
+        "udf": ["m_media_metadata", "k1_cog_structure"],
+    }
+
+    def _median(xs: list[float]) -> float:
+        # TRUE median (round-12 review): xs[len//2] on the
+        # 2-anchor families picked the MAX of the pair, inflating
+        # fam_drift and letting one bursty anchor auto-excuse a
+        # genuine regression in its family
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return (xs[mid] if len(xs) % 2
+                else (xs[mid - 1] + xs[mid]) / 2.0)
+
+    fam_drift: dict[str, float] = {}
+    all_ratios = []
+    for fam, anchors in families.items():
+        rs = [timings[a] / prev[a] for a in anchors
+              if a in timings and a in prev and prev[a] > 0.02]
+        if rs:
+            fam_drift[fam] = _median(rs)
+            all_ratios.extend(rs)
+    all_ratios.sort()
+    drift = _median(all_ratios) if all_ratios else 1.0
+    drift_c = max(1.0, drift)
+
+    def _flag(n, t):
+        fam_norm = {
+            fam: round(100.0 * (t / (prev[n] * max(1.0, fd))
+                                - 1.0), 1)
+            for fam, fd in fam_drift.items()}
+        return {
+            "prev": prev[n], "now": round(t, 3),
+            "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
+            "norm_pct": round(
+                100.0 * (t / (prev[n] * drift_c) - 1.0), 1),
+            "fam_norm_pct": fam_norm,
+            "excused_by": sorted(
+                f for f, p in fam_norm.items() if p <= 25.0),
+            **({"verdict": AB_VERDICTS[(n, prev_round)]}
+               if (n, prev_round) in AB_VERDICTS else {})}
+
+    movers = {
+        n: _flag(n, t)
+        for n, t in timings.items()
+        if n in prev and prev[n] > 0.05
+        and t > prev[n] * drift_c * 1.25}
+    n_unexcused = sum(1 for m in movers.values()
+                      if not m["excused_by"]
+                      and "verdict" not in m)
+    anchor_rec = {
+        "anchors": {a: {"prev": prev.get(a), "now": timings.get(a)}
+                    for fam in families.values() for a in fam},
+        "family_drift": {f: round(d, 3)
+                         for f, d in fam_drift.items()},
+        "spread": ([round(all_ratios[0], 3),
+                    round(all_ratios[-1], 3)]
+                   if all_ratios else None),
+        "drift": round(drift, 3),
+        "applied": round(drift_c, 3),
+        "n_unexcused": n_unexcused}
+    return anchor_rec, movers
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -418,93 +516,8 @@ def main():
     # contract JSON intact.
     sf_val0 = float(sf) if sf.replace(".", "").isdigit() else sf
     prev, prev_round = _previous_bench_queries(sf_val0)
-    anchor_rec, movers = None, {}
+    anchor_rec, movers = drift_report(timings, prev, prev_round)
     if prev:
-        # Environment calibration (round-8, rebuilt round-12): the r7
-        # record ran on a loaded machine and the raw tripwire flagged
-        # 10+ queries that controlled re-timing showed flat; rounds
-        # 9-11 then showed the SINGLE-family anchor median
-        # under-corrects because this host's steal waves are
-        # per-core-BURSTY, not uniform — a scan-bound 3-partition
-        # anchor rides out a wave that multiplies a 32-way fan-out
-        # query, so every noisy end-of-round run produced a 15-flag
-        # storm needing hand adjudication (r11 verdict #2). Anchors
-        # now span the three plan families whose host sensitivity
-        # differs: scan-bound whole-stage-codegen, shuffle-bound
-        # exchange-heavy, and Python-worker/Arrow fan-out. Per-family
-        # drift = median of that family's anchor ratios; the applied
-        # (flag-gating) drift stays the conservative ALL-anchor median
-        # — clamped >= 1 so calibration can only EXCUSE load, never
-        # amplify a regression — but each flag now carries its
-        # per-family normalized pct and an `excused_by` list naming
-        # every family whose drift explains the delta (<= the 25%
-        # threshold). AST-identical host noise is machine-dismissible:
-        # a flag with a non-empty excused_by needs no hand A/B unless
-        # the query's code actually changed.
-        families = {
-            "scan": ["q1_pricing_summary", "q6_forecast_revenue"],
-            "shuffle": ["q18_large_orders",
-                        "r6_groupby_collect_timeline"],
-            "udf": ["m_media_metadata", "k1_cog_structure"],
-        }
-
-        def _median(xs: list[float]) -> float:
-            # TRUE median (round-12 review): xs[len//2] on the
-            # 2-anchor families picked the MAX of the pair, inflating
-            # fam_drift and letting one bursty anchor auto-excuse a
-            # genuine regression in its family
-            xs = sorted(xs)
-            mid = len(xs) // 2
-            return (xs[mid] if len(xs) % 2
-                    else (xs[mid - 1] + xs[mid]) / 2.0)
-
-        fam_drift: dict[str, float] = {}
-        all_ratios = []
-        for fam, anchors in families.items():
-            rs = [timings[a] / prev[a] for a in anchors
-                  if a in timings and a in prev and prev[a] > 0.02]
-            if rs:
-                fam_drift[fam] = _median(rs)
-                all_ratios.extend(rs)
-        all_ratios.sort()
-        drift = _median(all_ratios) if all_ratios else 1.0
-        drift_c = max(1.0, drift)
-
-        def _flag(n, t):
-            fam_norm = {
-                fam: round(100.0 * (t / (prev[n] * max(1.0, fd))
-                                    - 1.0), 1)
-                for fam, fd in fam_drift.items()}
-            return {
-                "prev": prev[n], "now": round(t, 3),
-                "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
-                "norm_pct": round(
-                    100.0 * (t / (prev[n] * drift_c) - 1.0), 1),
-                "fam_norm_pct": fam_norm,
-                "excused_by": sorted(
-                    f for f, p in fam_norm.items() if p <= 25.0),
-                **({"verdict": AB_VERDICTS[(n, prev_round)]}
-                   if (n, prev_round) in AB_VERDICTS else {})}
-
-        movers = {
-            n: _flag(n, t)
-            for n, t in timings.items()
-            if n in prev and prev[n] > 0.05
-            and t > prev[n] * drift_c * 1.25}
-        n_unexcused = sum(1 for m in movers.values()
-                          if not m["excused_by"]
-                          and "verdict" not in m)
-        anchor_rec = {
-            "anchors": {a: {"prev": prev.get(a), "now": timings.get(a)}
-                        for fam in families.values() for a in fam},
-            "family_drift": {f: round(d, 3)
-                             for f, d in fam_drift.items()},
-            "spread": ([round(all_ratios[0], 3),
-                        round(all_ratios[-1], 3)]
-                       if all_ratios else None),
-            "drift": round(drift, 3),
-            "applied": round(drift_c, 3),
-            "n_unexcused": n_unexcused}
         print("ANCHOR_DRIFT " + json.dumps(anchor_rec, separators=(",", ":")))
         print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))
     sys.stdout.flush()

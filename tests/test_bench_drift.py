@@ -1,0 +1,97 @@
+"""bench.py's drift instrument — the multi-family anchor calibration
+(round 12). The instrument decides which regressions a human must
+investigate, so its own logic needs pins: true medians, clamp-at-1,
+per-family excusal, and verdict attachment."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"))
+bench = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench)
+
+ANCHORS = ["q1_pricing_summary", "q6_forecast_revenue",
+           "q18_large_orders", "r6_groupby_collect_timeline",
+           "m_media_metadata", "k1_cog_structure"]
+
+
+def _base(prev_val=1.0, now_mult=1.0):
+    prev = {a: prev_val for a in ANCHORS}
+    now = {a: prev_val * now_mult for a in ANCHORS}
+    return prev, now
+
+
+def test_no_prev_means_no_report():
+    assert bench.drift_report({"q": 1.0}, {}, None) == (None, {})
+
+
+def test_uniform_host_drift_excuses_everything():
+    prev, now = _base(1.0, 1.6)            # every anchor 1.6x slower
+    prev["slow_q"] = 1.0
+    now["slow_q"] = 1.7                    # within the host band
+    rec, movers = bench.drift_report(now, prev, 11)
+    assert rec["applied"] == pytest.approx(1.6)
+    assert rec["family_drift"] == {"scan": 1.6, "shuffle": 1.6,
+                                   "udf": 1.6}
+    assert movers == {}                    # 1.7 < 1.6 * 1.25
+    assert rec["n_unexcused"] == 0
+
+
+def test_family_drift_is_true_median_not_max():
+    """Round-12 review: rs[len//2] on a 2-anchor family picked the
+    MAX. One bursty scan anchor (1.5x) with a flat partner (1.0x)
+    must yield family drift 1.25, not 1.5."""
+    prev, now = _base(1.0, 1.0)
+    now["q1_pricing_summary"] = 1.5        # bursty
+    rec, _ = bench.drift_report(now, prev, 11)
+    assert rec["family_drift"]["scan"] == pytest.approx(1.25)
+    assert rec["family_drift"]["shuffle"] == pytest.approx(1.0)
+
+
+def test_speedup_never_amplifies():
+    """A uniform code speedup (anchors < 1) must clamp to 1, not
+    inflate the normalized pct of untouched queries."""
+    prev, now = _base(1.0, 0.5)
+    prev["same_q"] = 1.0
+    now["same_q"] = 1.1
+    rec, movers = bench.drift_report(now, prev, 11)
+    assert rec["applied"] == 1.0
+    assert "same_q" not in movers          # 1.1 < 1 * 1.25
+
+
+def test_per_family_excusal_and_unexcused_count():
+    """A shuffle-wave host: shuffle anchors at 1.6x, others flat. A
+    +50% regression is excused by the shuffle family only; a +150%
+    one is excused by nothing and counts as unexcused."""
+    prev, now = _base(1.0, 1.0)
+    now["q18_large_orders"] = 1.6
+    now["r6_groupby_collect_timeline"] = 1.6
+    prev["wavey_q"], now["wavey_q"] = 1.0, 1.5
+    prev["broken_q"], now["broken_q"] = 1.0, 2.5
+    rec, movers = bench.drift_report(now, prev, 11)
+    assert movers["wavey_q"]["excused_by"] == ["shuffle"]
+    assert movers["broken_q"]["excused_by"] == []
+    assert rec["n_unexcused"] == 1
+    # the per-family ratios ride on every flag for the adjudicator
+    assert set(movers["wavey_q"]["fam_norm_pct"]) == \
+        {"scan", "shuffle", "udf"}
+
+
+def test_verdict_attaches_only_for_matching_baseline_round():
+    prev, now = _base(1.0, 1.0)
+    name = next(iter(bench.AB_VERDICTS))[0]
+    rnd = next(iter(bench.AB_VERDICTS))[1]
+    prev[name], now[name] = 1.0, 3.0
+    _rec, movers = bench.drift_report(now, prev, rnd)
+    assert "verdict" in movers[name]
+    _rec, movers = bench.drift_report(now, prev, rnd + 77)
+    assert "verdict" not in movers[name]
+    # a verdict-carrying flag does not count as unexcused
+    _rec2, movers2 = bench.drift_report(now, prev, rnd)
+    assert _rec2["n_unexcused"] == 0
