@@ -266,6 +266,7 @@ HEADLINE = [
     "e_did_analysis",
     "c47_morans_i",
     "c48_hotspots_gi",
+    "c49_local_moran",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

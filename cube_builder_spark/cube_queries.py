@@ -3524,3 +3524,97 @@ def getis_ord_cells(cells: DataFrame) -> DataFrame:
                      / F.sqrt((n * ssq - s * s) * 1e0
                               * (n * wi - wi * wi) / (n - 1)))
                     .alias("gi_z")))
+
+
+@register("c49_local_moran", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+st AS (
+  SELECT tile_id, y, x, v,
+         count(*) OVER (PARTITION BY tile_id) AS n,
+         sum(v) OVER (PARTITION BY tile_id) AS s
+  FROM comp
+),
+z AS (SELECT tile_id, y, x, n, n * v - s AS zc FROM st),
+nbr AS (
+  SELECT a.tile_id, a.y, a.x, a.n, a.zc,
+         CAST(count(*) AS BIGINT) AS wi,
+         CAST(sum(b.zc) AS BIGINT) AS lag_zc
+  FROM z a JOIN z b ON a.tile_id = b.tile_id
+   AND ((a.y = b.y AND abs(a.x - b.x) = 1) OR
+        (a.x = b.x AND abs(a.y - b.y) = 1))
+  GROUP BY a.tile_id, a.y, a.x, a.n, a.zc
+),
+sq AS (SELECT tile_id, CAST(sum(zc * zc) AS BIGINT) AS ss_zc
+       FROM z GROUP BY tile_id)
+SELECT m.tile_id, m.y * {_GRID_W} + m.x AS pixel_id, m.wi,
+       CAST(m.zc AS BIGINT) AS zc, m.lag_zc,
+       CAST(m.n * m.zc * m.lag_zc AS BIGINT) AS lisa_num,
+       CAST(m.wi * q.ss_zc AS BIGINT) AS lisa_den,
+       (m.n * m.zc * m.lag_zc) * 1e0 / (m.wi * q.ss_zc) AS lisa_i,
+       CASE WHEN m.zc >= 0 AND m.lag_zc >= 0 THEN 'HH'
+            WHEN m.zc < 0 AND m.lag_zc < 0 THEN 'LL'
+            WHEN m.zc >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
+FROM nbr m JOIN sq q ON q.tile_id = m.tile_id
+WHERE q.ss_zc > 0
+""".replace("{PIXELS}", PIXELS_SQL))
+def c49_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: local Moran's I (LISA, Anselin 1995) — completes the
+    spatial-statistics trio (C47 global I: "is the map clustered?";
+    C48 Gi*: "how hot is this cell?"; LISA: "which cells DRIVE the
+    clustering, and as what") with the standard HH/LL hotspot vs
+    HL/LH outlier quadrant labels from the signs of the centered
+    value and its row-standardized spatial lag. With zc = n·v − S,
+    I_i = n·zc_i·(Σ_nbr zc / W_i) / Σzc² — the n² factors cancel, and
+    the row-standardizing W_i folds into the DENOMINATOR so both
+    lisa_num = n·zc·lag (≤ 512·10^7·4·10^7 ≈ 2·10^17) and lisa_den =
+    W_i·Σzc² (≤ 2·10^17) are exact int64 — no fractional column
+    anywhere (a CAST of a float quotient truncates in Spark but
+    rounds in DuckDB); the ONLY float is the final ratio.
+
+    Scale shape: identical to C47/C48 — tile-bounded windows, the
+    rook scatter + equi-join, map-side-combinable per-cell groupBy,
+    one tile-keyed broadcast-size join for the denominator."""
+    return local_moran_cells(_comp_cells(spark, sf_dir))
+
+
+def local_moran_cells(cells: DataFrame) -> DataFrame:
+    """LISA over any (tile_id, y, x, v) cell frame — the kernel
+    c49_local_moran wires to the composite plane; tests run it on a
+    planted cluster whose HH core / LH fringe / LL far field are
+    known."""
+    w = Window.partitionBy("tile_id")
+    z = (cells.select(
+        "tile_id", "y", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        (F.count(F.lit(1)).over(w) * F.col("v")
+         - F.sum("v").over(w)).alias("zc")))
+    shifted = None
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        part = z.select("tile_id", (F.col("y") + dy).alias("y"),
+                        (F.col("x") + dx).alias("x"),
+                        F.col("zc").alias("z_src"))
+        shifted = part if shifted is None else shifted.unionByName(part)
+    nbr = (shifted.join(z, ["tile_id", "y", "x"])
+           .groupBy("tile_id", "y", "x", "n", "zc")
+           .agg(F.count(F.lit(1)).cast("long").alias("wi"),
+                F.sum("z_src").cast("long").alias("lag_zc")))
+    sq = (z.groupBy("tile_id")
+          .agg(F.sum(F.col("zc") * F.col("zc")).cast("long")
+               .alias("ss_zc")))
+    num = F.col("n") * F.col("zc") * F.col("lag_zc")
+    quadrant = (F.when((F.col("zc") >= 0) & (F.col("lag_zc") >= 0), "HH")
+                .when((F.col("zc") < 0) & (F.col("lag_zc") < 0), "LL")
+                .when(F.col("zc") >= 0, "HL").otherwise("LH"))
+    return (nbr.join(sq, "tile_id")
+            .filter(F.col("ss_zc") > 0)
+            .select("tile_id",
+                    (F.col("y") * _GRID_W + F.col("x")).alias("pixel_id"),
+                    "wi", F.col("zc").cast("long").alias("zc"),
+                    "lag_zc",
+                    num.cast("long").alias("lisa_num"),
+                    (F.col("wi") * F.col("ss_zc")).cast("long")
+                    .alias("lisa_den"),
+                    (num * 1e0 / (F.col("wi") * F.col("ss_zc")))
+                    .alias("lisa_i"),
+                    quadrant.alias("quadrant")))

@@ -211,3 +211,31 @@ def test_getis_ord_hot_cluster_scores_highest(spark):
         r = got[y * W + x]
         assert (r.wi, r.sum_nbr, r.gi_num) == (wi, snb, num)
         assert abs(r.gi_z - z) < 1e-9
+
+
+def test_local_moran_quadrants_on_planted_cluster(spark):
+    """LISA ground truth: with one hot 3x3 cluster on a flat field,
+    the cluster core is HH with the tile-max positive lisa_i, the
+    cluster's edge-adjacent flat cells are LH (low value, hot lag),
+    and the far field is LL with near-zero lisa_i."""
+    from cube_builder_spark.cube_queries import _GRID_W, local_moran_cells
+
+    hot = {(4, 4), (4, 5), (4, 6), (5, 4), (5, 5), (5, 6),
+           (6, 4), (6, 5), (6, 6)}
+    rows = [(0, y, x, 1000 if (y, x) in hot else 0)
+            for y in range(12) for x in range(12)]
+    cells = spark.createDataFrame(rows,
+                                  "tile_id long, y long, x long, v long")
+    out = {r.pixel_id: r for r in local_moran_cells(cells).collect()}
+
+    def at(y, x):
+        return out[y * _GRID_W + x]
+
+    assert at(5, 5).quadrant == "HH"
+    assert at(5, 5).lisa_i == max(r.lisa_i for r in out.values())
+    assert at(3, 5).quadrant == "LH"   # flat cell touching the cluster
+    assert at(0, 0).quadrant == "LL"   # far field: low value, low lag
+    assert abs(at(0, 0).lisa_i) < at(5, 5).lisa_i
+    # exact fraction columns: num/den reproduce the float ratio
+    for r in out.values():
+        assert abs(r.lisa_i - r.lisa_num / r.lisa_den) < 1e-15
