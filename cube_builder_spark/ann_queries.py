@@ -739,6 +739,14 @@ def a_hybrid_rrf_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — here keyed per sf_dir and reused across bench re-runs);
     the query-side collect is ONE document's vocabulary (bounded);
     df / candidate aggregation runs over the pruned partitions only.
+    Measured trade at sf0.1 (r12 interleaved min-of-4): exact twin
+    0.83s vs 1.32s here — at laptop scale the store's fixed costs
+    (per-call qterms lookup job + a 32-partition-dir read of a tiny
+    store) exceed the rescan they avoid; the crossover is where the
+    token explode stops fitting the scan budget, because this path's
+    read volume is O(|q| partitions) while the exact twin's is
+    O(corpus) per query. Both stay registered: the exact twin IS the
+    small-scale answer, this is the big-scale one.
     The vector half stays the quantized int64-dot TakeOrdered kernel:
     IVF probing (similarity.ivf_topk) is the documented
     recall-trading swap-in — a_ann_recall_eval is its measurement
