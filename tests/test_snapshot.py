@@ -1839,3 +1839,75 @@ def test_delete_plane_randomized_vs_replay_model(spark, tmp_path):
                 got_tv = sorted((r.k, r.v)
                                 for r in st.read(spark, tv).collect())
                 assert got_tv == sorted(want), (seed, op, tv)
+
+
+def test_merge_upsert_randomized_vs_dict_model(spark, tmp_path):
+    """Randomized differential for the MERGE plane — the scd2/OCC/
+    delete-plane pattern applied to merge_upsert: seeded random
+    sequences of upsert batches (fresh keys, overwriting keys,
+    NULL-key inserts) interleaved with CoW deletes run against a
+    plain-Python model (dict keyed by identity + a list of NULL-key
+    rows that never match). After every op the stored table equals
+    the model and a random historical version still reads its
+    snapshot; duplicate non-NULL keys in a batch reject atomically."""
+    import random
+
+    import pytest
+
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   delete_keys,
+                                                   merge_upsert)
+
+    for seed in (3, 19):
+        st = SnapshotStore(str(tmp_path / f"mu{seed}"))
+        rng = random.Random(seed)
+        keyed = {k: k * 100 for k in range(3)}
+        nulls: list[int] = []
+        v = st.write(spark.createDataFrame(
+            [(k, x) for k, x in keyed.items()], "k long, x long"))
+        hist = {v: (dict(keyed), list(nulls))}
+        seq = 1000
+        for _ in range(10):
+            op = rng.choice(["upsert", "upsert", "upsert_null",
+                             "delete", "dup_reject"])
+            if op == "upsert":
+                ks = rng.sample(range(8), rng.randint(1, 3))
+                batch = [(k, seq + i) for i, k in enumerate(ks)]
+                v, _n = merge_upsert(
+                    st, spark,
+                    spark.createDataFrame(batch, "k long, x long"), "k")
+                keyed.update(dict(batch))
+            elif op == "upsert_null":
+                batch = [(None, seq), (rng.randrange(8), seq + 1)]
+                v, _n = merge_upsert(
+                    st, spark,
+                    spark.createDataFrame(batch, "k long, x long"), "k")
+                nulls.append(seq)
+                keyed[batch[1][0]] = seq + 1
+            elif op == "delete":
+                k = rng.randrange(8)
+                v, _n = delete_keys(st, spark, [k], "k")
+                keyed.pop(k, None)
+            else:  # duplicate non-NULL key: atomic reject
+                head = st.head("main")
+                bad = spark.createDataFrame(
+                    [(1, seq), (1, seq + 1)], "k long, x long")
+                with pytest.raises(ValueError, match="duplicate k"):
+                    merge_upsert(st, spark, bad, "k")
+                assert st.head("main") == head
+                seq += 10
+                continue
+            seq += 10
+            hist[v] = (dict(keyed), list(nulls))
+            got = sorted((r.k, r.x) for r in st.read(spark).collect()
+                         if r.k is not None)
+            gotn = sorted(r.x for r in st.read(spark).collect()
+                          if r.k is None)
+            assert got == sorted(keyed.items()), (seed, op)
+            assert gotn == sorted(nulls), (seed, op)
+            tv = rng.choice(list(hist))
+            wk, wn = hist[tv]
+            old = st.read(spark, tv).collect()
+            assert sorted((r.k, r.x) for r in old
+                          if r.k is not None) == sorted(wk.items())
+            assert sorted(r.x for r in old if r.k is None) == sorted(wn)
