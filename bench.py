@@ -267,6 +267,7 @@ HEADLINE = [
     "c47_morans_i",
     "c48_hotspots_gi",
     "c49_local_moran",
+    "r22_market_basket",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

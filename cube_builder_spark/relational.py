@@ -2484,3 +2484,79 @@ def x_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
     return dist.select(F.col("v").alias("p_partkey"),
                        F.col("d").cast("long").alias("dist"))
+
+
+@register("r22_market_basket", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+),
+scored AS (
+  SELECT pr.pa, pr.pb, pr.co, ca.c AS c_a, cb.c AS c_b,
+         pr.co * 1e0 / (ca.c + cb.c - pr.co) AS jaccard,
+         CAST(1000000 * pr.co * n.n_orders // (ca.c * cb.c) AS BIGINT)
+           AS lift_micro
+  FROM pairs pr
+  JOIN pc ca ON ca.p = pr.pa
+  JOIN pc cb ON cb.p = pr.pb
+  CROSS JOIN n
+  WHERE pr.co >= 8
+)
+SELECT pa, pb, co, c_a, c_b, jaccard, lift_micro
+FROM scored ORDER BY lift_micro DESC, pa, pb LIMIT 25
+""")
+def r22_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining — "frequently bought
+    together" (Agrawal & Srikant 1994's support/confidence/lift
+    frame): part pairs co-ordered in at least 8 orders, scored by
+    Jaccard overlap and by LIFT = P(a,b)/(P(a)P(b)), ranked by the
+    exact-integer lift key 1e6·co·N DIV (c_a·c_b) (monotone in lift —
+    the t_cooccurrence_pmi discipline applied to the relational
+    basket plane; PMI is log-lift). Jaccard ships as the single IEEE
+    division co/(c_a+c_b−co), identical op shape in both engines.
+
+    Scale shape: baskets are order-bounded (≤13 items here, retail
+    carts in general), so the pair expansion is the in-array i<j
+    shape — one groupBy(order) with a sorted collect_set, at most
+    C(13,2) rows out per order, never a self-join shuffle of the
+    fact table; the pair aggregate is map-side combinable with a
+    min-support filter BEFORE the count joins; the top-25 is
+    TakeOrderedAndProject. int64 headroom: 1e6·co·N ≤ 2e16 at sf0.1;
+    at larger corpora drop the 1e6 scale or compare cross-multiplied
+    fractions."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    items = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    n_orders = items.agg(F.countDistinct("o").cast("long")
+                         .alias("n_orders"))
+    pc = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grouped = items.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps"))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    pairs = (grouped.select(F.explode(combos).alias("pr"))
+             .groupBy(F.col("pr.pa").alias("pa"),
+                      F.col("pr.pb").alias("pb"))
+             .agg(F.count(F.lit(1)).cast("long").alias("co"))
+             .filter(F.col("co") >= 8))
+    ca = pc.select(F.col("p").alias("pa"), F.col("c").alias("c_a"))
+    cb = pc.select(F.col("p").alias("pb"), F.col("c").alias("c_b"))
+    scored = (pairs.join(ca, "pa").join(cb, "pb")
+              .crossJoin(F.broadcast(n_orders))
+              .select("pa", "pb", "co", "c_a", "c_b",
+                      (F.col("co") * 1e0
+                       / (F.col("c_a") + F.col("c_b") - F.col("co")))
+                      .alias("jaccard"),
+                      F.expr("CAST(1000000 * co * n_orders DIV "
+                             "(c_a * c_b) AS BIGINT)")
+                      .alias("lift_micro")))
+    return scored.orderBy(F.desc("lift_micro"), "pa", "pb").limit(25)
