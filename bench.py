@@ -147,6 +147,45 @@ AB_VERDICTS.update({
         "e_stream_suite", "x_snapshot_cdc", "e_rfm_segmentation",
         "a_ann_mmr_rerank", "e_ewma_daily", "e_holt_forecast",
         "x_row_column_policy", "x_hll_sliding_window"]})
+# r12 session flags vs the r11 baseline: a mid-run contention wave on
+# an otherwise QUIET host (anchors at 0.3-1.0x!) multiplied three
+# time-ADJACENT queries 2-7x inside one bench pass (d_embedding's
+# three runs read 4.3/7.3/7.8 — rising, the wave signature). All
+# three are AST-identical to the r11 commit 42848f3, and a fresh
+# interleaved min-of-5 on the same host reads every one FASTER than
+# its r11 baseline (d_embedding 1.05 vs 1.23, d_simhash 0.72 vs
+# 0.80, x_hll_distinct 1.30 vs 1.48). Nothing to revert. Note for
+# the instrument: family anchors measure plan-shape sensitivity, not
+# TIME-locality — a wave confined to one stretch of the run evades
+# them by construction; min-of-3 already bounds the damage and the
+# flag+adjudicate discipline handles the rest.
+_R12_WAVE = ("r12 A/B: AST-identical to r11; interleaved min-of-5 "
+             "reads FASTER than the r11 baseline — a time-localized "
+             "mid-run contention wave (rising within-query runs), "
+             "host noise")
+AB_VERDICTS.update({
+    ("d_embedding_cosine_dups", 11): _R12_WAVE,
+    ("d_simhash", 11): _R12_WAVE,
+    ("x_hll_distinct", 11): _R12_WAVE,
+    # the documented session-to-session oscillator (swings recorded
+    # since r9: 1.57 -> 0.30 -> 0.46 -> 0.58 -> 1.08 with zero code
+    # change): r12 AST-identical to 42848f3, min-of-5 reads 0.65 —
+    # inside its own historical band, below the 1.08 flagged
+    ("t_repetition_profile", 11): (
+        "r12 A/B: AST-identical to r11; min-of-5 0.65s vs 1.08 "
+        "flagged — the documented t_repetition noise band"),
+    # sf0.01 sidecar tail flags, +0.11/+0.07s ABSOLUTE on sub-second
+    # queries: both sat in the 14-query r11 host-drift cohort (AST-
+    # identical since r10, re-verified r12), and the r12 sf0.1
+    # interleaved spot-check read them at their band (e_ewma 0.34,
+    # e_holt 0.37) — sub-noise deltas, nothing to revert
+    ("e_ewma_daily", 11): (
+        "r12: +0.11s absolute on a 0.17s query; AST-identical since "
+        "r10, sf0.1 interleaved A/B at band — noise"),
+    ("e_holt_forecast", 11): (
+        "r12: +0.07s absolute on a 0.26s query; AST-identical since "
+        "r10, sf0.1 interleaved A/B at band — noise"),
+})
 
 HEADLINE = [
     "q1_pricing_summary",
