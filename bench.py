@@ -307,6 +307,7 @@ HEADLINE = [
     "c48_hotspots_gi",
     "c49_local_moran",
     "r22_market_basket",
+    "e_cohort_ltv",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

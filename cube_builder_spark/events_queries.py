@@ -2398,3 +2398,88 @@ def e_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("did_num"),
         den.cast("long").alias("did_den"),
         (num * 1e0 / den).alias("did_daily"))
+
+
+@register("e_cohort_ltv", """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+),
+off AS (
+  SELECT user_id, week, cents,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM p
+),
+cell AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         CAST(sum(cents) AS BIGINT) AS week_rev_cents,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+  FROM off GROUP BY cohort_week, week - cohort_week
+),
+run AS (
+  SELECT cohort_week, week_offset, n_active_users, week_rev_cents,
+         CAST(first_value(n_active_users) OVER w AS BIGINT)
+           AS n_cohort_users,
+         CAST(sum(week_rev_cents) OVER w AS BIGINT) AS cum_rev_cents
+  FROM cell
+  WINDOW w AS (PARTITION BY cohort_week ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort_week, week_offset, n_cohort_users, n_active_users,
+       week_rev_cents, cum_rev_cents,
+       cum_rev_cents * 1e0 / n_cohort_users AS ltv_per_user
+FROM run
+""")
+def e_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the VALUE-based sibling of
+    e_cohort_retention's count triangle (the growth-analytics
+    lifetime-value readout: how much has the week-W cohort spent by
+    week-offset K, per acquired user). Revenue in exact cents; the
+    cumulative LTV is a running sum over the cohort's offset axis
+    and the only float is the final per-user division.
+
+    Scale shape: ONE subtree, no join-back — the raw stream reduces
+    to per-(user, week) cents (map-side combinable), the cohort week
+    is a window min reusing the user partitioning (the retention
+    shape), and the cohort SIZE falls out of the triangle itself:
+    every user is active in their own first week by construction, so
+    n_cohort_users = the offset-0 cell's active count, recovered with
+    first_value over the offset-ordered window — no second pass over
+    the stream, no size join. All windows beyond the per-user min run
+    over the calendar²-bounded (cohort, offset) triangle."""
+    ev = _events(spark, sf_dir)
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                   / 7).cast("long")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id", week.alias("week"))
+         .agg(F.sum(round_half_up_long(F.col("value"))).cast("long")
+              .alias("cents")))
+    off = p.select(
+        "user_id", "week", "cents",
+        F.min("week").over(Window.partitionBy("user_id"))
+        .alias("cohort_week"))
+    cell = (off.groupBy("cohort_week",
+                        (F.col("week") - F.col("cohort_week"))
+                        .alias("week_offset"))
+            .agg(F.sum("cents").cast("long").alias("week_rev_cents"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_active_users")))
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = cell.select(
+        "cohort_week", "week_offset", "n_active_users",
+        "week_rev_cents",
+        F.first("n_active_users").over(w).cast("long")
+        .alias("n_cohort_users"),
+        F.sum("week_rev_cents").over(w).cast("long")
+        .alias("cum_rev_cents"))
+    return run.select(
+        "cohort_week", "week_offset", "n_cohort_users",
+        "n_active_users", "week_rev_cents", "cum_rev_cents",
+        (F.col("cum_rev_cents") * 1e0 / F.col("n_cohort_users"))
+        .alias("ltv_per_user"))
