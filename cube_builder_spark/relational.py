@@ -2506,7 +2506,7 @@ scored AS (
   JOIN pc ca ON ca.p = pr.pa
   JOIN pc cb ON cb.p = pr.pb
   CROSS JOIN n
-  WHERE pr.co >= 8
+  WHERE pr.co >= 2
 )
 SELECT pa, pb, co, c_a, c_b, jaccard, lift_micro
 FROM scored ORDER BY lift_micro DESC, pa, pb LIMIT 25
@@ -2514,7 +2514,11 @@ FROM scored ORDER BY lift_micro DESC, pa, pb LIMIT 25
 def r22_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining — "frequently bought
     together" (Agrawal & Srikant 1994's support/confidence/lift
-    frame): part pairs co-ordered in at least 8 orders, scored by
+    frame): part pairs co-ordered in at least 2 orders (the
+    min-support knob — production catalogs with real co-purchase
+    structure raise it; the synthetic corpus' baskets are near-
+    uniform over a 2M-pair space, so higher support would grade an
+    empty frame), scored by
     Jaccard overlap and by LIFT = P(a,b)/(P(a)P(b)), ranked by the
     exact-integer lift key 1e6·co·N DIV (c_a·c_b) (monotone in lift —
     the t_cooccurrence_pmi discipline applied to the relational
@@ -2547,7 +2551,7 @@ def r22_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("pr.pa").alias("pa"),
                       F.col("pr.pb").alias("pb"))
              .agg(F.count(F.lit(1)).cast("long").alias("co"))
-             .filter(F.col("co") >= 8))
+             .filter(F.col("co") >= 2))
     ca = pc.select(F.col("p").alias("pa"), F.col("c").alias("c_a"))
     cb = pc.select(F.col("p").alias("pb"), F.col("c").alias("c_b"))
     scored = (pairs.join(ca, "pa").join(cb, "pb")

@@ -239,3 +239,74 @@ def test_local_moran_quadrants_on_planted_cluster(spark):
     # exact fraction columns: num/den reproduce the float ratio
     for r in out.values():
         assert abs(r.lisa_i - r.lisa_num / r.lisa_den) < 1e-15
+
+
+def test_market_basket_matches_python_recompute(spark):
+    # sf0.01: at sf0.001 no pair reaches min-support 8 (both engines
+    # agree on empty — hash-checked — but an empty frame would make
+    # this recompute vacuous)
+    sf_dir = "/root/testdata/sf0.01"
+    from cube_builder_spark.relational import r22_market_basket
+    from cube_builder_spark.tables import load_tables
+
+    rows = r22_market_basket(spark, sf_dir).collect()
+    assert rows, "min-support should survive at sf0.01"
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    cnt = defaultdict(int)
+    co = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            cnt[p] += 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                co[(a, b)] += 1
+    scored = []
+    for (a, b), c in co.items():
+        if c >= 2:
+            scored.append((1000000 * c * n_orders // (cnt[a] * cnt[b]),
+                           a, b, c))
+    want = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:25]
+    got = [(r.lift_micro, r.pa, r.pb, r.co) for r in rows]
+    assert got == want
+    for r in rows:
+        assert abs(r.jaccard - r.co / (r.c_a + r.c_b - r.co)) < 1e-12
+
+
+def test_cohort_ltv_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_cohort_ltv
+    from cube_builder_spark.tables import load_tables
+
+    rows = e_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    user_weeks = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        if e.event_type == "purchase":
+            wk = (e.ts.date() - epoch).days // 7
+            user_weeks[e.user_id][wk] += int(e.value * 100 + 0.5)
+    cellrev = defaultdict(int)
+    cellusers = defaultdict(set)
+    for u, wks in user_weeks.items():
+        cohort = min(wks)
+        for wk, cents in wks.items():
+            cellrev[(cohort, wk - cohort)] += cents
+            cellusers[(cohort, wk - cohort)].add(u)
+    for r in rows:
+        key = (r.cohort_week, r.week_offset)
+        assert r.week_rev_cents == cellrev[key], key
+        assert r.n_active_users == len(cellusers[key]), key
+        assert r.n_cohort_users == len(cellusers[(r.cohort_week, 0)])
+        cum = sum(v for (cw, off), v in cellrev.items()
+                  if cw == r.cohort_week and off <= r.week_offset)
+        assert r.cum_rev_cents == cum, key
+        assert abs(r.ltv_per_user - cum / r.n_cohort_users) < 1e-9
+    # every observed (cohort, offset) cell is present
+    assert {(r.cohort_week, r.week_offset) for r in rows} == \
+        set(cellrev)
