@@ -308,6 +308,7 @@ HEADLINE = [
     "c49_local_moran",
     "r22_market_basket",
     "e_cohort_ltv",
+    "x_branch_diff",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -1900,3 +1900,27 @@ def incremental_read(store: SnapshotStore, spark: SparkSession,
         # schema-stable empty result from the head's schema
         return store.read(spark, head).limit(0)
     return spark.read.parquet(*new_files)
+
+
+def branch_diff(store: SnapshotStore, spark: SparkSession,
+                branch_a: str, branch_b: str,
+                key_cols: list[str]) -> DataFrame:
+    """Nessie/Iceberg-style branch COMPARE: the rows present on one
+    branch head but not the other, keyed by ``key_cols`` — the "what
+    would this merge change" readout a branched workflow reviews
+    before fast-forwarding (git diff for tables). Returns the union
+    of both exclusive sides with a ``side`` column naming the branch
+    that holds each row.
+
+    Scale shape: two branch reads + two key anti-joins — each
+    shuffle is keyed and spillable, the exclusive sides are
+    merge-delta-sized in practice, and nothing materializes the
+    branches jointly. On a key-clustered table the anti-joins prune
+    to the files whose key ranges overlap the other side's."""
+    a = store.read(spark, branch=branch_a)
+    b = store.read(spark, branch=branch_b)
+    only_a = (a.join(b.select(*key_cols), key_cols, "left_anti")
+              .withColumn("side", F.lit(branch_a)))
+    only_b = (b.join(a.select(*key_cols), key_cols, "left_anti")
+              .withColumn("side", F.lit(branch_b)))
+    return only_a.unionByName(only_b)

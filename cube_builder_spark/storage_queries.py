@@ -1503,3 +1503,72 @@ def x_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "label string, n_docs long, sum_chars long, "
               "non_append_raises boolean, empty_range_empty boolean")
+
+
+@register("x_branch_diff", """
+WITH dev_only AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id % 4 = 1
+),
+main_only AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  WHERE doc_id % 8 = 6
+)
+SELECT 'dev' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_key,
+       CAST(max(doc_id) AS BIGINT) AS max_key
+FROM dev_only
+UNION ALL
+SELECT 'main', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT)
+FROM main_only
+""")
+def x_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch COMPARE (sinks/snapshot.branch_diff — the Nessie
+    compare / "git diff for tables" readout): publish a shared base,
+    branch `dev`, then let BOTH branches advance independently (the
+    %4==1 odd slice lands on dev, the %8==6 even slice lands on
+    main) and diff the two heads. The shared base must appear on NEITHER side — a diff that
+    leaks common rows would drown the review in noise — and each
+    exclusive slice must land whole on its own side. The oracle
+    recomputes both exclusive sets from the raw table with the same
+    modular predicates, so the hash proves set-exact diffing, not
+    just counts.
+
+    Scale shape: branch_diff is two branch reads + two keyed
+    anti-joins (spillable, delta-sized output); the summary here is
+    a 2-group map-side-combinable aggregate over the diff."""
+    import shutil
+
+    from .session import scratch_dir
+    from .sinks.snapshot import SnapshotStore, branch_diff
+    from .tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"]) \
+        ["documents"].select("doc_id", F.col("n_chars").cast("long"))
+    root = scratch_dir("snap_bdiff_")
+    rows = []
+    try:
+        st = SnapshotStore(root)
+        # shared base: evens except the %8==6 slice (modular
+        # predicates so every scale factor populates BOTH sides)
+        st.write(docs.filter((F.col("doc_id") % 2 == 0)
+                             & (F.col("doc_id") % 8 != 6)))
+        st.create_branch("dev")
+        st.write(docs.filter(F.col("doc_id") % 4 == 1), branch="dev")
+        st.write(docs.filter(F.col("doc_id") % 8 == 6))
+        diff = branch_diff(st, spark, "dev", "main", ["doc_id"])
+        got = (diff.groupBy("side")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("n_chars").cast("long").alias("sum_chars"),
+                    F.min("doc_id").cast("long").alias("min_key"),
+                    F.max("doc_id").cast("long").alias("max_key"))
+               .collect())
+        rows = [(r.side, r.n_rows, r.sum_chars, r.min_key, r.max_key)
+                for r in got]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "side string, n_rows long, sum_chars long, "
+              "min_key long, max_key long")
