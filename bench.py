@@ -309,6 +309,7 @@ HEADLINE = [
     "r22_market_basket",
     "e_cohort_ltv",
     "x_branch_diff",
+    "t_ngram_novelty",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -1715,3 +1715,66 @@ def t_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "(c_a * c_b) AS BIGINT)")
                       .alias("pmi_micro")))
     return scored.orderBy(F.desc("pmi_micro"), "wa", "wb").limit(50)
+
+
+@register("t_ngram_novelty", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(ws[g.i:g.i+7], 'string_agg', ' ') AS gram
+  FROM toks, unnest(range(1, len(ws) - 6)) AS g(i)
+  WHERE len(ws) >= 8
+),
+own AS (
+  SELECT doc_id, gram,
+         min(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1e0
+         / count(*) AS novelty_ratio
+FROM own GROUP BY doc_id
+""")
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — per document, the fraction of its
+    distinct 8-grams FIRST seen in that document (ties by doc order:
+    the smallest doc_id owns the gram). The ingestion-ordering
+    diagnostic a dedup/curation pipeline reads saturation from: a
+    crawl whose tail documents contribute near-zero novel n-grams is
+    re-crawling itself (the Gopher/RefinedWeb-style "fraction of
+    duplicated n-grams" signal, attributed to first occurrence).
+
+    Scale shape: the gram ownership is a window partitioned by the
+    GRAM — billions of tiny partitions (a few docs each), the
+    scale-friendly direction, never a per-doc global order — and the
+    per-doc rollup is map-side combinable; integers plus ONE final
+    division. The 8-gram space explodes ~|tokens| rows per doc, the
+    same volume the decontamination / repetition queries already
+    carry."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    grams = (docs.select("doc_id", ws.alias("ws"))
+             .filter(F.size("ws") >= 8)
+             .select("doc_id", F.explode(
+                 F.transform(
+                     F.sequence(F.lit(0), F.size("ws") - 8),
+                     lambda i: F.concat_ws(
+                         " ", F.slice(F.col("ws"), i + 1, 8))))
+                 .alias("gram"))
+             .distinct())
+    own = grams.select(
+        "doc_id",
+        (F.min("doc_id").over(Window.partitionBy("gram"))
+         == F.col("doc_id")).alias("novel"))
+    return (own.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("novel"), 1).otherwise(0))
+                 .cast("long").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    (F.col("n_novel") * 1e0 / F.col("n_grams"))
+                    .alias("novelty_ratio")))
