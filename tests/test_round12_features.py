@@ -310,3 +310,54 @@ def test_cohort_ltv_matches_python_recompute(spark, sf_dir):
     # every observed (cohort, offset) cell is present
     assert {(r.cohort_week, r.week_offset) for r in rows} == \
         set(cellrev)
+
+
+def test_ngram_novelty_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_ngram_novelty
+    from cube_builder_spark.tables import load_tables
+
+    rows = {r.doc_id: r for r in t_ngram_novelty(spark, sf_dir).collect()}
+    assert rows
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].collect()
+    grams = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        if len(ws) < 8:
+            continue
+        gs = {" ".join(ws[i:i + 8]) for i in range(len(ws) - 7)}
+        grams[d.doc_id] = gs
+    first = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    for doc_id, gs in grams.items():
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        r = rows[doc_id]
+        assert (r.n_grams, r.n_novel) == (len(gs), novel), doc_id
+        assert abs(r.novelty_ratio - novel / len(gs)) < 1e-12
+    assert set(rows) == set(grams)
+    # the smallest doc_id in the corpus owns every one of its grams
+    d0 = min(grams)
+    assert rows[d0].n_novel == rows[d0].n_grams
+
+
+def test_branch_diff_excludes_shared_base(spark, tmp_path):
+    """branch_diff ground truth on a tiny store: the shared base
+    appears on NEITHER side, each branch's exclusive rows land whole
+    on their own side, and an empty diff means identical heads."""
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.sinks.snapshot import SnapshotStore, branch_diff
+
+    st = SnapshotStore(str(tmp_path / "bd"))
+    st.write(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    st.create_branch("dev")
+    # identical heads -> empty diff
+    assert branch_diff(st, spark, "dev", "main", ["k"]).count() == 0
+    st.write(spark.createDataFrame([(3, 30)], "k long, v long"),
+             branch="dev")
+    st.write(spark.createDataFrame([(4, 40)], "k long, v long"))
+    got = sorted((r.side, r.k, r.v)
+                 for r in branch_diff(st, spark, "dev", "main",
+                                      ["k"]).collect())
+    assert got == [("dev", 3, 30), ("main", 4, 40)]
