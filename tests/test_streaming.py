@@ -402,3 +402,102 @@ def test_stream_funnel_out_of_order_and_no_reemit(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.table("cep_ooo").count() == 1
+
+
+def test_stateful_sessionize_randomized_vs_batch_model(spark, tmp_path):
+    """Randomized differential for the applyInPandasWithState
+    sessionizer (the round-12 reference-model pattern applied to the
+    streaming plane): seeded random per-user event sets are streamed
+    in micro-batches cut at RANDOM time boundaries — so sessions are
+    split mid-stream and must continue through the state store — and
+    a far-future closer batch flushes every real session. The closed
+    sessions must equal a plain-Python gap sessionizer (>30 min) run
+    on the full event set, dropping each user's final closer-only
+    session. Batch cuts respect event-time order (a real stream's
+    property; the operator's disorder tolerance is bounded by the
+    watermark), but WITHIN a batch arrival order is random."""
+    import datetime
+    import glob
+    import random
+    import shutil
+
+    from cube_builder_spark.streaming.events import EVENT_SCHEMA
+    from cube_builder_spark.streaming.stateful import sessionize_stream
+
+    t0 = datetime.datetime(2020, 1, 1, 8, 0, 0)
+
+    for seed in (13, 29):
+        rng = random.Random(seed)
+        base = tmp_path / f"sess{seed}"
+        (base / "in").mkdir(parents=True)
+        events = []   # (user, minute, value)
+        eid = 0
+        for user in range(6):
+            minutes = sorted(rng.sample(range(0, 100),
+                                        rng.randint(2, 8)))
+            for m in minutes:
+                events.append((user, m, (m % 7) * 0.25))
+        cuts = sorted(rng.sample(range(1, 100), 2))
+        batches = [[e for e in events if e[1] < cuts[0]],
+                   [e for e in events if cuts[0] <= e[1] < cuts[1]],
+                   [e for e in events if e[1] >= cuts[1]]]
+        batches.append([(u, 700, 0.0) for u in range(6)])  # closer
+
+        def write_batch(rows, name):
+            nonlocal eid
+            out = []
+            rng.shuffle(rows)          # arrival order random in-batch
+            for u, m, v in rows:
+                eid += 1
+                out.append((eid, t0 + datetime.timedelta(minutes=m),
+                            u, "click", v, "{}"))
+            df = spark.createDataFrame(out, EVENT_SCHEMA)
+            df.coalesce(1).write.mode("overwrite") \
+                .parquet(str(base / "stage" / name))
+            part = glob.glob(
+                str(base / "stage" / name / "part-*.parquet"))[0]
+            shutil.copy(part, str(base / "in" / f"{name}.parquet"))
+
+        write_batch(batches[0], "b1")
+        src = (spark.readStream.schema(EVENT_SCHEMA)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(base / "in")))
+        q = (sessionize_stream(src).writeStream.outputMode("append")
+             .format("memory").queryName(f"sess{seed}").start())
+        try:
+            q.processAllAvailable()
+            for i, b in enumerate(batches[1:], start=2):
+                write_batch(b, f"b{i}")
+                q.processAllAvailable()
+            got = sorted(
+                (r.user_id, r.session_start, r.session_end,
+                 r.n_events, r.total_value_cents)
+                for r in spark.sql(f"SELECT * FROM sess{seed}")
+                .collect())
+        finally:
+            q.stop()
+
+        # plain-python model over the full set; drop the closer-only
+        # final session per user
+        want = []
+        per_user = {}
+        for u, m, v in events:
+            per_user.setdefault(u, []).append((m, v))
+        for u, evs in per_user.items():
+            evs.sort()
+            sessions, cur = [], None
+            for m, v in evs + [(700, 0.0)]:
+                if cur is None or m - cur["end"] > 30:
+                    if cur is not None:
+                        sessions.append(cur)
+                    cur = {"start": m, "end": m, "n": 0, "c": 0}
+                cur["end"] = m
+                cur["n"] += 1
+                cur["c"] += int(round(v * 100))
+            # cur is the open closer session — never emitted
+            for s in sessions:
+                want.append((
+                    u, t0 + datetime.timedelta(minutes=s["start"]),
+                    t0 + datetime.timedelta(minutes=s["end"]),
+                    s["n"], s["c"]))
+        assert got == sorted(want), seed
