@@ -310,6 +310,7 @@ HEADLINE = [
     "e_cohort_ltv",
     "x_branch_diff",
     "t_ngram_novelty",
+    "t_vocab_growth",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

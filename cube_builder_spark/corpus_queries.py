@@ -1778,3 +1778,80 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams", "n_novel",
                     (F.col("n_novel") * 1e0 / F.col("n_grams"))
                     .alias("novelty_ratio")))
+
+
+@register("t_vocab_growth", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+firsts AS (SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM tok GROUP BY w),
+dd AS (
+  SELECT doc_id,
+         CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile
+  FROM documents
+),
+newterms AS (
+  SELECT d.decile, CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM firsts f JOIN dd d ON d.doc_id = f.first_doc
+  GROUP BY d.decile
+),
+docs_per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+  FROM dd GROUP BY decile
+)
+SELECT p.decile, p.n_docs,
+       CAST(sum(p.n_docs) OVER w AS BIGINT) AS cum_docs,
+       COALESCE(t.n_new_terms, 0) AS n_new_terms,
+       CAST(sum(COALESCE(t.n_new_terms, 0)) OVER w AS BIGINT)
+         AS cum_vocab
+FROM docs_per p LEFT JOIN newterms t ON t.decile = p.decile
+WINDOW w AS (ORDER BY p.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) report — cumulative distinct
+    vocabulary after each decile of the corpus in ingestion (doc_id)
+    order: the curve whose flattening tells a crawl it has stopped
+    finding new language (Heaps 1978; the t_ngram_novelty signal
+    aggregated to the corpus level). Every term is attributed to the
+    document that saw it FIRST, so the per-decile new-term counts
+    sum to the exact distinct vocabulary — no approximate distinct
+    anywhere.
+
+    Scale shape: first-occurrence is a term-keyed map-side-combinable
+    min (billions of tiny groups — the scale-friendly direction); the
+    decile cut of the doc axis rides functions/ranking.exact_global_
+    ntile (range shuffle + broadcast offsets, no single-partition
+    sort — the oracle's plain ntile(10) window is exactly what that
+    primitive reproduces bit-for-bit); the final report is a 10-row
+    frame with a metadata-scale cumulative window."""
+    from .functions.ranking import exact_global_ntile
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").cast("long")
+                                  .alias("first_doc"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dd = exact_global_ntile(docs.select("doc_id"),
+                            [F.col("doc_id").asc()], 10, n_part,
+                            "decile").select("doc_id", "decile")
+    newterms = (firsts.join(dd, firsts["first_doc"] == dd["doc_id"])
+                .groupBy("decile")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_new_terms")))
+    docs_per = dd.groupBy("decile").agg(F.count(F.lit(1)).cast("long")
+                                        .alias("n_docs"))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs_per.join(newterms, "decile", "left")
+            .select("decile", "n_docs",
+                    F.sum("n_docs").over(w).cast("long")
+                    .alias("cum_docs"),
+                    F.coalesce("n_new_terms", F.lit(0)).cast("long")
+                    .alias("n_new_terms"))
+            .withColumn("cum_vocab",
+                        F.sum("n_new_terms").over(w).cast("long")))
