@@ -311,6 +311,7 @@ HEADLINE = [
     "x_branch_diff",
     "t_ngram_novelty",
     "t_vocab_growth",
+    "e_dau_mau_stickiness",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -2483,3 +2483,53 @@ def e_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_users", "week_rev_cents", "cum_rev_cents",
         (F.col("cum_rev_cents") * 1e0 / F.col("n_cohort_users"))
         .alias("ltv_per_user"))
+
+
+@register("e_dau_mau_stickiness", """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+cover AS (
+  SELECT DISTINCT ud.user_id, ud.day + k.k AS day
+  FROM ud, unnest(range(0, 30)) AS k(k)
+),
+mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau
+        FROM cover GROUP BY day)
+SELECT d.day, d.dau, m.mau, d.dau * 1e0 / m.mau AS stickiness
+FROM dau d JOIN mau m ON m.day = d.day
+""")
+def e_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the growth metric (how much of the
+    trailing-30-day audience shows up on a given day), with the MAU
+    side EXACT: x_hll_sliding_window is this metric's mergeable-
+    sketch approximation; this is its exact twin, and the pairing is
+    the engine's standard exact/scalable story (rfm, hausdorff,
+    hybrid). Exact sliding-window DISTINCT is made tractable by the
+    coverage expansion: each active (user, day) covers the 30 days
+    it keeps that user in the window for, and after the (user,
+    covered-day) dedup the trailing-window distinct collapses to a
+    plain per-day count — a bounded 30x fan-out of the (user, day)
+    frame (already reduced from raw events), never a per-day rescan
+    of user history. Only days with activity are reported (the DAU
+    side's join prunes the covered-but-idle tail), and the single
+    float is the final ratio."""
+    ev = _events(spark, sf_dir)
+    ud = (ev.select("user_id", _epoch_day().alias("day")).distinct())
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long")
+                                .alias("dau"))
+    cover = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 29))
+        .alias("day"))
+        .distinct())
+    mau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("mau"))
+    return (dau.join(mau, "day")
+            .select("day", "dau", "mau",
+                    (F.col("dau") * 1e0 / F.col("mau"))
+                    .alias("stickiness")))
