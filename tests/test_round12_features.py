@@ -361,3 +361,50 @@ def test_branch_diff_excludes_shared_base(spark, tmp_path):
                  for r in branch_diff(st, spark, "dev", "main",
                                       ["k"]).collect())
     assert got == [("dev", 3, 30), ("main", 4, 40)]
+
+
+def test_vocab_growth_reconciles_with_exact_vocab(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_vocab_growth
+    from cube_builder_spark.tables import load_tables
+
+    rows = sorted(t_vocab_growth(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].collect()
+    vocab = set()
+    for d in docs:
+        vocab.update(d.text.split(" "))
+    # per-decile new terms sum to the EXACT corpus vocabulary
+    assert sum(r.n_new_terms for r in rows) == len(vocab)
+    assert rows[-1].cum_vocab == len(vocab)
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert rows[-1].cum_docs == len(docs)
+    # cumulative columns are consistent prefix sums and monotone
+    cv = cd = 0
+    for r in rows:
+        cd += r.n_docs
+        cv += r.n_new_terms
+        assert (r.cum_docs, r.cum_vocab) == (cd, cv)
+    # Heaps: the first decile contributes the most new vocabulary
+    assert rows[0].n_new_terms == max(r.n_new_terms for r in rows)
+
+
+def test_dau_mau_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_dau_mau_stickiness
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.day: (r.dau, r.mau) for r in
+           e_dau_mau_stickiness(spark, sf_dir).collect()}
+    assert got
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    ud = {(e.user_id, (e.ts.date() - epoch).days) for e in ev}
+    days = sorted({d for _u, d in ud})
+    for day in days:
+        dau = len({u for u, d in ud if d == day})
+        mau = len({u for u, d in ud if day - 29 <= d <= day})
+        assert got[day] == (dau, mau), day
+    assert set(got) == set(days)
+    # stickiness bounds: DAU is a subset of MAU
+    assert all(d <= m for d, m in got.values())
