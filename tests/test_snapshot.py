@@ -1712,10 +1712,22 @@ def test_occ_randomized_vs_replay_model(spark, tmp_path):
                 v = parents[v]
             return False
 
+        st.create_branch("side")
         for _ in range(14):
             op = rng.choice(
                 ["append_fresh", "append_stale", "append_stale",
-                 "overwrite", "rollback"])
+                 "overwrite", "rollback", "branch_write"])
+            if op == "branch_write":
+                # commits on another branch are INVISIBLE to main's
+                # OCC: they must neither block a stale rebase nor
+                # appear in main reads (the model ignores them
+                # entirely — any leak fails the next equality check)
+                st.write(mk(900 + seq), branch="side")
+                seq += 1
+                got = sorted((r.k, r.v)
+                             for r in st.read(spark).collect())
+                assert got == sorted(contents[head]), (seed, op)
+                continue
             if op == "append_fresh":
                 batch = [(seq, seq * 7)]
                 v, rebased = occ_append(st, mk(seq), expected_head=head)
