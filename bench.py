@@ -312,6 +312,8 @@ HEADLINE = [
     "t_ngram_novelty",
     "t_vocab_growth",
     "e_dau_mau_stickiness",
+    # round-13 surface
+    "a_hybrid_recall_eval",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would
@@ -412,14 +414,30 @@ def _current_round() -> int:
 
 
 
-def drift_report(timings: dict, prev: dict, prev_round):
+def drift_report(timings: dict, prev: dict, prev_round,
+                 all_runs: dict | None = None):
     """Multi-family anchor calibration + regression flags — extracted
     from main() in round 12 so the instrument itself is unit-testable
     (tests/test_bench_drift.py): given this run's per-query mins and
     the baseline round's, returns (anchor_rec, movers). See the
-    inline commentary for the model."""
+    inline commentary for the model.
+
+    ``all_runs`` (round-13, verdict #2): the per-query raw run arrays.
+    Family anchors measure PLAN-SHAPE sensitivity, not TIME-locality —
+    a contention wave confined to one stretch of the run evades them
+    by construction (the r12 d_simhash-class flags: within-query runs
+    rising 4.3/7.3/7.8 while every anchor sat at 0.3-1.0x). The wave's
+    signature is already in the raw arrays, so each flag now carries
+    it: ``runs`` (the raw array), ``runs_rising`` (strictly monotone
+    increase — a query heating up DURING its own min-of-3 is
+    contention arriving, not a plan regression, which would shift all
+    three runs together), and ``runs_spread`` (max/min). A flag with
+    runs_rising=true and a large spread is the hand-A/B-was-noise
+    shape; the adjudicator still decides, but the statistic rides the
+    REGRESSIONS line instead of needing a BENCH_DETAIL exhumation."""
     if not prev:
         return None, {}
+    all_runs = all_runs or {}
     # Environment calibration (round-8, rebuilt round-12): the r7
     # record ran on a loaded machine and the raw tripwire flagged
     # 10+ queries that controlled re-timing showed flat; rounds
@@ -475,7 +493,7 @@ def drift_report(timings: dict, prev: dict, prev_round):
             fam: round(100.0 * (t / (prev[n] * max(1.0, fd))
                                 - 1.0), 1)
             for fam, fd in fam_drift.items()}
-        return {
+        rec = {
             "prev": prev[n], "now": round(t, 3),
             "pct": round(100.0 * (t - prev[n]) / prev[n], 1),
             "norm_pct": round(
@@ -485,6 +503,14 @@ def drift_report(timings: dict, prev: dict, prev_round):
                 f for f, p in fam_norm.items() if p <= 25.0),
             **({"verdict": AB_VERDICTS[(n, prev_round)]}
                if (n, prev_round) in AB_VERDICTS else {})}
+        runs = all_runs.get(n)
+        if runs and len(runs) >= 2:
+            rec["runs"] = [round(r, 3) for r in runs]
+            rec["runs_rising"] = all(
+                b > a for a, b in zip(runs, runs[1:]))
+            rec["runs_spread"] = round(
+                max(runs) / max(min(runs), 1e-9), 2)
+        return rec
 
     movers = {
         n: _flag(n, t)
@@ -494,6 +520,8 @@ def drift_report(timings: dict, prev: dict, prev_round):
     n_unexcused = sum(1 for m in movers.values()
                       if not m["excused_by"]
                       and "verdict" not in m)
+    n_wave_suspect = sum(1 for m in movers.values()
+                         if m.get("runs_rising"))
     anchor_rec = {
         "anchors": {a: {"prev": prev.get(a), "now": timings.get(a)}
                     for fam in families.values() for a in fam},
@@ -504,7 +532,8 @@ def drift_report(timings: dict, prev: dict, prev_round):
                    if all_ratios else None),
         "drift": round(drift, 3),
         "applied": round(drift_c, 3),
-        "n_unexcused": n_unexcused}
+        "n_unexcused": n_unexcused,
+        "n_wave_suspect": n_wave_suspect}
     return anchor_rec, movers
 
 
@@ -562,7 +591,8 @@ def main():
     # contract JSON intact.
     sf_val0 = float(sf) if sf.replace(".", "").isdigit() else sf
     prev, prev_round = _previous_bench_queries(sf_val0)
-    anchor_rec, movers = drift_report(timings, prev, prev_round)
+    anchor_rec, movers = drift_report(timings, prev, prev_round,
+                                      all_runs=all_runs)
     if prev:
         print("ANCHOR_DRIFT " + json.dumps(anchor_rec, separators=(",", ":")))
         print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))

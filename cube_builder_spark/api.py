@@ -123,16 +123,42 @@ class CubeService:
         import warnings
         from urllib.parse import unquote
 
-        def _quarantine(path: str) -> str:
-            # never overwrite earlier quarantined evidence: a second
-            # quarantine of the same file picks the next free suffix
-            corrupt = path + ".corrupt"
-            i = 2
-            while os.path.exists(corrupt):
-                corrupt = f"{path}.corrupt-{i}"
-                i += 1
-            os.replace(path, corrupt)
-            return corrupt
+        def _quarantine(path: str) -> str | None:
+            # never overwrite earlier quarantined evidence, and claim
+            # the suffix ATOMICALLY (round-12 ADVICE): the old
+            # exists-then-replace raced — two services rehydrating
+            # concurrently could both pick ".corrupt" (the loser
+            # clobbering the winner's evidence), and the loser's
+            # os.replace could raise FileNotFoundError out of
+            # __init__. os.link fails with FileExistsError on a taken
+            # suffix (the O_EXCL of the filesystem namespace), so each
+            # racer claims its own suffix; FileNotFoundError means a
+            # racer already moved the file — nothing left to do.
+            i = 1
+            while True:
+                corrupt = (path + ".corrupt" if i == 1
+                           else f"{path}.corrupt-{i}")
+                try:
+                    os.link(path, corrupt)
+                except FileExistsError:
+                    i += 1
+                    continue
+                except FileNotFoundError:
+                    return None
+                except OSError:
+                    # filesystems without hard links (or cross-device
+                    # exotica): fall back to the rename path, still
+                    # tolerating a racing move
+                    try:
+                        os.replace(path, corrupt)
+                    except FileNotFoundError:
+                        return None
+                    return corrupt
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                return corrupt
 
         def _read(path: str) -> dict | None:
             try:
@@ -142,9 +168,11 @@ class CubeService:
                 return None
             except ValueError:
                 corrupt = _quarantine(path)
+                where = (f"moved to {corrupt}" if corrupt is not None
+                         else "already quarantined by a racing process")
                 warnings.warn(
-                    f"{os.path.basename(path)} was unreadable; moved "
-                    f"to {corrupt} and skipped", RuntimeWarning,
+                    f"{os.path.basename(path)} was unreadable; "
+                    f"{where} and skipped", RuntimeWarning,
                     stacklevel=3)
                 return None
 
@@ -191,7 +219,9 @@ class CubeService:
                 path = sources.get(n)
                 if path is not None and os.path.exists(path):
                     corrupt = _quarantine(path)
-                    where = f"moved to {corrupt}"
+                    where = (f"moved to {corrupt}" if corrupt is not None
+                             else "already quarantined by a racing "
+                                  "process")
                 else:
                     where = "legacy entry skipped"
                 warnings.warn(

@@ -1855,3 +1855,197 @@ def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_new_terms"))
             .withColumn("cum_vocab",
                         F.sum("n_new_terms").over(w).cast("long")))
+
+
+# --- BM25 ranking (round 13) --------------------------------------------------
+
+@register("t_bm25_topk", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY ALL),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM toks GROUP BY doc_id),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS a_total,
+               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 0),
+s AS (
+  SELECT t.doc_id,
+         CAST(sum(((1000000 // d.df) * (22 * tot.a_total * t.tf))
+                  // (10 * tot.a_total * t.tf + 3 * tot.a_total
+                      + 9 * tot.n_docs * l.dl)) AS BIGINT) AS bm25_score,
+         CAST(count(*) AS BIGINT) AS n_match
+  FROM tf t JOIN q USING (term) JOIN df d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN tot
+  WHERE t.doc_id <> 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25_score, n_match FROM s
+ORDER BY bm25_score DESC, doc_id LIMIT 10
+""")
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson-Sparck Jones; THE production
+    lexical scorer — Lucene/Elasticsearch's default since 5.0) for
+    query = document 0's term set, in ALL-INTEGER arithmetic so both
+    engines hash identically: with k1 = 1.2 and b = 0.75, the
+    per-term score tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) scaled by
+    10*A*N/N (A = corpus token count, N = doc count, avgdl = A/N)
+    becomes 22*A*tf / (10*A*tf + 3*A + 9*N*dl) — exact integers —
+    floored after multiplying by the engine's exact-integer idf
+    surrogate (1e6 DIV df, the hybrid-retrieval scorer's). Each
+    term's contribution floors independently, so the sum is
+    reduction-order-free. int64 headroom: idf <= 1e6 and
+    22*A*tf <= 6.6e11 at A = 3e8 / tf = 100 -> products < 7e17.
+
+    Scale shape: one explode -> (doc, term) map-side-combined tf;
+    dl and df are keyed partial aggregates (the vocabulary is never
+    collected); the query's term set is one document's vocabulary
+    (broadcast); the 1-row corpus totals broadcast; final top-10 is
+    TakeOrderedAndProject. At index-serving scale the tf/df frames
+    ARE the postings store (a_hybrid_rrf_scalable's term-hash
+    partitioning) — this query is the scoring math on top."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("a_total"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+    qterms = tf.filter(F.col("doc_id") == 0).select("term")
+    scored = (tf.filter(F.col("doc_id") != 0)
+              .join(F.broadcast(qterms), "term")
+              .join(dfreq, "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(tot)))
+    per_term = F.expr(
+        "((1000000 DIV df) * (22 * a_total * tf))"
+        " DIV (10 * a_total * tf + 3 * a_total + 9 * n_docs * dl)")
+    return (scored.groupBy("doc_id")
+            .agg(F.sum(per_term).cast("long").alias("bm25_score"),
+                 F.count(F.lit(1)).cast("long").alias("n_match"))
+            .orderBy(F.desc("bm25_score"), "doc_id").limit(10))
+
+
+# --- term burstiness (round 13) -----------------------------------------------
+
+@register("t_term_burstiness", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY ALL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+st AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+  FROM tf GROUP BY term
+),
+b AS (
+  SELECT term, df, sum_tf,
+         CAST(n.n_docs * sum_tf2 - sum_tf * sum_tf AS BIGINT) AS d_num,
+         CAST((1000000 * (n.n_docs * sum_tf2 - sum_tf * sum_tf))
+              // (n.n_docs * sum_tf) AS BIGINT) AS burst_scaled
+  FROM st CROSS JOIN n WHERE df >= 5
+)
+SELECT term, df, sum_tf, d_num, burst_scaled FROM b
+ORDER BY burst_scaled DESC, term LIMIT 25
+""")
+def t_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS profile (Church & Gale 1995; Katz's model): the
+    variance-to-mean dispersion of a term's per-document counts over
+    the WHOLE corpus (absent docs count as zero — which is why
+    N*sum(tf^2) - sum(tf)^2 over the containing docs alone is the
+    full-corpus variance numerator). A bursty term (topical: appears
+    rarely but in clumps) scores high; a uniform function word scores
+    ~its frequency. The ranking key is the exact integer
+    1e6 * (N*sum_tf2 - sum_tf^2) DIV (N*sum_tf) — variance/mean
+    scaled, floored identically in both engines; df >= 5 drops
+    hapax noise; ties break on the term.
+
+    Scale shape: the (doc, term) tf is the same map-side-combined
+    explode every corpus query shares; the per-term moment aggregate
+    (df, sum_tf, sum_tf2) is vocabulary-keyed and map-side
+    combinable; the 1-row N broadcasts; top-25 is
+    TakeOrderedAndProject. int64 headroom: N*sum_tf2 <= 6e10 * 1e3
+    at web scale per shard -> the 1e6 scaling caps at ~6e16."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_tf2"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (st.filter(F.col("df") >= 5)
+            .crossJoin(F.broadcast(n))
+            .select(
+                "term", "df", "sum_tf",
+                F.expr("n_docs * sum_tf2 - sum_tf * sum_tf")
+                .cast("long").alias("d_num"),
+                F.expr("(1000000 * (n_docs * sum_tf2 - sum_tf * sum_tf))"
+                       " DIV (n_docs * sum_tf)")
+                .cast("long").alias("burst_scaled"))
+            .orderBy(F.desc("burst_scaled"), "term").limit(25))
+
+
+# --- phrase search over a positional view (round 13) ---------------------------
+
+@register("t_phrase_search", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+phrase AS (
+  SELECT t[1] || ' ' || t[2] AS p FROM toks WHERE doc_id = 0
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM grams g JOIN phrase ON g.gram = phrase.p
+WHERE g.doc_id <> 0
+GROUP BY g.doc_id
+ORDER BY n_occ DESC, doc_id LIMIT 10
+""")
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search — consecutive-token match, the operator a
+    positional inverted index exists to serve (Lucene's
+    PhraseQuery): occurrences of the query phrase (document 0's
+    first two tokens) per document, top-10 by count. Adjacency is
+    resolved in-array (each doc's bigrams from one zip of the token
+    array with its own tail), which IS the positional-postings
+    intersection pos_b = pos_a + 1 evaluated document-locally —
+    at index scale the same count comes from joining the two terms'
+    positional postings lists on (doc, pos+1), partitioned exactly
+    like a_hybrid_rrf_scalable's term-hash store.
+
+    Scale shape: one projection builds each document's bigram list
+    (no shuffle), the 1-row phrase broadcasts, the match is a
+    map-side filter + doc-keyed partial count, and the top-10 is
+    TakeOrderedAndProject. Nothing materializes the corpus-wide
+    bigram space off the document rows."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    phrase = (toks.filter(F.col("doc_id") == 0)
+              .select(F.concat(F.element_at("t", 1), F.lit(" "),
+                               F.element_at("t", 2)).alias("p")))
+    grams = (toks.filter(F.size("t") >= 2)
+             .filter(F.col("doc_id") != 0)
+             .select("doc_id", F.explode(F.expr(
+                 "filter(transform(t, (x, i) -> CASE WHEN i < size(t)-1 "
+                 "THEN x || ' ' || t[i+1] END), g -> g IS NOT NULL)"))
+                 .alias("gram")))
+    return (grams.join(F.broadcast(phrase),
+                       grams["gram"] == F.col("p"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), "doc_id").limit(10))

@@ -62,6 +62,8 @@ tests/test_ranking.py pins frame-level equality.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,9 +82,12 @@ def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
     eager ``localCheckpoint`` — executor-local blocks, no dfs
     round-trip, the right cost for interactive/short jobs.
     ``durable=True`` writes the ranged frame to parquet instead —
-    ``scratch_path`` if given (a durable cluster path on real
-    deployments), else a session scratch dir removed at interpreter
-    exit — so executor loss on long preemptible jobs replays from
+    ``scratch_path`` if given, else a unique subdir of the session's
+    configured durable-scratch root (``session.set_scratch_root`` /
+    ``$SPARK_GRAFT_SCRATCH_ROOT`` — the cluster-shared default that
+    makes the flag safe without per-call plumbing), else a
+    driver-session temp dir removed at interpreter exit (local-mode
+    fallback) — so executor loss on long preemptible jobs replays from
     storage instead of failing the job (module docstring). Either
     way there is exactly ONE physical evaluation of the range
     shuffle, which is the correctness property: the offsets
@@ -94,14 +99,25 @@ def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
               # below preserve it byte-for-byte
               .withColumn("_rp", F.spark_partition_id()))
     if durable:
-        from ..session import defer_cleanup, scratch_dir
+        from ..session import (defer_cleanup, durable_scratch_root,
+                               scratch_dir)
         path = scratch_path
         if path is None:
-            # unique per call (no shared key): one query may hold
-            # several concurrent global_rank frames (e_rfm's three
-            # metric ntiles), so a keyed purge would delete a scratch
-            # a still-live sibling frame reads
-            path = defer_cleanup(scratch_dir("grank_"))
+            root = durable_scratch_root()
+            if root is not None:
+                # session-configured cluster-shared root (round-12
+                # verdict #6): allocate a unique per-call subdir under
+                # it so concurrent global_rank frames never collide,
+                # without each caller having to thread scratch_path
+                import uuid
+                path = defer_cleanup(
+                    os.path.join(root, f"grank_{uuid.uuid4().hex}"))
+            else:
+                # unique per call (no shared key): one query may hold
+                # several concurrent global_rank frames (e_rfm's three
+                # metric ntiles), so a keyed purge would delete a
+                # scratch a still-live sibling frame reads
+                path = defer_cleanup(scratch_dir("grank_"))
         ranged.write.mode("overwrite").parquet(path)
         ranged = df.sparkSession.read.parquet(path)
     else:

@@ -115,7 +115,7 @@ class AuditFailed(Exception):
 
 
 def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
-                       mode: str = "append") -> int:
+                       mode: str = "append", branch: str = "main") -> int:
     """Write-audit-publish: stage the data, run the declared checks
     against the STAGED copy, and only then commit the manifest — a
     failed audit leaves no new version (the staged files are orphans
@@ -136,7 +136,13 @@ def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
     the next write, which forked from the stale head), and the
     parent's pending merge-on-read delete sidecars + per-file
     sequence numbers carry forward on append (dropping them would
-    resurrect deleted rows)."""
+    resurrect deleted rows).
+
+    ``branch`` (round-12 ADVICE) gives the audited path API parity
+    with ``store.write``: a WAP flow that stages onto an isolation
+    branch and fast-forwards main only after downstream validation
+    commits with ``branch="audit"`` — the parent and ref advance then
+    follow THAT branch's head, exactly as commit_staged defines."""
     import os
     import uuid
 
@@ -153,4 +159,5 @@ def publish_with_audit(store, df: DataFrame, tc: TableChecks, table: str,
     new_files = sorted(
         os.path.join(sub, f) for f in os.listdir(sub)
         if f.endswith(".parquet") and not f.startswith("."))
-    return store.commit_staged(new_files, f"wap-{mode}", mode=mode)
+    return store.commit_staged(new_files, f"wap-{mode}", mode=mode,
+                               branch=branch)

@@ -48,7 +48,13 @@ _PRIORITY = [
     # past the window in round 5 — the simplest R variants, still
     # hash-checked locally and subsumed by the TPC-H sweep — freeing
     # two slots for the previously UNGRADED store components below)
-    "r1_list_filter_like_order",
+    # r1_list_filter_like_order rotated just past the window in round
+    # 13 (the last trivial single-operator relational row, subsumed by
+    # the TPC-H sweep's filter/order/LIKE shapes, still hash-checked by
+    # tests/test_queries_oracle); its slot went to a_hybrid_rrf_scalable
+    # (below) so the round-12 production retrieval path — the
+    # term-hash-partitioned postings store with pruned reads, sharing
+    # the exact twin's oracle — earns a driver-graded row end-to-end.
     # r5_distinct_join rotated just past the window in round 8 (the
     # other trivial R variant the round-7 review nominated — subsumed
     # by the TPC-H sweep, still hash-checked locally); its slot went
@@ -161,6 +167,13 @@ _PRIORITY = [
     "x_analyze_stats",
     # LLM-pipeline: similarity search
     "a_ann_topk_suite",           # brute-force + LSH-bucket + IVF top-k
+    # round-12 surface, graded since round 13 (took r1_list_filter_
+    # like_order's slot): the production hybrid-retrieval lexical path
+    # — tokenize ONCE into a term-hash-partitioned postings store,
+    # each query reads only its own terms' partitions (PartitionFilters
+    # prune pinned in tests/test_hybrid_scalable.py), LOSSLESS so it
+    # shares a_hybrid_search_rrf's exact oracle text.
+    "a_hybrid_rrf_scalable",
     # LLM-pipeline: text analysis
     "t_doc_profile",              # tokens + quality + BPE + fingerprints
     # lang-ID is graded per-doc (predicted column) inside the composed

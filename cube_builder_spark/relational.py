@@ -2564,3 +2564,72 @@ def r22_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "(c_a * c_b) AS BIGINT)")
                       .alias("lift_micro")))
     return scored.orderBy(F.desc("lift_micro"), "pa", "pb").limit(25)
+
+
+@register("r23_skyline_pareto", """
+WITH days AS (
+  SELECT CAST(o_orderdate AS DATE) AS o_day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+percents AS (
+  SELECT o_day, cents, CAST(count(*) AS BIGINT) AS n
+  FROM days GROUP BY o_day, cents
+),
+dmin AS (
+  SELECT o_day, min(cents) AS best_price_cents,
+         CAST(min(cents * 100000 + n) % 100000 AS BIGINT) AS n_at_best
+  FROM (SELECT o_day, cents, n FROM percents) GROUP BY o_day
+),
+f AS (
+  SELECT o_day, best_price_cents, n_at_best,
+         min(best_price_cents) OVER (
+           ORDER BY o_day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS later_min
+  FROM dmin
+)
+SELECT o_day, CAST(best_price_cents AS BIGINT) AS best_price_cents,
+       n_at_best
+FROM f WHERE later_min IS NULL OR best_price_cents < later_min
+""")
+def r23_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) query — Borzsony/Kossmann/Stocker
+    2001's SKYLINE OF operator: the orders not dominated on the
+    (recency, price) plane, where a later order date and a lower
+    price are both better. A day is on the frontier iff its cheapest
+    order is strictly cheaper than every LATER day's cheapest —
+    dominance reduced to one running min over the day-level frame.
+    Output: frontier day, its best price (exact cents), and how many
+    orders hit that price that day.
+
+    Scale shape: the raw scan reduces per (day, price-cents) with a
+    map-side-combinable count, then per day with a packed-min
+    (cents*1e5 + n — n < 1e5 bounds the pack; min over the pack IS
+    (min cents, its count) because cents dominates the key), so the
+    only window runs over the CALENDAR-BOUNDED day frame (~2,400
+    rows for 7 years — metadata scale, the e_peak_concurrency
+    discipline), never over order rows. The quadratic NOT-EXISTS
+    skyline definition is what the oracle's window formulation
+    replaces in both engines identically."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    days = orders.select(
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        _cents(F.col("o_totalprice")).alias("cents"))
+    percents = (days.groupBy("o_day", "cents")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    dmin = (percents.groupBy("o_day")
+            .agg(F.min("cents").alias("best_price_cents"),
+                 (F.min(F.col("cents") * 100000 + F.col("n"))
+                  % 100000).cast("long").alias("n_at_best")))
+    w = (Window.orderBy(F.col("o_day").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (dmin
+            .withColumn("later_min",
+                        F.min("best_price_cents").over(w))
+            .filter(F.col("later_min").isNull()
+                    | (F.col("best_price_cents") < F.col("later_min")))
+            .select("o_day",
+                    F.col("best_price_cents").cast("long")
+                    .alias("best_price_cents"),
+                    "n_at_best"))

@@ -63,6 +63,33 @@ def defer_cleanup(path: str, key: str | None = None) -> str:
     return path
 
 
+# Session-level durable-scratch root (round-12 verdict #6):
+# global_rank(durable=True) exists for preemptible-executor jobs, but
+# its scratch fallback is a DRIVER-LOCAL temp dir — on a real cluster
+# that silently defeats the durability the flag asks for (executors
+# can't replay blocks from the driver's /dev/shm). One session knob —
+# set_scratch_root() or $SPARK_GRAFT_SCRATCH_ROOT — supplies a
+# cluster-shared default so callers can't foot-gun per call.
+_SCRATCH_ROOT: str | None = None
+
+
+def set_scratch_root(path: str | None) -> None:
+    """Set (or clear, with None) the session's durable-scratch root —
+    a cluster-shared filesystem path (HDFS/S3A/NFS) under which
+    ``durable=True`` materializations allocate their per-call
+    subdirectories. Overrides ``$SPARK_GRAFT_SCRATCH_ROOT``."""
+    global _SCRATCH_ROOT
+    _SCRATCH_ROOT = path
+
+
+def durable_scratch_root() -> str | None:
+    """The configured durable-scratch root: ``set_scratch_root``'s
+    value, else ``$SPARK_GRAFT_SCRATCH_ROOT``, else None (callers fall
+    back to a driver-session temp dir — fine in local mode, documented
+    footgun on a cluster)."""
+    return _SCRATCH_ROOT or os.environ.get("SPARK_GRAFT_SCRATCH_ROOT")
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp for EPHEMERAL per-query outputs (oracle-harness cube
     builds, streaming checkpoints in tests) — RAM-backed when tmpfs is

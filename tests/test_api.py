@@ -295,3 +295,42 @@ def test_quarantine_never_overwrites_prior_corrupt_file(tmp_path):
         assert fh.read() == "{first bad"
     with open(path + ".corrupt-2") as fh:
         assert fh.read() == "{second bad"
+
+
+def test_quarantine_tolerates_racing_process(tmp_path, monkeypatch):
+    """Round-12 ADVICE: two services rehydrating concurrently must not
+    clobber each other's quarantined evidence or crash __init__. The
+    race is simulated at the os.link seam: the 'loser' finds the
+    suffix taken (FileExistsError -> next suffix) and then the source
+    already moved (FileNotFoundError -> treated as handled, service
+    still constructs)."""
+    import os
+    wd = str(tmp_path / "c")
+    svc = CubeService(wd)
+    svc.create_cube(_defn())
+    path = os.path.join(wd, "catalog", "S2-16D.json")
+    with open(path, "w") as fh:
+        fh.write("{bad json")
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst, **kw):
+        # first claim attempt: a concurrent process already took the
+        # suffix AND moved the source before our retry
+        if not state["raced"] and dst.endswith(".corrupt"):
+            state["raced"] = True
+            real_link(src, dst, **kw)   # the racer's claim
+            os.unlink(src)              # the racer's move completes
+            raise FileExistsError(dst)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    with pytest.warns(RuntimeWarning, match="racing process"):
+        svc2 = CubeService(wd)  # must not raise FileNotFoundError
+    assert svc2.list_cubes() == []
+    # the racer's evidence survives, exactly once
+    with open(path + ".corrupt") as fh:
+        assert fh.read() == "{bad json"
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".corrupt-2")

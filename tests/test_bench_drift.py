@@ -95,3 +95,34 @@ def test_verdict_attaches_only_for_matching_baseline_round():
     # a verdict-carrying flag does not count as unexcused
     _rec2, movers2 = bench.drift_report(now, prev, rnd)
     assert _rec2["n_unexcused"] == 0
+
+
+def test_runs_rising_wave_signature_rides_the_flag():
+    """Round-13 (verdict r12 #2): a time-localized contention wave
+    multiplies a query's runs with a RISING within-query profile while
+    the anchors sit flat — the one shape the family model cannot see.
+    The per-run arrays already record it; the flag must carry
+    runs / runs_rising / runs_spread so adjudication reads the
+    REGRESSIONS line, not a BENCH_DETAIL exhumation."""
+    prev, now = _base(1.0, 1.0)
+    prev["waved_q"], now["waved_q"] = 1.0, 4.3
+    prev["flat_q"], now["flat_q"] = 1.0, 2.0
+    runs = {"waved_q": [4.3, 7.3, 7.8],       # the r12 d_simhash shape
+            "flat_q": [2.2, 2.0, 2.1]}        # a real plan regression
+    rec, movers = bench.drift_report(now, prev, 11, all_runs=runs)
+    assert movers["waved_q"]["runs_rising"] is True
+    assert movers["waved_q"]["runs"] == [4.3, 7.3, 7.8]
+    assert movers["waved_q"]["runs_spread"] == pytest.approx(1.81, abs=0.01)
+    assert movers["flat_q"]["runs_rising"] is False
+    assert movers["flat_q"]["runs_spread"] == pytest.approx(1.1, abs=0.01)
+    assert rec["n_wave_suspect"] == 1
+
+
+def test_runs_stats_absent_without_run_arrays():
+    """Backward compatible: a caller without all_runs (the unit tests
+    above, a detail-file replay) gets flags without the run stats."""
+    prev, now = _base(1.0, 1.0)
+    prev["slow_q"], now["slow_q"] = 1.0, 2.0
+    _rec, movers = bench.drift_report(now, prev, 11)
+    assert "runs_rising" not in movers["slow_q"]
+    assert "runs" not in movers["slow_q"]

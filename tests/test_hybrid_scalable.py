@@ -72,3 +72,55 @@ def test_ivf_vector_side_lossy_probe_is_well_formed(spark, sf_dir):
     # rank carries a positive contribution
     for r in rows:
         assert r.rrf_score > 0
+
+
+def test_postings_store_rebuilds_on_corpus_overwrite(spark, tmp_path):
+    """Round-12 ADVICE: the postings-store cache was keyed on sf_dir
+    alone for the interpreter lifetime, so a corpus overwrite
+    mid-session served STALE postings while the exact twin read fresh
+    data — the twins diverged under their shared oracle. The key now
+    carries the source fingerprint (the matview invalidation pattern):
+    after an overwrite the store rebuilds, the twins agree on the NEW
+    corpus, and the superseded store's scratch is reclaimed."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from cube_builder_spark import ann_queries
+    from cube_builder_spark.ann_queries import (_POSTINGS_STORES,
+                                                a_hybrid_rrf_scalable,
+                                                a_hybrid_search_rrf)
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    for t in ("documents.parquet", "embeddings.parquet"):
+        shutil.copy(os.path.join(src, t), os.path.join(sf, t))
+
+    before = _rows(a_hybrid_rrf_scalable(spark, sf))
+    assert before == _rows(a_hybrid_search_rrf(spark, sf))
+    old_keys = [k for k in _POSTINGS_STORES
+                if k.startswith(f"hybrid_postings_{sf}|")]
+    assert len(old_keys) == 1
+    old_path = _POSTINGS_STORES[old_keys[0]]
+
+    # overwrite the corpus: drop two-thirds of the documents (doc 0,
+    # the query document, survives) — df counts and candidates change
+    doc_path = os.path.join(sf, "documents.parquet")
+    tbl = pq.read_table(doc_path)
+    keep = [i for i, d in enumerate(tbl.column("doc_id").to_pylist())
+            if d % 3 == 0]
+    pq.write_table(tbl.take(keep), doc_path)
+
+    after = _rows(a_hybrid_rrf_scalable(spark, sf))
+    # the twins agree on the NEW corpus — the stale store would have
+    # kept serving the old candidates/df counts
+    assert after == _rows(a_hybrid_search_rrf(spark, sf))
+    assert after != before
+    new_keys = [k for k in _POSTINGS_STORES
+                if k.startswith(f"hybrid_postings_{sf}|")]
+    assert len(new_keys) == 1 and new_keys[0] != old_keys[0]
+    # the superseded store's scratch was purged, not leaked until exit
+    assert not os.path.exists(old_path)
+    assert os.path.exists(_POSTINGS_STORES[new_keys[0]])

@@ -168,3 +168,47 @@ def test_exact_global_ntile_durable_passthrough(spark):
     want = sorted(map(tuple, exact_global_ntile(
         df, order, 4, 8, "q").select("id", "q").collect()))
     assert got == want
+
+
+def test_global_rank_durable_honors_session_scratch_root(spark, tmp_path):
+    """Round-12 verdict #6: with a session-level durable-scratch root
+    configured (set_scratch_root / $SPARK_GRAFT_SCRATCH_ROOT), the
+    durable route allocates its per-call subdir UNDER that root — the
+    cluster-shared default that keeps preemptible-executor jobs from
+    silently landing on driver-local temp — and still returns the
+    exact frame."""
+    from cube_builder_spark import session as sess
+
+    rows = [(i, (i * 13) % 29) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    root = str(tmp_path / "shared-scratch")
+    import os
+    os.makedirs(root)
+    sess.set_scratch_root(root)
+    try:
+        dur = global_rank(df, order, 8, durable=True)
+        got = sorted(map(tuple, dur.select("id", "_gr", "_n").collect()))
+        # the materialization landed under the configured root
+        subs = os.listdir(root)
+        assert subs and all(s.startswith("grank_") for s in subs), subs
+        # the returned frame READS from the configured root (plan
+        # toString truncates long paths, so check inputFiles)
+        files = dur.inputFiles()
+        assert files and all(root in f for f in files), files[:3]
+    finally:
+        sess.set_scratch_root(None)
+    want = sorted(map(tuple, global_rank(df, order, 8)
+                      .select("id", "_gr", "_n").collect()))
+    assert got == want
+    # explicit scratch_path still wins over the session root
+    sess.set_scratch_root(root)
+    try:
+        explicit = str(tmp_path / "explicit")
+        got2 = sorted(map(tuple, global_rank(
+            df, order, 8, durable=True, scratch_path=explicit)
+            .select("id", "_gr", "_n").collect()))
+        assert os.path.isdir(explicit)
+        assert got2 == want
+    finally:
+        sess.set_scratch_root(None)
