@@ -314,6 +314,14 @@ HEADLINE = [
     "e_dau_mau_stickiness",
     # round-13 surface
     "a_hybrid_recall_eval",
+    "a_cluster_silhouette",
+    "e_attribution_shapley",
+    "t_bm25_topk",
+    "t_term_burstiness",
+    "t_phrase_search",
+    "r23_skyline_pareto",
+    "x_bitmap_index_and",
+    "p_systematic_resample",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -993,6 +993,71 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("nprobe"))
 
 
+@register("a_cluster_silhouette", f"""
+WITH {_dims_sql()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+cs AS (
+  SELECT l.lbl, d.dim, CAST(sum(d.qval) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dims d JOIN lab l USING (vec_id) GROUP BY l.lbl, d.dim
+),
+cq AS (
+  SELECT lbl, dim,
+         CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+              ELSE -((2 * (-s) + n) // (2 * n)) END AS cq
+  FROM cs
+),
+d2 AS (
+  SELECT d.vec_id, c.lbl,
+         CAST(sum((d.qval - c.cq) * (d.qval - c.cq)) AS BIGINT) AS d2
+  FROM dims d JOIN cq c USING (dim) GROUP BY d.vec_id, c.lbl
+),
+per AS (
+  SELECT l.vec_id, l.lbl AS own,
+         max(CASE WHEN d.lbl = l.lbl THEN d.d2 END) AS a2,
+         min(CASE WHEN d.lbl <> l.lbl THEN d.d2 END) AS b2
+  FROM d2 d JOIN lab l USING (vec_id) GROUP BY l.vec_id, l.lbl
+)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(a2) AS BIGINT) AS sum_a2,
+       CAST(sum(b2) AS BIGINT) AS sum_b2,
+       CAST(sum(CASE WHEN b2 > a2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_well_separated
+FROM per GROUP BY own
+""")
+def a_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation by SIMPLIFIED SILHOUETTE (Rousseeuw
+    1987 via the centroid form of Hruschka et al. 2004) over the
+    labeled embeddings: per label, the vector count, the exact sums
+    of own-centroid and nearest-other-centroid squared distances, and
+    how many members sit closer to their own centroid than to any
+    other (b2 > a2 — silhouette-positive). The evaluation loop a
+    clustering / semantic-dedup pipeline runs before trusting its
+    cluster assignments.
+
+    Exactness: integer milli-unit vectors against integer-ROUNDED
+    centroids (half away from zero, mirrored by the oracle's CASE
+    floor arithmetic) make every distance an exact int64 — no float
+    tie can flip the nearest-other argmin between engines. int64
+    headroom: (qval-cq)^2 <= 1e8 per dim, x64 dims x corpus sums
+    ~1e13.
+
+    Scale shape: centroid build is one map-side-combinable
+    (label, dim) aggregate collected at metadata scale (clusters x
+    dims); scoring is an Arrow-batched int64 numpy kernel closed
+    over the broadcast centroid matrix (the ivf_assign pattern) —
+    a pure map over the vector scan; the final rollup is a
+    label-keyed partial aggregate. Nothing is quadratic in corpus
+    size, which is the point of the simplified (centroid) form."""
+    per = similarity.cluster_silhouette(_embs(spark, sf_dir))
+    return (per.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                 F.sum("a2").cast("long").alias("sum_a2"),
+                 F.sum("b2").cast("long").alias("sum_b2"),
+                 F.sum((F.col("b2") > F.col("a2")).cast("long"))
+                 .cast("long").alias("n_well_separated")))
+
+
 # postings-store registry: one LIVE scratch store per sf_dir for the
 # session (bench runs each query 3x — the store is the amortized
 # artifact, rebuilding it per call would charge the query the

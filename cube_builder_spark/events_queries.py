@@ -2533,3 +2533,131 @@ def e_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day", "dau", "mau",
                     (F.col("dau") * 1e0 / F.col("mau"))
                     .alias("stickiness")))
+
+
+# --- Shapley-value channel attribution (round 13) ------------------------------
+
+@register("e_attribution_shapley", """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b_click,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b_error,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS b_signup,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b_view,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+coh AS (
+  SELECT b_click + 2 * b_error + 4 * b_signup + 8 * b_view AS mask,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM pu GROUP BY 1
+),
+rates AS (SELECT mask, CAST((1000000 * c) // n AS BIGINT) AS r FROM coh),
+channels AS (
+  SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                        ('error', CAST(2 AS BIGINT)),
+                        ('signup', CAST(4 AS BIGINT)),
+                        ('view', CAST(8 AS BIGINT))) AS t(channel, bit)
+),
+masks AS (SELECT unnest(range(16)) AS m),
+shap AS (
+  SELECT ch.channel,
+         CAST(sum((CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+                   WHEN 2 THEN 2 ELSE 6 END)
+                  * (COALESCE(r1.r, 0) - COALESCE(r0.r, 0)))
+              AS BIGINT) AS shapley_micro_24
+  FROM channels ch JOIN masks s ON (s.m & ch.bit) = 0
+  LEFT JOIN rates r1 ON r1.mask = (s.m | ch.bit)
+  LEFT JOIN rates r0 ON r0.mask = s.m
+  GROUP BY ch.channel
+),
+expo AS (
+  SELECT ch.channel, CAST(sum(co.n) AS BIGINT) AS n_exposed,
+         CAST(sum(co.c) AS BIGINT) AS n_conv_exposed
+  FROM channels ch JOIN coh co ON (co.mask & ch.bit) <> 0
+  GROUP BY ch.channel
+)
+SELECT s.channel, e.n_exposed, e.n_conv_exposed, s.shapley_micro_24,
+       s.shapley_micro_24 / 24000000.0 AS shapley_rate
+FROM shap s JOIN expo e USING (channel)
+""")
+def e_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution (Shapley 1953 applied to
+    marketing touchpoints, Zhao et al. 2018's data-driven game): the
+    coalition value v(S) is the MEASURED conversion rate of the user
+    cohort whose exposure set is exactly S (channels = the four
+    non-purchase event types; conversion = any purchase), and each
+    channel's credit is its exact Shapley value over the 2^4
+    coalition lattice — the attribution that, unlike last-touch or
+    e_attribution_linear's uniform split, prices in channel
+    SYNERGIES (a channel that only converts in combination still
+    earns its marginal contributions).
+
+    Exactness: cohort rates quantize to micro-units by integer floor
+    ((1e6*conv) DIV n — both engines floor positives identically),
+    and the Shapley weights |S|!(3-|S|)!/4! clear to integers by
+    carrying the 4! = 24: shapley_micro_24 = sum over S not
+    containing c of w(|S|)*(r(S+c) - r(S)), w in {6,2,2,6} — an
+    exact (possibly negative) int64; the headline rate ships as ONE
+    IEEE division by 24e6. Cohorts absent from the data contribute
+    rate 0 (documented measured-game convention).
+
+    Scale shape: ONE events scan -> per-user conditional-max bitmask
+    + converted flag (map-side combinable), a 16-row cohort rollup,
+    and the whole lattice walk (4 channels x 8 subsets) over
+    broadcast metadata frames. k channels cost 2^k metadata rows —
+    the standard k<=10 attribution regime — while the data pass
+    stays linear."""
+    ev = _events(spark, sf_dir)
+    bit_of = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    aggs = [F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .alias(f"b_{t}") for t in bit_of]
+    pu = ev.groupBy("user_id").agg(
+        *aggs,
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("conv"))
+    coh = (pu.groupBy(
+        (F.col("b_click") + 2 * F.col("b_error") + 4 * F.col("b_signup")
+         + 8 * F.col("b_view")).cast("long").alias("mask"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("conv").cast("long").alias("c")))
+    rates = coh.select("mask",
+                       F.expr("(1000000 * c) DIV n").cast("long")
+                       .alias("r"))
+    # the 2^4 coalition lattice is PURE metadata (4 channels x 8
+    # subsets of the other three, Shapley weight |S|!(3-|S|)!): built
+    # driver-side so the plan carries no non-equi metadata join (the
+    # engine-wide no-CartesianProduct invariant holds for all 317
+    # plans, even 64-row ones)
+    wt = {0: 6, 1: 2, 2: 2, 3: 6}
+    lattice = spark.createDataFrame(
+        [(ch, bit, m, wt[bin(m).count("1")])
+         for ch, bit in sorted(bit_of.items())
+         for m in range(16) if (m & bit) == 0],
+        "channel string, bit long, m long, w long")
+    r1 = rates.select(F.col("mask").alias("m1"), F.col("r").alias("r1"))
+    r0 = rates.select(F.col("mask").alias("m0"), F.col("r").alias("r0"))
+    shap = (lattice
+            .join(F.broadcast(r1), F.expr("m1 = (m | bit)"), "left")
+            .join(F.broadcast(r0), F.expr("m0 = m"), "left")
+            .groupBy("channel")
+            .agg(F.sum(F.col("w") * (F.coalesce("r1", F.lit(0))
+                                     - F.coalesce("r0", F.lit(0))))
+                 .cast("long").alias("shapley_micro_24")))
+    # per-channel exposure: explode each 16-row cohort over the four
+    # channel bits it contains — an in-row generator, not a join
+    chan_arr = "array({})".format(", ".join(
+        f"struct('{ch}' AS channel, {bit}L AS bit)"
+        for ch, bit in sorted(bit_of.items())))
+    expo = (coh.select("mask", "n", "c",
+                       F.explode(F.expr(chan_arr)).alias("ch"))
+            .filter(F.expr("(mask & ch.bit) <> 0"))
+            .select(F.col("ch.channel").alias("channel"), "n", "c")
+            .groupBy("channel")
+            .agg(F.sum("n").cast("long").alias("n_exposed"),
+                 F.sum("c").cast("long").alias("n_conv_exposed")))
+    return (shap.join(expo, "channel")
+            .select("channel", "n_exposed", "n_conv_exposed",
+                    "shapley_micro_24",
+                    (F.col("shapley_micro_24") / F.lit(24000000.0))
+                    .alias("shapley_rate")))

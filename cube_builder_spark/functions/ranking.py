@@ -68,31 +68,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
-                rank_col: str = "_gr", total_col: str = "_n",
-                durable: bool = False,
-                scratch_path: str | None = None) -> DataFrame:
-    """Exact 1-based global row_number over a total order, plus the
-    total row count, with no single-partition stage over the data.
-
-    ``order`` must be a total order (include a unique tiebreaker).
-    Adds ``rank_col`` and ``total_col``; drops its internals.
-
-    ``durable=False`` (default) materializes the range shuffle via an
-    eager ``localCheckpoint`` — executor-local blocks, no dfs
-    round-trip, the right cost for interactive/short jobs.
-    ``durable=True`` writes the ranged frame to parquet instead —
-    ``scratch_path`` if given, else a unique subdir of the session's
-    configured durable-scratch root (``session.set_scratch_root`` /
-    ``$SPARK_GRAFT_SCRATCH_ROOT`` — the cluster-shared default that
-    makes the flag safe without per-call plumbing), else a
-    driver-session temp dir removed at interpreter exit (local-mode
-    fallback) — so executor loss on long preemptible jobs replays from
-    storage instead of failing the job (module docstring). Either
-    way there is exactly ONE physical evaluation of the range
-    shuffle, which is the correctness property: the offsets
-    aggregate and the join side must read the SAME sampled range
-    bounds (and hence the same ``_rp`` labels)."""
+def _ranged_materialized(df: DataFrame, order: list[Column],
+                         n_partitions: int, durable: bool,
+                         scratch_path: str | None) -> DataFrame:
+    """The shared TeraSort front half: range-shuffle on ``order``,
+    label each row with its physical partition id ``_rp``, and
+    materialize ONCE so every consumer branch reads the same sampled
+    range bounds (module docstring — the re-sample divergence
+    hazard). Used by global_rank and global_cumsum."""
     ranged = (df.repartitionByRange(n_partitions, *order)
               # _rp is computed here, pre-materialization, and rides
               # along as a data column — both materialization routes
@@ -119,13 +102,41 @@ def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
                 # scratch a still-live sibling frame reads
                 path = defer_cleanup(scratch_dir("grank_"))
         ranged.write.mode("overwrite").parquet(path)
-        ranged = df.sparkSession.read.parquet(path)
-    else:
-        # one physical evaluation of the range shuffle — both
-        # the offsets aggregate and the join side read these
-        # blocks, so the sampled range bounds (and hence _rp)
-        # cannot diverge between branches (module docstring)
-        ranged = ranged.localCheckpoint(eager=True)
+        return df.sparkSession.read.parquet(path)
+    # one physical evaluation of the range shuffle — both the
+    # offsets aggregate and the join side read these blocks, so the
+    # sampled range bounds (and hence _rp) cannot diverge between
+    # branches (module docstring)
+    return ranged.localCheckpoint(eager=True)
+
+
+def global_rank(df: DataFrame, order: list[Column], n_partitions: int,
+                rank_col: str = "_gr", total_col: str = "_n",
+                durable: bool = False,
+                scratch_path: str | None = None) -> DataFrame:
+    """Exact 1-based global row_number over a total order, plus the
+    total row count, with no single-partition stage over the data.
+
+    ``order`` must be a total order (include a unique tiebreaker).
+    Adds ``rank_col`` and ``total_col``; drops its internals.
+
+    ``durable=False`` (default) materializes the range shuffle via an
+    eager ``localCheckpoint`` — executor-local blocks, no dfs
+    round-trip, the right cost for interactive/short jobs.
+    ``durable=True`` writes the ranged frame to parquet instead —
+    ``scratch_path`` if given, else a unique subdir of the session's
+    configured durable-scratch root (``session.set_scratch_root`` /
+    ``$SPARK_GRAFT_SCRATCH_ROOT`` — the cluster-shared default that
+    makes the flag safe without per-call plumbing), else a
+    driver-session temp dir removed at interpreter exit (local-mode
+    fallback) — so executor loss on long preemptible jobs replays from
+    storage instead of failing the job (module docstring). Either
+    way there is exactly ONE physical evaluation of the range
+    shuffle, which is the correctness property: the offsets
+    aggregate and the join side must read the SAME sampled range
+    bounds (and hence the same ``_rp`` labels)."""
+    ranged = _ranged_materialized(df, order, n_partitions,
+                                  durable, scratch_path)
     # ≤ n_partitions rows: the windows below are metadata-scale
     pc = ranged.groupBy("_rp").agg(F.count(F.lit(1)).alias("_pc"))
     w_prev = (Window.orderBy("_rp")
@@ -176,3 +187,38 @@ def exact_global_ntile(df: DataFrame, order: list[Column],
     return (ranked
             .withColumn(out, ntile_expr("_gr", "_n", n_tiles))
             .drop("_gr", "_n"))
+
+
+def global_cumsum(df: DataFrame, order: list[Column], val_col: str,
+                  n_partitions: int, out: str = "_cum",
+                  durable: bool = False,
+                  scratch_path: str | None = None) -> DataFrame:
+    """Exact INCLUSIVE prefix sum of ``val_col`` over a total order,
+    with no single-partition stage over the data — the prefix-sum
+    sibling of ``global_rank`` (same TeraSort shape, same one-time
+    materialization, same durable route): range shuffle, per-
+    partition sums reduced to <= n_partitions rows, cumulative
+    offsets over that metadata frame, broadcast back onto a
+    partition-local running-sum window.
+
+    ``order`` must be a total order (unique tiebreaker), so the
+    prefix sum is well-defined row-by-row and bit-identical to a
+    single-partition ``sum() OVER (ORDER BY ...)`` —
+    tests/test_ranking.py pins frame equality and the
+    no-range-exchange plan shape. ``val_col`` must be integral for
+    exactness (int64 sums are reduction-order-free; doubles would
+    make the partial/offset split visible in the last ulp)."""
+    ranged = _ranged_materialized(df, order, n_partitions,
+                                  durable, scratch_path)
+    ps = ranged.groupBy("_rp").agg(F.sum(val_col).alias("_ps"))
+    w_prev = (Window.orderBy("_rp")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ps.select(
+        "_rp",
+        F.coalesce(F.sum("_ps").over(w_prev), F.lit(0)).alias("_off"))
+    local = F.sum(val_col).over(
+        Window.partitionBy("_rp").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged.join(F.broadcast(offs), "_rp")
+            .withColumn(out, (F.col("_off") + local).cast("long"))
+            .drop("_rp", "_off"))

@@ -989,3 +989,79 @@ def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
         picked.append((rank, nxt[0]["vec_id"], nxt[0]["cq"],
                        nxt[0]["msim"]))
     return spark.createDataFrame(picked, schema)
+
+
+def cluster_silhouette(embeddings: DataFrame,
+                       label_col: str = "label") -> DataFrame:
+    """Per-vector SIMPLIFIED silhouette inputs (Rousseeuw 1987;
+    the "simplified silhouette" of Hruschka et al. 2004 replaces the
+    O(n^2) mean pairwise distances with distances TO CENTROIDS —
+    the form every large-scale clustering evaluation actually runs):
+    a2 = squared L2 to the OWN cluster's centroid, b2 = min squared
+    L2 to any OTHER centroid, b_label = that nearest other cluster.
+
+    Exactness: vectors quantize to integer milli-units (the engine's
+    ANN convention) and each centroid is ROUNDED to an integer
+    vector (half away from zero — CASE arithmetic both engines floor
+    identically), so every distance is an exact int64 and the
+    cross-cluster argmin has no float ties: np.argmin takes the
+    first minimum over label-ascending columns, the same order as
+    the oracle's min(d2 * 100 + lbl) pack.
+
+    Scale shape: the centroid table is bounded metadata
+    (n_clusters x dim) — collected once, closed over by an
+    Arrow-batched int64 numpy kernel (the ivf_assign pattern), so
+    scoring is a PURE MAP over the vector scan: no join, no
+    explode, no shuffle beyond the centroid build's map-side
+    partial aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    dims = embeddings.select(
+        F.col(label_col).cast("long").alias("lbl"),
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "qval"))
+    stats = (dims.groupBy("lbl", "dim")
+             .agg(F.sum("qval").alias("s"),
+                  F.count(F.lit(1)).alias("n")).collect())
+    labels = sorted({r.lbl for r in stats})
+    dim = 1 + max(r.dim for r in stats)
+    lidx = {g: j for j, g in enumerate(labels)}
+    cmat = np.zeros((len(labels), dim), np.int64)
+    for r in stats:
+        s, n = int(r.s), int(r.n)
+        # round half away from zero, in pure integer arithmetic —
+        # the oracle's CASE mirrors this exactly
+        cq = (2 * s + n) // (2 * n) if s >= 0 else -((2 * -s + n) // (2 * n))
+        cmat[lidx[r.lbl], r.dim] = cq
+    cnorm2 = (cmat * cmat).sum(axis=1)          # int64 exact
+    larr = np.array(labels, np.int64)
+
+    def score_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([
+                np.floor(np.asarray(e, np.float64) * 1000 + 0.5)
+                for e in pdf["embedding"]]).astype(np.int64)
+            if q.shape[1] < dim:
+                q = np.pad(q, ((0, 0), (0, dim - q.shape[1])))
+            # d2[i, j] = ||q_i||^2 - 2 q_i . c_j + ||c_j||^2, all int64
+            d2 = ((q * q).sum(axis=1)[:, None]
+                  - 2 * (q @ cmat.T) + cnorm2[None, :])
+            own = np.array([lidx[int(g)] for g in pdf[label_col]],
+                           np.int64)
+            rows = np.arange(len(own))
+            a2 = d2[rows, own]
+            masked = d2.copy()
+            masked[rows, own] = np.iinfo(np.int64).max
+            bj = np.argmin(masked, axis=1)      # first min = lowest lbl
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf[label_col].astype("int64"),
+                "a2": a2, "b2": masked[rows, bj],
+                "b_label": larr[bj]})
+
+    return (embeddings.select("vec_id", "embedding", label_col)
+            .mapInPandas(score_batch,
+                         "vec_id long, label long, a2 long, b2 long, "
+                         "b_label long"))

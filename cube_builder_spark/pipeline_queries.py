@@ -2828,3 +2828,63 @@ def p_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("pos").cast("long").alias("last_pos"),
                  F.min("doc_id").cast("long").alias("min_doc_id"),
                  F.max("doc_id").cast("long").alias("max_doc_id")))
+
+
+# --- systematic (low-variance) weighted resampling (round 13) -------------------
+
+@register("p_systematic_resample", """
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+           FROM documents),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+c AS (
+  SELECT doc_id, weight,
+         CAST(sum(weight) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM w
+),
+r AS (
+  SELECT doc_id, weight,
+         CAST((1000 * cum) // tot.wsum
+              - (1000 * (cum - weight)) // tot.wsum AS BIGINT)
+           AS n_copies
+  FROM c CROSS JOIN tot
+)
+SELECT doc_id, weight, n_copies FROM r WHERE n_copies >= 1
+""")
+def p_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC weighted resampling (the low-variance resampler of
+    particle filters, Kitagawa 1996, = 'stochastic universal
+    sampling', Baker 1987 — here with deterministic offset 0): place
+    N = 1000 evenly spaced pointers on the cumulative weight axis
+    (weights = n_chars); document i draws copies = floor(N*cum_i/W)
+    - floor(N*(cum_i - w_i)/W). Exactly N copies total (the floors
+    telescope), every doc with weight >= W/N guaranteed >= 1 copy,
+    variance strictly below multinomial sampling — the standard
+    up/down-weighting step a data-mixing pipeline runs before
+    training (oversample rare domains, downsample boilerplate).
+
+    Exactness: the prefix sums and both floors are pure int64 (1000 *
+    W <= 1e13 at sf0.1; at petabyte scale widen the pointer count or
+    use per-shard sub-draws), so both engines agree bit-for-bit.
+
+    Scale shape: the cumulative weight axis is the ONE global-order
+    dependency, and it rides functions/ranking.global_cumsum — the
+    TeraSort prefix-sum primitive (range shuffle materialized once,
+    per-partition sums to a metadata-scale offsets frame, broadcast
+    back onto partition-local running sums) — so there is NO
+    unpartitioned data window anywhere in the plan
+    (tests/test_plan_shape.py pins it); the copy arithmetic is a
+    projection and the 1-row total broadcasts."""
+    from .functions.ranking import global_cumsum
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cum = global_cumsum(docs, [F.col("doc_id").asc()], "weight",
+                        n_part, out="cum")
+    tot = docs.agg(F.sum("weight").cast("long").alias("wsum"))
+    copies = F.expr("(1000 * cum) DIV wsum"
+                    " - (1000 * (cum - weight)) DIV wsum")
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("doc_id", "weight",
+                    copies.cast("long").alias("n_copies"))
+            .filter(F.col("n_copies") >= 1))

@@ -1572,3 +1572,72 @@ def x_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "side string, n_rows long, sum_chars long, "
               "min_key long, max_key long")
+
+
+# --- bitmap index intersection (round 13) ---------------------------------------
+
+@register("x_bitmap_index_and", """
+WITH bits AS (
+  SELECT o_orderkey // 64 AS word_id, o_orderkey % 64 AS bit,
+         o_orderstatus = 'F' AS pa,
+         o_orderpriority = '1-URGENT' AS pb
+  FROM orders
+),
+bv AS (
+  SELECT word_id, pa, pb,
+         CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+              ELSE CAST(1 AS BIGINT) << CAST(bit AS INTEGER) END AS v
+  FROM bits
+),
+wa AS (SELECT word_id, CAST(sum(v) AS BIGINT) AS w
+       FROM bv WHERE pa GROUP BY word_id),
+wb AS (SELECT word_id, CAST(sum(v) AS BIGINT) AS w
+       FROM bv WHERE pb GROUP BY word_id),
+aw AS (SELECT a.word_id, a.w & b.w AS w
+       FROM wa a JOIN wb b USING (word_id))
+SELECT word_id // 64 AS block_id,
+       CAST(count(CASE WHEN w <> 0 THEN 1 END) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(w)) AS BIGINT) AS n_matches
+FROM aw GROUP BY 1
+""")
+def x_bitmap_index_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX predicate intersection (the Oracle/Druid/
+    roaring-bitmap acceleration structure; Chan & Ioannidis 1998):
+    each predicate's qualifying row set materializes as 64-bit words
+    over the row-id space (word = o_orderkey DIV 64, bit = key MOD
+    64 — each key contributes one power of two, so the per-word SUM
+    of disjoint bit values IS the bitwise OR), predicate AND becomes
+    word-wise ``&``, and the match count is a popcount — no row
+    re-scan. Output per 64-word block: words with surviving bits and
+    total matches (status 'F' AND priority '1-URGENT').
+
+    Bit 63 is the two's-complement sign bit: Spark's shiftleft(1L,
+    63) wraps to Long.MIN_VALUE while DuckDB's << raises on
+    overflow, so the oracle spells it -9223372036854775807 - 1 (the
+    a_ann_bq_topk signed-bit discipline); ``&`` and bit_count treat
+    the sign bit as an ordinary bit in both engines.
+
+    Scale shape: two word_id-keyed map-side-combinable aggregates
+    over ONE scan's projections, a co-partitioned equi-join on
+    word_id (both sides carry the same key — no broadcast needed,
+    no skew: words are uniform by construction), and a 64x-reduced
+    block rollup. The bitmap is 1 bit per row per predicate — the
+    point of the structure: at 100 TB the AND runs over ~2 GB of
+    words per predicate, not the fact table."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    base = orders.select(
+        F.expr("o_orderkey DIV 64").alias("word_id"),
+        F.expr("shiftleft(1L, CAST(o_orderkey % 64 AS INT))").alias("v"),
+        (F.col("o_orderstatus") == "F").alias("pa"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("pb"))
+    wa = (base.filter("pa").groupBy("word_id")
+          .agg(F.sum("v").cast("long").alias("wa")))
+    wb = (base.filter("pb").groupBy("word_id")
+          .agg(F.sum("v").cast("long").alias("wb")))
+    aw = wa.join(wb, "word_id").select(
+        "word_id", F.expr("wa & wb").alias("w"))
+    return (aw.groupBy(F.expr("word_id DIV 64").alias("block_id"))
+            .agg(F.count(F.when(F.col("w") != 0, 1)).cast("long")
+                 .alias("n_words"),
+                 F.sum(F.bit_count("w")).cast("long")
+                 .alias("n_matches")))

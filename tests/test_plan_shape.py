@@ -294,3 +294,23 @@ def test_cooccurrence_topk_is_take_ordered(spark, sf_dir, queries):
     plan = _physical(queries["t_cooccurrence_pmi"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_systematic_resample_no_range_exchange_no_global_window(
+        spark, sf_dir, queries):
+    """p_systematic_resample rides global_cumsum (the TeraSort
+    prefix-sum primitive): the final plan carries no range exchange
+    (materialized once, pre-checkpoint) and every running-sum window
+    is partitioned by the range-partition label — no unpartitioned
+    data window anywhere."""
+    import re
+
+    df = queries["p_systematic_resample"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    phys = phys.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" not in phys.lower(), phys
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\](?:, \[|\n)", opt):
+        spec = m.group(1)
+        if "unboundedpreceding" in spec and "currentrow" in spec:
+            assert "_rp" in m.group(2), m.group(0)

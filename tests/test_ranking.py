@@ -212,3 +212,28 @@ def test_global_rank_durable_honors_session_scratch_root(spark, tmp_path):
         assert got2 == want
     finally:
         sess.set_scratch_root(None)
+
+
+def test_global_cumsum_equals_single_partition_window(spark):
+    """global_cumsum must be bit-identical to the single-partition
+    sum() OVER (ORDER BY ...) on a total order, carry no range
+    exchange in its final plan (TeraSort shape: the one range shuffle
+    ran pre-materialization), and its durable route must match."""
+    from cube_builder_spark.functions.ranking import global_cumsum
+
+    rows = [(i, (i * 7919) % 101, 1 + (i * 13) % 37) for i in range(700)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r.id: r.cum for r in global_cumsum(df, order, "w", 8,
+                                              out="cum").collect()}
+    want = {r.id: r.cum for r in df.select(
+        "id", F.sum("w").over(
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("cum")).collect()}
+    assert got == want
+    dur = global_cumsum(df, order, "w", 8, out="cum", durable=True)
+    assert {r.id: r.cum for r in dur.collect()} == want
+    res = global_cumsum(df, order, "w", 8, out="cum")
+    phys = res._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in phys.lower(), phys
