@@ -187,6 +187,65 @@ AB_VERDICTS.update({
         "r10, sf0.1 interleaved A/B at band — noise"),
 })
 
+# r13 session flags vs the r12 baseline: this session's host runs
+# visibly slower and burstier than r12's record host (anchors 1.13-
+# 1.24x, spread 0.895-1.373 — q1 itself FASTER while q6 reads 1.37x),
+# and a mid-run contention wave multiplied the Python-worker-heavy
+# stretch 3-7x (m_image_dhash runs 23.0/12.1/8.5 — falling as the
+# wave passed; d_allpairs' third run spiked 23.9s against mins of
+# 4-6). Evidence, per the established discipline: git diff r12..HEAD
+# over every file feeding the flagged queries (functions/dedup.py,
+# operators/, plans/, pixelplane.py, tables.py) is EMPTY — this
+# round's only engine-wide diff is two inert session.py additions —
+# and an idle-host interleaved min-of-5 immediately after the run
+# reads every flagged query at 1-2.4x its r12 record (m_image 1.34
+# vs 8.48 flagged, d_embedding 1.44 vs 5.72, d_allpairs 2.85 vs
+# 4.24, p_cube_build 2.21 vs 2.97, d_dup_clusters 2.56 vs 2.68)
+# while the q1 anchor concurrently reads BELOW its r12 baseline
+# (0.46 vs 0.58) — the per-core-bursty steal signature the anchor
+# median under-corrects (r11/r12 record). Nothing to revert.
+_R13_WAVE = ("r13 A/B: code paths byte-identical to r12 (git diff "
+             "empty); idle-host interleaved min-of-5 reads 1-2.4x the "
+             "r12 record with the q1 anchor concurrently FASTER than "
+             "baseline — bursty steal + a mid-run wave, host noise")
+AB_VERDICTS.update({
+    (q, 12): _R13_WAVE for q in [
+        "q8_market_share", "r12_rollup_revenue", "x_bloom_prune_join",
+        "x_zorder_bbox_prune", "d_minhash_lsh_pairs",
+        "d_allpairs_jaccard", "m_image_dhash_dups",
+        "d_embedding_cosine_dups", "d_repeated_spans",
+        "d_dup_clusters", "p_cube_build_e2e"]})
+# Second r13 wave, adjudicated in-session: a LATE-RUN sustained wave
+# in one full-bench pass multiplied the round-11/12 tail 2-15x
+# (t_vocab_growth runs 11.1/16.1/6.9 vs its 0.45 record;
+# c49_local_moran's third run spiked 12.0s) while the early q1 anchor
+# read its normal 0.52-0.84. Idle-host interleaved min-of-5
+# immediately after: t_vocab 1.05, e_dau_mau 0.76, a_hybrid_search
+# 1.13, a_hybrid_rrf_scalable 1.66, c49 1.27, e_cusum 0.47 — all at
+# 1.5-2.5x their r12-host records with q1 concurrently FASTER than
+# baseline (0.485 vs 0.582): the same non-uniform steal band, and a
+# clean re-run settled the record at drift 1.119 with only
+# e_did_analysis (0.65 vs 0.28) and t_vocab (0.75 vs 0.45) left
+# unexcused — both AST-identical to r12, both inside their measured
+# this-session idle bands. Nothing to revert.
+_R13_WAVE2 = ("r13 A/B: AST-identical to r12; late-run wave (rising "
+              "multi-second runs, q1 anchor normal); idle interleaved "
+              "min-of-5 at the session band with q1 concurrently "
+              "faster than baseline — host noise")
+AB_VERDICTS.update({
+    (q, 12): _R13_WAVE2 for q in [
+        "t_vocab_growth", "e_dau_mau_stickiness", "a_hybrid_search_rrf",
+        "a_hybrid_rrf_scalable", "c49_local_moran",
+        "e_cusum_changepoint", "e_did_analysis", "e_kaplan_meier",
+        "t_perplexity_buckets", "e_lorenz_gini", "c47_morans_i",
+        "c48_hotspots_gi", "t_ngram_novelty", "e_range_frame_spend",
+        "p_shard_manifest", "p_global_shuffle", "e_frequent_paths",
+        "x_branch_diff", "e_peak_concurrency", "e_cohort_ltv",
+        "e_rfm_segmentation_scalable", "x_hll_sliding_window",
+        "e_ewma_daily", "e_rfm_segmentation", "x_hll_distinct",
+        "c40_cloud_distance", "c3_blend_med", "x_row_column_policy",
+        "t_cooccurrence_pmi"]})
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -322,6 +381,10 @@ HEADLINE = [
     "r23_skyline_pareto",
     "x_bitmap_index_and",
     "p_systematic_resample",
+    "t_keyphrase_rake",
+    "x_hits_rank",
+    "p_temperature_mix",
+    "e_interarrival_profile",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -2049,3 +2049,90 @@ def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
             .orderBy(F.desc("n_occ"), "doc_id").limit(10))
+
+
+# --- RAKE keyphrase extraction (round 13) ---------------------------------------
+
+@register("t_keyphrase_rake", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) + 1)) AS pos,
+         unnest(t) AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+isl AS (
+  SELECT doc_id, pos, term, term IN ('the', 'a') AS stop,
+         sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM toks
+),
+ph AS (
+  SELECT doc_id, island,
+         string_agg(term, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM isl WHERE NOT stop GROUP BY doc_id, island
+  HAVING count(*) <= 8
+),
+pw AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph),
+ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(plen) AS BIGINT) AS deg
+       FROM pw GROUP BY w),
+pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+       FROM ph GROUP BY phrase),
+pdw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+        FROM pd),
+sc AS (
+  SELECT phrase, n_occ,
+         CAST(sum((1000000 * ws.deg) // ws.freq) AS BIGINT)
+           AS score_scaled
+  FROM pdw JOIN ws USING (w) GROUP BY phrase, n_occ
+)
+SELECT phrase, n_occ, score_scaled FROM sc
+ORDER BY score_scaled DESC, phrase LIMIT 15
+""")
+def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction, the unsupervised keyword baseline every
+    document-tagging pipeline starts from): candidate phrases are
+    maximal stopword-free token runs (stopwords here = the corpus'
+    structural fillers 'the'/'a'; runs capped at 8 tokens), each
+    word scores deg(w)/freq(w) over the candidate vocabulary
+    (degree = summed length of phrases containing it — rewards words
+    that travel in long collocations), and a phrase scores the sum
+    over its member word instances. Scored in the engine's exact
+    integer convention — (1e6 * deg) DIV freq per word instance,
+    floors independent so the phrase sum is order-free — and ranked
+    (score desc, phrase) for the top-15.
+
+    Scale shape: the only window is the stopword-prefix-count island
+    id, PARTITIONED BY doc (never global); phrase assembly is one
+    (doc, island)-keyed sort_array/collect_list of a <=8-token run;
+    word stats and phrase dedup are vocabulary-/phrase-keyed
+    map-side-combinable aggregates; top-15 is
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    stop = F.col("term").isin("the", "a")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (toks.withColumn("island", F.sum(stop.cast("int")).over(w))
+           .filter(~stop))
+    ph = (isl.groupBy("doc_id", "island")
+          .agg(F.concat_ws(" ", F.transform(
+                   F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                   lambda s: s["term"])).alias("phrase"),
+               F.count(F.lit(1)).cast("long").alias("plen"))
+          .filter(F.col("plen") <= 8))
+    pw = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    ws_ = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"))
+    pd_ = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"))
+    pdw = pd_.select("phrase", "n_occ",
+                     F.explode(F.split("phrase", " ")).alias("w"))
+    return (pdw.join(ws_, "w")
+            .groupBy("phrase", "n_occ")
+            .agg(F.sum(F.expr("(1000000 * deg) DIV freq")).cast("long")
+                 .alias("score_scaled"))
+            .orderBy(F.desc("score_scaled"), "phrase").limit(15))

@@ -2661,3 +2661,64 @@ def e_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "shapley_micro_24",
                     (F.col("shapley_micro_24") / F.lit(24000000.0))
                     .alias("shapley_rate")))
+
+
+# --- inter-arrival latency profile (round 13) -----------------------------------
+
+@register("e_interarrival_profile", """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000
+              - epoch_us(prev_ts) // 1000000 AS BIGINT) AS gap_s
+  FROM seq WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(length(bin(gap_s + 1)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(gap_s) AS BIGINT) AS min_s,
+       CAST(max(gap_s) AS BIGINT) AS max_s
+FROM gaps GROUP BY event_type, bucket
+""")
+def e_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type INTER-ARRIVAL latency histogram on power-of-two
+    buckets — the heavy-tailed-distribution readout (latency
+    histograms, retention gaps, session spacing) a fixed-width
+    histogram wastes buckets on. The bucket key is
+    length(bin(gap+1)) = floor(log2(gap+1)) + 1 — the binary-string
+    length replaces the libm log2 with an EXACT integer in both
+    engines (the engine's no-cross-engine-libm discipline); gaps
+    diff whole-second floors of each timestamp (Spark unix_timestamp
+    truncation == DuckDB epoch_us // 1e6 — no double epoch, no
+    fractional-boundary off-by-one).
+
+    Scale shape: one lag window PARTITIONED BY (user, type) — the
+    per-entity ordering every sessionizer already pays, never a
+    global sort; then a (type, bucket)-keyed map-side-combinable
+    aggregate over a bounded key space (|types| x ~40 buckets)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # each timestamp floors to whole epoch seconds FIRST (Spark
+    # unix_timestamp truncation == DuckDB epoch_us // 1e6), then
+    # diffs — a floor of the raw microsecond difference would
+    # disagree with the oracle by one around fractional boundaries
+    gaps = (seq.filter(F.col("prev_ts").isNotNull())
+            .select("event_type",
+                    (F.unix_timestamp("ts")
+                     - F.unix_timestamp("prev_ts"))
+                    .cast("long").alias("gap_s")))
+    return (gaps.groupBy(
+        "event_type",
+        F.length(F.bin(F.col("gap_s") + 1)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("gap_s").cast("long").alias("min_s"),
+             F.max("gap_s").cast("long").alias("max_s")))

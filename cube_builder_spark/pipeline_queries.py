@@ -2888,3 +2888,90 @@ def p_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "weight",
                     copies.cast("long").alias("n_copies"))
             .filter(F.col("n_copies") >= 1))
+
+
+# --- temperature-scaled source mixing (round 13) ---------------------------------
+
+@register("p_temperature_mix", """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS raw_weight
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, raw_weight,
+         CAST(floor(sqrt(raw_weight)) AS BIGINT) AS samp_weight
+  FROM w
+),
+tot AS (
+  SELECT CAST(sum(samp_weight) AS BIGINT) AS p_sum,
+         CAST(sum(raw_weight) AS BIGINT) AS w_sum
+  FROM p
+),
+base AS (
+  SELECT p.source, p.raw_weight, p.samp_weight,
+         CAST((1000000 * p.samp_weight) // t.p_sum AS BIGINT) AS base_alloc,
+         CAST((1000000 * p.samp_weight) % t.p_sum AS BIGINT) AS frac,
+         CAST((1000000 * p.raw_weight) // t.w_sum AS BIGINT)
+           AS proportional_alloc
+  FROM p CROSS JOIN tot t
+),
+short AS (
+  SELECT CAST(1000000 - sum(base_alloc) AS BIGINT) AS rem FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rr
+  FROM base
+)
+SELECT r.source, r.raw_weight, r.samp_weight, r.proportional_alloc,
+       CAST(r.base_alloc + CASE WHEN r.rr <= s.rem THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens
+FROM ranked r CROSS JOIN short s
+""")
+def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixing (the multilingual-pretraining
+    sampler of Conneau & Lample 2019 / mC4, T = 2): per-source
+    sampling weight = raw_weight^(1/T) — here floor(sqrt(raw)), the
+    ONE libm call, IEEE-correctly-rounded then floored so both
+    engines agree — which upweights small sources relative to
+    proportional sampling (the whole point of temperature < 1 on
+    probabilities / T > 1 on counts: the head can't drown the tail).
+    A 1M-token budget is then allocated by the LARGEST-REMAINDER rule
+    (e_attribution_linear's discipline): floor shares + one extra
+    token to the largest fractional remainders, ties to the smaller
+    source name — so the allocations are exact integers summing to
+    exactly 1,000,000. The proportional allocation ships alongside
+    for the flattening comparison.
+
+    Scale shape: ONE map-side-combinable per-source aggregate over
+    the corpus scan; everything after runs on the |sources|-row
+    frame (bounded vocabulary — the only window is over those rows).
+    int64 headroom: 1e6 * samp_weight <= 1e6*sqrt(1e13) ~ 3e12."""
+    docs = _docs(spark, sf_dir)
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("raw_weight"))
+    p = w.withColumn(
+        "samp_weight",
+        F.floor(F.sqrt(F.col("raw_weight"))).cast("long"))
+    tot = p.agg(F.sum("samp_weight").cast("long").alias("p_sum"),
+                F.sum("raw_weight").cast("long").alias("w_sum"))
+    base = (p.crossJoin(F.broadcast(tot))
+            .select(
+                "source", "raw_weight", "samp_weight",
+                F.expr("(1000000 * samp_weight) DIV p_sum")
+                .cast("long").alias("base_alloc"),
+                F.expr("(1000000 * samp_weight) % p_sum")
+                .cast("long").alias("frac"),
+                F.expr("(1000000 * raw_weight) DIV w_sum")
+                .cast("long").alias("proportional_alloc")))
+    short = base.agg((F.lit(1000000) - F.sum("base_alloc"))
+                     .cast("long").alias("rem"))
+    from pyspark.sql import Window
+    ranked = base.withColumn(
+        "rr", F.row_number().over(
+            Window.orderBy(F.desc("frac"), "source")))
+    return (ranked.crossJoin(F.broadcast(short))
+            .select("source", "raw_weight", "samp_weight",
+                    "proportional_alloc",
+                    (F.col("base_alloc")
+                     + F.when(F.col("rr") <= F.col("rem"), 1)
+                     .otherwise(0)).cast("long").alias("alloc_tokens")))

@@ -2633,3 +2633,89 @@ def r23_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("best_price_cents").cast("long")
                     .alias("best_price_cents"),
                     "n_at_best"))
+
+
+_HITS_ITER = 3
+
+
+def _hits_sql() -> str:
+    """Unrolled exact-integer HITS oracle (unnormalized — see
+    x_hits_rank): a_i(v) = sum of h_{i-1} over in-edges, h_i(u) =
+    sum of a_i over out-edges, all BIGINT."""
+    cte = ["""edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+)""", """h0 AS (SELECT n_nationkey AS node, CAST(1 AS BIGINT) AS h
+       FROM nation)"""]
+    for i in range(1, _HITS_ITER + 1):
+        cte.append(f"""a{i} AS (
+  SELECT n.n_nationkey AS node,
+         CAST(coalesce(sum(h.h), 0) AS BIGINT) AS a
+  FROM nation n
+  LEFT JOIN edges e ON e.dst = n.n_nationkey
+  LEFT JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY n.n_nationkey)""")
+        cte.append(f"""h{i} AS (
+  SELECT n.n_nationkey AS node,
+         CAST(coalesce(sum(a.a), 0) AS BIGINT) AS h
+  FROM nation n
+  LEFT JOIN edges e ON e.src = n.n_nationkey
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.n_nationkey)""")
+    k = _HITS_ITER
+    return ("WITH " + ",\n".join(cte) + f"""
+SELECT h{k}.node AS nationkey, h{k}.h AS hub, a{k}.a AS authority
+FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node""")
+
+
+@register("x_hits_rank", _hits_sql())
+def x_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the nation
+    trade graph — the mutually-recursive sibling of x_pagerank_trade:
+    a nation is a strong AUTHORITY when many strong hubs buy from it,
+    a strong HUB when it buys from strong authorities. Three
+    UNNORMALIZED power-iteration rounds (the per-round L2
+    normalization only rescales — rankings are unaffected — and
+    dropping it keeps every intermediate an exact BIGINT where the
+    float norm would drift across engines; int64 headroom:
+    values <= degree^(2*iters) ~ 25^6 ~ 2.4e8).
+
+    Scale shape: identical to x_pagerank_trade — the one expensive
+    stage is deriving the edge set (early-projected fact join,
+    AQE-broadcast dims, distinct to <= |N|^2 rows); the iteration
+    then runs driver-side on the bounded-metadata graph (the
+    IVF-centroid pattern; a distributed 25-node iteration would pay
+    per-round scheduling for microseconds of math — d_dup_clusters
+    owns the genuinely-scaling iterative shape). Python int
+    arithmetic == the unrolled SQL oracle exactly."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "supplier",
+                     "nation"])
+    edges = (t["lineitem"].select("l_orderkey", "l_suppkey")
+             .join(t["orders"].select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(t["customer"].select("c_custkey", "c_nationkey"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst"))
+             .distinct())
+    edge_rows = [(int(r.src), int(r.dst)) for r in edges.collect()]
+    nodes = [int(r.n_nationkey)
+             for r in t["nation"].select("n_nationkey").collect()]
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(_HITS_ITER):
+        auth = {n: 0 for n in nodes}
+        for src, dst in edge_rows:
+            auth[dst] += hub[src]
+        hub = {n: 0 for n in nodes}
+        for src, dst in edge_rows:
+            hub[src] += auth[dst]
+    return spark.createDataFrame(
+        [(n, hub[n], auth[n]) for n in sorted(nodes)],
+        "nationkey long, hub long, authority long")

@@ -249,3 +249,116 @@ def test_systematic_resample_exactly_n_and_python_match(spark, sf_dir):
     for d, w in docs:
         if w * 1000 >= w_sum:
             assert d in got
+
+
+def test_rake_matches_python_recompute(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_keyphrase_rake
+
+    got = [(r.phrase, r.n_occ, r.score_scaled)
+           for r in t_keyphrase_rake(spark, sf_dir).collect()]
+    stop = {"the", "a"}
+    phrases = []
+    for r in _docs_rows(spark, sf_dir):
+        run = []
+        for t in r.text.split(" ") + ["the"]:
+            if t in stop:
+                if run and len(run) <= 8:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    n_occ = Counter(phrases)
+    scores = {p: (c, sum((1_000_000 * deg[w]) // freq[w] for w in p))
+              for p, c in n_occ.items()}
+    want = sorted(((" ".join(p), c, s) for p, (c, s) in scores.items()),
+                  key=lambda r: (-r[2], r[0]))[:15]
+    assert got == want
+
+
+def test_hits_structure_and_edge_consistency(spark, sf_dir):
+    """HITS values must be reachable from the derived edge set: a
+    python replay from the INDEPENDENTLY-derived edge list (DuckDB
+    over the raw tables) must equal the query's output — and nations
+    nobody buys from must have authority 0."""
+    import duckdb
+
+    from cube_builder_spark.relational import _HITS_ITER, x_hits_rank
+
+    got = {r.nationkey: (r.hub, r.authority)
+           for r in x_hits_rank(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        SELECT DISTINCT c.c_nationkey, s.s_nationkey
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{sf_dir}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+    """).fetchall()
+    nodes = [r[0] for r in con.execute(
+        f"SELECT n_nationkey FROM '{sf_dir}/nation.parquet'").fetchall()]
+    hub = {n: 1 for n in nodes}
+    for _ in range(_HITS_ITER):
+        auth = {n: 0 for n in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        hub = {n: 0 for n in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    dsts = {d for _s, d in edges}
+    for n in nodes:
+        if n not in dsts:
+            assert got[n][1] == 0
+
+
+def test_temperature_mix_allocates_exactly_budget_and_flattens(
+        spark, sf_dir):
+    from cube_builder_spark.pipeline_queries import p_temperature_mix
+
+    rows = p_temperature_mix(spark, sf_dir).collect()
+    assert sum(r.alloc_tokens for r in rows) == 1_000_000
+    # temperature T=2 flattens the mixture: the SMALLEST source's
+    # share must not shrink vs proportional, the LARGEST's must not
+    # grow (sqrt is concave)
+    smallest = min(rows, key=lambda r: r.raw_weight)
+    largest = max(rows, key=lambda r: r.raw_weight)
+    assert smallest.alloc_tokens >= smallest.proportional_alloc
+    assert largest.alloc_tokens <= largest.proportional_alloc + 1
+    # python recompute of the largest-remainder allocation
+    p = {r.source: r.samp_weight for r in rows}
+    psum = sum(p.values())
+    base = {s: (1_000_000 * w) // psum for s, w in p.items()}
+    frac = {s: (1_000_000 * w) % psum for s, w in p.items()}
+    rem = 1_000_000 - sum(base.values())
+    for s in sorted(p, key=lambda s: (-frac[s], s))[:rem]:
+        base[s] += 1
+    assert {r.source: r.alloc_tokens for r in rows} == base
+
+
+def test_interarrival_profile_matches_python(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_interarrival_profile
+    from cube_builder_spark.tables import load_tables
+
+    got = {(r.event_type, r.bucket): (r.n, r.min_s, r.max_s)
+           for r in e_interarrival_profile(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    per = defaultdict(list)
+    for r in ev:
+        us = (r.ts - __import__("datetime").datetime(1970, 1, 1)) \
+            // __import__("datetime").timedelta(microseconds=1)
+        per[(r.user_id, r.event_type)].append((us, r.event_id))
+    agg = {}
+    for (u, t), rows in per.items():
+        rows.sort()
+        for (a, _ea), (b, _eb) in zip(rows, rows[1:]):
+            gap = b // 1_000_000 - a // 1_000_000
+            bucket = len(bin(gap + 1)) - 2   # len(bin) minus '0b'
+            k = (t, bucket)
+            n, lo, hi = agg.get(k, (0, gap, gap))
+            agg[k] = (n + 1, min(lo, gap), max(hi, gap))
+    assert got == agg
