@@ -385,6 +385,7 @@ HEADLINE = [
     "x_hits_rank",
     "p_temperature_mix",
     "e_interarrival_profile",
+    "a_cluster_purity",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

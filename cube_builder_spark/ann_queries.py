@@ -465,6 +465,80 @@ def a_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "canonical_id", "is_canonical"))
 
 
+@register("a_cluster_purity", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_AB} >= 0.35
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
+{_label_steps_sql(_CLUSTER_ITERS)},
+clusters AS (SELECT doc_id AS vec_id, lbl AS canonical_id
+             FROM l{_CLUSTER_ITERS}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS klass FROM embeddings),
+counts AS (
+  SELECT c.canonical_id, la.klass, CAST(count(*) AS BIGINT) AS n
+  FROM clusters c JOIN lab la ON la.vec_id = c.vec_id
+  GROUP BY c.canonical_id, la.klass
+),
+agg AS (
+  SELECT canonical_id, CAST(sum(n) AS BIGINT) AS n_members,
+         max(n * 1000 + (999 - klass)) AS pk
+  FROM counts GROUP BY canonical_id
+)
+SELECT canonical_id, n_members,
+       CAST(999 - pk % 1000 AS BIGINT) AS majority_label,
+       CAST(pk // 1000 AS BIGINT) AS n_majority
+FROM agg WHERE n_members >= 2
+""")
+def a_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL cluster evaluation by PURITY (Manning/Raghavan/Schütze
+    IR ch.16 — the companion to a_cluster_silhouette's internal
+    score): the semantic dup clusters (a_embedding_dup_clusters'
+    capped-cosine + min-label CC machinery, oracle-replayed whole)
+    are scored against the embeddings' ground-truth labels — per
+    multi-member cluster: size, the majority label, and how many
+    members carry it. Corpus purity = sum(n_majority)/sum(n_members)
+    is one division the caller takes; the graded rows stay exact
+    ints. The majority argmax is the engine's packed-max discipline
+    (n*1000 + (999 - label): count dominates, ties go to the SMALLER
+    label) so no float or ordering ambiguity crosses engines.
+
+    Scale shape: everything up to `clusters` is the audited
+    dup-cluster pipeline (LSH-bucketed capped pair generation, fixed
+    synchronous min-label rounds); the evaluation adds one
+    broadcast-joinable label lookup and two map-side-combinable
+    aggregates over (cluster, label) — nothing new scales with the
+    corpus beyond what the clustering already paid."""
+    clusters = (a_embedding_dup_clusters(spark, sf_dir)
+                .select("vec_id", "canonical_id"))
+    lab = _embs(spark, sf_dir).select(
+        "vec_id", F.col("label").cast("long").alias("klass"))
+    counts = (clusters.join(lab, "vec_id")
+              .groupBy("canonical_id", "klass")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    agg = (counts.groupBy("canonical_id")
+           .agg(F.sum("n").cast("long").alias("n_members"),
+                F.max(F.col("n") * 1000 + (999 - F.col("klass")))
+                .alias("pk")))
+    return (agg.filter(F.col("n_members") >= 2)
+            .select("canonical_id", "n_members",
+                    (999 - F.col("pk") % 1000).cast("long")
+                    .alias("majority_label"),
+                    F.expr("pk DIV 1000").cast("long")
+                    .alias("n_majority")))
+
+
 @register("a_ann_mips_topk", f"""
 WITH {_EV_SQL}
 SELECT eb.vec_id,

@@ -362,3 +362,37 @@ def test_interarrival_profile_matches_python(spark, sf_dir):
             n, lo, hi = agg.get(k, (0, gap, gap))
             agg[k] = (n + 1, min(lo, gap), max(hi, gap))
     assert got == agg
+
+
+def test_cluster_purity_matches_python_over_engine_clusters(spark, sf_dir):
+    """Purity recomputed in python from the ENGINE's cluster
+    assignment and the raw labels — pins the packed-argmax majority
+    extraction and the >= 2 member gate (cluster membership itself is
+    oracle-replayed by the registry SQL)."""
+    from cube_builder_spark.ann_queries import (a_cluster_purity,
+                                                a_embedding_dup_clusters)
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.canonical_id: (r.n_members, r.majority_label, r.n_majority)
+           for r in a_cluster_purity(spark, sf_dir).collect()}
+    clusters = {r.vec_id: r.canonical_id
+                for r in a_embedding_dup_clusters(spark, sf_dir)
+                .collect()}
+    labels = {r.vec_id: int(r.label)
+              for r in load_tables(spark, sf_dir, ["embeddings"])
+              ["embeddings"].collect()}
+    per = defaultdict(Counter)
+    for v, c in clusters.items():
+        per[c][labels[v]] += 1
+    want = {}
+    for c, cnt in per.items():
+        n = sum(cnt.values())
+        if n >= 2:
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            want[c] = (n, best[0], best[1])
+    assert got == want and want
+    # corpus purity must beat the majority-class baseline on clustered
+    # members (the clusters carry label signal)
+    n_all = sum(v[0] for v in want.values())
+    n_maj = sum(v[2] for v in want.values())
+    assert n_maj * 10 > n_all  # > 1/10 = random-label expectation
