@@ -386,6 +386,18 @@ HEADLINE = [
     "p_temperature_mix",
     "e_interarrival_profile",
     "a_cluster_purity",
+    "c50_semivariogram",
+    "e_ols_trend",
+    "e_simpson_diversity",
+    "a_knn_graph",
+    "t_zipf_check",
+    "t_textrank",
+    "e_window_funnel",
+    "e_anomaly_mad",
+    "e_benford_digits",
+    "x_degree_assortativity",
+    "p_dedup_rate_by_source",
+    "a_embedding_shift",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

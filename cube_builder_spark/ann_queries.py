@@ -1203,3 +1203,123 @@ def a_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reclaimed immediately (tests/test_hybrid_scalable.py pins the
 # rebuild-on-overwrite behavior).
 _POSTINGS_STORES: dict[str, str] = {}
+
+
+@register("a_knn_graph", f"""
+WITH {_dims_sql()}, {_bucket_sql(8)}, {_EV_SQL},
+bn AS (SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS cosine
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bn ON bn.bucket = a.bucket AND bn.n <= 256
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_AB} >= 0.35
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst, cosine FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a, cosine FROM pairs
+),
+ranked AS (
+  SELECT src, dst, cosine, row_number() OVER (
+    PARTITION BY src ORDER BY cosine DESC, dst) AS k
+  FROM edges
+)
+SELECT src, dst, cosine, CAST(k AS BIGINT) AS k
+FROM ranked WHERE k <= 3
+""")
+def a_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NEAREST-NEIGHBOR GRAPH (k=3) over the embedding
+    corpus — the data structure under semantic dedup sweeps, label
+    propagation, kNN classification, and graph-based diversity
+    sampling: for each vector, its top-3 bucket-mates by exact
+    cosine. Candidates come from the audited LSH machinery
+    (cosine_dup_pairs: 8-plane buckets, ≤256 cap, 0.35 gate), so the
+    graph is the standard ANN construction — exact scoring over
+    LSH-generated candidates, missing only cross-bucket edges (the
+    recall trade a_ann_recall_eval / d_lsh_recall_eval measure on
+    this family). The cosine is the quantized-integer form: exact
+    int64 dots through IEEE div/sqrt — bit-identical cross-engine.
+
+    Scale shape: everything up to `pairs` is the capped in-array
+    bucket expansion (one bucket Exchange, no self-join); the
+    symmetrization is a union of projections and the top-k a
+    src-partitioned window — keyed by vector id, never global. At
+    100 TB the graph build is the same cost as the dedup pass it
+    shares machinery with."""
+    from pyspark.sql import Window
+    pairs = similarity.cosine_dup_pairs(
+        _embs(spark, sf_dir), num_planes=8, threshold=0.35,
+        max_bucket=256)
+    edges = (pairs.select(F.col("vec_a").alias("src"),
+                          F.col("vec_b").alias("dst"), "cosine")
+             .unionByName(
+                 pairs.select(F.col("vec_b").alias("src"),
+                              F.col("vec_a").alias("dst"), "cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (edges.withColumn("k", F.row_number().over(w).cast("long"))
+            .filter(F.col("k") <= 3))
+
+
+@register("a_embedding_shift", f"""
+WITH {_dims_sql()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) % 2 AS grp FROM embeddings),
+g AS (
+  SELECT d.dim,
+         CAST(sum(CASE WHEN l.grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN l.grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN l.grp = 0 THEN d.qval ELSE 0 END) AS BIGINT)
+           AS sum_a,
+         CAST(sum(CASE WHEN l.grp = 1 THEN d.qval ELSE 0 END) AS BIGINT)
+           AS sum_b
+  FROM dims d JOIN lab l ON l.vec_id = d.vec_id
+  GROUP BY d.dim
+)
+SELECT dim, n_a, n_b, sum_a, sum_b,
+       CAST(sum_a * n_b - sum_b * n_a AS BIGINT) AS shift_num,
+       CAST(n_a * n_b AS BIGINT) AS shift_den,
+       (sum_a * n_b - sum_b * n_a) * 1e0 / (n_a * n_b)
+         AS mean_shift_milli
+FROM g WHERE n_a > 0 AND n_b > 0
+""")
+def a_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION embedding DRIFT between two cohorts (labels split
+    by parity — the stand-in for train-vs-serve or old-vs-new encoder
+    snapshots): mean difference per dimension in exact milli-units,
+    the monitoring primitive that catches a retrained encoder or a
+    shifted upstream distribution BEFORE similarity quality decays.
+    Mean shift = sum_a/n_a − sum_b/n_b ships as the exact BIGINT pair
+    (sum_a·n_b − sum_b·n_a, n_a·n_b) over the quantized integer dims,
+    one identical-shape float division alongside. The caller's alarm
+    is a driver-side fold over 64 exact rows (e.g. Σ shift² vs a
+    baseline).
+
+    Scale shape: one posexplode of the quantized vectors (the
+    dimension plane every ANN query already builds) into a
+    64-key map-side-combinable conditional aggregate — the label join
+    is vec-keyed before the explode, so the shuffle moves (dim, grp,
+    qval) scalars. int64 headroom: |q| ≤ 2·10³ milli-units × 10⁹
+    vectors ≈ 2·10¹² per-dim sums — five orders under the cliff."""
+    embs = _embs(spark, sf_dir)
+    dims = (embs.select(
+        (F.col("label").cast("long") % 2).alias("grp"),
+        F.posexplode(similarity.quantize(F.col("embedding")))
+        .alias("dim", "qval")))
+    g = (dims.groupBy("dim")
+         .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+              .cast("long").alias("n_a"),
+              F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+              .cast("long").alias("n_b"),
+              F.sum(F.when(F.col("grp") == 0, F.col("qval")).otherwise(0))
+              .cast("long").alias("sum_a"),
+              F.sum(F.when(F.col("grp") == 1, F.col("qval")).otherwise(0))
+              .cast("long").alias("sum_b")))
+    num = F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a")
+    den = F.col("n_a") * F.col("n_b")
+    return (g.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    "n_a", "n_b", "sum_a", "sum_b",
+                    num.cast("long").alias("shift_num"),
+                    den.cast("long").alias("shift_den"),
+                    (num * F.lit(1.0) / den).alias("mean_shift_milli")))

@@ -2136,3 +2136,157 @@ def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("(1000000 * deg) DIV freq")).cast("long")
                  .alias("score_scaled"))
             .orderBy(F.desc("score_scaled"), "phrase").limit(15))
+
+
+@register("t_zipf_check", """
+WITH cnt AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+         FROM cnt WHERE term <> '' GROUP BY term),
+top AS (
+  SELECT term, freq, CAST(row_number() OVER (
+    ORDER BY freq DESC, term) AS BIGINT) AS rank
+  FROM freq QUALIFY rank <= 50
+),
+m AS (SELECT max(freq) AS f1 FROM top)
+SELECT rank, term, freq,
+       CAST(rank * freq AS BIGINT) AS rank_freq,
+       CAST(1000000 * freq // m.f1 AS BIGINT) AS ratio_ppm
+FROM top CROSS JOIN m
+""")
+def t_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW DIAGNOSTIC over the corpus unigram distribution —
+    the top-50 terms with rank, frequency, the rank×freq product
+    (constant under an exact Zipf exponent of 1: the classic
+    eyeball check), and frequency as ppm of the rank-1 term. The
+    corpus-health primitive behind tokenizer-budget and stopword
+    decisions: a head that decays much slower than 1/rank means
+    boilerplate contamination; much faster means over-deduplication.
+    Log-free by design (the engine's no-cross-engine-libm rule): the
+    product and the ppm ratio are exact BIGINT floor arithmetic —
+    fitting the exponent is one driver-side regression over these 50
+    exact points if a caller wants it.
+
+    Scale shape: one map-side-combinable term count (the same
+    vocabulary-keyed aggregate every corpus query pays), then a
+    TakeOrderedAndProject top-50 — never a global sort — and a
+    broadcast 1-row max. The rank window runs on the 50 surviving
+    rows only."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    freq = (toks.filter(F.col("term") != "")
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("freq")))
+    top = freq.orderBy(F.desc("freq"), "term").limit(50)
+    w = Window.orderBy(F.desc("freq"), "term")
+    top = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    m = top.agg(F.max("freq").alias("f1"))
+    return (top.crossJoin(F.broadcast(m))
+            .select("rank", "term", "freq",
+                    (F.col("rank") * F.col("freq")).cast("long")
+                    .alias("rank_freq"),
+                    F.expr("1000000 * freq DIV f1").cast("long")
+                    .alias("ratio_ppm")))
+
+
+def _textrank_sql(iters: int = 3) -> str:
+    """Unrolled exact-integer TextRank oracle (micro-unit ranks,
+    floor division — the x_pagerank_trade discipline applied to the
+    word co-occurrence graph)."""
+    cte = ["""toks AS (SELECT string_split(text, ' ') AS t FROM documents)""",
+           """allw AS (SELECT unnest(t) AS w FROM toks)""",
+           """cnt AS (SELECT w, count(*) AS c FROM allw
+  WHERE w <> '' GROUP BY w)""",
+           """top AS (SELECT w FROM (
+  SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+) WHERE rn <= 100)""",
+           """bi AS (SELECT unnest(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2)""",
+           """e0 AS (SELECT DISTINCT split_part(bg, ' ', 1) AS w1,
+                 split_part(bg, ' ', 2) AS w2 FROM bi)""",
+           """eok AS (SELECT w1, w2 FROM e0
+  JOIN top ta ON ta.w = e0.w1 JOIN top tb ON tb.w = e0.w2
+  WHERE w1 <> w2)""",
+           """edges AS (SELECT w1 AS src, w2 AS dst FROM eok
+  UNION SELECT w2, w1 FROM eok)""",
+           """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)""",
+           """r0 AS (SELECT DISTINCT src AS node,
+  CAST(1000000 AS BIGINT) AS rank FROM edges)"""]
+    for i in range(iters):
+        cte.append(f"""c{i + 1} AS (
+  SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+  FROM edges e JOIN deg d ON d.src = e.src
+  JOIN r{i} r ON r.node = e.src GROUP BY e.dst)""")
+        cte.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM r{i} n LEFT JOIN c{i + 1} c ON c.dst = n.node)""")
+    return ("WITH " + ",\n".join(cte)
+            + f"""
+SELECT node AS term, rank AS rank_micro FROM r{iters}
+ORDER BY rank DESC, term LIMIT 20""")
+
+
+_TEXTRANK_ITER = 3
+
+
+@register("t_textrank", _textrank_sql(_TEXTRANK_ITER))
+def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word CO-OCCURRENCE graph — nodes are the corpus top-100
+    terms, undirected edges link words ADJACENT anywhere in the
+    corpus, and the stationary-importance score surfaces the terms
+    the graph structure (not raw frequency) says are central. The
+    graph-centrality twin of t_keyphrase_rake's degree heuristic.
+    Ranks are exact BIGINT micro-units with floor division (the
+    x_pagerank_trade discipline — Python ``//`` ≡ Spark ``div`` ≡
+    DuckDB ``//`` on non-negatives), so no double accumulation can
+    drift the top-20 cut cross-engine.
+
+    Scale shape: deriving the graph is the distributed work — one
+    vocabulary-keyed count, a TakeOrdered top-100, one pass of
+    in-array adjacent-pair expansion (never a token self-join), two
+    broadcast vocab gates, and a distinct that caps the edge set at
+    100·99 directed rows. That BOUNDED graph (vocabulary-sized
+    metadata, like the nation trade graph and the IVF centroids)
+    lands driver-side once and the 3 iterations fold as plain int
+    arithmetic — per-round joins would pay scheduler latency for
+    microseconds of math; the iterative shape that scales with data
+    lives in d_dup_clusters."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.split("text", " ").alias("t"))
+    cnt = (toks.select(F.explode("t").alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    top = cnt.orderBy(F.desc("c"), "w").limit(100).select("w")
+    adj = (toks.filter(F.size("t") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(t) - 2),"
+               " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).alias("p"))
+           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+           .filter(F.col("w1") != F.col("w2"))
+           .distinct())
+    eok = (adj.join(F.broadcast(top.withColumnRenamed("w", "w1")), "w1")
+           .join(F.broadcast(top.withColumnRenamed("w", "w2")), "w2")
+           .select("w1", "w2"))
+    edges_df = (eok.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+                .unionByName(eok.select(F.col("w2").alias("src"),
+                                        F.col("w1").alias("dst")))
+                .distinct())
+    edge_rows = [(r.src, r.dst) for r in edges_df.collect()]
+    nodes = sorted({s for s, _ in edge_rows})
+    deg: dict[str, int] = {}
+    for src, _dst in edge_rows:
+        deg[src] = deg.get(src, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(_TEXTRANK_ITER):
+        contrib = {n: 0 for n in nodes}
+        for src, dst in edge_rows:
+            contrib[dst] = contrib.get(dst, 0) + rank[src] // deg[src]
+        rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100
+                for n in nodes}
+    rows = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return spark.createDataFrame(rows, "term string, rank_micro long")

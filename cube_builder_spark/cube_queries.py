@@ -3618,3 +3618,71 @@ def local_moran_cells(cells: DataFrame) -> DataFrame:
                     (num * 1e0 / (F.col("wi") * F.col("ss_zc")))
                     .alias("lisa_i"),
                     quadrant.alias("quadrant")))
+
+
+@register("c50_semivariogram", f"""
+WITH {{PIXELS}},
+{_COMP_SQL},
+lags AS (SELECT unnest([1, 2, 3, 4]) AS h),
+pairs AS (
+  SELECT a.tile_id, h.lag_h,
+         CAST((a.v - b.v) * (a.v - b.v) AS BIGINT) AS sq
+  FROM comp a
+  CROSS JOIN (SELECT h AS lag_h FROM lags) h
+  JOIN comp b ON b.tile_id = a.tile_id
+   AND ((b.y = a.y AND b.x = a.x + h.lag_h) OR
+        (b.x = a.x AND b.y = a.y + h.lag_h))
+)
+SELECT tile_id, CAST(lag_h AS BIGINT) AS lag_h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sq) AS BIGINT) AS sum_sq,
+       sum(sq) * 1e0 / (2 * count(*)) AS gamma
+FROM pairs GROUP BY tile_id, lag_h
+""".replace("{PIXELS}", PIXELS_SQL))
+def c50_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: the EMPIRICAL SEMIVARIOGRAM per tile — γ(h) =
+    Σ(v_i − v_j)²/(2·N(h)) over cell pairs at rook-axis lag h ∈ 1..4
+    (Matheron 1963; the geostatistics complement to the c47–c49
+    autocorrelation trio: Moran asks "is it clustered", the variogram
+    asks "over WHAT RANGE does spatial dependence decay" — the input
+    to kriging weights and to choosing a sensible focal radius).
+    Nodata holes shrink N(h) exactly as they shrink c47's adjacency.
+    sum_sq and n_pairs are exact int64 (diff² ≤ 4·10⁸, ≤ 2·512 pairs
+    per (tile, lag) → Σ ≤ 4·10¹¹); γ is one identical-shape float
+    division over them.
+
+    Scale shape: the c28/c47 scatter generalized to 8 shifts — each
+    cell emits one copy per (axis, lag) at its FORWARD-shifted
+    coordinate and an EQUI-join on (tile, y, x) finds partners that
+    exist (no range join, no BNLJ; each unordered pair lands exactly
+    once because only the +h direction is emitted); the reduction is
+    a map-side-combinable groupBy on the tile-bounded (tile, lag)
+    key. At 100 TB the scatter is 8× the composite plane — linear,
+    shuffle keyed identically to every other focal op."""
+    return semivariogram_cells(_comp_cells(spark, sf_dir), max_lag=4)
+
+
+def semivariogram_cells(cells: DataFrame, max_lag: int = 4) -> DataFrame:
+    """Empirical rook-axis semivariogram over any (tile_id, y, x, v)
+    cell frame — c50's kernel; tests run it on planted constant /
+    gradient / checkerboard patterns with closed-form γ(h)."""
+    shifted = None
+    for h in range(1, max_lag + 1):
+        for dy, dx in ((0, h), (h, 0)):
+            part = cells.select(
+                "tile_id", (F.col("y") + dy).alias("y"),
+                (F.col("x") + dx).alias("x"),
+                F.col("v").alias("v_src"), F.lit(h).alias("lag_h"))
+            shifted = part if shifted is None else shifted.unionByName(part)
+    pairs = (shifted.join(
+        cells.select("tile_id", "y", "x", F.col("v").alias("v_tgt")),
+        ["tile_id", "y", "x"])
+        .select("tile_id", "lag_h",
+                ((F.col("v_src") - F.col("v_tgt"))
+                 * (F.col("v_src") - F.col("v_tgt"))).alias("sq")))
+    return (pairs.groupBy("tile_id", F.col("lag_h").cast("long").alias("lag_h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("sq").cast("long").alias("sum_sq"))
+            .select("tile_id", "lag_h", "n_pairs", "sum_sq",
+                    (F.col("sum_sq") * F.lit(1.0) / (2 * F.col("n_pairs")))
+                    .alias("gamma")))

@@ -2722,3 +2722,353 @@ def e_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
              F.min("gap_s").cast("long").alias("min_s"),
              F.max("gap_s").cast("long").alias("max_s")))
+
+
+@register("e_ols_trend", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d0 AS (SELECT min(day) AS day0 FROM daily),
+xy AS (
+  SELECT event_type,
+         CAST(datediff('day', d0.day0, daily.day) AS BIGINT) AS x,
+         cents AS y
+  FROM daily CROSS JOIN d0
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den,
+       (n * sxy - sx * sy) * 1e0 / (n * sx2 - sx * sx) AS slope_cents_per_day,
+       ((n * sxy - sx * sy) * 1e0 * (n * sxy - sx * sy))
+         / ((n * sx2 - sx * sx) * 1e0 * (n * sy2 - sy * sy)) AS r2
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+""")
+def e_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DAILY REVENUE TREND by closed-form ordinary
+    least squares — slope (cents/day) and R² of daily revenue against
+    a day index, the "is this metric growing and how confidently"
+    primitive behind every product dashboard. The normal equations
+    need only five sums (n, Σx, Σy, Σxy, Σx², Σy²), so the slope
+    ships as the EXACT BIGINT pair (slope_num, slope_den) =
+    (nΣxy − ΣxΣy, nΣx² − (Σx)²); the float slope and R² are single
+    identical-shape division chains over those exact integers
+    (div/mul are correctly rounded IEEE — the engine's
+    no-cross-engine-libm discipline). Constant-revenue types
+    (Σyy variance 0) and single-day types are excluded: R² undefined.
+
+    Scale shape: ONE map-side-combinable aggregate to daily cents
+    (bounded key space |types| × |days|), a broadcast 1-row min-day,
+    then a second bounded aggregate to the per-type sum tuple — no
+    window, no sort, nothing scales beyond the daily rollup.
+    int64 headroom: x ≤ 10⁴ days, daily cents ≤ 10⁹ → nΣxy ≤ 10⁴·
+    (10⁴·10⁹·10⁴) caps at ~10²¹ only past 10⁹-day horizons; at any
+    real calendar span (x ≤ 10⁴, n ≤ 10⁴) the products stay ≤ 10¹⁷."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(round_half_up_long(F.col("value"), 100))
+                  .cast("long").alias("cents")))
+    d0 = daily.agg(F.min("day").alias("day0"))
+    xy = (daily.crossJoin(F.broadcast(d0))
+          .select("event_type",
+                  F.datediff(F.col("day"), F.col("day0")).cast("long")
+                  .alias("x"),
+                  F.col("cents").alias("y")))
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    syy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return (s.filter((den > 0) & (syy > 0))
+            .select("event_type", F.col("n").alias("n_days"),
+                    num.cast("long").alias("slope_num"),
+                    den.cast("long").alias("slope_den"),
+                    (num * F.lit(1.0) / den).alias("slope_cents_per_day"),
+                    ((num * F.lit(1.0) * num) / (den * F.lit(1.0) * syy))
+                    .alias("r2")))
+
+
+@register("e_simpson_diversity", """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS same_pairs
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types, same_pairs,
+       CAST(n_events * (n_events - 1) AS BIGINT) AS all_pairs,
+       1e0 - same_pairs * 1e0 / (n_events * (n_events - 1))
+         AS gini_simpson
+FROM u WHERE n_events >= 2
+""")
+def e_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BEHAVIORAL DIVERSITY by the Gini–Simpson index
+    (Simpson 1949): 1 − Σc_t(c_t−1)/(n(n−1)) — the probability two of
+    the user's events (sampled without replacement) are of DIFFERENT
+    types. The log-free twin of Shannon entropy: every term is an
+    exact integer pair count, so the index ships as BIGINT
+    (same_pairs, all_pairs) plus one identical-shape float division —
+    no libm, no accumulation-order drift. Users with one event are
+    excluded (undefined without-replacement sample).
+
+    Scale shape: two chained map-side-combinable aggregates — the
+    (user, type) rollup reduces the fact table before anything else,
+    and the per-user fold runs on that reduced frame; no window, no
+    sort, no join. The output is one row per ≥2-event user, exactly
+    as partitioned as the (user)-keyed shuffle that built it."""
+    ev = _events(spark, sf_dir)
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long")
+        .alias("same_pairs"))
+    allp = F.col("n_events") * (F.col("n_events") - 1)
+    return (u.filter(F.col("n_events") >= 2)
+            .select("user_id", "n_events", "n_types", "same_pairs",
+                    allp.cast("long").alias("all_pairs"),
+                    (F.lit(1.0) - F.col("same_pairs") * F.lit(1.0) / allp)
+                    .alias("gini_simpson")))
+
+
+@register("e_window_funnel", """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 3 END AS code
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (SELECT DISTINCT user_id FROM base WHERE code = 1),
+s2 AS (
+  SELECT DISTINCT v.user_id
+  FROM base v JOIN base c ON c.user_id = v.user_id
+   AND v.code = 1 AND c.code = 2
+   AND (c.sec > v.sec OR (c.sec = v.sec AND c.event_id > v.event_id))
+   AND c.sec - v.sec <= 3600
+),
+s3 AS (
+  SELECT DISTINCT v.user_id
+  FROM base v
+  JOIN base c ON c.user_id = v.user_id AND v.code = 1 AND c.code = 2
+   AND (c.sec > v.sec OR (c.sec = v.sec AND c.event_id > v.event_id))
+   AND c.sec - v.sec <= 3600
+  JOIN base p ON p.user_id = v.user_id AND p.code = 3
+   AND (p.sec > c.sec OR (p.sec = c.sec AND p.event_id > c.event_id))
+   AND p.sec - v.sec <= 3600
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS wf_stage
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+""")
+def e_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel(3600s): the deepest
+    view→click→purchase chain per user where EVERY step lands within
+    one hour of the chain's FIRST event — e_funnel's same-day
+    heuristic replaced by the sliding-window semantics real funnel
+    analysis uses. Computed as the classic single-pass DP over each
+    user's (sec, event_id)-ordered sequence: b_s = the LATEST chain
+    start among chains reaching stage s; an event of type s promotes
+    b_{s-1} iff t − b_{s-1} ≤ W (keeping the max start dominates —
+    any chain the max start can't extend, no chain can). Whole-second
+    epoch arithmetic (Spark unix_timestamp truncation ≡ DuckDB
+    epoch_us // 1e6 — the e_interarrival_profile pin); the oracle is
+    the declarative EXISTS-chain form, equal to the DP because
+    position order makes seconds non-decreasing along any chain.
+
+    Scale shape: one (user)-keyed groupBy into a sorted in-array
+    fold — the per-user sequence every sessionizer already pays, the
+    accumulator O(stages) regardless of history length; never a
+    3-way event self-join (the oracle's shape — quadratic per user —
+    is exactly what the DP avoids at 100 TB)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3).cast("long").alias("code"))
+    arr = (base.groupBy("user_id")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("sec", "event_id", "code"))).alias("xs")))
+    seed = F.struct(F.lit(-1).cast("long").alias("b1"),
+                    F.lit(-1).cast("long").alias("b2"),
+                    F.lit(-1).cast("long").alias("b3"))
+    w = F.lit(3600)
+
+    def step(acc, x):
+        b1 = (F.when(x["code"] == 1, F.greatest(acc["b1"], x["sec"]))
+              .otherwise(acc["b1"]))
+        b2 = (F.when((x["code"] == 2) & (acc["b1"] >= 0)
+                     & (x["sec"] - acc["b1"] <= w),
+                     F.greatest(acc["b2"], acc["b1"]))
+              .otherwise(acc["b2"]))
+        b3 = (F.when((x["code"] == 3) & (acc["b2"] >= 0)
+                     & (x["sec"] - acc["b2"] <= w),
+                     F.greatest(acc["b3"], acc["b2"]))
+              .otherwise(acc["b3"]))
+        return F.struct(b1.alias("b1"), b2.alias("b2"), b3.alias("b3"))
+
+    fin = F.aggregate(F.col("xs"), seed, step)
+    stage = (F.when(fin["b3"] >= 0, 3)
+             .when(fin["b2"] >= 0, 2)
+             .when(fin["b1"] >= 0, 1)
+             .otherwise(0).cast("long"))
+    return (arr.select("user_id", stage.alias("wf_stage"))
+            .filter(F.col("wf_stage") >= 1))
+
+
+@register("e_anomaly_mad", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM daily
+),
+med AS (SELECT event_type, max(n) AS median_n FROM r1
+        WHERE rn = (cnt + 1) // 2 GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.n, abs(d.n - m.median_n) AS dv,
+         m.median_n
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dv, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (SELECT event_type, max(dv) AS mad_n FROM r2
+        WHERE rn = (cnt + 1) // 2 GROUP BY event_type)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(d.median_n) AS BIGINT) AS median_n,
+       CAST(max(m2.mad_n) AS BIGINT) AS mad_n,
+       CAST(sum(CASE WHEN d.dv > 3 * m2.mad_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m2 ON m2.event_type = d.event_type
+GROUP BY d.event_type
+""")
+def e_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST volume-anomaly detection by median absolute deviation —
+    the outlier rule (|x − median| > 3·MAD, Hampel's k≈3) that, unlike
+    e_volume_anomaly's trailing z-test, a burst cannot poison: both
+    the center and the spread are medians, with breakdown point 50%.
+    Medians are EXACT nearest-rank-lower order statistics at position
+    (n+1) DIV 2 with (value, day) tie-broken ordering — integers end
+    to end, no averaging of middle pairs, no float. A zero MAD
+    (majority-constant series) flags every deviating day, the
+    documented degenerate case of the rule.
+
+    Scale shape: the fact table reduces to (type, day) FIRST; both
+    rank passes are windows partitioned by event type over that
+    calendar-bounded frame (≤ |types|·|days| rows), and the two
+    median frames are vocabulary-sized broadcast joins back. Nothing
+    beyond the initial rollup scales with event volume."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wt = Window.partitionBy("event_type")
+    r1 = (daily.withColumn("rn", F.row_number().over(
+             wt.orderBy("n", "day")))
+          .withColumn("cnt", F.count(F.lit(1)).over(wt)))
+    med = (r1.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+           .groupBy("event_type").agg(F.max("n").alias("median_n")))
+    dev = (daily.join(med, "event_type")
+           .withColumn("dv", F.abs(F.col("n") - F.col("median_n"))))
+    r2 = (dev.withColumn("rn", F.row_number().over(
+             wt.orderBy("dv", "day")))
+          .withColumn("cnt", F.count(F.lit(1)).over(wt)))
+    mad = (r2.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+           .groupBy("event_type").agg(F.max("dv").alias("mad_n")))
+    return (dev.join(mad, "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.max("median_n").cast("long").alias("median_n"),
+                 F.max("mad_n").cast("long").alias("mad_n"),
+                 F.sum(F.when(F.col("dv") > 3 * F.col("mad_n"), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+import math as _math
+
+_BENFORD_PPM = {d: _math.floor(_math.log10(1 + 1 / d) * 1_000_000)
+                for d in range(1, 10)}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END")
+
+
+@register("e_benford_digits", f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE value > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       CAST(1000000 * count(*) // t.total AS BIGINT) AS observed_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+FROM d CROSS JOIN t GROUP BY digit, t.total
+""")
+def e_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit profile of transaction values — the
+    forensic-accounting screen (Benford 1938, Nigrini's fraud test):
+    observed leading-digit frequencies in ppm beside the expected
+    log10(1+1/d) ppm. The expectation constants are computed ONCE in
+    the driver's Python and inlined as identical integer literals
+    into BOTH the Spark plan and the oracle SQL — the engine's
+    no-cross-engine-libm rule applied to constants (each engine
+    evaluating log10 itself could disagree in the last ulp and flip
+    a floor). Digits come from exact integer cents via string head —
+    no float log10/pow path. The chi-square decision is one
+    driver-side fold over these 9 exact rows.
+
+    Scale shape: one map-side-combinable 9-key aggregate plus a
+    broadcast 1-row total — nothing else touches the fact table."""
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    cents = ev.select(round_half_up_long(F.col("value"), 100).alias("cents"))
+    d = (cents.filter(F.col("cents") > 0)
+         .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                 .cast("long").alias("digit")))
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    benford = F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
+                             for x in kv])
+    return (d.crossJoin(F.broadcast(t))
+            .groupBy("digit", "total")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select("digit", "n",
+                    F.expr("1000000 * n DIV total").cast("long")
+                    .alias("observed_ppm"),
+                    benford[F.col("digit")].cast("long")
+                    .alias("benford_ppm")))

@@ -2975,3 +2975,43 @@ def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("base_alloc")
                      + F.when(F.col("rr") <= F.col("rem"), 1)
                      .otherwise(0)).cast("long").alias("alloc_tokens")))
+
+
+@register("p_dedup_rate_by_source", """
+WITH h AS (
+  SELECT source, md5(text) AS th FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT th) AS BIGINT) AS n_unique
+  FROM h GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       CAST(n_docs - n_unique AS BIGINT) AS n_dups,
+       CAST(1000000 * (n_docs - n_unique) // n_docs AS BIGINT)
+         AS dup_ppm
+FROM s
+""")
+def p_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE exact-duplicate rate — the curation dashboard's
+    first column: which ingest feeds are flooding the corpus with
+    copies (a crawl that re-fetches, a mirror ingested twice), read
+    BEFORE paying for near-dup passes. Exact dedup identity is the
+    md5 text digest (the d_exact_dedup fingerprint; hex string equal
+    across engines), the rate in exact ppm floor arithmetic.
+
+    Scale shape: text leaves the plan at the md5 projection (the
+    shuffle moves 32-byte digests, not documents); per-source
+    distinct-count is one (source, th)-keyed partial-agg shuffle
+    re-aggregated on the vocabulary-sized source key — the standard
+    two-level exact count-distinct, no global distinct."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select("source", F.md5("text").alias("th"))
+    s = (h.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.countDistinct("th").cast("long").alias("n_unique")))
+    dups = F.col("n_docs") - F.col("n_unique")
+    return s.select("source", "n_docs", "n_unique",
+                    dups.cast("long").alias("n_dups"),
+                    F.expr("1000000 * (n_docs - n_unique) DIV n_docs")
+                    .cast("long").alias("dup_ppm"))

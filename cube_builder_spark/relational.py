@@ -2719,3 +2719,90 @@ def x_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, hub[n], auth[n]) for n in sorted(nodes)],
         "nationkey long, hub long, authority long")
+
+
+@register("x_degree_assortativity", """
+WITH e0 AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+jk AS (
+  SELECT dj.deg AS j, dk.deg AS k
+  FROM edges e
+  JOIN deg dj ON dj.node = e.src
+  JOIN deg dk ON dk.node = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(j * k) AS BIGINT) AS s_jk,
+         CAST(sum(j) AS BIGINT) AS s_j,
+         CAST(sum(j * j) AS BIGINT) AS s_j2
+  FROM jk
+)
+SELECT m, s_jk, s_j, s_j2,
+       CAST(m * s_jk - s_j * s_j AS BIGINT) AS r_num,
+       CAST(m * s_j2 - s_j * s_j AS BIGINT) AS r_den,
+       (m * s_jk - s_j * s_j) * 1e0 / (m * s_j2 - s_j * s_j)
+         AS assortativity
+FROM s WHERE m * s_j2 - s_j * s_j <> 0
+""")
+def x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the nation trade graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the undirected
+    edge list — positive means hubs trade with hubs (assortative,
+    social-network-like), negative means hubs serve the periphery
+    (disassortative, infrastructure-like). On the symmetrized list
+    every undirected edge appears in both directions, so Σj = Σk and
+    Σj² = Σk² and Newman's r collapses to the single exact fraction
+    (M·Σjk − (Σj)²/M·...) shipped as BIGINT (r_num, r_den) with one
+    identical-shape float division. Self-loops excluded (they distort
+    degree correlation by construction).
+
+    Scale shape: deriving the edge set is the x_pagerank_trade cost —
+    one early-projected lineitem⋈orders shuffle with AQE-broadcast
+    dims, then a distinct bounding the graph at |N|²; degrees and the
+    (j,k) expansion are joins on that vocabulary-sized frame. The
+    statistic itself is one map-side-combinable 1-row fold."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "supplier"])
+    e0 = (t["lineitem"].select("l_orderkey", "l_suppkey")
+          .join(t["orders"].select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(t["customer"].select("c_custkey", "c_nationkey"),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .select(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+          .distinct())
+    edges = (e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct())
+    deg = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    jk = (edges
+          .join(deg.select(F.col("node").alias("src"),
+                           F.col("deg").alias("j")), "src")
+          .join(deg.select(F.col("node").alias("dst"),
+                           F.col("deg").alias("k")), "dst"))
+    s = jk.agg(F.count(F.lit(1)).cast("long").alias("m"),
+               F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+               F.sum("j").cast("long").alias("s_j"),
+               F.sum(F.col("j") * F.col("j")).cast("long").alias("s_j2"))
+    num = F.col("m") * F.col("s_jk") - F.col("s_j") * F.col("s_j")
+    den = F.col("m") * F.col("s_j2") - F.col("s_j") * F.col("s_j")
+    return (s.filter(den != 0)
+            .select("m", "s_jk", "s_j", "s_j2",
+                    num.cast("long").alias("r_num"),
+                    den.cast("long").alias("r_den"),
+                    (num * F.lit(1.0) / den).alias("assortativity")))

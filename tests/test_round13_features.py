@@ -396,3 +396,323 @@ def test_cluster_purity_matches_python_over_engine_clusters(spark, sf_dir):
     n_all = sum(v[0] for v in want.values())
     n_maj = sum(v[2] for v in want.values())
     assert n_maj * 10 > n_all  # > 1/10 = random-label expectation
+
+
+def test_semivariogram_closed_forms(spark):
+    """Planted patterns with known γ(h): a CONSTANT tile (γ ≡ 0), a
+    LINEAR GRADIENT along x (v = x → pure-x pairs contribute h², the
+    y-shifted pairs 0), and a CHECKERBOARD (diff² is 4·odd(h))."""
+    from cube_builder_spark.cube_queries import semivariogram_cells
+
+    rows = []
+    for y in range(4):
+        for x in range(6):
+            rows.append(("const", y, x, 7))
+            rows.append(("grad", y, x, x))
+            rows.append(("checker", y, x, (x + y) % 2))
+    cells = spark.createDataFrame(
+        rows, "tile_id string, y long, x long, v long")
+    got = {(r.tile_id, r.lag_h): (r.n_pairs, r.sum_sq, r.gamma)
+           for r in semivariogram_cells(cells, max_lag=2).collect()}
+
+    # const: every pair diff is 0
+    for h in (1, 2):
+        n_x = 4 * (6 - h)      # pairs along x
+        n_y = (4 - h) * 6      # pairs along y
+        assert got[("const", h)] == (n_x + n_y, 0, 0.0)
+    # gradient v=x: x-pairs diff=h, y-pairs diff=0
+    for h in (1, 2):
+        n_x, n_y = 4 * (6 - h), (4 - h) * 6
+        ss = n_x * h * h
+        assert got[("grad", h)] == (n_x + n_y, ss,
+                                    ss / (2 * (n_x + n_y)))
+    # checkerboard: lag-1 pairs always differ by 1; lag-2 never
+    n1 = 4 * 5 + 3 * 6
+    assert got[("checker", 1)] == (n1, n1, 0.5)
+    assert got[("checker", 2)][1] == 0
+
+
+def test_simpson_diversity_known_values(spark, sf_dir):
+    """Python recompute of the without-replacement collision prob +
+    two closed-form checks: a single-type user has gini_simpson 0,
+    and the index equals 1 - Σc(c-1)/(n(n-1)) exactly."""
+    from cube_builder_spark.events_queries import e_simpson_diversity
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.user_id: r for r in
+           e_simpson_diversity(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    cnt = defaultdict(Counter)
+    for r in ev:
+        cnt[r.user_id][r.event_type] += 1
+    for u, c in cnt.items():
+        n = sum(c.values())
+        if n < 2:
+            assert u not in got
+            continue
+        same = sum(v * (v - 1) for v in c.values())
+        r = got[u]
+        assert (r.n_events, r.n_types, r.same_pairs, r.all_pairs) == (
+            n, len(c), same, n * (n - 1))
+        assert r.gini_simpson == 1.0 - same * 1.0 / (n * (n - 1))
+        if len(c) == 1:
+            assert r.gini_simpson == 0.0
+
+
+def test_ols_trend_recovers_planted_slope(spark, sf_dir):
+    """The closed-form normal equations against numpy polyfit on the
+    same daily-cents frame (rel tol — polyfit is float) plus the
+    exact num/den identity."""
+    import numpy as np
+    from cube_builder_spark.events_queries import e_ols_trend
+    from cube_builder_spark.functions.numeric import round_half_up_long
+    from cube_builder_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(round_half_up_long(F.col("value"), 100))
+                  .alias("cents"))).collect()
+    day0 = min(r.day for r in daily)
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append(((r.day - day0).days, r.cents))
+    for r in e_ols_trend(spark, sf_dir).collect():
+        xs, ys = zip(*sorted(series[r.event_type]))
+        slope = np.polyfit(np.array(xs, float), np.array(ys, float), 1)[0]
+        assert math.isclose(r.slope_cents_per_day, slope, rel_tol=1e-6)
+        assert r.slope_cents_per_day == r.slope_num / r.slope_den
+        assert 0.0 <= r.r2 <= 1.0 + 1e-12
+
+
+def test_knn_graph_is_topk_of_pair_set(spark, sf_dir):
+    """The graph must be EXACTLY the per-source top-3 of the
+    symmetrized capped-LSH pair set (cosine desc, dst asc) — no
+    missing vectors, no rank gaps, no cross-bucket inventions."""
+    from cube_builder_spark.ann_queries import a_knn_graph
+    from cube_builder_spark.functions import similarity
+    from cube_builder_spark.tables import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = similarity.cosine_dup_pairs(
+        embs, num_planes=8, threshold=0.35, max_bucket=256).collect()
+    adj = defaultdict(list)
+    for p in pairs:
+        adj[p.vec_a].append((p.vec_b, p.cosine))
+        adj[p.vec_b].append((p.vec_a, p.cosine))
+    want = {}
+    for src, nbrs in adj.items():
+        top = sorted(nbrs, key=lambda t: (-t[1], t[0]))[:3]
+        want[src] = [(d, c, i + 1) for i, (d, c) in enumerate(top)]
+    got = defaultdict(list)
+    for r in a_knn_graph(spark, sf_dir).collect():
+        got[r.src].append((r.dst, r.cosine, r.k))
+    assert {k: sorted(v, key=lambda t: t[2]) for k, v in got.items()} == want
+
+
+def test_textrank_against_float_pagerank(spark, sf_dir):
+    """The exact-integer micro-unit ranks order the same head as a
+    float damping=0.85 PageRank on the identical edge set (the
+    integer form is a fixed-point TRUNCATION, so the check allows
+    set-equality of the top-10 rather than exact order)."""
+    from cube_builder_spark.corpus_queries import t_textrank, _docs
+
+    got = [(r.term, r.rank_micro) for r in
+           t_textrank(spark, sf_dir).collect()]
+    assert len(got) == 20
+    assert all(got[i][1] >= got[i + 1][1] for i in range(19))
+    # rebuild the same graph in python
+    docs = _docs(spark, sf_dir).collect()
+    cnt = Counter()
+    for d in docs:
+        cnt.update(w for w in d.text.split(" ") if w)
+    vocab = {w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:100]}
+    edges = set()
+    for d in docs:
+        t = d.text.split(" ")
+        for a, b in zip(t, t[1:]):
+            if a != b and a in vocab and b in vocab:
+                edges.add((a, b))
+                edges.add((b, a))
+    deg = Counter(s for s, _ in edges)
+    nodes = sorted(deg)
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        contrib = defaultdict(float)
+        for s, d2 in edges:
+            contrib[d2] += rank[s] / deg[s]
+        rank = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+    float_top = {w for w, _ in sorted(rank.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:10]}
+    int_top10 = {w for w, _ in got[:10]}
+    assert len(int_top10 & float_top) >= 8  # truncation can flip near-ties
+
+
+def test_zipf_check_head_is_exact(spark, sf_dir):
+    """rank×freq and ppm columns recomputed from a plain Counter."""
+    from cube_builder_spark.corpus_queries import t_zipf_check, _docs
+
+    cnt = Counter()
+    for d in _docs(spark, sf_dir).collect():
+        cnt.update(w for w in d.text.split(" ") if w)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    f1 = ordered[0][1]
+    want = {i + 1: (w, c, (i + 1) * c, 1_000_000 * c // f1)
+            for i, (w, c) in enumerate(ordered)}
+    got = {r.rank: (r.term, r.freq, r.rank_freq, r.ratio_ppm)
+           for r in t_zipf_check(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_window_funnel_matches_bruteforce_chains(spark, sf_dir):
+    """The O(n) DP fold vs a plain-Python brute-force exists-chain
+    scan over every user's ordered sequence (the oracle's quadratic
+    shape, recomputed independently here)."""
+    from cube_builder_spark.events_queries import e_window_funnel
+    from cube_builder_spark.tables import load_tables
+
+    got = {r.user_id: r.wf_stage for r in
+           e_window_funnel(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    code = {"view": 1, "click": 2, "purchase": 3}
+    seqs = defaultdict(list)
+    for r in ev:
+        if r.event_type in code:
+            sec = int(r.ts.timestamp())
+            seqs[r.user_id].append((sec, r.event_id, code[r.event_type]))
+    want = {}
+    W = 3600
+    for u, xs in seqs.items():
+        xs.sort()
+        views = [(i, t) for i, (t, _e, c) in enumerate(xs) if c == 1]
+        if not views:
+            continue
+        stage = 1
+        for i, vt in views:
+            for j in range(i + 1, len(xs)):
+                if xs[j][2] == 2 and xs[j][0] - vt <= W:
+                    stage = max(stage, 2)
+                    for k in range(j + 1, len(xs)):
+                        if xs[k][2] == 3 and xs[k][0] - vt <= W:
+                            stage = max(stage, 3)
+        want[u] = stage
+    assert got == want
+
+
+def test_anomaly_mad_python_recompute(spark, sf_dir):
+    """Nearest-rank medians + the 3-MAD rule replayed in Python."""
+    from cube_builder_spark.events_queries import e_anomaly_mad
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    daily = Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    series = defaultdict(list)
+    for (t, day), n in daily.items():
+        series[t].append((n, day))
+    for r in e_anomaly_mad(spark, sf_dir).collect():
+        xs = sorted(series[r.event_type])
+        med = xs[(len(xs) + 1) // 2 - 1][0]
+        devs = sorted((abs(n - med), day) for n, day in xs)
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        outl = sum(1 for dv, _ in devs if dv > 3 * mad)
+        assert (r.n_days, r.median_n, r.mad_n, r.n_outliers) == (
+            len(xs), med, mad, outl)
+
+
+def test_benford_expected_constants_and_counts(spark, sf_dir):
+    """The inlined benford_ppm literals equal floor(log10(1+1/d)·1e6)
+    and the digit counts match a Python recompute over exact cents."""
+    from cube_builder_spark.events_queries import (
+        e_benford_digits, _BENFORD_PPM)
+    from cube_builder_spark.tables import load_tables
+    from decimal import Decimal, ROUND_HALF_UP
+
+    for d in range(1, 10):
+        assert _BENFORD_PPM[d] == math.floor(
+            math.log10(1 + 1 / d) * 1_000_000)
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    digits = Counter()
+    for r in ev:
+        if r.value is not None and r.value > 0:
+            cents = int(Decimal(repr(r.value)).scaleb(2)
+                        .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            if cents > 0:
+                digits[int(str(cents)[0])] += 1
+    total = sum(digits.values())
+    got = {r.digit: (r.n, r.observed_ppm, r.benford_ppm)
+           for r in e_benford_digits(spark, sf_dir).collect()}
+    assert got == {d: (n, 1_000_000 * n // total, _BENFORD_PPM[d])
+                   for d, n in digits.items()}
+
+
+def test_assortativity_sign_on_planted_graphs(spark, sf_dir):
+    """Newman's r recomputed from the edge list + exact num/den
+    identity; plus the star-graph closed form r = -1 as a kernel
+    sanity check in plain Python (the statistic, not the plumbing)."""
+    from cube_builder_spark.relational import x_degree_assortativity
+
+    rows = x_degree_assortativity(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.r_num == r.m * r.s_jk - r.s_j * r.s_j
+    assert r.r_den == r.m * r.s_j2 - r.s_j * r.s_j
+    assert r.assortativity == r.r_num / r.r_den
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+    # closed form: a k-star is perfectly disassortative (r = -1)
+    def newman(edges):
+        deg = Counter(s for s, _ in edges)
+        m = len(edges)
+        sjk = sum(deg[a] * deg[b] for a, b in edges)
+        sj = sum(deg[a] for a, _ in edges)
+        sj2 = sum(deg[a] ** 2 for a, _ in edges)
+        return (m * sjk - sj * sj) / (m * sj2 - sj * sj)
+
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    assert newman(star) == -1.0
+
+
+def test_dedup_rate_by_source_recompute(spark, sf_dir):
+    from cube_builder_spark.pipeline_queries import (
+        p_dedup_rate_by_source, _docs)
+
+    docs = _docs(spark, sf_dir).collect()
+    texts = defaultdict(list)
+    for d in docs:
+        texts[d.source].append(d.text)
+    got = {r.source: (r.n_docs, r.n_unique, r.n_dups, r.dup_ppm)
+           for r in p_dedup_rate_by_source(spark, sf_dir).collect()}
+    want = {}
+    for s, ts in texts.items():
+        n, u = len(ts), len(set(ts))
+        want[s] = (n, u, n - u, 1_000_000 * (n - u) // n)
+    assert got == want
+
+
+def test_embedding_shift_zero_on_identical_cohorts(spark, sf_dir):
+    """shift_num/den identity vs a numpy recompute of the parity
+    cohorts' quantized per-dim sums, and the float column equals the
+    exact fraction."""
+    import numpy as np
+    from cube_builder_spark.ann_queries import a_embedding_shift
+    from cube_builder_spark.tables import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].collect()
+    sums = {0: np.zeros(64, np.int64), 1: np.zeros(64, np.int64)}
+    ns = Counter()
+    for r in embs:
+        g = int(r.label) % 2
+        q = np.floor(np.array(r.embedding, np.float64) * 1000 + 0.5
+                     ).astype(np.int64)
+        sums[g] += q
+        ns[g] += 1
+    for r in a_embedding_shift(spark, sf_dir).collect():
+        assert (r.n_a, r.n_b) == (ns[0], ns[1])
+        assert r.sum_a == sums[0][r.dim]
+        assert r.sum_b == sums[1][r.dim]
+        assert r.shift_num == r.sum_a * r.n_b - r.sum_b * r.n_a
+        assert r.shift_den == r.n_a * r.n_b
+        assert r.mean_shift_milli == r.shift_num / r.shift_den
