@@ -398,6 +398,10 @@ HEADLINE = [
     "x_degree_assortativity",
     "p_dedup_rate_by_source",
     "a_embedding_shift",
+    "e_conversion_wilson",
+    "e_rolling_p90",
+    "e_holt_winters",
+    "t_hapax_ratio",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

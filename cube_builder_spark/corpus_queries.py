@@ -2290,3 +2290,48 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for n in nodes}
     rows = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return spark.createDataFrame(rows, "term string, rank_micro long")
+
+
+@register("t_hapax_ratio", """
+WITH tc AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+c AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM tc WHERE term <> '' GROUP BY source, term
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(c) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM c GROUP BY source
+""")
+def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio per source — the fraction of each feed's
+    vocabulary that occurs exactly once, the classic lexical-richness
+    / OCR-noise discriminant (a high hapax share means either genuine
+    diversity or garbage tokens; either way the source needs a look
+    before it trains a tokenizer). Exact integers throughout, the
+    ratio in ppm floor arithmetic.
+
+    Scale shape: one (source, term)-keyed map-side-combinable count
+    (the per-source vocabulary plane), re-aggregated on the
+    vocabulary-sized source key — the same two-level shape as every
+    corpus rollup, no distinct over raw tokens."""
+    docs = _docs(spark, sf_dir)
+    tc = docs.select("source",
+                     F.explode(F.split("text", " ")).alias("term"))
+    c = (tc.filter(F.col("term") != "")
+         .groupBy("source", "term")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    return (c.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("vocab"),
+                 F.sum("c").cast("long").alias("tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("hapax"))
+            .select("source", "vocab", "tokens", "hapax",
+                    F.expr("1000000 * hapax DIV vocab").cast("long")
+                    .alias("hapax_ppm")))

