@@ -402,6 +402,7 @@ HEADLINE = [
     "e_rolling_p90",
     "e_holt_winters",
     "t_hapax_ratio",
+    "a_lsh_plane_recall",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

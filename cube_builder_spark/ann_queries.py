@@ -1323,3 +1323,75 @@ def a_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num.cast("long").alias("shift_num"),
                     den.cast("long").alias("shift_den"),
                     (num * F.lit(1.0) / den).alias("mean_shift_milli")))
+
+
+def _plane_recall_sql() -> str:
+    """Recall@10 of raw hyperplane-LSH candidate sets at 4 and 8
+    planes against the exact cosine top-10 — generated so both plane
+    settings share one dims CTE (CTE names suffixed per setting)."""
+    from .pipeline_queries import _bucket_sql
+    parts = [_dims_sql().strip(), _QUANT_SQL.strip()]
+    rows = []
+    for p in (4, 8):
+        parts.append(
+            _bucket_sql(p).strip()
+            .replace("proj AS", f"proj{p} AS")
+            .replace("bkt AS (SELECT vec_id", f"bkt{p} AS (SELECT vec_id")
+            .replace("FROM proj)", f"FROM proj{p})"))
+        parts.append(f"""cands{p} AS (
+  SELECT b.vec_id FROM bkt{p} b
+  JOIN bkt{p} qq ON qq.vec_id = 0 AND b.bucket = qq.bucket
+  WHERE b.vec_id <> 0
+)""")
+        rows.append(f"""row{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_planes,
+         (SELECT CAST(count(*) AS BIGINT) FROM cands{p}) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cands{p} c JOIN ex ON ex.vec_id = c.vec_id) AS n_hits
+)""")
+    ex = """ex AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine
+    FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+  )
+)"""
+    return ("WITH " + ",\n".join(parts + [ex] + rows) + """
+SELECT n_planes, n_candidates, n_hits, n_hits * 1e0 / 10 AS recall
+FROM (SELECT * FROM row4 UNION ALL SELECT * FROM row8)""")
+
+
+@register("a_lsh_plane_recall", _plane_recall_sql())
+def a_lsh_plane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the raw hyperplane-LSH CANDIDATE set at 4 vs 8
+    planes against the exact cosine top-10 for query vector 0 — the
+    measured plane-count trade (more planes → smaller buckets →
+    cheaper exact rescoring but lower recall) that completes the
+    eval family: a_ann_recall_eval measures IVF's nprobe,
+    d_lsh_recall_eval the text-MinHash bands, a_hybrid_recall_eval
+    the fused hybrid — this one prices the embedding-LSH bucket
+    stage that a_knn_graph / a_embedding_dup_clusters /
+    p_semantic_decontaminate all share. Counts exact; recall is one
+    identical-shape division by the literal 10.
+
+    Scale shape: the exact side is the audited quantized brute-force
+    top-10 (query-0-anchored, one corpus pass); each candidate set is
+    a bucket equi-join against the query's bucket row; the hit count
+    joins two ≤bucket-sized frames. Nothing quadratic."""
+    embs = _embs(spark, sf_dir)
+    exact = (similarity.brute_force_topk(embs, query_vec_id=0, k=10)
+             .select("vec_id").withColumn("hit", F.lit(1)))
+    out = None
+    for p in (4, 8):
+        b = similarity.lsh_buckets(embs, num_planes=p)
+        qb = b.filter(F.col("vec_id") == 0).select("bucket")
+        cands = (b.join(F.broadcast(qb), "bucket")
+                 .filter(F.col("vec_id") != 0).select("vec_id"))
+        row = (cands.join(F.broadcast(exact), "vec_id", "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    .cast("long").alias("n_hits"))
+               .select(F.lit(p).cast("long").alias("n_planes"),
+                       "n_candidates", "n_hits",
+                       (F.col("n_hits") * F.lit(1.0) / 10).alias("recall")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3175,8 +3175,10 @@ def e_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
              .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    offsets = spark.range(7).select(F.col("id").cast("int").alias("k"))
-    scatter = (daily.crossJoin(F.broadcast(offsets))
+    scatter = (daily
+               .select("event_type", "d", "n",
+                       F.explode(F.sequence(F.lit(0), F.lit(6)))
+                       .alias("k"))
                .select("event_type",
                        F.date_add(F.col("d"), F.col("k")).alias("target_d"),
                        "n"))

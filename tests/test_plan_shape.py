@@ -314,3 +314,41 @@ def test_systematic_resample_no_range_exchange_no_global_window(
         spec = m.group(1)
         if "unboundedpreceding" in spec and "currentrow" in spec:
             assert "_rp" in m.group(2), m.group(0)
+
+
+def test_window_funnel_one_scan_one_user_shuffle(spark, sf_dir, queries):
+    """e_window_funnel's DP must be ONE events scan into one
+    user-keyed aggregate — never the oracle's 3-way event self-join
+    (no Join node at all), no window over raw events."""
+    import re
+
+    plan = _physical(queries["e_window_funnel"](spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_rolling_p90_equi_join_no_range_join(spark, sf_dir, queries):
+    """The trailing window comes from the forward-shift scatter: the
+    join on (event_type, target_d) must be an equi-join — no
+    BroadcastNestedLoopJoin, no CartesianProduct."""
+    plan = _physical(queries["e_rolling_p90"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semivariogram_no_bnlj_no_cartesian(spark, sf_dir, queries):
+    """c50's 8-shift scatter must resolve to equi-joins on
+    (tile, y, x) exactly like the c47 adjacency scatter."""
+    plan = _physical(queries["c50_semivariogram"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zipf_and_textrank_vocab_cut_is_take_ordered(spark, sf_dir,
+                                                     queries):
+    """Both corpus diagnostics take their head via TakeOrdered
+    (distributed partial top-k), never a global sort of the
+    vocabulary."""
+    plan = _physical(queries["t_zipf_check"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

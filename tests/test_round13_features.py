@@ -866,3 +866,47 @@ def test_hapax_ratio_recompute(spark, sf_dir):
         want[s] = (len(c), sum(c.values()), hapax,
                    1_000_000 * hapax // len(c))
     assert got == want
+
+
+def test_lsh_plane_recall_candidate_nesting(spark, sf_dir):
+    """Plane prefixes nest: an 8-plane bucket match implies the first
+    4 sign bits match, so candidates(8) ⊆ candidates(4) — hence both
+    the candidate count and the recall must be monotone non-increasing
+    in the plane count; hits recomputed against a numpy exact top-10."""
+    import numpy as np
+    from cube_builder_spark.ann_queries import a_lsh_plane_recall
+    from cube_builder_spark.tables import load_tables
+
+    rows = {r.n_planes: r for r in
+            a_lsh_plane_recall(spark, sf_dir).collect()}
+    assert set(rows) == {4, 8}
+    assert rows[4].n_candidates >= rows[8].n_candidates
+    assert rows[4].n_hits >= rows[8].n_hits
+    for r in rows.values():
+        assert 0 <= r.n_hits <= 10
+        assert r.recall == r.n_hits * 1.0 / 10
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].collect()
+    q = {r.vec_id: np.floor(np.array(r.embedding, np.float64) * 1000 + 0.5
+                            ).astype(np.int64) for r in embs}
+    qv = q[0]
+    cos = {}
+    for vid, v in q.items():
+        if vid == 0:
+            continue
+        cos[vid] = (v @ qv) / (np.sqrt(v @ v) * np.sqrt(qv @ qv))
+    top10 = {vid for vid, _ in
+             sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+
+    def bucket(v, planes):
+        w = np.array([[(j * 31 + i * 17) % 7 - 3 for i in range(len(v))]
+                      for j in range(planes)], np.int64)
+        bits = (w @ v >= 0).astype(np.int64)
+        return int((bits << np.arange(planes)).sum())
+
+    for p in (4, 8):
+        qb = bucket(qv, p)
+        cands = {vid for vid, v in q.items()
+                 if vid != 0 and bucket(v, p) == qb}
+        assert rows[p].n_candidates == len(cands)
+        assert rows[p].n_hits == len(cands & top10)
