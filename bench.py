@@ -245,6 +245,24 @@ AB_VERDICTS.update({
         "e_ewma_daily", "e_rfm_segmentation", "x_hll_distinct",
         "c40_cloud_distance", "c3_blend_med", "x_row_column_policy",
         "t_cooccurrence_pmi"]})
+# Third r13 batch (the 114.4s run at drift 1.212 that benched the
+# 12 new round-13 queries): five dangling flags, same adjudication —
+# every flagged function AST-IDENTICAL to r12 commit 6ad917b
+# (ast.dump compare re-run in-session), and an idle interleaved
+# min-of-5 at sf0.1 settles all five WELL below their flagged values
+# (c22 0.79 vs 0.97 flagged, t_repetition 0.575 vs 1.39 — its run
+# array read 1.5/6.2/1.4, the documented noise band of this query —
+# t_lm 1.07 vs 2.41, t_dsir 1.23 vs 1.48, m_media 0.49 vs 0.65)
+# while the residual ~1.3-1.4x over the r12 records matches the
+# run's own anchor drift 1.212 with q1 reading 0.401 in the same
+# loop. Host drift; nothing to revert.
+_R13_WAVE3 = ("r13 A/B: AST-identical to r12 (6ad917b); idle "
+              "interleaved min-of-5 well below flagged values, "
+              "residual matches anchor drift 1.212 — host noise")
+AB_VERDICTS.update({
+    (q, 12): _R13_WAVE3 for q in [
+        "c22_gap_fill", "t_repetition_profile", "t_lm_doc_likelihood",
+        "t_dsir_importance", "m_media_metadata"]})
 
 HEADLINE = [
     "q1_pricing_summary",
