@@ -2061,3 +2061,80 @@ def test_branch_plane_randomized_vs_ref_model(spark, tmp_path):
                        if k not in ka])
                 assert got == want, (seed, a, b)
             check_all()
+
+
+def test_cdc_replication_randomized_vs_dict_model(spark, tmp_path):
+    """Randomized differential for the CDC REPLICATION loop — the last
+    storage plane without one (x_cdc_replication is example-based):
+    a seeded random source history (appends of fresh keys, targeted
+    CoW deletes, merge_upserts that overwrite and re-insert), a
+    replica built ONLY from the bootstrap snapshot plus each
+    consecutive-version snapshot_diff applied as delete(removed) +
+    merge_upsert(added ∪ changed), and a plain-Python dict model of
+    the source. After EVERY version: replica table == model == source
+    read — so an incomplete feed, a wrong apply order, or a
+    non-idempotent payload fails at the exact op that introduced it."""
+    import random
+
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   delete_keys,
+                                                   merge_upsert,
+                                                   snapshot_diff)
+
+    def table(store, v=None):
+        df = store.read(spark, v) if v else store.read(spark)
+        return {r.k: r.x for r in df.collect()}
+
+    for seed in (7, 29):
+        src = SnapshotStore(str(tmp_path / f"cdc_s{seed}"))
+        rep = SnapshotStore(str(tmp_path / f"cdc_r{seed}"))
+        rng = random.Random(seed)
+        model = {k: k * 10 for k in range(4)}
+        v = src.write(spark.createDataFrame(
+            sorted(model.items()), "k long, x long"))
+        rep.write(src.read(spark, v))
+        applied = v
+        next_key = 100
+        seq = 1000
+        for _ in range(8):
+            op = rng.choice(["append", "delete", "merge", "merge"])
+            if op == "append":
+                batch = [(next_key + i, seq + i)
+                         for i in range(rng.randint(1, 3))]
+                next_key += len(batch)
+                v = src.write(spark.createDataFrame(
+                    batch, "k long, x long"), mode="append")
+                model.update(dict(batch))
+            elif op == "delete":
+                live = sorted(model)
+                ks = rng.sample(live, min(len(live), rng.randint(1, 3)))
+                v, _n = delete_keys(src, spark, ks, "k")
+                for k in ks:
+                    model.pop(k)
+            else:
+                live = sorted(model)
+                overwrite = rng.sample(live, min(len(live), 2))
+                fresh = [next_key]
+                next_key += 1
+                batch = [(k, seq + i)
+                         for i, k in enumerate(overwrite + fresh)]
+                v, _n = merge_upsert(
+                    src, spark,
+                    spark.createDataFrame(batch, "k long, x long"), "k")
+                model.update(dict(batch))
+            seq += 100
+            # replicate every version up to the new head, one diff
+            # per consecutive pair, exactly the CDC feed contract
+            while applied < v:
+                d = snapshot_diff(src, spark, applied, applied + 1,
+                                  ["k"], include_payload=True).collect()
+                removed = [r.k for r in d if r.change == "removed"]
+                upserts = [(r.k, r.new.x) for r in d
+                           if r.change in ("added", "changed")]
+                if removed:
+                    delete_keys(rep, spark, removed, "k")
+                if upserts:
+                    merge_upsert(rep, spark, spark.createDataFrame(
+                        upserts, "k long, x long"), "k")
+                applied += 1
+            assert table(rep) == model == table(src), (seed, op)
