@@ -421,6 +421,9 @@ HEADLINE = [
     "e_holt_winters",
     "t_hapax_ratio",
     "a_lsh_plane_recall",
+    "a_ivf_balance_report",
+    "t_code_detect",
+    "d_dedup_savings",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

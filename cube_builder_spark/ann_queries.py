@@ -1395,3 +1395,47 @@ def a_lsh_plane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("n_hits") * F.lit(1.0) / 10).alias("recall")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register("a_ivf_balance_report", f"""
+WITH {_IVF_SQL},
+per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n
+        FROM assign GROUP BY list_id),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(max(n) AS BIGINT) AS max_n FROM per)
+SELECT p.list_id, p.n,
+       CAST(1000000 * p.n // t.total AS BIGINT) AS share_ppm,
+       CAST(p.n * t.n_lists AS BIGINT) AS imb_num,
+       t.total AS imb_den,
+       p.n * t.n_lists * 1e0 / t.total AS imbalance
+FROM per p CROSS JOIN tot t
+""")
+def a_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF LIST-BALANCE report — the operational skew diagnostic read
+    before trusting any nprobe recall number: per inverted list its
+    population, corpus share in ppm, and the imbalance factor
+    n·L/total (1.0 = perfectly balanced; FAISS's imbalance_factor).
+    A hot list means probes that hit it rescan a disproportionate
+    corpus slice — the IVF analogue of a skewed shuffle key, and the
+    signal to re-train centroids or split the list. Exact integers
+    plus one identical-shape float division.
+
+    Scale shape: rides the audited IVF assignment (one dims pass
+    against the broadcast centroid table); the report itself is an
+    |lists|-key aggregate + a broadcast 1-row total."""
+    assign = similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
+    per = (assign.groupBy("list_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = per.agg(F.sum("n").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("n_lists"),
+                  F.max("n").cast("long").alias("max_n"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("list_id", "n",
+                    F.expr("1000000 * n DIV total").cast("long")
+                    .alias("share_ppm"),
+                    (F.col("n") * F.col("n_lists")).cast("long")
+                    .alias("imb_num"),
+                    F.col("total").alias("imb_den"),
+                    (F.col("n") * F.col("n_lists") * F.lit(1.0)
+                     / F.col("total")).alias("imbalance")))

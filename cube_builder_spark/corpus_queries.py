@@ -2335,3 +2335,52 @@ def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "vocab", "tokens", "hapax",
                     F.expr("1000000 * hapax DIV vocab").cast("long")
                     .alias("hapax_ppm")))
+
+
+@register("t_code_detect", """
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(translate(text, '{};=()<>[]', ''))
+              AS BIGINT) AS code_chars,
+         CAST(length(text) - length(translate(text, '0123456789', ''))
+              AS BIGINT) AS digit_chars
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars, code_chars, digit_chars,
+       CAST(1000000 * code_chars // n_chars AS BIGINT) AS code_ppm,
+       CAST(1000000 * digit_chars // n_chars AS BIGINT) AS digit_ppm,
+       CAST(CASE WHEN 1000000 * code_chars // n_chars >= 20000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+FROM m
+""")
+def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection by syntax-character density — the
+    cheap routing gate every mixed crawl needs before tokenizer and
+    quality models diverge by modality (code wants different
+    filtering, dedup granularity, and mixture weight than prose).
+    Per doc: exact counts of code-syntax characters ({};=()<>[]) and
+    digits via the length-minus-translate identity, densities in ppm
+    floor arithmetic, and the ≥2% syntax-density flag. Deliberately
+    heuristic (the reference gate in real pipelines before a learned
+    classifier) and exactly reproducible — no float, no model.
+
+    Scale shape: a pure per-row projection — no shuffle at all; the
+    flag composes with p_token_budget_mix / p_temperature_mix as a
+    mixture dimension."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    code = (F.length("text")
+            - F.length(F.translate(F.col("text"), "{};=()<>[]", "")))
+    digit = (F.length("text")
+             - F.length(F.translate(F.col("text"), "0123456789", "")))
+    m = docs.select("doc_id",
+                    F.length("text").cast("long").alias("n_chars"),
+                    code.cast("long").alias("code_chars"),
+                    digit.cast("long").alias("digit_chars"))
+    code_ppm = F.expr("1000000 * code_chars DIV n_chars")
+    return m.select(
+        "doc_id", "n_chars", "code_chars", "digit_chars",
+        code_ppm.cast("long").alias("code_ppm"),
+        F.expr("1000000 * digit_chars DIV n_chars").cast("long")
+        .alias("digit_ppm"),
+        F.when(code_ppm >= 20000, 1).otherwise(0).cast("long")
+        .alias("is_code"))

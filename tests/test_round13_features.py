@@ -910,3 +910,62 @@ def test_lsh_plane_recall_candidate_nesting(spark, sf_dir):
                  if vid != 0 and bucket(v, p) == qb}
         assert rows[p].n_candidates == len(cands)
         assert rows[p].n_hits == len(cands & top10)
+
+
+def test_ivf_balance_identities(spark, sf_dir):
+    """Shares sum to ≤ 1e6 (floor), imbalance num/den identity, the
+    mean imbalance is exactly 1 by construction (Σ n·L / (L·total))."""
+    from cube_builder_spark.ann_queries import a_ivf_balance_report
+
+    rows = a_ivf_balance_report(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    L = len(rows)
+    for r in rows:
+        assert r.imb_num == r.n * L and r.imb_den == total
+        assert r.imbalance == r.n * L * 1.0 / total
+        assert r.share_ppm == 1_000_000 * r.n // total
+    assert sum(r.imb_num for r in rows) == L * total  # mean imbalance 1
+
+
+def test_code_detect_on_planted_docs(spark, sf_dir):
+    """A handmade code snippet flags, prose doesn't, and ppm math is
+    exact; then the real corpus run must satisfy the per-row
+    identities everywhere."""
+    from cube_builder_spark.corpus_queries import t_code_detect
+    import cube_builder_spark.corpus_queries as cq
+
+    planted = spark.createDataFrame(
+        [(1, "int main() { return x[0] <= y; }", "en", "s", 32),
+         (2, "the quiet afternoon passed without event", "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    orig = cq._docs
+    cq._docs = lambda spark, sf_dir: planted
+    try:
+        got = {r.doc_id: r for r in t_code_detect(spark, "x").collect()}
+    finally:
+        cq._docs = orig
+    assert got[1].is_code == 1 and got[2].is_code == 0
+    assert got[1].code_chars == sum(
+        1 for ch in "int main() { return x[0] <= y; }" if ch in "{};=()<>[]")
+
+    for r in t_code_detect(spark, sf_dir).limit(200).collect():
+        assert r.code_ppm == 1_000_000 * r.code_chars // r.n_chars
+        assert r.is_code == (1 if r.code_ppm >= 20000 else 0)
+
+
+def test_dedup_savings_consistent_with_clusters(spark, sf_dir):
+    """The one-row report must equal a recompute from the cluster
+    frame + the documents table."""
+    from cube_builder_spark.pipeline_queries import (
+        d_dedup_savings, d_dup_clusters, _docs)
+
+    row = d_dedup_savings(spark, sf_dir).collect()[0]
+    clusters = d_dup_clusters(spark, sf_dir).collect()
+    removed = {r.doc_id for r in clusters if not r.is_canonical}
+    docs = {d.doc_id: d.n_chars for d in _docs(spark, sf_dir).collect()}
+    bytes_removed = sum(docs[i] for i in removed)
+    total = sum(docs.values())
+    assert (row.n_docs, row.n_removed, row.bytes_removed) == (
+        len(docs), len(removed), bytes_removed)
+    assert row.n_kept == len(docs) - len(removed)
+    assert row.kept_bytes_ppm == 1_000_000 * (total - bytes_removed) // total
