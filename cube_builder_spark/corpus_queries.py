@@ -2267,11 +2267,16 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                "transform(sequence(0, size(t) - 2),"
                " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).alias("p"))
            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-           .filter(F.col("w1") != F.col("w2"))
-           .distinct())
+           .filter(F.col("w1") != F.col("w2")))
+    # broadcast vocab gates run BEFORE the distinct so the dedup
+    # shuffle's key space is bounded at 100·99 — a raw-bigram distinct
+    # would shuffle the corpus's full bigram vocabulary (the
+    # filter/distinct order is value-equal; the oracle's e0 CTE keeps
+    # the declarative order and DuckDB pushes the same way)
     eok = (adj.join(F.broadcast(top.withColumnRenamed("w", "w1")), "w1")
            .join(F.broadcast(top.withColumnRenamed("w", "w2")), "w2")
-           .select("w1", "w2"))
+           .select("w1", "w2")
+           .distinct())
     edges_df = (eok.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
                 .unionByName(eok.select(F.col("w2").alias("src"),
                                         F.col("w1").alias("dst")))
