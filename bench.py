@@ -424,6 +424,8 @@ HEADLINE = [
     "a_ivf_balance_report",
     "t_code_detect",
     "d_dedup_savings",
+    "e_markov_steady_state",
+    "a_pq_distortion_report",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

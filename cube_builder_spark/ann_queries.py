@@ -1439,3 +1439,90 @@ def a_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total").alias("imb_den"),
                     (F.col("n") * F.col("n_lists") * F.lit(1.0)
                      / F.col("total")).alias("imbalance")))
+
+
+@register("a_pq_distortion_report", f"""
+WITH {_dims_sql()},
+cbc AS (
+  SELECT dim // 16 AS m, vec_id % 8 AS g, dim,
+         CAST(sum(qval) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY dim // 16, vec_id % 8, dim
+),
+cb AS (SELECT m, g, dim, c FROM cbc),
+cbn AS (SELECT m, g, sum(c * c) AS cc FROM cb GROUP BY m, g),
+sub_scores AS (
+  SELECT d.vec_id, cb.m, cb.g, sum(d.qval * cb.c) AS dot
+  FROM dims d JOIN cb ON cb.dim = d.dim
+  GROUP BY d.vec_id, cb.m, cb.g
+),
+encode AS (
+  SELECT vec_id, m, g AS code FROM (
+    SELECT s.vec_id, s.m, s.g,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             CASE WHEN n.cc = 0 THEN -1e308
+                  ELSE s.dot / sqrt(n.cc) END DESC, s.g) AS rn
+    FROM sub_scores s JOIN cbn n ON n.m = s.m AND n.g = s.g)
+  WHERE rn = 1
+),
+recon AS (SELECT m, g, dim, CAST(c // n AS BIGINT) AS r FROM cbc),
+err AS (
+  SELECT e.m, (d.qval - r.r) * (d.qval - r.r) AS sq
+  FROM dims d
+  JOIN encode e ON e.vec_id = d.vec_id AND e.m = d.dim // 16
+  JOIN recon r ON r.m = e.m AND r.g = e.code AND r.dim = d.dim
+)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n_dims_scored,
+       CAST(sum(sq) AS BIGINT) AS sum_sq_err,
+       sum(sq) * 1e0 / count(*) AS mse_per_dim
+FROM err GROUP BY m
+""")
+def a_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ QUANTIZATION-DISTORTION report — the eval metric the
+    quantization ladder (PQ/SQ8/BQ) ships without: per subspace, the
+    exact squared error between each vector's quantized milli-unit
+    dims and its ASSIGNED sub-centroid's floor-mean reconstruction
+    (c DIV n — floor so the reconstruction is an exact integer in
+    both engines). A subspace whose MSE dwarfs the others is where
+    recall leaks and where more codebook bits should go — the
+    per-subspace bit-allocation signal (Jegou et al. 2011 §V reads
+    the same table before choosing M and ks).
+
+    Scale shape: the codebook (with member counts) is the audited
+    bounded-metadata aggregate; assignment replays the audited encode
+    ranking; the error pass is one dims-keyed equi-join chain with a
+    4-key map-side-combinable rollup. int64 headroom: diff² ≤ 1.6·10⁷
+    per dim × 16 dims × 10⁹ vectors ≈ 2.6·10¹⁷."""
+    embs = _embs(spark, sf_dir)
+    m_sub, ks = 4, 8
+    sub = 16
+    dims = embs.select(
+        "vec_id",
+        F.posexplode(similarity.quantize(F.col("embedding")))
+        .alias("dim", "qval"))
+    cbc = (dims.groupBy(F.expr("dim DIV 16").cast("long").alias("m"),
+                        (F.col("vec_id") % ks).alias("g"), "dim")
+           .agg(F.sum("qval").cast("long").alias("c"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    recon = cbc.select("m", "g", "dim",
+                       F.expr("c DIV n").cast("long").alias("r"))
+    enc = (similarity.pq_encode(embs, m_sub=m_sub, ks=ks)
+           .select("vec_id", F.posexplode("codes").alias("m", "code"))
+           .select("vec_id", F.col("m").cast("long").alias("m"),
+                   F.col("code").cast("long").alias("code")))
+    recon_r = recon.select(F.col("m").alias("rm"), F.col("g").alias("rg"),
+                           F.col("dim").alias("rdim"), "r")
+    err = (dims.withColumn("m", F.expr("dim DIV 16").cast("long"))
+           .join(enc, ["vec_id", "m"])
+           .join(F.broadcast(recon_r),
+                 (F.col("m") == F.col("rm")) & (F.col("code") == F.col("rg"))
+                 & (F.col("dim") == F.col("rdim")))
+           .select("vec_id", "qval", "r", F.col("m").alias("mm")))
+    return (err.groupBy(F.col("mm").cast("long").alias("m"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dims_scored"),
+                 F.sum((F.col("qval") - F.col("r"))
+                       * (F.col("qval") - F.col("r"))).cast("long")
+                 .alias("sum_sq_err"))
+            .select("m", "n_dims_scored", "sum_sq_err",
+                    (F.col("sum_sq_err") * F.lit(1.0)
+                     / F.col("n_dims_scored")).alias("mse_per_dim")))

@@ -3312,3 +3312,77 @@ def e_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         season.alias("season_last"),
         (fin["l"] + F.lit(7) * fin["b"] + season).alias("forecast_7d"))
         .orderBy("event_type"))
+
+
+def _markov_steady_sql(iters: int = 4) -> str:
+    """Unrolled exact-integer power iteration over the behavioral
+    transition matrix (micro-unit masses, per-term floor division —
+    the x_pagerank_trade discipline on a stochastic matrix)."""
+    cte = ["""seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)""", """tc AS (
+  SELECT event_type AS ft, next_type AS tt, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+)""", """rt AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot FROM tc GROUP BY ft)""",
+           """states AS (SELECT DISTINCT ft AS s FROM tc
+  UNION SELECT DISTINCT tt FROM tc)""",
+           """p0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS mass
+  FROM states)"""]
+    for i in range(iters):
+        cte.append(f"""c{i + 1} AS (
+  SELECT t.tt AS node, CAST(sum(p.mass * t.n // r.tot) AS BIGINT) AS mass
+  FROM p{i} p JOIN tc t ON t.ft = p.node JOIN rt r ON r.ft = p.node
+  GROUP BY t.tt)""")
+        cte.append(f"""p{i + 1} AS (
+  SELECT s.s AS node, CAST(coalesce(c.mass, 0) AS BIGINT) AS mass
+  FROM states s LEFT JOIN c{i + 1} c ON c.node = s.s)""")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node AS state, mass AS mass_micro FROM p{iters}")
+
+
+_MARKOV_ITER = 4
+
+
+@register("e_markov_steady_state", _markov_steady_sql(_MARKOV_ITER))
+def e_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE mass of the behavioral Markov chain — 4 unrolled
+    power-iteration rounds of e_event_transitions' row-stochastic
+    matrix from a uniform start: where user attention CONVERGES if
+    the observed dynamics keep running (the long-run mix the
+    transition matrix only describes one step of). Masses are exact
+    BIGINT micro-units with per-term floor division
+    (Σ mass·n DIV tot — Python // ≡ Spark div ≡ DuckDB // on
+    non-negatives), so the ranking can't drift cross-engine; states
+    with no outgoing edges shed their mass (sub-stochastic, exactly
+    as x_pagerank_trade drops dangling mass — documented, identical
+    in both engines).
+
+    Scale shape: deriving the matrix is the one data-scale stage —
+    the same (user)-partitioned lead() window every sessionizer pays,
+    then a |types|²-bounded count. That bounded matrix lands
+    driver-side (the nation-trade-graph/IVF-centroid pattern) and the
+    4 rounds fold as plain int arithmetic."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    tc = (seq.filter(F.col("next_type").isNotNull())
+          .groupBy(F.col("event_type").alias("ft"),
+                   F.col("next_type").alias("tt"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    rows = tc.collect()
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r.ft] = tot.get(r.ft, 0) + r.n
+    states = sorted({r.ft for r in rows} | {r.tt for r in rows})
+    mass = {s: 1_000_000 for s in states}
+    for _ in range(_MARKOV_ITER):
+        nxt = {s: 0 for s in states}
+        for r in rows:
+            nxt[r.tt] += mass[r.ft] * r.n // tot[r.ft]
+        mass = nxt
+    return spark.createDataFrame(sorted(mass.items()),
+                                 "state string, mass_micro long")

