@@ -426,6 +426,7 @@ HEADLINE = [
     "d_dedup_savings",
     "e_markov_steady_state",
     "a_pq_distortion_report",
+    "d_minhash_calibration",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

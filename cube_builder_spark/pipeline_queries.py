@@ -3098,3 +3098,89 @@ def d_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("1000000 * (bytes_total - bytes_removed)"
                            " DIV bytes_total").cast("long")
                     .alias("kept_bytes_ppm")))
+
+
+@register("d_minhash_calibration", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (
+  SELECT doc_id, 'b0:' || h0 || h1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || h3 AS bucket FROM mh
+),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+q AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END
+            + CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END
+            + CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END
+            + CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END AS BIGINT)
+           AS match_quarters,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS num,
+         CAST(len(list_distinct(sa.shingles || sb.shingles)) AS BIGINT)
+           AS den
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.doc_a
+  JOIN mh mb ON mb.doc_id = p.doc_b
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT match_quarters, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(1000000 * num // den) // count(*) AS BIGINT)
+         AS avg_jaccard_ppm
+FROM q WHERE den > 0 GROUP BY match_quarters
+""")
+def d_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION — E[matching minhashes]/K equals
+    the true Jaccard (the Broder 1997 identity the whole LSH stack
+    rests on); this measures it on the live corpus: LSH candidate
+    pairs bucketed by how many of their 4 minhashes agree, with the
+    bucket's average EXACT shingle-set Jaccard alongside (per-pair
+    floor ppm, then an exact integer mean). A calibrated estimator
+    reads monotone: more matching quarters → higher average Jaccard;
+    a flat table means the hash family or the shingle size is wrong
+    for this corpus — checked BEFORE trusting band/threshold math.
+
+    Scale shape: the candidate set is the audited skew-capped LSH
+    machinery; signatures and shingle sets attach by doc-keyed
+    equi-joins of the (delta-sized) pair frame; the report is a
+    5-key map-side rollup. Exact integers end to end."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    pairs = (dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
+                                      max_bucket=_LSH_MAX_BUCKET)
+             .select("doc_a", "doc_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{p}").alias(f"a{p}") for p in range(4)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{p}").alias(f"b{p}") for p in range(4)])
+    sha = sh.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("shb"))
+    quarters = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(4))
+    q = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+         .join(sha, "doc_a").join(shb, "doc_b")
+         .select(quarters.cast("long").alias("match_quarters"),
+                 F.size(F.array_intersect("sha", "shb")).cast("long")
+                 .alias("num"),
+                 F.size(F.array_distinct(F.concat("sha", "shb")))
+                 .cast("long").alias("den")))
+    return (q.filter(F.col("den") > 0)
+            .groupBy("match_quarters")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum(F.expr("1000000 * num DIV den")).alias("s"))
+            .select("match_quarters", "n_pairs",
+                    F.expr("s DIV n_pairs").cast("long")
+                    .alias("avg_jaccard_ppm")))

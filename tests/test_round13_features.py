@@ -1024,3 +1024,50 @@ def test_pq_distortion_identities(spark, sf_dir):
     for r in rows:
         assert r.sum_sq_err >= 0
         assert r.mse_per_dim == r.sum_sq_err / r.n_dims_scored
+
+
+def test_minhash_calibration_recompute_and_monotone(spark, sf_dir):
+    """Exact Python recompute of the per-bucket table (candidate
+    pairs replayed through shingle sets + 4 md5 minhashes), plus the
+    Broder-identity direction: avg Jaccard at 4/4 matching quarters
+    must exceed the 0/4 bucket when both exist."""
+    import hashlib
+    from cube_builder_spark.pipeline_queries import (
+        d_minhash_calibration, _docs, _LSH_MAX_BUCKET)
+
+    docs = _docs(spark, sf_dir).collect()
+    sh = {}
+    for d in docs:
+        t = d.text.split(" ")
+        sh[d.doc_id] = [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    mh = {}
+    for did, ss in sh.items():
+        if ss:
+            mh[did] = [min(md5(f"{p}|" + s) for s in ss) for p in range(4)]
+    buckets = defaultdict(list)
+    for did, h in mh.items():
+        buckets["b0:" + h[0] + h[1]].append(did)
+        buckets["b1:" + h[2] + h[3]].append(did)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) <= _LSH_MAX_BUCKET:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pairs.add((ms[i], ms[j]))
+    table = defaultdict(lambda: [0, 0])
+    for a, b in pairs:
+        den = len(set(sh[a]) | set(sh[b]))
+        if den == 0:
+            continue
+        num = len(set(sh[a]) & set(sh[b]))
+        qtr = sum(1 for p in range(4) if mh[a][p] == mh[b][p])
+        table[qtr][0] += 1
+        table[qtr][1] += 1_000_000 * num // den
+    want = {q: (n, s // n) for q, (n, s) in table.items()}
+    got = {r.match_quarters: (r.n_pairs, r.avg_jaccard_ppm)
+           for r in d_minhash_calibration(spark, sf_dir).collect()}
+    assert got == want
+    if 4 in got and 0 in got:
+        assert got[4][1] > got[0][1]
