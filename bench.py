@@ -427,6 +427,7 @@ HEADLINE = [
     "e_markov_steady_state",
     "a_pq_distortion_report",
     "d_minhash_calibration",
+    "e_acf_daily",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -3386,3 +3386,82 @@ def e_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         mass = nxt
     return spark.createDataFrame(sorted(mass.items()),
                                  "state string, mass_micro long")
+
+
+@register("e_acf_daily", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+pairs AS (
+  SELECT a.event_type, CAST(k.k AS BIGINT) AS k,
+         a.n AS x, b.n AS y
+  FROM daily a
+  CROSS JOIN lags k
+  JOIN daily b ON b.event_type = a.event_type
+   AND b.d = a.d + CAST(k.k AS INTEGER)
+),
+s AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM pairs GROUP BY event_type, k
+)
+SELECT event_type, k, m,
+       CAST(m * sxy - sx * sy AS BIGINT) AS acf_num,
+       (m * sxy - sx * sy) * 1e0
+         / (sqrt((m * sx2 - sx * sx) * 1e0) * sqrt((m * sy2 - sy * sy) * 1e0))
+         AS acf
+FROM s
+WHERE m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+""")
+def e_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of per-type daily volume at lags 1–7
+    — the diagnostic read before choosing a forecaster: a spike at
+    lag 7 says weekly seasonality (use e_holt_winters), geometric
+    decay says AR(1)-ish momentum (e_ewma_daily suffices), nothing
+    says white noise. Pearson form over the lag-paired days: every
+    sum is an exact BIGINT; the coefficient is one identical-shape
+    mul/div/sqrt chain (IEEE correctly rounded, both engines).
+    Degenerate lags (constant series on either side) are excluded.
+    e_lagged_xcorr is the CROSS-series sibling; this is the
+    self-correlation that completes the family.
+
+    Scale shape: the e_rolling_p90 time-axis scatter — the
+    calendar-bounded daily rollup joins its own k-shifted copy by
+    EQUI-key (type, day), 7 lags via one in-plan literal expansion;
+    the sums are a (type, lag)-keyed map-side-combinable rollup.
+    Nothing past the first reduction scales with event volume."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    lagged = (daily
+              .select("event_type", "d", "n",
+                      F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
+              .select("event_type", F.col("k").cast("long").alias("k"),
+                      F.date_add(F.col("d"), F.col("k").cast("int"))
+                      .alias("d"),
+                      F.col("n").alias("x")))
+    pairs = lagged.join(
+        daily.select("event_type", "d", F.col("n").alias("y")),
+        ["event_type", "d"])
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return (s.filter((denx > 0) & (deny > 0))
+            .select("event_type", "k", "m",
+                    num.cast("long").alias("acf_num"),
+                    (num * F.lit(1.0)
+                     / (F.sqrt(denx * F.lit(1.0))
+                        * F.sqrt(deny * F.lit(1.0)))).alias("acf")))

@@ -1071,3 +1071,36 @@ def test_minhash_calibration_recompute_and_monotone(spark, sf_dir):
     assert got == want
     if 4 in got and 0 in got:
         assert got[4][1] > got[0][1]
+
+
+def test_acf_matches_numpy_corrcoef(spark, sf_dir):
+    """Pearson-at-lag recomputed with numpy over the same paired
+    days (rel tol — corrcoef normalizes differently), plus the exact
+    num identity and |acf| ≤ 1."""
+    import numpy as np
+    from cube_builder_spark.events_queries import e_acf_daily
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    daily = Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    series = defaultdict(dict)
+    for (t, d), n in daily.items():
+        series[t][d] = n
+    import datetime
+    for r in e_acf_daily(spark, sf_dir).collect():
+        days = series[r.event_type]
+        xs, ys = [], []
+        for d, n in days.items():
+            d2 = d + datetime.timedelta(days=r.k)
+            if d2 in days:
+                xs.append(n)
+                ys.append(days[d2])
+        assert len(xs) == r.m
+        cc = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+        assert math.isclose(r.acf, cc, rel_tol=1e-9)
+        assert -1.0 - 1e-12 <= r.acf <= 1.0 + 1e-12
+        n_ = len(xs)
+        assert r.acf_num == n_ * sum(a * b for a, b in zip(xs, ys)) \
+            - sum(xs) * sum(ys)
