@@ -109,7 +109,17 @@ _PRIORITY = [
     # x_shallow_clone (below, storage plane) — the MoR
     # carried-delete sequence trap, the storage plane's subtlest
     # semantics.
-    "s10_sceneid_parse",
+    # s10_sceneid_parse rotated just past the window in round 13 (a
+    # deterministic scene-id parser — with s13 gone in r10 the
+    # window's least intricate row; its parsers are also exercised
+    # inside s46_ingest_suite's scan-classify path; still hash-checked
+    # by tests/test_queries_oracle). Its slot goes to
+    # c50_semivariogram (below) so the spatial-STATISTICS family
+    # (c47 Moran / c48 Gi* / c49 LISA / c50 variogram — all built on
+    # the same scatter/equi-join halo exchange) earns its first
+    # driver-graded row via its newest member, whose nodata-aware
+    # N(h) and exact int64 sums carry the family's shape end-to-end.
+    "c50_semivariogram",
     # s13_remote_probe rotated just past the window in round 10 (a
     # deterministic reachability report, the window's least intricate
     # row; still hash-checked by tests/test_queries_oracle); its slot
