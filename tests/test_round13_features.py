@@ -1104,3 +1104,45 @@ def test_acf_matches_numpy_corrcoef(spark, sf_dir):
         n_ = len(xs)
         assert r.acf_num == n_ * sum(a * b for a, b in zip(xs, ys)) \
             - sum(xs) * sum(ys)
+
+
+def test_semivariogram_hypothesis_random_grids(spark):
+    """Property: on ANY sparse grid (random values, random holes) the
+    kernel equals the brute-force pairwise definition. One Spark run
+    over a batch of hypothesis-drawn tiles (one tile per example
+    would pay session startup per example)."""
+    from hypothesis import given, settings, strategies as st
+    from cube_builder_spark.cube_queries import semivariogram_cells
+
+    drawn = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5),
+                  st.integers(-50, 50)),
+        min_size=1, max_size=20, unique_by=lambda t: (t[0], t[1])))
+    def collect(cells):
+        drawn.append(list(cells))
+
+    collect()
+    rows = []
+    for i, cells in enumerate(drawn):
+        for y, x, v in cells:
+            rows.append((f"t{i}", y, x, v))
+    df = spark.createDataFrame(rows, "tile_id string, y long, x long, v long")
+    got = {(r.tile_id, r.lag_h): (r.n_pairs, r.sum_sq)
+           for r in semivariogram_cells(df, max_lag=3).collect()}
+    want = {}
+    for i, cells in enumerate(drawn):
+        grid = {(y, x): v for y, x, v in cells}
+        for h in (1, 2, 3):
+            n, ss = 0, 0
+            for (y, x), v in grid.items():
+                for (dy, dx) in ((0, h), (h, 0)):
+                    w = grid.get((y + dy, x + dx))
+                    if w is not None:
+                        n += 1
+                        ss += (v - w) ** 2
+            if n:
+                want[(f"t{i}", h)] = (n, ss)
+    assert got == want
