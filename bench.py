@@ -428,6 +428,7 @@ HEADLINE = [
     "a_pq_distortion_report",
     "d_minhash_calibration",
     "e_acf_daily",
+    "t_mattr_diversity",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

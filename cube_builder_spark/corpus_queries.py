@@ -2389,3 +2389,67 @@ def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit_ppm"),
         F.when(code_ppm >= 20000, 1).otherwise(0).cast("long")
         .alias("is_code"))
+
+
+@register("t_mattr_diversity", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) <= 50 THEN [list_distinct(t)]
+              ELSE list_transform(range(1, len(t) - 48),
+                                  i -> list_distinct(t[i:i + 49]))
+         END AS wins
+  FROM toks WHERE len(t) >= 1
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(wins) AS BIGINT) AS n_windows,
+         CAST(list_sum(list_transform(wins, x -> len(x))) AS BIGINT)
+           AS sum_distinct
+  FROM w
+)
+SELECT doc_id, n_tokens, n_windows, sum_distinct,
+       sum_distinct * 1e0
+         / (n_windows * CASE WHEN n_tokens <= 50
+                             THEN n_tokens ELSE 50 END) AS mattr
+FROM s
+""")
+def t_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Covington & McFall 2010) — the
+    moving-average type-token ratio over a 50-token sliding window,
+    the length-INVARIANT diversity score (plain TTR decays with doc
+    length by Heaps' law, so t_token_stats' uniq_ratio can't compare
+    a tweet to a chapter; MATTR can — the repetition gate quality
+    filters actually want). Per doc: Σ distinct-per-window and the
+    window count as exact BIGINTs, the score one identical-shape
+    float division; docs ≤ 50 tokens degrade to plain TTR (one
+    whole-doc window) — documented edge, same in both engines.
+
+    Scale shape: a pure per-row in-array computation — the window
+    slide is list_transform over positions with an in-array distinct
+    per slice (O(len·50) per doc, zero shuffle, zero join); the only
+    data movement is the scan itself."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = toks.filter(F.size("t") >= 1)
+    wins = (F.when(F.size("t") <= 50,
+                   F.array(F.array_distinct("t")))
+            .otherwise(F.expr(
+                "transform(sequence(0, size(t) - 50),"
+                " i -> array_distinct(slice(t, i + 1, 50)))")))
+    w = toks.select("doc_id",
+                    F.size("t").cast("long").alias("n_tokens"),
+                    wins.alias("wins"))
+    s = w.select(
+        "doc_id", "n_tokens",
+        F.size("wins").cast("long").alias("n_windows"),
+        F.expr("aggregate(transform(wins, x -> size(x)),"
+               " 0L, (acc, x) -> acc + x)").cast("long")
+        .alias("sum_distinct"))
+    width = (F.when(F.col("n_tokens") <= 50, F.col("n_tokens"))
+             .otherwise(F.lit(50)))
+    return s.select("doc_id", "n_tokens", "n_windows", "sum_distinct",
+                    (F.col("sum_distinct") * F.lit(1.0)
+                     / (F.col("n_windows") * width)).alias("mattr"))

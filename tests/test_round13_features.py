@@ -1146,3 +1146,43 @@ def test_semivariogram_hypothesis_random_grids(spark):
             if n:
                 want[(f"t{i}", h)] = (n, ss)
     assert got == want
+
+
+def test_mattr_python_recompute_and_length_invariance(spark, sf_dir):
+    """Exact recompute of the window sums, plus the property MATTR
+    exists for: a text repeated 10x keeps (approximately) its MATTR
+    while plain TTR collapses — checked exactly in python on a
+    planted doc."""
+    from cube_builder_spark.corpus_queries import t_mattr_diversity, _docs
+
+    docs = {d.doc_id: d.text.split(" ")
+            for d in _docs(spark, sf_dir).collect()}
+    got = {r.doc_id: (r.n_tokens, r.n_windows, r.sum_distinct, r.mattr)
+           for r in t_mattr_diversity(spark, sf_dir).collect()}
+    for did, t in docs.items():
+        if not t:
+            continue
+        if len(t) <= 50:
+            wins = [len(set(t))]
+            width = len(t)
+        else:
+            wins = [len(set(t[i:i + 50])) for i in range(len(t) - 49)]
+            width = 50
+        r = got[did]
+        assert r == (len(t), len(wins), sum(wins),
+                     sum(wins) / (len(wins) * width))
+
+    # length invariance (pure python, the statistic itself)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            * 10).split()
+    rep = base * 10
+
+    def mattr(t):
+        wins = [len(set(t[i:i + 50])) for i in range(len(t) - 49)]
+        return sum(wins) / (len(wins) * 50)
+
+    def ttr(t):
+        return len(set(t)) / len(t)
+
+    assert abs(mattr(rep) - mattr(base)) < 0.01
+    assert ttr(rep) < ttr(base) / 5
