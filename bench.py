@@ -263,6 +263,26 @@ AB_VERDICTS.update({
     (q, 12): _R13_WAVE3 for q in [
         "c22_gap_fill", "t_repetition_profile", "t_lm_doc_likelihood",
         "t_dsir_importance", "m_media_metadata"]})
+# Fourth r13 batch (the end-of-round 127.8s refresh at drift 1.269,
+# shuffle-family anchors 1.80x, spread 0.88-2.11 — the burstiest run
+# of the session): five new dangling flags, same evidence chain —
+# all five functions AST-IDENTICAL to r12 6ad917b (ast.dump compare
+# re-run in-session) and an idle interleaved min-of-5 immediately
+# after settles each FAR below its flagged value (e_stream_suite
+# 1.38s vs 6.90 flagged — micro-batch trigger waits amplify steal;
+# t_inverted_index 0.80 vs 1.03, a_ann_batch_topk 0.47 vs 0.66,
+# r6 0.35 vs 0.44, c43 0.74 vs 0.88) while the scan-bound q1 anchor
+# concurrently reads FASTER than its r12 record (0.477 vs 0.582) —
+# the per-core-bursty steal signature the shuffle-family drift row
+# (1.80x) independently corroborates. Host noise; nothing to revert.
+_R13_WAVE4 = ("r13 A/B: AST-identical to r12; idle interleaved "
+              "min-of-5 far below flagged values with q1 concurrently "
+              "faster than baseline; shuffle-family drift 1.80x in the "
+              "same run — bursty steal, host noise")
+AB_VERDICTS.update({
+    (q, 12): _R13_WAVE4 for q in [
+        "r6_groupby_collect_timeline", "a_ann_batch_topk",
+        "t_inverted_index", "e_stream_suite", "c43_terrain_indexes"]})
 
 HEADLINE = [
     "q1_pricing_summary",

@@ -2138,3 +2138,73 @@ def test_cdc_replication_randomized_vs_dict_model(spark, tmp_path):
                         upserts, "k long, x long"), "k")
                 applied += 1
             assert table(rep) == model == table(src), (seed, op)
+
+
+def test_partitioned_store_randomized_prune_differential(spark, tmp_path):
+    """Randomized differential for the HIDDEN-PARTITIONING plane:
+    seeded sequences of spec changes (day / month on ts, identity on
+    an unrelated int column) interleaved with writes, then random
+    time-window read_pruned() probes after every step. The model is a
+    plain row list. Invariants per probe: the pruned frame is a
+    SUPERSET of the exact window rows and a subset of the full table
+    (pruning skips files, never filters rows); caller-filtered it
+    equals the model exactly; files written under an identity-on-k
+    spec are conservatively KEPT for ts probes (evolution safety);
+    n_read ≤ n_total; and a plain read() equals the model after
+    every write."""
+    import datetime
+    import random
+
+    from cube_builder_spark.sinks.snapshot import (PartitionedStore,
+                                                   SnapshotStore)
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, base + datetime.timedelta(hours=h), x)
+             for k, h, x in rows], "k long, ts timestamp, x long")
+
+    for seed in (5, 23):
+        st = PartitionedStore(SnapshotStore(str(tmp_path / f"pp{seed}")))
+        rng = random.Random(seed)
+        model = []
+        st.set_partition_spec("day", "ts")
+        next_k = 0
+        for step in range(6):
+            choice = rng.random()
+            if choice < 0.3:
+                st.set_partition_spec(
+                    rng.choice(["day", "month"]), "ts")
+            elif choice < 0.45:
+                st.set_partition_spec("identity", "k")
+            batch = [(next_k + i, rng.randint(0, 24 * 90),
+                      rng.randrange(1000))
+                     for i in range(rng.randint(1, 5))]
+            next_k += len(batch)
+            st.write(mk(batch), mode="append")
+            model.extend(batch)
+            got_all = {(r.k, r.ts, r.x) for r in
+                       st.store.read(spark).collect()}
+            want_all = {(k, base + datetime.timedelta(hours=h), x)
+                        for k, h, x in model}
+            assert got_all == want_all, (seed, step)
+            # random window probe
+            lo_h = rng.randint(0, 24 * 80)
+            hi_h = lo_h + rng.randint(1, 24 * 20)
+            lo = base + datetime.timedelta(hours=lo_h)
+            hi = base + datetime.timedelta(hours=hi_h)
+            try:
+                df, n_read, n_total = st.read_pruned(spark, "ts", lo, hi)
+            except FileNotFoundError:
+                assert not {t for _, t, _ in want_all if lo <= t < hi}
+                continue
+            assert n_read <= n_total
+            pruned = {(r.k, r.ts, r.x) for r in df.collect()}
+            exact = {(k, t, x) for k, t, x in want_all if lo <= t < hi}
+            assert exact <= pruned <= want_all, (seed, step)
+            from pyspark.sql import functions as F
+            filtered = {(r.k, r.ts, r.x) for r in
+                        df.filter((F.col("ts") >= F.lit(lo))
+                                  & (F.col("ts") < F.lit(hi))).collect()}
+            assert filtered == exact, (seed, step)
