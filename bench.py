@@ -449,6 +449,8 @@ HEADLINE = [
     "d_minhash_calibration",
     "e_acf_daily",
     "t_mattr_diversity",
+    "e_activity_streaks",
+    "x_key_skew_report",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -3468,3 +3468,75 @@ def e_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (num * F.lit(1.0)
                      / (F.sqrt(denx * F.lit(1.0))
                         * F.sqrt(deny * F.lit(1.0)))).alias("acf")))
+
+
+@register("e_activity_streaks", """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+  FROM events
+),
+isl AS (
+  SELECT user_id, ed,
+         ed - row_number() OVER (PARTITION BY user_id ORDER BY ed)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+         CAST(min(ed) AS BIGINT) AS start_ed
+  FROM isl GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id,
+         max(len * 100000 - start_ed) AS pk,
+         CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(sum(len) AS BIGINT) AS active_days
+  FROM streaks GROUP BY user_id
+)
+SELECT user_id,
+       CAST((pk + 99999) // 100000 AS BIGINT) AS longest_streak,
+       CAST((((pk + 99999) // 100000) * 100000 - pk) AS BIGINT)
+         AS streak_start_ed,
+       n_streaks, active_days
+FROM best
+""")
+def e_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DAILY-ACTIVITY STREAKS — the gaps-and-islands operator
+    (the classic ``ed − row_number()`` island key: consecutive days
+    share it, any gap starts a new island) behind every "7-day
+    streak" retention feature. Per user: the LONGEST streak with its
+    start day, total islands, total active days. The argmax streak is
+    the packed-max discipline (len·10⁵ − start_ed: length dominates,
+    ties go to the EARLIEST start; start_ed < 10⁵ ≈ 270 years of
+    epoch days, headroom asserted by construction), so no
+    order-dependent tie crosses engines.
+
+    Scale shape: one distinct to (user, day) — the same reduction the
+    retention triangle pays — then one user-partitioned window and
+    two map-side-combinable aggregates; nothing scales past the
+    (user, day) frame."""
+    ev = _events(spark, sf_dir)
+    days = (ev.select("user_id",
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.lit("1970-01-01")).cast("long")
+                      .alias("ed"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("ed")
+    isl = days.withColumn("island",
+                          F.col("ed") - F.row_number().over(w))
+    streaks = (isl.groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).cast("long").alias("len"),
+                    F.min("ed").cast("long").alias("start_ed")))
+    best = (streaks.groupBy("user_id")
+            .agg(F.max(F.col("len") * 100000 - F.col("start_ed"))
+                 .alias("pk"),
+                 F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                 F.sum("len").cast("long").alias("active_days")))
+    longest = F.expr("(pk + 99999) DIV 100000")
+    return best.select(
+        "user_id",
+        longest.cast("long").alias("longest_streak"),
+        (longest * 100000 - F.col("pk")).cast("long")
+        .alias("streak_start_ed"),
+        "n_streaks", "active_days")

@@ -2806,3 +2806,57 @@ def x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num.cast("long").alias("r_num"),
                     den.cast("long").alias("r_den"),
                     (num * F.lit(1.0) / den).alias("assortativity")))
+
+
+@register("x_key_skew_report", """
+WITH per AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM per
+),
+top AS (
+  SELECT key, n, CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+           AS rank
+  FROM per QUALIFY rank <= 20
+)
+SELECT t.rank, t.key, t.n,
+       CAST(x.n_keys AS BIGINT) AS n_keys,
+       CAST(t.n * x.n_keys AS BIGINT) AS skew_num,
+       x.n_rows AS skew_den,
+       t.n * x.n_keys * 1e0 / x.n_rows AS skew_factor
+FROM top t CROSS JOIN tot x
+""")
+def x_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW report — the diagnostic read before choosing a
+    join strategy at scale: the 20 heaviest supplier keys in the fact
+    table with each key's skew factor n·K/total (1.0 = uniform; the
+    shuffle-partition analogue of a_ivf_balance_report's list
+    imbalance). A factor ≫ 1 on the build key is the signal to salt
+    (x_salted_skew_join) or to let AQE split the partition — this
+    report is what tells you WHICH keys and HOW MUCH, exact integers
+    plus one identical-shape float division.
+
+    Scale shape: one map-side-combinable key count (the aggregate any
+    skew detector must pay), a TakeOrdered top-20, and a broadcast
+    1-row total. Nothing else touches the fact table."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per = (t["lineitem"].groupBy(F.col("l_suppkey").alias("key"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                  F.sum("n").cast("long").alias("n_rows"),
+                  F.max("n").cast("long").alias("max_n"))
+    top = per.orderBy(F.desc("n"), "key").limit(20)
+    w = Window.orderBy(F.desc("n"), "key")
+    top = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (top.crossJoin(F.broadcast(tot))
+            .select("rank", "key", "n", "n_keys",
+                    (F.col("n") * F.col("n_keys")).cast("long")
+                    .alias("skew_num"),
+                    F.col("n_rows").alias("skew_den"),
+                    (F.col("n") * F.col("n_keys") * F.lit(1.0)
+                     / F.col("n_rows")).alias("skew_factor")))

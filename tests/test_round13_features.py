@@ -1186,3 +1186,51 @@ def test_mattr_python_recompute_and_length_invariance(spark, sf_dir):
 
     assert abs(mattr(rep) - mattr(base)) < 0.01
     assert ttr(rep) < ttr(base) / 5
+
+
+def test_activity_streaks_python_recompute(spark, sf_dir):
+    """Islands recomputed directly: sort each user's distinct days,
+    split on gaps, compare longest/start/count/total exactly."""
+    import datetime
+    from cube_builder_spark.events_queries import e_activity_streaks
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    days = defaultdict(set)
+    epoch = datetime.date(1970, 1, 1)
+    for r in ev:
+        days[r.user_id].add((r.ts.date() - epoch).days)
+    got = {r.user_id: (r.longest_streak, r.streak_start_ed,
+                       r.n_streaks, r.active_days)
+           for r in e_activity_streaks(spark, sf_dir).collect()}
+    for u, ds in days.items():
+        xs = sorted(ds)
+        streaks = []
+        start = prev = xs[0]
+        for d in xs[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            streaks.append((prev - start + 1, start))
+            start = prev = d
+        streaks.append((prev - start + 1, start))
+        best = max(streaks, key=lambda t: (t[0], -t[1]))
+        assert got[u] == (best[0], best[1], len(streaks), len(xs)), u
+
+
+def test_key_skew_report_recompute(spark, sf_dir):
+    from cube_builder_spark.relational import x_key_skew_report
+    from cube_builder_spark.tables import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"] \
+        .select("l_suppkey").collect()
+    per = Counter(r.l_suppkey for r in li)
+    n_keys, n_rows = len(per), sum(per.values())
+    top = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted((r.rank, r.key, r.n, r.skew_num, r.skew_den,
+                  r.skew_factor)
+                 for r in x_key_skew_report(spark, sf_dir).collect())
+    want = sorted((i + 1, k, n, n * n_keys, n_rows,
+                   n * n_keys * 1.0 / n_rows)
+                  for i, (k, n) in enumerate(top))
+    assert got == want
