@@ -451,6 +451,8 @@ HEADLINE = [
     "t_mattr_diversity",
     "e_activity_streaks",
     "x_key_skew_report",
+    "e_dn_retention",
+    "d_cluster_size_histogram",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -3540,3 +3540,65 @@ def e_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (longest * 100000 - F.col("pk")).cast("long")
         .alias("streak_start_ed"),
         "n_streaks", "active_days")
+
+
+@register("e_dn_retention", """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+  FROM events
+),
+first AS (SELECT user_id, CAST(min(ed) AS BIGINT) AS d0
+          FROM ud GROUP BY user_id),
+flags AS (
+  SELECT f.user_id,
+         max(CASE WHEN u.ed = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN u.ed = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+         max(CASE WHEN u.ed = f.d0 + 30 THEN 1 ELSE 0 END) AS r30
+  FROM first f JOIN ud u ON u.user_id = f.user_id
+  GROUP BY f.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(r1) AS BIGINT) AS d1_retained,
+       CAST(sum(r7) AS BIGINT) AS d7_retained,
+       CAST(sum(r30) AS BIGINT) AS d30_retained,
+       CAST(1000000 * sum(r1) // count(*) AS BIGINT) AS d1_ppm,
+       CAST(1000000 * sum(r7) // count(*) AS BIGINT) AS d7_ppm,
+       CAST(1000000 * sum(r30) // count(*) AS BIGINT) AS d30_ppm
+FROM flags
+""")
+def e_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIC Dn RETENTION — the D1/D7/D30 numbers every growth
+    dashboard leads with: of all users, what fraction was active
+    EXACTLY N days after their first day (strict day-N definition,
+    not rolling). One row, exact integer counts and floor-ppm rates.
+    The weekly cohort triangle (e_cohort_retention) shows the decay
+    surface; this is its headline cut.
+
+    Scale shape: the (user, day) distinct every retention query pays,
+    a per-user min, one user-keyed join back to the day frame with a
+    3-flag conditional max, then a 1-row fold. No window, no
+    calendar expansion."""
+    ev = _events(spark, sf_dir)
+    ud = (ev.select("user_id",
+                    F.datediff(F.col("ts").cast("date"),
+                               F.lit("1970-01-01")).cast("long")
+                    .alias("ed"))
+          .distinct())
+    first = ud.groupBy("user_id").agg(F.min("ed").cast("long").alias("d0"))
+    flags = (first.join(ud, "user_id")
+             .groupBy("user_id")
+             .agg(*[F.max(F.when(F.col("ed") == F.col("d0") + n, 1)
+                          .otherwise(0)).alias(f"r{n}")
+                    for n in (1, 7, 30)]))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("d1_retained"),
+        F.sum("r7").cast("long").alias("d7_retained"),
+        F.sum("r30").cast("long").alias("d30_retained"),
+        F.expr("1000000 * sum(r1) DIV count(*)").cast("long")
+        .alias("d1_ppm"),
+        F.expr("1000000 * sum(r7) DIV count(*)").cast("long")
+        .alias("d7_ppm"),
+        F.expr("1000000 * sum(r30) DIV count(*)").cast("long")
+        .alias("d30_ppm"))

@@ -3184,3 +3184,72 @@ def d_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("match_quarters", "n_pairs",
                     F.expr("s DIV n_pairs").cast("long")
                     .alias("avg_jaccard_ppm")))
+
+
+@register("d_cluster_size_histogram", f"""
+WITH {_SHINGLES_SQL},
+buckets AS (SELECT doc_id, h0 AS bucket FROM mh),
+bsize AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY bucket),
+capped AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bsize s ON b.bucket = s.bucket AND s.bn <= {_LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1e0
+           / NULLIF(len(list_distinct(sa.shingles || sb.shingles)), 0) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+),
+dups AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 5e-1),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dups
+  UNION ALL
+  SELECT doc_b, doc_a FROM dups
+),
+l0 AS (SELECT DISTINCT s AS doc_id, s AS lbl FROM edges),
+{_label_steps_sql(_CLUSTER_ITERS)},
+sizes AS (
+  SELECT lbl AS canonical_id, CAST(count(*) AS BIGINT) AS sz
+  FROM l{_CLUSTER_ITERS} GROUP BY lbl
+)
+SELECT CAST(length(bin(sz)) AS BIGINT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_members,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size
+FROM sizes GROUP BY length(bin(sz))
+""")
+def d_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP-CLUSTER SIZE DISTRIBUTION on power-of-two buckets — the
+    shape diagnostic behind a dedup policy decision: a corpus whose
+    duplication lives in PAIRS (bucket 2) dedups safely by
+    canonicalization, while mega-clusters (high buckets) usually mean
+    boilerplate or a template and deserve removal OUTRIGHT rather
+    than keep-one. Bucket = bit-length of the cluster size (the
+    engine's exact-integer log2, same as e_interarrival_profile's
+    gap buckets); per bucket: cluster count, member total, exact
+    min/max sizes.
+
+    Scale shape: rides the audited d_dup_clusters machinery whole,
+    then two map-side-combinable aggregates on the cluster-label key
+    — the histogram itself is at most 64 rows."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    pairs = dedup.lsh_near_dup_pairs(sh, bands=[["h0"]],
+                                     max_bucket=_LSH_MAX_BUCKET,
+                                     threshold=0.5).select("doc_a", "doc_b")
+    clusters = dedup.dup_clusters(pairs, iters=_CLUSTER_ITERS)
+    sizes = (clusters.groupBy("canonical_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("sz")))
+    return (sizes.groupBy(F.length(F.bin("sz")).cast("long")
+                          .alias("size_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("sz").cast("long").alias("n_members"),
+                 F.min("sz").cast("long").alias("min_size"),
+                 F.max("sz").cast("long").alias("max_size")))

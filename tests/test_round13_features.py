@@ -1234,3 +1234,49 @@ def test_key_skew_report_recompute(spark, sf_dir):
                    n * n_keys * 1.0 / n_rows)
                   for i, (k, n) in enumerate(top))
     assert got == want
+
+
+def test_dn_retention_python_recompute(spark, sf_dir):
+    import datetime
+    from cube_builder_spark.events_queries import e_dn_retention
+    from cube_builder_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].collect()
+    days = defaultdict(set)
+    epoch = datetime.date(1970, 1, 1)
+    for r in ev:
+        days[r.user_id].add((r.ts.date() - epoch).days)
+    n = len(days)
+    r1 = sum(1 for ds in days.values() if min(ds) + 1 in ds)
+    r7 = sum(1 for ds in days.values() if min(ds) + 7 in ds)
+    r30 = sum(1 for ds in days.values() if min(ds) + 30 in ds)
+    row = e_dn_retention(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.d1_retained, row.d7_retained,
+            row.d30_retained) == (n, r1, r7, r30)
+    assert (row.d1_ppm, row.d7_ppm, row.d30_ppm) == (
+        1_000_000 * r1 // n, 1_000_000 * r7 // n, 1_000_000 * r30 // n)
+
+
+def test_cluster_size_histogram_consistent_with_clusters(spark, sf_dir):
+    """Recompute the histogram from the cluster frame: bucket =
+    bit-length of size, totals conserve membership."""
+    from cube_builder_spark.pipeline_queries import (
+        d_cluster_size_histogram, d_dup_clusters)
+
+    clusters = d_dup_clusters(spark, sf_dir).collect()
+    sizes = Counter()
+    for r in clusters:
+        sizes[r.canonical_id] += 1
+    want = defaultdict(lambda: [0, 0, 10**9, 0])
+    for sz in sizes.values():
+        b = sz.bit_length()
+        row = want[b]
+        row[0] += 1
+        row[1] += sz
+        row[2] = min(row[2], sz)
+        row[3] = max(row[3], sz)
+    got = {r.size_bucket: (r.n_clusters, r.n_members, r.min_size,
+                           r.max_size)
+           for r in d_cluster_size_histogram(spark, sf_dir).collect()}
+    assert got == {b: tuple(v) for b, v in want.items()}
+    assert sum(v[1] for v in got.values()) == len(clusters)
