@@ -453,6 +453,7 @@ HEADLINE = [
     "x_key_skew_report",
     "e_dn_retention",
     "d_cluster_size_histogram",
+    "p_modality_mix",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -3253,3 +3253,61 @@ def d_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sz").cast("long").alias("n_members"),
                  F.min("sz").cast("long").alias("min_size"),
                  F.max("sz").cast("long").alias("max_size")))
+
+
+@register("p_modality_mix", """
+WITH m AS (
+  SELECT source,
+         CASE WHEN length(text) > 0 AND
+                   1000000 * (length(text)
+                              - length(translate(text, '{};=()<>[]', '')))
+                     // length(text) >= 20000
+              THEN 1 ELSE 0 END AS is_code,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+g AS (
+  SELECT source, CAST(is_code AS BIGINT) AS is_code,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS n_tokens
+  FROM m GROUP BY source, is_code
+),
+t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM g GROUP BY source)
+SELECT g.source, g.is_code, g.n_docs, g.n_tokens,
+       CAST(1000000 * g.n_tokens // t.src_tokens AS BIGINT)
+         AS token_share_ppm
+FROM g JOIN t ON t.source = g.source
+""")
+def p_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODALITY MIX per source — t_code_detect's routing gate folded
+    into the mixture ledger: per (source, is_code) the doc and token
+    counts plus the code share of each source's tokens in exact ppm.
+    The number a mixture planner (p_token_budget_mix /
+    p_temperature_mix) needs once code and prose stop sharing one
+    weight — and the drift alarm when a prose feed starts shipping
+    minified JS. Exact integers end to end (the same
+    length-minus-translate gate, inlined so both engines evaluate one
+    expression).
+
+    Scale shape: one per-row projection into a (source, flag)-keyed
+    map-side-combinable aggregate, re-joined on the vocabulary-sized
+    source key. Nothing scales past the scan."""
+    docs = _docs(spark, sf_dir)
+    code_ppm = F.expr(
+        "1000000 * (length(text)"
+        " - length(translate(text, '{};=()<>[]', ''))) DIV length(text)")
+    m = docs.select(
+        "source",
+        F.when((F.length("text") > 0) & (code_ppm >= 20000), 1)
+        .otherwise(0).cast("long").alias("is_code"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"))
+    g = (m.groupBy("source", "is_code")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("toks").cast("long").alias("n_tokens")))
+    t = g.groupBy("source").agg(F.sum("n_tokens").cast("long")
+                                .alias("src_tokens"))
+    return (g.join(t, "source")
+            .select("source", "is_code", "n_docs", "n_tokens",
+                    F.expr("1000000 * n_tokens DIV src_tokens")
+                    .cast("long").alias("token_share_ppm")))

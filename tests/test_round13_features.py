@@ -1280,3 +1280,35 @@ def test_cluster_size_histogram_consistent_with_clusters(spark, sf_dir):
            for r in d_cluster_size_histogram(spark, sf_dir).collect()}
     assert got == {b: tuple(v) for b, v in want.items()}
     assert sum(v[1] for v in got.values()) == len(clusters)
+
+
+def test_modality_mix_consistent_with_code_detect(spark, sf_dir):
+    """The mix table must be exactly the (source, is_code) rollup of
+    t_code_detect's per-doc flags, token shares summing to ≤ 1e6 per
+    source (floor)."""
+    from cube_builder_spark.corpus_queries import t_code_detect
+    from cube_builder_spark.pipeline_queries import p_modality_mix, _docs
+
+    flags = {r.doc_id: r.is_code
+             for r in t_code_detect(spark, sf_dir).collect()}
+    docs = _docs(spark, sf_dir).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for d in docs:
+        # zero-length docs are flagged 0 here, matching the query
+        f = flags.get(d.doc_id, 0)
+        row = agg[(d.source, f)]
+        row[0] += 1
+        row[1] += len(d.text.split(" "))
+    src_tokens = Counter()
+    for (s, _f), (_n, tk) in agg.items():
+        src_tokens[s] += tk
+    got = {(r.source, r.is_code): (r.n_docs, r.n_tokens,
+                                   r.token_share_ppm)
+           for r in p_modality_mix(spark, sf_dir).collect()}
+    want = {(s, f): (n, tk, 1_000_000 * tk // src_tokens[s])
+            for (s, f), (n, tk) in agg.items()}
+    assert got == want
+    per_src = Counter()
+    for (s, _f), (_n, _tk, ppm) in got.items():
+        per_src[s] += ppm
+    assert all(v <= 1_000_000 for v in per_src.values())
