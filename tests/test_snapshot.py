@@ -2208,3 +2208,62 @@ def test_partitioned_store_randomized_prune_differential(spark, tmp_path):
                         df.filter((F.col("ts") >= F.lit(lo))
                                   & (F.col("ts") < F.lit(hi))).collect()}
             assert filtered == exact, (seed, step)
+
+
+def test_schema_evolution_randomized_vs_dict_model(spark, tmp_path):
+    """Randomized differential for the SCHEMA-EVOLUTION read: seeded
+    sequences of appends whose column sets evolve (add a column, drop
+    one from the writer's view — the file keeps what it was written
+    with) against a row-dict model; read_merged_schema at the head
+    AND at every historical version must equal the model's view AS OF
+    that version, with never-written columns NULL."""
+    import random
+
+    from cube_builder_spark.sinks.snapshot import (SnapshotStore,
+                                                   read_merged_schema)
+
+    all_cols = ["a", "b", "c", "d"]
+    for seed in (11, 37):
+        st = SnapshotStore(str(tmp_path / f"se{seed}"))
+        rng = random.Random(seed)
+        cols = ["k", "a"]
+        model_by_version = {}
+        rows = []          # list of dicts (column -> value)
+        next_k = 0
+        v = None
+        for step in range(6):
+            # evolve the writer's column set
+            if rng.random() < 0.5:
+                candidates = [c for c in all_cols if c not in cols]
+                if candidates:
+                    cols.append(rng.choice(candidates))
+            if rng.random() < 0.25 and len(cols) > 2:
+                cols.pop(rng.randrange(1, len(cols)))
+            batch = []
+            for i in range(rng.randint(1, 3)):
+                row = {c: next_k * 10 + j for j, c in enumerate(cols)}
+                row["k"] = next_k
+                next_k += 1
+                batch.append(row)
+                rows.append(dict(row))
+            schema = ", ".join(f"{c} long" for c in cols)
+            df = spark.createDataFrame(
+                [tuple(r[c] for c in cols) for r in batch], schema)
+            v = st.write(df, mode="append")
+            model_by_version[v] = [dict(r) for r in rows]
+        # check every version's merged-schema read against its model
+        for ver, want_rows in model_by_version.items():
+            got = [r.asDict() for r in
+                   read_merged_schema(st, spark, ver).collect()]
+            seen_cols = set()
+            for r in want_rows:
+                seen_cols |= set(r)
+            want = sorted(
+                tuple(r.get(c) for c in sorted(seen_cols))
+                for r in want_rows)
+            got_t = sorted(
+                tuple(r.get(c) for c in sorted(seen_cols))
+                for r in got)
+            assert got_t == want, (seed, ver)
+            # columns never written by this version's files are absent
+            assert all(set(r) <= seen_cols for r in got), (seed, ver)
