@@ -454,6 +454,7 @@ HEADLINE = [
     "e_dn_retention",
     "d_cluster_size_histogram",
     "p_modality_mix",
+    "r24_unpivot_revenue",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -2860,3 +2860,53 @@ def x_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_rows").alias("skew_den"),
                     (F.col("n") * F.col("n_keys") * F.lit(1.0)
                      / F.col("n_rows")).alias("skew_factor")))
+
+
+@register("r24_unpivot_revenue", """
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev_p
+  FROM orders GROUP BY o_year
+)
+SELECT o_year, status, CAST(rev_cents AS BIGINT) AS rev_cents
+FROM wide
+UNPIVOT (rev_cents FOR status IN (rev_f AS 'F', rev_o AS 'O',
+                                  rev_p AS 'P'))
+WHERE rev_cents > 0
+""")
+def r24_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the wide→long inverse of
+    r13_pivot_status_revenue, the reshaping surface every BI export
+    and ML feature loader needs (metrics-as-columns back to
+    metrics-as-rows). Spark's ``stack()`` table-generating expression
+    against DuckDB's declarative UNPIVOT clause — one in-plan literal
+    expansion, no join, no shuffle beyond the wide frame's own
+    aggregate. Zero cells are dropped in both engines (UNPIVOT's
+    usual NULL-drop semantics, made explicit so the engines can't
+    disagree on empty-cell handling); revenue stays exact cents.
+
+    Scale shape: the wide frame is the |years|-row pivot aggregate;
+    the unpivot triples it in-plan. Nothing scales past the pivot's
+    one map-side-combinable pass."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cents = round_half_up_long(F.col("o_totalprice"), 100)
+    wide = (t["orders"]
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(*[F.sum(F.when(F.col("o_orderstatus") == s, cents)
+                         .otherwise(0)).cast("long").alias(f"rev_{s.lower()}")
+                   for s in ("F", "O", "P")]))
+    long = wide.select(
+        "o_year",
+        F.expr("stack(3, 'F', rev_f, 'O', rev_o, 'P', rev_p)"
+               " AS (status, rev_cents)"))
+    return (long.filter(F.col("rev_cents") > 0)
+            .select("o_year", "status",
+                    F.col("rev_cents").cast("long").alias("rev_cents")))

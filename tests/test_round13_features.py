@@ -1312,3 +1312,26 @@ def test_modality_mix_consistent_with_code_detect(spark, sf_dir):
     for (s, _f), (_n, _tk, ppm) in got.items():
         per_src[s] += ppm
     assert all(v <= 1_000_000 for v in per_src.values())
+
+
+def test_unpivot_is_pivot_inverse(spark, sf_dir):
+    """Melting the wide frame must reproduce the direct long-form
+    aggregate exactly (pivot→unpivot round trip, zero cells dropped
+    on both paths)."""
+    from pyspark.sql import functions as F
+    from cube_builder_spark.relational import r24_unpivot_revenue
+    from cube_builder_spark.functions.numeric import round_half_up_long
+    from cube_builder_spark.tables import load_tables
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    direct = {(r.o_year, r.status): r.rev
+              for r in (orders.groupBy(
+                  F.year("o_orderdate").cast("long").alias("o_year"),
+                  F.col("o_orderstatus").alias("status"))
+                  .agg(F.sum(round_half_up_long(F.col("o_totalprice"),
+                                                100))
+                       .cast("long").alias("rev"))).collect()
+              if r.rev > 0}
+    got = {(r.o_year, r.status): r.rev_cents
+           for r in r24_unpivot_revenue(spark, sf_dir).collect()}
+    assert got == direct
