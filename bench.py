@@ -455,6 +455,7 @@ HEADLINE = [
     "d_cluster_size_histogram",
     "p_modality_mix",
     "r24_unpivot_revenue",
+    "p_shard_balance",
 ]
 
 # Scale-scoped additions (round 11): queries whose sf0.1 cost would

@@ -3311,3 +3311,71 @@ def p_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "is_code", "n_docs", "n_tokens",
                     F.expr("1000000 * n_tokens DIV src_tokens")
                     .cast("long").alias("token_share_ppm")))
+
+
+@register("p_shard_balance", """
+WITH k AS (
+  SELECT doc_id, text, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+  FROM k
+),
+per AS (
+  SELECT CAST((pos - 1) % 8 AS BIGINT) AS shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM r GROUP BY (pos - 1) % 8
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         CAST(min(n_tokens) AS BIGINT) AS min_tokens
+  FROM per
+)
+SELECT p.shard_id, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens * t.n_shards AS BIGINT) AS imb_num,
+       t.total_tokens AS imb_den,
+       p.n_tokens * t.n_shards * 1e0 / t.total_tokens AS imbalance,
+       CAST(t.max_tokens - t.min_tokens AS BIGINT) AS spread_tokens
+FROM per p CROSS JOIN tot t
+""")
+def p_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD TOKEN BALANCE — the load report a data loader
+    reads before an epoch: per shard of the deterministic round-robin
+    assignment (p_shard_manifest's exact shuffle order), its token
+    count, the imbalance factor n·K/total (the x_key_skew_report /
+    a_ivf_balance_report discipline applied to the training-shard
+    axis — an imbalanced shard is a straggling data-parallel rank),
+    and the global max−min token spread each row carries. Round-robin
+    over a shuffled order balances DOC counts by construction (±1);
+    this measures the residual TOKEN imbalance document-length
+    variance leaves behind — the number that decides whether packing
+    (p_sequence_pack) must run per shard. Exact integers plus one
+    identical-shape float division.
+
+    Scale shape: the one TeraSort range shuffle the manifest already
+    pays, then an 8-key map-side rollup and a broadcast 1-row total."""
+    ranked = _shuffle_positions(spark, sf_dir, cols=("doc_id", "text"))
+    per = (ranked.select(
+        ((F.col("pos") - 1) % 8).cast("long").alias("shard_id"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("toks").cast("long").alias("n_tokens")))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_shards"),
+                  F.sum("n_tokens").cast("long").alias("total_tokens"),
+                  F.max("n_tokens").cast("long").alias("max_tokens"),
+                  F.min("n_tokens").cast("long").alias("min_tokens"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard_id", "n_docs", "n_tokens",
+                    (F.col("n_tokens") * F.col("n_shards")).cast("long")
+                    .alias("imb_num"),
+                    F.col("total_tokens").alias("imb_den"),
+                    (F.col("n_tokens") * F.col("n_shards") * F.lit(1.0)
+                     / F.col("total_tokens")).alias("imbalance"),
+                    (F.col("max_tokens") - F.col("min_tokens"))
+                    .cast("long").alias("spread_tokens")))

@@ -1335,3 +1335,21 @@ def test_unpivot_is_pivot_inverse(spark, sf_dir):
     got = {(r.o_year, r.status): r.rev_cents
            for r in r24_unpivot_revenue(spark, sf_dir).collect()}
     assert got == direct
+
+
+def test_shard_balance_identities_and_doc_balance(spark, sf_dir):
+    """Round-robin over the shuffle order balances doc counts within
+    ±1 by construction; imbalance num/den identities; the global
+    spread row-constant equals max-min of the token column."""
+    from cube_builder_spark.pipeline_queries import p_shard_balance
+
+    rows = p_shard_balance(spark, sf_dir).collect()
+    assert len(rows) == 8
+    docs = [r.n_docs for r in rows]
+    assert max(docs) - min(docs) <= 1
+    total = sum(r.n_tokens for r in rows)
+    spread = max(r.n_tokens for r in rows) - min(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.imb_num == r.n_tokens * 8 and r.imb_den == total
+        assert r.imbalance == r.n_tokens * 8 * 1.0 / total
+        assert r.spread_tokens == spread
