@@ -283,6 +283,16 @@ AB_VERDICTS.update({
     (q, 12): _R13_WAVE4 for q in [
         "r6_groupby_collect_timeline", "a_ann_batch_topk",
         "t_inverted_index", "e_stream_suite", "c43_terrain_indexes"]})
+# r13 sf0.01 SIDECAR note (session-level, the r11-sidecar precedent —
+# not per-query verdicts): the end-of-round sidecar refresh (105.1s /
+# 160 queries, drift 1.226) flagged 11 rows; 7 carry this round's
+# wave verdicts already, and the 4 dangling (c1_mosaic_first_valid
+# 0.25→0.41, d_simhash 0.39→0.69, q2 0.57→0.95, r11_multiway
+# 0.18→0.28) are sub-second ABSOLUTE deltas elevated near-uniformly
+# ~1.6x on the same session whose sf0.1 record needed four host-noise
+# wave adjudications — the r12 sidecar baseline was a quieter host.
+# All four functions are AST-identical to r12 (the session-wide
+# ast.dump sweep covered their modules); nothing to revert.
 
 HEADLINE = [
     "q1_pricing_summary",
