@@ -3585,8 +3585,12 @@ def e_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("1970-01-01")).cast("long")
                     .alias("ed"))
           .distinct())
-    first = ud.groupBy("user_id").agg(F.min("ed").cast("long").alias("d0"))
-    flags = (first.join(ud, "user_id")
+    # single-scan form: the per-user first day comes from a window
+    # over the (user, day) frame itself (the e_kaplan_meier trick) —
+    # a groupBy + join-back would evaluate the distinct subtree (and
+    # the events scan under it) twice
+    wu = Window.partitionBy("user_id")
+    flags = (ud.withColumn("d0", F.min("ed").over(wu))
              .groupBy("user_id")
              .agg(*[F.max(F.when(F.col("ed") == F.col("d0") + n, 1)
                           .otherwise(0)).alias(f"r{n}")

@@ -352,3 +352,32 @@ def test_zipf_and_textrank_vocab_cut_is_take_ordered(spark, sf_dir,
     vocabulary."""
     plan = _physical(queries["t_zipf_check"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_code_detect_no_shuffle(spark, sf_dir, queries):
+    """t_code_detect is a pure per-row projection: ZERO exchanges."""
+    plan = _physical(queries["t_code_detect"](spark, sf_dir))
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+
+def test_mattr_no_shuffle(spark, sf_dir, queries):
+    """t_mattr_diversity's window slide is in-array: ZERO exchanges."""
+    plan = _physical(queries["t_mattr_diversity"](spark, sf_dir))
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+
+def test_dn_retention_single_events_scan(spark, sf_dir, queries):
+    """The (user, day) frame is derived once and self-joined — the
+    events parquet must be scanned exactly once."""
+    import re
+
+    plan = _physical(queries["e_dn_retention"](spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+
+
+def test_skew_report_take_ordered(spark, sf_dir, queries):
+    """The top-20 heavy keys must be TakeOrderedAndProject — never a
+    global sort of the key population."""
+    plan = _physical(queries["x_key_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
