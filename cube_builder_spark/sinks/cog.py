@@ -13,8 +13,11 @@ deflate GeoTIFF with georeferencing). Two paths here:
   2x overview pyramid in chained IFDs, IFDs leading the file and tile
   data ordered smallest-overview-first (the range-request-friendly
   COG layout). Verified by the paired ``read_cog``.
-- ``write_cog_rasterio``: gated on rasterio (absent here) for
-  GDAL-blessed output in production.
+``write_cog_band`` IS the production writer here: its output is a
+structurally valid COG (tiled + overview IFDs, checked by
+tests/test_cog.py's layout checker and round-tripped by ``read_cog``),
+so no separate rasterio-gated path exists — a GDAL-blessed variant
+would only re-encode the same layout.
 
 The Spark side (``export_band_tiffs``) is an ``applyInPandas`` over
 (tile, period, band) groups — the same per-product fan-out the
@@ -29,11 +32,6 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-
-try:                                     # pragma: no cover
-    import rasterio                      # type: ignore
-except ImportError:
-    rasterio = None
 
 _TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12, "ASCII": 2, "LONG8": 16}
 
@@ -396,12 +394,3 @@ def export_band_tiffs(cube: DataFrame, out_dir: str, ncols: int = 32,
 
     return (cube.groupBy("tile_id", "period", "band").applyInPandas(
         build, "tile_id long, period string, band string, path string, n_bytes long"))
-
-
-def write_cog_rasterio(arr, path, **profile):     # pragma: no cover
-    """Full COG (tiling + overviews) — production path, needs rasterio."""
-    if rasterio is None:
-        raise NotImplementedError(
-            "rasterio not available; use write_geotiff_band for the "
-            "dependency-free striped GeoTIFF, or install rasterio for COG")
-    raise NotImplementedError("wire rasterio cog writer here")

@@ -8,8 +8,8 @@ Spark-native: the rescale is the C13 column expression; the PNG
 encode is an ``applyInPandas`` over (tile, period) groups emitting one
 image per group. The encoder is pure stdlib (zlib + struct — PNG is
 just zlib-compressed filtered scanlines), so this sink is REAL, not a
-stub, with zero native dependencies. GeoTIFF export (K1) stays gated
-on rasterio (``sinks/cog.py``).
+stub, with zero native dependencies. GeoTIFF/COG export (K1) is the
+equally dependency-free ``write_cog_band`` (``sinks/cog.py``).
 """
 
 from __future__ import annotations
