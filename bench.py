@@ -689,6 +689,37 @@ def drift_report(timings: dict, prev: dict, prev_round,
     return anchor_rec, movers
 
 
+def detail_record(timings: dict, all_runs: dict, anchor_rec, movers,
+                  sf_val) -> dict:
+    """The COMPLETE round record written to BENCH_DETAIL_r{N}.json.
+
+    The driver's BENCH_r{N}.json keeps only a ~2 KB stdout tail, which
+    truncated 7 of r13's 11 REGRESSIONS flags mid-record (verdict r13
+    #8) — so the detail file, not stdout, is the durable home of the
+    full flag map: per-query mins, raw run arrays, anchor calibration,
+    and EVERY regression flag with its adjudication verdict.
+    tests/test_bench_drift.py pins these fields so a refactor cannot
+    silently drop the audit trail again."""
+    total = round(sum(timings.values()), 4)
+    first_total = round(sum(r[0] for r in all_runs.values()), 4)
+    worst = sorted(timings, key=timings.get, reverse=True)[:5]
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "total_cold": first_total,
+        "total_warm": total,
+        "worst5": worst,
+        "runs_per_query": 3,
+        "agg": "min",
+        "sf": sf_val,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "all_runs": all_runs,
+        "anchor_drift": anchor_rec,
+        "regressions": movers,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -749,7 +780,6 @@ def main():
         print("ANCHOR_DRIFT " + json.dumps(anchor_rec, separators=(",", ":")))
         print("REGRESSIONS " + json.dumps(movers, separators=(",", ":")))
     sys.stdout.flush()
-    worst = sorted(timings, key=timings.get, reverse=True)[:5]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full record goes to BENCH_DETAIL_r{N}.json — the driver's stdout
     # capture keeps only a ~2 KB TAIL, and r8's full per-query map in the
@@ -764,21 +794,8 @@ def main():
     # never masquerades as the round's sf0.1 record
     detail_name = (f"BENCH_DETAIL_r{rnd:02d}.json" if sf_val == 0.1
                    else f"BENCH_DETAIL_r{rnd:02d}_sf{sf}.json")
-    detail = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "total_cold": first_total,
-        "total_warm": total,
-        "worst5": worst,
-        "runs_per_query": 3,
-        "agg": "min",
-        "sf": sf_val,
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "all_runs": all_runs,
-        "anchor_drift": anchor_rec,
-        "regressions": movers,
-    }
+    detail = detail_record(timings, all_runs, anchor_rec, movers, sf_val)
+    worst = detail["worst5"]
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, detail_name), "w") as fh:

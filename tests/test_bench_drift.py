@@ -126,3 +126,47 @@ def test_runs_stats_absent_without_run_arrays():
     _rec, movers = bench.drift_report(now, prev, 11)
     assert "runs_rising" not in movers["slow_q"]
     assert "runs" not in movers["slow_q"]
+
+
+# --- detail_record: the durable flag map (round 14, verdict r13 #8) ---------
+
+DETAIL_FIELDS = ("queries", "all_runs", "anchor_drift", "regressions",
+                 "worst5", "total_cold", "total_warm", "sf")
+
+
+def test_detail_record_carries_complete_flag_map():
+    """BENCH_r13.json's stdout tail truncated 7/11 REGRESSIONS flags;
+    the detail file is the durable record — pin that detail_record()
+    passes EVERY flag through verbatim (verdict included) alongside
+    the raw run arrays the adjudicator needs."""
+    timings = {"a": 1.0, "b": 2.0}
+    runs = {"a": [1.2, 1.0, 1.1], "b": [2.0, 2.4, 2.2]}
+    movers = {"b": {"prev": 1.0, "now": 2.0, "pct": 100.0,
+                    "verdict": "host drift", "runs": [2.0, 2.4, 2.2],
+                    "runs_rising": False, "runs_spread": 1.2}}
+    anchor = {"drift": 1.0, "applied": 1.0}
+    rec = bench.detail_record(timings, runs, anchor, movers, 0.1)
+    for field in DETAIL_FIELDS:
+        assert field in rec, field
+    assert rec["regressions"] == movers          # verbatim, no trim
+    assert rec["all_runs"] == runs
+    assert rec["worst5"] == ["b", "a"]
+    assert rec["total_warm"] == 3.0
+    assert rec["total_cold"] == pytest.approx(3.2)
+
+
+def test_newest_on_disk_detail_has_flag_fields():
+    """The committed artifact itself (not just the builder) must carry
+    the full flag map, so a judge can audit adjudications without
+    exhuming commits."""
+    import glob
+    import json
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_DETAIL_r??.json")))
+    assert files, "no BENCH_DETAIL records on disk"
+    with open(files[-1]) as fh:
+        rec = json.load(fh)
+    for field in DETAIL_FIELDS:
+        assert field in rec, field
+    for flag in rec["regressions"].values():
+        assert {"prev", "now", "pct"} <= set(flag)
