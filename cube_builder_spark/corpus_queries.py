@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.numeric import bounded_collect
 from .tables import load_tables
 
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -1899,27 +1900,35 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction-order-free. int64 headroom: idf <= 1e6 and
     22*A*tf <= 6.6e11 at A = 3e8 / tf = 100 -> products < 7e17.
 
-    Scale shape: one explode -> (doc, term) map-side-combined tf;
-    dl and df are keyed partial aggregates (the vocabulary is never
-    collected); the query's term set is one document's vocabulary
-    (broadcast); the 1-row corpus totals broadcast; final top-10 is
-    TakeOrderedAndProject. At index-serving scale the tf/df frames
-    ARE the postings store (a_hybrid_rrf_scalable's term-hash
-    partitioning) — this query is the scoring math on top."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id",
-                       F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl"))
-    dfreq = tf.groupBy("term").agg(
+    Scale shape (round-14 verdict #6 — unified on the postings
+    store): tf comes from ann_queries._postings_store's term-hash-
+    partitioned postings, read through a PartitionFilters prune on
+    the query terms' bucket ids (|q| partitions, never the corpus —
+    the same seek path a_hybrid_rrf_scalable's lexical side takes;
+    pinned by tests/test_plan_shape.py), so the per-query explode +
+    tf shuffle this function used to pay now amortizes into the
+    one-time index build. df over the query's terms is exact from
+    the pruned read (hash-of-term partitioning keeps every posting
+    of a term in its partition). dl and the 1-row corpus totals come
+    from the store's slim doclen sidecar (a full but
+    lengths-only scan — the one frame a pruned read can't supply);
+    the query's term set is one document's vocabulary (broadcast);
+    final top-10 is TakeOrderedAndProject."""
+    from .ann_queries import _postings_store, query_term_buckets
+
+    root = _postings_store(spark, sf_dir)
+    post = spark.read.parquet(root + "/postings")
+    dl = (spark.read.parquet(root + "/doclen")
+          .select("doc_id", "dl"))
+    qterms_df, qb = query_term_buckets(spark, sf_dir)
+    qpost = (post.filter(F.col("b").isin(qb))
+             .join(F.broadcast(qterms_df), "w")
+             .withColumnRenamed("w", "term"))
+    dfreq = qpost.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     tot = dl.agg(F.sum("dl").cast("long").alias("a_total"),
                  F.count(F.lit(1)).cast("long").alias("n_docs"))
-    qterms = tf.filter(F.col("doc_id") == 0).select("term")
-    scored = (tf.filter(F.col("doc_id") != 0)
-              .join(F.broadcast(qterms), "term")
+    scored = (qpost.filter(F.col("doc_id") != 0)
               .join(dfreq, "term")
               .join(dl, "doc_id")
               .crossJoin(F.broadcast(tot)))
@@ -2281,7 +2290,13 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .unionByName(eok.select(F.col("w2").alias("src"),
                                         F.col("w1").alias("dst")))
                 .distinct())
-    edge_rows = [(r.src, r.dst) for r in edges_df.collect()]
+    # the vocab gate bounds the edge set at 100·99 directed rows by
+    # construction; the guard ENFORCES it (verdict r13 #4) so a future
+    # edit that widens the gate fails fast instead of collecting a
+    # corpus-scale frame (bounded_collect caps the transfer itself)
+    edge_rows = [(r.src, r.dst)
+                 for r in bounded_collect(edges_df, 100 * 99,
+                                          "t_textrank edge list")]
     nodes = sorted({s for s, _ in edge_rows})
     deg: dict[str, int] = {}
     for src, _dst in edge_rows:

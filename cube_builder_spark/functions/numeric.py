@@ -28,3 +28,22 @@ def round_half_up_long(col: Column, factor: int = 100) -> Column:
     keep ``F.round`` if such a domain ever appears.
     """
     return F.floor(col * factor + F.lit(0.5)).cast("long")
+
+
+def bounded_collect(df, ceiling: int, what: str) -> list:
+    """``df.collect()`` with a hard row ceiling — the guard in front
+    of every driver-side fold over a "bounded by argument" frame
+    (t_textrank's vocab-gated edge list, e_markov_steady_state's
+    |types|² transition matrix). The bound is enforced, not assumed:
+    the scan collects at most ``ceiling + 1`` rows (``limit`` caps the
+    transfer, so a pathological input can never materialize an
+    unbounded driver copy), and one row over the ceiling raises
+    instead of silently folding a quadratic frame.
+    """
+    rows = df.limit(ceiling + 1).collect()
+    if len(rows) > ceiling:
+        raise ValueError(
+            f"{what}: driver-side fold ceiling exceeded "
+            f"(> {ceiling} rows) — the input violates the documented "
+            "boundedness assumption; refusing to collect it")
+    return rows

@@ -381,3 +381,17 @@ def test_skew_report_take_ordered(spark, sf_dir, queries):
     global sort of the key population."""
     plan = _physical(queries["x_key_skew_report"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_reads_pruned_postings(spark, sf_dir, queries):
+    """Round-14 verdict #6: t_bm25_topk rides the term-hash-
+    partitioned postings store — the scan must carry a
+    PartitionFilters prune on the bucket column (the inverted-index
+    seek), exactly like the hybrid's lexical side."""
+    import re
+
+    plan = _physical(queries["t_bm25_topk"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "b#" in m.group(1) or " b " in m.group(1) or "b IN" in m.group(1), \
+        m.group(0)
