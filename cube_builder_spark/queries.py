@@ -81,7 +81,20 @@ _PRIORITY = [
     # sequence-rule re-inserts + footer-pruned materialize,
     # sinks/snapshot.py:866) earns a driver-graded row — the quintet's
     # most intricate member with the most internal state to drift.
-    "r8_pagination", "r9_bbox_intersect",
+    # r8_pagination and r9_bbox_intersect rotated just past the window
+    # in round 14 (the last trivial single-operator relational rows —
+    # sort/limit/offset and bbox predicates, both wholly subsumed by
+    # the TPC-H sweep's sort/limit shapes and the tiles-bbox machinery
+    # graded inside the cube suites; still hash-checked by
+    # tests/test_queries_oracle). Their slots go to the round-13/14
+    # retrieval plane's two most-reused primitives: a_knn_graph (the
+    # ANN-graph substrate under dedup sweeps / label propagation /
+    # diversity sampling, ann_queries.py — now with its own measured
+    # recall decomposition, a_knn_graph_recall_eval) and t_bm25_topk
+    # (the production lexical scorer, corpus_queries.py — round 14
+    # rewired through the term-hash-partitioned postings store with
+    # PartitionFilters-pruned reads, sharing the hybrid's index).
+    "a_knn_graph", "t_bm25_topk",
     # r11_multiway_join rotated just past the window in round 10
     # (trivial variant fully subsumed by the TPC-H sweep's join trees,
     # still hash-checked by tests/test_queries_oracle); its slot went
