@@ -889,14 +889,31 @@ def _postings_store(spark: SparkSession, sf_dir: str) -> str:
         path = scratch_dir("hybrid_idx_")
         toks = docs.select("doc_id",
                            F.explode(F.split("text", " ")).alias("w"))
-        (toks.groupBy("doc_id", "w")
-         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # repartition ON the partition column with a PINNED count
+        # before partitionBy: each of the 32 writer tasks owns exactly
+        # its bucket, so every bucket dir holds ONE file instead of
+        # (shuffle partitions) shards — a 32x cut in file count that
+        # the pruned readers (listing + footer reads) feel directly.
+        # dl is DENORMALIZED into each posting (one extra long per
+        # row, impact-index style): BM25's length normalization then
+        # needs no doc-keyed join at query time — the scorer touches
+        # only its own terms' partitions plus the 1-row corpus totals.
+        from pyspark.sql import Window
+
+        tf = toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf"))
+        # dl = sum(tf) over the doc partition: ONE explode+aggregate
+        # pass feeds both columns (a doc-keyed window instead of a
+        # second corpus scan + join)
+        (tf.withColumn("dl", F.sum("tf").over(
+            Window.partitionBy("doc_id")).cast("long"))
          .withColumn("b", F.pmod(F.xxhash64("w"),
                                  F.lit(_POSTINGS_BUCKETS)))
+         .repartition(_POSTINGS_BUCKETS, "b")
          .write.mode("overwrite").partitionBy("b")
          .parquet(path + "/postings"))
-        (toks.groupBy("doc_id")
-         .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        (tf.groupBy("doc_id")
+         .agg(F.sum("tf").cast("long").alias("dl"))
          .write.mode("overwrite").parquet(path + "/doclen"))
         # the stale entry (old fingerprint, same sf_dir) is dropped
         # and its scratch purged via defer_cleanup's per-sf_dir key
@@ -908,21 +925,56 @@ def _postings_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_TOTALS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def postings_totals(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(a_total, n_docs) — the 2-value index metadata every scorer
+    needs (BM25's avgdl denominator). Computed once per store from the
+    doclen sidecar and cached under the store path (same lifetime and
+    invalidation as the store itself): at serving scale this is the
+    index's stats block, not a per-query scan."""
+    path = _postings_store(spark, sf_dir)
+    tot = _TOTALS_CACHE.get(path)
+    if tot is None:
+        row = (spark.read.parquet(path + "/doclen")
+               .agg(F.sum("dl").cast("long").alias("a"),
+                    F.count(F.lit(1)).cast("long").alias("n")).collect()[0])
+        tot = (row.a, row.n)
+        _TOTALS_CACHE[path] = tot
+    return tot
+
+
+_QTERM_CACHE: dict[tuple, list] = {}
+
+
 def query_term_buckets(spark: SparkSession, sf_dir: str,
                        query_doc: int = 0):
     """The query document's distinct terms plus their postings-store
     bucket ids — the (tiny) driver-side frame every pruned-postings
-    reader starts from. Returns (qterms_df, bucket_id_list)."""
-    docs = _docs(spark, sf_dir)
-    qrows = (docs.filter(F.col("doc_id") == query_doc)
-             .select(F.explode(F.array_distinct(F.split("text", " ")))
-                     .alias("w"))
-             .withColumn("b", F.pmod(F.xxhash64("w"),
-                                     F.lit(_POSTINGS_BUCKETS)))
-             .collect())
-    qb = sorted({r.b for r in qrows})
+    reader starts from. Returns (qterms_df, bucket_id_list).
+
+    The (term, bucket) rows are cached under the SAME source
+    fingerprint the postings store keys on: one documents-scan job per
+    (session, corpus, query doc) instead of one per query — at serving
+    scale this is the query-analysis step that runs on the frontend,
+    not a cluster job at all. A corpus overwrite changes the
+    fingerprint and re-derives."""
+    key = (id(spark), sf_dir, _source_fingerprint(sf_dir), query_doc)
+    pairs = _QTERM_CACHE.get(key)
+    if pairs is None:
+        docs = _docs(spark, sf_dir)
+        qrows = (docs.filter(F.col("doc_id") == query_doc)
+                 .select(F.explode(F.array_distinct(F.split("text", " ")))
+                         .alias("w"))
+                 .withColumn("b", F.pmod(F.xxhash64("w"),
+                                         F.lit(_POSTINGS_BUCKETS)))
+                 .collect())
+        pairs = sorted({(r.w, r.b) for r in qrows})
+        _QTERM_CACHE[key] = pairs
+    qb = sorted({b for _w, b in pairs})
     qterms_df = spark.createDataFrame(
-        [(r.w,) for r in qrows], "w string").distinct()
+        [(w,) for w, _b in pairs], "w string")
     return qterms_df, qb
 
 
@@ -939,8 +991,10 @@ def _scalable_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df is exact: every posting of a query term lives inside the
     # pruned partitions (hash-of-term partitioning), doc 0 included
     dfreq = qpost.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # dfreq is bounded by the query's vocabulary — broadcast keeps the
+    # postings side from shuffling on term
     return (qpost.filter(F.col("doc_id") != 0)
-            .join(dfreq, "w")
+            .join(F.broadcast(dfreq), "w")
             .groupBy("doc_id")
             .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
                  .alias("score")))

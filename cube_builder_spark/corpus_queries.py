@@ -1909,29 +1909,38 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf shuffle this function used to pay now amortizes into the
     one-time index build. df over the query's terms is exact from
     the pruned read (hash-of-term partitioning keeps every posting
-    of a term in its partition). dl and the 1-row corpus totals come
-    from the store's slim doclen sidecar (a full but
-    lengths-only scan — the one frame a pruned read can't supply);
-    the query's term set is one document's vocabulary (broadcast);
-    final top-10 is TakeOrderedAndProject."""
-    from .ann_queries import _postings_store, query_term_buckets
+    of a term in its partition). dl is DENORMALIZED into each posting
+    at build time (impact-index style) so length normalization needs
+    no doc-keyed join; only the 1-row corpus totals come from the
+    store's slim doclen sidecar. The query's term set is one
+    document's vocabulary (broadcast); df is broadcast (bounded by
+    the query vocabulary); final top-10 is TakeOrderedAndProject —
+    the whole scorer is one pruned scan plus one doc-keyed aggregate."""
+    from .ann_queries import (_postings_store, postings_totals,
+                              query_term_buckets)
 
     root = _postings_store(spark, sf_dir)
     post = spark.read.parquet(root + "/postings")
-    dl = (spark.read.parquet(root + "/doclen")
-          .select("doc_id", "dl"))
     qterms_df, qb = query_term_buckets(spark, sf_dir)
+    # dl rides INSIDE each posting (denormalized at build, impact-
+    # index style) so scoring needs no doc-keyed join; the doclen
+    # sidecar only supplies the 1-row corpus totals
     qpost = (post.filter(F.col("b").isin(qb))
              .join(F.broadcast(qterms_df), "w")
              .withColumnRenamed("w", "term"))
     dfreq = qpost.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
-    tot = dl.agg(F.sum("dl").cast("long").alias("a_total"),
-                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # corpus totals come from the store's cached stats block (2
+    # longs, same invalidation as the store) — literals in the plan,
+    # not a per-query doclen scan
+    a_total, n_docs = postings_totals(spark, sf_dir)
+    # dfreq is bounded by the QUERY's vocabulary (one document's
+    # distinct terms), not the corpus — broadcast it so the postings
+    # side never shuffles on term
     scored = (qpost.filter(F.col("doc_id") != 0)
-              .join(dfreq, "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(tot)))
+              .join(F.broadcast(dfreq), "term")
+              .withColumn("a_total", F.lit(a_total).cast("long"))
+              .withColumn("n_docs", F.lit(n_docs).cast("long")))
     per_term = F.expr(
         "((1000000 DIV df) * (22 * a_total * tf))"
         " DIV (10 * a_total * tf + 3 * a_total + 9 * n_docs * dl)")
