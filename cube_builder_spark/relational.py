@@ -1793,6 +1793,41 @@ def r17_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1)).over(w)).alias("moving_avg"))
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase graph shared by the x_triangle_count /
+    x_bfs_reach / x_kcore_parts / x_sssp_parts family: (pa, pb, c)
+    with pa < pb and c = co-order count >= 2, derived array-first
+    (per-order sorted item arrays, in-array i<j expansion — never a
+    lineitem self-join).
+
+    The pinned-count repartition on the group key is the load-bearing
+    line at scale: lineitem arrives as few large splits (single-file
+    parquet; at 100 TB, whatever the scan gives), and without it the
+    collect_list PARTIAL aggregate runs on those few input tasks —
+    1.5M groups per task overflow the object-hash aggregate into
+    sort-based fallback (measured 47s at gen-1.0 vs ~4s after; the
+    10x scale instrument caught it, BENCH_SF1). groupBy then reuses
+    the exchange (subset-key clustering), so total shuffle count is
+    unchanged — the partial agg just runs wide instead of narrow."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts_per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(n_shuffle, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
+             .alias("ps"))
+        .filter(F.size("ps") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    return (parts_per_order.select(F.explode(combos).alias("p"))
+            .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2))
+
+
 @register("x_triangle_count", """
 WITH pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
@@ -1835,20 +1870,7 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each triangle is counted exactly once (its (deg,id)-minimal
     vertex owns it). The oracle is the direct triple self-join over
     the same edge set."""
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    parts_per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
-             .alias("ps"))
-        .filter(F.size("ps") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("ps"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
-    e = (parts_per_order.select(F.explode(combos).alias("p"))
-         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
-         .filter(F.col("c") >= 2).select("pa", "pb"))
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
     deg = (e.select(F.col("pa").alias("v"))
            .unionAll(e.select(F.col("pb").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
@@ -1973,21 +1995,8 @@ def x_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_triangle_count: per-order sorted item arrays, in-array i<j
     expansion — no lineitem self-join (the oracle's self-join form is
     the O(n^2)-per-order semantics it verifies against)."""
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    parts_per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
-             .alias("ps"))
-        .filter(F.size("ps") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("ps"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
-    e = (parts_per_order.select(F.explode(combos).alias("p"))
-         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
-         .filter(F.col("c") >= 2).select("pa", "pb"))
+    e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
     edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
              .unionAll(e.select(F.col("pb").alias("src"),
                                 F.col("pa").alias("dst")))
@@ -2349,20 +2358,7 @@ def x_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the peel runs log-depth rounds of output-shrinking joins, never a
     per-node sequential loop. Per-round scalars come from 1-row
     aggregates (bounded collect, house rule)."""
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    parts_per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
-             .alias("ps"))
-        .filter(F.size("ps") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("ps"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
-    e = (parts_per_order.select(F.explode(combos).alias("p"))
-         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
-         .filter(F.col("c") >= 2).select("pa", "pb")
+    e = (_copurchase_edges(spark, sf_dir).select("pa", "pb")
          .localCheckpoint(eager=True))
     rows = []
     for r in range(_KCORE_ROUNDS + 1):
@@ -2449,24 +2445,10 @@ def x_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the rounds as MATERIALIZED stages (d_{r+1}
     references d_r twice — inlining would re-derive the edge set
     exponentially)."""
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    parts_per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey")))
-             .alias("ps"))
-        .filter(F.size("ps") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("ps"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
-    e = (parts_per_order.select(F.explode(combos).alias("p"))
-         .groupBy("p.pa", "p.pb").agg(F.count(F.lit(1)).alias("c"))
-         .filter(F.col("c") >= 2)
-         .select("pa", "pb",
-                 (F.lit(10) - F.least(F.col("c"), F.lit(5)))
-                 .cast("long").alias("w")))
+    e = _copurchase_edges(spark, sf_dir).select(
+        "pa", "pb",
+        (F.lit(10) - F.least(F.col("c"), F.lit(5))).cast("long").alias("w"))
     edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
                       "w")
              .unionByName(e.select(F.col("pb").alias("src"),
