@@ -170,3 +170,29 @@ def test_newest_on_disk_detail_has_flag_fields():
         assert field in rec, field
     for flag in rec["regressions"].values():
         assert {"prev", "now", "pct"} <= set(flag)
+
+
+# --- BENCH_SF1: the empirical 10x scale point (round 14, verdict r13 #2) ----
+
+def test_scale_record_on_disk_is_complete():
+    """BENCH_SF1.json must carry, per query, both scale points with
+    times, rows, and shuffle/spill bytes — and the raster family's
+    grid probes (tile-count axis) alongside the table-scale rows, so
+    the 100-TB linear-scatter claims stay backed by numbers."""
+    import json
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "BENCH_SF1.json")
+    assert os.path.exists(path), "no BENCH_SF1 scale record on disk"
+    with open(path) as fh:
+        rec = json.load(fh)
+    assert rec["metric"] == "scale_slope_10x"
+    assert "max_slope" in rec and "median_slope" in rec
+    for probe in rec["grid_probes"]["names"]:
+        assert probe in rec["queries"], probe
+    for name, q in rec["queries"].items():
+        for field in ("t_small", "t_big", "slope", "rows_small",
+                      "rows_big", "shuffle_small", "shuffle_big",
+                      "spill_small", "spill_big"):
+            assert field in q, (name, field)
+        # a scale row with an empty big-side result measured nothing
+        assert q["rows_big"] > 0, (name, "empty result at big scale")
