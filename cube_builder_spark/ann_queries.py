@@ -1793,3 +1793,125 @@ def a_knn_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hits"),
                     (F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0)
                      / F.col("n_probes")).alias("recall")))
+
+
+# --- PCA top component (round 14) --------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_VSCALE = 1000
+
+
+def _pca_iter_sql(r: int) -> str:
+    """One unrolled power-iteration stage (matvec + max-renormalize).
+    MATERIALIZED per the kcore/sssp oracle discipline: w{r} references
+    v{r-1} once but v{r} references w{r} twice (through mx{r}), so
+    inlining would re-derive the matvec chain exponentially."""
+    return f""",
+w{r} AS MATERIALIZED (
+  SELECT m.i AS dim, sum(m.m * v.v) AS w
+  FROM m JOIN v{r - 1} v ON v.dim = m.j GROUP BY m.i
+),
+mx{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
+v{r} AS MATERIALIZED (
+  SELECT dim, CAST(CASE WHEN w >= 0 THEN (w * {_PCA_VSCALE}) // mx
+                        ELSE -(((-w) * {_PCA_VSCALE}) // mx) END
+              AS BIGINT) AS v
+  FROM w{r}, mx{r}
+)"""
+
+
+@register("a_pca_power_iteration", f"""
+WITH {_dims_sql()},
+s AS (SELECT dim, CAST(sum(qval) AS BIGINT) AS s FROM dims GROUP BY dim),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qval * b.qval) AS BIGINT) AS gg
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
+),
+m AS MATERIALIZED (
+  SELECT i, j, nn.n * g.gg - sa.s * sb.s AS m
+  FROM g, nn JOIN s sa ON sa.dim = g.i JOIN s sb ON sb.dim = g.j
+),
+v0 AS (SELECT DISTINCT dim, CAST({_PCA_VSCALE} AS BIGINT) AS v FROM dims)
+{"".join(_pca_iter_sql(r) for r in range(1, _PCA_ITERS + 1))},
+lead_dim AS (SELECT v FROM v{_PCA_ITERS} ORDER BY abs(v) DESC, dim LIMIT 1),
+sgn AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg FROM lead_dim),
+num AS (SELECT sum(va.v * m.m * vb.v) AS q
+        FROM m JOIN v{_PCA_ITERS} va ON va.dim = m.i
+        JOIN v{_PCA_ITERS} vb ON vb.dim = m.j),
+den AS (SELECT sum(v * v) AS d FROM v{_PCA_ITERS})
+SELECT CAST(vv.dim AS BIGINT) AS dim,
+       CAST(vv.v * sgn.sg AS BIGINT) AS loading,
+       CAST(num.q // den.d AS BIGINT) AS eigval
+FROM v{_PCA_ITERS} vv, sgn, num, den
+ORDER BY dim
+""")
+def a_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by EXACT-integer
+    power iteration — the spectral primitive under embedding drift
+    monitors, whitening, and low-rank ANN transforms (OPQ's rotation
+    starts here), filling the one family gap the round-13 inventory
+    left (PageRank/HITS iterate on graphs; nothing iterated on the
+    feature covariance).
+
+    Math, all exact int64-range integers so both engines hash-match:
+    qval = round(x * 1000) (the _dims_sql quantization); the scaled
+    covariance M = n * G - s s^T where G_ij = sum_k q_ki q_kj and
+    s_i = sum_k q_ki (n * covariance * n, PSD, never divided); three
+    synchronous power-iteration rounds v -> trunc-div(M v * 1000,
+    max|M v|) from the all-ones start (the LPA/kcore fixed-round
+    discipline — both engines replay the identical automaton, converged
+    or not); sign fixed by the largest-|loading| dimension (ties to the
+    smaller dim); eigval = floor((v^T M v) / (v^T v)) >= 0 by PSD.
+    Truncating division is spelled identically on both sides (Python
+    sign * (|a| // b); SQL CASE with `//` on nonnegatives).
+
+    Scale shape: the ONLY data-scale stage is the Gram matrix — an
+    in-array i x j expansion (64^2 products per vector, no join) into
+    a 4096-key map-side-combined aggregate, one linear scatter exactly
+    like the LSH plane projections; s rides the same pass's posexplode
+    twin. The 64x64 matrix then iterates DRIVER-side (the PageRank
+    pattern), guarded by bounded_collect. At 100 TB: one pass over the
+    embeddings, 4096 longs to the driver, done."""
+    from .functions.numeric import bounded_collect
+
+    emb = _embs(spark, sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5))
+            .cast("long")).alias("q"))
+    cells = (q.select(F.explode(F.flatten(F.transform(
+        "q", lambda x, i: F.transform(
+            "q", lambda y, j: F.struct(
+                i.alias("i"), j.alias("j"),
+                (x * y).alias("xy")))))).alias("c"))
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.xy").cast("long").alias("gg")))
+    sums = (q.select(F.posexplode("q").alias("dim", "qv"))
+            .groupBy("dim").agg(F.sum("qv").cast("long").alias("s")))
+    n = emb.count()
+    gg = {(r.i, r.j): r.gg
+          for r in bounded_collect(cells, 64 * 64, "pca gram cells")}
+    s = {r.dim: r.s for r in bounded_collect(sums, 64, "pca dim sums")}
+    dims = sorted(s)
+    m = {(i, j): n * gg[(i, j)] - s[i] * s[j]
+         for i in dims for j in dims}
+
+    def tdiv(a: int, b: int) -> int:
+        return abs(a) // b if a >= 0 else -(abs(a) // b)
+
+    v = {i: _PCA_VSCALE for i in dims}
+    for _ in range(_PCA_ITERS):
+        w = {i: sum(m[(i, j)] * v[j] for j in dims) for i in dims}
+        mx = max(abs(x) for x in w.values())
+        v = {i: tdiv(w[i] * _PCA_VSCALE, mx) for i in dims}
+    lead = max(dims, key=lambda i: (abs(v[i]), -i))
+    sg = 1 if v[lead] >= 0 else -1
+    num = sum(v[i] * m[(i, j)] * v[j] for i in dims for j in dims)
+    den = sum(x * x for x in v.values())
+    eig = num // den
+    return spark.createDataFrame(
+        [(i, v[i] * sg, eig) for i in dims],
+        "dim long, loading long, eigval long")

@@ -2892,3 +2892,92 @@ def r24_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (long.filter(F.col("rev_cents") > 0)
             .select("o_year", "status",
                     F.col("rev_cents").cast("long").alias("rev_cents")))
+
+
+# --- count-min sketch (round 14) ---------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+_CM_A, _CM_B, _CM_P = 2654435761, 40503, 1000003
+
+
+def _cm_hash_sql(key: str, r: str) -> str:
+    return f"(({key} * {_CM_A} + {r} * {_CM_B}) % {_CM_P}) % {_CM_WIDTH}"
+
+
+@register("x_countmin_heavy_hitters", f"""
+WITH rs(r) AS (VALUES (0), (1), (2), (3)),
+cm AS MATERIALIZED (
+  SELECT rs.r AS r, {_cm_hash_sql('l_partkey', 'rs.r')} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem CROSS JOIN rs GROUP BY 1, 2
+),
+ex AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS exact_n
+  FROM lineitem GROUP BY 1 ORDER BY exact_n DESC, k LIMIT 10
+),
+est AS (
+  SELECT ex.k, ex.exact_n, min(cm.cnt) AS cm_estimate
+  FROM ex CROSS JOIN rs
+  JOIN cm ON cm.r = rs.r AND cm.c = {_cm_hash_sql('ex.k', 'rs.r')}
+  GROUP BY ex.k, ex.exact_n
+)
+SELECT CAST(k AS BIGINT) AS l_partkey, exact_n,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_n AS BIGINT) AS overcount
+FROM est ORDER BY exact_n DESC, l_partkey
+""")
+def x_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates vs exact truth — the bounded-memory frequency sketch
+    completing the sketch family (bloom membership, HLL cardinality,
+    KMV distinct, t-digest quantiles): d={_CM_DEPTH} rows x
+    w={_CM_WIDTH} counters, point estimate = min over rows, which can
+    only OVERcount (each counter absorbs every colliding key) — the
+    emitted `overcount` column is that one-sided error, measured
+    against the exact top-10.
+
+    The row hashes are plain modular arithmetic (k*A + r*B mod P mod
+    w) so both engines compute bit-identical buckets without a shared
+    xxhash; every value stays far inside int64. Top-10 ties break on
+    the key (count DESC, key) in both engines.
+
+    Scale shape: the sketch build is ONE lineitem scan exploded x4
+    in-array (no join) into a map-side-combined <=4096-cell aggregate
+    — the classic mergeable-summary shape (per-partition sketches
+    merge by cell-wise sum, which IS the partial aggregate); the
+    exact side is a key count + TakeOrdered (the x_key_skew_report
+    machinery, here serving as ground truth); the estimate join
+    touches 40 broadcast rows. At 100 TB the sketch is 4096 longs
+    regardless of key cardinality — that bounded-memory guarantee is
+    the operator's point."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+
+    def h(key, r):
+        return ((key * _CM_A + F.lit(r) * _CM_B) % _CM_P) % _CM_WIDTH
+
+    hashes = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 h(F.col("l_partkey"), r).alias("c"))
+        for r in range(_CM_DEPTH)])
+    cm = (li.select(F.explode(hashes).alias("h"))
+          .groupBy(F.col("h.r").alias("r"), F.col("h.c").alias("c"))
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    ex = (li.groupBy(F.col("l_partkey").alias("k"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+          .orderBy(F.desc("exact_n"), "k").limit(10))
+    probes = ex.select(
+        "k", "exact_n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).cast("int").alias("r"),
+                     h(F.col("k"), r).alias("c"))
+            for r in range(_CM_DEPTH)])).alias("h"))
+    return (probes.join(cm, (probes["h.r"] == cm["r"])
+                        & (probes["h.c"] == cm["c"]))
+            .groupBy("k", "exact_n")
+            .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+            .select(F.col("k").alias("l_partkey"), "exact_n",
+                    "cm_estimate",
+                    (F.col("cm_estimate") - F.col("exact_n")).cast("long")
+                    .alias("overcount"))
+            .orderBy(F.desc("exact_n"), "l_partkey"))
