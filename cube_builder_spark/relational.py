@@ -2929,13 +2929,16 @@ FROM est ORDER BY exact_n DESC, l_partkey
 """)
 def x_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT-MIN sketch (Cormode & Muthukrishnan 2005) heavy-hitter
-    estimates vs exact truth — the bounded-memory frequency sketch
-    completing the sketch family (bloom membership, HLL cardinality,
-    KMV distinct, t-digest quantiles): d={_CM_DEPTH} rows x
-    w={_CM_WIDTH} counters, point estimate = min over rows, which can
-    only OVERcount (each counter absorbs every colliding key) — the
-    emitted `overcount` column is that one-sided error, measured
-    against the exact top-10.
+    estimates vs exact truth, built STREAMING-style from the raw fact
+    scan: d={_CM_DEPTH} rows x w={_CM_WIDTH} counters, point estimate
+    = min over rows, which can only OVERcount (each counter absorbs
+    every colliding key) — the emitted `overcount` column is that
+    one-sided error, measured against the exact top-10. Complements
+    t_heavy_hitters_cms (corpus_queries), which sketches the document
+    VOCABULARY from pre-aggregated term counts (the md5-position
+    profile-pass shape); this one is the relational-plane raw-scan
+    build — counters accumulate straight off the rows with no exact
+    intermediate, the form a one-pass 100 TB profiler actually runs.
 
     The row hashes are plain modular arithmetic (k*A + r*B mod P mod
     w) so both engines compute bit-identical buckets without a shared
