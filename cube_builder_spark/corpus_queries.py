@@ -1306,6 +1306,13 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_K = 6
+# Driver-fold ceiling for the collected word-frequency dict (the
+# bounded_collect discipline): natural-language vocabularies follow
+# Heaps' law — production BPE trainers hold the whole dict in one
+# process; 4M (word, freq) rows ≈ 100 MB driver-side, far above any
+# real whitespace vocabulary, and one row more raises instead of
+# silently folding an unbounded frame.
+_BPE_VOCAB_CEILING = 4_000_000
 
 
 def _bpe_train_sql(k: int = _BPE_K) -> str:
@@ -1415,45 +1422,61 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the 100 TB corpus is touched exactly once (the word
     count — map-side combinable); all k training iterations run over
-    the VOCAB-bounded dict (persisted, unpersisted before return),
-    which is how production BPE trainers work. Per iteration the
-    driver collects exactly ONE (pair, count) row — a bounded
-    collect; the merge itself is a JVM-side aggregate() fold, no
-    explode, no window, no Python UDF."""
+    the VOCAB-bounded dict, which is how production BPE trainers work
+    (HuggingFace tokenizers / SentencePiece train on the collected
+    word-frequency dict). Optimization r14 (guide §1.2 step 1 — fix
+    the distributed algorithm): the previous shape kept the dict in a
+    persisted DataFrame and ran k sequential cluster jobs (pair
+    explode + shuffle + TakeOrdered collect, plus a fresh
+    codegen-compiled merge fold per iteration — measured 2.37s at
+    sf0.1, ~0.35s/iteration of pure fixed cost on a dict that fits in
+    one task); now the dict is collected ONCE through the
+    ``bounded_collect`` ceiling (the t_textrank/e_markov driver-fold
+    discipline — enforced, not assumed) and the k Sennrich iterations
+    run as the in-memory fold every production trainer uses
+    (A/B at sf0.1: 2.37s -> 0.74s raw on a host whose q1 anchor read
+    1.6x its record — ~0.45s normalized; same oracle hash at sf0.01 +
+    sf0.001, and the hand-computed overlap test covers the merge
+    semantics). The pair count, lexicographic
+    tie-break and greedy left-to-right non-overlapping merge are
+    bit-identical to the previous JVM fold: every adjacent occurrence
+    counts (get_stats), argmax by (cnt DESC, a, b), merge skips the
+    consumed pair."""
     docs = _docs(spark, sf_dir)
     w = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
          .filter(F.length("word") >= 1)
-         .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-         .withColumn("syms", F.expr(
-             "transform(sequence(1, length(word)), i ->"
-             " substring(word, i, 1))")))
+         .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    vocab = [(list(r.word), r.freq)
+             for r in bounded_collect(w, _BPE_VOCAB_CEILING,
+                                      "t_bpe_train word dict")]
     merges = []
-    persisted = []
-    try:
-        for it in range(_BPE_K):
-            w = w.persist()
-            persisted.append(w)
-            pairs = F.transform(
-                F.sequence(F.lit(1), F.size("syms") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("syms"), i).alias("a"),
-                    F.element_at(F.col("syms"), i + 1).alias("b")))
-            top = (w.filter(F.size("syms") >= 2)
-                   .select("freq", F.explode(pairs).alias("g"))
-                   .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
-                   .agg(F.sum("freq").cast("long").alias("cnt"))
-                   .orderBy(F.desc("cnt"), "a", "b")
-                   .limit(1).collect())
-            if not top:
-                break
-            a, b, cnt = top[0].a, top[0].b, top[0].cnt
-            merges.append((it + 1, a, b, cnt))
-            w = w.withColumn("syms", _bpe_merge_expr(a, b))
-    finally:
-        # training state is vocab-bounded and DONE: nothing the
-        # returned (local, k-row) result depends on stays pinned
-        for p in persisted:
-            p.unpersist()
+    for it in range(_BPE_K):
+        cnt: dict = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + freq
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((it + 1, a, b, c))
+        ab = a + b
+        nxt = []
+        for syms, freq in vocab:
+            if a not in syms:
+                nxt.append((syms, freq))
+                continue
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, freq))
+        vocab = nxt
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, cnt long")
 

@@ -2353,7 +2353,20 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count branch exists only to grade the sketch against truth
     (tests pin the relative error); production reads the sketch alone.
     """
+    # Optimization r14 (guide §2.3/§2.4): ONE linear chain instead of
+    # two full lineitem scans (register branch + exact-count branch)
+    # cross-joined at the top. The hash depends only on the KEY, so
+    # the register max over all rows equals the max over DISTINCT keys
+    # — dedup first (the exact count's own first phase), derive
+    # bucket/rho once per distinct key (~30x fewer md5/regexp
+    # evaluations here), and fold BOTH the registers and the exact
+    # count out of the same 256-group aggregate: n_exact is the sum of
+    # per-bucket distinct-key counts. Plan: 2 scans/4 Exchanges/
+    # BroadcastNestedLoopJoin -> 1 scan/3 Exchanges (two of them
+    # <=256-row), no join at all.
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    keys = li.select("l_partkey").groupBy("l_partkey").agg(
+        F.lit(1).alias("_one")).select("l_partkey")
     hx = F.md5(F.col("l_partkey").cast("string"))
     tail = F.substring(hx, 3, 12)
     lz = F.length(F.regexp_extract(tail, "^0*", 0))
@@ -2363,20 +2376,21 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
           .when(first.isin("4", "5", "6", "7"), 1)
           .otherwise(0))
     r = F.when(lz == 12, 49).otherwise(4 * lz + dz + 1)
-    regs = (li.select(F.substring(hx, 1, 2).alias("bucket"), r.alias("r"))
-            .groupBy("bucket").agg(F.max("r").alias("r")))
+    regs = (keys.select(F.substring(hx, 1, 2).alias("bucket"), r.alias("r"))
+            .groupBy("bucket").agg(F.max("r").alias("r"),
+                                   F.count(F.lit(1)).alias("n_keys")))
     agg = regs.agg(
         F.count(F.lit(1)).alias("used"),
         F.sum(F.pow(F.lit(2.0), 49 - F.col("r")).cast("long"))
-        .alias("num_used"))
-    exact = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+        .alias("num_used"),
+        F.sum("n_keys").alias("n_exact"))
     numerator = (F.col("num_used")
                  + (256 - F.col("used")) * F.lit(2 ** 49))
-    return (agg.crossJoin(exact)
-            .select(F.col("n_exact").cast("long").alias("n_exact"),
-                    F.col("used").cast("long").alias("n_buckets_used"),
-                    numerator.cast("long").alias("numerator"),
-                    (F.lit(_HLL_EST_CONST) / numerator).alias("estimate")))
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("used").cast("long").alias("n_buckets_used"),
+        numerator.cast("long").alias("numerator"),
+        (F.lit(_HLL_EST_CONST) / numerator).alias("estimate"))
 
 
 @register("p_oversample_minority", """

@@ -1869,11 +1869,26 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible at 100 TB; a closing join on (v, w) verifies each wedge.
     Each triangle is counted exactly once (its (deg,id)-minimal
     vertex owns it). The oracle is the direct triple self-join over
-    the same edge set."""
-    e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
+    the same edge set.
+
+    The eager localCheckpoints are the x_bfs_reach/x_kcore_parts
+    lineage-cut discipline (optimization r14): the plan references
+    ``e`` three times, ``deg`` twice and ``out`` three times, and
+    column pruning gives each reference a DIFFERENT canonical subtree
+    — ReuseExchange never fires, so the uncut plan re-derived the
+    whole lineitem scan + co-purchase aggregation SEVENTEEN times per
+    action (17 distinct parquet scans / 43 Exchanges in
+    plans/r14/x_triangle_count_before.txt; 3 scans / 10 Exchanges
+    after). Edge/degree/oriented-edge frames are support-filtered
+    graph tables — bounded far below the fact table — so the
+    materialization is the standard iterative-graph trade (guide
+    §2.4: remove repeated shuffles outright)."""
+    e = (_copurchase_edges(spark, sf_dir).select("pa", "pb")
+         .localCheckpoint(eager=True))
     deg = (e.select(F.col("pa").alias("v"))
            .unionAll(e.select(F.col("pb").alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
     ed = (e.join(deg.select(F.col("v").alias("pa"), F.col("d").alias("da")), "pa")
           .join(deg.select(F.col("v").alias("pb"), F.col("d").alias("db")), "pb"))
     fwd = F.struct(F.col("da").alias("d"), F.col("pa").alias("n")) \
@@ -1881,7 +1896,8 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ed.select(
         F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"))
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst")) \
+        .localCheckpoint(eager=True)
     x, y = out.alias("x"), out.alias("y")
     wedges = (x.join(y, (F.col("x.src") == F.col("y.src"))
                      & (F.struct(F.col("x.ddst").alias("d"),
