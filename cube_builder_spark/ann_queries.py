@@ -1179,7 +1179,15 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(len(probe) - i)).otherwise(tier)
     tiers = (similarity.ivf_assign(embs, 8, centroids=by_g)
              .select("vec_id", tier.alias("tier")))
-    cos_t = allcos.join(tiers, "vec_id")
+    # r14: materialize the (vec_id, cosine, tier) scalar plane ONCE —
+    # the exact fusion plus the three tier filters below otherwise
+    # re-run the corpus cosine pass 4x and the Arrow ivf_assign pass
+    # 3x (ReuseExchange does not fire across the differing filters).
+    # The frame is corpus-rows x 3 scalars — bounded metadata, the
+    # x_triangle/x_kcore eager-cut discipline. ivf_assign covers every
+    # vector, so the tier join drops no candidate and the exact side
+    # can read the same frame.
+    cos_t = allcos.join(tiers, "vec_id").localCheckpoint(eager=True)
 
     def _fuse10(vtop_src: DataFrame) -> DataFrame:
         vtop = (vtop_src.orderBy(F.desc("cosine"), "vec_id").limit(50)
@@ -1197,7 +1205,7 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(0))).cast("long").alias("rrf_score")))
         return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
 
-    exact = _fuse10(allcos).select("doc_id")
+    exact = _fuse10(cos_t).select("doc_id")
     parts = [
         _fuse10(cos_t.filter(F.col("tier") <= p))
         .select("doc_id").withColumn("nprobe", F.lit(p).cast("long"))
@@ -1349,11 +1357,15 @@ def a_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_dup_pairs(
         _embs(spark, sf_dir), num_planes=8, threshold=0.35,
         max_bucket=256)
-    edges = (pairs.select(F.col("vec_a").alias("src"),
-                          F.col("vec_b").alias("dst"), "cosine")
-             .unionByName(
-                 pairs.select(F.col("vec_b").alias("src"),
-                              F.col("vec_a").alias("dst"), "cosine")))
+    # explode symmetrization: ONE evaluation of the bucket/cosine
+    # machinery (r14 — the two-select union form ran it twice per
+    # action; label_propagation's documented pattern)
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("vec_a").alias("src"),
+                 F.col("vec_b").alias("dst"), F.col("cosine")),
+        F.struct(F.col("vec_b").alias("src"),
+                 F.col("vec_a").alias("dst"), F.col("cosine"))))
+        .alias("e")).select("e.src", "e.dst", "e.cosine"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return (edges.withColumn("k", F.row_number().over(w).cast("long"))
             .filter(F.col("k") <= 3))
@@ -1480,7 +1492,14 @@ def a_lsh_plane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for p in (4, 8):
         b = similarity.lsh_buckets(embs, num_planes=p)
-        qb = b.filter(F.col("vec_id") == 0).select("bucket")
+        # r14: bucket the QUERY row from a pre-filtered 1-row frame —
+        # lsh_buckets is a pure per-row Arrow map, so this yields the
+        # identical bucket while the old b.filter(vec_id == 0) form
+        # re-ran the whole corpus bucket pass just to keep one row
+        # (plan sweep: 8 scans -> 6, one corpus pass saved per p)
+        qb = (similarity.lsh_buckets(embs.filter(F.col("vec_id") == 0),
+                                     num_planes=p)
+              .select("bucket"))
         cands = (b.join(F.broadcast(qb), "bucket")
                  .filter(F.col("vec_id") != 0).select("vec_id"))
         row = (cands.join(F.broadcast(exact), "vec_id", "left")
@@ -1762,11 +1781,14 @@ def a_knn_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("bucket8", pairs8), ("bucket4", pairs4))
     graphs = None
     for variant, pairs in variants:
-        edges = (pairs.select(F.col("vec_a").alias("src"),
-                              F.col("vec_b").alias("dst"), "cosine")
-                 .unionByName(
-                     pairs.select(F.col("vec_b").alias("src"),
-                                  F.col("vec_a").alias("dst"), "cosine")))
+        # explode symmetrization — one evaluation of the bucket pass
+        # per variant (r14, the a_knn_graph fix)
+        edges = (pairs.select(F.explode(F.array(
+            F.struct(F.col("vec_a").alias("src"),
+                     F.col("vec_b").alias("dst"), F.col("cosine")),
+            F.struct(F.col("vec_b").alias("src"),
+                     F.col("vec_a").alias("dst"), F.col("cosine"))))
+            .alias("e")).select("e.src", "e.dst", "e.cosine"))
         top3 = (edges.withColumn("k", F.row_number().over(wk))
                 .filter(F.col("k") <= 3)
                 .select(F.lit(variant).alias("variant"), "src", "dst"))

@@ -2997,8 +2997,13 @@ def e_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     median frames are vocabulary-sized broadcast joins back. Nothing
     beyond the initial rollup scales with event volume."""
     ev = _events(spark, sf_dir)
+    # r14: eager cut — daily is calendar-bounded (≤ |types|·|days|
+    # rows) but feeds FOUR subtrees (r1→med, dev's base, r2→mad, the
+    # final rollup), which re-ran the events scan + rollup 4x per
+    # action (plan sweep: 4 scans -> 1)
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint(eager=True))
     wt = Window.partitionBy("event_type")
     r1 = (daily.withColumn("rn", F.row_number().over(
              wt.orderBy("n", "day")))
@@ -3064,12 +3069,16 @@ def e_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (cents.filter(F.col("cents") > 0)
          .select(F.substring(F.col("cents").cast("string"), 1, 1)
                  .cast("long").alias("digit")))
-    t = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
     benford = F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
                              for x in kv])
-    return (d.crossJoin(F.broadcast(t))
-            .groupBy("digit", "total")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r14: the grand total is the SUM of the 9 digit counts — a
+    # global window over the aggregated 9-row frame — so the separate
+    # 1-row count agg (a second full events scan) is gone
+    # (plan sweep: 2 scans -> 1)
+    counts = (d.groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return (counts.withColumn("total", total)
             .select("digit", "n",
                     F.expr("1000000 * n DIV total").cast("long")
                     .alias("observed_ppm"),

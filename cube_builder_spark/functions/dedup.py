@@ -214,7 +214,8 @@ def lsh_near_dup_pairs(sh: DataFrame, bands: list[list[str]],
                               with_containment=with_containment)
 
 
-def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
+def lsh_plane(sh: DataFrame, bands: list[list[str]],
+              keep_hashes: bool = False) -> DataFrame:
     """Signature/bucket plane: (bucket, m=struct(doc_id, shingles)),
     one row per (doc, band).
 
@@ -224,7 +225,14 @@ def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
     signature is interpreted — measured 6× slower at sf0.1) while
     still landing signatures and shingles in one row. The buffer is
     one doc's shingles — bounded by doc length. shingles() already
-    hash-partitioned by doc_id, so this groupBy adds no Exchange."""
+    hash-partitioned by doc_id, so this groupBy adds no Exchange.
+
+    ``keep_hashes`` (r14) additionally carries the minhash signature
+    columns inside ``m`` so a consumer (d_minhash_calibration) can
+    read per-pair signature agreement straight off the pair expansion
+    instead of re-joining the signature table — doc_id stays the
+    struct's FIRST field, so sort_array ordering (and thus the i<j
+    pair expansion) is unchanged."""
     hash_ids = sorted({int(c[1:]) for cols in bands for c in cols})
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = ex.groupBy("doc_id").agg(
@@ -233,19 +241,30 @@ def lsh_plane(sh: DataFrame, bands: list[list[str]]) -> DataFrame:
         F.sort_array(F.collect_list("s")).alias("shingles"))
     band_keys = [F.concat(F.lit(f"b{i}:"), *[F.col(c) for c in cols])
                  for i, cols in enumerate(bands)]
-    return sig.select(F.struct("doc_id", "shingles").alias("m"),
+    m_fields = ["doc_id", "shingles"] + \
+        ([f"h{p}" for p in hash_ids] if keep_hashes else [])
+    return sig.select(F.struct(*m_fields).alias("m"),
                       F.explode(F.array(*band_keys)).alias("bucket"))
 
 
 def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
                        threshold: float | None = None,
                        new_field: str | None = None,
-                       with_containment: bool = False) -> DataFrame:
+                       with_containment: bool = False,
+                       with_counts: bool = False,
+                       keep_fields: list[str] | None = None) -> DataFrame:
     """Skew-capped bucket grouping → in-array pair expansion → exact
     Jaccard over a (bucket, m) plane. ``m`` is struct(doc_id, shingles
     [, <new_field>]); with ``new_field`` set (the incremental-index
     path) only pairs touching at least one new document are emitted —
-    history×history pairs were already reported by earlier batches."""
+    history×history pairs were already reported by earlier batches.
+
+    ``with_counts`` (r14) emits the exact integer intersection/union
+    set sizes (num, den) alongside jaccard; ``keep_fields`` carries
+    extra ``m`` struct fields through per side as a_<f>/b_<f> —
+    together they let a metrics consumer (d_minhash_calibration) read
+    everything off the ONE pair expansion instead of re-joining the
+    shingle and signature planes per side."""
     n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     sized = plane.withColumn("n", n).filter(F.col("n") >= 2)
     if max_bucket is not None:
@@ -260,6 +279,8 @@ def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
                   x["shingles"].alias("sh_a"), y["shingles"].alias("sh_b")]
         if new_field is not None:
             fields.append((x[new_field] | y[new_field]).alias("any_new"))
+        for f in (keep_fields or []):
+            fields += [x[f].alias(f"a_{f}"), y[f].alias(f"b_{f}")]
         return F.struct(*fields)
 
     combos = F.flatten(F.transform(
@@ -290,6 +311,12 @@ def capped_plane_pairs(plane: DataFrame, max_bucket: int | None = None,
                  (inter * 1.0
                   / F.nullif(F.size(F.array_distinct("p.sh_b")), F.lit(0))
                   ).alias("cont_b")]
+    if with_counts:
+        cols += [inter.cast("long").alias("num"),
+                 F.size(F.array_union("p.sh_a", "p.sh_b")).cast("long")
+                 .alias("den")]
+    for f in (keep_fields or []):
+        cols += [f"p.a_{f}", f"p.b_{f}"]
     out = exploded.select(*cols).dropDuplicates(["doc_a", "doc_b"])
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
@@ -324,12 +351,18 @@ def dup_clusters(pairs: DataFrame, iters: int = 6) -> DataFrame:
     standard Spark iterative-graph pattern (GraphX checkpoints the
     same way).
     """
-    edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-             .unionByName(pairs.select(F.col("doc_b").alias("s"),
-                                       F.col("doc_a").alias("d")))
+    # one evaluation of ``pairs`` (r14: the two-select unionByName form
+    # evaluated the whole upstream pair-detection subtree TWICE inside
+    # the checkpoint job — label_propagation's explode symmetrization,
+    # identical row multiset)
+    both = F.explode(F.array(
+        F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+        F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))))
+    edges = (pairs.select(both.alias("e")).select("e.s", "e.d")
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("s").alias("doc_id")).distinct()
               .withColumn("lbl", F.col("doc_id")))
+    prev_ckpt = None
     for i in range(iters):
         # (round 7 note: a union+single-groupBy formulation of this
         # round was tried and REVERTED — it forces both branches
@@ -348,6 +381,24 @@ def dup_clusters(pairs: DataFrame, iters: int = 6) -> DataFrame:
         # jobs of a per-round cut for the same bounded recompute
         if i % 2 == 1 or i == iters - 1:
             labels = labels.localCheckpoint(eager=True)
+            # EXACT early exit (optimization r14): labels only ever
+            # DECREASE (the update takes a min that includes self), so
+            # two checkpoints being equal means l = f(f(l)) with
+            # l >= f(l) >= f(f(l)) pointwise — l is already the
+            # automaton's fixpoint and every remaining round is the
+            # identity. Skipping them returns EXACTLY the
+            # ``iters``-round labels the SQL oracle unrolls (near-dup
+            # clusters are near-cliques of diameter 2-3, so this
+            # normally cuts 6 scheduled rounds to 4 — one bounded
+            # label-sized join+count every OTHER round buys the rest).
+            if prev_ckpt is not None:
+                changed = (labels.alias("n")
+                           .join(prev_ckpt.alias("p"), "doc_id")
+                           .filter(F.col("n.lbl") != F.col("p.lbl"))
+                           .limit(1).count())
+                if changed == 0:
+                    break
+            prev_ckpt = labels
     return labels.select("doc_id", F.col("lbl").alias("canonical_id"),
                          (F.col("doc_id") == F.col("lbl")).alias("is_canonical"))
 
@@ -569,8 +620,13 @@ def allpairs_jaccard(docs: DataFrame, k: int = 5, threshold: float = 0.5,
             .filter(F.size("s") > 0))
     tok = sets.select("doc_id", F.size("s").alias("n"),
                       F.explode("s").alias("w"))
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    ordered = (tok.join(dfreq, "w")
+    # document frequency by count-over-window instead of groupBy +
+    # join-back (r14): the join-back form evaluated the token plane —
+    # and the whole shingle subtree above it — TWICE (differing
+    # partial aggs defeat ReuseExchange); the window attaches the
+    # same exact count in ONE token-plane evaluation and one shuffle
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    ordered = (tok.withColumn("dfreq", dfreq)
                .groupBy("doc_id", "n")
                .agg(F.sort_array(F.collect_list(F.struct("dfreq", "w")))
                     .alias("ord")))

@@ -139,8 +139,11 @@ def lsh_topk_in_bucket(embeddings: DataFrame, query_vec_id: int = 0,
                        num_planes: int = 8, k: int = 5) -> DataFrame:
     """ANN query: probe only the query's bucket, exact cosine inside."""
     buckets = lsh_buckets(embeddings, num_planes)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qbucket"))
+    # bucket the query row from a pre-filtered 1-row frame (pure
+    # per-row map, identical bucket) instead of re-running the corpus
+    # bucket pass and keeping one row (r14)
+    qb = lsh_buckets(embeddings.filter(F.col("vec_id") == query_vec_id),
+                     num_planes).select(F.col("bucket").alias("qbucket"))
     cands = (buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
              .select("vec_id"))
     # the query's own bucket contains it, so the semi-join keeps the
@@ -691,7 +694,12 @@ def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int = 0,
     is one IN filter on the bucket column (partition key at scale),
     never a join."""
     buckets = lsh_buckets(embeddings, num_planes)
-    qrow = buckets.filter(F.col("vec_id") == query_vec_id).first()
+    # bucket the query row from a pre-filtered 1-row frame (r14): the
+    # filter cannot push below the Arrow bucket map, so the old
+    # buckets.filter(...).first() scanned the bucketed corpus to keep
+    # one row
+    qrow = lsh_buckets(embeddings.filter(F.col("vec_id") == query_vec_id),
+                       num_planes).first()
     qb = int(qrow.bucket)
     probes = [qb] + [qb ^ (1 << j) for j in range(num_planes)]
     cands = (buckets.filter(F.col("bucket").isin(probes))

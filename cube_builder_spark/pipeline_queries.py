@@ -3169,28 +3169,23 @@ def d_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-key map-side rollup. Exact integers end to end."""
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs)
-    sig = dedup.minhash_signatures(sh, num_hashes=4)
-    pairs = (dedup.lsh_near_dup_pairs(sh, bands=[["h0", "h1"], ["h2", "h3"]],
-                                      max_bucket=_LSH_MAX_BUCKET)
-             .select("doc_a", "doc_b"))
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    *[F.col(f"h{p}").alias(f"a{p}") for p in range(4)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    *[F.col(f"h{p}").alias(f"b{p}") for p in range(4)])
-    sha = sh.select(F.col("doc_id").alias("doc_a"),
-                    F.col("shingles").alias("sha"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"),
-                    F.col("shingles").alias("shb"))
+    # r14: ONE fused pair expansion carries the signatures AND the
+    # exact set counts per pair (lsh_plane keep_hashes +
+    # capped_plane_pairs with_counts) — the previous form re-joined
+    # the signature table twice and the shingle plane twice, running
+    # the tokenize/shingle subtree 5x per action (plan sweep: 5 scans
+    # -> 1). num/den are set sizes, so the sorted re-collected
+    # shingle arrays give values identical to the raw-plane joins.
+    plane = dedup.lsh_plane(sh, bands=[["h0", "h1"], ["h2", "h3"]],
+                            keep_hashes=True)
+    pairs = dedup.capped_plane_pairs(
+        plane, max_bucket=_LSH_MAX_BUCKET, with_counts=True,
+        keep_fields=[f"h{p}" for p in range(4)])
     quarters = sum(
-        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        F.when(F.col(f"a_h{p}") == F.col(f"b_h{p}"), 1).otherwise(0)
         for p in range(4))
-    q = (pairs.join(sa, "doc_a").join(sb, "doc_b")
-         .join(sha, "doc_a").join(shb, "doc_b")
-         .select(quarters.cast("long").alias("match_quarters"),
-                 F.size(F.array_intersect("sha", "shb")).cast("long")
-                 .alias("num"),
-                 F.size(F.array_distinct(F.concat("sha", "shb")))
-                 .cast("long").alias("den")))
+    q = pairs.select(quarters.cast("long").alias("match_quarters"),
+                     "num", "den")
     return (q.filter(F.col("den") > 0)
             .groupBy("match_quarters")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),

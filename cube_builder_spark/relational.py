@@ -2783,9 +2783,18 @@ def x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("c_nationkey").alias("src"),
                   F.col("s_nationkey").alias("dst"))
           .distinct())
-    edges = (e0.unionByName(e0.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-             .distinct())
+    # r14: explode symmetrization + eager cut. The union-of-two-selects
+    # form re-ran the 4-table e0 join per branch, and edges feeds THREE
+    # subtrees (deg, and jk's base + two deg sides) — the uncut plan
+    # scanned lineitem/orders/customer/supplier 24x per action (plan
+    # sweep). edges is bounded at |nations|^2 rows — metadata scale —
+    # so the checkpoint is the x_triangle/x_kcore discipline: one
+    # 4-table join pass total.
+    both = F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+    edges = (e0.select(both.alias("e")).select("e.src", "e.dst")
+             .distinct().localCheckpoint(eager=True))
     deg = (edges.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).cast("long").alias("deg")))
     jk = (edges
@@ -2843,8 +2852,12 @@ def x_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew detector must pay), a TakeOrdered top-20, and a broadcast
     1-row total. Nothing else touches the fact table."""
     t = load_tables(spark, sf_dir, ["lineitem"])
+    # r14: eager cut — per is key-cardinality-bounded metadata, but
+    # feeding both the 1-row total and the top-20 re-ran the lineitem
+    # scan + count twice per action (plan sweep: 2 scans -> 1)
     per = (t["lineitem"].groupBy(F.col("l_suppkey").alias("key"))
-           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .localCheckpoint(eager=True))
     tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
                   F.sum("n").cast("long").alias("n_rows"),
                   F.max("n").cast("long").alias("max_n"))

@@ -130,6 +130,38 @@ def test_dup_clusters_chain(spark):
                    20: (20, True), 21: (20, False)}
 
 
+def _ref_min_label_unroll(edge_pairs, iters):
+    """Pure-Python unroll of the FIXED-round min-label automaton —
+    the semantics the SQL oracles pin (no convergence shortcut)."""
+    nbrs: dict = {}
+    for a, b in edge_pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lbl = {v: v for v in nbrs}
+    for _ in range(iters):
+        lbl = {v: min([lbl[v]] + [lbl[n] for n in nbrs[v]]) for v in nbrs}
+    return lbl
+
+
+def test_dup_clusters_early_exit_exact(spark):
+    """The r14 convergence early-exit must return EXACTLY the
+    ``iters``-round unrolled labels in both regimes:
+
+    - a clique + small components (converges well before 6 rounds —
+      the exit FIRES and must not change the labels);
+    - a 14-node chain with iters=4 (labels NOT converged at round 4 —
+      the exit must NOT fire, preserving the partially-propagated
+      labels the oracle's fixed unroll produces)."""
+    clique = [(a, b) for a in range(10, 16) for b in range(a + 1, 16)]
+    extra = [(1, 2), (30, 31), (31, 32)]
+    chain = [(100 + i, 101 + i) for i in range(13)]
+    for edge_pairs, iters in [(clique + extra, 6), (chain, 4)]:
+        pairs = spark.createDataFrame(edge_pairs, "doc_a long, doc_b long")
+        got = {r.doc_id: r.canonical_id
+               for r in dedup.dup_clusters(pairs, iters=iters).collect()}
+        assert got == _ref_min_label_unroll(edge_pairs, iters)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine dedup: same 100 TB contract as the text path
 # (round-5: cosine_dup_pairs routed through the capped machinery).
