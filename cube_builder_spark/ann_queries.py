@@ -741,14 +741,24 @@ def a_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
     dtok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    dfreq = dtok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     qterms = dtok.filter(F.col("doc_id") == 0).select("w")
-    lex = (dtok.filter(F.col("doc_id") != 0)
-           .join(F.broadcast(qterms), "w")
-           .join(dfreq, "w")
+    # r14: df by count-over-window on the query-term-MATCHED tokens
+    # only — df(w) counts docs containing w, and every row of w
+    # survives the broadcast semi-filter, so the per-w count over the
+    # matched frame equals the global aggregate for exactly the terms
+    # the score reads. The old groupBy + join-back form re-ran the
+    # corpus tokenize a second time for the df table (plan sweep:
+    # 5 scans -> 3) and shuffled the whole vocab instead of the
+    # matched slice.
+    matched = (dtok.join(F.broadcast(qterms), "w")
+               .withColumn("df", F.count(F.lit(1))
+                           .over(W.partitionBy("w"))))
+    lex = (matched.filter(F.col("doc_id") != 0)
            .groupBy("doc_id")
            .agg(F.sum(F.expr("1000000 DIV df")).cast("long")
                 .alias("score")))

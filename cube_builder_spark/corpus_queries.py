@@ -334,9 +334,14 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r14: df by count-over-window on the term-shuffled tf frame
+    # (t_inverted_index's form) — the groupBy + join-back re-ran the
+    # tokenize + tf subtree twice (plan sweep: 3 scans -> 2; the
+    # remaining extra scan is the column-pruned 1-row corpus count)
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (tf.join(df, "term").crossJoin(F.broadcast(n))
+    scored = (tf.withColumn("df", F.count(F.lit(1))
+                            .over(Window.partitionBy("term")))
+              .crossJoin(F.broadcast(n))
               .withColumn("score",
                           F.col("tf") * (F.col("n_docs") * F.lit(1.0)
                                          / F.col("df"))))

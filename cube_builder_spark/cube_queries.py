@@ -2558,8 +2558,13 @@ def c36_flow_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a RECURSIVE CTE. A hash match proves direction metric,
     tie-breaks, edge derivation AND every path length agree."""
     from .operators.focal import flow_accumulation, flow_direction
+    # r14: eager cut — dirs is grid-bounded (≤ cells rows) but feeds
+    # BOTH flow_accumulation's edge derivation and the final join, so
+    # the uncut plan ran the scatter+argmax direction pass (and the
+    # composite build above it) twice per action
     dirs = flow_direction(_comp_cells(spark, sf_dir),
-                          height=_GRID_H, width=_GRID_W)
+                          height=_GRID_H, width=_GRID_W) \
+        .localCheckpoint(eager=True)
     acc = flow_accumulation(dirs)
     return (dirs.join(acc, ["tile_id", "y", "x"])
             .select("tile_id",

@@ -2616,11 +2616,15 @@ def e_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         *aggs,
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .alias("conv"))
+    # r14: eager cut — coh is a 16-row cohort frame but feeds THREE
+    # subtrees (r1, r0, expo), each of which re-ran the events scan +
+    # per-user rollup (plan sweep: 3 scans -> 1)
     coh = (pu.groupBy(
         (F.col("b_click") + 2 * F.col("b_error") + 4 * F.col("b_signup")
          + 8 * F.col("b_view")).cast("long").alias("mask"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
-             F.sum("conv").cast("long").alias("c")))
+             F.sum("conv").cast("long").alias("c"))
+        .localCheckpoint(eager=True))
     rates = coh.select("mask",
                        F.expr("(1000000 * c) DIV n").cast("long")
                        .alias("r"))

@@ -371,13 +371,17 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 600) -> DataFrame:
              .localCheckpoint(eager=True))
     acc_parts = [dirs.select("tile_id", "y", "x",
                              F.lit(1).cast("long").alias("cnt"))]
+    # LAZY checkpoint + count (r14): the count both materializes the
+    # checkpoint AND answers the emptiness probe in ONE job — the
+    # eager-checkpoint + limit(1).count() form paid two jobs per
+    # round for the same information
     frontier = (edges.groupBy("tile_id",
                               F.col("ny").alias("y"),
                               F.col("nx").alias("x"))
                 .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     rounds = 0
-    while frontier.limit(1).count() > 0:
+    while frontier.count() > 0:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
@@ -390,7 +394,7 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 600) -> DataFrame:
                              F.col("ny").alias("y"),
                              F.col("nx").alias("x"))
                     .agg(F.sum("cnt").cast("long").alias("cnt"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
     out = acc_parts[0]
     for part in acc_parts[1:]:
         out = out.unionByName(part)

@@ -2749,10 +2749,18 @@ def x_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
           .when(first.isin("4", "5", "6", "7"), 1)
           .otherwise(0))
     r = F.when(lz == 12, 49).otherwise(4 * lz + dz + 1)
+    # r14: eager cut — dregs is the bounded sketch store (256 regs x
+    # |days|), but it fed the window merge while `days` re-derived
+    # from raw events for BOTH its join uses, re-running the events
+    # scan ~5x per action. One register-build scan now serves the
+    # merge and the observed-days trim (days(dregs) == days(ev): every
+    # day with an event has a register row); only the exact-truth
+    # grading side still reads raw (day, user) pairs.
     dregs = (ev.select("day", F.substring(hx, 1, 2).alias("bucket"),
                        r.alias("r"))
-             .groupBy("day", "bucket").agg(F.max("r").alias("r")))
-    days = ev.select("day").distinct()
+             .groupBy("day", "bucket").agg(F.max("r").alias("r"))
+             .localCheckpoint(eager=True))
+    days = dregs.select("day").distinct()
     wdays = F.explode(F.sequence(F.col("day"), F.col("day") + 6))
     merged = (dregs.select(wdays.alias("wday"), "bucket", "r")
               .join(days.select(F.col("day").alias("wday")), "wday")
@@ -2960,30 +2968,34 @@ def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan; everything after runs on the |sources|-row
     frame (bounded vocabulary — the only window is over those rows).
     int64 headroom: 1e6 * samp_weight <= 1e6*sqrt(1e13) ~ 3e12."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
+    # r14: the totals and the remainder are GLOBAL WINDOW sums over
+    # the |sources|-row aggregated frame — the 1-row-agg + crossJoin
+    # form re-evaluated the corpus rollup once per consumer (tot,
+    # base, short, ranked: 4 scans -> 1, plan sweep)
+    wg = Window.partitionBy()
     w = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("raw_weight"))
-    p = w.withColumn(
-        "samp_weight",
-        F.floor(F.sqrt(F.col("raw_weight"))).cast("long"))
-    tot = p.agg(F.sum("samp_weight").cast("long").alias("p_sum"),
-                F.sum("raw_weight").cast("long").alias("w_sum"))
-    base = (p.crossJoin(F.broadcast(tot))
-            .select(
-                "source", "raw_weight", "samp_weight",
-                F.expr("(1000000 * samp_weight) DIV p_sum")
-                .cast("long").alias("base_alloc"),
-                F.expr("(1000000 * samp_weight) % p_sum")
-                .cast("long").alias("frac"),
-                F.expr("(1000000 * raw_weight) DIV w_sum")
-                .cast("long").alias("proportional_alloc")))
-    short = base.agg((F.lit(1000000) - F.sum("base_alloc"))
-                     .cast("long").alias("rem"))
-    from pyspark.sql import Window
-    ranked = base.withColumn(
-        "rr", F.row_number().over(
-            Window.orderBy(F.desc("frac"), "source")))
-    return (ranked.crossJoin(F.broadcast(short))
+    p = (w.withColumn("samp_weight",
+                      F.floor(F.sqrt(F.col("raw_weight"))).cast("long"))
+         .withColumn("p_sum", F.sum("samp_weight").over(wg))
+         .withColumn("w_sum", F.sum("raw_weight").over(wg)))
+    base = p.select(
+        "source", "raw_weight", "samp_weight",
+        F.expr("(1000000 * samp_weight) DIV p_sum")
+        .cast("long").alias("base_alloc"),
+        F.expr("(1000000 * samp_weight) % p_sum")
+        .cast("long").alias("frac"),
+        F.expr("(1000000 * raw_weight) DIV w_sum")
+        .cast("long").alias("proportional_alloc"))
+    ranked = (base
+              .withColumn("rem", F.lit(1000000) - F.sum("base_alloc")
+                          .over(wg))
+              .withColumn("rr", F.row_number().over(
+                  Window.orderBy(F.desc("frac"), "source"))))
+    return (ranked
             .select("source", "raw_weight", "samp_weight",
                     "proportional_alloc",
                     (F.col("base_alloc")
