@@ -2208,17 +2208,29 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("m"))
     pu = (e.groupBy("user_id", "day")
           .agg(F.min("m").alias("m0"), F.max("m").alias("m1")))
-    deltas = (pu.select("day", F.col("m0").alias("minute"),
-                        F.lit(1).alias("delta"))
-              .unionByName(pu.select(
-                  "day", (F.col("m1") + 1).alias("minute"),
-                  F.lit(-1).alias("delta"))))
+    # r14: explode symmetrization (one pu evaluation — the two-select
+    # union ran the user-day rollup twice) and the per-day user count
+    # rides the SAME boundary aggregation as the sweep deltas (each
+    # (user, day) contributes exactly one +1 boundary), so the old
+    # third pu evaluation for nu is gone. md is calendar-bounded
+    # (≤1441 rows/day) — the eager cut is metadata-scale and stops
+    # its two consumers (running sum, user rollup) re-running the
+    # user-scale groupBy. Plan sweep: 3 events scans -> 1.
+    both = F.explode(F.array(
+        F.struct(F.col("m0").alias("minute"), F.lit(1).alias("delta")),
+        F.struct((F.col("m1") + 1).alias("minute"),
+                 F.lit(-1).alias("delta"))))
+    deltas = pu.select("day", both.alias("e")).select(
+        "day", "e.minute", "e.delta")
     md = (deltas.groupBy("day", "minute")
-          .agg(F.sum("delta").cast("long").alias("d")))
+          .agg(F.sum("delta").cast("long").alias("d"),
+               F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+               .cast("long").alias("n_in"))
+          .localCheckpoint(eager=True))
     w = (Window.partitionBy("day").orderBy("minute")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = md.select("day", F.sum("d").over(w).alias("conc"))
-    nu = pu.groupBy("day").agg(F.count(F.lit(1)).cast("long")
+    nu = md.groupBy("day").agg(F.sum("n_in").cast("long")
                                .alias("n_users"))
     return (run.groupBy("day")
             .agg(F.max("conc").cast("long").alias("peak_users"))

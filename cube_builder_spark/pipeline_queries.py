@@ -5,7 +5,7 @@ fingerprints)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import dedup, similarity, text
@@ -2163,27 +2163,40 @@ def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (F.when(F.col("source") == "src0", 30)
          .when(F.col("source") == "src1", 40)
          .when(F.col("source") == "src2", 20).otherwise(10))
-    per_src = (d.groupBy("source")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                    F.sum("tokens").cast("long").alias("available"))
+    # r14: ONE corpus scan. Every downstream quantity is a function of
+    # the (source, bucket) rollup — 100 x |sources| rows, metadata
+    # scale — so pre-aggregate to that plane, cut it eagerly, and
+    # derive supply, plan AND achieved counts from the cached frame.
+    # The old form re-scanned the corpus for the 1-row totals and a
+    # third time for the achieved rollup (plan sweep: 3 scans -> 1);
+    # budget/sumw become global window sums over the |sources| rows.
+    db = (d.groupBy("source", "bucket")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("tokens").cast("long").alias("tk"))
+          .localCheckpoint(eager=True))
+    wg = Window.partitionBy()
+    per_src = (db.groupBy("source")
+               .agg(F.sum("n").cast("long").alias("n_docs"),
+                    F.sum("tk").cast("long").alias("available"))
                .withColumn("w", w.cast("long")))
-    tot = per_src.agg(
-        F.floor(F.sum("available") / 3).cast("long").alias("budget"),
-        F.sum("w").cast("long").alias("sumw"))
-    plan = (per_src.crossJoin(F.broadcast(tot))
+    plan = (per_src
+            .withColumn("budget", F.floor(F.sum("available").over(wg) / 3)
+                        .cast("long"))
+            .withColumn("sumw", F.sum("w").over(wg).cast("long"))
             .withColumn("alloc", F.least(
                 F.floor(F.col("budget") * F.col("w") / F.col("sumw"))
                 .cast("long"), F.col("available")))
             .withColumn("rate_pct",
                         F.floor(F.col("alloc") * 100 / F.col("available"))
                         .cast("long")))
-    return (d.join(F.broadcast(plan.select(
+    return (db.join(F.broadcast(plan.select(
                 "source", "available", "alloc", "rate_pct")), "source")
             .groupBy("source", "available", "alloc", "rate_pct")
-            .agg(F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1)
-                       .otherwise(0)).cast("long").alias("n_sampled"),
+            .agg(F.sum(F.when(F.col("bucket") < F.col("rate_pct"),
+                              F.col("n")).otherwise(0))
+                 .cast("long").alias("n_sampled"),
                  F.sum(F.when(F.col("bucket") < F.col("rate_pct"),
-                              F.col("tokens")).otherwise(0))
+                              F.col("tk")).otherwise(0))
                  .cast("long").alias("achieved_tokens"))
             .select(F.col("source"),
                     F.col("available").alias("available_tokens"),
@@ -2600,8 +2613,13 @@ def d_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import deletion_neighborhood_pairs
 
     part = load_tables(spark, sf_dir, ["part"])["part"]
+    # r14: eager cut — nm is the bounded distinct-name domain but
+    # feeds FOUR subtrees (both sides of the deletion-neighborhood
+    # self-join inside pairs, plus na/nb), each re-running the part
+    # scan + rollup (plan sweep: 4 scans -> 1)
     nm = (part.groupBy(F.col("p_name").alias("s"))
-          .agg(F.count(F.lit(1)).alias("n_parts")))
+          .agg(F.count(F.lit(1)).alias("n_parts"))
+          .localCheckpoint(eager=True))
     pairs = deletion_neighborhood_pairs(nm.select("s"), "s")
     na = nm.select(F.col("s").alias("a"), F.col("n_parts").alias("n_parts_a"))
     nb = nm.select(F.col("s").alias("b"), F.col("n_parts").alias("n_parts_b"))
