@@ -1706,39 +1706,46 @@ def t_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful) with a min-support of 5.
 
     Scale shape: term counts are one map-side-combinable aggregate;
-    the top-100 is a TakeOrderedAndProject (never a global sort); the
-    pair space is generated per document from its <= 100 surviving
-    terms via the in-array i<j expansion (the capped_plane_pairs
-    shape — one groupBy(doc_id), no self-join shuffle), so a document
-    contributes at most C(100,2) pairs and the pair aggregate's key
-    space is bounded at 4950 regardless of corpus size. Overflow
+    the top-100 is a TakeOrderedAndProject (never a global sort) whose
+    100 (w, c) rows are a bounded driver fold (the t_textrank
+    discipline). r14 single-shuffle form: with the vocabulary as a
+    100-element literal, each document expands its own sorted
+    surviving-term slice via the in-array i<j expansion DIRECTLY on
+    the document row — no token explode for the pair pass, no
+    broadcast join, and crucially no groupBy(doc_id)+collect_list
+    shuffle of the corpus-scale token plane (the old second pass). The
+    only remaining shuffle keys on (wa, wb), bounded at C(100,2) =
+    4950 regardless of corpus size; per-term counts re-attach from a
+    map literal after aggregation (100 keys, zero join). Overflow
     note: 1e6*c_ab*N stays in int64 up to N~3e6 docs; beyond that
     scale drop the 1e6 and compare fractions cross-multiplied."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    top = cnt.orderBy(F.desc("c"), "w").limit(100)
-    # tokens of surviving terms, term count carried along; sorted
-    # in-array i<j expansion => wa < wb with no self-join
-    ta = tok.join(F.broadcast(top), "w")
-    grouped = ta.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("w", "c"))).alias("ms"))
+    top = [(r["w"], r["c"])
+           for r in cnt.orderBy(F.desc("c"), "w").limit(100).collect()]
+    n_docs = docs.count()
+    words = [w for w, _c in top]
+    cmap = F.map_from_arrays(
+        F.lit(words), F.lit([c for _w, c in top]))
+    ws = F.array_sort(F.array_intersect(
+        F.array_distinct(F.split("text", " ")), F.lit(words)))
     combos = F.flatten(F.transform(
-        F.col("ms"),
+        F.col("ws"),
         lambda x, i: F.transform(
-            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-            lambda y: F.struct(x["w"].alias("wa"), y["w"].alias("wb"),
-                               x["c"].alias("c_a"), y["c"].alias("c_b")))))
-    pairs = (grouped.select(F.explode(combos).alias("p"))
+            F.slice(F.col("ws"), i + F.lit(2), F.size(F.col("ws"))),
+            lambda y: F.struct(x.alias("wa"), y.alias("wb")))))
+    pairs = (docs.select(ws.alias("ws"))
+             .select(F.explode(combos).alias("p"))
              .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
-             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"),
-                  F.first("p.c_a").alias("c_a"),
-                  F.first("p.c_b").alias("c_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
              .filter(F.col("c_ab") >= 5))
-    scored = (pairs.crossJoin(F.broadcast(n_docs))
+    scored = (pairs
+              .withColumn("c_a", F.element_at(cmap, F.col("wa")))
+              .withColumn("c_b", F.element_at(cmap, F.col("wb")))
+              .withColumn("n_docs", F.lit(n_docs).cast("long"))
               .select("wa", "wb", "c_ab", "c_a", "c_b",
                       F.expr("CAST(1000000 * c_ab * n_docs DIV "
                              "(c_a * c_b) AS BIGINT)")

@@ -1719,41 +1719,43 @@ def c22_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply+divide — identical IEEE ops in both engines. Boundary
     gaps (no neighbor on one side) are dropped, not extrapolated.
 
-    Scale shape: the dense grid is an explode of sequence(1, N) over
-    the distinct pixel set (no cross join); ONE shuffle on
-    (tile, pixel) serves the left join and both windows."""
+    Scale shape (r14 single-pass form): the output is exactly (a)
+    every valid observation and (b) every doy strictly between two
+    CONSECUTIVE observations of the same pixel, interpolated between
+    them. So instead of densifying to pixels x N_DATES, left-joining
+    the observations back, and running two IGNORE NULLS windows over
+    the dense frame (three shuffles, N_DATES rows per pixel), pair
+    each observation with its successor via ONE lead() window over
+    the valid rows and explode the interior gap with transform() —
+    shuffle volume drops from |pixels| x N_DATES to |obs|, and the
+    densify join disappears (guide §2.4/§3.3: explode after, not
+    before, the heavy operation). The interpolation expression is the
+    SAME integer arithmetic with the single float multiply+divide, so
+    results are bit-identical to the windowed form."""
     px = pixel_plane(spark, sf_dir)
     obs = (px.filter(F.col("value") != BAND_NODATA)
            .select("tile_id", "pixel_id", "doy", "value"))
-    dense = (px.select("tile_id", "pixel_id").distinct()
-             .select("tile_id", "pixel_id",
-                     F.explode(F.sequence(F.lit(1), F.lit(N_DATES)))
-                     .alias("_d"))
-             .select("tile_id", "pixel_id",
-                     F.col("_d").cast("long").alias("doy")))
-    j = dense.join(obs, ["tile_id", "pixel_id", "doy"], "left")
-    pk = F.when(F.col("value").isNotNull(),
-                F.col("doy") * _GF_PACK + F.col("value") + 10001)
-    wp = (Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    wn = (Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
-          .rowsBetween(1, Window.unboundedFollowing))
-    w = (j.withColumn("pk", pk)
-         .withColumn("ppk", F.last("pk", ignorenulls=True).over(wp))
-         .withColumn("npk", F.first("pk", ignorenulls=True).over(wn)))
-    pv = F.col("ppk") % _GF_PACK - 10001
-    nv = F.col("npk") % _GF_PACK - 10001
-    pd_ = F.floor(F.col("ppk") / _GF_PACK)
-    nd = F.floor(F.col("npk") / _GF_PACK)
-    filled = (pv + (nv - pv) * (F.col("doy") - pd_) * F.lit(1.0) / (nd - pd_))
-    return (w.select(
-        "tile_id", "pixel_id", "doy",
-        F.when(F.col("value").isNotNull(), F.col("value").cast("double"))
-         .otherwise(filled).alias("filled_value"),
-        (F.col("value").isNull() & F.col("ppk").isNotNull()
-         & F.col("npk").isNotNull()).alias("is_filled"))
-        .filter(F.col("value").isNotNull()
-                | (F.col("ppk").isNotNull() & F.col("npk").isNotNull())))
+    w = Window.partitionBy("tile_id", "pixel_id").orderBy("doy")
+    nx = (obs.withColumn("nd", F.lead("doy").over(w))
+          .withColumn("nv", F.lead("value").over(w)))
+    own = F.array(F.struct(
+        F.col("doy").alias("doy"),
+        F.col("value").cast("double").alias("filled_value"),
+        F.lit(False).alias("is_filled")))
+    pd_, nd = F.col("doy"), F.col("nd")
+    gaps = F.transform(
+        F.sequence(pd_ + 1, nd - 1),
+        lambda d: F.struct(
+            d.alias("doy"),
+            (F.col("value") + (F.col("nv") - F.col("value"))
+             * (d - pd_) * F.lit(1.0) / (nd - pd_)).alias("filled_value"),
+            F.lit(True).alias("is_filled")))
+    arr = F.when(nd.isNotNull() & (nd > pd_ + 1),
+                 F.concat(own, gaps)).otherwise(own)
+    return (nx.select("tile_id", "pixel_id", F.explode(arr).alias("r"))
+            .select("tile_id", "pixel_id", F.col("r.doy").alias("doy"),
+                    F.col("r.filled_value").alias("filled_value"),
+                    F.col("r.is_filled").alias("is_filled")))
 
 
 @register("c23_pixel_anomaly", f"""

@@ -288,12 +288,18 @@ def test_lorenz_gini_no_range_exchange_no_global_data_window(
 
 
 def test_cooccurrence_topk_is_take_ordered(spark, sf_dir, queries):
-    """Both the top-100 vocabulary cut and the final top-50 must be
-    TakeOrderedAndProject (distributed partial top-k), and the pair
-    expansion must not introduce a CartesianProduct."""
+    """The final top-50 must be TakeOrderedAndProject (distributed
+    partial top-k) and the pair expansion must not introduce a
+    CartesianProduct. r14 single-shuffle form: the top-100 vocabulary
+    cut is its own TakeOrdered job whose 100 rows become literals, so
+    the returned plan must NOT carry the old corpus-scale second pass
+    — no collect_list (the groupBy(doc_id) token rollup) and no join
+    (counts re-attach via a 100-key map literal)."""
     plan = _physical(queries["t_cooccurrence_pmi"](spark, sf_dir))
-    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert plan.count("TakeOrderedAndProject") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_systematic_resample_no_range_exchange_no_global_window(
