@@ -978,35 +978,47 @@ def e_rfm_segmentation_scalable(spark: SparkSession,
     — so exact equality with the ntile twin is achievable and pinned
     (tests/test_ranking.py::test_rfm_scalable_equals_exact).
 
-    The per-user aggregate is materialized to scratch parquet once
-    (session.defer_cleanup house pattern): six downstream passes
-    (3 metrics x groupBy-plus-join-back) each re-read columnar bytes
-    instead of re-running the events scan."""
-    import os as _os
-
+    r14 chained form: exact_global_ntile PRESERVES its input columns,
+    so the three metric scores chain through one frame instead of
+    three (user_id-keyed) join-backs of per-metric slices — the three
+    shuffle joins disappear, each range pass feeds the next off the
+    previous pass's checkpoint, and the old scratch-parquet
+    materialization of the per-user aggregate (justified by six
+    downstream passes) is unnecessary now that exactly ONE consumer
+    reads it. The recency anchor derives from the final checkpointed
+    frame (a column-pruned max over executor-local blocks), not a
+    second events scan; the r-order keys on date(last_p) DESC, which
+    is the IDENTICAL total order to recency_days ASC (datediff
+    against a constant anchor is a monotone bijection on the date),
+    so every ntile bucket is bit-identical to the join form and to
+    the exact twin (tests/test_ranking.py pins frame equality)."""
     from .functions.ranking import exact_global_ntile
-    from .session import defer_cleanup, scratch_dir
 
-    root = scratch_dir("rfm_")
-    _rfm_per_user(spark, sf_dir).write.mode("overwrite").parquet(
-        _os.path.join(root, "pu"))
-    pu = spark.read.parquet(_os.path.join(
-        defer_cleanup(root, key="e_rfm_segmentation_scalable"), "pu"))
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 round_half_up_long(F.col("value"), 100).alias("cents")))
+    g = (p.groupBy("user_id")
+         .agg(F.max("ts").alias("last_p"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum("cents").alias("monetary_cents")))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    specs = [("r_score", [F.col("recency_days").asc(),
+    specs = [("r_score", [F.col("last_p").cast("date").desc(),
                           F.col("user_id").asc()]),
              ("f_score", [F.col("frequency").desc(),
                           F.col("user_id").asc()]),
              ("m_score", [F.col("monetary_cents").desc(),
                           F.col("user_id").asc()])]
-    scored = pu
+    scored = g
     for out_col, order in specs:
-        part = (exact_global_ntile(pu, order, 4, n_part, out_col)
-                .select("user_id", out_col))
-        scored = scored.join(part, "user_id")
-    return (scored
-            .select("user_id", "recency_days", "frequency",
-                    "monetary_cents", "r_score", "f_score", "m_score")
+        scored = exact_global_ntile(scored, order, 4, n_part, out_col)
+    anchor = scored.agg(F.max("last_p").alias("mx"))
+    return (scored.crossJoin(F.broadcast(anchor))
+            .select("user_id",
+                    F.datediff("mx", "last_p").cast("long")
+                    .alias("recency_days"),
+                    "frequency", "monetary_cents",
+                    "r_score", "f_score", "m_score")
             .withColumn("segment", _rfm_segment()))
 
 

@@ -104,7 +104,12 @@ def test_rfm_scalable_plan_has_no_global_data_window(spark, sf_dir):
         if "row_number" in funcs:
             n_data_windows += 1
             assert "_rp" in part, f"unpartitioned data window: {funcs}"
-    assert n_data_windows == 3, plan
+    # r14 chained form: the three ntile passes chain through one
+    # frame, so passes 1-2 are materialized (eager checkpoint) before
+    # the returned plan and only the LAST pass's window is visible —
+    # itself _rp-partitioned (asserted above); the hidden passes run
+    # the same global_rank code path pinned by the tests above.
+    assert n_data_windows == 1, plan
 
 
 def test_global_rank_hypothesis_fuzz(spark):
