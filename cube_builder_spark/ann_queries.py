@@ -1549,14 +1549,19 @@ def a_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides the audited IVF assignment (one dims pass
     against the broadcast centroid table); the report itself is an
-    |lists|-key aggregate + a broadcast 1-row total."""
+    |lists|-key aggregate. r14: total/n_lists are GLOBAL WINDOW sums
+    over the 8-row per-list frame — the 1-row-agg + crossJoin form
+    re-evaluated the whole assignment subtree (embeddings scan +
+    Arrow matmul) once per consumer (guide §2.4; the p_temperature_mix
+    pattern): 2 assignment passes -> 1."""
+    from pyspark.sql import Window
     assign = similarity.ivf_assign(_embs(spark, sf_dir), n_lists=8)
+    wg = Window.partitionBy()
     per = (assign.groupBy("list_id")
-           .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    tot = per.agg(F.sum("n").cast("long").alias("total"),
-                  F.count(F.lit(1)).cast("long").alias("n_lists"),
-                  F.max("n").cast("long").alias("max_n"))
-    return (per.crossJoin(F.broadcast(tot))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .withColumn("total", F.sum("n").over(wg).cast("long"))
+           .withColumn("n_lists", F.count(F.lit(1)).over(wg).cast("long")))
+    return (per
             .select("list_id", "n",
                     F.expr("1000000 * n DIV total").cast("long")
                     .alias("share_ppm"),

@@ -1636,8 +1636,15 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in parts.itertuples(index=False)]
     # exact (value, count) table collects once: n_chars' value domain
     # is small by construction, and it serves both the total n and the
-    # exact nearest-rank answers
-    vc = sorted((r.v, r.c) for r in plane.groupBy("v")
+    # exact nearest-rank answers. r14: aggregate straight off docs —
+    # counts are order-independent, so this pass needs neither the
+    # pinned repartition nor the within-partition sort (those exist
+    # only for sketch determinism); the column-pruned scan+partial-agg
+    # replaces a second full repartition+sort of the plane (guide
+    # §2.4/§2.3).
+    vc = sorted((r.v, r.c) for r in docs
+                .select(F.col("n_chars").cast("long").alias("v"))
+                .groupBy("v")
                 .agg(F.count(F.lit(1)).alias("c")).collect())
     n = sum(c for _v, c in vc)
     sk = MRLSketch.from_items(K_DEFAULT, n, items)

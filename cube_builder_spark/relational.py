@@ -2533,6 +2533,12 @@ def r22_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     at larger corpora drop the 1e6 scale or compare cross-multiplied
     fractions."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # r14 note: items feeds THREE subtrees (n_orders, pc, grouped), so
+    # an eager localCheckpoint cut was tried (the x_triangle
+    # discipline). Measured SLOWER at sf0.1 (min-of-5 2.12 -> 2.46s):
+    # each consumer prunes items to 1-2 columns, so three pruned
+    # parquet rescans + map-side distinct are cheaper than
+    # materializing the full distinct plane once. Kept the re-derive.
     items = li.select(F.col("l_orderkey").alias("o"),
                       F.col("l_partkey").alias("p")).distinct()
     n_orders = items.agg(F.countDistinct("o").cast("long")
