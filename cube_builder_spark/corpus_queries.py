@@ -1536,11 +1536,16 @@ def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # r14: eager cut of the vocab-bounded count table — c fed n, and
+    # c ⋈ n fed the top-20 AND the total row, so the uncut plan ran
+    # the corpus tokenize + vocab groupBy THREE times per action
+    # (guide §2.4; the x_degree_assortativity bounded-cut discipline).
     c = (tok.groupBy("token")
          .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
               .cast("long").alias("c_a"),
               F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-              .cast("long").alias("c_b")))
+              .cast("long").alias("c_b"))
+         .localCheckpoint(eager=True))
     n = c.agg(F.sum("c_a").cast("long").alias("na"),
               F.sum("c_b").cast("long").alias("nb"))
     d = (c.crossJoin(F.broadcast(n))
@@ -2240,9 +2245,12 @@ def t_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  .alias("freq")))
     top = freq.orderBy(F.desc("freq"), "term").limit(50)
     w = Window.orderBy(F.desc("freq"), "term")
-    top = top.withColumn("rank", F.row_number().over(w).cast("long"))
-    m = top.agg(F.max("freq").alias("f1"))
-    return (top.crossJoin(F.broadcast(m))
+    # r14: f1 as a window max over the 50-row top frame — the 1-row-agg
+    # + crossJoin form re-ran the corpus tokenize + term count once per
+    # consumer (guide §2.4): 2 corpus passes -> 1.
+    top = (top.withColumn("rank", F.row_number().over(w).cast("long"))
+           .withColumn("f1", F.max("freq").over(Window.partitionBy())))
+    return (top
             .select("rank", "term", "freq",
                     (F.col("rank") * F.col("freq")).cast("long")
                     .alias("rank_freq"),

@@ -658,15 +658,20 @@ def e_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min(F.unix_timestamp("ts")
                          - F.unix_timestamp("v_ts")).alias("delta")))
     counts = deltas.groupBy("delta").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.agg(F.sum("c").cast("long").alias("n"))
-    cum = counts.withColumn(
+    # r14: n as a window sum over the bounded counts frame (distinct
+    # deltas <= 3600 one-second slots) — the 1-row-agg + crossJoin form
+    # re-ran the events scan + explode join + two groupBys once per
+    # consumer (guide §2.4): 2 passes -> 1.
+    cum = (counts.withColumn(
         "cum_c", F.sum("c").over(Window.orderBy("delta")).cast("long"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy())
+                    .cast("long")))
 
     def pick(pct):
         return F.min(F.when(F.col("cum_c") * 100 >= pct * F.col("n"),
                             F.col("delta")))
 
-    return (cum.crossJoin(F.broadcast(tot))
+    return (cum
             .groupBy(F.col("n").alias("n_converted"))
             .agg(pick(50).alias("p50_sec"), pick(90).alias("p90_sec"),
                  F.min("delta").alias("min_sec"),
@@ -2808,8 +2813,10 @@ def e_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
              .agg(F.sum(round_half_up_long(F.col("value"), 100))
                   .cast("long").alias("cents")))
-    d0 = daily.agg(F.min("day").alias("day0"))
-    xy = (daily.crossJoin(F.broadcast(d0))
+    # r14: day0 as a window min over the bounded |types|x|days| rollup
+    # — the 1-row-agg + crossJoin form re-ran the events scan + daily
+    # rollup once per consumer (guide §2.4): 2 events passes -> 1.
+    xy = (daily.withColumn("day0", F.min("day").over(Window.partitionBy()))
           .select("event_type",
                   F.datediff(F.col("day"), F.col("day0")).cast("long")
                   .alias("x"),

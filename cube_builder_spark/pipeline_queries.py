@@ -2441,11 +2441,13 @@ def p_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_hash_split_sample; the exact-integer floor keeps the oracle
     bit-for-bit."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    mx = counts.agg(F.max("n").alias("mx"))
-    factors = (counts.crossJoin(mx)
-               .select("lang", F.expr("mx div n").cast("long")
-                       .alias("factor")))
+    # r14: mx as a window max over the |langs|-row count frame — the
+    # 1-row-agg + crossJoin form re-ran the docs scan + lang rollup
+    # once per consumer (guide §2.4): 2 passes -> 1.
+    counts = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("mx", F.max("n").over(Window.partitionBy())))
+    factors = counts.select("lang", F.expr("mx div n").cast("long")
+                            .alias("factor"))
     return (docs.join(factors, "lang")
             .select("doc_id", "lang", "factor",
                     F.explode(F.sequence(F.lit(1).cast("long"),
@@ -3397,19 +3399,23 @@ def p_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-shape float division.
 
     Scale shape: the one TeraSort range shuffle the manifest already
-    pays, then an 8-key map-side rollup and a broadcast 1-row total."""
+    pays, then an 8-key map-side rollup; the totals are GLOBAL WINDOW
+    aggregates over the 8-row shard frame (r14: the 1-row-agg +
+    crossJoin form re-ran the tokenize + rollup over the ranked frame
+    once per consumer — guide §2.4, the p_temperature_mix pattern)."""
     ranked = _shuffle_positions(spark, sf_dir, cols=("doc_id", "text"))
+    wg = Window.partitionBy()
     per = (ranked.select(
         ((F.col("pos") - 1) % 8).cast("long").alias("shard_id"),
         F.size(F.split("text", " ")).cast("long").alias("toks"))
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-             F.sum("toks").cast("long").alias("n_tokens")))
-    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_shards"),
-                  F.sum("n_tokens").cast("long").alias("total_tokens"),
-                  F.max("n_tokens").cast("long").alias("max_tokens"),
-                  F.min("n_tokens").cast("long").alias("min_tokens"))
-    return (per.crossJoin(F.broadcast(tot))
+             F.sum("toks").cast("long").alias("n_tokens"))
+        .withColumn("n_shards", F.count(F.lit(1)).over(wg).cast("long"))
+        .withColumn("total_tokens", F.sum("n_tokens").over(wg).cast("long"))
+        .withColumn("max_tokens", F.max("n_tokens").over(wg).cast("long"))
+        .withColumn("min_tokens", F.min("n_tokens").over(wg).cast("long")))
+    return (per
             .select("shard_id", "n_docs", "n_tokens",
                     (F.col("n_tokens") * F.col("n_shards")).cast("long")
                     .alias("imb_num"),

@@ -1287,7 +1287,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(n7),
                  F.col("s_nationkey") == F.col("n_nationkey"))
            .groupBy("ps_partkey")
-           .agg(F.sum("ps_cost").cast("long").alias("v")))
+           .agg(F.sum("ps_cost").cast("long").alias("v"))
+           # r14: val feeds the scalar total AND the filter side — the
+           # uncut plan ran the 3-table supply join + per-part rollup
+           # twice per action (the q2/q15/q17 join-back history, guide
+           # §2.4). val is one row per part — metadata scale next to
+           # lineitem — so the eager cut is the r11_multiway pattern.
+           .localCheckpoint(eager=True))
     tot = val.agg(F.sum("v").cast("long").alias("t"))
     return (val.crossJoin(F.broadcast(tot))
             .filter(F.col("v") * 200 > F.col("t"))
