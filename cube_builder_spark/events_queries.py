@@ -1242,7 +1242,15 @@ def _traj_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round_half_up_long(F.col("value"), 100).alias("y")))
     eligible = (pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") >= 2).select("user_id"))
-    return pts.join(eligible, "user_id")
+    # r14: eager cut — the point plane feeds BOTH Hausdorff kernels'
+    # a/b sides plus the summary/seed subtrees (the pruned query's
+    # plan re-derived the events scan + eligibility join SIXTEEN
+    # times per action; the exact twin eight). The plane is the
+    # query's own working set (purchase points of >=2-point users,
+    # 3 ints/row) and every downstream evaluation re-reads columnar
+    # blocks instead of re-scanning events (guide §2.4; production
+    # would materialize the trajectory table between stages).
+    return pts.join(eligible, "user_id").localCheckpoint(eager=True)
 
 
 def _haus_from_joined(joined: DataFrame) -> DataFrame:
@@ -1406,9 +1414,14 @@ def e_trajectory_hausdorff_pruned(spark: SparkSession,
     import math
 
     p = _traj_points(spark, sf_dir)
+    # r14: summ feeds the seed collect AND the lhs/rhs band sides —
+    # 5 ints per user, metadata scale, so the eager cut makes those
+    # three consumers one aggregation pass over the (already cut)
+    # point plane (guide §2.4).
     summ = (p.groupBy("user_id")
             .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
-                 F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+            .localCheckpoint(eager=True))
     seed_ids = [r["user_id"] for r in
                 summ.orderBy("max_x", "user_id").limit(21)
                 .select("user_id").collect()]

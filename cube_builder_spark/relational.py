@@ -1226,20 +1226,33 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation and order year for a part-name slice — the
     classic 6-way join tree, exact-integer cents throughout.
 
-    Scale shape: part slice / supplier / nation broadcast; the
-    supply-cost join is keyed on the same (suppkey, partkey) the
-    fact row already carries; the one wide shuffle is
-    lineitem⋈orders."""
+    Scale shape: part slice / supplier / nation broadcast; the one
+    wide shuffle is lineitem⋈orders.
+
+    r14 supply-join elimination (guide §8: use what the optimizer
+    cannot know): ``_supply`` is the ENGINE'S OWN derivation — the
+    distinct (suppkey, partkey) pairs of the red-filtered lineitem
+    with ``ps_cost`` a pure function of those two keys. The fact side
+    here is the SAME red-filtered lineitem, so every fact row's key
+    pair is in the supply set by construction and the inner join is
+    row-preserving with exactly one match (pairs are distinct);
+    joining it back only re-attached a value computable in place.
+    Computing ps_cost inline is therefore bit-identical (oracle PASS
+    sf0.001 + sf0.01 against the unchanged _SUPPLY_SQL oracle) and
+    removes the second lineitem scan + the distinct-pair shuffle
+    (plans/r14/q9_product_profit_*: 2 lineitem scans -> 1,
+    16 -> 10 Exchange mentions). With a REAL partsupp table this join
+    is irreducible — the elimination is sound only because supply is
+    definitionally fact-derived here."""
     t = load_tables(spark, sf_dir,
                     ["lineitem", "orders", "part", "supplier", "nation"])
     red = (t["part"].filter(F.col("p_name").like("%red%"))
            .select("p_partkey"))
+    ps_cost = ((F.col("l_suppkey") * 13 + F.col("l_partkey") * 7)
+               % 1000 + 1)
     j = (t["lineitem"]
          .join(F.broadcast(red),
                F.col("l_partkey") == F.col("p_partkey"))
-         .join(_supply(t, part_filter=red),
-               (F.col("l_suppkey") == F.col("ps_suppkey"))
-               & (F.col("l_partkey") == F.col("ps_partkey")))
          .join(t["orders"].select("o_orderkey", "o_orderdate"),
                F.col("l_orderkey") == F.col("o_orderkey"))
          .join(_bc(t["supplier"], sf_dir, "supplier"),
@@ -1247,7 +1260,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(t["nation"]),
                F.col("s_nationkey") == F.col("n_nationkey")))
     amount = (_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-              - F.col("ps_cost") * _cents(F.col("l_quantity")))
+              - ps_cost * _cents(F.col("l_quantity")))
     return (j.groupBy(F.col("n_name").alias("nation"),
                       F.year("o_orderdate").cast("long").alias("o_year"))
             .agg((F.sum(amount) / 100.0).alias("profit")))
