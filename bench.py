@@ -135,6 +135,25 @@ AB_VERDICTS = {
         "r14: same shared store-build note as a_hybrid_rrf_scalable; "
         "warm steady-state reproduces r13's ~4.0s in a dedicated "
         "probe (BENCH_SF1 note records the warmup series)"),
+    # Round-14 optimization: INTENTIONAL eager cut of the shared
+    # calendar-/activity-bounded rollup in three events queries whose
+    # uncut plans scanned events twice per action (guide §2.4). At
+    # sf0.1 the checkpoint job is a ~0.1-0.2s constant on sub-second
+    # queries (double-interleaved A/B: dau_mau 0.62->0.82 one order,
+    # 0.82->0.83 the other; p90 0.52->0.59 / 0.66->0.59; acf
+    # 0.73->0.77 / 1.10->0.77 — flat to +0.2s constant), while the
+    # removed second events scan is the term that grows with data.
+    # Known local-scale trade, not a regression to revert.
+    ("e_dau_mau_stickiness", 13): (
+        "r14: intentional eager cut of the (user, day) activity frame "
+        "— 2 events scans -> 1 per action; ~0.1-0.2s checkpoint "
+        "constant at sf0.1, scan term removed at scale"),
+    ("e_rolling_p90", 13): (
+        "r14: intentional eager cut of the daily rollup — 2 events "
+        "scans -> 1 per action; ~0.1s checkpoint constant at sf0.1"),
+    ("e_acf_daily", 13): (
+        "r14: intentional eager cut of the daily rollup — 2 events "
+        "scans -> 1 per action; ~0.1s checkpoint constant at sf0.1"),
 }
 # Backfilled adjudication (round 12, verdict r11 #6) of the 14 flags
 # the driver's FINAL r11 run left dangling — that run landed AFTER the

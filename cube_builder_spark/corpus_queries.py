@@ -1293,15 +1293,20 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("g.w2").alias("w2")))
     # ONE vocab2-bounded aggregation carries BOTH distributions
     # (conditional target count beside the raw count) — no second
-    # corpus scan, no count-table join
-    ratio = (bi.groupBy("w1", "w2")
-             .agg(F.count(F.lit(1)).alias("cr"),
-                  F.sum(F.when(F.col("source") == "src1", 1)
-                        .otherwise(0)).alias("ct"))
-             .select("w1", "w2",
-                     F.floor((F.col("ct") + 1) * F.lit(1000000)
-                             / (F.col("cr") + 1)).alias("rf")))
-    return (bi.join(ratio, ["w1", "w2"])
+    # corpus scan, no count-table join. r14: both distributions ride
+    # COUNT-OVER-WINDOW on the (w1, w2)-shuffled bigram stream (the
+    # t_tfidf_topterms form) instead of a groupBy + join-back of the
+    # same stream — the join-back re-ran the corpus tokenize + bigram
+    # explode a second time (guide §2.4): 2 corpus passes -> 1, one
+    # bigram shuffle total.
+    wb = Window.partitionBy("w1", "w2")
+    scored = (bi
+              .withColumn("cr", F.count(F.lit(1)).over(wb))
+              .withColumn("ct", F.sum(F.when(F.col("source") == "src1", 1)
+                                      .otherwise(0)).over(wb))
+              .withColumn("rf", F.floor((F.col("ct") + 1) * F.lit(1000000)
+                                        / (F.col("cr") + 1))))
+    return (scored
             .groupBy("doc_id", "source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
                  F.sum("rf").cast("long").alias("score_sum"))
@@ -2182,12 +2187,19 @@ def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (toks.withColumn("island", F.sum(stop.cast("int")).over(w))
            .filter(~stop))
+    # r14: eager cut — ph feeds BOTH the word-stats explode and the
+    # phrase dedup, so the uncut plan ran the tokenize + island window
+    # + collect_list assembly twice per action (guide §2.4). The
+    # phrase frame is one row per stopword-free run — strictly smaller
+    # than the token stream it derives from (production RAKE
+    # materializes the candidate-phrase table for the same reason).
     ph = (isl.groupBy("doc_id", "island")
           .agg(F.concat_ws(" ", F.transform(
                    F.sort_array(F.collect_list(F.struct("pos", "term"))),
                    lambda s: s["term"])).alias("phrase"),
                F.count(F.lit(1)).cast("long").alias("plen"))
-          .filter(F.col("plen") <= 8))
+          .filter(F.col("plen") <= 8)
+          .localCheckpoint(eager=True))
     pw = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
     ws_ = pw.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),

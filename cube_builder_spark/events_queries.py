@@ -1669,7 +1669,10 @@ def e_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum(F.when(F.col("event_type") == "view", 1)
                         .otherwise(0)).cast("long").alias("nv"),
                   F.sum(F.when(F.col("event_type") == "purchase", 1)
-                        .otherwise(0)).cast("long").alias("np")))
+                        .otherwise(0)).cast("long").alias("np"))
+             # r14: eager cut — daily feeds both lag sides (2 events
+             # scans -> 1 per action; calendar-bounded, guide §2.4)
+             .localCheckpoint(eager=True))
     lags = F.explode(F.array(*[F.lit(l) for l in range(-3, 4)]))
     a = daily.select("day", "nv", lags.alias("lag"))
     b = daily.select(F.col("day").alias("b_day"), "np")
@@ -2561,7 +2564,12 @@ def e_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's join prunes the covered-but-idle tail), and the single
     float is the final ratio."""
     ev = _events(spark, sf_dir)
-    ud = (ev.select("user_id", _epoch_day().alias("day")).distinct())
+    # r14: eager cut — ud feeds BOTH the DAU rollup and the coverage
+    # expansion, so the uncut plan ran the events scan + (user, day)
+    # distinct twice per action (guide §2.4). ud is the activity
+    # frame — |users|x|active days|, already reduced from raw events.
+    ud = (ev.select("user_id", _epoch_day().alias("day")).distinct()
+          .localCheckpoint(eager=True))
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long")
                                 .alias("dau"))
     cover = (ud.select(
@@ -3233,8 +3241,12 @@ def e_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     scatter is 7× the |types|·|days| frame — nothing scales with
     event volume past the first rollup."""
     ev = _events(spark, sf_dir)
+    # r14: eager cut — daily feeds both the 7-day scatter and the
+    # observed-day join side (2 events scans -> 1 per action; the
+    # calendar-bounded cut discipline, guide §2.4).
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint(eager=True))
     scatter = (daily
                .select("event_type", "d", "n",
                        F.explode(F.sequence(F.lit(0), F.lit(6)))
@@ -3503,8 +3515,12 @@ def e_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sums are a (type, lag)-keyed map-side-combinable rollup.
     Nothing past the first reduction scales with event volume."""
     ev = _events(spark, sf_dir)
+    # r14: eager cut — the calendar-bounded daily rollup feeds both
+    # the lag expansion and the join side; the uncut plan scanned
+    # events twice per action (guide §2.4, the e_anomaly_mad cut).
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint(eager=True))
     lagged = (daily
               .select("event_type", "d", "n",
                       F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
