@@ -2392,19 +2392,38 @@ def x_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (the LPA pattern). Rounds are a FIXED constant — at 100 TB
     the peel runs log-depth rounds of output-shrinking joins, never a
     per-node sequential loop. Per-round scalars come from 1-row
-    aggregates (bounded collect, house rule)."""
+    aggregates (bounded collect, house rule). The degree stream is
+    explode-symmetrized (one pass over e, not a two-select union) and
+    n_edges folds out of the SAME aggregate via the handshake lemma
+    (sum(d) = 2|E|, exact in integers — x_triangle_count's identity),
+    so each round's stats cost ONE scan of the checkpointed edge set
+    instead of three (two union branches + the crossJoined count).
+    EXACT convergence early-exit (the d_dup_clusters discipline):
+    e_{r+1} is a filter of e_r, so equal edge counts prove set
+    equality — the automaton is at its fixpoint and every remaining
+    fixed round is the identity; the loop emits the repeated stats
+    without running the dead jobs. Hash-identical to the full unroll
+    (the DuckDB oracle IS the no-early-exit replay)."""
     e = (_copurchase_edges(spark, sf_dir).select("pa", "pb")
          .localCheckpoint(eager=True))
     rows = []
+    prev_m = None
     for r in range(_KCORE_ROUNDS + 1):
-        deg = (e.select(F.col("pa").alias("v"))
-               .unionAll(e.select(F.col("pb").alias("v")))
+        deg = (e.select(F.explode(F.array("pa", "pb")).alias("v"))
                .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
         stat = (deg.agg(F.count(F.lit(1)).alias("n"),
-                        F.coalesce(F.max("d"), F.lit(0)).alias("mx"))
-                .crossJoin(e.agg(F.count(F.lit(1)).alias("m")))
+                        F.coalesce(F.max("d"), F.lit(0)).alias("mx"),
+                        (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+                        .cast("long").alias("m"))
                 .collect()[0])
         rows.append((r, stat["n"], stat["m"], stat["mx"]))
+        if stat["m"] == 0 or stat["m"] == prev_m:
+            # empty graph, or e_r == e_{r-1} (subset + equal count):
+            # every later round replays this one's stats exactly
+            rows.extend((rr, stat["n"], stat["m"], stat["mx"])
+                        for rr in range(r + 1, _KCORE_ROUNDS + 1))
+            break
+        prev_m = stat["m"]
         if r < _KCORE_ROUNDS:
             # alive is NOT checkpointed: it re-derives from the
             # checkpointed e (one cheap aggregate, evaluated twice by

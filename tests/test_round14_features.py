@@ -29,3 +29,41 @@ def test_textrank_and_markov_still_fold(spark, sf_dir):
     from cube_builder_spark.events_queries import e_markov_steady_state
     assert t_textrank(spark, sf_dir).count() == 20
     assert e_markov_steady_state(spark, sf_dir).count() > 0
+
+
+def test_kcore_handshake_identity(spark, sf_dir):
+    """Optimization-round internals pin: x_kcore_parts now folds
+    n_edges out of the degree aggregate via the handshake lemma
+    (sum(d) = 2|E|) instead of a separate crossJoined count of the
+    edge set — round-0 must still equal the edge set's own count,
+    and the synchronous peel must stay monotone."""
+    from cube_builder_spark.relational import (_copurchase_edges,
+                                               x_kcore_parts)
+    rows = sorted(x_kcore_parts(spark, sf_dir).collect(),
+                  key=lambda r: r.round)
+    m0 = _copurchase_edges(spark, sf_dir).count()
+    assert rows[0].n_edges == m0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+
+
+def test_deletion_vectors_time_travel_isolation(spark, sf_dir):
+    """Optimization-round internals pin: the v2 snapshot read (which
+    executes AFTER the MoR deletes, the re-insert and the materialize
+    have all committed, and now feeds both the v2_all and
+    v2_time_travel rows) must still equal the raw table's slice —
+    the isolation the scenario grades."""
+    from pyspark.sql import functions as F
+
+    from cube_builder_spark.pipeline_queries import _docs
+    from cube_builder_spark.storage_queries import x_deletion_vectors
+    rows = {r.label: r for r in x_deletion_vectors(spark, sf_dir).collect()}
+    raw = (_docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("s"))
+           .collect()[0])
+    for label in ("v2_all", "v2_time_travel"):
+        assert rows[label].n_docs == raw.n
+        assert rows[label].sum_chars == raw.s
+    assert rows["v3_after_dv"].n_docs < rows["v2_all"].n_docs
