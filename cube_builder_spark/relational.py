@@ -1904,8 +1904,7 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.4: remove repeated shuffles outright)."""
     e = (_copurchase_edges(spark, sf_dir).select("pa", "pb")
          .localCheckpoint(eager=True))
-    deg = (e.select(F.col("pa").alias("v"))
-           .unionAll(e.select(F.col("pb").alias("v")))
+    deg = (e.select(F.explode(F.array("pa", "pb")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
            .localCheckpoint(eager=True))
     ed = (e.join(deg.select(F.col("v").alias("pa"), F.col("d").alias("da")), "pa")
@@ -2032,9 +2031,12 @@ def x_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n^2)-per-order semantics it verifies against)."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     e = _copurchase_edges(spark, sf_dir).select("pa", "pb")
-    edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-             .unionAll(e.select(F.col("pb").alias("src"),
-                                F.col("pa").alias("dst")))
+    # explode symmetrization: ONE evaluation of the (lazy) co-purchase
+    # aggregate instead of two union branches feeding the checkpoint
+    edges = (e.select(F.explode(F.array(
+                 F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                 F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst"))))
+             .alias("x")).select("x.src", "x.dst")
              .localCheckpoint(eager=True))
     frontier = (part.filter(F.col("p_size") == 50)
                 .select(F.col("p_partkey").alias("v"))
@@ -2503,10 +2505,13 @@ def x_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).select(
         "pa", "pb",
         (F.lit(10) - F.least(F.col("c"), F.lit(5))).cast("long").alias("w"))
-    edges = (e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
-                      "w")
-             .unionByName(e.select(F.col("pb").alias("src"),
-                                   F.col("pa").alias("dst"), "w"))
+    # explode symmetrization (one co-purchase evaluation, not two)
+    edges = (e.select(F.explode(F.array(
+                 F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                          F.col("w")),
+                 F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst"),
+                          F.col("w"))))
+             .alias("x")).select("x.src", "x.dst", "x.w")
              .localCheckpoint(eager=True))
     dist = (part.filter(F.col("p_size") == 50)
             .select(F.col("p_partkey").alias("v"),
