@@ -122,6 +122,14 @@ AB_VERDICTS = {
     # the pruned-read family near-flat at 10x data, and the build
     # amortizes across the whole lexical family. Known trade, not a
     # regression to revert.
+    ("m_image_dhash_dups", 13): (
+        "r14 A/B: code byte-identical since r13 (no diff hunks over "
+        "the dhash query or functions/multimodal.py this round); the "
+        "flagged runs [75.7/21.6/20.8s] sat in a host wave where the "
+        "SCAN-family anchors drifted 7.2x (q1 0.64->3.47); solo "
+        "min-of-5 right after: 2.06s with q1 at 0.80 (1.26x) — "
+        "normalized ~1.6 vs prev 1.38, inside the band. Host noise, "
+        "nothing to revert"),
     ("t_bm25_topk", 13): (
         "r14: intentional rewire through the pruned postings store "
         "(verdict r13 #6); warm 0.60->~0.97s + shared one-time index "
