@@ -1627,10 +1627,15 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              .sortWithinPartitions("doc_id"))
 
     def sketch_partition(batches):
-        s = MRLSketch(K_DEFAULT)
-        for pdf in batches:
-            for v in pdf["v"]:
-                s.update(int(v))
+        # r15: vectorized stream build — MRLSketch.from_stream is the
+        # numpy chunk-equivalent of the per-row update loop (proven
+        # bit-identical in tests/test_quantile_sketch.py); the per-row
+        # insort was the partition's hot loop (guide §4.2)
+        import numpy as np
+        arrs = [pdf["v"].to_numpy(dtype="int64") for pdf in batches]
+        vals = (np.concatenate(arrs) if arrs
+                else np.array([], dtype="int64"))
+        s = MRLSketch.from_stream(K_DEFAULT, vals)
         if s.n:
             yield pd.DataFrame(
                 {"n": [s.n] * len(s.items()),

@@ -65,6 +65,56 @@ class MRLSketch:
                 insort(up, s)
             level += 1
 
+    @classmethod
+    def from_stream(cls, k: int, values) -> "MRLSketch":
+        """Vectorized equivalent of ``update()`` over a whole stream —
+        bit-identical levels/compaction state, built with numpy row
+        sorts instead of one insort per item (guide §4.2: hand whole
+        batches to native code).
+
+        Why it is exact: ``update`` keeps level 0 sorted and compacts
+        the moment it holds k items, so level-0 compaction j consumes
+        precisely stream items [j·k, (j+1)·k) and survivors are
+        ``sorted(chunk)[j % 2::2]``. Every level l ≥ 1 receives k/2
+        survivors per lower compaction and compacts the moment it
+        holds two batches, so its compaction j consumes lower batches
+        (2j, 2j+1) — consecutive non-overlapping pairs in arrival
+        order. Buffer contents at compaction depend only on the item
+        multiset (the buffer is sorted), never on insertion order, so
+        chunk-at-a-time reproduces the item-at-a-time state exactly
+        (tests/test_quantile_sketch.py pins equality on random and
+        adversarial streams)."""
+        import numpy as np
+        s = cls(k)
+        a = np.asarray(values, dtype=np.int64)
+        s.n = int(a.size)
+        m = a.size // k
+        s.levels[0] = sorted(a[m * k:].tolist())
+        if m == 0:
+            return s
+        chunks = np.sort(a[:m * k].reshape(m, k), axis=1)
+        even = (np.arange(m) % 2 == 0)[:, None]
+        batches = np.where(even, chunks[:, 0::2], chunks[:, 1::2])
+        s._compactions[0] = m
+        level = 1
+        while True:
+            while len(s.levels) <= level:
+                s.levels.append([])
+                s._compactions.append(0)
+            nb = batches.shape[0]
+            pairs = nb // 2
+            s.levels[level] = sorted(batches[pairs * 2:].ravel().tolist())
+            if pairs == 0:
+                break
+            merged = np.sort(
+                batches[:pairs * 2].reshape(pairs, batches.shape[1] * 2),
+                axis=1)
+            even = (np.arange(pairs) % 2 == 0)[:, None]
+            batches = np.where(even, merged[:, 0::2], merged[:, 1::2])
+            s._compactions[level] = pairs
+            level += 1
+        return s
+
     # -- merge ----------------------------------------------------------
     def merge(self, other: "MRLSketch") -> "MRLSketch":
         if other.k != self.k:

@@ -115,6 +115,18 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Pre-warmed worker daemon (r15, guide §4.5): workers fork from
+    # spark_daemon.py with pandas/pyarrow already imported (COW), so a
+    # worker-pool cull mid-session costs milliseconds instead of a
+    # ~2.3 s/worker import storm. The daemon is spawned by the JVM
+    # with the inherited PYTHONPATH, so the repo root must be on it
+    # BEFORE the JVM starts; both steps are skipped if a different
+    # daemon is already configured via env.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else ""))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -125,6 +137,21 @@ def get_spark(app_name: str = "cube-builder-spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.python.daemon.module",
+                "cube_builder_spark.spark_daemon")
+        # Long-session hygiene (r15): a bench/ETL driver that runs
+        # hundreds of distinct queries in one session accumulates
+        # per-query status state (job/stage/SQL-execution records with
+        # full plan graphs) in the driver heap even with the UI off,
+        # in the driver heap even with the UI off. Bound the status
+        # stores. (A shorter spark.cleaner.periodicGC.interval was
+        # tried and rejected: a forced full System.gc() can land
+        # inside a timed query; CPython's refcounting already releases
+        # py4j-held JVM state promptly.)
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # NOTE: spark.sql.adaptive.autoBroadcastJoinThreshold is left at

@@ -85,3 +85,28 @@ def test_k_validation_and_empty():
     assert MRLSketch(4).quantile(0.5) is None
     with pytest.raises(ValueError):
         MRLSketch(4).merge(MRLSketch(8))
+
+
+@pytest.mark.parametrize("n", [0, 1, 255, 256, 257, 512, 10007, 100000])
+def test_from_stream_identical_to_update_loop(n):
+    """from_stream (the r15 vectorized partition build) must reproduce
+    the item-at-a-time sketch EXACTLY: same levels, same compaction
+    counters, same n — on random, sorted, reversed and constant
+    streams of awkward lengths around the k boundary."""
+    import numpy as np
+    rng = random.Random(n + 3)
+    streams = [
+        [rng.randrange(10**6) for _ in range(n)],
+        list(range(n)),
+        list(range(n, 0, -1)),
+        [42] * n,
+    ]
+    for vals in streams:
+        a = MRLSketch(256)
+        for v in vals:
+            a.update(v)
+        b = MRLSketch.from_stream(
+            256, np.array(vals, dtype=np.int64))
+        assert a.n == b.n
+        assert a.levels == b.levels
+        assert a._compactions == b._compactions

@@ -1,7 +1,7 @@
 """Optimization-round measurement probe (guide §1).
 
 Usage:
-  python tools/perf_probe.py plan  TAG q1 q2 ...   # capture explain("formatted") to plans/r14/<q>_<TAG>.txt
+  python tools/perf_probe.py plan  TAG q1 q2 ...   # capture explain("formatted") to plans/r15/<q>_<TAG>.txt
   python tools/perf_probe.py time  N   q1 q2 ...   # min-of-N wall (collect, bench methodology)
   python tools/perf_probe.py noop  N   q1 q2 ...   # min-of-N wall (noop sink, isolates compute from collect)
 
@@ -31,7 +31,7 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     if mode == "plan":
-        out_dir = os.path.join(here, "plans", "r14")
+        out_dir = os.path.join(here, "plans", "r15")
         os.makedirs(out_dir, exist_ok=True)
         for n in names:
             df = qs[n](spark, sf_dir)
