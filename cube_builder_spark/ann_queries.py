@@ -1197,44 +1197,63 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x_triangle/x_kcore eager-cut discipline. ivf_assign covers every
     # vector, so the tier join drops no candidate and the exact side
     # can read the same frame.
-    cos_t = allcos.join(tiers, "vec_id").localCheckpoint(eager=True)
+    cos_t = allcos.join(tiers, "vec_id")
 
-    def _fuse10(vtop_src: DataFrame) -> DataFrame:
-        vtop = (vtop_src.orderBy(F.desc("cosine"), "vec_id").limit(50)
-                .withColumn("rank_vec", F.row_number().over(
-                    Window.orderBy(F.desc("cosine"), "vec_id")))
-                .select(F.col("vec_id").alias("doc_id"), "rank_vec"))
-        fused = (F.broadcast(ltop).join(vtop, "doc_id", "full")
-                 .select(
-                     "doc_id",
-                     (F.coalesce(
-                         F.expr("1000000000 DIV (60 + rank_lex)"),
-                         F.lit(0))
-                      + F.coalesce(
-                          F.expr("1000000000 DIV (60 + rank_vec)"),
-                          F.lit(0))).cast("long").alias("rrf_score")))
-        return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
-
-    exact = _fuse10(cos_t).select("doc_id")
-    parts = [
-        _fuse10(cos_t.filter(F.col("tier") <= p))
-        .select("doc_id").withColumn("nprobe", F.lit(p).cast("long"))
-        for p in (1, 2, 4)]
-    cand_u = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    hits = (cand_u.join(exact, "doc_id")
-            .groupBy("nprobe")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
-    # an nprobe whose fused top-10 misses EVERYTHING must still report
-    # its (zero) row — the curve's worst point is the one that matters
-    base = spark.createDataFrame([(1,), (2,), (4,)], "nprobe long")
-    return (base.join(hits, "nprobe", "left")
-            .select(
-                "nprobe",
-                F.coalesce("n_hits", F.lit(0)).cast("long")
-                .alias("n_hits"),
-                (F.coalesce("n_hits", F.lit(0)) / F.lit(10.0))
-                .alias("recall"))
-            .orderBy("nprobe"))
+    # r15 single-pass fusion (guide §2.4): the r14 form checkpointed
+    # the scalar plane and then ran FOUR fuse subtrees over it (exact
+    # + three tiers), each its own TakeOrdered + window + full join +
+    # TakeOrdered — four evaluations of the post-checkpoint tail plus
+    # the eager-checkpoint job. Instead, explode each scalar row into
+    # the operating points it belongs to (p=0 is the exact side; a
+    # row enters p iff tier <= p — exactly the old per-p filters) and
+    # rank ONCE per p: Spark 4 rewrites the rank<=50 filter into a
+    # map-side WindowGroupLimit, so each input partition forwards at
+    # most 50 rows per p before the exchange — the same scalability
+    # as the old per-subtree TakeOrdered, with one evaluation of the
+    # cosine/assignment plane instead of four (the eager cut becomes
+    # unnecessary: the plane now has exactly one consumer). Identical
+    # rows/ranks by construction: same filters, same tie-breaks
+    # (cosine DESC, vec_id / rrf DESC, doc_id).
+    pts = F.array(*[F.lit(p) for p in (0, 1, 2, 4)])
+    ex = (cos_t.select("vec_id", "cosine", "tier",
+                       F.explode(pts).alias("p"))
+          .filter((F.col("p") == 0) | (F.col("tier") <= F.col("p"))))
+    w_p = Window.partitionBy("p").orderBy(F.desc("cosine"), "vec_id")
+    vtop = (ex.withColumn("rank_vec", F.row_number().over(w_p))
+            .filter(F.col("rank_vec") <= 50)
+            .select("p", F.col("vec_id").alias("doc_id"), "rank_vec"))
+    # the lexical top-50 is already collected (lrows) — replicate it
+    # per operating point driver-side instead of a crossJoin (which
+    # plans as a CartesianProduct)
+    ltop4 = spark.createDataFrame(
+        [(p, int(r.doc_id), i + 1) for p in (0, 1, 2, 4)
+         for i, r in enumerate(lrows)],
+        "p int, doc_id long, rank_lex int")
+    fused = (F.broadcast(ltop4).join(vtop, ["p", "doc_id"], "full")
+             .select(
+                 "p", "doc_id",
+                 (F.coalesce(
+                     F.expr("1000000000 DIV (60 + rank_lex)"),
+                     F.lit(0))
+                  + F.coalesce(
+                      F.expr("1000000000 DIV (60 + rank_vec)"),
+                      F.lit(0))).cast("long").alias("rrf_score")))
+    # fused is <= 100 rows per p by construction (50 lex + 50 vec),
+    # so the final per-p window and the collected fold below run over
+    # bounded metadata (the t_textrank bounded-driver-fold rule)
+    w_f = Window.partitionBy("p").orderBy(F.desc("rrf_score"), "doc_id")
+    top_rows = (fused.withColumn("rk", F.row_number().over(w_f))
+                .filter(F.col("rk") <= 10)
+                .select("p", "doc_id").collect())
+    by_p: dict[int, set] = {0: set(), 1: set(), 2: set(), 4: set()}
+    for r in top_rows:
+        by_p[int(r.p)].add(int(r.doc_id))
+    # an nprobe whose fused top-10 misses EVERYTHING still reports its
+    # (zero) row — the curve's worst point is the one that matters
+    rows = [(p, len(by_p[p] & by_p[0]), len(by_p[p] & by_p[0]) / 10.0)
+            for p in (1, 2, 4)]
+    return spark.createDataFrame(
+        rows, "nprobe long, n_hits long, recall double")
 
 
 @register("a_cluster_silhouette", f"""

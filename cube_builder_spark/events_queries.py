@@ -3515,22 +3515,33 @@ def e_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sums are a (type, lag)-keyed map-side-combinable rollup.
     Nothing past the first reduction scales with event volume."""
     ev = _events(spark, sf_dir)
-    # r14: eager cut — the calendar-bounded daily rollup feeds both
-    # the lag expansion and the join side; the uncut plan scanned
-    # events twice per action (guide §2.4, the e_anomaly_mad cut).
+    # r15: the r14 eager cut (daily rollup checkpointed, then lag
+    # expansion self-JOINED back) still paid a checkpoint job and a
+    # join per action. The lag pairing is a fixed integer time shift,
+    # so a RANGE window over the day index replaces the join outright
+    # (guide §2.4): x_k(d) = n(d-k) via range(-k, -k), non-null iff
+    # day d-k exists for the type — exactly the join's match
+    # condition, so the (x, y) pair multiset per (type, k) is
+    # identical. One events scan, no checkpoint, no join; the window
+    # runs over the calendar-bounded rollup (|types| x |days| rows).
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
              .agg(F.count(F.lit(1)).cast("long").alias("n"))
-             .localCheckpoint(eager=True))
-    lagged = (daily
-              .select("event_type", "d", "n",
-                      F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
-              .select("event_type", F.col("k").cast("long").alias("k"),
-                      F.date_add(F.col("d"), F.col("k").cast("int"))
-                      .alias("d"),
-                      F.col("n").alias("x")))
-    pairs = lagged.join(
-        daily.select("event_type", "d", F.col("n").alias("y")),
-        ["event_type", "d"])
+             .withColumn("di", F.datediff(
+                 F.col("d"), F.lit("1970-01-01").cast("date"))))
+    shifted = daily.select(
+        "event_type", F.col("n").alias("y"),
+        F.array(*[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("n").over(
+                    Window.partitionBy("event_type").orderBy("di")
+                    .rangeBetween(-k, -k)).alias("x"))
+            for k in range(1, 8)]).alias("lags"))
+    pairs = (shifted
+             .select("event_type", "y", F.explode("lags").alias("l"))
+             .select("event_type", F.col("l.k").alias("k"),
+                     F.col("l.x").alias("x"), "y")
+             .filter(F.col("x").isNotNull()))
     s = pairs.groupBy("event_type", "k").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("x").cast("long").alias("sx"),

@@ -352,8 +352,11 @@ def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-insert and the materialize have all committed — so the
         # isolation proof is that same read; emit its aggregate under
         # the second label instead of running the identical snapshot
-        # read twice (the two branches were bytewise the same subtree)
-        rows.append(("v2_time_travel", rows[0][1], rows[0][2],
+        # read twice (the two branches were bytewise the same subtree).
+        # Source row looked up BY LABEL (r14 ADVICE): positional
+        # rows[0] would silently mislabel if a branch were reordered.
+        v2_row = next(r for r in rows if r[0] == "v2_all")
+        rows.append(("v2_time_travel", v2_row[1], v2_row[2],
                      unchanged, pruned))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -2267,3 +2267,21 @@ def test_schema_evolution_randomized_vs_dict_model(spark, tmp_path):
             assert got_t == want, (seed, ver)
             # columns never written by this version's files are absent
             assert all(set(r) <= seen_cols for r in got), (seed, ver)
+
+
+def test_old_version_read_isolated_after_materialize(spark, tmp_path):
+    """r14 ADVICE: an INDEPENDENT time-travel read of a pre-delete
+    version, taken after MoR deletes AND materialize have committed,
+    must replay the old rows exactly — the graded x_deletion_vectors
+    row now rides one shared v2 read, so this pins the underlying
+    SnapshotStore.read(old_version) path on its own."""
+    from cube_builder_spark.sinks.snapshot import (delete_keys_mor,
+                                                   materialize_deletes)
+    st = SnapshotStore(str(tmp_path / "snap"))
+    v1 = st.write(_df(spark, 0, 10).repartitionByRange(2, "id"))
+    st.write(_df(spark, 10, 20).repartitionByRange(2, "id"))
+    v2 = st.head("main")
+    delete_keys_mor(st, spark, spark.range(0, 5).select("id"), ["id"])
+    materialize_deletes(st, spark)
+    assert _ids(st.read(spark, v1)) == list(range(0, 10))
+    assert _ids(st.read(spark, v2)) == list(range(0, 20))
