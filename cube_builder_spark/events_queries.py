@@ -1670,13 +1670,29 @@ def e_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).cast("long").alias("nv"),
                   F.sum(F.when(F.col("event_type") == "purchase", 1)
                         .otherwise(0)).cast("long").alias("np"))
-             # r14: eager cut — daily feeds both lag sides (2 events
-             # scans -> 1 per action; calendar-bounded, guide §2.4)
-             .localCheckpoint(eager=True))
-    lags = F.explode(F.array(*[F.lit(l) for l in range(-3, 4)]))
-    a = daily.select("day", "nv", lags.alias("lag"))
-    b = daily.select(F.col("day").alias("b_day"), "np")
-    paired = a.join(b, F.col("b_day") == F.col("day") + F.col("lag"))
+             )
+    # r15: the r14 eager cut (daily checkpointed, then self-joined on
+    # day+lag) paid a checkpoint job and a join per action. Each lag
+    # is a fixed integer day shift, so a RANGE window over the day
+    # number replaces the join (guide §2.4, the e_acf_daily rewrite):
+    # y_l(day) = np(day+l) via range(l, l), non-null iff day+l exists
+    # in daily — exactly the join's match condition, so the (x, y)
+    # pair multiset per lag is identical. One events scan, no
+    # checkpoint, no join; the unpartitioned window runs over the
+    # calendar-bounded daily frame (|days| rows), never event volume.
+    wd = Window.orderBy("day")
+    paired = (daily
+              .select("day", "nv",
+                      F.array(*[
+                          F.struct(
+                              F.lit(l).alias("lag"),
+                              F.sum("np").over(wd.rangeBetween(l, l))
+                              .alias("np"))
+                          for l in range(-3, 4)]).alias("ls"))
+              .select("day", "nv", F.explode("ls").alias("l"))
+              .select("day", "nv", F.col("l.lag").alias("lag"),
+                      F.col("l.np").alias("np"))
+              .filter(F.col("np").isNotNull()))
     n = F.count(F.lit(1))
     sx, sy = F.sum("nv"), F.sum("np")
     sxy = F.sum(F.col("nv") * F.col("np"))
@@ -2564,22 +2580,28 @@ def e_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's join prunes the covered-but-idle tail), and the single
     float is the final ratio."""
     ev = _events(spark, sf_dir)
-    # r14: eager cut — ud feeds BOTH the DAU rollup and the coverage
-    # expansion, so the uncut plan ran the events scan + (user, day)
-    # distinct twice per action (guide §2.4). ud is the activity
-    # frame — |users|x|active days|, already reduced from raw events.
-    ud = (ev.select("user_id", _epoch_day().alias("day")).distinct()
-          .localCheckpoint(eager=True))
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long")
-                                .alias("dau"))
+    # r15: the r14 form checkpointed ud and ran THREE more shuffles
+    # over it (DAU rollup; coverage distinct; MAU rollup) plus a join.
+    # Fold DAU into the coverage expansion instead (guide §2.4): tag
+    # each covered (user, day) with whether it is the user's ACTIVE
+    # day (offset 0), dedup via groupBy(user, day) keeping max(flag)
+    # — identical membership to the old distinct, and the flag marks
+    # exactly the (user, day) rows of ud — then one per-day aggregate
+    # yields mau = count(*) and dau = sum(flag). dau > 0 filters to
+    # the active days the old inner join kept. One consumer of ud →
+    # no checkpoint; 2 shuffles + no join instead of 4 + join.
+    ud = ev.select("user_id", _epoch_day().alias("day")).distinct()
     cover = (ud.select(
-        "user_id",
+        "user_id", F.col("day").alias("d0"),
         F.explode(F.sequence(F.col("day"), F.col("day") + 29))
         .alias("day"))
-        .distinct())
-    mau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("long")
-                                   .alias("mau"))
-    return (dau.join(mau, "day")
+        .groupBy("user_id", "day")
+        .agg(F.max((F.col("d0") == F.col("day")).cast("long"))
+             .alias("active")))
+    return (cover.groupBy("day")
+            .agg(F.sum("active").cast("long").alias("dau"),
+                 F.count(F.lit(1)).cast("long").alias("mau"))
+            .filter(F.col("dau") > 0)
             .select("day", "dau", "mau",
                     (F.col("dau") * 1e0 / F.col("mau"))
                     .alias("stickiness")))
@@ -3241,24 +3263,26 @@ def e_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     scatter is 7× the |types|·|days| frame — nothing scales with
     event volume past the first rollup."""
     ev = _events(spark, sf_dir)
-    # r14: eager cut — daily feeds both the 7-day scatter and the
-    # observed-day join side (2 events scans -> 1 per action; the
-    # calendar-bounded cut discipline, guide §2.4).
+    # r15: the r14 form (daily rollup checkpointed, 7-day scatter
+    # explode, join back to the observed-day side) paid a checkpoint
+    # job, a 7x explode and a join per action. The trailing window is
+    # a fixed integer time range, so a RANGE window over the day
+    # index replaces scatter+join outright (guide §2.4, the
+    # e_acf_daily rewrite): collect_list over range(-6, 0) gathers
+    # exactly the observed days d' with t-6 <= d' <= t for each
+    # OBSERVED target day t — the same contributor multiset the join
+    # matched (daily holds only observed days, so frame membership ==
+    # join match). One events scan, no checkpoint, no explode, no
+    # join; the window runs over the calendar-bounded rollup.
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
              .agg(F.count(F.lit(1)).cast("long").alias("n"))
-             .localCheckpoint(eager=True))
-    scatter = (daily
-               .select("event_type", "d", "n",
-                       F.explode(F.sequence(F.lit(0), F.lit(6)))
-                       .alias("k"))
-               .select("event_type",
-                       F.date_add(F.col("d"), F.col("k")).alias("target_d"),
-                       "n"))
-    win = (scatter.join(daily.select("event_type",
-                                     F.col("d").alias("target_d")),
-                        ["event_type", "target_d"])
-           .groupBy("event_type", "target_d")
-           .agg(F.sort_array(F.collect_list("n")).alias("xs")))
+             .withColumn("di", F.datediff(
+                 F.col("d"), F.lit("1970-01-01").cast("date"))))
+    w7 = (Window.partitionBy("event_type").orderBy("di")
+          .rangeBetween(-6, 0))
+    win = daily.select(
+        "event_type", F.col("d").alias("target_d"),
+        F.sort_array(F.collect_list("n").over(w7)).alias("xs"))
     m = F.size("xs")
     rank = F.ceil(m * 9 * F.lit(1.0) / 10).cast("int")
     return win.select(

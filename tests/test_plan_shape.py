@@ -334,13 +334,16 @@ def test_window_funnel_one_scan_one_user_shuffle(spark, sf_dir, queries):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
 
 
-def test_rolling_p90_equi_join_no_range_join(spark, sf_dir, queries):
-    """The trailing window comes from the forward-shift scatter: the
-    join on (event_type, target_d) must be an equi-join — no
-    BroadcastNestedLoopJoin, no CartesianProduct."""
+def test_rolling_p90_single_scan_no_join(spark, sf_dir, queries):
+    """r15: the trailing window is a RANGE window over the day index
+    of the daily rollup — ONE events scan, no join of any kind (the
+    r14 scatter+join form is gone), no checkpoint RDD."""
+    import re
     plan = _physical(queries["e_rolling_p90"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
 
 
 def test_semivariogram_no_bnlj_no_cartesian(spark, sf_dir, queries):
