@@ -2274,16 +2274,19 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = (deltas.groupBy("day", "minute")
           .agg(F.sum("delta").cast("long").alias("d"),
                F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
-               .cast("long").alias("n_in"))
-          .localCheckpoint(eager=True))
+               .cast("long").alias("n_in")))
+    # r15: both consumers (running-sum window, per-day user rollup)
+    # are day-keyed, so n_in rides THROUGH the window select and one
+    # groupBy(day) folds peak and n_users together — md now has a
+    # single consumer: no eager checkpoint job, no join (guide §2.4;
+    # the e_acf_daily/e_anomaly_mad single-pass discipline). Values
+    # identical: max(conc) and sum(n_in) are unchanged aggregates.
     w = (Window.partitionBy("day").orderBy("minute")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = md.select("day", F.sum("d").over(w).alias("conc"))
-    nu = md.groupBy("day").agg(F.sum("n_in").cast("long")
-                               .alias("n_users"))
+    run = md.select("day", "n_in", F.sum("d").over(w).alias("conc"))
     return (run.groupBy("day")
-            .agg(F.max("conc").cast("long").alias("peak_users"))
-            .join(nu, "day")
+            .agg(F.max("conc").cast("long").alias("peak_users"),
+                 F.sum("n_in").cast("long").alias("n_users"))
             .select("day", "peak_users", "n_users"))
 
 
@@ -3075,27 +3078,32 @@ def e_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     median frames are vocabulary-sized broadcast joins back. Nothing
     beyond the initial rollup scales with event volume."""
     ev = _events(spark, sf_dir)
-    # r14: eager cut — daily is calendar-bounded (≤ |types|·|days|
-    # rows) but feeds FOUR subtrees (r1→med, dev's base, r2→mad, the
-    # final rollup), which re-ran the events scan + rollup 4x per
-    # action (plan sweep: 4 scans -> 1)
+    # r15: no checkpoint, no join-backs — the per-type median IS a
+    # window aggregate over the same event_type partition as the rank
+    # pass (max of the one row where rn hits the middle position), so
+    # BOTH medians attach as chained window expressions over ONE
+    # daily rollup (guide §2.4: windows sharing the partition key
+    # share the exchange). The r14 form checkpointed daily and
+    # broadcast-joined med and mad back (a checkpoint job + 2 joins
+    # per action); values are identical — max(case rn = mid then n)
+    # over the partition is exactly the old med/mad aggregate.
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n"))
-             .localCheckpoint(eager=True))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
     wt = Window.partitionBy("event_type")
+    mid = "(cnt + 1) DIV 2"
     r1 = (daily.withColumn("rn", F.row_number().over(
              wt.orderBy("n", "day")))
           .withColumn("cnt", F.count(F.lit(1)).over(wt)))
-    med = (r1.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-           .groupBy("event_type").agg(F.max("n").alias("median_n")))
-    dev = (daily.join(med, "event_type")
+    dev = (r1.withColumn(
+               "median_n",
+               F.max(F.when(F.col("rn") == F.expr(mid), F.col("n")))
+               .over(wt))
            .withColumn("dv", F.abs(F.col("n") - F.col("median_n"))))
-    r2 = (dev.withColumn("rn", F.row_number().over(
-             wt.orderBy("dv", "day")))
-          .withColumn("cnt", F.count(F.lit(1)).over(wt)))
-    mad = (r2.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-           .groupBy("event_type").agg(F.max("dv").alias("mad_n")))
-    return (dev.join(mad, "event_type")
+    r2 = dev.withColumn("rn2", F.row_number().over(wt.orderBy("dv", "day")))
+    final = r2.withColumn(
+        "mad_n",
+        F.max(F.when(F.col("rn2") == F.expr(mid), F.col("dv"))).over(wt))
+    return (final
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
                  F.max("median_n").cast("long").alias("median_n"),
