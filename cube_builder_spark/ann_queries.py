@@ -17,6 +17,7 @@ from .pipeline_queries import (  # shared SQL fragments/helpers
     _BATCH_TOPK_SQL, _CLUSTER_ITERS, _COS_AB, _EV_SQL, _IVF_BATCH_SQL,
     _IVF_SQL, _IVF_TAIL, _PQ_SQL, _PQ_TAIL, _QUANT_SQL, _bq_codes_sql,
     _bucket_sql, _dims_sql, _docs, _embs, _label_steps_sql, _mmr_sql)
+from .tables import local_df
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -190,7 +191,7 @@ def a_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     by1 = similarity.lloyd_refine(emb, n_lists=8, iters=1)
     cn2 = [(g, sum(v * v for v in dims.values()))
            for g, dims in sorted(by1.items())]
-    norms = spark.createDataFrame(cn2, "list_id long, cnorm2 long")
+    norms = local_df(spark, cn2, "list_id long, cnorm2 long")
     return sizes.join(F.broadcast(norms), "list_id")
 
 
@@ -983,7 +984,7 @@ def query_term_buckets(spark: SparkSession, sf_dir: str,
         pairs = sorted({(r.w, r.b) for r in qrows})
         _QTERM_CACHE[key] = pairs
     qb = sorted({b for _w, b in pairs})
-    qterms_df = spark.createDataFrame(
+    qterms_df = local_df(spark, 
         [(w,) for w, _b in pairs], "w string")
     return qterms_df, qb
 
@@ -1161,7 +1162,7 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the fusion's 4 reuses don't re-run the postings read.
     lrows = (_scalable_lex(spark, sf_dir)
              .orderBy(F.desc("score"), "doc_id").limit(50).collect())
-    ltop = spark.createDataFrame(
+    ltop = local_df(spark, 
         [(int(r.doc_id), i + 1) for i, r in enumerate(lrows)],
         "doc_id long, rank_lex int")
     embs = _embs(spark, sf_dir)
@@ -1225,7 +1226,7 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lexical top-50 is already collected (lrows) — replicate it
     # per operating point driver-side instead of a crossJoin (which
     # plans as a CartesianProduct)
-    ltop4 = spark.createDataFrame(
+    ltop4 = local_df(spark, 
         [(p, int(r.doc_id), i + 1) for p in (0, 1, 2, 4)
          for i, r in enumerate(lrows)],
         "p int, doc_id long, rank_lex int")
@@ -1252,7 +1253,7 @@ def a_hybrid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (zero) row — the curve's worst point is the one that matters
     rows = [(p, len(by_p[p] & by_p[0]), len(by_p[p] & by_p[0]) / 10.0)
             for p in (1, 2, 4)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "nprobe long, n_hits long, recall double")
 
 
@@ -1839,7 +1840,7 @@ def a_knn_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probes = probes.agg(F.count(F.lit(1)).cast("long")
                           .alias("n_probes"))
     grid = (spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
-            .crossJoin(spark.createDataFrame(
+            .crossJoin(local_df(spark, 
                 [("gated8",), ("bucket8",), ("bucket4",)],
                 "variant string")))
     return (grid.join(hits, ["variant", "k"], "left")
@@ -1968,6 +1969,6 @@ def a_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = sum(v[i] * m[(i, j)] * v[j] for i in dims for j in dims)
     den = sum(x * x for x in v.values())
     eig = num // den
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, v[i] * sg, eig) for i in dims],
         "dim long, loading long, eigval long")

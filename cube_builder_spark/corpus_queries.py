@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .functions.numeric import bounded_collect
 from .tables import load_tables
+from .tables import local_df
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -1487,7 +1488,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i += 1
             nxt.append((out, freq))
         vocab = nxt
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges, "rank long, sym_a string, sym_b string, cnt long")
 
 
@@ -1679,7 +1680,7 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 exact = v
                 break
         rows.append((p, exact, ok))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "pct long, exact_value long, sketch_within_eps boolean")
 
 
@@ -2385,7 +2386,7 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100
                 for n in nodes}
     rows = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
-    return spark.createDataFrame(rows, "term string, rank_micro long")
+    return local_df(spark, rows, "term string, rank_micro long")
 
 
 @register("t_hapax_ratio", """

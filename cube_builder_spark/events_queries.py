@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .functions.numeric import bounded_collect, round_half_up_long
 
 from .tables import load_tables
+from .tables import local_df
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -1425,7 +1426,7 @@ def e_trajectory_hausdorff_pruned(spark: SparkSession,
     seed_ids = [r["user_id"] for r in
                 summ.orderBy("max_x", "user_id").limit(21)
                 .select("user_id").collect()]
-    empty = spark.createDataFrame(
+    empty = local_df(spark, 
         [], "user_a long, user_b long, hausdorff_sq long")
     if len(seed_ids) < 2:
         return empty
@@ -2709,7 +2710,7 @@ def e_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-wide no-CartesianProduct invariant holds for all 317
     # plans, even 64-row ones)
     wt = {0: 6, 1: 2, 2: 2, 3: 6}
-    lattice = spark.createDataFrame(
+    lattice = local_df(spark, 
         [(ch, bit, m, wt[bin(m).count("1")])
          for ch, bit in sorted(bit_of.items())
          for m in range(16) if (m & bit) == 0],
@@ -3494,7 +3495,7 @@ def e_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             nxt[r.tt] += mass[r.ft] * r.n // tot[r.ft]
         mass = nxt
-    return spark.createDataFrame(sorted(mass.items()),
+    return local_df(spark, sorted(mass.items()),
                                  "state string, mass_micro long")
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..tables import local_df
 
 
 def quantize(col, scale: int = 1000):
@@ -418,7 +419,7 @@ def ivf_batch_topk(embeddings: DataFrame, queries: DataFrame,
         for g in rank_lists(qv, by_g)[:nprobe]:
             probes.append((r.vec_id, g))
     spark = embeddings.sparkSession
-    probe_df = spark.createDataFrame(probes, "q_vec_id long, list_id long")
+    probe_df = local_df(spark, probes, "q_vec_id long, list_id long")
 
     qids = [r.vec_id for r in qrows]
     assign = ivf_assign(embeddings, n_lists, centroids=by_g)
@@ -981,7 +982,7 @@ def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
     first = (cand.orderBy(F.desc("cq"), "vec_id").limit(1)
              .select("vec_id", "cq").collect())
     if not first:  # pool held only the query vector (or nothing)
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     picked = [(1, first[0]["vec_id"], first[0]["cq"], 0.0)]
     for rank in range(2, k + 1):
         sel = [p[1] for p in picked]
@@ -996,7 +997,7 @@ def mmr_topk(embeddings: DataFrame, query_vec_id: int = 0,
             break
         picked.append((rank, nxt[0]["vec_id"], nxt[0]["cq"],
                        nxt[0]["msim"]))
-    return spark.createDataFrame(picked, schema)
+    return local_df(spark, picked, schema)
 
 
 def cluster_silhouette(embeddings: DataFrame,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from .tables import local_df
 
 
 def create_tiles(bbox: tuple[float, float, float, float], tile_size_m: float,
@@ -147,7 +148,7 @@ def create_geographic_grids(names: list[str], projection: str, meridian: float,
 
 
 def tiles_df(spark: SparkSession, tiles: list[dict]) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(spark, 
         tiles, schema="grid string, tile_id string, xmin double, xmax double, ymax double, ymin double")
 
 

